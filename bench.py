@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query wall time (plan + execute + count-style drain of the
+result), per BENCH_r{N}.json contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q_enrich_join",
+    "q_window_top_orders",
+    "q_filter_events",
+    "q_dedup_exact",
+    "q_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_ann_brute_topk",
+    "q_ann_blocked_knn",
+    "q_langid",
+    "q_quality_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from metalpipe_spark.session import get_spark
+    from metalpipe_spark.catalog import load_all
+
+    spark = get_spark(app_name="metalpipe-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    registry = load_all()
+
+    # Warm the JVM/codegen paths once with a trivial action.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

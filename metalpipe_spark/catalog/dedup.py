@@ -1,0 +1,183 @@
+"""Deduplication catalog queries: exact, n-gram Jaccard, MinHash
+signatures, MinHash+LSH candidate pairs, SimHash.
+
+All hashing is md5-based so every result is bit-reproducible in the
+DuckDB oracle (see operators/dedup.py for the scale rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from metalpipe_spark.sources.readers import load_table
+
+# Shared SQL fragment: distinct word-3-gram shingles per document.
+_SHINGLES_CTE = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    )
+"""
+
+_HASH64_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-text fingerprint.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+@register(
+    "q_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter,
+           inter::DOUBLE / (s1.n_sh + s2.n_sh - inter)::DOUBLE AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE inter::DOUBLE / (s1.n_sh + s2.n_sh - inter)::DOUBLE >= 0.05
+    ORDER BY d1, d2
+    """,
+    doc="N-gram Jaccard near-dup pairs: shingle-join candidate generation.",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_candidate_pairs(docs, threshold=0.05).orderBy("d1", "d2")
+
+
+def _salted(i: int) -> str:
+    return _HASH64_SQL.format(expr="'" + str(i) + ":' || shingle")
+
+
+def _minhash_oracle(num_hashes: int = 16) -> str:
+    mins = ",\n           ".join(
+        f"MIN({_salted(i)}) AS m{i}" for i in range(num_hashes)
+    )
+    arr = ", ".join(f"m{i}" for i in range(num_hashes))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, [{arr}] AS minhash FROM mh ORDER BY doc_id
+    """
+
+
+@register(
+    "q_minhash_signatures",
+    _minhash_oracle(16),
+    doc="MinHash signatures (16 salted md5 hashes, shuffle-free columnar form).",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(word_shingles("text")) > 0)
+    return minhash_signatures(docs, num_hashes=16).orderBy("doc_id")
+
+
+def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN({_salted(i)}) AS m{i}" for i in range(num_hashes)
+    )
+    arr = ", ".join(f"m{i}" for i in range(num_hashes))
+    band_exprs = ", ".join(
+        "md5('"
+        + str(b)
+        + "' || ',' || "
+        + " || ',' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, [{arr}] AS minhash, [{band_exprs}] AS bnds FROM mh),
+    banded AS (SELECT doc_id, minhash, unnest(bnds) AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.minhash AS m1, b.minhash AS m2
+      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           len(list_filter(list_zip(m1, m2), p -> p[1] = p[2]))::DOUBLE / {num_hashes}.0
+             AS est_jaccard
+    FROM cand
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    _lsh_oracle(16, 8),
+    doc="MinHash+LSH banding: candidates meet through shared band buckets.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(word_shingles("text")) > 0)
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("d1", "d2")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN len(list_filter(hs, v -> (v & {1 << j}) > 0)) * 2 > len(hs) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, list_transform(t, x -> {_HASH64_SQL.format(expr='x')}) AS hs
+      FROM toks
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+    FROM h
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_simhash",
+    _simhash_oracle(32),
+    doc="SimHash fingerprints: per-bit majority vote over token hashes.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32).orderBy("doc_id")

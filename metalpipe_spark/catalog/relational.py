@@ -1,0 +1,442 @@
+"""Relational core queries — sources, filters, projections, joins,
+aggregations, windows, rollups, set ops, batching, profiling
+(SURVEY.md §2.1-2.8).
+
+Each query exercises engine operators from :mod:`metalpipe_spark.operators`
+and carries a DuckDB oracle.  Plans are written Spark-first: filters are
+plain predicates (pushed to the parquet scan), dimension joins are
+broadcast, aggregates pre-combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.functions.scalars import (
+    datetime_to_milliseconds,
+    timestamp_to_redshift,
+    to_bool,
+)
+from metalpipe_spark.operators.aggregate import batch_messages, row_stat_collector
+from metalpipe_spark.operators.filtering import filter_node
+from metalpipe_spark.operators.joins import enrich_join
+from metalpipe_spark.operators.transform import insert_data, remapper, substitute_regex
+from metalpipe_spark.sources.readers import load_table
+
+
+def dec(c: Column | str) -> Column:
+    """Exact-accumulation cast: DOUBLE -> DECIMAL(24,8).  Sums over this
+    are exact, so Spark and the oracle agree bit-for-bit after the final
+    cast back to DOUBLE."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(24,8)")
+
+
+def dsum(c: Column | str) -> Column:
+    return F.sum(dec(c)).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(dec(col)).cast("double") / F.count(col)
+
+
+# SQL fragments mirroring dec/dsum/davg.
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,8))) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,8))) AS DOUBLE) / COUNT({expr})"
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg('l_quantity')} AS avg_qty,
+           {_davg('l_extendedprice')} AS avg_price,
+           {_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q03_top_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter, broadcast join, top-k.",
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    # customer is the small filtered side: broadcast it into orders, then
+    # join the fact table on the join key Catalyst keeps partitioned.
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    f"""
+    SELECT n.n_name,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: star join, all dims broadcast, one fact shuffle.",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q_filter_events",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+      AND event_type = 'purchase'
+      AND CAST(json_extract_string(props, 'k') AS BIGINT) > 50
+    ORDER BY event_id
+    """,
+    doc="Filter node (node.py:1294-1343): value_is_not_none + predicates, JSON key extraction.",
+)
+def q_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = filter_node(ev, "value_is_not_none", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .select("event_id", "user_id", "event_type", "k")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_remap_customers",
+    """
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+           c_acctbal AS balance
+    FROM customer
+    ORDER BY id
+    """,
+    doc="Remapper (node.py:1694-1702): projection with renames.",
+)
+def q_remap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    out = remapper(
+        cust,
+        {"id": "c_custkey", "name": "c_name", "segment": "c_mktsegment", "balance": "c_acctbal"},
+    )
+    return out.orderBy("id")
+
+
+@register(
+    "q_insert_scalars",
+    """
+    SELECT event_id,
+           strftime(ts, '%b %d,%Y %H:%M:%S') AS ts_redshift,
+           epoch_ms(ts) AS ts_ms,
+           (value > 0) AS value_truthy,
+           'metalpipe' AS source_system
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="InsertData + scalar datetime library (helpers.py:48-102,225-226).",
+)
+def q_insert_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = insert_data(ev, {"source_system": "metalpipe"})
+    return ev.select(
+        "event_id",
+        timestamp_to_redshift("ts").alias("ts_redshift"),
+        datetime_to_milliseconds("ts").alias("ts_ms"),
+        to_bool("value").alias("value_truthy"),
+        "source_system",
+    ).orderBy("event_id")
+
+
+@register(
+    "q_regex_parts",
+    """
+    SELECT p_partkey, lower(regexp_replace(p_type, ' ', '_', 'g')) AS type_slug, p_brand
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="SubstituteRegex (node.py:1068-1077) -> regexp_replace.",
+)
+def q_regex_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    part = substitute_regex(part, "p_type", " ", "_")
+    return part.select(
+        "p_partkey", F.lower("p_type").alias("type_slug"), "p_brand"
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q_enrich_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name AS nation_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY o_orderkey
+    """,
+    doc="retain_input enrichment join (queue.py:91-102): fact keeps all columns, dims broadcast.",
+)
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    out = enrich_join(orders, cust, on="o_custkey")
+    out = enrich_join(out, nation, on="c_nationkey")
+    return out.select(
+        "o_orderkey", "o_totalprice", "c_name", F.col("n_name").alias("nation_name")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q_batch_orders",
+    """
+    SELECT CAST(FLOOR(o_orderkey / 100) AS BIGINT) AS batch_id,
+           COUNT(*) AS batch_size,
+           MIN(o_orderkey) AS first_key,
+           MAX(o_orderkey) AS last_key
+    FROM orders
+    GROUP BY 1
+    ORDER BY batch_id
+    """,
+    doc="BatchMessages (node.py:1731-1754): key-deterministic batching.",
+)
+def q_batch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    batched = batch_messages(orders, 100, "o_orderkey", payload=["o_orderkey"])
+    return batched.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("batch_size"),
+        F.element_at("items", 1).getField("o_orderkey").alias("first_key"),
+        F.element_at("items", -1).getField("o_orderkey").alias("last_key"),
+    ).orderBy("batch_id")
+
+
+@register(
+    "q_profile_customer",
+    """
+    SELECT column_name, n_rows, n_null, n_distinct, (n_distinct = n_rows - n_null) AS is_unique
+    FROM (
+      SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(c_custkey) AS n_null, COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+      UNION ALL
+      SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+    )
+    ORDER BY column_name
+    """,
+    doc="RowStatCollector (table_nodes.py:46-84): one-pass per-column profile.",
+)
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    prof = row_stat_collector(cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+    return prof.orderBy("column_name")
+
+
+@register(
+    "q_window_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 2
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+    doc="Window functions (engine surface beyond the reference, SURVEY §2.6 note).",
+)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "q_rollup_nation",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="Rollup aggregation (engine surface; Catalyst-native).",
+)
+def q_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@register(
+    "q_union_parties",
+    """
+    SELECT c_name AS name, 'customer' AS party_type FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS party_type FROM supplier
+    ORDER BY party_type, name
+    """,
+    doc="Set ops (SURVEY §2.7): fan-in of multiple sources = unionByName.",
+)
+def q_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("party_type")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("party_type")
+    )
+    return cust.unionByName(supp).orderBy("party_type", "name")
+
+
+@register(
+    "q_edges_part_supplier",
+    """
+    SELECT DISTINCT l_partkey AS src_key, l_suppkey AS tgt_key
+    FROM lineitem
+    ORDER BY src_key, tgt_key
+    """,
+    doc="RelationshipAssertion materialization (nft_nodes.py:672-793): keyed edge-table dedup.",
+)
+def q_edges_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_partkey").alias("src_key"), F.col("l_suppkey").alias("tgt_key"))
+        .dropDuplicates()
+        .orderBy("src_key", "tgt_key")
+    )
+
+
+@register(
+    "q_systematic_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="RandomSample (node.py:1055-1065) in its oracle-reproducible systematic form.",
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.filtering import systematic_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return systematic_sample(orders, "o_orderkey", 10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).orderBy("o_orderkey")

@@ -1,0 +1,70 @@
+"""Similarity-search catalog queries over the ``embeddings`` table.
+
+Determinism: dot products fold left-to-right in DOUBLE on both engines
+(Spark ``F.aggregate`` / DuckDB ``list_reduce``), similarities rounded to
+6 decimals before ordering, total tie-break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.similarity import brute_force_topk, pairwise_topk_per_label
+from metalpipe_spark.sources.readers import load_table
+
+# Sequential double fold of a·b (p[1]=left element, p[2]=right element).
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "q_ann_brute_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({_cos('embedding', 'qv')}, 6) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k vs the vec_id=0 query vector (exact baseline).",
+)
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(x) for x in qv], k=10)
+
+
+@register(
+    "q_ann_blocked_knn",
+    f"""
+    WITH a AS (SELECT label AS blk, vec_id AS d1, embedding AS v1 FROM embeddings),
+         b AS (SELECT label AS blk, vec_id AS d2, embedding AS v2 FROM embeddings),
+    scored AS (
+      SELECT a.blk, d1, d2, round({_cos('v1', 'v2')}, 6) AS cosine_sim
+      FROM a JOIN b ON a.blk = b.blk AND d1 <> d2
+    ),
+    ranked AS (
+      SELECT blk, d1, d2, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY d1 ORDER BY cosine_sim DESC, d2) AS rnk
+      FROM scored
+    )
+    SELECT blk, d1, d2, cosine_sim, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY d1, rnk
+    """,
+    doc="Blocked exact kNN within label blocks (IVF-cell stand-in; block-local join).",
+)
+def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pairwise_topk_per_label(emb, k=3).orderBy("d1", "rnk")

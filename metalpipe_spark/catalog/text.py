@@ -1,0 +1,145 @@
+"""Text-analysis catalog queries over the ``documents`` table: language
+ID, quality scoring, token stats, fingerprinting.
+
+Oracle parity notes: tokenization is ``regexp_split_to_array(text,'\\s+')``
+on the DuckDB side vs ``F.split(text, '\\s+')`` — identical on the
+synthetic corpus (single-space separated); all ratios are exact-integer
+divisions performed once in DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.text import (
+    LANG_MARKERS,
+    analyze_documents,
+    detect_language,
+    fingerprint,
+    quality_score,
+    tokens,
+)
+from metalpipe_spark.sources.readers import load_table
+
+
+def _marker_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(toks, x -> x IN ({markers})))::DOUBLE"
+        f" / greatest(len(toks), 1)::DOUBLE"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)  # de, en, es, fr
+_SCORES = ",\n           ".join(f"{_marker_sql(lang)} AS s_{lang}" for lang in _LANGS)
+
+# Mirror of detect_language's strictly-greater update loop over sorted
+# languages: the earliest language attaining the max wins; 'unk' unless
+# the max clears the threshold.
+_LANGID_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+           {_SCORES}
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.01 THEN 'unk'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_detected
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "q_langid",
+    _LANGID_SQL,
+    doc="Language-ID heuristic: marker-word ratio argmax (operators/text.py).",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        detect_language("text").alias("lang_detected"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_quality_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)::DOUBLE)
+             * (CASE WHEN len(toks) >= 20 THEN 1.0 ELSE len(toks)::DOUBLE / 20.0 END)
+             AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring + token counting (operators/text.py).",
+)
+def q_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+             AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: md5 over normalized token stream.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "q_text_profile_by_lang",
+    """
+    WITH t AS (
+      SELECT lang, regexp_split_to_array(text, '\\s+') AS toks, n_chars FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Corpus-level aggregation of text stats (one shuffle on lang).",
+)
+def q_text_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.size(tokens("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )

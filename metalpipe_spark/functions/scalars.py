@@ -1,0 +1,108 @@
+"""Scalar function library — Column-level equivalents of the reference's
+``utils/helpers.py`` conversion helpers (SURVEY.md §2.8).
+
+Every function here takes and returns :class:`pyspark.sql.Column` so it
+stays inside Catalyst / whole-stage codegen — no Python UDFs.  Reference
+citations point at the behavior being reproduced, not code being copied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference's Redshift-friendly datetime format "%b %d,%Y %H:%M:%S"
+# (/root/reference/metalpipe/utils/helpers.py:48-51,205-206).
+REDSHIFT_FORMAT = "MMM dd,yyyy HH:mm:ss"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def timestamp_to_redshift(ts: Column | str) -> Column:
+    """helpers.py:221-222 — format a timestamp as ``Jan 05,2024 13:00:00``."""
+    return F.date_format(_col(ts), REDSHIFT_FORMAT)
+
+
+def now_redshift() -> Column:
+    """helpers.py:205-206 — current time in the Redshift format."""
+    return F.date_format(F.current_timestamp(), REDSHIFT_FORMAT)
+
+
+def string_to_datetime(s: Column | str, fmt: str) -> Column:
+    """helpers.py:54-66 — parse a string with an explicit format."""
+    return F.to_timestamp(_col(s), _java_format(fmt))
+
+
+def milliseconds_epoch_to_datetime(ms: Column | str) -> Column:
+    """helpers.py:69-79 — epoch milliseconds → timestamp."""
+    return F.timestamp_millis(_col(ms).cast("long"))
+
+
+def seconds_epoch_to_datetime(sec: Column | str) -> Column:
+    """helpers.py:82-87 — epoch seconds → timestamp."""
+    return F.timestamp_seconds(_col(sec).cast("long"))
+
+
+def datetime_to_milliseconds(ts: Column | str) -> Column:
+    """helpers.py:225-226 — timestamp → epoch milliseconds."""
+    return F.unix_millis(_col(ts))
+
+
+def now_milliseconds() -> Column:
+    """helpers.py:194-195."""
+    return F.unix_millis(F.current_timestamp())
+
+
+def convert_date_format(s: Column | str, src: str, tgt: str) -> Column:
+    """helpers.py:137-140 — reformat a date string from ``src`` to ``tgt``.
+
+    Formats are given in strftime style (as the reference's configs use)
+    and translated to Spark's java.time patterns.
+    """
+    return F.date_format(F.to_timestamp(_col(s), _java_format(src)), _java_format(tgt))
+
+
+def to_bool(c: Column | str) -> Column:
+    """helpers.py:90-100 — truthy coercion.
+
+    Strings: true iff non-empty and first char (lowercased) is 't' or 'y'.
+    Numerics: true iff > 0.  Booleans pass through.  Implemented as a pure
+    SQL expression over the string form so it runs JVM-side.
+    """
+    col = _col(c)
+    s = col.cast("string")
+    numeric = s.cast("double")
+    return (
+        F.when(col.cast("boolean").isNotNull() & s.isin("true", "false"), col.cast("boolean"))
+        .when(numeric.isNotNull(), numeric > 0)
+        .otherwise(F.lower(F.substring(s, 1, 1)).isin("t", "y"))
+    )
+
+
+_STRFTIME_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%b", "MMM"),
+    ("%B", "MMMM"),
+    ("%f", "SSSSSS"),
+    ("%%", "%"),
+]
+
+
+def _java_format(fmt: str) -> str:
+    """Translate a strftime-style format (the reference's convention) to a
+    java.time pattern.  Formats already in java style pass through
+    unchanged (they contain no '%')."""
+    if "%" not in fmt:
+        return fmt
+    out = fmt
+    for sym, java in _STRFTIME_TO_JAVA:
+        out = out.replace(sym, java)
+    return out

@@ -1,0 +1,79 @@
+"""Aggregation / batching / profiling operators (SURVEY.md §2.6).
+
+The reference accumulates per-message state in node attributes and
+flushes on cleanup; the Spark forms are grouped aggregations with
+map-side partial aggregation — the shape that scales, since each
+executor pre-aggregates before the single shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metalpipe_spark.keypath import aggregate_values
+
+
+def batch_messages(
+    df: DataFrame, batch_size: int, key: Column | str, payload: list[str] | None = None
+) -> DataFrame:
+    """BatchMessages (node.py:1731-1754) — group the stream into batches
+    of ``batch_size``, emitting one row per batch.
+
+    The reference batches by arrival order (meaningless under distributed
+    execution), so batches here are keyed deterministically:
+    ``batch_id = floor(key / batch_size)``.  The final short batch is
+    emitted, matching the reference's cleanup() flush.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    payload = payload or [c for c in df.columns]
+    return (
+        df.groupBy(F.floor(col / batch_size).alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.sort_array(F.collect_list(F.struct(*payload))).alias("items"),
+        )
+    )
+
+
+def aggregate_values_node(df: DataFrame, tail_path: str, output_key: str = "values") -> DataFrame:
+    """AggregateValues (node.py:1278-1291) — collect every value at any
+    nested path matching ``tail_path`` into one list column."""
+    return df.withColumn(output_key, aggregate_values(df, tail_path))
+
+
+def row_stat_collector(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """RowStatCollector (node_classes/table_nodes.py:46-84) — per-column
+    profile: row count, distinct count, null count, uniqueness flag.
+
+    The reference streams rows through a Bloom filter; the distributed
+    form is one pass of built-in aggregates per column (a single scan —
+    Catalyst fuses the aggregates), then an unpivot to the profile shape:
+    one row per column.  Exact distinct counts (the reference reports
+    exact uniqueness); swap ``countDistinct`` for
+    ``approx_count_distinct`` at the 100 TB tier where a 2% error is an
+    acceptable price for no shuffle explosion.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    row = df.agg(*aggs)
+    profiles = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            (F.col(f"{c}__rows") - F.col(f"{c}__nonnull")).alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            (F.col(f"{c}__distinct") == F.col(f"{c}__nonnull")).alias("is_unique"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*profiles)).alias("p"))
+        .select("p.*")
+    )

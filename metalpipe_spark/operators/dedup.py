@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(BASELINE.json north star).
+
+Scale design:
+  * exact dedup = hash-groupBy on a fingerprint — one shuffle on an
+    evenly-distributed md5 key (no skew by construction);
+  * near-dup candidate generation never compares all pairs: documents
+    meet only through shared shingles (Jaccard) or shared LSH band
+    buckets (MinHash), so cost tracks true-duplicate density, not n²;
+  * hashes are md5-based (bit-identical in any engine) rather than
+    Spark-internal ``hash()``, keeping results reproducible and
+    oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document as an array column.
+
+    Empty (not a singleton) when the document has fewer than ``n``
+    tokens — mirrored exactly in the SQL oracle.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(col, r" ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    shingle_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(k >= 1, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs.
+
+    Plan shape: explode distinct shingles → self-join on shingle (both
+    sides partitioned by the shingle hash — co-located, no broadcast of
+    the corpus) → count intersections per pair → Jaccard against
+    per-doc shingle counts.  Hot shingles can be frequency-capped
+    upstream at extreme scale (df.filter on shingle doc-frequency).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    jac = (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("d1", "d2", "inter", "jaccard")
+
+
+def _hash64(col: Column) -> Column:
+    """Portable 60-bit integer hash: md5 hex → first 15 nibbles → bigint.
+    Identical in Spark (conv) and ANSI engines ('0x…'::bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of h_i(shingle),
+    with h_i = md5 salted by i.  Columnar (array ops per row): no
+    shuffle at all — the signature is computed in the scan stage."""
+    shingles = word_shingles(text_col, n)
+
+    # NB: a lambda with 2 params would receive the array index as its
+    # second arg from F.transform — capture the salt via a factory.
+    def _salted(i: int):
+        salt = F.lit(f"{i}:")
+        return lambda s: _hash64(F.concat(salt, s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, _salted(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding: documents sharing any band signature become
+    candidate pairs; estimated similarity = fraction of matching minhash
+    components.  Pairs meet through band buckets (groupBy band key), so
+    the join is bucket-local — the standard shape that survives 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[
+                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.minhash").alias("m1"),
+            F.col("b.minhash").alias("m2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("m1", "m2", lambda x, y: x == y), lambda e: e)).cast("double")
+        / F.lit(num_hashes).cast("double"),
+    ).select("d1", "d2", "est_jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over tokens: bit j of the fingerprint is the
+    majority vote of token-hash bit j.  Pure array arithmetic per row."""
+    toks = F.array_distinct(F.split(F.col(text_col), r" "))
+    hashes = F.transform(toks, _hash64)
+
+    # Factory keeps the merge lambda binary — a 3-param lambda would make
+    # F.aggregate pass a Column as the third argument.
+    def _vote(j: int):
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(j) for j in range(bits)]
+    fp = None
+    for j, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two tiers:
+  * brute-force cosine top-k — exact baseline; a single scan with a
+    per-row array reduction, then a top-k (no full sort: Spark's
+    ``orderBy().limit(k)`` takes partial top-k per partition).
+  * LSH-bucketed ANN (random-hyperplane signatures) — candidates meet
+    through shared sign-pattern buckets, the scale path when the corpus
+    no longer fits a single scan per query batch.
+
+Arithmetic determinism: dot products and norms fold left-to-right over
+the array (``F.aggregate``) in DOUBLE, which matches an equivalent
+sequential fold in the oracle engine bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold of a·b."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector ships as a plan literal (broadcast by construction);
+    at 100 TB this is one scan + partial top-k per partition + a k-row
+    merge on the driver side of the exchange.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Blocked exact kNN: neighbors within the same label block (an IVF
+    cell stand-in — at scale the label is a learned/hashed partition).
+    Join is block-local (equi-join on the block key), never all-pairs."""
+    from pyspark.sql.window import Window
+
+    a = df.select(
+        F.col(label_col).alias("blk"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+    )
+    b = df.select(
+        F.col(label_col).alias("blk"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+    )
+    pairs = a.join(b, "blk").filter(F.col("d1") != F.col("d2"))
+    scored = pairs.withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+    w = Window.partitionBy("d1").orderBy(F.desc("cosine_sim"), F.asc("d2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("blk", "d1", "d2", "cosine_sim", "rnk")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign pattern of dot products with
+    fixed hyperplanes.  Vectors sharing a bucket are ANN candidates."""
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0, "1").otherwise("0")
+        for h in hyperplanes
+    ]
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))

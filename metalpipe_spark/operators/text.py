@@ -1,0 +1,89 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting
+(BASELINE.json north star; beyond the reference's own surface).
+
+All pure Column expressions — whole-stage-codegen'd, no Python in the
+hot path, linear scans with no shuffle.  At 100 TB these run at parquet
+scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word sets for the n-gram/stopword heuristic.
+# Real deployments swap in larger tables; the mechanism (vectorized set
+# membership over tokens) is what scales.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization as an array column."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, pattern)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are in a marker set — the building block
+    of the stopword/language heuristics."""
+    hits = F.size(F.filter(toks, lambda x: x.isin(*markers)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def detect_language(text: Column | str, threshold: float = 0.01) -> Column:
+    """Language-ID heuristic: highest marker-word ratio wins; 'unk' if no
+    language clears ``threshold``.  Deterministic tie-break: language
+    code order."""
+    toks = tokens(text)
+    best_lang = F.lit("unk")
+    best_score = F.lit(float(threshold))
+    for lang in sorted(LANG_MARKERS):
+        score = marker_ratio(toks, LANG_MARKERS[lang])
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column | str) -> Column:
+    """Quality heuristic in [0,1]: lexical diversity (distinct/total
+    tokens) damped by a short-document penalty.  Expressed in exact
+    integer arithmetic then one double division, so oracle engines agree
+    bit-for-bit."""
+    toks = tokens(text)
+    n = F.size(toks)
+    distinct = F.size(F.array_distinct(toks))
+    diversity = distinct.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    length_ok = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / 20.0)
+    return diversity * length_ok
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(col)), r"\s+"))
+    return F.md5(normalized)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: adds lang_detected, n_tokens, n_distinct_tokens,
+    quality, fingerprint columns."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("lang_detected", detect_language(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine has no session concept (one Python process, one
+thread per node — /root/reference/metalpipe/node.py:823-826).  Here the
+session is the engine: AQE handles runtime re-planning (skew joins,
+partition coalescing), Arrow handles the Python boundary, and the session
+timezone is pinned to UTC so timestamp semantics are reproducible across
+engines (parquet naive timestamps == UTC wall time, matching DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for correctness-at-any-scale rather than for the local
+# test harness: AQE re-plans shuffles at runtime, so the static
+# shuffle-partition count is only a ceiling hint.  On a real cluster the
+# launcher overrides master/memory; nothing here assumes local mode.
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MiB input splits: the parquet-scan sweet spot for wide clusters.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Let small dims broadcast aggressively; AQE converts to broadcast
+    # joins at runtime when post-filter sizes allow.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
+    "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
+}
+
+
+def get_spark(
+    app_name: str = "metalpipe-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` resolution order: explicit arg, ``SPARK_GRAFT_MASTER`` env,
+    ``local[$SPARK_GRAFT_CPUS]``, ``local[*]``.  An existing active
+    session is reused (configs then already apply).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,79 @@
+"""Batch sources (SURVEY.md §2.1).
+
+The reference streams rows one dict at a time from MySQL/CSV/files
+(/root/reference/metalpipe/node.py:1346-1525).  Here every source is a
+DataFrame reader: schema, predicate pushdown, and column pruning come from
+the data source API; a 100 TB parquet directory and a 4-row CSV read
+through the same code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table (TESTDATA.md).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
+    vectorized reader rejects; read it as raw nanos (legacy conf) and
+    truncate to microseconds with integer division — ``ts div 1000`` stays
+    in LONG arithmetic, so no double rounding on int64 nanos.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TPCH_TABLES}
+
+
+def csv_reader(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """CSVReader / CSVToDictionaryList (node.py:1488-1497, 1080-1088) —
+    CSV → one row per record, schema inferred like the reference's
+    DictReader-of-strings but typed."""
+    return spark.read.csv(path, header=header, inferSchema=infer_schema)
+
+
+def local_file_reader(
+    spark: SparkSession, path: str, serialize: bool = False
+) -> DataFrame:
+    """LocalFileReader (node.py:1463-1485) — whole-file or line-serialized
+    text.  ``serialize=True`` emits one row per line (the reference's
+    ``serialize`` flag); otherwise one row per file."""
+    return spark.read.text(path, wholetext=not serialize)
+
+
+def jdbc_table(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """StreamMySQLTable / CivisToCSV (node.py:1346-1409,
+    civis_nodes.py:429-482) — a database table as a DataFrame.  Schema
+    comes from JDBC metadata (the reference reads information_schema by
+    hand); SQL pushdown via a query-in-``table`` string works unchanged."""
+    return spark.read.jdbc(url, table, properties=properties or {})

@@ -1,0 +1,71 @@
+"""Shared DuckDB-oracle comparison harness: mirrors the driver's t2 gate
+(sorted columns, order-insensitive row compare, exact values)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return f
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    return v
+
+
+def canonical_rows(df_pandas) -> list[tuple]:
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_canon(row[c]) for c in cols)
+        for _, row in df_pandas[cols].iterrows()
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare_with_oracle(spark_df, con, oracle: str) -> tuple[list, list]:
+    got = canonical_rows(spark_df.toPandas())
+    want = canonical_rows(con.sql(oracle).df())
+    return got, want
