@@ -14,6 +14,7 @@ from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.dedup import (
     exact_dedup,
     jaccard_candidate_pairs,
+    minhash_coefficients,
     minhash_lsh_pairs,
     minhash_signatures,
     simhash,
@@ -77,21 +78,27 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_candidate_pairs(docs, threshold=0.05).orderBy("d1", "d2")
 
 
-def _salted(i: int) -> str:
-    return _HASH64_SQL.format(expr="'" + str(i) + ":' || shingle")
+# Affine minhash family over a single 32-bit md5-derived hash per
+# shingle — mirrors operators/dedup.minhash_signatures exactly.
+_HASH32_SQL = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+
+
+def _affine_mins(num_hashes: int) -> str:
+    return ",\n           ".join(
+        f"MIN(({a} * h + {b}) % 4294967296) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    )
 
 
 def _minhash_oracle(num_hashes: int = 16) -> str:
-    mins = ",\n           ".join(
-        f"MIN({_salted(i)}) AS m{i}" for i in range(num_hashes)
-    )
     arr = ", ".join(f"m{i}" for i in range(num_hashes))
     return f"""
     WITH {_SHINGLES_CTE},
+    hsh AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh),
     mh AS (
       SELECT doc_id,
-           {mins}
-      FROM sh GROUP BY doc_id
+           {_affine_mins(num_hashes)}
+      FROM hsh GROUP BY doc_id
     )
     SELECT doc_id, [{arr}] AS minhash FROM mh ORDER BY doc_id
     """
@@ -110,9 +117,6 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
-    mins = ",\n           ".join(
-        f"MIN({_salted(i)}) AS m{i}" for i in range(num_hashes)
-    )
     arr = ", ".join(f"m{i}" for i in range(num_hashes))
     band_exprs = ", ".join(
         "md5('"
@@ -124,9 +128,10 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     )
     return f"""
     WITH {_SHINGLES_CTE},
+    hsh AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh),
     mh AS (
-      SELECT doc_id, {mins}
-      FROM sh GROUP BY doc_id
+      SELECT doc_id, {_affine_mins(num_hashes)}
+      FROM hsh GROUP BY doc_id
     ),
     sig AS (SELECT doc_id, [{arr}] AS minhash, [{band_exprs}] AS bnds FROM mh),
     banded AS (SELECT doc_id, minhash, unnest(bnds) AS band_key FROM sig),

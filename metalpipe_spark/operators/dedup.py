@@ -95,6 +95,25 @@ def _hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit hash (first 8 md5 nibbles).  Small enough that
+    ``a*h + b`` stays inside int64 for 31-bit coefficients — the basis of
+    the affine minhash family below."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic 31-bit odd/even affine coefficients (a_i, b_i) for
+    the h_i(x) = (a_i*x + b_i) mod 2^32 family.  Fixed golden-ratio
+    multipliers keep them reproducible in any engine — no RNG."""
+    coeffs = []
+    for i in range(num_hashes):
+        a = (0x9E3779B1 * (2 * i + 1)) % (1 << 31) | 1
+        b = (0x85EBCA77 * (i + 1)) % (1 << 31)
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -102,24 +121,31 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of h_i(shingle),
-    with h_i = md5 salted by i.  Columnar (array ops per row): no
-    shuffle at all — the signature is computed in the scan stage."""
-    shingles = word_shingles(text_col, n)
+    """MinHash signatures: sig[i] = min over shingles of h_i(shingle)
+    with the affine family h_i(x) = (a_i*hash32(x) + b_i) mod 2^32 —
+    ONE md5 per shingle, then pure int64 arithmetic (Broder's classic
+    scheme).  Columnar (array ops per row): no shuffle at all — the
+    signature is computed in the scan stage."""
+    # Hash each shingle exactly once; the 16 band minima then read the
+    # precomputed array.  The intermediate projection keeps the md5 pass
+    # out of every array_min tree (CollapseProject leaves non-cheap
+    # multi-referenced expressions materialized).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, n), _hash32).alias("__hs"),
+    )
 
-    # NB: a lambda with 2 params would receive the array index as its
-    # second arg from F.transform — capture the salt via a factory.
-    def _salted(i: int):
-        salt = F.lit(f"{i}:")
-        return lambda s: _hash64(F.concat(salt, s))
+    def _affine(a: int, b: int):
+        mod = F.lit(1 << 32).cast("long")
+        return lambda h: (F.lit(a) * h + F.lit(b)) % mod
 
     sig = F.array(
         *[
-            F.array_min(F.transform(shingles, _salted(i))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("__hs"), _affine(a, b))).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
