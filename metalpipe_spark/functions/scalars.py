@@ -96,6 +96,21 @@ _STRFTIME_TO_JAVA = [
 ]
 
 
+# --- plain-Python callables loadable by dotted path -----------------------
+# (the reference's config-referenced UDF convention, helpers.py:39-45;
+# wrapped as Arrow-batched pandas UDFs by metalpipe_spark.udf_registry)
+
+
+def lower_str(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return s.lower()
+
+
+def is_building_segment(segment: str | None) -> bool:
+    return segment == "BUILDING"
+
+
 def _java_format(fmt: str) -> str:
     """Translate a strftime-style format (the reference's convention) to a
     java.time pattern.  Formats already in java style pass through

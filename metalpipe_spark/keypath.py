@@ -111,6 +111,12 @@ def aggregate_values(df: DataFrame, tail: str | Sequence[str]) -> Column:
     return F.flatten(F.array(*cols)) if len(cols) > 1 else cols[0]
 
 
+def _getter(key: str):
+    """Closure factory: F.transform binds every lambda param to a Column,
+    so a ``k=key`` default would receive the array index instead."""
+    return lambda x: x.getField(key)
+
+
 def _column_for_path(schema: T.StructType, path: tuple[str, ...]):
     """Resolve a schema path to a Column; returns (col, is_array_valued).
 
@@ -126,7 +132,7 @@ def _column_for_path(schema: T.StructType, path: tuple[str, ...]):
         if col is None:
             col = F.col(key)
         elif in_array:
-            col = F.transform(col, lambda x, k=key: x.getField(k))
+            col = F.transform(col, _getter(key))
         else:
             col = col.getField(key)
         dt = field.dataType

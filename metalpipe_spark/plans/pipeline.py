@@ -1,0 +1,432 @@
+"""Pipeline-config compiler: YAML ``nodes``/``paths`` → DataFrame graph
+(SURVEY.md §3.1).
+
+The reference CLI builds a thread-per-node object graph from YAML
+(/root/reference/metalpipe/bin/metalpipe:85-107) and pumps dict messages
+through bounded queues.  Here the same config compiles to a DAG of
+DataFrame transformations: each node class is a planning rule that maps
+(upstream DataFrames, options) to a new DataFrame, and execution is
+whatever action the caller runs on the terminal DataFrames — Catalyst
+then owns optimization, scheduling, and distribution.
+
+Config shape (reference parity, source/configuration.rst:6-44):
+
+    pipeline_name: my_pipeline
+    nodes:
+      read_customers:
+        class: ParquetReader
+        options: {path: /data/customer.parquet}
+      only_building:
+        class: Filter
+        options: {test: value_is_not_none, test_keypath: c_name}
+    paths:
+      - [read_customers, only_building]
+
+Fan-out = one node feeding several paths (the DataFrame is reused; Spark
+may recompute or reuse the scan — caching is an explicit option).
+Fan-in = several nodes feeding one (the reference interleaves messages,
+node.py:431 → ``unionByName``), except join nodes which consume named
+upstreams.
+
+Template phase: jinja2 with the reference's evaluator-function contract
+(bin/metalpipe:46-74) — any undeclared template variable is resolved by
+importing it as a dotted path and calling it with no args; plain names
+fall back to environment variables.  Secrets phase: token strings from
+secrets YAML files are replaced throughout the config tree
+(bin/metalpipe:23-37,77-83).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metalpipe_spark.operators.aggregate import (
+    aggregate_values_node,
+    batch_messages,
+    row_stat_collector,
+)
+from metalpipe_spark.operators.filtering import (
+    filter_node,
+    random_sample,
+    systematic_sample,
+)
+from metalpipe_spark.operators.joins import enrich_join
+from metalpipe_spark.operators.transform import (
+    insert_data,
+    remapper,
+    serializer,
+    simple_transforms,
+    substitute_regex,
+)
+from metalpipe_spark.sources.emitters import (
+    constant_emitter,
+    counter_of_things,
+    sequence_emitter,
+)
+from metalpipe_spark.sources.readers import csv_reader, local_file_reader
+from metalpipe_spark.udf_registry import load_function, wrap_udf
+
+# ---------------------------------------------------------------------------
+# Node-class registry
+
+
+@dataclass
+class NodeSpec:
+    name: str
+    cls: str
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+# builder(spark, upstreams: list[DataFrame], options) -> DataFrame | None
+NodeBuilder = Callable[[SparkSession, list[DataFrame], dict], DataFrame | None]
+
+NODE_CLASSES: dict[str, NodeBuilder] = {}
+
+
+def node_class(name: str):
+    def deco(fn: NodeBuilder):
+        NODE_CLASSES[name] = fn
+        return fn
+
+    return deco
+
+
+def _one(upstreams: list[DataFrame], cls: str) -> DataFrame:
+    if len(upstreams) == 1:
+        return upstreams[0]
+    if not upstreams:
+        raise ValueError(f"{cls} requires an upstream node")
+    # Fan-in: interleaved message streams (node.py:431) == union.
+    df = upstreams[0]
+    for other in upstreams[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    return df
+
+
+# -- sources ----------------------------------------------------------------
+
+
+@node_class("ParquetReader")
+def _parquet_reader(spark, upstreams, opts):
+    return spark.read.parquet(opts["path"])
+
+
+@node_class("CSVReader")
+def _csv_reader(spark, upstreams, opts):
+    return csv_reader(
+        spark,
+        opts["path"],
+        header=opts.get("header", True),
+        infer_schema=opts.get("infer_schema", True),
+    )
+
+
+@node_class("LocalFileReader")
+def _local_file_reader(spark, upstreams, opts):
+    return local_file_reader(spark, opts["path"], serialize=opts.get("serialize", False))
+
+
+@node_class("ConstantEmitter")
+def _constant_emitter(spark, upstreams, opts):
+    return constant_emitter(spark, opts.get("thing"), max_loops=opts.get("max_loops", 5))
+
+
+@node_class("SequenceEmitter")
+def _sequence_emitter(spark, upstreams, opts):
+    return sequence_emitter(
+        spark, opts["sequence"], max_sequences=opts.get("max_sequences", 1)
+    )
+
+
+@node_class("CounterOfThings")
+def _counter(spark, upstreams, opts):
+    return counter_of_things(spark, opts.get("start", 0), opts.get("end"))
+
+
+@node_class("GetEnvironmentVariables")
+def _env_vars(spark, upstreams, opts):
+    """node.py:1145-1191 — emit one row of environment values (driver-side
+    by nature; becomes a literal one-row DataFrame)."""
+    names = opts.get("environment_variables", [])
+    mappings = opts.get("mappings", {})
+    row = {mappings.get(v, v): os.environ.get(v) for v in names}
+    df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+    return df
+
+
+# -- transforms -------------------------------------------------------------
+
+
+@node_class("Filter")
+def _filter(spark, upstreams, opts):
+    return filter_node(
+        _one(upstreams, "Filter"),
+        opts["test"],
+        opts["test_keypath"],
+        value=opts.get("value", True),
+    )
+
+
+@node_class("Remapper")
+def _remapper(spark, upstreams, opts):
+    return remapper(_one(upstreams, "Remapper"), opts["mapping"])
+
+
+@node_class("InsertData")
+def _insert(spark, upstreams, opts):
+    return insert_data(
+        _one(upstreams, "InsertData"),
+        opts.get("values", {k: v for k, v in opts.items() if k not in ("overwrite", "overwrite_if_null")}),
+        overwrite=opts.get("overwrite", True),
+        overwrite_if_null=opts.get("overwrite_if_null", True),
+    )
+
+
+@node_class("SubstituteRegex")
+def _regex(spark, upstreams, opts):
+    return substitute_regex(
+        _one(upstreams, "SubstituteRegex"),
+        opts["key"],
+        opts["match_regex"],
+        opts["substitute_string"],
+    )
+
+
+@node_class("SimpleTransforms")
+def _simple_transforms(spark, upstreams, opts):
+    """node.py:1194-1254 — dotted-path functions applied at tail-matching
+    keypaths.  Functions load via the UDF registry; declared
+    ``return_type`` keeps the wrapper typed."""
+    specs = []
+    for raw in opts["missing_keypaths"] if "missing_keypaths" in opts else opts["transforms"]:
+        spec = dict(raw)
+        if "target_function" in spec and isinstance(spec["target_function"], str):
+            fn = wrap_udf(spec["target_function"], spec.get("return_type", "string"))
+            spec["target_function"] = lambda c, _f=fn: _f(c)
+        specs.append(spec)
+    return simple_transforms(_one(upstreams, "SimpleTransforms"), specs)
+
+
+@node_class("Serializer")
+def _serializer(spark, upstreams, opts):
+    return serializer(_one(upstreams, "Serializer"), opts["key"], opts.get("output_key"))
+
+
+@node_class("RandomSample")
+def _sample(spark, upstreams, opts):
+    if "modulus" in opts:
+        return systematic_sample(
+            _one(upstreams, "RandomSample"), opts["key"], opts["modulus"], opts.get("remainder", 0)
+        )
+    return random_sample(_one(upstreams, "RandomSample"), opts.get("sample", 0.1), opts.get("seed"))
+
+
+@node_class("BatchMessages")
+def _batch(spark, upstreams, opts):
+    return batch_messages(
+        _one(upstreams, "BatchMessages"), opts["batch_size"], opts["key"], opts.get("payload")
+    )
+
+
+@node_class("AggregateValues")
+def _agg_values(spark, upstreams, opts):
+    return aggregate_values_node(
+        _one(upstreams, "AggregateValues"), opts["tail_path"], opts.get("output_key", "values")
+    )
+
+
+@node_class("RowStatCollector")
+def _profile(spark, upstreams, opts):
+    return row_stat_collector(_one(upstreams, "RowStatCollector"), opts.get("columns"))
+
+
+@node_class("Join")
+def _join(spark, upstreams, opts):
+    """Batch equi-join of two upstream branches (completes the intent of
+    the reference's StreamingJoin stub, node.py:1528-1552)."""
+    if len(upstreams) != 2:
+        raise ValueError("Join requires exactly two upstream nodes")
+    left, right = upstreams
+    return enrich_join(left, right, on=opts["on"], how=opts.get("how", "inner"),
+                       broadcast_dim=opts.get("broadcast", False))
+
+
+@node_class("FunctionOfMessage")
+def _fn_of_message(spark, upstreams, opts):
+    """node.py:996-1013 — named function applied per record; compiled to a
+    typed UDF column rather than a whole-row Python pass."""
+    df = _one(upstreams, "FunctionOfMessage")
+    fn = wrap_udf(opts["function"], opts.get("return_type", "string"), mode=opts.get("mode", "pandas"))
+    cols = [opts["key"]] if "key" in opts else df.columns
+    return df.withColumn(opts.get("output_key", "result"), fn(*cols))
+
+
+# -- sinks ------------------------------------------------------------------
+
+
+@node_class("PrinterOfThings")
+def _printer(spark, upstreams, opts):
+    return _one(upstreams, "PrinterOfThings")  # action happens at run()
+
+
+@node_class("BlackHole")
+def _blackhole(spark, upstreams, opts):
+    return _one(upstreams, "BlackHole")
+
+
+@node_class("ParquetWriter")
+def _parquet_writer(spark, upstreams, opts):
+    df = _one(upstreams, "ParquetWriter")
+    writer = df.write.mode(opts.get("mode", "overwrite"))
+    if "partition_by" in opts:
+        writer = writer.partitionBy(*opts["partition_by"])
+    writer.parquet(opts["path"])
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Config phases: template → secrets → parse → compile
+
+
+def render_template(text: str, variables: Mapping[str, Any] | None = None) -> str:
+    """bin/metalpipe:46-74 — jinja2 render where every undeclared variable
+    is an evaluator: a dotted path imported and called with no args, else
+    an environment variable."""
+    try:
+        import jinja2
+        from jinja2 import meta
+    except ImportError:  # pragma: no cover - jinja2 is available in CI
+        return text
+
+    env = jinja2.Environment()
+    ast = env.parse(text)
+    names = meta.find_undeclared_variables(ast)
+    ctx = dict(variables or {})
+    for name in names:
+        if name in ctx:
+            continue
+        if "." in name:
+            ctx[name] = load_function(name)()
+        elif name in os.environ:
+            ctx[name] = os.environ[name]
+        else:
+            try:
+                ctx[name] = load_function(f"{name}")()
+            except Exception:
+                raise ValueError(f"unresolved template variable: {name!r}")
+    return env.from_string(text).render(**ctx)
+
+
+def apply_secrets(config: Any, secrets: Mapping[str, Any]) -> Any:
+    """bin/metalpipe:23-37 (seek_and_replace) — replace token strings with
+    secret values everywhere in the config tree."""
+    if isinstance(config, str):
+        return secrets.get(config, config)
+    if isinstance(config, Mapping):
+        return {k: apply_secrets(v, secrets) for k, v in config.items()}
+    if isinstance(config, list):
+        return [apply_secrets(v, secrets) for v in config]
+    return config
+
+
+def _edges(config: Mapping[str, Any]) -> list[tuple[str, str]]:
+    edges: list[tuple[str, str]] = []
+    for path in config.get("paths", []) or []:
+        edges += list(zip(path, path[1:]))
+    for e in config.get("edges", []) or []:
+        if isinstance(e, Mapping):
+            edges.append((e["from"], e["to"]))
+        else:
+            edges.append(tuple(e))
+    return edges
+
+
+@dataclass
+class CompiledPipeline:
+    """The compiled DataFrame DAG: every node's DataFrame plus the
+    terminals (nodes with no downstream edge)."""
+
+    dataframes: dict[str, DataFrame]
+    terminals: list[str]
+    specs: dict[str, NodeSpec]
+
+    def terminal_frames(self) -> dict[str, DataFrame]:
+        return {t: self.dataframes[t] for t in self.terminals}
+
+
+def compile_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> CompiledPipeline:
+    """Build every node's DataFrame in topological order."""
+    nodes = {
+        name: NodeSpec(name=name, cls=spec["class"], options=spec.get("options", {}) or {})
+        for name, spec in config["nodes"].items()
+    }
+    edges = _edges(config)
+    for a, b in edges:
+        for n in (a, b):
+            if n not in nodes:
+                raise ValueError(f"edge references unknown node {n!r}")
+
+    upstreams: dict[str, list[str]] = {n: [] for n in nodes}
+    downstream_count: dict[str, int] = {n: 0 for n in nodes}
+    for a, b in edges:
+        upstreams[b].append(a)
+        downstream_count[a] += 1
+
+    built: dict[str, DataFrame] = {}
+    remaining = set(nodes)
+    while remaining:
+        progressed = False
+        for name in sorted(remaining):
+            if all(u in built for u in upstreams[name]):
+                spec = nodes[name]
+                if spec.cls not in NODE_CLASSES:
+                    raise ValueError(f"unknown node class {spec.cls!r} for node {name!r}")
+                ups = [built[u] for u in upstreams[name]]
+                df = NODE_CLASSES[spec.cls](spark, ups, spec.options)
+                if df is None:
+                    raise ValueError(f"node {name!r} produced no DataFrame")
+                built[name] = df
+                remaining.discard(name)
+                progressed = True
+                break
+        if not progressed:
+            raise ValueError(f"pipeline has a cycle among {sorted(remaining)}")
+
+    terminals = [n for n in nodes if downstream_count[n] == 0]
+    return CompiledPipeline(dataframes=built, terminals=terminals, specs=nodes)
+
+
+def load_yaml_pipeline(
+    spark: SparkSession,
+    text: str,
+    variables: Mapping[str, Any] | None = None,
+    secrets_files: list[str] | None = None,
+) -> CompiledPipeline:
+    """Full reference entry path: template → secrets → parse → compile."""
+    import yaml
+
+    rendered = render_template(text, variables)
+    config = yaml.safe_load(rendered)
+    secret_map: dict[str, Any] = {}
+    for path in secrets_files or config.get("secrets_files", []) or []:
+        with open(path) as fh:
+            secret_map.update(yaml.safe_load(fh) or {})
+    if secret_map:
+        config = apply_secrets(config, secret_map)
+    return compile_pipeline(spark, config)
+
+
+def run_pipeline(pipeline: CompiledPipeline, show: bool = False) -> dict[str, int]:
+    """Execute the terminal actions; returns row counts per terminal (the
+    reference's monitor-table row counters, node.py:871-975)."""
+    counts = {}
+    for name, df in pipeline.terminal_frames().items():
+        if show and pipeline.specs[name].cls == "PrinterOfThings":
+            df.show(truncate=False)
+        counts[name] = df.count()
+    return counts

@@ -1,0 +1,130 @@
+"""Pipeline-config compiler tests (SURVEY.md §3.1): YAML → DataFrame DAG.
+
+Mirrors the reference's pipeline-mechanics tests
+(/root/reference/tests/test_metalpipe_processor.py:47-158): linking,
+fan-in, end-to-end content assertions on a sink node.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.plans.pipeline import (
+    apply_secrets,
+    compile_pipeline,
+    load_yaml_pipeline,
+    render_template,
+    run_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_linear_pipeline_filter_remap(spark):
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/customer.parquet"}},
+            "only_building": {
+                "class": "Filter",
+                "options": {"test": "value_is_not_none", "test_keypath": "c_name"},
+            },
+            "shape": {
+                "class": "Remapper",
+                "options": {"mapping": {"id": "c_custkey", "segment": "c_mktsegment"}},
+            },
+        },
+        "paths": [["read", "only_building", "shape"]],
+    }
+    p = compile_pipeline(spark, config)
+    assert p.terminals == ["shape"]
+    df = p.dataframes["shape"]
+    assert df.columns == ["id", "segment"]
+    direct = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    assert df.count() == direct.filter(F.col("c_name").isNotNull()).count()
+
+
+def test_fan_in_union(spark):
+    config = {
+        "nodes": {
+            "a": {"class": "CounterOfThings", "options": {"start": 0, "end": 5}},
+            "b": {"class": "CounterOfThings", "options": {"start": 100, "end": 103}},
+            "sink": {"class": "BlackHole"},
+        },
+        "edges": [["a", "sink"], ["b", "sink"]],
+    }
+    p = compile_pipeline(spark, config)
+    rows = sorted(r["count"] for r in p.dataframes["sink"].collect())
+    assert rows == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_join_node(spark):
+    config = {
+        "nodes": {
+            "orders": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/orders.parquet"}},
+            "customer": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/customer.parquet"}},
+            "rename": {
+                "class": "Remapper",
+                "options": {"mapping": {"o_custkey": "c_custkey", "c_name": "c_name"}},
+            },
+            "joined": {"class": "Join", "options": {"on": "o_custkey", "broadcast": True}},
+        },
+        "paths": [["orders", "joined"], ["customer", "rename", "joined"]],
+    }
+    p = compile_pipeline(spark, config)
+    df = p.dataframes["joined"]
+    assert "c_name" in df.columns and "o_orderkey" in df.columns
+    assert df.count() > 0
+
+
+def test_cycle_detection(spark):
+    config = {
+        "nodes": {
+            "a": {"class": "BlackHole"},
+            "b": {"class": "BlackHole"},
+        },
+        "edges": [["a", "b"], ["b", "a"]],
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        compile_pipeline(spark, config)
+
+
+def test_yaml_template_secrets_end_to_end(spark, tmp_path):
+    secrets = tmp_path / "secrets.yaml"
+    secrets.write_text("cache.token: sf_dir_value\n")
+    os.environ["MPS_TEST_DATA_DIR"] = SF_SMOKE
+    text = textwrap.dedent(
+        """
+        pipeline_name: smoke
+        nodes:
+          read:
+            class: ParquetReader
+            options: {path: "{{ MPS_TEST_DATA_DIR }}/nation.parquet"}
+          tag:
+            class: InsertData
+            options:
+              values: {source: cache.token}
+        paths:
+          - [read, tag]
+        """
+    )
+    p = load_yaml_pipeline(spark, text, secrets_files=[str(secrets)])
+    row = p.dataframes["tag"].select("source").head()
+    assert row[0] == "sf_dir_value"
+    counts = run_pipeline(p)
+    assert counts["tag"] == 25
+
+
+def test_render_template_env(monkeypatch):
+    monkeypatch.setenv("MPS_TPL_X", "42")
+    assert render_template("v={{ MPS_TPL_X }}") == "v=42"
+    with pytest.raises(ValueError, match="unresolved"):
+        render_template("v={{ not_a_real_thing_xyz }}")
+
+
+def test_apply_secrets_nested():
+    cfg = {"a": ["tok1", {"b": "tok2"}], "c": "plain"}
+    out = apply_secrets(cfg, {"tok1": "X", "tok2": "Y"})
+    assert out == {"a": ["X", {"b": "Y"}], "c": "plain"}
