@@ -47,6 +47,7 @@ def load_all() -> dict[str, CatalogQuery]:
     the registry."""
     from metalpipe_spark.catalog import (  # noqa: F401
         dedup,
+        modelling_queries,
         pipelines,
         relational,
         similarity,
