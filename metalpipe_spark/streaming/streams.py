@@ -1,0 +1,231 @@
+"""Structured Streaming realizations of the reference's streaming
+constructs (SURVEY.md §2.11).
+
+The reference's streaming layer is thread-per-node with wall-clock state:
+a directory poller (node.py:1500-1525), a stubbed windowed join keyed by
+a ``TimedDict`` cache (node.py:1528-1552), and a stubbed time-window
+accumulator (node.py:1453-1460).  The Spark forms are event-time-correct
+versions of the documented intent:
+
+* watchdog        → file source (built-in new-file discovery, exactly-once)
+* TimedDict join  → stream-stream join bounded by watermarks + time range
+* window emit     → tumbling/sliding/session windows with late-data policy
+* throttle        → trigger intervals (not data-plane)
+* batch markers   → foreachBatch micro-batch boundaries
+* termination     → query lifecycle (stop/awaitTermination)
+
+Everything here is also scale-design: watermarks bound state so a
+1000-executor streaming job doesn't accumulate unbounded join caches, and
+``availableNow`` triggers let the same pipeline run as an incremental
+batch backfill over 100 TB of history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def file_watchdog(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """LocalDirectoryWatchdog (node.py:1500-1525) — the reference polls
+    mtimes every ``check_interval``; the file source discovers new files
+    transactionally (checkpointed, no double-reads after restart)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(directory)
+
+
+def rate_emitter(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """ConstantEmitter-with-delay in streaming form (node.py:1432-1450):
+    the rate source emits (timestamp, value) rows on a schedule."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str,
+    aggs: list,
+    watermark: str = "30 seconds",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """TimeWindowAccumulator intent (node.py:1453-1460): "every N seconds,
+    the last M seconds of data" — as an event-time tumbling window with a
+    watermark-defined late-data bound (the reference had wall-clock only,
+    SURVEY §7.4.4 documents the contract change)."""
+    keys = [F.window(ts_col, window_size).alias("window")] + [
+        F.col(c) for c in (group_by or [])
+    ]
+    return df.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+
+
+def sliding_window(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str,
+    slide: str,
+    aggs: list,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Sliding variant — emit every ``slide``, covering ``window_size``."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size, slide).alias("window"))
+        .agg(*aggs)
+    )
+
+
+def session_window(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    key_cols: list[str],
+    aggs: list,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Session windows (gap-based) — beyond the reference's surface but
+    part of the engine's windowing family."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), *key_cols)
+        .agg(*aggs)
+    )
+
+
+def streaming_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    window: str = "30 seconds",
+    watermark: str = "30 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """StreamingJoin (node.py:1528-1552) — the reference stubbed an
+    exact-key join within a ``window``-second TimedDict cache.  The
+    event-time contract: keys match when both sides' timestamps fall
+    within ``window`` of each other; watermarks bound the buffered state
+    on both sides (state TTL, which the TimedDict approximated with
+    wall-clock expiry)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    range_cond = (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {window}")) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {window}")
+    )
+    joined = lw.join(rw, cond & range_cond, how)
+    # retain_input semantics: drop the duplicate right-side key columns.
+    for k in keys:
+        joined = joined.drop(rw[k])
+    return joined
+
+
+def deduplicate_stream(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "30 seconds"
+) -> DataFrame:
+    """Streaming exact-dedup within the watermark horizon — the streaming
+    face of the dedup family (state is bounded by the watermark)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_seconds: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    streaming form of the reference's per-node ``accumulator`` dict
+    (node.py:201) / RowStatCollector (table_nodes.py:46-84): a running
+    (count, sum, min, max) per key, updated per micro-batch, state kept in
+    the state store (distributed, checkpointed) rather than a node attr.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n long, total double, vmin double, vmax double"
+    )
+    state_schema = "n long, total double, vmin double, vmax double"
+
+    def update(key, pdfs, state):
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].astype(float)
+            n += int(vals.count())
+            total += float(vals.sum())
+            if len(vals):
+                vmin = min(vmin, float(vals.min()))
+                vmax = max(vmax, float(vals.max()))
+        state.update((n, total, vmin, vmax))
+        if timeout_seconds is not None:
+            state.setTimeoutDuration(timeout_seconds * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total], "vmin": [vmin], "vmax": [vmax]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame with an availableNow trigger into a
+    memory sink and return the materialized result — the test/backfill
+    path (MockNode's role, node.py:1016-1031)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """BatchStart/BatchEnd markers (message/batch.py:13-21) — the logical
+    batch is the micro-batch: ``fn(batch_df, batch_id)`` sees exactly one
+    delimited batch per call."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,137 @@
+"""Streaming tests: file source, windows, stream-stream join, streaming
+dedup, foreachBatch — run with availableNow triggers so they complete
+deterministically (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.sources.readers import load_table
+from metalpipe_spark.streaming.streams import (
+    deduplicate_stream,
+    file_watchdog,
+    foreach_batch_sink,
+    run_to_memory,
+    sliding_window,
+    streaming_join,
+    tumbling_window,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _qname() -> str:
+    return "mq_" + uuid.uuid4().hex[:8]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The events table rewritten as a multi-file parquet directory, as a
+    file-watchdog source would see it accumulate."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events"))
+    schema = ev.schema
+    return str(d / "events"), schema, ev
+
+
+def test_file_watchdog_reads_all(spark, events_dir):
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    assert stream.isStreaming
+    out = run_to_memory(stream, _qname(), spark)
+    assert out.count() == ev.count()
+
+
+def test_tumbling_window_counts(spark, events_dir):
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    agg = tumbling_window(
+        stream, "ts", "1 day", [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")]
+    )
+    # append mode withholds the last (not-yet-closed-by-watermark) window;
+    # complete mode emits the full state for the finite backfill.
+    out = run_to_memory(agg, _qname(), spark, output_mode="complete")
+    # Batch equivalent of the same window.
+    want = (
+        ev.groupBy(F.window("ts", "1 day").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert out.count() == want
+    assert out.agg(F.sum("n")).head()[0] == ev.count()
+
+
+def test_sliding_window(spark, events_dir):
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    agg = sliding_window(stream, "ts", "2 days", "1 day", [F.count(F.lit(1)).alias("n")])
+    out = run_to_memory(agg, _qname(), spark, output_mode="complete")
+    # Every event lands in exactly 2 sliding windows.
+    assert out.agg(F.sum("n")).head()[0] == 2 * ev.count()
+
+
+def test_streaming_join_matches_batch(spark, events_dir):
+    path, schema, ev = events_dir
+    purchases = file_watchdog(spark, path, schema).filter(F.col("event_type") == "purchase")
+    signups = (
+        file_watchdog(spark, path, schema)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
+    )
+    joined = streaming_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts",
+        window="7 days", watermark="365 days",
+    )
+    out = run_to_memory(joined, _qname(), spark)
+
+    bp = ev.filter(F.col("event_type") == "purchase")
+    bs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    want = bp.join(bs, "user_id").filter(
+        (F.col("signup_ts") >= F.col("ts") - F.expr("INTERVAL 7 days"))
+        & (F.col("signup_ts") <= F.col("ts") + F.expr("INTERVAL 7 days"))
+    )
+    assert out.count() == want.count()
+
+
+def test_deduplicate_stream(spark, events_dir):
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    deduped = deduplicate_stream(stream, ["user_id", "event_type"], "ts", watermark="365 days")
+    out = run_to_memory(deduped, _qname(), spark)
+    want = ev.dropDuplicates(["user_id", "event_type"]).count()
+    assert out.count() == want
+
+
+def test_stateful_running_stats(spark, events_dir):
+    from metalpipe_spark.streaming.streams import stateful_running_stats
+
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    stats = stateful_running_stats(stream, "user_id", "value")
+    out = run_to_memory(stats, _qname(), spark, output_mode="update")
+    # One final state row per user (single micro-batch => one emission).
+    final = out.groupBy("user_id").agg(F.max("n").alias("n"), F.max("total").alias("total"))
+    want = ev.groupBy("user_id").agg(
+        F.count("value").alias("n"), F.sum("value").alias("total")
+    )
+    got = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in final.collect()}
+    exp = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in want.collect()}
+    assert got == exp
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema)
+    seen: list[int] = []
+
+    def capture(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    q = foreach_batch_sink(stream, capture, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert sum(seen) == ev.count()
