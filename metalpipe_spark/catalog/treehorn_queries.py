@@ -37,3 +37,32 @@ def q_treehorn_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"event_id": ("root", "event_id"), "k": ("kdict", "k")},
     )
     return out.orderBy("event_id")
+
+
+@register(
+    "q_mtl_events",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="MTL text query (treehorn_yaccer grammar): GO DOWN UNTIL HAS KEY, compiled to a select plan.",
+)
+def q_mtl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.modelling.mtl import run_program
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "k BIGINT")
+    )
+    text = """
+    QUERY events_k IS
+    SELECT root.event_id AS event_id,
+           root.event_type AS event_type,
+           kdict.k AS k
+    FROM events
+    START AT TOP AS root
+    GO DOWN UNTIL HAS KEY k AS kdict ;
+    """
+    out = run_program({"events": ev}, text)["events_k"]
+    return out.orderBy("event_id")
