@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metalpipe_spark.catalog import register
-from metalpipe_spark.operators.similarity import brute_force_topk, pairwise_topk_per_label
+from metalpipe_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_hyperplanes,
+    lsh_neardup_pairs,
+    pairwise_topk_per_label,
+)
 from metalpipe_spark.sources.readers import load_table
 
 # Sequential double fold of a·b (p[1]=left element, p[2]=right element).
@@ -68,3 +73,32 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_topk_per_label(emb, k=3).orderBy("d1", "rnk")
+
+
+def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> str:
+    planes = deterministic_hyperplanes(num_planes, dim)
+    bit_terms = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b='[' + ', '.join(str(x) for x in h) + ']')} >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, ({bit_terms}) AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round({_cos('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {threshold}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "q_embed_neardup_lsh",
+    _lsh_oracle(8, 64, 0.9),
+    doc="Embedding-cosine near-dup via hyperplane LSH buckets; exact cosine verify inside buckets.",
+)
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, num_planes=8, dim=64, threshold=0.9).orderBy("d1", "d2")

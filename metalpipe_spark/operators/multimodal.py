@@ -1,0 +1,126 @@
+"""Multimodal columns: image/audio/video as opaque BINARY with typed
+metadata (BASELINE.json north star).
+
+Convention: a media row is ``(id, content: binary, media_type: string,
+meta: struct)``.  All Spark-side plumbing here is real — the binaryFile
+source, Arrow-batched ``mapInPandas`` signatures, deterministic
+partitioning, frame slicing — while the *codec* step is a
+DETERMINISTIC FAKE (this environment has no image/audio libraries).
+Each fake is clearly marked; swap ``_fake_decode_*`` for a real
+PIL/ffmpeg call and nothing else changes.
+
+Scale notes: decode/feature-extract are embarrassingly parallel per
+row — mapInPandas with Arrow batches keeps the Python boundary
+amortized; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+executor memory per batch; binary payloads never route through a
+shuffle unless the caller groups on content (use content hashes
+instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "id long, media_type string, n_bytes long, width int, height int, sha string"
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"id long, feature array<float>"
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary media ingestion — Spark's binaryFile source: (path,
+    modificationTime, length, content).  Real, columnar, partition-aware."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def _fake_decode_image(content: bytes) -> tuple[int, int]:
+    """DETERMINISTIC FAKE decode (no image libs in this container).
+
+    A real implementation calls PIL.Image.open(io.BytesIO(content)).size;
+    the fake derives a stable (width, height) from the content hash so
+    tests exercise the full distributed plumbing with checkable outputs.
+    """
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def decode_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Decode step over Arrow batches: one pandas DataFrame per batch,
+    binary column stays bytes end-to-end (no base64 detours)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_decode_image(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "sha": [hashlib.sha256(c).hexdigest() for c in pdf["content"]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Feature extraction to a fixed-dim float vector.
+
+    DETERMINISTIC FAKE embedding: 16 floats from the sha256 digest,
+    scaled to [-1, 1].  A real implementation runs a vision/audio model
+    over the batch; the Arrow batch shape, schema, and downstream ANN
+    compatibility (array<float>, FEATURE_DIM) are the real contract.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for c in pdf["content"]:
+                d = hashlib.sha256(c).digest()
+                feats.append([(b - 128) / 128.0 for b in d[:FEATURE_DIM]])
+            yield pd.DataFrame({"id": pdf[id_col], "feature": feats})
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int, frame_size: int, id_col: str = "id"
+) -> DataFrame:
+    """Frame sampling for video-like payloads: slice ``n_frames`` fixed
+    windows out of the binary content.  Pure JVM byte slicing
+    (``substring`` on BINARY) — no Python, no decode; a real sampler
+    replaces the slicer with keyframe offsets."""
+    frames = F.array(
+        *[
+            F.substring(F.col("content"), 1 + i * frame_size, frame_size).alias(f"f{i}")
+            for i in range(n_frames)
+        ]
+    )
+    out = df.select(F.col(id_col).alias("id"), F.posexplode(frames).alias("frame_id", "frame"))
+    return out.filter(F.length("frame") > 0)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Placeholder for the real resize kernel.
+
+    STUB: raises — resizing requires an image codec this container does
+    not ship.  Kept as an explicit surface so pipelines can declare the
+    step; production swaps in a Pandas-UDF over PIL/opencv with the same
+    signature.
+    """
+    raise NotImplementedError(
+        "resize_media requires an image codec (PIL/opencv); "
+        "wire a real decoder into decode_media/_fake_decode_image first"
+    )

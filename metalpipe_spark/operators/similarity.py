@@ -99,3 +99,59 @@ def hyperplane_lsh_buckets(
         for h in hyperplanes
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def deterministic_hyperplanes(num: int, dim: int) -> list[list[float]]:
+    """±1 hyperplanes from a fixed LCG — reproducible in any engine (the
+    literal matrix ships into both the Spark plan and the oracle SQL)."""
+    state = 0x2545F4914F6CDD1D
+    planes = []
+    for _ in range(num):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (state >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH.
+
+    Scale shape: signature computed in the scan (no shuffle), candidates
+    meet ONLY through shared sign buckets (one shuffle on the bucket
+    key), exact cosine verifies inside each bucket.  All-pairs cost never
+    materializes; recall is tunable with ``num_planes`` (fewer planes =
+    bigger buckets = higher recall, more verify work).
+    """
+    planes = deterministic_hyperplanes(num_planes, dim)
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, 1)
+            .otherwise(0)
+            .alias(f"b{j}")
+            for j, h in enumerate(planes)
+        ],
+    ).withColumn(
+        "bucket",
+        sum((F.col(f"b{j}") * (1 << j)) for j in range(num_planes)).cast("int"),
+    )
+    a = sigs.select(F.col("bucket"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = sigs.select(F.col("bucket"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("d1", "d2", "cosine_sim")
+        .dropDuplicates(["d1", "d2"])
+    )
