@@ -1,0 +1,95 @@
+"""Sinks (SURVEY.md §2.2): table/file writers with the reference's
+staging-table publish pattern.
+
+``SendToCivis`` (/root/reference/metalpipe/node_classes/civis_nodes.py:
+28-274) batches rows to CSV, loads a staging table (``CREATE TABLE …
+LIKE``), then publishes with ``INSERT INTO prod SELECT * FROM staging``
+so readers never see a half-loaded table.  Spark's file writers get that
+atomicity from the job commit protocol; the JDBC path reproduces the
+staging pattern explicitly because JDBC appends are not atomic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink.  ``partition_by`` prunes downstream scans;
+    ``maxRecordsPerFile`` bounds file sizes so a 100 TB write does not
+    produce multi-GB stragglers."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (the reference's interchange format toward Redshift)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def remap_columns(df: DataFrame, remap: dict[str, str] | None, columns: list[str] | None) -> DataFrame:
+    """SendToCivis's column subset + rename (civis_nodes.py:214-241):
+    select ``columns`` (if given) and rename via ``remap``."""
+    if columns:
+        df = df.select(*columns)
+    for src, tgt in (remap or {}).items():
+        df = df.withColumnRenamed(src, tgt)
+    return df
+
+
+def write_jdbc_staged(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    staging_suffix: str = "_staging",
+    publish: bool = True,
+) -> str:
+    """SendToCivis staging pattern (civis_nodes.py:99-163) over JDBC:
+
+    1. write the batch to ``{table}{staging_suffix}`` (overwrite);
+    2. publish with ``INSERT INTO {table} SELECT * FROM staging`` in one
+       statement, then drop the staging table.
+
+    Returns the staging table name (callers running their own publish
+    step — e.g. MERGE — set ``publish=False``).  Requires a JDBC
+    endpoint; unit tests cover the plan-side pieces only.
+    """
+    staging = f"{table}{staging_suffix}"
+    props = properties or {}
+    df.write.jdbc(url, staging, mode="overwrite", properties=props)
+    if publish:
+        # Single-statement publish through the JDBC driver.
+        _execute_jdbc(url, props, f"INSERT INTO {table} SELECT * FROM {staging}")
+        _execute_jdbc(url, props, f"DROP TABLE {staging}")
+    return staging
+
+
+def _execute_jdbc(url: str, properties: dict[str, str], sql: str) -> None:  # pragma: no cover
+    """Driver-side DDL/DML through the JVM's DriverManager (no extra
+    Python deps)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
