@@ -18,7 +18,6 @@ from metalpipe_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     simhash,
-    word_shingles,
 )
 from metalpipe_spark.sources.readers import load_table
 
@@ -110,8 +109,9 @@ def _minhash_oracle(num_hashes: int = 16) -> str:
     doc="MinHash signatures (16 salted md5 hashes, shuffle-free columnar form).",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zero-shingle docs drop out of the groupBy shape naturally (same as
+    # the oracle's GROUP BY over the shingle set).
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.filter(F.size(word_shingles("text")) > 0)
     return minhash_signatures(docs, num_hashes=16).orderBy("doc_id")
 
 
@@ -154,7 +154,6 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.filter(F.size(word_shingles("text")) > 0)
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("d1", "d2")
 
 

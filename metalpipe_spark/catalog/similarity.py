@@ -72,7 +72,7 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return pairwise_topk_per_label(emb, k=3).orderBy("d1", "rnk")
+    return pairwise_topk_per_label(emb, k=3, dim=64).orderBy("d1", "rnk")
 
 
 def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> str:

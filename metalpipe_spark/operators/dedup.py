@@ -63,9 +63,12 @@ def jaccard_candidate_pairs(
     per-doc shingle counts.  Hot shingles can be frequency-capped
     upstream at extreme scale (df.filter on shingle doc-frequency).
     """
+    # The shingle table feeds three consumers (both self-join sides and
+    # the per-doc sizes) — materialize it once; at warehouse scale this
+    # is the persisted shingle-index table.
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,28 +127,28 @@ def minhash_signatures(
     """MinHash signatures: sig[i] = min over shingles of h_i(shingle)
     with the affine family h_i(x) = (a_i*hash32(x) + b_i) mod 2^32 —
     ONE md5 per shingle, then pure int64 arithmetic (Broder's classic
-    scheme).  Columnar (array ops per row): no shuffle at all — the
-    signature is computed in the scan stage."""
-    # Hash each shingle exactly once; the 16 band minima then read the
-    # precomputed array.  The intermediate projection keeps the md5 pass
-    # out of every array_min tree (CollapseProject leaves non-cheap
-    # multi-referenced expressions materialized).
+    scheme).
+
+    Plan shape: explode shingles → md5 per shingle → groupBy(doc) with 16
+    MIN aggregates.  Everything is whole-stage-codegen arithmetic (the
+    array-transform formulation runs interpreted — higher-order functions
+    have no codegen — and measured ~3x slower); the single shuffle
+    partial-aggregates map-side, so per-executor traffic is one row of 16
+    longs per document.  Documents with zero shingles produce no rows
+    (callers union them back if empty docs must survive)."""
+    mod = F.lit(1 << 32).cast("long")
     hashed = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__sh")
+    ).select(F.col(id_col), _hash32(F.col("__sh")).alias("__h"))
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % mod).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(
         F.col(id_col),
-        F.transform(word_shingles(text_col, n), _hash32).alias("__hs"),
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash"),
     )
-
-    def _affine(a: int, b: int):
-        mod = F.lit(1 << 32).cast("long")
-        return lambda h: (F.lit(a) * h + F.lit(b)) % mod
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hs"), _affine(a, b))).alias(f"h{i}")
-            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
-        ]
-    )
-    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -162,7 +165,10 @@ def minhash_lsh_pairs(
     the join is bucket-local — the standard shape that survives 100 TB.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # Materialize signatures once: the banded self-join reads them from
+    # both sides (at warehouse scale this is "write the signature table,
+    # then join it" — persist is the in-session analogue).
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     band_cols = [
         F.md5(
             F.concat_ws(

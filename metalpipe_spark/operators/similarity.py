@@ -19,8 +19,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right double fold of a·b."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-to-right double fold of a·b.
+
+    With ``dim`` known, the fold unrolls to explicit left-associated
+    arithmetic (``x0*y0 + x1*y1 + …``) — whole-stage-codegen JVM math,
+    measured several times faster than the interpreted higher-order
+    ``aggregate`` form, and bit-identical to it (IEEE addition in the
+    same order, and ``0.0 + t0 == t0`` exactly)."""
+    if dim is not None:
+        terms = [
+            a.getItem(i).cast("double") * b.getItem(i).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,12 +43,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -49,6 +64,8 @@ def brute_force_topk(
     at 100 TB this is one scan + partial top-k per partition + a k-row
     merge on the driver side of the exchange.
     """
+    # HOF fold here: one pass over N rows — the unrolled form's codegen
+    # compile cost exceeds its win at single-scan cardinalities.
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine(F.col(vec_col), q)
     return (
@@ -64,6 +81,7 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     label_col: str = "label",
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Blocked exact kNN: neighbors within the same label block (an IVF
     cell stand-in — at scale the label is a learned/hashed partition).
@@ -77,7 +95,7 @@ def pairwise_topk_per_label(
         F.col(label_col).alias("blk"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
     )
     pairs = a.join(b, "blk").filter(F.col("d1") != F.col("d2"))
-    scored = pairs.withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+    scored = pairs.withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2"), dim), 6))
     w = Window.partitionBy("d1").orderBy(F.desc("cosine_sim"), F.asc("d2"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -95,7 +113,10 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH: bucket = sign pattern of dot products with
     fixed hyperplanes.  Vectors sharing a bucket are ANN candidates."""
     bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0, "1").otherwise("0")
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h]), dim=len(h)) >= 0,
+            "1",
+        ).otherwise("0")
         for h in hyperplanes
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
@@ -136,7 +157,7 @@ def lsh_neardup_pairs(
         F.col(id_col),
         F.col(vec_col),
         *[
-            F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, 1)
+            F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in h]), dim=dim) >= 0, 1)
             .otherwise(0)
             .alias(f"b{j}")
             for j, h in enumerate(planes)
@@ -150,7 +171,7 @@ def lsh_neardup_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2"), dim), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("d1", "d2", "cosine_sim")
         .dropDuplicates(["d1", "d2"])
