@@ -96,6 +96,37 @@ _STRFTIME_TO_JAVA = [
 ]
 
 
+def two_weeks_ago() -> Column:
+    """helpers.py:198-203 — date two weeks back (midnight-floored)."""
+    return F.date_trunc("day", F.current_timestamp() - F.expr("INTERVAL 14 DAYS"))
+
+
+def january_1_2016() -> Column:
+    """helpers.py:213-218 — fixed epoch constant used in configs."""
+    return F.lit("2016-01-01 00:00:00").cast("timestamp")
+
+
+def list_to_dict(values: list[Column], names: list[str]) -> Column:
+    """helpers.py:32-36 — zip a value list with names into a struct."""
+    return F.struct(*[v.alias(n) for v, n in zip(values, names)])
+
+
+def package(c: Column | str) -> Column:
+    """helpers.py:24-29 — the reference base64-pickles payloads for
+    transport.  Spark rows need no transport encoding; the surviving
+    capability is base64 wrap/unwrap of binary columns."""
+    return F.base64(_col(c).cast("binary"))
+
+
+def unpackage(c: Column | str) -> Column:
+    return F.unbase64(_col(c))
+
+
+def identity(c: Column | str) -> Column:
+    """treehorn_yaccer.py:494-503 — the default selection wrapper."""
+    return _col(c)
+
+
 # --- plain-Python callables loadable by dotted path -----------------------
 # (the reference's config-referenced UDF convention, helpers.py:39-45;
 # wrapped as Arrow-batched pandas UDFs by metalpipe_spark.udf_registry)

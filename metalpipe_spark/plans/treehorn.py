@@ -40,25 +40,58 @@ ARRAY_STEP = "[]"  # path step marking descent into array elements
 
 
 class Condition:
+    """Dual-evaluation condition: ``__call__`` tests a *schema* node
+    (path, dtype) at plan time; ``test_data`` tests a *data* node (the
+    ragged-JSON fallback's per-row evaluation, matching the reference's
+    runtime semantics, treehorn.py:204-343)."""
+
     def __call__(self, path: tuple[str, ...], dtype: T.DataType) -> bool:
         raise NotImplementedError
 
+    def test_data(self, node, path: tuple) -> bool:
+        raise NotImplementedError
+
     def __and__(self, other: "Condition") -> "Condition":
-        return _Combine(lambda p, d: self(p, d) and other(p, d))
+        return And(self, other)
 
     def __or__(self, other: "Condition") -> "Condition":
-        return _Combine(lambda p, d: self(p, d) or other(p, d))
+        return Or(self, other)
 
     def __invert__(self) -> "Condition":
-        return _Combine(lambda p, d: not self(p, d))
+        return Not(self)
 
 
-class _Combine(Condition):
-    def __init__(self, fn):
-        self._fn = fn
+class And(Condition):
+    def __init__(self, a: Condition, b: Condition):
+        self.a, self.b = a, b
 
     def __call__(self, path, dtype):
-        return self._fn(path, dtype)
+        return self.a(path, dtype) and self.b(path, dtype)
+
+    def test_data(self, node, path):
+        return self.a.test_data(node, path) and self.b.test_data(node, path)
+
+
+class Or(Condition):
+    def __init__(self, a: Condition, b: Condition):
+        self.a, self.b = a, b
+
+    def __call__(self, path, dtype):
+        return self.a(path, dtype) or self.b(path, dtype)
+
+    def test_data(self, node, path):
+        return self.a.test_data(node, path) or self.b.test_data(node, path)
+
+
+class Not(Condition):
+    def __init__(self, a: Condition):
+        self.a = a
+
+    def __call__(self, path, dtype):
+        return not self.a(path, dtype)
+
+    def test_data(self, node, path):
+        return not self.a.test_data(node, path)
 
 
 class HasKey(Condition):
@@ -70,19 +103,31 @@ class HasKey(Condition):
     def __call__(self, path, dtype):
         return isinstance(dtype, T.StructType) and self.key in dtype.fieldNames()
 
+    def test_data(self, node, path):
+        return isinstance(node, dict) and self.key in node
+
 
 class IsList(Condition):
     def __call__(self, path, dtype):
         return isinstance(dtype, T.ArrayType)
+
+    def test_data(self, node, path):
+        return isinstance(node, list)
 
 
 class IsDictionary(Condition):
     def __call__(self, path, dtype):
         return isinstance(dtype, T.StructType)
 
+    def test_data(self, node, path):
+        return isinstance(node, dict)
+
 
 class IsRoot(Condition):
     def __call__(self, path, dtype):
+        return len(path) == 0
+
+    def test_data(self, node, path):
         return len(path) == 0
 
 
@@ -96,9 +141,16 @@ class PathEndsIn(Condition):
         keys = [s for s in path if s != ARRAY_STEP]
         return bool(keys) and keys[-1] == self.key
 
+    def test_data(self, node, path):
+        keys = [s for s in path if not isinstance(s, int)]
+        return bool(keys) and keys[-1] == self.key
+
 
 class Yes(Condition):
     def __call__(self, path, dtype):
+        return True
+
+    def test_data(self, node, path):
         return True
 
 
