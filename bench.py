@@ -16,20 +16,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
     "q_enrich_join",
     "q_window_top_orders",
     "q_filter_events",
+    # config/language entry paths
+    "q_pipeline_yaml",
+    "q_mtl_events",
+    # entity-graph modeling
+    "q_entity_customer",
+    "q_master_customer",
+    # dedup family
     "q_dedup_exact",
     "q_jaccard_pairs",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    # similarity search
     "q_ann_brute_topk",
     "q_ann_blocked_knn",
+    "q_embed_neardup_lsh",
+    # text analysis
     "q_langid",
     "q_quality_tokens",
+    "q_text_profile_by_lang",
 ]
 
 

@@ -334,6 +334,12 @@ def apply_secrets(config: Any, secrets: Mapping[str, Any]) -> Any:
     return config
 
 
+def _rename_all(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    for src, tgt in mapping.items():
+        df = df.withColumnRenamed(src, tgt)
+    return df
+
+
 def _edges(config: Mapping[str, Any]) -> list[tuple[str, str]]:
     edges: list[tuple[str, str]] = []
     for path in config.get("paths", []) or []:
@@ -386,10 +392,28 @@ def compile_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Compiled
                 spec = nodes[name]
                 if spec.cls not in NODE_CLASSES:
                     raise ValueError(f"unknown node class {spec.cls!r} for node {name!r}")
+                # Universal node options (every reference node supports
+                # them): input_mapping renames on ingest (node.py:148-150),
+                # post_process_function applies at a keypath of each
+                # output (node.py:227-255).
+                opts = dict(spec.options)
+                input_mapping = opts.pop("input_mapping", None)
+                post_fn = opts.pop("post_process_function", None)
+                post_keypath = opts.pop("post_process_keypath", None)
+                post_rt = opts.pop("post_process_return_type", "string")
                 ups = [built[u] for u in upstreams[name]]
-                df = NODE_CLASSES[spec.cls](spark, ups, spec.options)
+                if input_mapping:
+                    ups = [
+                        _rename_all(u, input_mapping) for u in ups
+                    ]
+                df = NODE_CLASSES[spec.cls](spark, ups, opts)
                 if df is None:
                     raise ValueError(f"node {name!r} produced no DataFrame")
+                if post_fn:
+                    from metalpipe_spark.keypath import get_value, set_value
+
+                    fn = wrap_udf(post_fn, post_rt)
+                    df = set_value(df, post_keypath, fn(get_value(post_keypath)))
                 built[name] = df
                 remaining.discard(name)
                 progressed = True

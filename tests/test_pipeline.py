@@ -117,6 +117,29 @@ def test_yaml_template_secrets_end_to_end(spark, tmp_path):
     assert counts["tag"] == 25
 
 
+def test_universal_node_options(spark):
+    """input_mapping renames on ingest; post_process_function applies a
+    dotted-path UDF at a keypath of each output."""
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/nation.parquet"}},
+            "shaped": {
+                "class": "Remapper",
+                "options": {
+                    "input_mapping": {"n_name": "nation_name"},
+                    "mapping": {"name": "nation_name", "key": "n_nationkey"},
+                    "post_process_function": "metalpipe_spark.functions.scalars.lower_str",
+                    "post_process_keypath": "name",
+                },
+            },
+        },
+        "paths": [["read", "shaped"]],
+    }
+    p = compile_pipeline(spark, config)
+    names = [r["name"] for r in p.dataframes["shaped"].orderBy("key").collect()]
+    assert names[0] == "nation_0"  # renamed on ingest, lowered on egress
+
+
 def test_render_template_env(monkeypatch):
     monkeypatch.setenv("MPS_TPL_X", "42")
     assert render_template("v={{ MPS_TPL_X }}") == "v=42"
