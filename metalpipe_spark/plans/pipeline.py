@@ -266,6 +266,69 @@ def _fn_of_message(spark, upstreams, opts):
     return df.withColumn(opts.get("output_key", "result"), fn(*cols))
 
 
+# -- streaming sources ------------------------------------------------------
+
+
+@node_class("LocalDirectoryWatchdog")
+def _watchdog(spark, upstreams, opts):
+    """node.py:1500-1525 — directory poller as the Structured Streaming
+    file source (checkpointed discovery instead of mtime polling)."""
+    from metalpipe_spark.streaming.streams import file_watchdog
+
+    return file_watchdog(
+        spark,
+        opts["directory"],
+        opts["schema"],
+        fmt=opts.get("format", "parquet"),
+        max_files_per_trigger=opts.get("max_files_per_trigger"),
+    )
+
+
+@node_class("TimeWindowAccumulator")
+def _time_window(spark, upstreams, opts):
+    """node.py:1453-1460 (stub in the reference) — tumbling event-time
+    window with configurable aggregates."""
+    from pyspark.sql import functions as FF
+
+    from metalpipe_spark.streaming.streams import tumbling_window
+
+    df = _one(upstreams, "TimeWindowAccumulator")
+    aggs = []
+    for spec in opts.get("aggregates", [{"fn": "count", "column": "*", "alias": "n"}]):
+        fn = getattr(FF, spec["fn"])
+        col = FF.lit(1) if spec.get("column", "*") == "*" else FF.col(spec["column"])
+        aggs.append(fn(col).alias(spec.get("alias", spec["fn"])))
+    return tumbling_window(
+        df,
+        opts["ts_col"],
+        opts["window"],
+        aggs,
+        watermark=opts.get("watermark", "30 seconds"),
+        group_by=opts.get("group_by"),
+    )
+
+
+@node_class("StreamingJoin")
+def _streaming_join(spark, upstreams, opts):
+    """node.py:1528-1552 — the reference's stub completed: watermarked
+    stream-stream equi-join within a time window."""
+    from metalpipe_spark.streaming.streams import streaming_join
+
+    if len(upstreams) != 2:
+        raise ValueError("StreamingJoin requires exactly two upstream nodes")
+    left, right = upstreams
+    return streaming_join(
+        left,
+        right,
+        on=opts["on"],
+        left_ts=opts["left_ts"],
+        right_ts=opts["right_ts"],
+        window=opts.get("window", "30 seconds"),
+        watermark=opts.get("watermark", "30 seconds"),
+        how=opts.get("how", "inner"),
+    )
+
+
 # -- sinks ------------------------------------------------------------------
 
 

@@ -147,6 +147,70 @@ def test_render_template_env(monkeypatch):
         render_template("v={{ not_a_real_thing_xyz }}")
 
 
+def test_streaming_pipeline_yaml(spark, tmp_path):
+    """A YAML config whose source is the streaming file watchdog and
+    whose transform is a tumbling window — compiled and executed with an
+    availableNow trigger (the reference's TimeWindowAccumulator intent)."""
+    from metalpipe_spark.sources.readers import load_table
+    from metalpipe_spark.streaming.streams import run_to_memory
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "ev"
+    ev.limit(500).write.parquet(str(src))
+    ddl = ev.schema.simpleString()[7:-1].replace(":", " ")  # struct<...> -> DDL-ish
+    config = {
+        "nodes": {
+            "watch": {
+                "class": "LocalDirectoryWatchdog",
+                "options": {"directory": str(src), "schema": ev.schema.json() and ddl},
+            },
+            "windowed": {
+                "class": "TimeWindowAccumulator",
+                "options": {
+                    "ts_col": "ts",
+                    "window": "1 day",
+                    "aggregates": [{"fn": "count", "column": "*", "alias": "n"}],
+                },
+            },
+        },
+        "paths": [["watch", "windowed"]],
+    }
+    p = compile_pipeline(spark, config)
+    df = p.dataframes["windowed"]
+    assert df.isStreaming
+    out = run_to_memory(df, "t_stream_yaml", spark, output_mode="complete")
+    assert out.agg(F.sum("n")).head()[0] == 500
+
+
+def test_cli_run_and_draw(spark, tmp_path, capsys):
+    import textwrap
+
+    from metalpipe_spark.cli import main
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            pipeline_name: cli_smoke
+            nodes:
+              read:
+                class: ParquetReader
+                options: {{path: "{SF_SMOKE}/region.parquet"}}
+              hole:
+                class: BlackHole
+            paths:
+              - [read, hole]
+            """
+        )
+    )
+    assert main(["draw", "--filename", str(cfg)]) == 0
+    drawn = capsys.readouterr().out
+    assert "read [ParquetReader] -> hole" in drawn
+    assert main(["run", "--filename", str(cfg)]) == 0
+    ran = capsys.readouterr().out
+    assert '"hole": 5' in ran
+
+
 def test_apply_secrets_nested():
     cfg = {"a": ["tok1", {"b": "tok2"}], "c": "plain"}
     out = apply_secrets(cfg, {"tok1": "X", "tok2": "Y"})
