@@ -51,6 +51,7 @@ def load_all() -> dict[str, CatalogQuery]:
         pipelines,
         relational,
         similarity,
+        streaming_queries,
         text,
         treehorn_queries,
     )

@@ -1,0 +1,67 @@
+"""Streaming catalog queries — executed with an availableNow trigger to
+a memory sink so the result is a finite DataFrame the DuckDB oracle can
+check.  This is the strongest correctness statement available for
+streaming: the event-time windowed result equals the batch SQL over the
+same data (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.streaming.streams import (
+    file_watchdog,
+    run_to_memory,
+    tumbling_window,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (schema from the batch
+    reader, including the nanos->micros ts normalization)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = file_watchdog(
+        spark,
+        sf_dir,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        glob="events.parquet",
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@register(
+    "q_stream_window_daily",
+    """
+    SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+    doc="Streaming tumbling window (event-time) == batch daily aggregate; availableNow backfill semantics.",
+)
+def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = tumbling_window(
+        stream,
+        "ts",
+        "1 day",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("total_value"),
+        ],
+        watermark="1 second",
+        group_by=["event_type"],
+    )
+    out = run_to_memory(agg, f"cat_stream_{uuid.uuid4().hex[:8]}", spark, output_mode="complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start_ms", "event_type")

@@ -35,13 +35,17 @@ def file_watchdog(
     schema: T.StructType | str,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """LocalDirectoryWatchdog (node.py:1500-1525) — the reference polls
     mtimes every ``check_interval``; the file source discovers new files
-    transactionally (checkpointed, no double-reads after restart)."""
+    transactionally (checkpointed, no double-reads after restart).
+    ``glob`` filters filenames (the file source requires a directory)."""
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     return reader.load(directory)
 
 
