@@ -73,9 +73,9 @@ def to_bool(c: Column | str) -> Column:
     """
     col = _col(c)
     s = col.cast("string")
-    numeric = s.cast("double")
+    numeric = s.try_cast("double")  # ANSI-safe: malformed -> null
     return (
-        F.when(col.cast("boolean").isNotNull() & s.isin("true", "false"), col.cast("boolean"))
+        F.when(s.isin("true", "false"), s.try_cast("boolean"))
         .when(numeric.isNotNull(), numeric > 0)
         .otherwise(F.lower(F.substring(s, 1, 1)).isin("t", "y"))
     )

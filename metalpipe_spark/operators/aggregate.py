@@ -42,6 +42,37 @@ def aggregate_values_node(df: DataFrame, tail_path: str, output_key: str = "valu
     return df.withColumn(output_key, aggregate_values(df, tail_path))
 
 
+def infer_string_types(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """get_type_information (table_nodes.py:34-43) — probe which primitive
+    types every value of a string column can cast to, empirically.
+
+    The reference tries ``int()``/``float()``/datetime parses per value;
+    the distributed form is one aggregate pass: a column "is castable to
+    T" iff no non-null value casts to null.  Returns one row per column
+    with boolean capability flags — the input to schema-tightening."""
+    cols = columns or [f.name for f in df.schema.fields]
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(s).alias(f"{c}__n"),
+            F.count(F.when(s.try_cast("bigint").isNull() & s.isNotNull(), 1)).alias(f"{c}__not_int"),
+            F.count(F.when(s.try_cast("double").isNull() & s.isNotNull(), 1)).alias(f"{c}__not_float"),
+            F.count(F.when(F.try_to_timestamp(s).isNull() & s.isNotNull(), 1)).alias(f"{c}__not_ts"),
+        ]
+    row = df.agg(*aggs)
+    profiles = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            (F.col(f"{c}__not_int") == 0).alias("castable_int"),
+            (F.col(f"{c}__not_float") == 0).alias("castable_float"),
+            (F.col(f"{c}__not_ts") == 0).alias("castable_datetime"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*profiles)).alias("p")).select("p.*")
+
+
 def row_stat_collector(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """RowStatCollector (node_classes/table_nodes.py:46-84) — per-column
     profile: row count, distinct count, null count, uniqueness flag.

@@ -1,0 +1,110 @@
+"""Unit tests for operators not covered by catalog oracles: type
+probing, keypath utilities, scalar functions, emitters (the reference's
+tests/test_util.py surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.functions.scalars import (
+    convert_date_format,
+    milliseconds_epoch_to_datetime,
+    now_milliseconds,
+    package,
+    timestamp_to_redshift,
+    to_bool,
+    unpackage,
+)
+from metalpipe_spark.keypath import aggregate_values, replace_by_path
+from metalpipe_spark.operators.aggregate import infer_string_types
+from metalpipe_spark.sources.emitters import (
+    constant_emitter,
+    counter_of_things,
+    sequence_emitter,
+)
+
+
+def test_infer_string_types(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "2024-01-01 00:00:00", "abc")],
+        ["ints", "floats", "dates", "strings"],
+    )
+    out = {r["column_name"]: r for r in infer_string_types(df).collect()}
+    assert out["ints"]["castable_int"] and out["ints"]["castable_float"]
+    assert not out["floats"]["castable_int"] and out["floats"]["castable_float"]
+    assert out["dates"]["castable_datetime"]
+    assert not out["strings"]["castable_int"]
+    assert not out["strings"]["castable_float"]
+
+
+def test_to_bool_reference_semantics(spark):
+    """helpers.py:92-102: strings true iff first char t/y; numerics > 0."""
+    df = spark.createDataFrame(
+        [("yes",), ("Y",), ("true",), ("no",), ("0",), ("2",), ("-1",)], ["v"]
+    )
+    got = [r[0] for r in df.select(to_bool("v")).collect()]
+    assert got == [True, True, True, False, False, True, False]
+
+
+def test_package_unpackage_roundtrip(spark):
+    df = spark.createDataFrame([("hello",)], ["v"])
+    out = df.select(unpackage(package("v")).cast("string").alias("v")).head()
+    assert out["v"] == "hello"
+
+
+def test_redshift_format(spark):
+    df = spark.createDataFrame([("2024-01-05 13:00:00",)], ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    assert df.select(timestamp_to_redshift("ts")).head()[0] == "Jan 05,2024 13:00:00"
+
+
+def test_convert_date_format_strftime(spark):
+    df = spark.createDataFrame([("05/01/2024",)], ["s"])
+    out = df.select(convert_date_format("s", "%d/%m/%Y", "%Y-%m-%d")).head()[0]
+    assert out == "2024-01-05"
+
+
+def test_epoch_helpers(spark):
+    df = spark.createDataFrame([(1704067200000,)], ["ms"])
+    ts = df.select(milliseconds_epoch_to_datetime("ms").alias("t")).head()["t"]
+    assert ts.year == 2024 and ts.month == 1 and ts.day == 1
+    assert spark.range(1).select(now_milliseconds()).head()[0] > 1704067200000
+
+
+def test_replace_by_path_tail_matching(spark):
+    """helpers.py:309-331: the function applies at EVERY path whose
+    suffix matches, including under arrays."""
+    df = spark.createDataFrame(
+        [(1, {"price": 10.0, "nested": {"price": 20.0}},
+          [{"price": 30.0, "qty": 1}])],
+        "id int, obj struct<price double, nested struct<price double>>, "
+        "items array<struct<price double, qty int>>",
+    )
+    out = replace_by_path(df, "price", lambda c: c * 2)
+    row = out.head()
+    assert row["obj"]["price"] == 20.0
+    assert row["obj"]["nested"]["price"] == 40.0
+    assert row["items"][0]["price"] == 60.0
+    assert row["items"][0]["qty"] == 1  # siblings retained
+
+
+def test_aggregate_values_collects_all_matches(spark):
+    df = spark.createDataFrame(
+        [(1, {"price": 10.0, "nested": {"price": 20.0}})],
+        "id int, obj struct<price double, nested struct<price double>>",
+    )
+    vals = df.select(aggregate_values(df, "price").alias("v")).head()["v"]
+    assert sorted(vals) == [10.0, 20.0]
+
+
+def test_emitters(spark):
+    assert counter_of_things(spark, 2, 5).count() == 3
+    ce = constant_emitter(spark, {"a": 1, "b": "x"}, max_loops=4)
+    assert ce.count() == 4 and ce.columns == ["a", "b"]
+    se = sequence_emitter(spark, [{"int": "3"}, {"str": "x"}, {"bool": "yes"}], 2)
+    rows = se.collect()
+    assert len(rows) == 6
+    vals = {str(r["value"]) for r in rows}
+    assert vals == {"3", "x", "true"}  # mixed types coerce to string
