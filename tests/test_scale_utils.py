@@ -1,0 +1,70 @@
+"""Scale-utility tests: salted joins match plain joins; bucketed tables
+join without an exchange; the monitor records actions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.monitoring import EngineMonitor
+from metalpipe_spark.operators.skew import salted_join
+from metalpipe_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("decimal(24,2)").alias("s")
+    ).head()
+    salted = salted_join(orders, cust, "o_custkey", buckets=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("decimal(24,2)").alias("s")
+    ).head()
+    assert plain["n"] == salted["n"]
+    assert plain["s"] == salted["s"]
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], ["k", "v"])
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "w"])
+    out = salted_join(left, right, "k", buckets=3, how="left").collect()
+    assert len(out) == 3
+    assert {r["k"]: r["w"] for r in out}[99] is None
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Pre-bucketed tables co-locate the join: neither side exchanges.
+    This is the 100 TB co-location strategy (SURVEY §7.1.7) verified on
+    the local catalog."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(8, "o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("AdaptiveSparkPlan")[-1] or "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_engine_monitor_records(spark):
+    mon = EngineMonitor()
+    n = mon.timed("count_nation", lambda: load_table(spark, SF_SMOKE, "nation").count())
+    assert n == 25
+    with pytest.raises(ValueError):
+        mon.timed("boom", lambda: (_ for _ in ()).throw(ValueError("x")))
+    t = mon.table(spark)
+    rows = {r["name"]: r["status"] for r in t.collect()}
+    assert rows == {"count_nation": "success", "boom": "error"}
