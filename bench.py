@@ -60,6 +60,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
+        # Independent timings: drop persisted intermediates from prior
+        # queries so no plan silently reuses another query's cache.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.build(spark, sf_dir)
         n = df.count()

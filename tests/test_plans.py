@@ -77,6 +77,9 @@ def test_minhash_single_shuffle(spark):
     from metalpipe_spark.operators.dedup import minhash_signatures
     from metalpipe_spark.sources.readers import load_table
 
+    # Earlier tests may have persisted the shingle/signature tables;
+    # CacheManager would substitute them into this plan.
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_ORACLE, "documents")
     plan = _simple(minhash_signatures(docs))
     # signature = scan -> partial agg -> one exchange -> final agg
