@@ -96,9 +96,13 @@ def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> s
 
 @register(
     "q_embed_neardup_lsh",
-    _lsh_oracle(8, 64, 0.9),
+    # Threshold 0.25: the synthetic embeddings are near-orthogonal (max
+    # all-pairs cosine ≈ 0.51 at sf0.01), so a production-style 0.9
+    # threshold returns zero rows — a trivially-passing check.  0.25
+    # yields a real result set through the 8-plane buckets.
+    _lsh_oracle(8, 64, 0.25),
     doc="Embedding-cosine near-dup via hyperplane LSH buckets; exact cosine verify inside buckets.",
 )
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, num_planes=8, dim=64, threshold=0.9).orderBy("d1", "d2")
+    return lsh_neardup_pairs(emb, num_planes=8, dim=64, threshold=0.25).orderBy("d1", "d2")

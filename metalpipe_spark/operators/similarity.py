@@ -9,8 +9,15 @@ Two tiers:
     no longer fits a single scan per query batch.
 
 Arithmetic determinism: dot products and norms fold left-to-right over
-the array (``F.aggregate``) in DOUBLE, which matches an equivalent
-sequential fold in the oracle engine bit-for-bit.
+the array in DOUBLE, which matches an equivalent sequential fold in the
+oracle engine bit-for-bit.
+
+Expression construction: the fixed-dimension paths emit ONE generated
+SQL string per column (``F.expr``) instead of composing thousands of
+Column objects — Catalyst parses a 64-term sum in microseconds, while
+the equivalent py4j-call-per-node tree costs seconds of driver time and
+megabytes of serialized plan.  The generated text is the same
+left-associated fold, so values are unchanged.
 """
 
 from __future__ import annotations
@@ -19,14 +26,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential left-to-right double fold of a·b.
+def dot_sql(a: str, b: str, dim: int, cast: bool = True) -> str:
+    """SQL text for the left-associated double fold of a·b.
 
-    With ``dim`` known, the fold unrolls to explicit left-associated
-    arithmetic (``x0*y0 + x1*y1 + …``) — whole-stage-codegen JVM math,
-    measured several times faster than the interpreted higher-order
-    ``aggregate`` form, and bit-identical to it (IEEE addition in the
-    same order, and ``0.0 + t0 == t0`` exactly)."""
+    With ``cast=False`` the operands are already ARRAY<DOUBLE> (pre-cast
+    once per row — same elementwise widening, half the expression nodes
+    and generated-code lines, so roughly half the janino compile time)."""
+    if cast:
+        terms = [
+            f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
+            for i in range(dim)
+        ]
+    else:
+        terms = [f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lit_dot_sql(a: str, vec: list[float]) -> str:
+    """SQL text for a·(literal vector), same fold order (column element
+    on the left of each product, as ``list_zip`` pairs them)."""
+    terms = [
+        f"CAST(`{a}`[{i}] AS DOUBLE) * {float(v)!r}" for i, v in enumerate(vec)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def plane_dot_sql(vec: str, plane: list[float], cast: bool = True) -> str:
+    """SQL text for a dot product against a ±1 hyperplane: IEEE-exact
+    sign folding (``±1.0 * x == ±x`` bit-for-bit), zero multiplications."""
+    if not all(abs(x) == 1.0 for x in plane):
+        return _lit_dot_sql(vec, plane)
+    parts = []
+    for i, x in enumerate(plane):
+        t = f"CAST(`{vec}`[{i}] AS DOUBLE)" if cast else f"`{vec}`[{i}]"
+        if not parts:
+            parts.append(t if x > 0 else f"(- {t})")
+        else:
+            parts.append(("+ " if x > 0 else "- ") + t)
+    return "(" + " ".join(parts) + ")"
+
+
+def norm_sql(a: str, dim: int, cast: bool = True) -> str:
+    return f"SQRT({dot_sql(a, a, dim, cast=cast)})"
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-to-right double fold of a·b over Column operands.
+
+    Used where the operands are computed expressions (not plain column
+    names); fixed-dimension name-based paths use :func:`dot_sql`."""
     if dim is not None:
         terms = [
             a.getItem(i).cast("double") * b.getItem(i).cast("double")
@@ -64,10 +112,15 @@ def brute_force_topk(
     at 100 TB this is one scan + partial top-k per partition + a k-row
     merge on the driver side of the exchange.
     """
-    # HOF fold here: one pass over N rows — the unrolled form's codegen
-    # compile cost exceeds its win at single-scan cardinalities.
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = cosine(F.col(vec_col), q)
+    q = [float(v) for v in query_vec]
+    dim = len(q)
+    # Query-side norm is a constant — computed here in the same
+    # left-associated order the oracle folds it, then inlined.
+    qn = 0.0
+    for v in q:
+        qn += v * v
+    qn **= 0.5
+    sim = F.expr(f"({_lit_dot_sql(vec_col, q)}) / ({norm_sql(vec_col, dim)} * {qn!r})")
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
@@ -85,17 +138,44 @@ def pairwise_topk_per_label(
 ) -> DataFrame:
     """Blocked exact kNN: neighbors within the same label block (an IVF
     cell stand-in — at scale the label is a learned/hashed partition).
-    Join is block-local (equi-join on the block key), never all-pairs."""
+    Join is block-local (equi-join on the block key), never all-pairs.
+    Norms are computed once per ROW before the join, so per-PAIR work is
+    one dot product — at B rows per block that is B·dim versus B²·dim
+    flops saved."""
     from pyspark.sql.window import Window
 
-    a = df.select(
-        F.col(label_col).alias("blk"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+    if dim is not None:
+        src = df.select(
+            F.col(label_col),
+            F.col(id_col),
+            F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("_vd"),
+        )
+        vec_src = "_vd"
+        nrm: Column = F.expr(norm_sql("_vd", dim, cast=False))
+    else:
+        src = df
+        vec_src = vec_col
+        nrm = norm(F.col(vec_col))
+    a = src.select(
+        F.col(label_col).alias("blk"),
+        F.col(id_col).alias("d1"),
+        F.col(vec_src).alias("v1"),
+        nrm.alias("n1"),
     )
-    b = df.select(
-        F.col(label_col).alias("blk"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+    b = src.select(
+        F.col(label_col).alias("blk"),
+        F.col(id_col).alias("d2"),
+        F.col(vec_src).alias("v2"),
+        nrm.alias("n2"),
     )
     pairs = a.join(b, "blk").filter(F.col("d1") != F.col("d2"))
-    scored = pairs.withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2"), dim), 6))
+    if dim is not None:
+        pair_dot: Column = F.expr(dot_sql("v1", "v2", dim, cast=False))
+    else:
+        pair_dot = dot(F.col("v1"), F.col("v2"))
+    scored = pairs.withColumn(
+        "cosine_sim", F.round(pair_dot / (F.col("n1") * F.col("n2")), 6)
+    )
     w = Window.partitionBy("d1").orderBy(F.desc("cosine_sim"), F.asc("d2"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -113,10 +193,7 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH: bucket = sign pattern of dot products with
     fixed hyperplanes.  Vectors sharing a bucket are ANN candidates."""
     bits = [
-        F.when(
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h]), dim=len(h)) >= 0,
-            "1",
-        ).otherwise("0")
+        F.when(F.expr(plane_dot_sql(vec_col, h)) >= 0, "1").otherwise("0")
         for h in hyperplanes
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
@@ -146,33 +223,55 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane LSH.
 
-    Scale shape: signature computed in the scan (no shuffle), candidates
-    meet ONLY through shared sign buckets (one shuffle on the bucket
-    key), exact cosine verifies inside each bucket.  All-pairs cost never
-    materializes; recall is tunable with ``num_planes`` (fewer planes =
-    bigger buckets = higher recall, more verify work).
+    Scale shape: signature AND norm computed in the scan (no shuffle),
+    candidates meet ONLY through shared sign buckets (one shuffle on the
+    bucket key), exact cosine verifies inside each bucket using the
+    precomputed norms — per-pair cost is a single dot product.  All-pairs
+    cost never materializes; recall is tunable with ``num_planes`` (fewer
+    planes = bigger buckets = higher recall, more verify work).  Each row
+    lands in exactly one bucket, so (d1, d2) pairs are unique by
+    construction — no dedup shuffle needed.
     """
     planes = deterministic_hyperplanes(num_planes, dim)
-    sigs = df.select(
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN {plane_dot_sql('_vd', h, cast=False)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    ) + ")"
+    # One array-wide cast per row; every downstream term indexes the
+    # already-DOUBLE array (identical values, ~half the generated code).
+    pre = df.select(
         F.col(id_col),
-        F.col(vec_col),
-        *[
-            F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in h]), dim=dim) >= 0, 1)
-            .otherwise(0)
-            .alias(f"b{j}")
-            for j, h in enumerate(planes)
-        ],
-    ).withColumn(
-        "bucket",
-        sum((F.col(f"b{j}") * (1 << j)) for j in range(num_planes)).cast("int"),
+        F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("_vd"),
     )
-    a = sigs.select(F.col("bucket"), F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = sigs.select(F.col("bucket"), F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    sigs = pre.select(
+        F.col(id_col),
+        F.col("_vd"),
+        F.expr(bucket).cast("int").alias("bucket"),
+        F.expr(norm_sql("_vd", dim, cast=False)).alias("nrm"),
+    )
+    a = sigs.select(
+        F.col("bucket"),
+        F.col(id_col).alias("d1"),
+        F.col("_vd").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = sigs.select(
+        F.col("bucket"),
+        F.col(id_col).alias("d2"),
+        F.col("_vd").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("v1"), F.col("v2"), dim), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.expr(dot_sql("v1", "v2", dim, cast=False))
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("d1", "d2", "cosine_sim")
-        .dropDuplicates(["d1", "d2"])
     )
