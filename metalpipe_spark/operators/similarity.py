@@ -26,47 +26,57 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot_sql(a: str, b: str, dim: int, cast: bool = True) -> str:
-    """SQL text for the left-associated double fold of a·b.
+def dot_sql(a: str, b: str, dim: int | None = None, cast: bool = True) -> str:
+    """SQL text for the left-associated double fold of a·b, as a
+    higher-order ``aggregate(zip_with(...))`` expression.
 
-    With ``cast=False`` the operands are already ARRAY<DOUBLE> (pre-cast
-    once per row — same elementwise widening, half the expression nodes
-    and generated-code lines, so roughly half the janino compile time)."""
-    if cast:
-        terms = [
-            f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
-            for i in range(dim)
-        ]
-    else:
-        terms = [f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim)]
-    return "(" + " + ".join(terms) + ")"
+    Compact on purpose: a 64-term unrolled sum measured ~10 s of janino
+    whole-stage-codegen compile time PER QUERY on local[32] (12.2 s vs
+    2.5 s with codegen disabled); the HOF form generates a few lines of
+    code and the per-element interpreted overhead is noise next to that.
+    Values are unchanged: ``aggregate`` folds ``(0.0 + t0) + t1 + ...``
+    and IEEE ``0.0 + t0 == t0``, the exact order DuckDB's
+    ``list_reduce`` oracle uses.  With ``cast=False`` the operands are
+    already ARRAY<DOUBLE> (pre-cast once per row).
+
+    ``dim`` is accepted for signature stability; the fold is
+    dimension-agnostic.
+    """
+    x = "CAST(x AS DOUBLE)" if cast else "x"
+    y = "CAST(y AS DOUBLE)" if cast else "y"
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> {x} * {y}),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+
+def _array_lit(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
 
 
 def _lit_dot_sql(a: str, vec: list[float]) -> str:
     """SQL text for a·(literal vector), same fold order (column element
-    on the left of each product, as ``list_zip`` pairs them)."""
-    terms = [
-        f"CAST(`{a}`[{i}] AS DOUBLE) * {float(v)!r}" for i, v in enumerate(vec)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    on the left of each product)."""
+    return (
+        f"aggregate(zip_with(`{a}`, {_array_lit(vec)},"
+        " (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
 
 
 def plane_dot_sql(vec: str, plane: list[float], cast: bool = True) -> str:
-    """SQL text for a dot product against a ±1 hyperplane: IEEE-exact
-    sign folding (``±1.0 * x == ±x`` bit-for-bit), zero multiplications."""
-    if not all(abs(x) == 1.0 for x in plane):
-        return _lit_dot_sql(vec, plane)
-    parts = []
-    for i, x in enumerate(plane):
-        t = f"CAST(`{vec}`[{i}] AS DOUBLE)" if cast else f"`{vec}`[{i}]"
-        if not parts:
-            parts.append(t if x > 0 else f"(- {t})")
-        else:
-            parts.append(("+ " if x > 0 else "- ") + t)
-    return "(" + " ".join(parts) + ")"
+    """SQL text for a dot product against a literal hyperplane.  For the
+    ±1 planes we generate, ``x * ±1.0 == ±x`` bit-for-bit, so the HOF
+    multiply-fold equals the sign-fold exactly."""
+    x = "CAST(x AS DOUBLE)" if cast else "x"
+    return (
+        f"aggregate(zip_with(`{vec}`, {_array_lit(plane)},"
+        f" (x, y) -> {x} * y),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
 
 
-def norm_sql(a: str, dim: int, cast: bool = True) -> str:
+def norm_sql(a: str, dim: int | None = None, cast: bool = True) -> str:
     return f"SQRT({dot_sql(a, a, dim, cast=cast)})"
 
 
