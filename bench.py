@@ -54,8 +54,43 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     registry = load_all()
 
-    # Warm the JVM/codegen paths once with a trivial action.
-    spark.range(1000).count()
+    # Warm the JVM/JIT/codegen paths once on synthetic data (never the
+    # bench tables): parquet scan, hash agg, broadcast join, window,
+    # HOF lambdas — the machinery every headline query exercises.  The
+    # first Spark job otherwise pays ~1-2 s of JIT/classloading that
+    # would land on whichever query runs first.
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    with tempfile.TemporaryDirectory() as tmp:
+        warm_path = os.path.join(tmp, "warm.parquet")
+        spark.range(10000).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            F.array(F.col("id").cast("double"), F.lit(1.0)).alias("v"),
+        ).write.mode("overwrite").parquet(warm_path)
+        warm = spark.read.parquet(warm_path)
+        dim = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("t"))
+        (
+            warm.join(F.broadcast(dim), "k")
+            .withColumn(
+                "dot",
+                F.expr(
+                    "aggregate(zip_with(v, v, (x, y) -> x * y),"
+                    " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+                ),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("k").orderBy(F.desc("dot"))),
+            )
+            .groupBy("k")
+            .agg(F.sum("dot"), F.max("rn"))
+            .count()
+        )
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
