@@ -21,6 +21,7 @@ HEADLINE = [
     "q03_top_orders",
     "q05_region_revenue",
     "q_enrich_join",
+    "q_asof_clicks",
     "q_window_top_orders",
     "q_filter_events",
     # config/language entry paths

@@ -440,3 +440,91 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_sample(orders, "o_orderkey", 10).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="Cube aggregation (engine surface; Catalyst-native grouping sets).",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+@register(
+    "q_except_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT ALL
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    doc="Set ops (SURVEY §2.7): EXCEPT — customers with no orders. Plans as a left-anti hash join.",
+)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).dropDuplicates()
+    return cust.exceptAll(ordered).orderBy("c_custkey")
+
+
+@register(
+    "q_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="Set ops (SURVEY §2.7): INTERSECT — nations with both customers and suppliers. Plans as a left-semi join over distincts.",
+)
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@register(
+    "q_asof_clicks",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY event_id
+    """,
+    doc=(
+        "Backward as-of join (engine surface; absent from both the reference "
+        "and Spark): latest click at-or-before each error, per user — the "
+        "union-window plan shape (one key shuffle, no range-join blowup)."
+    ),
+)
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.joins import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "asof_value").orderBy(
+        "event_id"
+    )

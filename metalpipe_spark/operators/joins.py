@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def enrich_join(
@@ -38,3 +39,52 @@ def enrich_join(
     else:
         fact = fact.drop(*clashes)
     return fact.join(dim_side, on=join_keys, how=how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the value columns of
+    the most recent right row with the same key and ``right_ts <=
+    left_ts`` (NULLs when no such row exists — left-join semantics).
+
+    Spark has no ASOF JOIN operator; the naive range-join formulation is
+    O(n*m) per key.  This is the scalable union-window shape instead: tag
+    both sides, union, and run one ``last(..., ignorenulls)`` window per
+    value column ordered by (ts, side).  Cost = ONE shuffle on the key +
+    a per-partition sort — the same plan a 1000-executor cluster wants,
+    with no skew beyond the key's own distribution and no broadcast of
+    either side.  Ties (equal ts on both sides) match, as in DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``: the right row sorts first.
+    """
+    value_cols = list(value_cols or [c for c in right.columns if c not in (on, right_ts)])
+    # The matched right timestamp is part of the result (callers need to
+    # know *when* the as-of match happened), so it rides along as a value.
+    carried = [right_ts] + value_cols
+    tagged_vals = [f"{prefix}{c}" for c in carried]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    for c, t in zip(carried, tagged_vals):
+        lhs = lhs.withColumn(t, F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(t) for c, t in zip(carried, tagged_vals)],
+    )
+    merged = lhs.select(*lhs.columns).unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for t in tagged_vals:
+        merged = merged.withColumn(t, F.last(t, ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__side")

@@ -108,3 +108,23 @@ def test_emitters(spark):
     assert len(rows) == 6
     vals = {str(r["value"]) for r in rows}
     assert vals == {"3", "x", "true"}  # mixed types coerce to string
+
+
+def test_as_of_join_edges(spark):
+    """Backward as-of semantics: ties match, later rights don't, keys
+    with no prior right row get NULLs."""
+    from metalpipe_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 25, "c"), (2, 9, "d")], ["k", "ts", "v"]
+    )
+    out = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    assert out[(1, 10)] == (10, "a")  # tie: right at same ts matches
+    assert out[(1, 20)] == (15, "b")  # latest at-or-before, not the later 25
+    assert out[(2, 5)] == (None, None)  # no right row yet -> left-join NULLs
