@@ -65,3 +65,56 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("window_start_ms", "event_type")
+
+
+@register(
+    "q_session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+    doc=(
+        "Session windows (TimeWindowAccumulator intent, node.py:1453-1460, "
+        "generalized): 30-min-gap sessions per user via Spark's native "
+        "session_window — one shuffle on the grouping key; the oracle is "
+        "the gaps-and-islands SQL formulation.  The streaming dual runs in "
+        "test_streaming."
+    ),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )

@@ -91,3 +91,13 @@ def test_enrich_join_broadcasts_dim(spark):
     plan = _formatted(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must plan as union + one window over a single hash
+    exchange on the key — not a range join or per-key cross product."""
+    df = REGISTRY["q_asof_clicks"].build(spark, SF_ORACLE)
+    plan = _simple(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1  # both value fills share one window op
