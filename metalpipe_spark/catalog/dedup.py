@@ -90,7 +90,9 @@ def _affine_mins(num_hashes: int) -> str:
 
 
 def _minhash_oracle(num_hashes: int = 16) -> str:
-    arr = ", ".join(f"m{i}" for i in range(num_hashes))
+    # Scalar m0..mN columns (not an array): the driver's value-hash
+    # canonicalization sorts pandas columns, and list cells are unhashable.
+    cols = ", ".join(f"m{i}" for i in range(num_hashes))
     return f"""
     WITH {_SHINGLES_CTE},
     hsh AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh),
@@ -99,7 +101,7 @@ def _minhash_oracle(num_hashes: int = 16) -> str:
            {_affine_mins(num_hashes)}
       FROM hsh GROUP BY doc_id
     )
-    SELECT doc_id, [{arr}] AS minhash FROM mh ORDER BY doc_id
+    SELECT doc_id, {cols} FROM mh ORDER BY doc_id
     """
 
 
@@ -110,9 +112,14 @@ def _minhash_oracle(num_hashes: int = 16) -> str:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zero-shingle docs drop out of the groupBy shape naturally (same as
-    # the oracle's GROUP BY over the shingle set).
+    # the oracle's GROUP BY over the shingle set). The operator keeps its
+    # array-valued form for the LSH path; the catalog surface flattens to
+    # scalar columns so results stay hashable in any downstream engine.
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, num_hashes=16).orderBy("doc_id")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    return sigs.select(
+        "doc_id", *[F.col("minhash")[i].alias(f"m{i}") for i in range(16)]
+    ).orderBy("doc_id")
 
 
 def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:

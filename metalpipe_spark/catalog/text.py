@@ -123,7 +123,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM t
     GROUP BY lang

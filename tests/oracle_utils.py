@@ -65,7 +65,26 @@ def canonical_rows(df_pandas) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def compare_with_oracle(spark_df, con, oracle: str) -> tuple[list, list]:
-    got = canonical_rows(spark_df.toPandas())
-    want = canonical_rows(con.sql(oracle).df())
-    return got, want
+def driver_strictness_errors(got_pd, want_pd) -> list[str]:
+    """Checks the driver applies but lenient canonicalization hides:
+    list-valued cells break its pandas sort, and int-vs-float dtype kinds
+    hash differently even when values compare equal."""
+    errs = []
+    for name, df in (("spark", got_pd), ("oracle", want_pd)):
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                errs.append(f"{name}.{c} holds unhashable list cells")
+    for c in sorted(set(got_pd.columns) & set(want_pd.columns)):
+        gk, wk = got_pd[c].dtype.kind, want_pd[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"} and ("f" in {gk, wk}) != (gk == wk == "f"):
+            errs.append(f"column {c}: dtype kind {gk} vs {wk} (int/float hash split)")
+    return errs
+
+
+def compare_with_oracle(spark_df, con, oracle: str, strict: bool = True):
+    got_pd = spark_df.toPandas()
+    want_pd = con.sql(oracle).df()
+    if strict:
+        errs = driver_strictness_errors(got_pd, want_pd)
+        assert not errs, "; ".join(errs)
+    return canonical_rows(got_pd), canonical_rows(want_pd)
