@@ -107,7 +107,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3 shape: selective dim filter, broadcast join, top-k.",
+    doc="TPC-H Q3 shape: dim broadcast, shuffled fact join, top-k.",
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -117,12 +117,13 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    # customer is the small filtered side: broadcast it into orders, then
-    # join the fact table on the join key Catalyst keeps partitioned.
-    joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
+    # Broadcast only the selective dim (customer) into orders.  The
+    # lineitem<->orders join has fact-sized inputs on both sides: a forced
+    # broadcast there OOMs executors at scale, so it shuffles on the join
+    # key (AQE is free to pick a broadcast at small SF — by size, not by
+    # decree).
+    co = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = li.join(co, li.l_orderkey == F.col("o_orderkey"))
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
@@ -157,16 +158,23 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     region = t["region"].filter(F.col("r_name") == "ASIA")
+    # Dims (customer, nation, region) broadcast into orders first: the
+    # region filter then prunes orders *before* the fact-fact join, so the
+    # one unavoidable shuffle (lineitem<->orders on orderkey) moves the
+    # least data.  orders itself is never broadcast — a 2-year date range
+    # keeps most of the fact table, which would OOM at scale.
+    co = (
+        orders.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
     joined = (
         t["lineitem"]
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(t["supplier"]),
             (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
-        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
-        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
     )
     return (
         joined.groupBy("n_name")
