@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metalpipe_spark.operators.text import fingerprint
@@ -53,14 +53,24 @@ def jaccard_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.05,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs.
 
     Plan shape: explode distinct shingles → self-join on shingle (both
     sides partitioned by the shingle hash — co-located, no broadcast of
     the corpus) → count intersections per pair → Jaccard against
-    per-doc shingle counts.  Hot shingles can be frequency-capped
-    upstream at extreme scale (df.filter on shingle doc-frequency).
+    per-doc shingle counts.
+
+    ``max_doc_frequency`` caps hot shingles: a shingle appearing in d
+    documents contributes d² rows to the self-join, so one boilerplate
+    sentence shared by millions of documents is a quadratic blowup on a
+    single key that AQE cannot split.  Shingles above the cap are dropped
+    from candidate generation (the standard production approximation —
+    ubiquitous shingles carry no near-dup signal anyway); per-doc sizes
+    still count ALL shingles, so surviving pairs' Jaccard is a lower
+    bound of the true value and exact whenever no shared shingle was
+    capped.
     """
     # The shingle table feeds three consumers (both self-join sides and
     # the per-doc sizes) — materialize it once; at warehouse scale this
@@ -69,8 +79,18 @@ def jaccard_candidate_pairs(
         df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
     ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_doc_frequency is not None:
+        # One count-window on the shingle key — the same hash partitioning
+        # the self-join needs, so the exchange is reused, not added.
+        w = Window.partitionBy("shingle")
+        joinable = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_frequency)
+            .drop("__df")
+        )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))

@@ -128,3 +128,61 @@ def test_as_of_join_edges(spark):
     assert out[(1, 10)] == (10, "a")  # tie: right at same ts matches
     assert out[(1, 20)] == (15, "b")  # latest at-or-before, not the later 25
     assert out[(2, 5)] == (None, None)  # no right row yet -> left-join NULLs
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_doc_frequency drops ubiquitous shingles from candidate
+    generation: pairs meeting only through the hot shingle disappear,
+    pairs sharing rare shingles are unchanged (exact Jaccard)."""
+    from metalpipe_spark.operators.dedup import jaccard_candidate_pairs
+
+    boiler = "all rights reserved legal notice"  # 3 shingles, in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"alpha beta gamma epsilon {boiler}"),
+            (3, f"zeta eta theta iota {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["d1"], r["d2"]): r["inter"]
+        for r in jaccard_candidate_pairs(docs, threshold=0.01).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["inter"]
+        for r in jaccard_candidate_pairs(
+            docs, threshold=0.01, max_doc_frequency=2
+        ).collect()
+    }
+    # Uncapped: every pair meets through the boilerplate shingles.
+    assert set(uncapped) == {(1, 2), (1, 3), (2, 3)}
+    # Capped: (1,3) and (2,3) met ONLY through boilerplate -> gone;
+    # (1,2) still shares rare shingles ("alpha beta gamma", ...).
+    assert set(capped) == {(1, 2)}
+    # The surviving pair's intersection excludes capped shingles.
+    assert capped[(1, 2)] < uncapped[(1, 2)]
+
+
+def test_jaccard_cap_noop_on_rare_shingles(spark):
+    """A cap above every shingle's doc-frequency must not change results."""
+    from metalpipe_spark.operators.dedup import jaccard_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red green blue yellow purple"),
+            (2, "red green blue orange black"),
+            (3, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = sorted(map(tuple, jaccard_candidate_pairs(docs, threshold=0.01).collect()))
+    capped = sorted(
+        map(
+            tuple,
+            jaccard_candidate_pairs(
+                docs, threshold=0.01, max_doc_frequency=10
+            ).collect(),
+        )
+    )
+    assert base == capped and len(base) == 1
