@@ -2,8 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Timing = full query wall time (plan + execute + count-style drain of the
-result), per BENCH_r{N}.json contract.
+Timing = full query wall time (plan + execute + checksum drain of the
+result), per BENCH_r{N}.json contract.  The drain aggregates xxhash64
+over every output column, so Catalyst cannot prune payload columns the
+way it can under a bare count() — scan-shaped queries are timed doing
+their real work.
 """
 
 from __future__ import annotations
@@ -101,9 +104,13 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.build(spark, sf_dir)
-        n = df.count()
+        # Checksum drain: referencing every column in the aggregate
+        # defeats column pruning, so the payload expressions actually run.
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),  # no ANSI overflow
+        ).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
