@@ -223,23 +223,34 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
-    majority vote of token-hash bit j.  Pure array arithmetic per row."""
+    majority vote of token-hash bit j.
+
+    Plan shape (minhash_signatures' proven pattern): explode distinct
+    tokens → ONE md5 per token → groupBy(doc) with ``bits`` conditional
+    SUM aggregates → recombine bit columns into the fingerprint.  Every
+    expression is whole-stage-codegen arithmetic and the single shuffle
+    partial-aggregates map-side (one row of 32 ints per doc crosses the
+    wire).  The previous formulation ran ``bits`` separate ``F.aggregate``
+    higher-order folds over the token-hash array per row — HOFs don't
+    codegen, so that was ~32 interpreted traversals of a ~100-element
+    array per document (measured 4.0 s vs this shape at sf0.1).
+
+    ``F.split`` yields at least ``[""]`` for any non-null string, so every
+    document survives the groupBy (row counts are preserved).
+    """
     toks = F.array_distinct(F.split(F.col(text_col), r" "))
-    hashes = F.transform(toks, _hash64)
-
-    # Factory keeps the merge lambda binary — a 3-param lambda would make
-    # F.aggregate pass a Column as the third argument.
-    def _vote(j: int):
-        mask = F.lit(1 << j)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(j) for j in range(bits)]
+    hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), _hash64(F.col("__t")).alias("__h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
     fp = None
-    for j, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(bits):
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
-    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
