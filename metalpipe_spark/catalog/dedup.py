@@ -74,7 +74,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_candidate_pairs(docs, threshold=0.05).orderBy("d1", "d2")
+    # max_doc_frequency=None: the oracle computes exact (uncapped)
+    # Jaccard; production callers keep the default cap.
+    return jaccard_candidate_pairs(
+        docs, threshold=0.05, max_doc_frequency=None
+    ).orderBy("d1", "d2")
 
 
 # Affine minhash family over a single 32-bit md5-derived hash per

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.text import (
+    CHAR_MARKERS,
     LANG_MARKERS,
     analyze_documents,
     detect_language,
@@ -32,26 +33,46 @@ def _marker_sql(lang: str) -> str:
     )
 
 
-_LANGS = sorted(LANG_MARKERS)  # de, en, es, fr
-_SCORES = ",\n           ".join(f"{_marker_sql(lang)} AS s_{lang}" for lang in _LANGS)
+def _char_marker_sql(lang: str) -> str:
+    return (
+        f"len(regexp_extract_all(text, '{CHAR_MARKERS[lang]}'))::DOUBLE"
+        f" / greatest(length(text), 1)::DOUBLE"
+    )
 
-# Mirror of detect_language's strictly-greater update loop over sorted
-# languages: the earliest language attaining the max wins; 'unk' unless
-# the max clears the threshold.
+
+_LANGS = sorted(set(LANG_MARKERS) | set(CHAR_MARKERS))  # de, en, es, fr, zh
+_SCORES = ",\n           ".join(
+    f"{_marker_sql(lang) if lang in LANG_MARKERS else _char_marker_sql(lang)} AS s_{lang}"
+    for lang in _LANGS
+)
+
+
+def _argmax_case(langs: list[str], threshold: float = 0.01) -> str:
+    """Mirror of detect_language's strictly-greater update loop over
+    sorted languages: the earliest language attaining the max wins; 'unk'
+    unless the max clears the threshold."""
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        whens.append(f"WHEN {geq} THEN '{lang}'")
+    branches = "\n                ".join(whens)
+    return f"""CASE WHEN greatest({all_scores}) <= {threshold} THEN 'unk'
+                {branches}
+                ELSE '{langs[-1]}' END"""
+
+
 _LANGID_SQL = f"""
     WITH t AS (
-      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+      SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
     ), s AS (
       SELECT doc_id, lang,
            {_SCORES}
       FROM t
     )
     SELECT doc_id, lang AS lang_true,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.01 THEN 'unk'
-                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS lang_detected
+           {_argmax_case(_LANGS)} AS lang_detected
     FROM s
     ORDER BY doc_id
 """

@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metalpipe_spark.operators.text import fingerprint
@@ -53,7 +53,7 @@ def jaccard_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.05,
-    max_doc_frequency: int | None = None,
+    max_doc_frequency: int | None = 1000,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs.
 
@@ -70,7 +70,19 @@ def jaccard_candidate_pairs(
     ubiquitous shingles carry no near-dup signal anyway); per-doc sizes
     still count ALL shingles, so surviving pairs' Jaccard is a lower
     bound of the true value and exact whenever no shared shingle was
-    capped.
+    capped.  Because the bound is one-sided, ``threshold`` is effectively
+    stricter for pairs that did share capped shingles — lower it slightly
+    if recall near the threshold matters under a cap.
+
+    The cap defaults ON (1000): at corpus scale the quadratic hot-key
+    path must be opted into, not out of.  ``None`` disables it (the
+    oracle-exact configuration).
+
+    Hot shingles are found with ``groupBy('shingle').count()`` — which
+    partial-aggregates map-side, so no task ever buffers a hot shingle's
+    full posting list (a count-window over the same key would) — and
+    removed with a broadcast anti-join: shingles with df > cap are by
+    construction few, so the hot list always fits a broadcast.
     """
     # The shingle table feeds three consumers (both self-join sides and
     # the per-doc sizes) — materialize it once; at warehouse scale this
@@ -81,14 +93,13 @@ def jaccard_candidate_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_doc_frequency is not None:
-        # One count-window on the shingle key — the same hash partitioning
-        # the self-join needs, so the exchange is reused, not added.
-        w = Window.partitionBy("shingle")
-        joinable = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_doc_frequency)
-            .drop("__df")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_frequency)
+            .select("shingle")
         )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = joinable.alias("a")
     b = joinable.alias("b")
     inter = (

@@ -22,6 +22,14 @@ LANG_MARKERS = {
     "es": ("el", "la", "de", "y", "es"),
 }
 
+# Unsegmented scripts never match whitespace-token markers, so they get
+# char-class regexes instead: score = matching chars / total chars.  The
+# character range is a literal in the pattern, valid verbatim in both
+# Java regex (Spark) and RE2 (oracle engines).
+CHAR_MARKERS = {
+    "zh": "[一-鿿]",  # CJK Unified Ideographs
+}
+
 
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization as an array column."""
@@ -40,15 +48,27 @@ def marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
+def char_marker_ratio(text: Column | str, pattern: str) -> Column:
+    """Fraction of characters matching a single-char regex class — the
+    scoring rule for unsegmented scripts (CHAR_MARKERS)."""
+    col = F.col(text) if isinstance(text, str) else text
+    hits = F.regexp_count(col, F.lit(pattern))
+    return hits.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
 def detect_language(text: Column | str, threshold: float = 0.01) -> Column:
-    """Language-ID heuristic: highest marker-word ratio wins; 'unk' if no
-    language clears ``threshold``.  Deterministic tie-break: language
-    code order."""
+    """Language-ID heuristic: highest score wins — marker-word ratio for
+    token languages (LANG_MARKERS), matching-char ratio for unsegmented
+    scripts (CHAR_MARKERS); 'unk' if no language clears ``threshold``.
+    Deterministic tie-break: language code order."""
     toks = tokens(text)
     best_lang = F.lit("unk")
     best_score = F.lit(float(threshold))
-    for lang in sorted(LANG_MARKERS):
-        score = marker_ratio(toks, LANG_MARKERS[lang])
+    for lang in sorted(set(LANG_MARKERS) | set(CHAR_MARKERS)):
+        if lang in LANG_MARKERS:
+            score = marker_ratio(toks, LANG_MARKERS[lang])
+        else:
+            score = char_marker_ratio(text, CHAR_MARKERS[lang])
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)

@@ -164,6 +164,28 @@ def test_jaccard_hot_shingle_cap(spark):
     assert capped[(1, 2)] < uncapped[(1, 2)]
 
 
+def test_detect_language_char_markers(spark):
+    """Unsegmented scripts (zh) score by matching-char ratio — whitespace
+    marker words can never fire on them.  NOTE the driver corpus contains
+    zero Han characters (its ``lang`` column is a synthetic label over a
+    shared English-ish vocabulary), so this capability is provable only
+    here, on real Chinese text."""
+    from metalpipe_spark.operators.text import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们去公园散步"),  # pure Chinese, no spaces
+            (2, "机器学习 spark 大规模 数据 处理"),  # mixed, majority Han
+            (3, "the quick brown fox is a dog"),
+            (4, "der hund ist und die katze"),
+            (5, "xqz kjv wpl"),  # no markers at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", detect_language("text").alias("lang")).collect()}
+    assert got == {1: "zh", 2: "zh", 3: "en", 4: "de", 5: "unk"}
+
+
 def test_jaccard_cap_noop_on_rare_shingles(spark):
     """A cap above every shingle's doc-frequency must not change results."""
     from metalpipe_spark.operators.dedup import jaccard_candidate_pairs
