@@ -145,15 +145,33 @@ def pairwise_topk_per_label(
     label_col: str = "label",
     k: int = 3,
     dim: int | None = None,
+    max_block_size: int | None = 100_000,
+    oversize: str = "salt",
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Blocked exact kNN: neighbors within the same label block (an IVF
     cell stand-in — at scale the label is a learned/hashed partition).
     Join is block-local (equi-join on the block key), never all-pairs.
     Norms are computed once per ROW before the join, so per-PAIR work is
     one dot product — at B rows per block that is B·dim versus B²·dim
-    flops saved."""
+    flops saved.
+
+    Block-size guard: a block of B rows is inherently B² pairs, and a
+    single hot label is one join key AQE cannot split.  With
+    ``max_block_size`` set (default on), one cheap count-aggregate finds
+    oversized blocks; ``oversize='raise'`` fails fast, ``oversize='salt'``
+    (default) splits each hot block's probe side into ``salt_parts``
+    hash-salted task groups (build side replicated per salt), turning the
+    one B²-pair task into ``salt_parts`` tasks of B²/salt_parts pairs —
+    results are bit-identical (every pair still meets exactly once; the
+    same top-k window runs after the union).  The B² pair COUNT is the
+    operator's exact-kNN contract either way; the guard bounds per-task
+    memory/latency, not total work.
+    """
     from pyspark.sql.window import Window
 
+    if oversize not in ("salt", "raise"):
+        raise ValueError(f"oversize must be 'salt' or 'raise', got {oversize!r}")
     if dim is not None:
         src = df.select(
             F.col(label_col),
@@ -178,7 +196,39 @@ def pairwise_topk_per_label(
         F.col(vec_src).alias("v2"),
         nrm.alias("n2"),
     )
-    pairs = a.join(b, "blk").filter(F.col("d1") != F.col("d2"))
+    hot_labels: list = []
+    if max_block_size is not None:
+        # One map-side-combined count per label; the hot list is small by
+        # construction (labels above the cap), so collecting it is a
+        # few-row driver fetch, not a data collect.
+        hot_labels = [
+            r[0]
+            for r in src.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select(label_col)
+            .collect()
+        ]
+        if hot_labels and oversize == "raise":
+            raise ValueError(
+                f"blocks over max_block_size={max_block_size}: {hot_labels[:10]} — "
+                "use a finer blocking key or oversize='salt'"
+            )
+    if hot_labels:
+        cold = a.filter(~F.col("blk").isin(hot_labels)).join(
+            b.filter(~F.col("blk").isin(hot_labels)), "blk"
+        )
+        ah = a.filter(F.col("blk").isin(hot_labels)).withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("d1")), F.lit(salt_parts)).cast("int")
+        )
+        bh = b.filter(F.col("blk").isin(hot_labels)).withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+        )
+        hot = ah.join(bh, ["blk", "__salt"]).drop("__salt")
+        pairs = cold.unionByName(hot)
+    else:
+        pairs = a.join(b, "blk")
+    pairs = pairs.filter(F.col("d1") != F.col("d2"))
     if dim is not None:
         pair_dot: Column = F.expr(dot_sql("v1", "v2", dim, cast=False))
     else:

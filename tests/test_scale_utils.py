@@ -68,3 +68,38 @@ def test_engine_monitor_records(spark):
     t = mon.table(spark)
     rows = {r["name"]: r["status"] for r in t.collect()}
     assert rows == {"count_nation": "success", "boom": "error"}
+
+
+def test_knn_block_guard_salt_matches_plain(spark):
+    """An oversized block salted into sub-tasks returns bit-identical
+    top-k (every pair still meets exactly once)."""
+    from metalpipe_spark.operators.similarity import pairwise_topk_per_label
+
+    rows = [
+        ("hot", i, [float(i % 5), float((i * 7) % 11), 1.0]) for i in range(30)
+    ] + [("cold", i + 100, [float(i), 1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
+    plain = sorted(
+        map(
+            tuple,
+            pairwise_topk_per_label(df, k=2, max_block_size=None).collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            pairwise_topk_per_label(
+                df, k=2, max_block_size=10, oversize="salt", salt_parts=4
+            ).collect(),
+        )
+    )
+    assert plain == salted and len(plain) > 0
+
+
+def test_knn_block_guard_raises(spark):
+    from metalpipe_spark.operators.similarity import pairwise_topk_per_label
+
+    rows = [("hot", i, [1.0, float(i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
+    with pytest.raises(ValueError, match="max_block_size"):
+        pairwise_topk_per_label(df, k=1, max_block_size=5, oversize="raise")
