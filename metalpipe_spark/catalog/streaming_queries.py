@@ -15,6 +15,7 @@ from metalpipe_spark.catalog import register
 from metalpipe_spark.streaming.streams import (
     file_watchdog,
     run_to_memory,
+    streaming_join,
     tumbling_window,
 )
 
@@ -65,6 +66,70 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("window_start_ms", "event_type")
+
+
+@register(
+    "q_stream_join",
+    """
+    WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_ms(c.ts) AS click_ms,
+           epoch_ms(p.ts) AS purchase_ms,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    doc=(
+        "Stream-stream join (StreamingJoin, node.py:1528-1552): clicks x "
+        "purchases per user within a +/-1h event-time window, watermarks "
+        "bounding both sides' state; availableNow run == batch range-join "
+        "oracle.  The last SURVEY.md 2.11 construct to gain an oracle row."
+    ),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = streaming_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        window="1 hour",
+        watermark="1 hour",
+    )
+    out = run_to_memory(joined, f"cat_sjoin_{uuid.uuid4().hex[:8]}", spark)
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_ts").alias("click_ms"),
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        "purchase_value",
+    ).orderBy("click_id", "purchase_id")
 
 
 @register(
