@@ -48,6 +48,7 @@ def load_all() -> dict[str, CatalogQuery]:
     from metalpipe_spark.catalog import (  # noqa: F401
         dedup,
         modelling_queries,
+        multimodal_queries,
         pipelines,
         relational,
         similarity,

@@ -31,7 +31,7 @@ DECODE_SCHEMA = (
 )
 
 FEATURE_DIM = 16
-FEATURE_SCHEMA = f"id long, feature array<float>"
+FEATURE_SCHEMA = "id long, feature array<float>"  # FEATURE_DIM floats per row
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
