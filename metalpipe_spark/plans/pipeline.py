@@ -44,6 +44,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from metalpipe_spark.operators.aggregate import (
     aggregate_values_node,
@@ -126,6 +128,24 @@ def _csv_reader(spark, upstreams, opts):
     )
 
 
+@node_class("CSVToDictionaryList")
+def _csv_to_dictionary_list(spark, upstreams, opts):
+    """node.py:1080-1088 — parse a CSV and emit the ENTIRE row list as ONE
+    message: a single row holding array<struct>.  ``infer_schema`` defaults
+    off to match ``csv.DictReader``'s all-strings dicts.  The one-message
+    shape is inherently small-data (the reference buffers the whole list in
+    one dict), so the collect_list to a single row is by-construction
+    bounded — large CSVs belong on the per-row ``CSVReader`` path."""
+    df = csv_reader(
+        spark,
+        opts["path"],
+        header=opts.get("header", True),
+        infer_schema=opts.get("infer_schema", False),
+    )
+    out_key = opts.get("output_key", "rows")
+    return df.agg(F.collect_list(F.struct(*df.columns)).alias(out_key))
+
+
 @node_class("LocalFileReader")
 def _local_file_reader(spark, upstreams, opts):
     return local_file_reader(spark, opts["path"], serialize=opts.get("serialize", False))
@@ -151,12 +171,14 @@ def _counter(spark, upstreams, opts):
 @node_class("GetEnvironmentVariables")
 def _env_vars(spark, upstreams, opts):
     """node.py:1145-1191 — emit one row of environment values (driver-side
-    by nature; becomes a literal one-row DataFrame)."""
+    by nature; becomes a literal one-row DataFrame).  ``mappings`` renames
+    variables to output keys; unset variables yield NULL (explicit string
+    schema so an all-unset row still has stable types)."""
     names = opts.get("environment_variables", [])
     mappings = opts.get("mappings", {})
     row = {mappings.get(v, v): os.environ.get(v) for v in names}
-    df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
-    return df
+    schema = T.StructType([T.StructField(k, T.StringType()) for k in row])
+    return spark.createDataFrame([tuple(row.values())], schema)
 
 
 # -- transforms -------------------------------------------------------------
@@ -342,6 +364,23 @@ def _blackhole(spark, upstreams, opts):
     return _one(upstreams, "BlackHole")
 
 
+@node_class("Blocker")
+def _blocker(spark, upstreams, opts):
+    """node.py:1720-1728 — swallows every message and forwards only the
+    termination signal once its input completes.  Batch analog: force the
+    upstream's computation HERE (the barrier — an eager count at compile,
+    mirroring the reference's do-nothing drain), then emit a zero-row
+    frame with the upstream schema so downstream nodes compile against
+    real types but receive no data rows."""
+    df = _one(upstreams, "Blocker")
+    if df.isStreaming:
+        raise ValueError(
+            "Blocker is a batch barrier; streaming paths end via query lifecycle"
+        )
+    df.count()
+    return df.limit(0)
+
+
 @node_class("ParquetWriter")
 def _parquet_writer(spark, upstreams, opts):
     df = _one(upstreams, "ParquetWriter")
@@ -397,6 +436,37 @@ def apply_secrets(config: Any, secrets: Mapping[str, Any]) -> Any:
     return config
 
 
+def apply_break_test(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """Universal ``break_test`` node option (node.py:183,208-211,477-486):
+    the reference loads a dotted-path predicate, yields each output
+    message, then stops the node once the predicate fires.  Batch analog:
+    keep rows up to AND INCLUDING the first row (in ``order_by`` order)
+    whose predicate is true — the triggering message is emitted before the
+    break, exactly as the reference yields-then-tests.
+
+    Spec: ``{function: dotted.path, order_by: col, key: col?}`` —
+    ``order_by`` is required because a DataFrame has no arrival order (the
+    thread-per-node stream did).  Plan shape: one 1-row min-aggregate of
+    the triggering order values, broadcast back as a scalar bound — no
+    global sort, no single-partition window.
+    """
+    if not isinstance(spec, Mapping) or "function" not in spec or "order_by" not in spec:
+        raise ValueError(
+            "break_test needs {function: dotted.path, order_by: column} — "
+            "batch compilation requires an explicit message order"
+        )
+    fn = wrap_udf(spec["function"], "boolean", mode=spec.get("mode", "pandas"))
+    cols = [spec["key"]] if "key" in spec else df.columns
+    ord_col = F.col(spec["order_by"])
+    flagged = df.withColumn("__bt", fn(*[F.col(c) for c in cols]))
+    stop = flagged.filter(F.col("__bt")).agg(F.min(ord_col).alias("__stop"))
+    return (
+        flagged.crossJoin(F.broadcast(stop))
+        .filter(F.col("__stop").isNull() | (ord_col <= F.col("__stop")))
+        .drop("__bt", "__stop")
+    )
+
+
 def _rename_all(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     for src, tgt in mapping.items():
         df = df.withColumnRenamed(src, tgt)
@@ -428,8 +498,19 @@ class CompiledPipeline:
         return {t: self.dataframes[t] for t in self.terminals}
 
 
-def compile_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> CompiledPipeline:
-    """Build every node's DataFrame in topological order."""
+def compile_pipeline(
+    spark: SparkSession,
+    config: Mapping[str, Any],
+    capture_dir: str | None = None,
+) -> CompiledPipeline:
+    """Build every node's DataFrame in topological order.
+
+    ``capture_dir`` is the record/replay fixturizer hook
+    (/root/reference/metalpipe/utils/metalpipe_recorder.py:7-45, which
+    recorded every node's messages to Redis): each batch node's output is
+    written to ``{capture_dir}/{node_name}`` as parquet at compile time;
+    :func:`replay_capture` reads one back.  Streaming nodes are skipped
+    (capture their sinks via checkpointed output instead)."""
     nodes = {
         name: NodeSpec(name=name, cls=spec["class"], options=spec.get("options", {}) or {})
         for name, spec in config["nodes"].items()
@@ -464,6 +545,7 @@ def compile_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Compiled
                 post_fn = opts.pop("post_process_function", None)
                 post_keypath = opts.pop("post_process_keypath", None)
                 post_rt = opts.pop("post_process_return_type", "string")
+                break_spec = opts.pop("break_test", None)
                 ups = [built[u] for u in upstreams[name]]
                 if input_mapping:
                     ups = [
@@ -477,6 +559,12 @@ def compile_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Compiled
 
                     fn = wrap_udf(post_fn, post_rt)
                     df = set_value(df, post_keypath, fn(get_value(post_keypath)))
+                if break_spec:
+                    df = apply_break_test(df, break_spec)
+                if capture_dir is not None and not df.isStreaming:
+                    df.write.mode("overwrite").parquet(
+                        os.path.join(capture_dir, name)
+                    )
                 built[name] = df
                 remaining.discard(name)
                 progressed = True
@@ -493,6 +581,7 @@ def load_yaml_pipeline(
     text: str,
     variables: Mapping[str, Any] | None = None,
     secrets_files: list[str] | None = None,
+    capture_dir: str | None = None,
 ) -> CompiledPipeline:
     """Full reference entry path: template → secrets → parse → compile."""
     import yaml
@@ -505,7 +594,13 @@ def load_yaml_pipeline(
             secret_map.update(yaml.safe_load(fh) or {})
     if secret_map:
         config = apply_secrets(config, secret_map)
-    return compile_pipeline(spark, config)
+    return compile_pipeline(spark, config, capture_dir=capture_dir)
+
+
+def replay_capture(spark: SparkSession, capture_dir: str, name: str) -> DataFrame:
+    """Replay one captured node's output (metalpipe_recorder.py:7-45's
+    read side): the fixture parquet written by ``compile_pipeline``."""
+    return spark.read.parquet(os.path.join(capture_dir, name))
 
 
 def run_pipeline(pipeline: CompiledPipeline, show: bool = False) -> dict[str, int]:

@@ -11,6 +11,8 @@ staging pattern explicitly because JDBC appends are not atomic.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +48,33 @@ def remap_columns(df: DataFrame, remap: dict[str, str] | None, columns: list[str
     for src, tgt in (remap or {}).items():
         df = df.withColumnRenamed(src, tgt)
     return df
+
+
+def ensure_table_exists(
+    table: str,
+    columns: list,
+    schema: str | None = None,
+    url: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> str:
+    """EnsureCivisRedshiftTableExists (civis_nodes.py:277-322): build the
+    ``CREATE TABLE IF NOT EXISTS "schema"."table" ("col" type NULL, ...)``
+    DDL from a column-spec list — dicts with ``column_name``/
+    ``column_type`` (the reference's shape) or ``(name, type)`` tuples —
+    and execute it over JDBC when ``url`` is given.  Always returns the
+    DDL string (the testable surface; execution needs an endpoint)."""
+    specs = []
+    for c in columns:
+        if isinstance(c, Mapping):
+            name, typ = c["column_name"], c["column_type"]
+        else:
+            name, typ = c
+        specs.append(f'"{name}" {typ} NULL')
+    qualified = f'"{schema}"."{table}"' if schema else f'"{table}"'
+    ddl = f"CREATE TABLE IF NOT EXISTS {qualified} ({', '.join(specs)})"
+    if url:
+        _execute_jdbc(url, properties or {}, ddl)
+    return ddl
 
 
 def write_jdbc_staged(

@@ -215,3 +215,158 @@ def test_apply_secrets_nested():
     cfg = {"a": ["tok1", {"b": "tok2"}], "c": "plain"}
     out = apply_secrets(cfg, {"tok1": "X", "tok2": "Y"})
     assert out == {"a": ["X", {"b": "Y"}], "c": "plain"}
+
+
+def test_break_test_stops_after_trigger(spark):
+    """Universal break_test option (node.py:477-486): the triggering
+    message is emitted (yield-then-test), nothing after it in order."""
+    config = {
+        "nodes": {
+            "counter": {
+                "class": "CounterOfThings",
+                "options": {
+                    "start": 0,
+                    "end": 50,
+                    "break_test": {
+                        "function": "tests.udf_fixtures.count_is_ten",
+                        "order_by": "count",
+                        "key": "count",
+                    },
+                },
+            },
+        },
+        "paths": [],
+    }
+    got = sorted(r["count"] for r in compile_pipeline(spark, config).dataframes["counter"].collect())
+    assert got == list(range(11))  # 0..10 inclusive — the trigger flows
+
+
+def test_break_test_no_trigger_keeps_all(spark):
+    config = {
+        "nodes": {
+            "counter": {
+                "class": "CounterOfThings",
+                "options": {
+                    "start": 20,
+                    "end": 25,
+                    "break_test": {
+                        "function": "tests.udf_fixtures.count_is_ten",
+                        "order_by": "count",
+                        "key": "count",
+                    },
+                },
+            },
+        },
+        "paths": [],
+    }
+    df = compile_pipeline(spark, config).dataframes["counter"]
+    assert df.count() == 5
+
+
+def test_break_test_requires_order(spark):
+    config = {
+        "nodes": {
+            "c": {
+                "class": "CounterOfThings",
+                "options": {"start": 0, "end": 5, "break_test": {"function": "x.y"}},
+            }
+        },
+        "paths": [],
+    }
+    with pytest.raises(ValueError, match="order"):
+        compile_pipeline(spark, config)
+
+
+def test_csv_to_dictionary_list_one_message(spark, tmp_path):
+    """node.py:1080-1088: the whole CSV arrives as ONE message holding the
+    row list (array<struct>), values as strings like csv.DictReader."""
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nada,36\ngrace,45\n")
+    config = {
+        "nodes": {
+            "csv": {"class": "CSVToDictionaryList", "options": {"path": str(p)}},
+        },
+        "paths": [],
+    }
+    rows = compile_pipeline(spark, config).dataframes["csv"].collect()
+    assert len(rows) == 1
+    payload = sorted((r["name"], r["age"]) for r in rows[0]["rows"])
+    assert payload == [("ada", "36"), ("grace", "45")]
+
+
+def test_blocker_barrier(spark):
+    """node.py:1720-1728: downstream of a Blocker sees schema but no rows."""
+    config = {
+        "nodes": {
+            "src": {"class": "CounterOfThings", "options": {"start": 0, "end": 9}},
+            "gate": {"class": "Blocker"},
+            "sink": {"class": "BlackHole"},
+        },
+        "paths": [["src", "gate", "sink"]],
+    }
+    p = compile_pipeline(spark, config)
+    assert p.dataframes["gate"].columns == ["count"]
+    assert p.dataframes["sink"].count() == 0
+
+
+def test_get_environment_variables_mappings(spark, monkeypatch):
+    """node.py:1145-1191 incl. the mappings alias path; unset vars NULL."""
+    monkeypatch.setenv("MP_TEST_TOKEN", "sekrit")
+    monkeypatch.delenv("MP_TEST_MISSING", raising=False)
+    config = {
+        "nodes": {
+            "env": {
+                "class": "GetEnvironmentVariables",
+                "options": {
+                    "environment_variables": ["MP_TEST_TOKEN", "MP_TEST_MISSING"],
+                    "mappings": {"MP_TEST_TOKEN": "token"},
+                },
+            },
+        },
+        "paths": [],
+    }
+    row = compile_pipeline(spark, config).dataframes["env"].head()
+    assert row["token"] == "sekrit"
+    assert row["MP_TEST_MISSING"] is None
+
+
+def test_capture_replay_roundtrip(spark, tmp_path):
+    """Record/replay fixturizer (metalpipe_recorder.py:7-45): every node's
+    output captured at compile, replayable bit-for-bit."""
+    from metalpipe_spark.plans.pipeline import replay_capture
+
+    cap = str(tmp_path / "capture")
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/nation.parquet"}},
+            "only": {
+                "class": "Filter",
+                "options": {"test": "value_is_not_none", "test_keypath": "n_name"},
+            },
+        },
+        "paths": [["read", "only"]],
+    }
+    p = compile_pipeline(spark, config, capture_dir=cap)
+    for node in ("read", "only"):
+        live = sorted(map(tuple, p.dataframes[node].collect()))
+        replayed = sorted(map(tuple, replay_capture(spark, cap, node).collect()))
+        assert live == replayed and len(live) > 0
+
+
+def test_ensure_table_exists_ddl():
+    """civis_nodes.py:277-322: DDL built from the reference's column-spec
+    dicts (and tuple shorthand), quoted and NULLable."""
+    from metalpipe_spark.sinks.writers import ensure_table_exists
+
+    ddl = ensure_table_exists(
+        "target",
+        [
+            {"column_name": "id", "column_type": "BIGINT"},
+            ("name", "VARCHAR(64)"),
+        ],
+        schema="public",
+    )
+    assert ddl == (
+        'CREATE TABLE IF NOT EXISTS "public"."target" '
+        '("id" BIGINT NULL, "name" VARCHAR(64) NULL)'
+    )
