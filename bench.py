@@ -122,6 +122,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Methodology marker: rounds <= r01 drained via count()
+                # (column-pruned); r02+ checksum every output column, so
+                # cross-round diffs must compare like with like.
+                "drain": "xxhash64-checksum",
             }
         )
     )

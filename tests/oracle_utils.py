@@ -65,6 +65,26 @@ def canonical_rows(df_pandas) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _effective_kind(series) -> str:
+    """Numpy dtype kind, but object columns (Decimal results, int columns
+    made object by NULLs) resolve to the kind of their first non-null
+    value — otherwise a real int-vs-float hash split hides behind 'O'."""
+    k = series.dtype.kind
+    if k != "O":
+        return k
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "b"
+        if isinstance(v, (int, np.integer)):
+            return "i"
+        if isinstance(v, (float, np.floating, Decimal)):
+            return "f"
+        return "O"
+    return "O"
+
+
 def driver_strictness_errors(got_pd, want_pd) -> list[str]:
     """Checks the driver applies but lenient canonicalization hides:
     list-valued cells break its pandas sort, and int-vs-float dtype kinds
@@ -75,7 +95,7 @@ def driver_strictness_errors(got_pd, want_pd) -> list[str]:
             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
                 errs.append(f"{name}.{c} holds unhashable list cells")
     for c in sorted(set(got_pd.columns) & set(want_pd.columns)):
-        gk, wk = got_pd[c].dtype.kind, want_pd[c].dtype.kind
+        gk, wk = _effective_kind(got_pd[c]), _effective_kind(want_pd[c])
         if {gk, wk} <= {"i", "u", "f"} and ("f" in {gk, wk}) != (gk == wk == "f"):
             errs.append(f"column {c}: dtype kind {gk} vs {wk} (int/float hash split)")
     return errs
