@@ -41,6 +41,7 @@ HEADLINE = [
     # similarity search
     "q_ann_brute_topk",
     "q_ann_blocked_knn",
+    "q_ann_blocked_knn_gemm",
     "q_embed_neardup_lsh",
     # text analysis
     "q_langid",

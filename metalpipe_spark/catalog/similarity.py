@@ -75,6 +75,24 @@ def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_topk_per_label(emb, k=3, dim=64).orderBy("d1", "rnk")
 
 
+@register(
+    "q_ann_blocked_knn_gemm",
+    None,  # rows-only: BLAS accumulation order != the SQL fold (last-ulp
+    # differences), so a value-hash oracle would be flaky by construction.
+    # Parity with the oracle-hashed exact twin is tolerance-tested in
+    # tests/test_scale_utils.py instead.
+    doc=(
+        "Blocked exact kNN via per-cell GEMM (applyInPandas + BLAS) — the "
+        "vectorized scale path; same results as q_ann_blocked_knn to ~1e-12."
+    ),
+)
+def q_ann_blocked_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import pairwise_topk_per_label_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pairwise_topk_per_label_gemm(emb, k=3).orderBy("d1", "rnk")
+
+
 def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> str:
     planes = deterministic_hyperplanes(num_planes, dim)
     bit_terms = " + ".join(

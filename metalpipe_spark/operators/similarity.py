@@ -244,6 +244,87 @@ def pairwise_topk_per_label(
     )
 
 
+def pairwise_topk_per_label_gemm(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 3,
+    chunk: int = 1024,
+    max_block_size: int = 65_536,
+) -> DataFrame:
+    """Blocked exact kNN via per-cell GEMM — the vectorized twin of
+    :func:`pairwise_topk_per_label`.
+
+    Each label block arrives as ONE Arrow batch (``applyInPandas``); a
+    numpy/BLAS matmul computes the block's cosine matrix in row chunks
+    (memory is O(chunk × B), never B²), then a stable argsort gives
+    per-row top-k with the same (desc similarity, asc neighbor id)
+    tie-break.  This trades the join-per-pair plan for dense linear
+    algebra inside the cell — at B rows/64 dims that is one DGEMM call
+    instead of B² interpreted array folds, the shape a 100 TB ANN cell
+    scan actually uses.
+
+    Values match :func:`pairwise_topk_per_label` to the last few ulps but
+    NOT bit-for-bit: BLAS accumulates blocked/SIMD, the SQL fold is
+    strictly left-to-right.  So this surface is tolerance-tested, not
+    oracle-hashed (the exact-fold twin keeps the oracle row).
+
+    ``max_block_size`` guards the one scale hazard: a block must fit one
+    executor's Arrow group.  Oversized blocks raise — use the exact
+    twin's salt path, or a finer blocking key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    label_type = df.schema[label_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"blk {label_type}, d1 {id_type}, d2 {id_type}, cosine_sim double, rnk int"
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = len(pdf)
+        if b > max_block_size:
+            raise ValueError(
+                f"block {pdf[label_col].iloc[0]!r} has {b} rows "
+                f"(max_block_size={max_block_size}); use a finer blocking key "
+                "or pairwise_topk_per_label(oversize='salt')"
+            )
+        pdf = pdf.sort_values(id_col)  # stable argsort then breaks ties by id
+        ids = pdf[id_col].to_numpy()
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        kk = min(k, b - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {c: [] for c in ("blk", "d1", "d2", "cosine_sim", "rnk")}
+            )
+        d1s, d2s, sims, rnks = [], [], [], []
+        for lo in range(0, b, chunk):
+            hi = min(lo + chunk, b)
+            S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
+            S[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf  # no self
+            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(lo, hi), kk)
+            cols = top.ravel()
+            d1s.append(ids[rows])
+            d2s.append(ids[cols])
+            sims.append(np.round(S[rows - lo, cols], 6))
+            rnks.append(np.tile(np.arange(1, kk + 1), hi - lo))
+        return pd.DataFrame(
+            {
+                "blk": np.repeat(pdf[label_col].iloc[0], (b) * kk),
+                "d1": np.concatenate(d1s),
+                "d2": np.concatenate(d2s),
+                "cosine_sim": np.concatenate(sims),
+                "rnk": np.concatenate(rnks).astype("int32"),
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(per_block, schema=out_schema)
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     hyperplanes: list[list[float]],

@@ -103,3 +103,36 @@ def test_knn_block_guard_raises(spark):
     df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
     with pytest.raises(ValueError, match="max_block_size"):
         pairwise_topk_per_label(df, k=1, max_block_size=5, oversize="raise")
+
+
+def test_knn_gemm_matches_exact_fold(spark):
+    """The GEMM twin returns the same neighbors/ranks as the exact-fold
+    operator; cosines agree within rounding (BLAS vs sequential sum)."""
+    from metalpipe_spark.operators.similarity import (
+        pairwise_topk_per_label,
+        pairwise_topk_per_label_gemm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["d1"], r["rnk"]): (r["d2"], r["cosine_sim"])
+        for r in pairwise_topk_per_label(emb, k=3, dim=64).collect()
+    }
+    gemm = {
+        (r["d1"], r["rnk"]): (r["d2"], r["cosine_sim"])
+        for r in pairwise_topk_per_label_gemm(emb, k=3).collect()
+    }
+    assert set(exact) == set(gemm)
+    for key, (d2, sim) in exact.items():
+        g_d2, g_sim = gemm[key]
+        assert g_d2 == d2, f"{key}: neighbor {g_d2} != {d2}"
+        assert abs(g_sim - sim) <= 1.1e-6, f"{key}: {g_sim} vs {sim}"
+
+
+def test_knn_gemm_oversized_block_raises(spark):
+    from metalpipe_spark.operators.similarity import pairwise_topk_per_label_gemm
+
+    rows = [(0, i, [1.0, float(i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
+    with pytest.raises(Exception, match="max_block_size"):
+        pairwise_topk_per_label_gemm(df, k=1, max_block_size=5).collect()
