@@ -271,6 +271,24 @@ def q_regex_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_serializer",
+    """
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+    FROM part
+    ORDER BY p_partkey, type_word
+    """,
+    doc="Serializer (node.py:1257-1275) -> explode: one row per element, other columns retained.",
+)
+def q_serializer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.transform import serializer
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_type", " ").alias("type_word")
+    )
+    return serializer(part, "type_word").orderBy("p_partkey", "type_word")
+
+
+@register(
     "q_enrich_join",
     """
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name AS nation_name

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from metalpipe_spark.catalog import register
 from metalpipe_spark.streaming.streams import (
+    deduplicate_stream,
     file_watchdog,
     run_to_memory,
     streaming_join,
@@ -66,6 +67,28 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("window_start_ms", "event_type")
+
+
+@register(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc=(
+        "Streaming exact-dedup (dropDuplicatesWithinWatermark) run with "
+        "availableNow: the surviving KEY SET equals batch DISTINCT (which "
+        "row survives per key is arrival-order-dependent, so the oracle "
+        "checks the deterministic projection)."
+    ),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = deduplicate_stream(
+        stream, ["user_id", "event_type"], "ts", watermark="365 days"
+    )
+    out = run_to_memory(deduped, f"cat_sdedup_{uuid.uuid4().hex[:8]}", spark)
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
 @register(
