@@ -121,6 +121,42 @@ def q_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tokenize_regex",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws,
+           CAST(coalesce(list_aggregate(
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+                            t -> length(t)),
+             'sum'), 0) AS BIGINT) AS token_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-ish regex pre-tokenization vs whitespace token counts "
+        "(operators/text.py BPEISH_PATTERN) — pure codegen regex, no "
+        "shuffle, parquet-scan speed at 100 TB."
+    ),
+)
+def q_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import regex_token_count, regex_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = regex_tokens("text")
+    return docs.select(
+        "doc_id",
+        regex_token_count("text").alias("n_bpeish"),
+        F.size(tokens("text")).alias("n_ws"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("token_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_fingerprint",
     """
     SELECT doc_id,

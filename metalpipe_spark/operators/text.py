@@ -41,6 +41,24 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer: alphanumeric runs or single punctuation marks —
+# the classic GPT-style pre-split shape, kept to ASCII classes so Java
+# regex (Spark) and RE2 (oracle engines) agree byte-for-byte.
+BPEISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPEISH_PATTERN) -> Column:
+    """Regex pre-tokenization as an array column (the BPE-ish variant of
+    whitespace ``tokens`` — punctuation splits off, words stay runs)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(pattern), 0)
+
+
+def regex_token_count(text: Column | str, pattern: str = BPEISH_PATTERN) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(pattern))
+
+
 def marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
     """Fraction of tokens that are in a marker set — the building block
     of the stopword/language heuristics."""
