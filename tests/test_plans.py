@@ -142,3 +142,16 @@ def test_asof_join_single_key_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Window") == 1  # both value fills share one window op
+
+
+def test_simhash_single_shuffle(spark):
+    """SimHash must keep minhash's shape: scan -> partial conditional-SUM
+    votes -> ONE exchange -> final agg (no per-bit HOF folds)."""
+    from metalpipe_spark.operators.dedup import simhash
+    from metalpipe_spark.sources.readers import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _simple(simhash(docs))
+    assert plan.count("Exchange") == 1
+    assert "aggregate(" not in plan  # no interpreted HOF in the plan
