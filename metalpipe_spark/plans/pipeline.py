@@ -278,6 +278,23 @@ def _join(spark, upstreams, opts):
                        broadcast_dim=opts.get("broadcast", False))
 
 
+@node_class("SQLExecute")
+def _sql_execute(spark, upstreams, opts):
+    """CivisSQLExecute / CivisToCSV (civis_nodes.py:374-482) — "run SQL,
+    emit the result rows" — engine-native: upstream DataFrames register as
+    temp views named by ``views`` (in upstream order), then ``sql`` runs
+    through Catalyst.  Against a warehouse use the JDBC readers; this node
+    is the in-engine SQL entry path (full pushdown/pruning, no collect)."""
+    names = opts.get("views", [])
+    if len(names) != len(upstreams):
+        raise ValueError(
+            f"SQLExecute: {len(upstreams)} upstream(s) but {len(names)} view name(s)"
+        )
+    for name, df in zip(names, upstreams):
+        df.createOrReplaceTempView(name)
+    return spark.sql(opts["sql"])
+
+
 @node_class("FunctionOfMessage")
 def _fn_of_message(spark, upstreams, opts):
     """node.py:996-1013 — named function applied per record; compiled to a

@@ -370,3 +370,59 @@ def test_ensure_table_exists_ddl():
         'CREATE TABLE IF NOT EXISTS "public"."target" '
         '("id" BIGINT NULL, "name" VARCHAR(64) NULL)'
     )
+
+
+def test_python_composition_api(spark):
+    """Reference public API parity (node.py:278-284, README.rst:37-60):
+    `a > b > c` chains, `>` returns the right operand, the graph lowers
+    through the same compiler as YAML, run == global_start."""
+    from metalpipe_spark.plans.api import node, compile_graph, run_graph
+
+    read = node("ParquetReader", name="read", path=f"{SF_SMOKE}/customer.parquet")
+    keep = node(
+        "Filter", name="keep", test="value_is_not_none", test_keypath="c_name"
+    )
+    shape = node("Remapper", name="shape", mapping={"id": "c_custkey"})
+    tail = read > keep > shape
+    assert tail is shape  # chaining contract
+    p = compile_graph(spark, keep)  # any node of the component works
+    assert set(p.dataframes) == {"read", "keep", "shape"}
+    assert p.terminals == ["shape"]
+    counts = run_graph(spark, read)
+    direct = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").filter(
+        F.col("c_name").isNotNull()
+    )
+    assert counts == {"shape": direct.count()}
+
+
+def test_python_api_fan_in(spark):
+    from metalpipe_spark.plans.api import node, compile_graph
+
+    a = node("CounterOfThings", name="a", start=0, end=3)
+    b = node("CounterOfThings", name="b", start=10, end=14)
+    sink = node("BlackHole", name="sink")
+    a > sink
+    b > sink
+    p = compile_graph(spark, sink)
+    assert p.dataframes["sink"].count() == 7
+
+
+def test_sql_execute_node(spark):
+    """SQLExecute (engine-native CivisSQLExecute, civis_nodes.py:374-426):
+    upstreams become temp views, the SQL runs through Catalyst."""
+    config = {
+        "nodes": {
+            "orders": {"class": "ParquetReader", "options": {"path": f"{SF_SMOKE}/orders.parquet"}},
+            "agg": {
+                "class": "SQLExecute",
+                "options": {
+                    "views": ["o"],
+                    "sql": "SELECT o_orderpriority, COUNT(*) AS n FROM o GROUP BY 1",
+                },
+            },
+        },
+        "paths": [["orders", "agg"]],
+    }
+    df = compile_pipeline(spark, config).dataframes["agg"]
+    direct = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").groupBy("o_orderpriority").count()
+    assert {(r[0], r[1]) for r in df.collect()} == {(r[0], r[1]) for r in direct.collect()}
