@@ -95,6 +95,17 @@ def main() -> None:
             .agg(F.sum("dot"), F.max("rn"))
             .count()
         )
+        # Start the Python/Arrow worker pool too (pandas UDF + grouped
+        # applyInPandas) — otherwise the first pandas-path query is timed
+        # paying the one-time worker/Arrow startup, same class of cost as
+        # the JVM JIT warm-up above.
+        from metalpipe_spark.udf_registry import wrap_udf
+
+        _warm_py = wrap_udf(lambda v: v + 1, "long")
+        warm.select(_warm_py("id")).count()
+        warm.groupBy("k").applyInPandas(
+            lambda pdf: pdf[["id"]].head(1), schema="id long"
+        ).count()
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
