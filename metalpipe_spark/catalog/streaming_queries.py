@@ -16,6 +16,7 @@ from metalpipe_spark.streaming.streams import (
     deduplicate_stream,
     file_watchdog,
     run_to_memory,
+    stateful_running_stats,
     streaming_join,
     tumbling_window,
 )
@@ -67,6 +68,44 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("window_start_ms", "event_type")
+
+
+@register(
+    "q_stream_stats",
+    """
+    SELECT user_id,
+           COUNT(value) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "Custom stateful operator (applyInPandasWithState running stats — "
+        "the reference's per-node accumulator dict, node.py:201): final "
+        "per-key state after an availableNow run == batch aggregate.  Only "
+        "the accumulation-ORDER-INDEPENDENT outputs (count/min/max) are "
+        "hash-compared; the running double total is checked in "
+        "test_streaming (summation order differs from SQL by design)."
+    ),
+)
+def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    stats = stateful_running_stats(stream, "user_id", "value")
+    out = run_to_memory(
+        stats, f"cat_sstats_{uuid.uuid4().hex[:8]}", spark, output_mode="update"
+    )
+    # One parquet file -> one availableNow micro-batch -> exactly one
+    # state emission per key; max_by(n) guards re-emits if a runner
+    # splits input into several batches (the final state has the largest
+    # running count, n being monotone per key).
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n", "vmin", "vmax"), "n").alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n").alias("n"), F.col("s.vmin").alias("vmin"), F.col("s.vmax").alias("vmax")
+    ).orderBy("user_id")
 
 
 @register(
