@@ -54,6 +54,7 @@ def jaccard_candidate_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_doc_frequency: int | None = 1000,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs.
 
@@ -85,11 +86,16 @@ def jaccard_candidate_pairs(
     construction few, so the hot list always fits a broadcast.
     """
     # The shingle table feeds three consumers (both self-join sides and
-    # the per-doc sizes) — materialize it once; at warehouse scale this
-    # is the persisted shingle-index table.
-    sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-    ).persist()
+    # the per-doc sizes).  At warehouse scale the right move is writing
+    # the shingle-index TABLE once and joining it (storage, not executor
+    # cache).  In-session, ``cache_shingles`` is OFF by default: the
+    # explode is a cheap scan-side recompute, and measured at sf0.1 the
+    # cache materialization costs ~4x the recompute it saves.
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    if cache_shingles:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_doc_frequency is not None:
@@ -188,17 +194,23 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding: documents sharing any band signature become
     candidate pairs; estimated similarity = fraction of matching minhash
     components.  Pairs meet through band buckets (groupBy band key), so
     the join is bucket-local — the standard shape that survives 100 TB.
+
+    At warehouse scale, write the signature table once and join it
+    (storage, not executor cache).  In-session ``cache_signatures`` is
+    OFF by default: recomputing the signature pipeline for the second
+    join side measured faster than persisting it at sf0.1 (cache
+    materialization + read beat by the map-side-combined recompute).
     """
     rows_per_band = num_hashes // bands
-    # Materialize signatures once: the banded self-join reads them from
-    # both sides (at warehouse scale this is "write the signature table,
-    # then join it" — persist is the in-session analogue).
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    if cache_signatures:
+        sigs = sigs.persist()
     band_cols = [
         F.md5(
             F.concat_ws(
