@@ -155,3 +155,17 @@ def test_simhash_single_shuffle(spark):
     plan = _simple(simhash(docs))
     assert plan.count("Exchange") == 1
     assert "aggregate(" not in plan  # no interpreted HOF in the plan
+
+
+def test_knn_gemm_single_exchange(spark):
+    """GEMM kNN: one hash exchange on the block key feeding a single
+    grouped-pandas node — no join, no second shuffle."""
+    from metalpipe_spark.operators.similarity import pairwise_topk_per_label_gemm
+    from metalpipe_spark.sources.readers import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    plan = _simple(pairwise_topk_per_label_gemm(emb, k=3))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
