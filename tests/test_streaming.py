@@ -135,3 +135,54 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     q = foreach_batch_sink(stream, capture, str(tmp_path / "ckpt"))
     q.awaitTermination()
     assert sum(seen) == ev.count()
+
+
+def test_multi_microbatch_window_state(spark, events_dir):
+    """max_files_per_trigger=1 forces one micro-batch per file (4 here);
+    windowed counts accumulated ACROSS batches must equal the batch
+    aggregate — the incremental-backfill contract a 100 TB history replay
+    relies on (state store correctness, not single-batch luck)."""
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema, max_files_per_trigger=1)
+    agg = tumbling_window(
+        stream, "ts", "1 day", [F.count(F.lit(1)).alias("n")], watermark="1 second"
+    )
+    out = run_to_memory(agg, _qname(), spark, output_mode="complete")
+    got = {(r["window"]["start"], r["n"]) for r in out.collect()}
+    want = {
+        (r["window"]["start"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multi_microbatch_stateful_stats(spark, events_dir):
+    """Running stats across 4 micro-batches: the FINAL emission per key
+    (largest running n) equals the batch aggregate."""
+    from metalpipe_spark.streaming.streams import stateful_running_stats
+
+    path, schema, ev = events_dir
+    stream = file_watchdog(spark, path, schema, max_files_per_trigger=1).select(
+        "user_id", "value"
+    )
+    stats = stateful_running_stats(stream, "user_id", "value")
+    out = run_to_memory(stats, _qname(), spark, output_mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n", "vmin", "vmax"), "n").alias("s"))
+        .select("user_id", "s.n", "s.vmin", "s.vmax")
+    )
+    got = {r["user_id"]: (r["n"], r["vmin"], r["vmax"]) for r in final.collect()}
+    want = {
+        r["user_id"]: (r["n"], r["vmin"], r["vmax"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
