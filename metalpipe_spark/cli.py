@@ -16,20 +16,20 @@ import json
 import sys
 
 
-def _build(filename: str, master: str | None):
+def _build(filename: str, master: str | None, capture_dir: str | None = None):
     from metalpipe_spark.plans.pipeline import load_yaml_pipeline
     from metalpipe_spark.session import get_spark
 
     spark = get_spark(app_name="metalpipe-spark-cli", master=master)
     with open(filename) as fh:
         text = fh.read()
-    return spark, load_yaml_pipeline(spark, text)
+    return spark, load_yaml_pipeline(spark, text, capture_dir=capture_dir)
 
 
 def cmd_run(args) -> int:
     from metalpipe_spark.streaming.streams import run_to_memory
 
-    spark, p = _build(args.filename, args.master)
+    spark, p = _build(args.filename, args.master, args.capture_dir)
     counts = {}
     for name, df in p.terminal_frames().items():
         if df.isStreaming:
@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(cmd)
         sp.add_argument("--filename", required=True)
         sp.add_argument("--master", default=None)
+        # Record/replay fixturizer (metalpipe_recorder.py:7-45): capture
+        # every batch node's output under this directory.
+        sp.add_argument("--capture-dir", default=None)
         sp.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)
