@@ -93,6 +93,25 @@ def q_ann_blocked_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_topk_per_label_gemm(emb, k=3).orderBy("d1", "rnk")
 
 
+@register(
+    "q_ann_ivf_topk",
+    None,  # rows-only: centroids are a seeded LEARNED artifact (iterative
+    # k-means) — deterministic in-engine, not replayable in SQL.  Recall
+    # vs brute force is asserted in tests/test_scale_utils.py.
+    doc=(
+        "Approximate self-kNN through a learned IVF index: spherical "
+        "k-means cells, multi-probe search (centroids as plan literals, "
+        "map-side probe ranking), cogrouped BLAS scoring per cell, one "
+        "window for the global top-k."
+    ),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k_cells=16, k=3, n_probe=2).orderBy("d1", "rnk")
+
+
 def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> str:
     planes = deterministic_hyperplanes(num_planes, dim)
     bit_terms = " + ".join(

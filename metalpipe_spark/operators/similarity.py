@@ -325,6 +325,150 @@ def pairwise_topk_per_label_gemm(
     return df.groupBy(label_col).applyInPandas(per_block, schema=out_schema)
 
 
+def ivf_assign(
+    df: DataFrame,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF cell assignment with LEARNED centroids: distributed k-means
+    (pyspark.ml) over L2-normalized embeddings (Euclidean k-means on unit
+    vectors == spherical k-means, aligning cells with COSINE
+    neighborhoods); adds a ``cell`` column and returns the centroid
+    matrix for multi-probe search.
+
+    This upgrades the label-block stand-in to a real inverted-file index:
+    at 100 TB you fit centroids on a sample, broadcast them (assignment
+    is a map-side nearest-centroid argmin — no shuffle), and write the
+    corpus partitioned by cell.  Deterministic for a fixed ``seed`` +
+    data, but an iterative learned artifact — not replayable in SQL, so
+    IVF query surfaces are rows-only + recall-tested.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    vecs = df.withColumn(
+        "__v", array_to_vector(F.transform(arr, lambda x: x / nrm))
+    )
+    model = KMeans(
+        k=k_cells, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell"
+    ).fit(vecs)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return model.transform(vecs).drop("__v"), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    k_cells: int = 16,
+    k: int = 3,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate self-kNN through a learned IVF with MULTI-PROBE search
+    — the standard inverted-file shape:
+
+    1. every vector lives in its nearest-centroid cell (the index);
+    2. every QUERY probes its ``n_probe`` nearest cells (ranked by
+       ``|c|² − 2·u·c``, the unit-vector Euclidean order — centroids ship
+       as plan literals, so probing is map-side, no shuffle);
+    3. per (probed cell) the query batch meets the cell's residents in a
+       cogrouped Arrow batch and numpy/BLAS scores Q×B cosines at once;
+    4. one window keeps the global top-k per query across its probes.
+
+    Each (query, candidate) pair meets at most once (a candidate has one
+    home cell), so no dedup shuffle.  Recall grows with ``n_probe`` at
+    linear extra cost — the knob a 100 TB deployment tunes; tested
+    against brute force in tests/test_scale_utils.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    assigned, centroids = ivf_assign(df, k_cells=k_cells, vec_col=vec_col, seed=seed)
+    assigned = assigned.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+    build = assigned.select(F.col("cell"), F.col(id_col).alias("d2"), F.col("_vd").alias("v2"))
+
+    # Probe-cell ranking: |c|^2 - 2 u.c over the normalized vector u;
+    # monotone in ||u - c|| for |u|=1.  array_sort on (score, cell)
+    # structs gives a deterministic ascending order.
+    unrm = F.expr(norm_sql("_vd", cast=False))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(sum(x * x for x in c))
+                    - F.lit(2.0) * F.expr(plane_dot_sql("_vd", c, cast=False)) / unrm
+                ).alias("s"),
+                F.lit(j).alias("c"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    probe = (
+        assigned.select(
+            F.col(id_col).alias("d1"),
+            F.col("_vd").alias("v1"),
+            F.transform(
+                F.slice(F.array_sort(scored), 1, n_probe), lambda st: st["c"]
+            ).alias("probe_cells"),
+        )
+        .select("d1", "v1", F.explode("probe_cells").alias("cell"))
+    )
+
+    def search(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty or build_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "d1": pd.Series([], dtype="int64"),
+                    "d2": pd.Series([], dtype="int64"),
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.array(probe_pdf["v1"].tolist(), dtype=np.float64)
+        B = np.array(build_pdf["v2"].tolist(), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        bn = np.sqrt((B * B).sum(axis=1))
+        S = (Q @ B.T) / np.outer(qn, bn)
+        q_ids = probe_pdf["d1"].to_numpy()
+        b_ids = build_pdf["d2"].to_numpy()
+        S[q_ids[:, None] == b_ids[None, :]] = -np.inf  # no self-pairs
+        kk = min(k, S.shape[1])
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(q_ids)), kk)
+        cols = top.ravel()
+        keep = np.isfinite(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "d1": q_ids[rows[keep]],
+                "d2": b_ids[cols[keep]],
+                "cosine_sim": np.round(S[rows[keep], cols[keep]], 6),
+            }
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cand = (
+        probe.groupBy("cell")
+        .cogroup(build.groupBy("cell"))
+        .applyInPandas(
+            lambda p, b: search(p, b),
+            schema=f"d1 {id_type}, d2 {id_type}, cosine_sim double",
+        )
+    )
+    w = Window.partitionBy("d1").orderBy(F.desc("cosine_sim"), F.asc("d2"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("d1", "d2", "cosine_sim", "rnk")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     hyperplanes: list[list[float]],

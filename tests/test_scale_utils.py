@@ -136,3 +136,37 @@ def test_knn_gemm_oversized_block_raises(spark):
     df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
     with pytest.raises(Exception, match="max_block_size"):
         pairwise_topk_per_label_gemm(df, k=1, max_block_size=5).collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """Learned-IVF approximate kNN must recover most true nearest
+    neighbors on the clustered synthetic embeddings (cells ~= the
+    generator's label clusters), and be deterministic for a fixed seed."""
+    from metalpipe_spark.operators.similarity import ivf_topk, pairwise_topk_per_label
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # Brute-force truth: every vector vs every vector (one global block).
+    truth_src = emb.withColumn("allb", F.lit(0))
+    truth = {
+        r["d1"]: r["d2"]
+        for r in pairwise_topk_per_label(
+            truth_src, label_col="allb", k=1, dim=64, max_block_size=None
+        ).collect()
+    }
+    def recall(n_probe):
+        got = {
+            r["d1"]: r["d2"]
+            for r in ivf_topk(emb, k_cells=8, k=1, n_probe=n_probe)
+            .filter(F.col("rnk") == 1)
+            .collect()
+        }
+        return sum(1 for d1, d2 in truth.items() if got.get(d1) == d2) / len(truth), got
+
+    r3, got3 = recall(3)
+    assert r3 >= 0.75, f"recall@1(n_probe=3) {r3:.2f}"
+    # More probes must not lose recall (the IVF cost/recall knob).
+    r1, _ = recall(1)
+    assert r3 >= r1
+    # Determinism: same seed -> identical neighbors.
+    _, again = recall(3)
+    assert got3 == again
