@@ -138,6 +138,49 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors.
+
+    The query set is the small side by definition — it broadcasts, so
+    scoring is map-side over one corpus scan (corpus rows never shuffle
+    to meet queries).  The only exchange is the per-query top-k window on
+    ``query_id`` over already-scored rows; corpus-side norms are computed
+    once per row before the cross join.
+    """
+    from pyspark.sql.window import Window
+
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("_qv"),
+        norm(F.col(query_vec_col)).alias("_qn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).withColumn(
+        "cosine_sim",
+        F.round(
+            dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")), 6
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rnk")
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -140,8 +140,9 @@ def test_knn_gemm_oversized_block_raises(spark):
 
 def test_ivf_topk_recall_vs_brute_force(spark):
     """Learned-IVF approximate kNN must recover most true nearest
-    neighbors on the clustered synthetic embeddings (cells ~= the
-    generator's label clusters), and be deterministic for a fixed seed."""
+    neighbors (the synthetic embeddings are near-random — the `label`
+    column does NOT cluster the space — so multi-probe carries the
+    recall), and be deterministic for a fixed seed."""
     from metalpipe_spark.operators.similarity import ivf_topk, pairwise_topk_per_label
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -170,3 +171,27 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # Determinism: same seed -> identical neighbors.
     _, again = recall(3)
     assert got3 == again
+
+
+def test_brute_force_topk_batch_matches_single(spark):
+    """Batched top-k == the single-query operator run per query."""
+    from metalpipe_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], ["query_id", "embedding"]
+    )
+    batch = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["cosine_sim"])
+        for r in brute_force_topk_batch(emb, queries, k=5).collect()
+    }
+    for r in qrows:
+        single = brute_force_topk(emb, [float(v) for v in r["embedding"]], k=5).collect()
+        for rnk, s in enumerate(single, start=1):
+            d, sim = batch[(r["vec_id"], rnk)]
+            assert d == s["vec_id"]
+            assert abs(sim - s["cosine_sim"]) <= 1.1e-6
