@@ -430,17 +430,72 @@ def ivf_topk(
     linear extra cost — the knob a 100 TB deployment tunes; tested
     against brute force in tests/test_scale_utils.py.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.window import Window
-
     assigned, centroids = ivf_assign(df, k_cells=k_cells, vec_col=vec_col, seed=seed)
     assigned = assigned.withColumn("_vd", F.col(vec_col).cast("array<double>"))
-    build = assigned.select(F.col("cell"), F.col(id_col).alias("d2"), F.col("_vd").alias("v2"))
+    build = assigned.select(
+        F.col("cell"), F.col(id_col).alias("d2"), F.col("_vd").alias("v2")
+    )
+    probe = assigned.select(
+        F.col(id_col).alias("d1"),
+        F.col("_vd").alias("v1"),
+        F.explode(_probe_cells(centroids, n_probe)).alias("cell"),
+    )
+    return _ivf_cogroup_topk(
+        probe, build, k=k, id_type=df.schema[id_col].dataType.simpleString(),
+        exclude_self=True,
+    )
 
-    # Probe-cell ranking: |c|^2 - 2 u.c over the normalized vector u;
-    # monotone in ||u - c|| for |u|=1.  array_sort on (score, cell)
-    # structs gives a deterministic ascending order.
+
+def ivf_search(
+    df: DataFrame,
+    queries: DataFrame,
+    k_cells: int = 16,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN search of an EXTERNAL query batch against the learned IVF
+    index — the serving twin of :func:`ivf_topk` (same cells, same
+    multi-probe ranking, same cogrouped BLAS scoring; no self-exclusion).
+    Output: (query_id, vec_id, cosine_sim, rnk)."""
+    assigned, centroids = ivf_assign(df, k_cells=k_cells, vec_col=vec_col, seed=seed)
+    build = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).cast("array<double>").alias("v2"),
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("d1"),
+        F.col(query_vec_col).cast("array<double>").alias("_vd"),
+    )
+    probe = qpre.select(
+        F.col("d1"),
+        F.col("_vd").alias("v1"),
+        F.explode(_probe_cells(centroids, n_probe)).alias("cell"),
+    )
+    out = _ivf_cogroup_topk(
+        probe, build, k=k,
+        id_type=queries.schema[query_id_col].dataType.simpleString(),
+        exclude_self=False,
+    )
+    return out.select(
+        F.col("d1").alias(query_id_col),
+        F.col("d2").alias(id_col),
+        "cosine_sim",
+        "rnk",
+    )
+
+
+def _probe_cells(centroids: list[list[float]], n_probe: int):
+    """Probe-cell ranking over the ``_vd`` column: ``|c|² − 2·u·c`` with
+    u the normalized vector — monotone in ||u − c|| for |u| = 1, i.e. the
+    k-means assignment order.  Centroids inline as plan literals, so
+    ranking is map-side (no shuffle); array_sort on (score, cell) structs
+    is deterministically ascending."""
     unrm = F.expr(norm_sql("_vd", cast=False))
     scored = F.array(
         *[
@@ -454,16 +509,22 @@ def ivf_topk(
             for j, c in enumerate(centroids)
         ]
     )
-    probe = (
-        assigned.select(
-            F.col(id_col).alias("d1"),
-            F.col("_vd").alias("v1"),
-            F.transform(
-                F.slice(F.array_sort(scored), 1, n_probe), lambda st: st["c"]
-            ).alias("probe_cells"),
-        )
-        .select("d1", "v1", F.explode("probe_cells").alias("cell"))
-    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n_probe), lambda st: st["c"])
+
+
+def _ivf_cogroup_topk(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    id_type: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Cogrouped per-cell BLAS scoring + one global top-k window.  Each
+    (probe row, resident) pair meets at most once (one home cell per
+    resident), so no dedup shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
 
     def search(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame) -> pd.DataFrame:
         if probe_pdf.empty or build_pdf.empty:
@@ -474,6 +535,7 @@ def ivf_topk(
                     "cosine_sim": pd.Series([], dtype="float64"),
                 }
             )
+        build_pdf = build_pdf.sort_values("d2")  # stable argsort ties -> asc id
         Q = np.array(probe_pdf["v1"].tolist(), dtype=np.float64)
         B = np.array(build_pdf["v2"].tolist(), dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
@@ -481,7 +543,8 @@ def ivf_topk(
         S = (Q @ B.T) / np.outer(qn, bn)
         q_ids = probe_pdf["d1"].to_numpy()
         b_ids = build_pdf["d2"].to_numpy()
-        S[q_ids[:, None] == b_ids[None, :]] = -np.inf  # no self-pairs
+        if exclude_self:
+            S[q_ids[:, None] == b_ids[None, :]] = -np.inf
         kk = min(k, S.shape[1])
         top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(np.arange(len(q_ids)), kk)
@@ -495,7 +558,6 @@ def ivf_topk(
             }
         )
 
-    id_type = df.schema[id_col].dataType.simpleString()
     cand = (
         probe.groupBy("cell")
         .cogroup(build.groupBy("cell"))

@@ -195,3 +195,26 @@ def test_brute_force_topk_batch_matches_single(spark):
             d, sim = batch[(r["vec_id"], rnk)]
             assert d == s["vec_id"]
             assert abs(sim - s["cosine_sim"]) <= 1.1e-6
+
+
+def test_ivf_search_external_queries(spark):
+    """Serving path: an external query batch against the IVF index.  A
+    corpus vector used AS a query must find itself at rank 1 (cosine 1.0)
+    whenever its home cell is probed — which multi-probe guarantees for
+    the nearest centroid."""
+    from metalpipe_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], ["query_id", "embedding"]
+    )
+    out = ivf_search(emb, queries, k_cells=8, k=3, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {r["vec_id"] for r in qrows}
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rnk"])
+        assert top["vec_id"] == qid and top["cosine_sim"] == 1.0
+        assert len(rows) == 3
