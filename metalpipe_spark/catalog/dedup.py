@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.dedup import (
+    connected_components,
+    dedup_corpus,
     exact_dedup,
     jaccard_candidate_pairs,
     minhash_coefficients,
@@ -126,7 +128,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+def _lsh_pair_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+    """CTE chain ending in ``lshp(d1, d2, est_jaccard)`` — shared by the
+    pair query and the connected-components cluster oracles."""
     rows = num_hashes // bands
     arr = ", ".join(f"m{i}" for i in range(num_hashes))
     band_exprs = ", ".join(
@@ -137,8 +141,7 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
         + ")"
         for b in range(bands)
     )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     hsh AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh),
     mh AS (
       SELECT doc_id, {_affine_mins(num_hashes)}
@@ -149,13 +152,36 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.minhash AS m1, b.minhash AS m2
       FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT d1, d2,
-           len(list_filter(list_zip(m1, m2), p -> p[1] = p[2]))::DOUBLE / {num_hashes}.0
-             AS est_jaccard
-    FROM cand
-    ORDER BY d1, d2
+    ),
+    lshp AS (
+      SELECT d1, d2,
+             len(list_filter(list_zip(m1, m2), p -> p[1] = p[2]))::DOUBLE / {num_hashes}.0
+               AS est_jaccard
+      FROM cand
+    )"""
+
+
+def _lsh_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    return f"""
+    WITH {_lsh_pair_ctes(num_hashes, bands)}
+    SELECT d1, d2, est_jaccard FROM lshp ORDER BY d1, d2
     """
+
+
+def _component_ctes(num_hashes: int, bands: int, threshold: float) -> str:
+    """Recursive transitive closure over the thresholded LSH pair graph,
+    ending in ``comp(doc_id, cluster_id)`` (cluster_id = component min)."""
+    return f"""{_lsh_pair_ctes(num_hashes, bands)},
+    e AS (SELECT d1 AS u, d2 AS v FROM lshp WHERE est_jaccard >= {threshold}
+          UNION SELECT d2, d1 FROM lshp WHERE est_jaccard >= {threshold}),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    )"""
 
 
 @register(
@@ -196,3 +222,50 @@ def _simhash_oracle(bits: int = 32) -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=32).orderBy("doc_id")
+
+
+_CLUSTER_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_component_ctes(16, 8, _CLUSTER_THRESHOLD)}
+    SELECT doc_id, cluster_id FROM comp ORDER BY doc_id
+    """,
+    doc=(
+        "Near-dup clusters: LSH pairs (est_jaccard >= 0.5) -> connected "
+        "components (large-star/small-star, O(log n) rounds)."
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dedup_corpus",
+    f"""
+    WITH RECURSIVE {_component_ctes(16, 8, _CLUSTER_THRESHOLD)}
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "End-to-end near-dup removal: cluster LSH pairs, keep the minimum "
+        "doc per cluster (left_anti join), pass isolated docs through."
+    ),
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    return dedup_corpus(docs.select("doc_id"), pairs).orderBy("doc_id")

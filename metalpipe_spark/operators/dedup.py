@@ -244,6 +244,121 @@ def minhash_lsh_pairs(
     ).select("d1", "d2", "est_jaccard")
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its strictly-larger neighbors to
+    the minimum of its neighborhood (including itself)."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links itself and its smaller neighbors
+    to the minimum of its smaller neighborhood."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of a pair list → ``(node, cluster_id)`` rows,
+    ``cluster_id`` = the minimum node id in the component.  Every node that
+    appears in ``pairs`` gets exactly one output row (roots map to
+    themselves).
+
+    This is the alternating large-star / small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SOCC'14): each
+    round is one groupBy-min plus a same-key join (both map-side
+    partial-aggregating, no windows buffering a hot key), and the edge
+    set converges to per-component stars in O(log n) rounds even on
+    pathological long-chain graphs — the property plain min-label
+    propagation (O(diameter) rounds) lacks.  Per round the lineage is
+    truncated with ``localCheckpoint``; at cluster scale prefer a
+    reliable ``checkpoint`` dir so a lost executor cannot force a full
+    recompute of all prior rounds.
+
+    Convergence is detected with a one-row count+checksum aggregate —
+    no edge data ever reaches the driver.
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig: tuple | None = None
+    prev_df: DataFrame | None = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        if prev_df is not None:
+            prev_df.unpersist()
+        prev_df = edges
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+        ).first()
+        sig = (row["n"], row["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    return members.union(roots).distinct()
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """End-to-end near-dup removal: cluster the candidate ``pairs`` with
+    :func:`connected_components` and keep, per cluster, only the canonical
+    document (minimum id).  Documents in no cluster pass through.
+
+    The loser set can be arbitrarily large at corpus scale, so it is
+    removed with a shuffled ``left_anti`` join (never a broadcast/IN)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
     majority vote of token-hash bit j.

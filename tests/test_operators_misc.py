@@ -208,3 +208,77 @@ def test_jaccard_cap_noop_on_rare_shingles(spark):
         )
     )
     assert base == capped and len(base) == 1
+
+
+def _uf_components(n_nodes, edges):
+    """Pure-Python union-find reference: node -> min id in component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from metalpipe_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(45)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(60, edges)
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 64-node path graph has diameter 63: min-label propagation would
+    need ~63 rounds, large-star/small-star must finish within the
+    default 25 (O(log n))."""
+    from metalpipe_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    got = connected_components(df, max_iterations=12).collect()
+    assert len(got) == 64
+    assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_connected_components_empty_pairs(spark):
+    from metalpipe_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "d1 long, d2 long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_corpus_keeps_canonical_and_isolated(spark):
+    from metalpipe_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # clusters {1,3,5} and {2,6}; 0,4,7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["d1", "d2"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [0, 1, 2, 4, 7]
