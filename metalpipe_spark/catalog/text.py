@@ -16,10 +16,12 @@ from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.text import (
     CHAR_MARKERS,
     LANG_MARKERS,
+    PII_PATTERNS,
     analyze_documents,
     detect_language,
     fingerprint,
     quality_score,
+    scrub_pii,
     tokens,
 )
 from metalpipe_spark.sources.readers import load_table
@@ -200,3 +202,73 @@ def q_text_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _pii_oracle() -> str:
+    """Generated from PII_PATTERNS so the SQL chain can never drift from
+    the Spark chain (same patterns, same redaction order)."""
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS pii_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+    WITH t AS (
+      SELECT c_custkey,
+             c_name || ' ' || lower(c_name) || '@example.com'
+               || ' call 555-' || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+               || '-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+               || ' ssn ' || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+               || '-' || lpad((c_nationkey % 100)::VARCHAR, 2, '0')
+               || '-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+               || ' from 10.' || (c_custkey % 256)::VARCHAR || '.0.'
+               || (c_nationkey % 256)::VARCHAR
+               || ' ' || c_mktsegment AS text
+      FROM customer
+    )
+    SELECT c_custkey, text,
+           {counts},
+           {red} AS redacted
+    FROM t ORDER BY c_custkey
+    """
+
+
+@register(
+    "q_pii_scrub",
+    _pii_oracle(),
+    doc=(
+        "PII detection + redaction: the synthetic corpus holds no real "
+        "PII, so the fixture text embeds deterministic key-derived "
+        "email/phone/SSN/IP strings; per-type counts and a <TYPE>-token "
+        "redacted column, all codegen regex — no shuffle."
+    ),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key, nat = F.col("c_custkey"), F.col("c_nationkey")
+    composite = F.concat(
+        F.col("c_name"),
+        F.lit(" "),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com"),
+        F.lit(" call 555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((nat % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (key % 256).cast("string"),
+        F.lit(".0."),
+        (nat % 256).cast("string"),
+        F.lit(" "),
+        F.col("c_mktsegment"),
+    )
+    df = cust.select(F.col("c_custkey"), composite.alias("text"))
+    return scrub_pii(df, "text", out_col="redacted").orderBy("c_custkey")

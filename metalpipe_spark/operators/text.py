@@ -139,3 +139,52 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+# PII patterns, valid verbatim in Java regex (Spark) and RE2 (DuckDB/
+# oracle engines): no backreferences, no lookaround.  Dict order IS the
+# redaction order (longest/most-specific first) — both engines apply the
+# same chain, so results stay bit-reproducible.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "phone": r"\b(?:\d{2}-\d{3}-\d{3}-\d{4}|\d{3}[-.]\d{3}[-.]\d{4})\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts — one codegen'd regexp_extract_all per
+    type, no shuffle, parquet-scan speed at 100 TB."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a ``<TYPE>`` token.  Chained
+    regexp_replace in PII_PATTERNS order (most-specific first), so e.g.
+    credit cards are consumed before the phone pattern can bite a
+    fragment of them."""
+    col = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return col
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Corpus scrub: add per-type counts (``pii_<type>``) and a redacted
+    text column (defaults to replacing ``text_col`` in place)."""
+    out = out_col or text_col
+    counts = pii_counts(text_col)
+    cols = [df[c] for c in df.columns if c != text_col or out != text_col]
+    return df.select(
+        *cols,
+        *[c.alias(f"pii_{n}") for n, c in counts.items()],
+        redact_pii(text_col).alias(out),
+    )

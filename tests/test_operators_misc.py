@@ -282,3 +282,26 @@ def test_dedup_corpus_keeps_canonical_and_isolated(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
     assert kept == [0, 1, 2, 4, 7]
+
+
+def test_pii_detect_and_redact_all_types(spark):
+    from metalpipe_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@mail.co card 4111 1111 1111 1234 "
+                "phone 555-123-4567 ssn 123-45-6789 ip 192.168.0.1"),
+            (2, "clean text with number 12345"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in scrub_pii(df, "text").collect()}
+    r1 = rows[1]
+    assert (r1["pii_email"], r1["pii_credit_card"], r1["pii_phone"],
+            r1["pii_ssn"], r1["pii_ipv4"]) == (1, 1, 1, 1, 1)
+    assert r1["text"] == (
+        "mail <EMAIL> card <CREDIT_CARD> phone <PHONE> ssn <SSN> ip <IPV4>"
+    )
+    r2 = rows[2]
+    assert r2["text"] == "clean text with number 12345"
+    assert r2["pii_email"] == 0 and r2["pii_ipv4"] == 0
