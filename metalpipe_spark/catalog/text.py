@@ -272,3 +272,43 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = cust.select(F.col("c_custkey"), composite.alias("text"))
     return scrub_pii(df, "text", out_col="redacted").orderBy("c_custkey")
+
+
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "q_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, greatest(n, 1) + 1, {_STRIDE})) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           ((s - 1) // {_STRIDE})::BIGINT AS chunk_id,
+           array_to_string(toks[s : s + {_CHUNK - 1}], ' ') AS chunk_text,
+           least({_CHUNK}, n - s + 1)::BIGINT AS n_chunk_tokens
+    FROM st
+    WHERE s = 1 OR s + {_OVERLAP} <= n
+    ORDER BY doc_id, chunk_id
+    """,
+    doc=(
+        "Overlapping token-window chunking (64-token windows, 16-token "
+        "overlap): sequence/slice/array_join codegen + one explode, no "
+        "shuffle."
+    ),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
+    ).orderBy("doc_id", "chunk_id")

@@ -188,3 +188,51 @@ def scrub_pii(
         *[c.alias(f"pii_{n}") for n, c in counts.items()],
         redact_pii(text_col).alias(out),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks →
+    ``(id, chunk_id, chunk_text, n_chunk_tokens)`` rows.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; a window is
+    emitted only if it contributes at least one new token (``start +
+    overlap <= n``), so a short tail fully contained in the previous
+    chunk is never duplicated.  Built from ``sequence``/``slice``/
+    ``array_join`` — ordinary codegen expressions, not lambda HOFs — and
+    a single ``explode``: rows multiply ~n/stride× but nothing shuffles,
+    so at 100 TB this runs at scan speed and parallelism follows the
+    input partitioning.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r" ")
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    )
+    s = F.col("__s")
+    return (
+        base.select(
+            id_col,
+            "__t",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest("__n", F.lit(1)), F.lit(stride))
+            ).alias("__s"),
+        )
+        .where((s == 1) | (s + overlap <= F.col("__n")))
+        .select(
+            F.col(id_col),
+            F.floor((s - 1) / stride).cast("long").alias("chunk_id"),
+            F.array_join(F.slice("__t", s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - s + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )

@@ -305,3 +305,28 @@ def test_pii_detect_and_redact_all_types(spark):
     r2 = rows[2]
     assert r2["text"] == "clean text with number 12345"
     assert r2["pii_email"] == 0 and r2["pii_ipv4"] == 0
+
+
+def test_chunk_documents_overlap_and_tail_rule(spark):
+    from metalpipe_spark.operators.text import chunk_documents
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(64)), (3, mk(65)), (4, mk(130))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"]) for r in out.collect()
+    )
+    # doc 1: single short chunk; doc 2: exactly one window (start 49
+    # contributes nothing new); doc 3: second window adds token 65;
+    # doc 4: starts 1, 49, 97.
+    assert rows == [
+        (1, 0, 10),
+        (2, 0, 64),
+        (3, 0, 64), (3, 1, 17),
+        (4, 0, 64), (4, 1, 64), (4, 2, 34),
+    ]
+    r = out.where("doc_id = 3 AND chunk_id = 1").first()
+    assert r["chunk_text"].startswith("w48 ") and r["chunk_text"].endswith(" w64")
