@@ -46,6 +46,7 @@ def load_all() -> dict[str, CatalogQuery]:
     """Import every catalog module (registration side effect) and return
     the registry."""
     from metalpipe_spark.catalog import (  # noqa: F401
+        curation,
         dedup,
         modelling_queries,
         multimodal_queries,

@@ -1,0 +1,87 @@
+"""Corpus-curation catalog queries: deterministic stratified sampling
+and quality-based per-language top-k selection (training-data pipeline
+surface; see operators/curation.py for the scale rationale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.curation import stratified_sample, topk_per_group
+from metalpipe_spark.operators.text import quality_score
+from metalpipe_spark.sources.readers import load_table
+
+_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.75}
+
+_UNIFORM_SQL = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+_FRAC_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{v}' THEN {f}" for v, f in sorted(_FRACTIONS.items())
+) + " ELSE 0.0 END"
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_UNIFORM_SQL} < {_FRAC_CASE}
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Deterministic stratified sampling: per-language keep-fractions "
+        "selected on an md5-derived per-row uniform — a pure filter, no "
+        "shuffle, reproducible under any partitioning."
+    ),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"), "lang", _FRACTIONS, key_col="doc_id"
+    ).orderBy("doc_id")
+
+
+# Mirror of operators/text.quality_score (the q_quality_tokens contract).
+_QUALITY_SQL = """
+      (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE)
+        * (CASE WHEN len(toks) >= 20 THEN 1.0
+                ELSE len(toks)::DOUBLE / 20.0 END)
+"""
+
+
+@register(
+    "q_curate_top_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM t
+    ), r AS (
+      SELECT doc_id, lang, quality,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+             )::BIGINT AS rank
+      FROM q
+    )
+    SELECT doc_id, lang, quality, rank FROM r
+    WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    doc=(
+        "Quality-based curation: top-5 docs per language.  row_number "
+        "<= k engages Spark's WindowGroupLimit rank-pushdown, so each "
+        "map task ships at most k rows per group into the exchange."
+    ),
+)
+def q_curate_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    return topk_per_group(
+        scored, "lang", "quality", k=5, tie_col="doc_id"
+    ).orderBy("lang", "rank")

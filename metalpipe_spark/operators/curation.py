@@ -1,0 +1,72 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+stratified sampling and per-group top-k selection.
+
+Scale design:
+  * sampling is a pure filter on a portable md5-derived uniform — no
+    shuffle, no RNG state, reproducible across engines and re-runs (the
+    property ``df.sample`` lacks: its output depends on partitioning);
+  * per-group top-k uses ``row_number() <= k``, which Spark's
+    WindowGroupLimit rank-pushdown (SPARK-37099) evaluates partially
+    BEFORE the exchange — each map task ships at most k rows per group,
+    so a 100 TB input shuffles O(groups x k), not O(rows).  The plan
+    shape is pinned by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.dedup import _hash64
+
+
+def deterministic_uniform(key: Column | str) -> Column:
+    """Portable uniform in [0, 1): md5-derived 60-bit hash / 2^60.
+    Bit-identical in Spark and any md5-capable SQL engine."""
+    col = F.col(key) if isinstance(key, str) else key
+    return _hash64(col.cast("string")) / F.lit(float(1 << 60))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each stratum,
+    selecting on a per-row md5 uniform over ``key_col``.  Strata missing
+    from ``fractions`` keep ``default_fraction``.  A plain filter: no
+    shuffle, no sampling state, stable under repartitioning."""
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.where(deterministic_uniform(key_col) < frac)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group with a total order (``tie_col`` breaks ties
+    ascending), emitted with their 1-based ``rank``.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY ...) <= k`` triggers
+    Spark's WindowGroupLimit pushdown: a partial top-k runs map-side in
+    each input partition, the exchange carries at most k rows per
+    (group, map task), and the final window only re-ranks those."""
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -169,3 +169,32 @@ def test_knn_gemm_single_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_curate_topk_window_group_limit_pushdown(spark):
+    """row_number() <= k must engage WindowGroupLimit so each map task
+    ships at most k rows per group into the exchange (SPARK-37099)."""
+    df = REGISTRY["q_curate_top_docs"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "WindowGroupLimit") >= 2, plan  # partial + final
+    assert _nodes(plan, "Exchange") <= 2, plan  # group hash + final sort
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Sampling must be a scan-side filter: no exchange, no sample node,
+    and stable under repartitioning (the df.sample failure mode)."""
+    from metalpipe_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id")
+    assert _nodes(_formatted(out), "Exchange") == 0
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "lang", {"en": 0.5, "de": 0.25}, "doc_id"
+        ).collect()
+    }
+    assert a == b and a
