@@ -21,6 +21,7 @@ from metalpipe_spark.operators.dedup import (
     minhash_signatures,
     simhash,
 )
+from metalpipe_spark.operators.text import fingerprint
 from metalpipe_spark.sources.readers import load_table
 
 # Shared SQL fragment: distinct word-3-gram shingles per document.
@@ -269,3 +270,45 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= _CLUSTER_THRESHOLD
     )
     return dedup_corpus(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
+_NORM_FP_SQL = (
+    "md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))"
+)
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+    WITH seen AS (
+      SELECT DISTINCT {_NORM_FP_SQL} AS fingerprint
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT {_NORM_FP_SQL} AS fingerprint, MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY 1
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE b.fingerprint NOT IN (SELECT fingerprint FROM seen)
+    ORDER BY b.doc_id
+    """,
+    doc=(
+        "Incremental dedup: a new batch (odd doc_ids) dedups in-batch, "
+        "then anti-joins the existing corpus fingerprint store (even "
+        "doc_ids) — the continuously-ingesting pipeline shape."
+    ),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    fresh, _ = incremental_exact_dedup(batch, store)
+    return fresh.select("doc_id", "fingerprint").orderBy("doc_id")

@@ -392,3 +392,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         bit = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus fingerprint store —
+    the shape a continuously-ingesting 100 TB pipeline actually runs
+    (full-corpus re-dedup per batch is a non-starter).
+
+    Returns ``(fresh, updated_store)``: ``fresh`` keeps the lowest-id
+    new document per fingerprint that the store has never seen
+    (in-batch dedup THEN a shuffled ``left_anti`` against the store);
+    ``updated_store`` is the union for the next batch.  The store is
+    one md5 row per unique doc — at warehouse scale keep it as a
+    bucketed table on ``fingerprint`` so the anti-join co-locates
+    without a store-side shuffle.
+
+    ``seen_fingerprints`` schema: a ``fingerprint`` column; pass None
+    for a first batch.
+    """
+    fp = new_docs.withColumn("__fp", fingerprint(text_col))
+    batch_canon = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    if seen_fingerprints is not None:
+        store = seen_fingerprints.select(F.col("fingerprint").alias("__fp"))
+        batch_canon = batch_canon.join(store, "__fp", "left_anti")
+    fresh = (
+        batch_canon.join(new_docs, id_col)
+        .select(*new_docs.columns, F.col("__fp").alias("fingerprint"))
+    )
+    new_fps = fresh.select("fingerprint")
+    updated = (
+        new_fps
+        if seen_fingerprints is None
+        else seen_fingerprints.select("fingerprint").union(new_fps)
+    )
+    return fresh, updated

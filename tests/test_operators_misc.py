@@ -330,3 +330,23 @@ def test_chunk_documents_overlap_and_tail_rule(spark):
     ]
     r = out.where("doc_id = 3 AND chunk_id = 1").first()
     assert r["chunk_text"].startswith("w48 ") and r["chunk_text"].endswith(" w64")
+
+
+def test_incremental_dedup_batches_equal_full_dedup(spark):
+    """Feeding id-ordered batches through the incremental path must keep
+    exactly the docs full-corpus exact_dedup keeps."""
+    from metalpipe_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "eps"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    store = None
+    kept = []
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        batch = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        fresh, store = incremental_exact_dedup(batch, store)
+        kept += [r["doc_id"] for r in fresh.collect()]
+        store = store.localCheckpoint(eager=True)  # as a real pipeline would persist it
+    want = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert sorted(kept) == want == [0, 1, 3, 5]
