@@ -85,3 +85,41 @@ def q_curate_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scored, "lang", "quality", k=5, tie_col="doc_id"
     ).orderBy("lang", "rank")
+
+
+_SHARD_BUDGET = 4096
+
+
+@register(
+    "q_pack_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prefix
+      FROM t
+    )
+    SELECT doc_id, n_tokens, (prefix // {_SHARD_BUDGET})::BIGINT AS shard_id
+    FROM p ORDER BY doc_id
+    """,
+    doc=(
+        "Token-budget shard packing via distributed exclusive prefix "
+        "sum (range partition + per-partition offsets + Arrow cumsum) — "
+        "never a single-partition global window."
+    ),
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_shards(
+        sized, "n_tokens", "doc_id", _SHARD_BUDGET
+    ).orderBy("doc_id")

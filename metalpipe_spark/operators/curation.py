@@ -70,3 +70,75 @@ def topk_per_group(
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    shard_budget: int | float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack rows into fixed-budget training shards: ``shard_id =
+    floor(prefix_weight / shard_budget)`` where ``prefix_weight`` is the
+    total weight of all preceding rows in ``order_col`` order (a
+    distributed exclusive prefix sum).
+
+    The naive formulation — ``SUM() OVER (ORDER BY ...)`` with no
+    PARTITION BY — collapses 100 TB into ONE task.  This runs the
+    classic two-pass scheme instead (zipWithIndex's shape):
+
+      1. range-partition + sort by ``order_col`` (the one shuffle);
+      2. per-partition weight totals → driver (one tiny row per
+         partition), exclusive offsets computed there;
+      3. Arrow-batched ``mapInPandas`` adds ``offset[pid] + local
+         cumsum`` — no further shuffle, per-row work is a vectorized
+         numpy cumsum.
+
+    Shard assignment depends only on the GLOBAL prefix sum, so results
+    are identical for any partition count (tested).  ``order_col`` must
+    be a unique key, otherwise "preceding" is ambiguous.  The two JVM
+    jobs each evaluate the range exchange once; persist upstream if the
+    input is expensive to recompute.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    totals = {
+        r["__pid"]: r["__w"]
+        for r in ranged.select(
+            F.spark_partition_id().alias("__pid"), F.col(weight_col)
+        )
+        .groupBy("__pid")
+        .agg(F.sum(weight_col).alias("__w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += totals.get(pid, 0)
+    schema = StructType(
+        df.schema.fields + [StructField("shard_id", LongType(), False)]
+    )
+    budget = shard_budget
+
+    def assign(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        run = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in iterator:
+            w = pdf[weight_col].to_numpy()
+            csum = np.cumsum(w)
+            prefix = run + csum - w  # exclusive prefix
+            out = pdf.copy()
+            out["shard_id"] = (prefix // budget).astype("int64")
+            if len(w):
+                run += csum[-1]
+            yield out
+
+    return ranged.mapInPandas(assign, schema)

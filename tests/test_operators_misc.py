@@ -350,3 +350,33 @@ def test_incremental_dedup_batches_equal_full_dedup(spark):
         store = store.localCheckpoint(eager=True)  # as a real pipeline would persist it
     want = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
     assert sorted(kept) == want == [0, 1, 3, 5]
+
+
+def test_pack_shards_partition_invariant(spark):
+    """shard_id depends only on the global prefix sum: any partition
+    count must give identical assignments, and every shard except the
+    last must end only once its budget is crossed."""
+    import random
+
+    from metalpipe_spark.operators.curation import pack_shards
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 40)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    base = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, "w", "doc_id", 100, num_partitions=3).collect()
+    }
+    alt = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(
+            df.repartition(17), "w", "doc_id", 100, num_partitions=7
+        ).collect()
+    }
+    assert base == alt
+    # reference: plain python prefix sum
+    prefix, want = 0, {}
+    for i, w in rows:
+        want[i] = prefix // 100
+        prefix += w
+    assert base == want
