@@ -312,3 +312,36 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "q_token_commonness",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS total FROM tk),
+    d AS (
+      SELECT t.doc_id, SUM(v.cnt)::BIGINT AS sum_freq,
+             COUNT(*)::BIGINT AS n_tokens
+      FROM tk t JOIN v USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, sum_freq, n_tokens,
+           sum_freq::DOUBLE / (tot.total::DOUBLE * n_tokens::DOUBLE)
+             AS commonness
+    FROM d, tot
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Rare-word quality signal: average corpus frequency of each "
+        "token occurrence; exact int64 accumulation, one final double "
+        "division (vocab join is token-co-located, 1:N)."
+    ),
+)
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import token_commonness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_commonness(docs).orderBy("doc_id")

@@ -236,3 +236,42 @@ def chunk_documents(
             .alias("n_chunk_tokens"),
         )
     )
+
+
+def token_commonness(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document corpus-frequency score — the rare-word signal used
+    for quality filtering: ``commonness = (Σ_t corpus_count(t)) /
+    (corpus_total * n_doc_tokens)``, averaged over every token
+    OCCURRENCE.  Low values → documents dominated by rare vocabulary.
+
+    Plan shape: explode tokens → vocab groupBy(tok) (map-side combined)
+    → tokens⋈vocab on tok (both sides arrive partitioned by tok, 1:N,
+    no explosion even for 'the') → groupBy(doc).  The corpus total
+    joins in as a broadcast 1-row aggregate.  All accumulation is exact
+    int64; the single double division at the end keeps results
+    bit-identical across engines (float-sum ordering never enters).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r" ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("sum_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("sum_freq"),
+        F.col("n_tokens"),
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("total").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("commonness"),
+    )
