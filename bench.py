@@ -38,6 +38,8 @@ HEADLINE = [
     "q_jaccard_pairs",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_dedup_corpus",
+    "q_incremental_dedup",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_blocked_knn",
@@ -47,6 +49,12 @@ HEADLINE = [
     "q_langid",
     "q_quality_tokens",
     "q_text_profile_by_lang",
+    "q_token_commonness",
+    # curation / packing
+    "q_pii_scrub",
+    "q_chunk_documents",
+    "q_curate_top_docs",
+    "q_pack_shards",
 ]
 
 
