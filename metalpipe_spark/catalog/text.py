@@ -345,3 +345,28 @@ def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_commonness(docs).orderBy("doc_id")
+
+
+@register(
+    "q_length_quantiles",
+    """
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT lang,
+           quantile_cont(n, 0.5) AS p5,
+           quantile_cont(n, 0.9) AS p9,
+           quantile_cont(n, 0.99) AS p99
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Per-language token-length quantiles; exact interpolated "
+        "percentile here (bit-equal to quantile_cont), approx_percentile "
+        "sketch mode for the 100 TB path."
+    ),
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import length_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_quantiles(docs).orderBy("lang")

@@ -275,3 +275,30 @@ def token_commonness(
             / (F.col("total").cast("double") * F.col("n_tokens").cast("double"))
         ).alias("commonness"),
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+    group_col: str = "lang",
+    approx: bool = False,
+) -> DataFrame:
+    """Token-length distribution per group: one column ``p<pct>`` per
+    requested percentile.
+
+    ``approx=True`` (the 100 TB default path) uses ``approx_percentile``
+    — a fixed-size mergeable sketch per group, so the shuffle carries
+    sketches, not values.  ``approx=False`` computes exact interpolated
+    percentiles (values shuffle to their group; fine for profile jobs,
+    and bit-identical to ANSI ``quantile_cont`` — the oracle mode)."""
+    n = F.size(F.split(F.col(text_col), r" "))
+    fn = F.percentile_approx if approx else F.percentile
+    aggs = [
+        fn(F.col("__n"), p).alias(f"p{str(p)[2:]}") for p in percentiles
+    ]
+    return (
+        df.select(F.col(group_col), n.alias("__n"))
+        .groupBy(group_col)
+        .agg(*aggs)
+    )

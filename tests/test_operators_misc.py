@@ -380,3 +380,16 @@ def test_pack_shards_partition_invariant(spark):
         want[i] = prefix // 100
         prefix += w
     assert base == want
+
+
+def test_length_quantiles_approx_close_to_exact(spark):
+    from metalpipe_spark.operators.text import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 50 + 1), "en") for i in range(300)],
+        ["doc_id", "text", "lang"],
+    )
+    exact = length_quantiles(docs).first()
+    approx = length_quantiles(docs, approx=True).first()
+    for c in ("p5", "p9", "p99"):
+        assert abs(float(exact[c]) - float(approx[c])) <= 2.0, c
