@@ -122,3 +122,28 @@ def _execute_jdbc(url: str, properties: dict[str, str], sql: str) -> None:  # pr
         stmt.close()
     finally:
         conn.close()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str | list[str],
+    num_buckets: int = 32,
+    sort_col: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink: the storage layout that makes repeated large
+    joins/aggregations on ``bucket_col`` exchange-free.
+
+    Two tables bucketed into the same ``num_buckets`` on the join key
+    sort-merge-join with ZERO shuffle (plan-tested) — at 100 TB that
+    converts every recurring fact-fact join on the key from a full
+    network shuffle into a local per-bucket merge.  Pair with
+    ``sort_col`` to also skip the per-task sort.  Bucketing requires the
+    table catalog (``saveAsTable``), not a bare path."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_col:
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(*scols)
+    w.format("parquet").saveAsTable(table)

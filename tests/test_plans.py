@@ -198,3 +198,51 @@ def test_stratified_sample_is_pure_filter(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Two tables bucketed on the join key must sort-merge-join with no
+    Exchange on either side — the layout that makes recurring 100 TB
+    fact-fact joins shuffle-free."""
+    from metalpipe_spark.sinks.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        with _no_auto_broadcast(spark):
+            joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").count()
+            plan = _formatted(joined)
+        smj = _nodes(plan, "SortMergeJoin")
+        # the only exchange allowed is the post-join groupBy
+        assert smj == 1, plan
+        assert _nodes(plan, "Exchange") <= 1, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes_scan(spark):
+    """partitionBy(lang) + a lang filter must reach the scan as a
+    PartitionFilter (zero non-matching files read)."""
+    import tempfile
+
+    from metalpipe_spark.sinks.writers import write_parquet
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs_part"
+        write_parquet(docs, path, partition_by=["lang"])
+        back = spark.read.parquet(path).where(F.col("lang") == "en")
+        plan = _formatted(back)
+        assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
+        assert back.count() > 0
