@@ -398,6 +398,121 @@ def _blocker(spark, upstreams, opts):
     return df.limit(0)
 
 
+# -- training-data curation nodes (beyond the reference; COVERAGE.md) -------
+
+
+@node_class("ScrubPII")
+def _scrub_pii(spark, upstreams, opts):
+    from metalpipe_spark.operators.text import scrub_pii
+
+    return scrub_pii(
+        _one(upstreams, "ScrubPII"),
+        text_col=opts.get("text_col", "text"),
+        out_col=opts.get("out_col"),
+    )
+
+
+@node_class("DetectLanguage")
+def _detect_language(spark, upstreams, opts):
+    from metalpipe_spark.operators.text import detect_language
+
+    df = _one(upstreams, "DetectLanguage")
+    return df.withColumn(
+        opts.get("output_col", "lang_detected"),
+        detect_language(opts.get("text_col", "text")),
+    )
+
+
+@node_class("QualityScore")
+def _quality_score(spark, upstreams, opts):
+    from metalpipe_spark.operators.text import quality_score
+
+    df = _one(upstreams, "QualityScore")
+    return df.withColumn(
+        opts.get("output_col", "quality"),
+        quality_score(opts.get("text_col", "text")),
+    )
+
+
+@node_class("ExactDedup")
+def _exact_dedup_node(spark, upstreams, opts):
+    """Keep the full rows of the canonical (lowest-id) document per
+    normalized-text fingerprint (left_semi against the keeper set)."""
+    from metalpipe_spark.operators.dedup import exact_dedup
+
+    df = _one(upstreams, "ExactDedup")
+    id_col = opts.get("id_col", "doc_id")
+    keep = exact_dedup(df, opts.get("text_col", "text"), id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+@node_class("NearDupDedup")
+def _near_dup_dedup_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.dedup import dedup_corpus, minhash_lsh_pairs
+
+    df = _one(upstreams, "NearDupDedup")
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        num_hashes=opts.get("num_hashes", 16),
+        bands=opts.get("bands", 8),
+    ).where(F.col("est_jaccard") >= opts.get("threshold", 0.5))
+    return dedup_corpus(df, pairs, id_col=opts.get("id_col", "doc_id"))
+
+
+@node_class("ChunkDocuments")
+def _chunk_documents_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _one(upstreams, "ChunkDocuments"),
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        chunk_tokens=opts.get("chunk_tokens", 64),
+        overlap=opts.get("overlap", 16),
+    )
+
+
+@node_class("StratifiedSample")
+def _stratified_sample_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _one(upstreams, "StratifiedSample"),
+        strata_col=opts["strata_col"],
+        fractions=opts["fractions"],
+        key_col=opts["key_col"],
+        default_fraction=opts.get("default_fraction", 0.0),
+    )
+
+
+@node_class("TopKPerGroup")
+def _topk_per_group_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import topk_per_group
+
+    return topk_per_group(
+        _one(upstreams, "TopKPerGroup"),
+        group_col=opts["group_col"],
+        order_col=opts["order_col"],
+        k=opts["k"],
+        tie_col=opts.get("tie_col"),
+        descending=opts.get("descending", True),
+    )
+
+
+@node_class("PackShards")
+def _pack_shards_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import pack_shards
+
+    return pack_shards(
+        _one(upstreams, "PackShards"),
+        weight_col=opts["weight_col"],
+        order_col=opts["order_col"],
+        shard_budget=opts["shard_budget"],
+    )
+
+
 @node_class("ParquetWriter")
 def _parquet_writer(spark, upstreams, opts):
     df = _one(upstreams, "ParquetWriter")

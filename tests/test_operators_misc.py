@@ -393,3 +393,12 @@ def test_length_quantiles_approx_close_to_exact(spark):
     approx = length_quantiles(docs, approx=True).first()
     for c in ("p5", "p9", "p99"):
         assert abs(float(exact[c]) - float(approx[c])) <= 2.0, c
+
+
+def test_connected_components_iteration_guard(spark):
+    from metalpipe_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=1)
