@@ -143,3 +143,41 @@ def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> s
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, num_planes=8, dim=64, threshold=0.25).orderBy("d1", "d2")
+
+
+@register(
+    "q_ann_batch_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_cos('e.embedding', 'q.qv')}, 6) AS cosine_sim
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc=(
+        "Batched serving-path ANN: broadcast query set scores map-side "
+        "over one corpus scan; only the per-query top-k window shuffles."
+    ),
+)
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import brute_force_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk_batch(emb, qs, k=5).orderBy("query_id", "rnk")
