@@ -91,3 +91,38 @@ def test_write_csv_roundtrip(spark, tmp_path):
     write_csv(nation, str(tmp_path / "csv"))
     back = spark.read.csv(str(tmp_path / "csv"), header=True, inferSchema=True)
     assert back.count() == 25
+
+
+def test_jdbc_staged_publish_roundtrip_embedded_derby(spark):
+    """The full §2.1/§2.2 JDBC surface against a real database — the
+    Derby engine Spark already ships for its metastore, run in-memory:
+    staged write + single-statement publish (SendToCivis's pattern),
+    metadata-schema read-back, and query-in-table pushdown."""
+    from metalpipe_spark.sinks.writers import write_jdbc_staged
+    from metalpipe_spark.sources.readers import jdbc_table
+
+    url = "jdbc:derby:memory:mpsdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load_table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    # prod table: created empty, then appended to only via the staged
+    # publish -- readers never observe a half-loaded table.
+    nation.limit(0).write.jdbc(url, "prod_nation", mode="overwrite", properties=props)
+    staging = write_jdbc_staged(nation, url, "prod_nation", properties=props)
+    assert staging == "prod_nation_staging"
+
+    back = jdbc_table(spark, url, "prod_nation", properties=props)
+    assert sorted(c.lower() for c in back.columns) == ["n_name", "n_nationkey"]
+    assert back.count() == nation.count()
+    # staging table dropped after publish
+    with pytest.raises(Exception):
+        jdbc_table(spark, url, "prod_nation_staging", properties=props).count()
+    # CivisSQLExecute-style query-in-table pushdown
+    q = jdbc_table(
+        spark,
+        url,
+        '(SELECT "n_nationkey" FROM prod_nation WHERE "n_nationkey" < 5) t',
+        properties=props,
+    )
+    assert q.count() == 5
