@@ -126,3 +126,72 @@ def test_jdbc_staged_publish_roundtrip_embedded_derby(spark):
         properties=props,
     )
     assert q.count() == 5
+
+
+def test_http_sources_against_real_localhost_server(spark):
+    """default_fetch + the three HTTP shapes against an actual HTTP
+    endpoint (stdlib server on a loopback port), not an injected fake:
+    single templated GET, cursor pagination, and the distributed
+    parallel_fetch path (executors fetch over real sockets)."""
+    import http.server
+    import threading
+
+    from metalpipe_spark.sources.http import (
+        http_get_request,
+        paginated_get,
+        parallel_fetch,
+    )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/item/"):
+                body = json.dumps({"id": int(self.path.rsplit("/", 1)[-1]), "ok": True})
+            elif self.path.startswith("/page"):
+                # cursor pagination: /page?cursor= -> a, a -> b (empty=end)
+                cur = self.path.split("cursor=")[-1]
+                nxt = {"": "a", "a": "b", "b": ""}[cur]
+                data = [] if cur == "b" else [cur or "start"]
+                body = json.dumps({"data": data, "next": nxt})
+            else:
+                body = json.dumps({"ok": True})
+            payload = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        one = http_get_request(
+            spark, f"http://127.0.0.1:{port}/item/{{id}}", {"id": 7}
+        )
+        assert one.first()["id"] == 7
+
+        pages = paginated_get(
+            spark,
+            f"http://127.0.0.1:{port}/page?cursor={{cursor}}",
+            additional_data_key="data",
+            pagination_key="next",
+            pagination_get_request_key="cursor",
+            default_offset_value="",
+            max_pages=10,
+        )
+        rows = pages.collect()
+        assert len(rows) == 3  # followed the cursor to the empty page
+        assert sorted(x for r in rows for x in r["data"]) == ["a", "start"]
+
+        params = spark.range(6).select(F.col("id").alias("item"))
+        fetched = parallel_fetch(
+            params, f"http://127.0.0.1:{port}/item/{{item}}", ["item"]
+        )
+        got = sorted(json.loads(r["body"])["id"] for r in fetched.collect())
+        assert got == list(range(6))
+    finally:
+        srv.shutdown()
+        srv.server_close()
