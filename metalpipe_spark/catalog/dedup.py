@@ -312,3 +312,57 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 2 == 1)
     fresh, _ = incremental_exact_dedup(batch, store)
     return fresh.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def _simhash_neardup_oracle(
+    bits: int = 32, max_hamming: int = 3, blocks: int = 4
+) -> str:
+    width = bits // blocks
+    mask = (1 << width) - 1
+    terms = " + ".join(
+        f"(CASE WHEN len(list_filter(hs, v -> (v & {1 << j}) > 0)) * 2 > len(hs) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    keys = ", ".join(
+        f"((simhash >> {i * width}) & {mask}) + {i * (mask + 1)}"
+        for i in range(blocks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, list_transform(t, x -> {_HASH64_SQL.format(expr='x')}) AS hs
+      FROM toks
+    ),
+    s AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h),
+    banded AS (SELECT doc_id, simhash, unnest([{keys}]) AS bk FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "q_simhash_neardup",
+    _simhash_neardup_oracle(32, 3, 4),
+    doc=(
+        "SimHash hamming-distance near-dup pairs via block banding "
+        "(pigeonhole: distance <= 3 pairs share one of 4 blocks "
+        "verbatim); exact check is codegen bit_count(xor)."
+    ),
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, bits=32, max_hamming=3, blocks=4
+    ).orderBy("d1", "d2")

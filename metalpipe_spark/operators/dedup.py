@@ -435,3 +435,61 @@ def incremental_exact_dedup(
         else seen_fingerprints.select("fingerprint").union(new_fps)
     )
     return fresh, updated
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
+    found via block banding (Manku et al., WWW'07): split the
+    fingerprint into ``max_hamming + 1`` equal blocks — any pair within
+    distance k differs in at most k blocks, so by pigeonhole it shares
+    at least one block verbatim.  Candidates meet through
+    (block_index, block_value) buckets — never all pairs — and the
+    exact hamming check is one codegen ``bit_count(xor)`` per
+    candidate.  Same bucket-join scale shape as MinHash-LSH, but over
+    an integer fingerprint (8 bytes/doc of state instead of a
+    signature array)."""
+    blocks = blocks or max_hamming + 1
+    if bits % blocks:
+        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, bits)
+    keys = [
+        (
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            + F.lit(i * (mask + 1))
+        ).cast("long")
+        for i in range(blocks)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*keys)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -402,3 +402,35 @@ def test_connected_components_iteration_guard(spark):
     df = spark.createDataFrame(chain, ["d1", "d2"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=1)
+
+
+def test_simhash_neardup_pigeonhole_guarantee(spark):
+    """Within max_hamming, banding must have perfect recall (pigeonhole):
+    compare banded pairs against the brute-force hamming join on a
+    corpus with planted near-dups."""
+    from metalpipe_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" extra{i}") for i in range(20)]
+    rows += [(100 + i, base) for i in range(3)]  # identical -> hamming 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    fp = simhash(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where("hamming <= 3")
+    )
+    want = {(r["d1"], r["d2"]): r["hamming"] for r in brute.collect()}
+    assert got == want
+    assert got[(100, 101)] == 0  # planted identical docs found
