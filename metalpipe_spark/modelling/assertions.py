@@ -138,16 +138,47 @@ class EntityGraph:
     edges: dict[str, DataFrame]
 
 
+def coreference_closure(
+    src: DataFrame, source_column: str, target_column: str
+) -> DataFrame:
+    """TRANSITIVE coreference resolution: equivalence pairs across all
+    rows form a graph; every key is replaced by its connected-component
+    minimum, so A≡B in one row and B≡C in another unify all three —
+    the semantics the reference's CoreferenceAssertion sketches but
+    never finishes (nft_nodes.py:391-416).  Runs large-star/small-star
+    connected components (O(log n) rounds), then two shuffled
+    mapping joins."""
+    from metalpipe_spark.operators.dedup import connected_components
+
+    comp = connected_components(src, src=source_column, dst=target_column)
+    out = src
+    for col in (source_column, target_column):
+        m = comp.select(
+            F.col("node").alias(col), F.col("cluster_id").alias("__canon")
+        )
+        out = (
+            out.join(m, col, "left")
+            .withColumn(col, F.coalesce("__canon", F.col(col)))
+            .drop("__canon")
+        )
+    return out
+
+
 def compile_graph(
     src: DataFrame,
     assertions: list[Assertion],
     order_by: str | None = None,
+    transitive_coreference: bool = False,
 ) -> EntityGraph:
     """Compile one source table's assertions to entity/edge DataFrames.
 
     ``order_by`` names the column giving the deterministic "last writer"
     for property upserts; None falls back to the max property value
     (stable, engine-independent).
+
+    ``transitive_coreference`` switches the coreference crosswalk from
+    the reference's rowwise pair-min to full transitive closure
+    (:func:`coreference_closure`).
     """
     assertions = infer_model(assertions)
     entities: dict[str, DataFrame] = {}
@@ -158,10 +189,13 @@ def compile_graph(
     crosswalks = [a for a in assertions if a.kind == "coreference"]
     canon = src
     for a in crosswalks:
-        pair = F.array(F.col(a.source_column), F.col(a.target_column))
-        canon = canon.withColumn(a.source_column, F.array_min(pair)).withColumn(
-            a.target_column, F.array_min(pair)
-        )
+        if transitive_coreference:
+            canon = coreference_closure(canon, a.source_column, a.target_column)
+        else:
+            pair = F.array(F.col(a.source_column), F.col(a.target_column))
+            canon = canon.withColumn(
+                a.source_column, F.array_min(pair)
+            ).withColumn(a.target_column, F.array_min(pair))
 
     for a in assertions:
         if a.kind == "name":

@@ -304,10 +304,10 @@ def connected_components(
     Convergence is detected with a one-row count+checksum aggregate —
     no edge data ever reaches the driver.
     """
+    # Keys keep their input type: orderable comparisons (least/greatest,
+    # </>) are all the algorithm needs, so string/long ids both work.
     edges = (
-        pairs.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )

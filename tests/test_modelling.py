@@ -102,3 +102,32 @@ def test_relationship_property(spark):
     graph = compile_graph(df, assertions)
     rows = {(r["src_key"], r["tgt_key"]): r["weight"] for r in graph.edges["R"].collect()}
     assert rows == {("a", "x"): 9, ("b", "y"): 1}
+
+
+def test_transitive_coreference_closure(spark):
+    """A≡B and B≡C in separate rows must unify all three keys (the
+    semantics the reference's CoreferenceAssertion never finished);
+    the rowwise pair-min mode keeps them split."""
+    from metalpipe_spark.modelling.assertions import (
+        Assertion,
+        compile_graph,
+        coreference_closure,
+    )
+
+    src = spark.createDataFrame(
+        [("b", "a", 1), ("c", "b", 2), ("e", "d", 3)],
+        ["alias_id", "master_id", "val"],
+    )
+    closed = coreference_closure(src, "alias_id", "master_id")
+    rows = {r["val"]: (r["alias_id"], r["master_id"]) for r in closed.collect()}
+    assert rows[1] == ("a", "a") and rows[2] == ("a", "a")
+    assert rows[3] == ("d", "d")
+
+    a = [Assertion(kind="coreference", source_column="alias_id", target_column="master_id"),
+         Assertion(kind="name", column="alias_id", entity_type="party")]
+    g_transitive = compile_graph(src, a, transitive_coreference=True)
+    names_t = sorted(r["name"] for r in g_transitive.entities["party"].collect())
+    assert names_t == ["a", "d"]
+    g_pairwise = compile_graph(src, a)
+    names_p = sorted(r["name"] for r in g_pairwise.entities["party"].collect())
+    assert names_p == ["a", "b", "d"]  # chain NOT unified rowwise
