@@ -366,3 +366,50 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, bits=32, max_hamming=3, blocks=4
     ).orderBy("d1", "d2")
+
+
+_PCHUNK = 32
+
+
+@register(
+    "q_paragraph_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, greatest(n, 1) + 1, {_PCHUNK})) AS s
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, ((s - 1) // {_PCHUNK})::BIGINT AS chunk_id,
+             array_to_string(toks[s : s + {_PCHUNK - 1}], ' ') AS chunk_text
+      FROM st
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp,
+             doc_id * 1048576 + chunk_id AS arg
+      FROM chunks
+    ),
+    first AS (SELECT fp, MIN(arg) AS keep FROM keyed GROUP BY fp),
+    kept AS (
+      SELECT k.doc_id, k.chunk_id, k.chunk_text
+      FROM keyed k JOIN first f ON k.fp = f.fp AND k.arg = f.keep
+    )
+    SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Passage-level dedup (C4-style): non-overlapping 32-token "
+        "windows, first corpus occurrence wins (groupBy-min on chunk "
+        "md5), documents reassembled from surviving windows."
+    ),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import chunk_level_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_level_dedup(docs, chunk_tokens=_PCHUNK).orderBy("doc_id")

@@ -493,3 +493,52 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def chunk_level_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Passage-level dedup (the C4-style cleanup): split every document
+    into non-overlapping token windows, drop every window whose exact
+    content already appeared earlier in the corpus (first occurrence by
+    ``(doc_id, chunk_id)`` wins), and reassemble the surviving windows
+    in order.  Documents reduced to nothing disappear.
+
+    Scale shape: chunking is the no-shuffle explode
+    (:func:`~metalpipe_spark.operators.text.chunk_documents`); first
+    occurrence is a groupBy-min on the chunk md5 (even key, map-side
+    combined) joined back chunk-co-located; reassembly is one
+    groupBy(doc) whose state is bounded by document size.
+    """
+    from metalpipe_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        chunk_tokens=chunk_tokens, overlap=0,
+    )
+    # Lexicographic (doc, chunk) order packed into one int64 so the
+    # groupBy stays a single codegen MIN (chunk_id < 2^20 per doc).
+    arg = F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id")
+    keyed = chunks.select(
+        F.col(id_col), "chunk_id", "chunk_text",
+        F.md5("chunk_text").alias("__fp"), arg.alias("__arg"),
+    )
+    first = keyed.groupBy("__fp").agg(F.min("__arg").alias("__keep"))
+    kept = keyed.join(first, "__fp").where(F.col("__arg") == F.col("__keep"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )

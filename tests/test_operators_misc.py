@@ -434,3 +434,19 @@ def test_simhash_neardup_pigeonhole_guarantee(spark):
     want = {(r["d1"], r["d2"]): r["hamming"] for r in brute.collect()}
     assert got == want
     assert got[(100, 101)] == 0  # planted identical docs found
+
+
+def test_chunk_level_dedup_planted_passages(spark):
+    from metalpipe_spark.operators.dedup import chunk_level_dedup
+
+    A = " ".join(f"a{i}" for i in range(32))
+    B = " ".join(f"b{i}" for i in range(32))
+    C = " ".join(f"c{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, f"{A}")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in chunk_level_dedup(docs, chunk_tokens=32).collect()}
+    assert out[1] == f"{A} {B}"      # first occurrence keeps everything
+    assert out[2] == C               # shared passage A stripped
+    assert 3 not in out              # reduced to nothing -> dropped
