@@ -246,3 +246,39 @@ def test_partitioned_write_prunes_scan(spark):
         plan = _formatted(back)
         assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
         assert back.count() > 0
+
+
+def test_scan_shaped_text_ops_no_shuffle(spark):
+    """PII scrub and chunking are scan-shaped: zero exchanges, so at
+    100 TB they run at parquet-scan speed."""
+    from metalpipe_spark.operators.text import chunk_documents, scrub_pii
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert _nodes(_formatted(scrub_pii(docs)), "Exchange") == 0
+    assert _nodes(_formatted(chunk_documents(docs)), "Exchange") == 0
+
+
+def test_token_commonness_three_exchanges(spark):
+    """Vocab groupBy, token-side join exchange, per-doc groupBy — and
+    nothing else (the corpus total arrives as a broadcast, never a
+    shuffle or a cartesian)."""
+    from metalpipe_spark.operators.text import token_commonness
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _formatted(token_commonness(docs))
+    assert _nodes(plan, "Exchange") <= 3, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_simhash_neardup_bucket_join_shape(spark):
+    """Candidates meet through block buckets: the pair join is an
+    equi-join on the bucket key (no cartesian, no broadcast of the
+    corpus side)."""
+    from metalpipe_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = _formatted(simhash_neardup_pairs(docs))
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _nodes(plan, "SortMergeJoin") >= 1, plan
