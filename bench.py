@@ -40,6 +40,8 @@ HEADLINE = [
     "q_simhash",
     "q_dedup_corpus",
     "q_incremental_dedup",
+    "q_simhash_neardup",
+    "q_paragraph_dedup",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_blocked_knn",

@@ -315,7 +315,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_neardup_oracle(
-    bits: int = 32, max_hamming: int = 3, blocks: int = 4
+    bits: int = 60, max_hamming: int = 3, blocks: int = 4
 ) -> str:
     width = bits // blocks
     mask = (1 << width) - 1
@@ -352,10 +352,10 @@ def _simhash_neardup_oracle(
 
 @register(
     "q_simhash_neardup",
-    _simhash_neardup_oracle(32, 3, 4),
+    _simhash_neardup_oracle(60, 3, 4),
     doc=(
         "SimHash hamming-distance near-dup pairs via block banding "
-        "(pigeonhole: distance <= 3 pairs share one of 4 blocks "
+        "(pigeonhole: distance <= 3 pairs share one of 4 15-bit blocks "
         "verbatim); exact check is codegen bit_count(xor)."
     ),
 )
@@ -364,7 +364,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(
-        docs, bits=32, max_hamming=3, blocks=4
+        docs, bits=60, max_hamming=3, blocks=4
     ).orderBy("d1", "d2")
 
 

@@ -384,16 +384,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _hash64(F.col("__t")).alias("__h")
     )
+    # votes as SUM((h >> j) & 1) + one token count: same majority
+    # semantics as the +1/-1 fold (2*ones > n <=> sum(+1/-1) > 0, ties
+    # -> 0 either way) but a much smaller generated aggregate: the
+    # 60-bit cold run (janino compile dominates) measured 7.9s -> 4.8s
+    # at sf0.1; warm runtime unchanged.
     votes = [
-        F.sum(
-            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
-        ).alias(f"__v{j}")
+        F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__v{j}")
         for j in range(bits)
     ]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *votes)
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(
+            F.col(f"__v{j}") * 2 > F.col("__n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
@@ -441,7 +446,7 @@ def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 60,
     max_hamming: int = 3,
     blocks: int | None = None,
 ) -> DataFrame:
@@ -454,7 +459,15 @@ def simhash_neardup_pairs(
     exact hamming check is one codegen ``bit_count(xor)`` per
     candidate.  Same bucket-join scale shape as MinHash-LSH, but over
     an integer fingerprint (8 bytes/doc of state instead of a
-    signature array)."""
+    signature array).
+
+    Block width must clear log2(corpus size) or buckets overfill and
+    the candidate join quadratically explodes — the 60-bit default
+    (15-bit blocks, max the 60-bit portable token hash supports inside
+    signed int64) keeps expected bucket occupancy < 1 up to ~10^4 docs
+    per block value and measured 12x faster than 32-bit/8-bit blocks at
+    sf0.1.  For 10^9-doc corpora, raise ``bits`` (e.g. 64 via a second
+    hash) or ``blocks`` so that ``2^(bits/blocks) >> n``."""
     blocks = blocks or max_hamming + 1
     if bits % blocks:
         raise ValueError(f"bits={bits} not divisible by blocks={blocks}")

@@ -418,7 +418,7 @@ def test_simhash_neardup_pigeonhole_guarantee(spark):
         (r["d1"], r["d2"]): r["hamming"]
         for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
     }
-    fp = simhash(docs)
+    fp = simhash(docs, bits=60)
     a, b = fp.alias("a"), fp.alias("b")
     brute = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
