@@ -87,6 +87,25 @@ def test_read_binary_dir(spark, tmp_path):
     assert rows == {"a.bin": b"hello world", "b.bin": b"spark"}
 
 
-def test_resize_is_explicit_stub(spark, media_df):
-    with pytest.raises(NotImplementedError, match="image codec"):
-        resize_media(media_df, 64, 64)
+def test_resize_media_nearest_neighbor_kernel(spark):
+    """resize_media is a real numpy kernel over raw RGB tensors: a 2x2
+    image upsampled to 4x4 repeats each source pixel in a 2x2 block,
+    and downsampling back returns the original."""
+    import numpy as np
+
+    from metalpipe_spark.operators.multimodal import resize_media
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(px.tobytes()), 2, 2)], "id long, content binary, width int, height int"
+    )
+    up = resize_media(df, 4, 4)
+    row = up.first()
+    assert (row["width"], row["height"]) == (4, 4)
+    got = np.frombuffer(bytes(row["content"]), dtype=np.uint8).reshape(4, 4, 3)
+    want = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert (got == want).all()
+    back = resize_media(up, 2, 2).first()
+    assert bytes(back["content"]) == px.tobytes()
