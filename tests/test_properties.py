@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the operators whose edge cases
+are easiest to get wrong: chunk reconstruction and shard packing.  Each
+example materializes ONE batch of generated rows through Spark, so the
+example budget stays small while row coverage stays wide."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from metalpipe_spark.operators.curation import pack_shards
+from metalpipe_spark.operators.text import chunk_documents
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=30),
+    chunk=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_reconstruction_property(spark, lengths, chunk, overlap_frac):
+    """Chunk 0's tokens plus every later chunk's tokens[overlap:] must
+    reconstruct each document exactly — for any doc length, chunk size,
+    and overlap."""
+    overlap = int(chunk * overlap_frac)
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    assert set(by_doc) == {i for i, _ in docs}
+    for doc_id, text in docs:
+        chunks = [t for _, t in sorted(by_doc[doc_id])]
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[overlap:]
+        assert rebuilt == text.split(" "), (doc_id, chunk, overlap)
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=800),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_pack_shards_matches_sequential_property(spark, weights, budget, parts):
+    """For any weights (zeros included), budget, and partition count,
+    the distributed prefix sum must equal the sequential one."""
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, "w", "doc_id", budget, num_partitions=parts).collect()
+    }
+    prefix, want = 0, {}
+    for i, w in rows:
+        want[i] = prefix // budget
+        prefix += w
+    assert got == want
