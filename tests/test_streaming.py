@@ -186,3 +186,54 @@ def test_multi_microbatch_stateful_stats(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_dedup_foreach_batch(spark, tmp_path):
+    """The continuously-ingesting dedup pipeline end-to-end: a document
+    stream (one micro-batch per file) flows through foreachBatch, each
+    batch dedups against the fingerprint store persisted so far and
+    appends survivors — the result must equal one-shot exact_dedup over
+    everything (same canonical ids, since files arrive in id order)."""
+    from metalpipe_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "eps",
+             "delta", "zeta eta"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    import time as _time
+
+    src = tmp_path / "docs"
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):  # three arriving files
+        docs.where(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        # FileStreamSource orders batches by (mtime, path); space the
+        # writes so arrival order is deterministic, not mtime-tie luck.
+        _time.sleep(1.1)
+    store_path = str(tmp_path / "store")
+    kept_path = str(tmp_path / "kept")
+
+    stream = file_watchdog(spark, str(src), docs.schema, max_files_per_trigger=1)
+
+    def dedup_batch(batch_df, batch_id):
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        fresh, updated = incremental_exact_dedup(batch_df, store)
+        fresh.select("doc_id", "text").write.mode("append").parquet(kept_path)
+        updated.select("fingerprint").write.mode("overwrite").parquet(
+            store_path + "_next"
+        )
+        # atomic-enough swap for the test; production uses a table format
+        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(
+            store_path
+        )
+
+    q = foreach_batch_sink(stream, dedup_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(kept_path).collect())
+    want = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == want == [0, 1, 3, 5, 7]
