@@ -370,3 +370,48 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return length_quantiles(docs).orderBy("lang")
+
+
+@register(
+    "q_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, n,
+             greatest(n - 1, 0) AS bi_all,
+             greatest(n - 2, 0) AS tri_all,
+             len(list_distinct(list_transform(range(1, greatest(n - 0, 1)),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS bi_dist_raw,
+             len(list_distinct(list_transform(range(1, greatest(n - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tri_dist_raw,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN bi_all > 0
+                THEN (bi_all - least(bi_dist_raw, bi_all))::DOUBLE / bi_all::DOUBLE
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN tri_all > 0
+                THEN (tri_all - least(tri_dist_raw, tri_all))::DOUBLE / tri_all::DOUBLE
+                ELSE 0.0 END AS dup_trigram_frac,
+           (n_chars - (n - 1))::DOUBLE / n::DOUBLE AS mean_word_len,
+           CASE WHEN n_chars > 0
+                THEN (n_chars - n_alnum - (n - 1))::DOUBLE / n_chars::DOUBLE
+                ELSE 0.0 END AS symbol_ratio
+    FROM g ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition/quality signals: duplicate bigram/"
+        "trigram fractions, mean word length, symbol ratio -- one scan, "
+        "no shuffle, exact integer ratios."
+    ),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs).orderBy("doc_id")

@@ -302,3 +302,47 @@ def length_quantiles(
         .groupBy(group_col)
         .agg(*aggs)
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition/quality signals (Rae et
+    al. 2021's filter family): duplicate bigram/trigram fractions, mean
+    word length, and non-alphanumeric symbol ratio.  All plain Column
+    arithmetic over one scan — no shuffle, no HOF lambdas in the ratios
+    (n-gram counts come from the same codegen regex as word_shingles).
+
+    Fractions are exact integer ratios divided once in DOUBLE, so
+    results hash-match any engine."""
+    from metalpipe_spark.operators.dedup import word_shingles
+
+    toks = F.split(F.col(text_col), r" ")
+    n_toks = F.size(toks)
+    bi_all = F.greatest(n_toks - 1, F.lit(0))
+    tri_all = F.greatest(n_toks - 2, F.lit(0))
+    bi_dist = F.size(word_shingles(text_col, 2))
+    tri_dist = F.size(word_shingles(text_col, 3))
+    n_chars = F.length(text_col)
+    n_alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    n_spaces = n_toks - 1
+    return df.select(
+        F.col(id_col),
+        F.when(bi_all > 0, (bi_all - bi_dist).cast("double") / bi_all.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.when(
+            tri_all > 0, (tri_all - tri_dist).cast("double") / tri_all.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+        ((n_chars - n_spaces).cast("double") / n_toks.cast("double")).alias(
+            "mean_word_len"
+        ),
+        F.when(
+            n_chars > 0,
+            (n_chars - n_alnum - n_spaces).cast("double") / n_chars.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+    )

@@ -450,3 +450,23 @@ def test_chunk_level_dedup_planted_passages(spark):
     assert out[1] == f"{A} {B}"      # first occurrence keeps everything
     assert out[2] == C               # shared passage A stripped
     assert 3 not in out              # reduced to nothing -> dropped
+
+
+def test_repetition_signals_planted_values(spark):
+    from metalpipe_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: 5 total, 2 distinct
+            (2, "w x y z"),            # no repetition
+            (3, "hello"),              # single token: no n-grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["dup_bigram_frac"] == (5 - 2) / 5
+    assert out[1]["dup_trigram_frac"] == (4 - 2) / 4
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
+    assert out[2]["mean_word_len"] == 1.0
+    assert out[3]["symbol_ratio"] == 0.0
