@@ -52,6 +52,8 @@ HEADLINE = [
     "q_quality_tokens",
     "q_text_profile_by_lang",
     "q_token_commonness",
+    "q_repetition_signals",
+    "q_quality_filter",
     # curation / packing
     "q_pii_scrub",
     "q_chunk_documents",

@@ -415,3 +415,63 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_signals(docs).orderBy("doc_id")
+
+
+def _quality_filter_oracle() -> str:
+    """Generated from QUALITY_RULES so SQL and Spark share one rule
+    table (predicates are engine-portable SQL)."""
+    from metalpipe_spark.operators.text import QUALITY_RULES
+
+    whens = " ".join(
+        f"WHEN {pred} THEN '{name}'" for name, pred in QUALITY_RULES
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n::BIGINT AS n_tokens,
+             greatest(n - 1, 0) AS bi_all,
+             greatest(n - 2, 0) AS tri_all,
+             len(list_distinct(list_transform(range(1, greatest(n, 1)),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS bi_dist,
+             len(list_distinct(list_transform(range(1, greatest(n - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tri_dist,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN bi_all > 0
+                  THEN (bi_all - least(bi_dist, bi_all))::DOUBLE / bi_all::DOUBLE
+                  ELSE 0.0 END AS dup_bigram_frac,
+             CASE WHEN tri_all > 0
+                  THEN (tri_all - least(tri_dist, tri_all))::DOUBLE / tri_all::DOUBLE
+                  ELSE 0.0 END AS dup_trigram_frac,
+             (n_chars - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS mean_word_len,
+             CASE WHEN n_chars > 0
+                  THEN (n_chars - n_alnum - (n_tokens - 1))::DOUBLE / n_chars::DOUBLE
+                  ELSE 0.0 END AS symbol_ratio
+      FROM g
+    )
+    SELECT doc_id,
+           (CASE {whens} ELSE NULL END) IS NULL AS keep,
+           CASE {whens} ELSE NULL END AS drop_reason
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "q_quality_filter",
+    _quality_filter_oracle(),
+    doc=(
+        "Composite pretraining quality filter: Gopher-style thresholds "
+        "over repetition signals; emits keep + first violated rule."
+    ),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs).orderBy("doc_id")

@@ -305,7 +305,10 @@ def length_quantiles(
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: dict | None = None,
 ) -> DataFrame:
     """Gopher-style within-document repetition/quality signals (Rae et
     al. 2021's filter family): duplicate bigram/trigram fractions, mean
@@ -326,8 +329,10 @@ def repetition_signals(
     n_chars = F.length(text_col)
     n_alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
     n_spaces = n_toks - 1
+    extra_cols = [c.alias(n) for n, c in (extra or {}).items()]
     return df.select(
         F.col(id_col),
+        *extra_cols,
         F.when(bi_all > 0, (bi_all - bi_dist).cast("double") / bi_all.cast("double"))
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
@@ -345,4 +350,39 @@ def repetition_signals(
         )
         .otherwise(F.lit(0.0))
         .alias("symbol_ratio"),
+    )
+
+
+# Gopher-flavored default thresholds (Rae et al. 2021, Table A1 spirit):
+# (rule name, predicate-is-violation). Order = report priority.
+QUALITY_RULES = (
+    ("too_short", "n_tokens < 5"),
+    ("too_long", "n_tokens > 1000"),
+    ("mean_word_len_out_of_range", "mean_word_len < 1.5 OR mean_word_len > 12.0"),
+    ("symbol_heavy", "symbol_ratio > 0.1"),
+    ("repetitive_bigrams", "dup_bigram_frac > 0.6"),
+    ("repetitive_trigrams", "dup_trigram_frac > 0.6"),
+)
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite pretraining quality filter: compute the repetition
+    signals plus token count, apply QUALITY_RULES, and emit
+    ``(id, keep, drop_reason)`` — ``drop_reason`` is the FIRST violated
+    rule in declaration order (NULL when kept).  One scan, no shuffle;
+    thresholds are ordinary SQL predicates so the rule table stays
+    engine-portable."""
+    toks = F.size(F.split(F.col(text_col), r" ")).cast("long")
+    base = repetition_signals(
+        df, text_col, id_col, extra={"n_tokens": toks}
+    )
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(QUALITY_RULES):
+        reason = F.when(F.expr(pred), F.lit(name)).otherwise(reason)
+    return base.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
     )

@@ -282,3 +282,10 @@ def test_simhash_neardup_bucket_join_shape(spark):
     assert _nodes(plan, "CartesianProduct") == 0, plan
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert _nodes(plan, "SortMergeJoin") >= 1, plan
+
+
+def test_quality_filter_no_shuffle(spark):
+    from metalpipe_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert _nodes(_formatted(quality_filter(docs)), "Exchange") == 0
