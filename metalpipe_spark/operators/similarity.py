@@ -22,7 +22,7 @@ left-associated fold, so values are unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -664,4 +664,85 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("d1", "d2", "cosine_sim")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index on storage: the assigned corpus written
+    ``partitionBy(cell)`` (a probe touches only its cells' files) plus
+    the centroid table.  Build once, serve many — the k-means fit runs
+    at INDEX time, never per query batch."""
+    assigned, centroids = ivf_assign(df, k_cells=k_cells, vec_col=vec_col, seed=seed)
+    (
+        assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Reload a :func:`build_ivf_index` artifact: (assigned vectors,
+    centroid matrix).  The centroid table is tiny (k rows) — the one
+    driver-side fetch a serving session pays once."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return vectors, [[float(x) for x in r["centroid"]] for r in cents]
+
+
+def ivf_search_prebuilt(
+    index: tuple[DataFrame, list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve a query batch against a prebuilt/loaded IVF index — no
+    k-means fit on the serving path (the whole point of an index).
+    Same multi-probe ranking and cogrouped BLAS scoring as
+    :func:`ivf_search`."""
+    assigned, centroids = index
+    build = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).cast("array<double>").alias("v2"),
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("d1"),
+        F.col(query_vec_col).cast("array<double>").alias("_vd"),
+    )
+    probe = qpre.select(
+        F.col("d1"),
+        F.col("_vd").alias("v1"),
+        F.explode(_probe_cells(centroids, n_probe)).alias("cell"),
+    )
+    out = _ivf_cogroup_topk(
+        probe,
+        build,
+        k=k,
+        id_type=queries.schema[query_id_col].dataType.simpleString(),
+        exclude_self=False,
+    )
+    return out.select(
+        F.col("d1").alias(query_id_col),
+        F.col("d2").alias(id_col),
+        "cosine_sim",
+        "rnk",
     )

@@ -218,3 +218,34 @@ def test_ivf_search_external_queries(spark):
         top = min(rows, key=lambda r: r["rnk"])
         assert top["vec_id"] == qid and top["cosine_sim"] == 1.0
         assert len(rows) == 3
+
+
+def test_ivf_index_build_load_serve_roundtrip(spark, tmp_path):
+    """build -> write partitioned by cell -> reload -> serve must equal
+    the inline ivf_search (same seed, same probes), with no k-means fit
+    on the serving path."""
+    from metalpipe_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_search_prebuilt,
+        load_ivf_index,
+    )
+    from metalpipe_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_search(emb, queries, k=5, n_probe=2).collect()
+    }
+    idx_path = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx_path)
+    index = load_ivf_index(spark, idx_path)
+    served = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_search_prebuilt(index, queries, k=5, n_probe=2).collect()
+    }
+    assert served == inline and served
