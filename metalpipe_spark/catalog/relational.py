@@ -554,3 +554,44 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "ts", "asof_ts", "asof_value").orderBy(
         "event_id"
     )
+
+
+@register(
+    "q_funnel",
+    """
+    WITH w1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w2
+    )
+    SELECT user_id,
+           CAST(CASE WHEN MIN(t2) IS NOT NULL THEN 3
+                     WHEN MIN(t1) IS NOT NULL THEN 2
+                     WHEN MIN(t0) IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           epoch_ms(MIN(t0)) AS view_ms,
+           epoch_ms(MIN(t1)) AS click_ms,
+           epoch_ms(MIN(t2)) AS purchase_ms
+    FROM w3
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "Ordered conversion funnel (view -> click -> purchase): chained "
+        "conditional MIN windows over one user-key exchange, then one "
+        "groupBy on the same key."
+    ),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.aggregate import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"]).orderBy("user_id")

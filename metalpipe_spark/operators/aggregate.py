@@ -108,3 +108,47 @@ def row_stat_collector(df: DataFrame, columns: list[str] | None = None) -> DataF
         row.select(F.explode(F.array(*profiles)).alias("p"))
         .select("p.*")
     )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the first timestamp of each
+    stage that occurs AT OR AFTER the previous stage's first timestamp,
+    plus the deepest stage reached (0..len(stages)).
+
+    Plan shape: chained conditional MIN windows over ONE hash exchange
+    on ``user_col`` (each stage's window reuses the same partitioning,
+    so Catalyst inserts no further shuffles — plan-tested) followed by
+    the final per-user groupBy on the same key.  Per-task state is one
+    user's events; no joins, no self-unions."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col)
+    out = df
+    prev_t = None
+    tcols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_t))
+        name = f"__t{i}"
+        out = out.withColumn(
+            name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = name
+        tcols.append(name)
+    stage_expr = F.lit(0)
+    for i in range(len(stages)):
+        stage_expr = F.when(
+            F.min(F.col(tcols[i])).isNotNull(), F.lit(i + 1)
+        ).otherwise(stage_expr)
+    aggs = [stage_expr.cast("long").alias("stage")] + [
+        F.unix_millis(F.min(tcols[i])).alias(f"{stages[i]}_ms")
+        for i in range(len(stages))
+    ]
+    return out.groupBy(user_col).agg(*aggs)

@@ -289,3 +289,16 @@ def test_quality_filter_no_shuffle(spark):
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     assert _nodes(_formatted(quality_filter(docs)), "Exchange") == 0
+
+
+def test_funnel_single_user_exchange(spark):
+    """Three chained stage windows + the final groupBy must share ONE
+    hash exchange on user_id (same-key windows reuse partitioning)."""
+    from metalpipe_spark.operators.aggregate import funnel
+
+    from metalpipe_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    plan = _formatted(funnel(ev, ["view", "click", "purchase"]))
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "Window") == 3, plan
