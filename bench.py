@@ -27,6 +27,8 @@ HEADLINE = [
     "q_asof_clicks",
     "q_window_top_orders",
     "q_filter_events",
+    "q_funnel",
+    "q_retention_cohorts",
     # config/language entry paths
     "q_pipeline_yaml",
     "q_mtl_events",

@@ -595,3 +595,30 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel(events, ["view", "click", "purchase"]).orderBy("user_id")
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', c.cohort_day, d.day)::BIGINT AS day_offset,
+           COUNT(*) AS n_users
+    FROM days d JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc=(
+        "Cohort retention: first-active-day cohorts x active-day "
+        "offsets; distinct-day dedup then same-key aggregates."
+    ),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.aggregate import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events).orderBy("cohort_day", "day_offset")

@@ -152,3 +152,32 @@ def funnel(
         for i in range(len(stages))
     ]
     return out.groupBy(user_col).agg(*aggs)
+
+
+def retention_cohorts(
+    df: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later active day as an offset from their cohort day →
+    ``(cohort_day, day_offset, n_users)``.
+
+    Plan shape: distinct (user, day) → per-user min day (same-key
+    groupBy, exchange reused) → join back on user (co-located) → count
+    per (cohort, offset).  All aggregates partial-combine map-side;
+    nothing is per-event after the first distinct."""
+    days = df.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    cohort = days.groupBy(user_col).agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, user_col)
+        .groupBy(
+            # string day so results stay canonical across engines (DATE
+            # cells canonicalize differently per client library)
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
