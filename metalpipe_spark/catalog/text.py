@@ -475,3 +475,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_filter(docs).orderBy("doc_id")
+
+
+@register(
+    "q_distinctive_terms",
+    """
+    WITH tk AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT lang, tok, COUNT(*) AS tf FROM tk GROUP BY lang, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df_docs FROM tk GROUP BY tok),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, tok, tf, df_docs,
+             tf::DOUBLE * nd.n_docs::DOUBLE / df_docs::DOUBLE AS score
+      FROM tf JOIN dfreq USING (tok), nd
+      WHERE df_docs >= 2
+    ),
+    ranked AS (
+      SELECT lang, tok, tf, df_docs, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score DESC, tok
+             )::BIGINT AS rnk
+      FROM scored
+    )
+    SELECT lang, tok, tf, df_docs, score, rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY lang, rnk
+    """,
+    doc=(
+        "Top-10 distinctive terms per language: log-free rational "
+        "TF-IDF (exact ints, one division), WindowGroupLimit top-k."
+    ),
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import distinctive_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, k=10).orderBy("lang", "rnk")

@@ -386,3 +386,56 @@ def quality_filter(
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    group_col: str = "lang",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Top-k distinctive terms per group — TF-IDF in spirit, but scored
+    with the log-free rational form ``tf_group * N_docs / df_corpus``
+    (identical ranking to tf·idf for a fixed corpus, and exact integer
+    arithmetic until one final double division, so results hash-match
+    across engines; ``ln`` would differ in the last ulp between libms).
+
+    Plan: token explode → per-(group, token) counts and per-token doc
+    frequency (both map-side combined) → co-located join on token →
+    row_number ≤ k per group (WindowGroupLimit pushdown)."""
+    toks = df.select(
+        F.col(group_col), F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), r" ")).alias("tok"),
+    )
+    tf = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    n_docs = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .where(F.col("df_docs") >= min_doc_freq)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            group_col,
+            "tok",
+            "tf",
+            "df_docs",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df_docs").cast("double")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
