@@ -413,3 +413,44 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_level_dedup(docs, chunk_tokens=_PCHUNK).orderBy("doc_id")
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id AS corpus_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM ctoks
+    ),
+    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM bench),
+    bsh AS (
+      SELECT DISTINCT doc_id AS benchmark_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM btoks
+    )
+    SELECT corpus_id, benchmark_id, COUNT(*) AS shared_shingles
+    FROM csh JOIN bsh USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY corpus_id, benchmark_id
+    """,
+    doc=(
+        "Benchmark decontamination report: corpus docs (even ids) "
+        "sharing >= 3 distinct 3-grams with any benchmark doc (odd "
+        "ids); benchmark shingle index broadcasts."
+    ),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    bench = docs.where(F.col("doc_id") % 2 == 1)
+    _, report = decontaminate(corpus, bench, min_shared=3)
+    return report.orderBy("corpus_id", "benchmark_id")

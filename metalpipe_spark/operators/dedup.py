@@ -555,3 +555,48 @@ def chunk_level_dedup(
             ).alias(text_col)
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 3,
+    broadcast_benchmark: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_shared`` distinct word n-grams with ANY benchmark document,
+    and return ``(clean_corpus, contamination_report)``.  The report
+    has one row per contaminated (corpus doc, benchmark doc) pair with
+    the shared-shingle count.
+
+    Scale shape: the benchmark (eval sets are small by definition) is
+    exploded to a distinct shingle index and BROADCAST — corpus-side
+    work is a map-side hash-join probe per shingle, no corpus shuffle
+    for candidate generation; only the per-pair count aggregates.  Set
+    ``broadcast_benchmark=False`` for a giant benchmark (falls back to
+    the co-partitioned shingle join, jaccard_candidate_pairs' shape).
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("benchmark_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    report = (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+    contaminated = report.select(
+        F.col("corpus_id").alias(id_col)
+    ).distinct()
+    clean = corpus.join(contaminated, id_col, "left_anti")
+    return clean, report

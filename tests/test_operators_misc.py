@@ -470,3 +470,19 @@ def test_repetition_signals_planted_values(spark):
     assert out[3]["dup_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
     assert out[2]["mean_word_len"] == 1.0
     assert out[3]["symbol_ratio"] == 0.0
+
+
+def test_decontaminate_clean_and_report(spark):
+    from metalpipe_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog today"
+    corpus = spark.createDataFrame(
+        [(1, leak + " plus corpus tail"), (2, "totally unrelated text here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    clean, report = decontaminate(corpus, bench, min_shared=3)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    rep = report.collect()
+    assert len(rep) == 1 and rep[0]["corpus_id"] == 1
+    assert rep[0]["benchmark_id"] == 100 and rep[0]["shared_shingles"] >= 3
