@@ -60,6 +60,35 @@ def cmd_draw(args) -> int:
     return 0
 
 
+def cmd_queries(args) -> int:
+    """List the catalog (name + one-line doc + oracle presence)."""
+    from metalpipe_spark.catalog import load_all
+
+    for name, q in sorted(load_all().items()):
+        mark = "oracle" if q.oracle else "rows-only"
+        print(f"{name:28s} [{mark}] {q.doc}")
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Print the formatted physical plan for a catalog query — the
+    plan-inspection loop (explain -> fix -> re-explain) as a first-class
+    CLI verb."""
+    from metalpipe_spark.catalog import load_all
+    from metalpipe_spark.session import get_spark
+
+    spark = get_spark(app_name="metalpipe-spark-explain", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    q = load_all()[args.query]
+    df = q.build(spark, args.sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), args.mode
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="metalpipe-spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -71,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
         # every batch node's output under this directory.
         sp.add_argument("--capture-dir", default=None)
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("queries")
+    sp.set_defaults(fn=cmd_queries)
+    sp = sub.add_parser("explain")
+    sp.add_argument("query")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--mode", default="formatted")
+    sp.set_defaults(fn=cmd_explain)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -484,3 +484,14 @@ def test_curation_pipeline_yaml_end_to_end(spark):
     # contract here, breadth is covered by q_langid's oracle row.
     langs = {r["lang_detected"] for r in top}
     assert langs and langs <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_cli_queries_and_explain(capsys):
+    from metalpipe_spark.cli import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q05_region_revenue" in out and "[oracle]" in out
+    assert main(["explain", "q01_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
