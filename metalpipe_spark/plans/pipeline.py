@@ -501,6 +501,56 @@ def _topk_per_group_node(spark, upstreams, opts):
     )
 
 
+@node_class("QualityFilter")
+def _quality_filter_node(spark, upstreams, opts):
+    """Gopher-style composite filter; ``keep_only=True`` (default) drops
+    failing docs, else annotates with keep/drop_reason."""
+    from metalpipe_spark.operators.text import quality_filter
+
+    df = _one(upstreams, "QualityFilter")
+    id_col = opts.get("id_col", "doc_id")
+    verdicts = quality_filter(df, opts.get("text_col", "text"), id_col)
+    if opts.get("keep_only", True):
+        keepers = verdicts.where(F.col("keep")).select(id_col)
+        return df.join(keepers, id_col, "left_semi")
+    return df.join(verdicts, id_col)
+
+
+@node_class("ParagraphDedup")
+def _paragraph_dedup_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.dedup import chunk_level_dedup
+
+    return chunk_level_dedup(
+        _one(upstreams, "ParagraphDedup"),
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        chunk_tokens=opts.get("chunk_tokens", 32),
+    )
+
+
+@node_class("Decontaminate")
+def _decontaminate_node(spark, upstreams, opts):
+    """Two ordered upstreams: [corpus, benchmark].  Emits the clean
+    corpus; the report is exposed via ``report_view`` (a temp view) for
+    a downstream SQLExecute node."""
+    from metalpipe_spark.operators.dedup import decontaminate
+
+    if len(upstreams) != 2:
+        raise ValueError("Decontaminate requires [corpus, benchmark] upstreams")
+    corpus, benchmark = upstreams
+    clean, report = decontaminate(
+        corpus,
+        benchmark,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        n=opts.get("n", 3),
+        min_shared=opts.get("min_shared", 3),
+    )
+    if opts.get("report_view"):
+        report.createOrReplaceTempView(opts["report_view"])
+    return clean
+
+
 @node_class("PackShards")
 def _pack_shards_node(spark, upstreams, opts):
     from metalpipe_spark.operators.curation import pack_shards

@@ -495,3 +495,34 @@ def test_cli_queries_and_explain(capsys):
     assert main(["explain", "q01_pricing_summary"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_decontaminate_and_quality_nodes(spark):
+    leak = "shared benchmark passage about spark engines at scale today"
+    corpus = [(1, leak + " and more corpus content following it"),
+              (2, "an ordinary training document with enough tokens here")]
+    bench = [(100, leak)]
+    config = {
+        "nodes": {
+            "corpus": {"class": "ParquetReader", "options": {"path": "__corpus__"}},
+            "bench": {"class": "ParquetReader", "options": {"path": "__bench__"}},
+            "decon": {
+                "class": "Decontaminate",
+                "options": {"min_shared": 3, "report_view": "decon_report"},
+            },
+            "quality": {"class": "QualityFilter"},
+            "pdedup": {"class": "ParagraphDedup"},
+        },
+        "paths": [["corpus", "decon", "quality", "pdedup"], ["bench", "decon"]],
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(corpus, ["doc_id", "text"]).write.parquet(f"{tmp}/c")
+        spark.createDataFrame(bench, ["doc_id", "text"]).write.parquet(f"{tmp}/b")
+        config["nodes"]["corpus"]["options"]["path"] = f"{tmp}/c"
+        config["nodes"]["bench"]["options"]["path"] = f"{tmp}/b"
+        p = compile_pipeline(spark, config)
+        out = p.dataframes["pdedup"].collect()
+        assert [r["doc_id"] for r in out] == [2]
+        assert spark.table("decon_report").first()["corpus_id"] == 1
