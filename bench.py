@@ -61,6 +61,7 @@ HEADLINE = [
     "q_chunk_documents",
     "q_curate_top_docs",
     "q_pack_shards",
+    "q_corpus_pipeline",
 ]
 
 

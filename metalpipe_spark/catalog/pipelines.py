@@ -91,3 +91,134 @@ def q_pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "c_mktsegment", "segment_slug", "source")
         .orderBy("o_orderkey")
     )
+
+
+def _corpus_pipeline_oracle() -> str:
+    """The full training-data pipeline as one composed SQL chain —
+    every stage reuses the fragment its standalone oracle row already
+    proved (PII chain from PII_PATTERNS, quality rules from
+    QUALITY_RULES, fingerprint dedup, 64/16 chunking, prefix-sum
+    packing)."""
+    from metalpipe_spark.operators.text import PII_PATTERNS, QUALITY_RULES
+
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    drop_when = " ".join(
+        f"WHEN {pred} THEN '{name}'" for name, pred in QUALITY_RULES
+    )
+    return f"""
+    WITH scrubbed AS (
+      SELECT doc_id, {red} AS text FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM scrubbed
+    ),
+    q AS (
+      SELECT doc_id, text, toks, n_tokens,
+             greatest(n_tokens - 1, 0) AS bi_all,
+             greatest(n_tokens - 2, 0) AS tri_all,
+             len(list_distinct(list_transform(range(1, greatest(n_tokens, 1)),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS bi_dist,
+             len(list_distinct(list_transform(range(1, greatest(n_tokens - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tri_dist,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+      FROM sig
+    ),
+    rated AS (
+      SELECT doc_id, text, toks, n_tokens,
+             CASE WHEN bi_all > 0
+                  THEN (bi_all - least(bi_dist, bi_all))::DOUBLE / bi_all::DOUBLE
+                  ELSE 0.0 END AS dup_bigram_frac,
+             CASE WHEN tri_all > 0
+                  THEN (tri_all - least(tri_dist, tri_all))::DOUBLE / tri_all::DOUBLE
+                  ELSE 0.0 END AS dup_trigram_frac,
+             (n_chars - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS mean_word_len,
+             CASE WHEN n_chars > 0
+                  THEN (n_chars - n_alnum - (n_tokens - 1))::DOUBLE / n_chars::DOUBLE
+                  ELSE 0.0 END AS symbol_ratio
+      FROM q
+    ),
+    kept AS (
+      SELECT doc_id, text, toks
+      FROM rated
+      WHERE (CASE {drop_when} ELSE NULL END) IS NULL
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(array_to_string(
+        regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+    ),
+    clean AS (
+      SELECT k.doc_id, k.toks, len(k.toks) AS n
+      FROM kept k JOIN deduped USING (doc_id)
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, greatest(n, 1) + 1, 48)) AS s
+      FROM clean
+    ),
+    chunks AS (
+      SELECT doc_id, ((s - 1) // 48)::BIGINT AS chunk_id,
+             least(64, n - s + 1)::BIGINT AS n_chunk_tokens,
+             doc_id * 1048576 + ((s - 1) // 48) AS chunk_key
+      FROM st
+      WHERE s = 1 OR s + 16 <= n
+    ),
+    packed AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             COALESCE(SUM(n_chunk_tokens) OVER (
+               ORDER BY chunk_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prefix
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           (prefix // 4096)::BIGINT AS shard_id
+    FROM packed
+    ORDER BY doc_id, chunk_id
+    """
+
+
+@register(
+    "q_corpus_pipeline",
+    _corpus_pipeline_oracle(),
+    doc=(
+        "The WHOLE training-data pipeline, hash-checked end-to-end: "
+        "PII scrub -> Gopher quality filter -> exact dedup -> 64/16 "
+        "chunking -> token-budget shard packing."
+    ),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import pack_shards
+    from metalpipe_spark.operators.dedup import exact_dedup
+    from metalpipe_spark.operators.text import (
+        chunk_documents,
+        quality_filter,
+        redact_pii,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = docs.select("doc_id", redact_pii("text").alias("text"))
+    keep = quality_filter(scrubbed).where(F.col("keep")).select("doc_id")
+    kept = scrubbed.join(keep, "doc_id", "left_semi")
+    deduped = kept.join(exact_dedup(kept), "doc_id", "left_semi")
+    chunks = chunk_documents(deduped, chunk_tokens=64, overlap=16).withColumn(
+        "chunk_key", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
+    )
+    packed = pack_shards(
+        chunks.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_key"),
+        "n_chunk_tokens",
+        "chunk_key",
+        4096,
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "n_chunk_tokens", "shard_id"
+    ).orderBy("doc_id", "chunk_id")
