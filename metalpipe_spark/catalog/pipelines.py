@@ -218,6 +218,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         "chunk_key",
         4096,
+        persist=True,  # the 5-stage upstream is expensive; compute once
     )
     return packed.select(
         "doc_id", "chunk_id", "n_chunk_tokens", "shard_id"
