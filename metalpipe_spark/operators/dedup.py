@@ -600,3 +600,89 @@ def decontaminate(
     ).distinct()
     clean = corpus.join(contaminated, id_col, "left_anti")
     return clean, report
+
+
+def band_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable LSH state for incremental near-dup dedup: one
+    ``(band_key, doc_id, minhash)`` row per band per document.  At
+    warehouse scale write it bucketed on ``band_key`` so every future
+    batch joins co-located."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[
+                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), "minhash", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+def incremental_neardup_dedup(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW batch against the accumulated corpus —
+    the incremental twin of :func:`minhash_lsh_pairs`: batch signatures
+    band-join the store (co-located when the store is bucketed on
+    ``band_key``), candidates sharing a band verify by estimated
+    Jaccard, and matched new docs are dropped.  In-batch near-dups
+    resolve by connected components first (lowest id survives).
+
+    Returns ``(fresh, updated_store)``; the store grows only by the
+    surviving docs, so contested future batches dedup against
+    canonical survivors, never against already-dropped text.
+
+    Semantics note (inherent to ANY incremental near-dedup): a
+    transitive chain spanning batches — A≈B in batch 1+2, B≈C in 2+3,
+    A≉C — keeps {A, C} here (C only meets the surviving A), while a
+    full-corpus connected-components pass keeps {A} alone.  The
+    incremental answer is the one production systems ship: membership
+    is decided against surviving canonicals at arrival time."""
+    batch_bands = band_store(new_docs, text_col, id_col, n, num_hashes, bands)
+    # in-batch near-dups -> keep component minimum
+    in_pairs = minhash_lsh_pairs(
+        new_docs, text_col, id_col, n, num_hashes, bands
+    ).where(F.col("est_jaccard") >= threshold)
+    survivors = dedup_corpus(new_docs, in_pairs, id_col=id_col)
+    surv_bands = batch_bands.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    if store is not None:
+        a = surv_bands.alias("a")
+        b = store.alias("b")
+        est = F.size(
+            F.filter(F.zip_with("a.minhash", "b.minhash", lambda x, y: x == y), lambda e: e)
+        ).cast("double") / F.lit(num_hashes).cast("double")
+        hits = (
+            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+            .where(est >= threshold)
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(hits, id_col, "left_anti")
+        surv_bands = surv_bands.join(hits, id_col, "left_anti")
+    updated = surv_bands if store is None else store.unionByName(surv_bands)
+    return survivors, updated

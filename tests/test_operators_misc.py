@@ -486,3 +486,31 @@ def test_decontaminate_clean_and_report(spark):
     rep = report.collect()
     assert len(rep) == 1 and rep[0]["corpus_id"] == 1
     assert rep[0]["benchmark_id"] == 100 and rep[0]["shared_shingles"] >= 3
+
+
+def test_incremental_neardup_matches_batch_lsh(spark):
+    """Sequential batches through the incremental near-dup path keep
+    exactly the docs the full-corpus LSH + connected-components dedup
+    keeps (batches arrive in id order, so canonical mins agree)."""
+    from metalpipe_spark.operators.dedup import (
+        dedup_corpus,
+        incremental_neardup_dedup,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variant = base.replace("today", "tonight")
+    other = "completely different content about distributed query engines and shuffles"
+    docs = [(0, base), (1, other), (2, variant), (3, base), (4, other + " extras")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    full_pairs = minhash_lsh_pairs(df).where(F.col("est_jaccard") >= 0.5)
+    want = sorted(r["doc_id"] for r in dedup_corpus(df, full_pairs).collect())
+
+    store, kept = None, []
+    for lo, hi in ((0, 2), (2, 4), (4, 5)):
+        batch = df.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        fresh, store = incremental_neardup_dedup(batch, store)
+        kept += [r["doc_id"] for r in fresh.collect()]
+        store = store.localCheckpoint(eager=True)
+    assert sorted(kept) == want
