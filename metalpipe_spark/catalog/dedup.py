@@ -454,3 +454,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 2 == 1)
     _, report = decontaminate(corpus, bench, min_shared=3)
     return report.orderBy("corpus_id", "benchmark_id")
+
+
+@register(
+    "q_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_component_ctes(16, 8, _CLUSTER_THRESHOLD)},
+    sizes AS (SELECT cluster_id, COUNT(*) AS size FROM comp GROUP BY cluster_id)
+    SELECT size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY size ORDER BY size
+    """,
+    doc=(
+        "Near-dup cluster size histogram: duplication-structure profile "
+        "of the corpus (two same-key aggregates over the CC output)."
+    ),
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    return (
+        connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
