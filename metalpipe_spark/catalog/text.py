@@ -489,7 +489,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
       SELECT lang, tok, tf, df_docs,
-             tf::DOUBLE * nd.n_docs::DOUBLE / df_docs::DOUBLE AS score
+             tf::DOUBLE * (nd.n_docs - df_docs)::DOUBLE / df_docs::DOUBLE AS score
       FROM tf JOIN dfreq USING (tok), nd
       WHERE df_docs >= 2
     ),
@@ -505,8 +505,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, rnk
     """,
     doc=(
-        "Top-10 distinctive terms per language: log-free rational "
-        "TF-IDF (exact ints, one division), WindowGroupLimit top-k."
+        "Top-10 distinctive terms per language: log-free rational idf "
+        "surrogate tf*(N-df)/df (zero for corpus-wide terms, exact "
+        "ints, one division), WindowGroupLimit top-k."
     ),
 )
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -528,13 +528,33 @@ def chunk_level_dedup(
     """
     from metalpipe_spark.operators.text import chunk_documents
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"chunk_level_dedup packs ({id_col}, chunk_id) into one int64 "
+            f"and needs an integral id column, got {id_type}; map string "
+            "ids to a surrogate integer first"
+        )
     chunks = chunk_documents(
         df, text_col=text_col, id_col=id_col,
         chunk_tokens=chunk_tokens, overlap=0,
     )
     # Lexicographic (doc, chunk) order packed into one int64 so the
-    # groupBy stays a single codegen MIN (chunk_id < 2^20 per doc).
-    arg = F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id")
+    # groupBy stays a single codegen MIN.  Packing needs 0 <= id < 2^43
+    # and chunk_id < 2^20 (~33M tokens/doc at 32-token chunks);
+    # assert_true turns a silent key collision into a loud error.
+    bounds_ok = (
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << 43))
+        & (F.col("chunk_id") < F.lit(1 << 20))
+    )
+    # the guard lives INSIDE the key expression — a separate assert
+    # column would be pruned away by the optimizer
+    arg = F.when(
+        bounds_ok, F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id")
+    ).otherwise(
+        F.raise_error(F.lit("chunk_level_dedup: id/chunk out of packable range"))
+    )
     keyed = chunks.select(
         F.col(id_col), "chunk_id", "chunk_text",
         F.md5("chunk_text").alias("__fp"), arg.alias("__arg"),

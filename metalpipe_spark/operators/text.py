@@ -304,6 +304,13 @@ def length_quantiles(
     )
 
 
+def normalize_ws(text: Column | str) -> Column:
+    """Trim + collapse whitespace runs to single spaces — the token
+    delimiting every single-space-based operator here assumes."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -317,17 +324,24 @@ def repetition_signals(
     (n-gram counts come from the same codegen regex as word_shingles).
 
     Fractions are exact integer ratios divided once in DOUBLE, so
-    results hash-match any engine."""
+    results hash-match any engine.
+
+    Whitespace is normalized (trim + collapse runs to one space) BEFORE
+    any counting: raw split-on-space would count empty tokens that the
+    single-space shingle regex can never bridge, inflating dup
+    fractions on irregularly-spaced text (a doc with double spaces
+    measured dup_bigram_frac 1.0 with zero actual repetition)."""
     from metalpipe_spark.operators.dedup import word_shingles
 
-    toks = F.split(F.col(text_col), r" ")
+    norm = normalize_ws(text_col)
+    toks = F.split(norm, r" ")
     n_toks = F.size(toks)
     bi_all = F.greatest(n_toks - 1, F.lit(0))
     tri_all = F.greatest(n_toks - 2, F.lit(0))
-    bi_dist = F.size(word_shingles(text_col, 2))
-    tri_dist = F.size(word_shingles(text_col, 3))
-    n_chars = F.length(text_col)
-    n_alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    bi_dist = F.size(word_shingles(norm, 2))
+    tri_dist = F.size(word_shingles(norm, 3))
+    n_chars = F.length(norm)
+    n_alnum = F.length(F.regexp_replace(norm, r"[^A-Za-z0-9]", ""))
     n_spaces = n_toks - 1
     extra_cols = [c.alias(n) for n, c in (extra or {}).items()]
     return df.select(
@@ -374,7 +388,7 @@ def quality_filter(
     rule in declaration order (NULL when kept).  One scan, no shuffle;
     thresholds are ordinary SQL predicates so the rule table stays
     engine-portable."""
-    toks = F.size(F.split(F.col(text_col), r" ")).cast("long")
+    toks = F.size(F.split(normalize_ws(text_col), r" ")).cast("long")
     base = repetition_signals(
         df, text_col, id_col, extra={"n_tokens": toks}
     )
@@ -395,11 +409,13 @@ def distinctive_terms(
     group_col: str = "lang",
     min_doc_freq: int = 2,
 ) -> DataFrame:
-    """Top-k distinctive terms per group — TF-IDF in spirit, but scored
-    with the log-free rational form ``tf_group * N_docs / df_corpus``
-    (identical ranking to tf·idf for a fixed corpus, and exact integer
-    arithmetic until one final double division, so results hash-match
-    across engines; ``ln`` would differ in the last ulp between libms).
+    """Top-k distinctive terms per group — TF-IDF in spirit, scored
+    with the log-free rational surrogate ``tf_group * (N_docs -
+    df_corpus) / df_corpus``: like ``idf = ln(N/df)`` it is ZERO for a
+    term present in every document (so stop-words cannot dominate) and
+    decreasing in df, while staying exact-integer until one final
+    double division so results hash-match across engines (``ln``
+    differs in the last ulp between libms).
 
     Plan: token explode → per-(group, token) counts and per-token doc
     frequency (both map-side combined) → co-located join on token →
@@ -424,7 +440,7 @@ def distinctive_terms(
             "df_docs",
             (
                 F.col("tf").cast("double")
-                * F.col("n_docs").cast("double")
+                * (F.col("n_docs") - F.col("df_docs")).cast("double")
                 / F.col("df_docs").cast("double")
             ).alias("score"),
         )

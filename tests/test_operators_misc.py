@@ -514,3 +514,39 @@ def test_incremental_neardup_matches_batch_lsh(spark):
         kept += [r["doc_id"] for r in fresh.collect()]
         store = store.localCheckpoint(eager=True)
     assert sorted(kept) == want
+
+
+def test_distinctive_terms_stopwords_score_zero(spark):
+    """A term present in EVERY doc must score 0 (idf's boundary), so
+    rare group-specific terms outrank it."""
+    from metalpipe_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 5 else "de",
+          "the common filler " + ("apfel kuchen" if i >= 5 else "scone tea"))
+         for i in range(10)],
+        ["doc_id", "lang", "text"],
+    )
+    out = distinctive_terms(docs, k=3, min_doc_freq=2).collect()
+    by = {(r["lang"], r["tok"]): (r["score"], r["rnk"]) for r in out}
+    assert by[("de", "apfel")][0] > 0 and by[("en", "scone")][0] > 0
+    for (lang, tok), (score, rnk) in by.items():
+        if tok in ("the", "common", "filler"):
+            assert score == 0.0, (lang, tok)
+    assert by[("de", "apfel")][1] <= 2 and by[("en", "scone")][1] <= 2
+
+
+def test_chunk_level_dedup_rejects_string_ids(spark):
+    from metalpipe_spark.operators.dedup import chunk_level_dedup
+
+    docs = spark.createDataFrame([("docA", "hello world")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="integral id"):
+        chunk_level_dedup(docs)
+
+
+def test_chunk_level_dedup_rejects_out_of_range_ids(spark):
+    from metalpipe_spark.operators.dedup import chunk_level_dedup
+
+    docs = spark.createDataFrame([(1 << 50, "hello world")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="packable range"):
+        chunk_level_dedup(docs).collect()
