@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.similarity import (
     brute_force_topk,
+    deterministic_centroids,
     deterministic_hyperplanes,
     lsh_neardup_pairs,
     pairwise_topk_per_label,
@@ -77,39 +78,158 @@ def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_blocked_knn_gemm",
-    None,  # rows-only: BLAS accumulation order != the SQL fold (last-ulp
-    # differences), so a value-hash oracle would be flaky by construction.
-    # Parity with the oracle-hashed exact twin is tolerance-tested in
-    # tests/test_scale_utils.py instead.
+    # Value-hash oracle over INTEGER columns only: the GEMM path ranks on
+    # the 6-decimal-quantized similarity with an ascending-id tie-break
+    # (same order as the exact twin's window), so (blk, d1, d2, rnk) is
+    # engine-reproducible even though raw BLAS sums differ from the SQL
+    # fold in the last ulps.  The float column stays out of the compare;
+    # value parity of cosine_sim itself is tolerance-tested in
+    # tests/test_scale_utils.py.
+    f"""
+    WITH a AS (SELECT label AS blk, vec_id AS d1, embedding AS v1 FROM embeddings),
+         b AS (SELECT label AS blk, vec_id AS d2, embedding AS v2 FROM embeddings),
+    scored AS (
+      SELECT a.blk, d1, d2, round({_cos('v1', 'v2')}, 6) AS cosine_sim
+      FROM a JOIN b ON a.blk = b.blk AND d1 <> d2
+    ),
+    ranked AS (
+      SELECT blk, d1, d2,
+             ROW_NUMBER() OVER (PARTITION BY d1 ORDER BY cosine_sim DESC, d2) AS rnk
+      FROM scored
+    )
+    SELECT blk, d1, d2, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY d1, rnk
+    """,
     doc=(
         "Blocked exact kNN via per-cell GEMM (applyInPandas + BLAS) — the "
-        "vectorized scale path; same results as q_ann_blocked_knn to ~1e-12."
+        "vectorized scale path; identical (d1, d2, rnk) output to "
+        "q_ann_blocked_knn (quantized-rank contract)."
     ),
 )
 def q_ann_blocked_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.similarity import pairwise_topk_per_label_gemm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pairwise_topk_per_label_gemm(emb, k=3).orderBy("d1", "rnk")
+    return (
+        pairwise_topk_per_label_gemm(emb, k=3)
+        .select("blk", "d1", "d2", "rnk")
+        .orderBy("d1", "rnk")
+    )
+
+
+# Fold helper where the right operand is already DOUBLE[] (literal
+# centroid column) — mirrors Spark's cast-once-then-multiply order.
+_DOT_D = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> p[1]::DOUBLE * p[2]), (acc, x) -> acc + x)"
+)
+
+
+def _lit_vec(vec: list[float]) -> str:
+    """DuckDB literal DOUBLE[] via string casts — string→double parse is
+    correctly rounded in both engines, so the inlined matrix is the SAME
+    doubles Spark's ``1.23D`` literals parse to (a bare decimal literal
+    would go through DECIMAL and can lose the last ulp)."""
+    return "[" + ", ".join(f"'{float(v)!r}'::DOUBLE" for v in vec) + "]"
+
+
+def _ivf_oracle(
+    centroids: list[list[float]], n_probe: int, k: int, n_queries: int
+) -> str:
+    """Pure-SQL replay of the prebuilt-IVF serving path: literal-centroid
+    assignment (argmin of |c|² − 2·v·c/|v|, ascending-cell tie-break),
+    per-query multi-probe cell ranking, exact cosine inside probed cells,
+    quantized-rank top-k.  Bit-parity with the Spark plan everywhere it
+    matters: assignment/probe scores use the identical left fold, and the
+    compared columns are integers ranked over round(sim, 6)."""
+    cent_rows = ", ".join(
+        f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for j, c in enumerate(centroids)
+    )
+    dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
+    dot_qcv = _DOT_D.format(a="a.embedding", b="t.cv")
+    return f"""
+    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT c.vec_id, c.embedding, c.nrm, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_cv}) / c.nrm, t.cell
+               ) AS arnk
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE arnk = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qv, qn, cell FROM (
+        SELECT a.vec_id AS query_id, a.embedding AS qv, a.nrm AS qn, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_qcv}) / a.nrm, t.cell
+               ) AS prnk
+        FROM corpus a CROSS JOIN cent t
+        WHERE a.vec_id < {n_queries}
+      ) WHERE prnk <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(({_DOT.format(a='p.qv', b='a.embedding')}) / (p.qn * a.nrm), 6) AS cs
+      FROM qprobe p JOIN assigned a ON p.cell = a.cell
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+_IVF_CENTS = None
+
+
+def _ivf_cents() -> list[list[float]]:
+    global _IVF_CENTS
+    if _IVF_CENTS is None:
+        _IVF_CENTS = deterministic_centroids(8, 64)
+    return _IVF_CENTS
 
 
 @register(
     "q_ann_ivf_topk",
-    None,  # rows-only: centroids are a seeded LEARNED artifact (iterative
-    # k-means) — deterministic in-engine, not replayable in SQL.  Recall
-    # vs brute force is asserted in tests/test_scale_utils.py.
+    _ivf_oracle(deterministic_centroids(8, 64), n_probe=2, k=5, n_queries=10),
     doc=(
-        "Approximate self-kNN through a learned IVF index: spherical "
-        "k-means cells, multi-probe search (centroids as plan literals, "
-        "map-side probe ranking), cogrouped BLAS scoring per cell, one "
-        "window for the global top-k."
+        "IVF serving path over a prebuilt literal centroid set: map-side "
+        "nearest-centroid assignment (no shuffle), multi-probe cell "
+        "ranking (centroids as plan literals), cogrouped BLAS scoring "
+        "per cell, one window for the global top-k.  Integer-only "
+        "compare columns ranked over the quantized similarity.  The "
+        "LEARNED-centroid twin (spherical k-means, ivf_topk) is "
+        "recall-tested in tests/test_scale_utils.py — k-means output is "
+        "not SQL-replayable, the serving path is."
     ),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from metalpipe_spark.operators.similarity import ivf_topk
+    from metalpipe_spark.operators.similarity import (
+        ivf_assign_literal,
+        ivf_search_prebuilt,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k_cells=16, k=3, n_probe=2).orderBy("d1", "rnk")
+    cents = _ivf_cents()
+    assigned = ivf_assign_literal(emb, cents)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_search_prebuilt((assigned, cents), qs, k=5, n_probe=2)
+    return out.select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")
 
 
 def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> str:

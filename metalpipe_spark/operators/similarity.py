@@ -308,10 +308,14 @@ def pairwise_topk_per_label_gemm(
     instead of B² interpreted array folds, the shape a 100 TB ANN cell
     scan actually uses.
 
-    Values match :func:`pairwise_topk_per_label` to the last few ulps but
-    NOT bit-for-bit: BLAS accumulates blocked/SIMD, the SQL fold is
-    strictly left-to-right.  So this surface is tolerance-tested, not
-    oracle-hashed (the exact-fold twin keeps the oracle row).
+    Ordering contract matches :func:`pairwise_topk_per_label` exactly:
+    ranks are computed over the 6-decimal-QUANTIZED similarity with an
+    ascending neighbor-id tie-break (the same ``(round(sim, 6) DESC, d2
+    ASC)`` order the exact twin's window uses), so the (d1, d2, rnk)
+    output is engine-reproducible and oracle-hashable.  Raw similarities
+    still differ from the SQL fold in the last few ulps (BLAS accumulates
+    blocked/SIMD), so the emitted ``cosine_sim`` column is
+    tolerance-tested rather than hash-compared.
 
     ``max_block_size`` guards the one scale hazard: a block must fit one
     executor's Arrow group.  Oversized blocks raise — use the exact
@@ -346,14 +350,17 @@ def pairwise_topk_per_label_gemm(
         d1s, d2s, sims, rnks = [], [], [], []
         for lo in range(0, b, chunk):
             hi = min(lo + chunk, b)
-            S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
+            # Quantize BEFORE ranking: stable argsort over the rounded
+            # matrix (rows sorted by id) == window over (round(sim,6)
+            # DESC, d2 ASC) — the exact twin's order, ulp-insensitive.
+            S = np.round((V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms), 6)
             S[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf  # no self
             top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
             rows = np.repeat(np.arange(lo, hi), kk)
             cols = top.ravel()
             d1s.append(ids[rows])
             d2s.append(ids[cols])
-            sims.append(np.round(S[rows - lo, cols], 6))
+            sims.append(S[rows - lo, cols])
             rnks.append(np.tile(np.arange(1, kk + 1), hi - lo))
         return pd.DataFrame(
             {
@@ -540,7 +547,11 @@ def _ivf_cogroup_topk(
         B = np.array(build_pdf["v2"].tolist(), dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
         bn = np.sqrt((B * B).sum(axis=1))
-        S = (Q @ B.T) / np.outer(qn, bn)
+        # Quantize BEFORE ranking (stable argsort, build sorted by id):
+        # per-cell kept set is the top-k by (round(sim,6) DESC, d2 ASC),
+        # so the downstream global window reproduces the same order an
+        # exact-fold SQL oracle computes — ulp-insensitive ranks.
+        S = np.round((Q @ B.T) / np.outer(qn, bn), 6)
         q_ids = probe_pdf["d1"].to_numpy()
         b_ids = build_pdf["d2"].to_numpy()
         if exclude_self:
@@ -554,7 +565,7 @@ def _ivf_cogroup_topk(
             {
                 "d1": q_ids[rows[keep]],
                 "d2": b_ids[cols[keep]],
-                "cosine_sim": np.round(S[rows[keep], cols[keep]], 6),
+                "cosine_sim": S[rows[keep], cols[keep]],
             }
         )
 
@@ -601,6 +612,50 @@ def deterministic_hyperplanes(num: int, dim: int) -> list[list[float]]:
             row.append(1.0 if (state >> 32) & 1 else -1.0)
         planes.append(row)
     return planes
+
+
+def deterministic_centroids(num: int, dim: int) -> list[list[float]]:
+    """Fixed pseudo-random centroids in (-1, 1) from the same LCG family
+    as :func:`deterministic_hyperplanes` (different stream constant).
+
+    These are plan LITERALS: the same matrix inlines into both the Spark
+    plan and a SQL oracle, making the whole IVF serving path (assignment
+    → multi-probe → rank) replayable in any engine — the piece a LEARNED
+    centroid set (iterative k-means) can never give an oracle.
+    """
+    state = 0x9E3779B97F4A7C15
+    cents = []
+    for _ in range(num):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # 21 mantissa bits -> exactly-representable doubles whose
+            # repr() round-trips identically in every engine.
+            row.append(((state >> 43) / float(1 << 20)) - 1.0)
+        cents.append(row)
+    return cents
+
+
+def ivf_assign_literal(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment against a FIXED centroid set —
+    the serving-path complement of :func:`ivf_assign` (which learns the
+    centroids).  Adds a ``cell`` column.
+
+    Pure map-side codegen: centroids inline as plan literals and the
+    argmin is an ``array_sort`` over (score, cell) structs, so assignment
+    is shuffle-free and bit-reproducible (same left-associated fold as
+    :func:`_probe_cells`, deterministic ascending-cell tie-break) — at
+    100 TB this is how a refreshed corpus re-enters a prebuilt index
+    without a k-means fit.
+    """
+    pre = df.withColumn("_vd", F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"))
+    return pre.withColumn(
+        "cell", F.element_at(_probe_cells(centroids, 1), 1)
+    ).drop("_vd")
 
 
 def lsh_neardup_pairs(
