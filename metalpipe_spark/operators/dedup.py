@@ -68,12 +68,14 @@ def jaccard_candidate_pairs(
     sentence shared by millions of documents is a quadratic blowup on a
     single key that AQE cannot split.  Shingles above the cap are dropped
     from candidate generation (the standard production approximation —
-    ubiquitous shingles carry no near-dup signal anyway); per-doc sizes
-    still count ALL shingles, so surviving pairs' Jaccard is a lower
-    bound of the true value and exact whenever no shared shingle was
-    capped.  Because the bound is one-sided, ``threshold`` is effectively
-    stricter for pairs that did share capped shingles — lower it slightly
-    if recall near the threshold matters under a cap.
+    ubiquitous shingles carry no near-dup signal anyway).  Per-doc sizes
+    are computed over the SAME surviving-shingle universe, so the
+    reported ``jaccard`` is the exact Jaccard of the filtered shingle
+    sets and ``threshold`` keeps its stated meaning for every pair —
+    capped boilerplate neither inflates denominators nor silently
+    tightens the cut (it simply stops counting as signal on either side).
+    With the cap off the universe is all shingles and the value is the
+    classical n-gram Jaccard (the oracle-exact configuration).
 
     The cap defaults ON (1000): at corpus scale the quadratic hot-key
     path must be opted into, not out of.  ``None`` disables it (the
@@ -96,7 +98,6 @@ def jaccard_candidate_pairs(
     )
     if cache_shingles:
         sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_doc_frequency is not None:
         hot = (
@@ -106,6 +107,9 @@ def jaccard_candidate_pairs(
             .select("shingle")
         )
         joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Sizes over the surviving universe (== all shingles when uncapped)
+    # keep the Jaccard exact w.r.t. the sets actually being compared.
+    sizes = joinable.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = joinable.alias("a")
     b = joinable.alias("b")
     inter = (

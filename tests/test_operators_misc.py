@@ -186,6 +186,51 @@ def test_detect_language_char_markers(spark):
     assert got == {1: "zh", 2: "zh", 3: "en", 4: "de", 5: "unk"}
 
 
+def test_jaccard_cap_threshold_unbiased(spark):
+    """With the cap active, the reported jaccard is the EXACT Jaccard of
+    the surviving-shingle sets — a near-dup pair that also shares capped
+    boilerplate passes at the stated threshold (the old all-shingle
+    denominators made the effective threshold silently stricter)."""
+    from metalpipe_spark.operators.dedup import jaccard_candidate_pairs
+
+    boiler = "all rights reserved legal notice"
+    texts = {
+        1: f"alpha beta gamma delta {boiler}",
+        2: f"alpha beta gamma epsilon {boiler}",
+        3: f"zeta eta theta iota {boiler}",
+        4: f"kappa lam mu nu {boiler}",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    cap = 2
+
+    # Pure-Python oracle over the same 3-gram shingling.
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {d: sh(t) for d, t in texts.items()}
+    hot = {s for s in set.union(*sets.values()) if sum(s in v for v in sets.values()) > cap}
+    surv = {d: v - hot for d, v in sets.items()}
+    exact12 = len(surv[1] & surv[2]) / len(surv[1] | surv[2])
+
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_candidate_pairs(
+            docs, threshold=exact12 - 1e-9, max_doc_frequency=cap
+        ).collect()
+    }
+    # (1,2) passes AT its exact filtered Jaccard — no hidden tightening —
+    # and the value matches the set-arithmetic oracle.
+    assert (1, 2) in got
+    assert abs(got[(1, 2)] - exact12) < 1e-12
+    # Sanity: the old biased denominator (all shingles) would have failed
+    # this threshold.
+    biased12 = len(surv[1] & surv[2]) / (
+        len(sets[1]) + len(sets[2]) - len(surv[1] & surv[2])
+    )
+    assert biased12 < exact12 - 1e-9
+
+
 def test_jaccard_cap_noop_on_rare_shingles(spark):
     """A cap above every shingle's doc-frequency must not change results."""
     from metalpipe_spark.operators.dedup import jaccard_candidate_pairs

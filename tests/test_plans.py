@@ -127,6 +127,22 @@ def test_minhash_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_jaccard_cap_partial_aggregate_no_window(spark):
+    """The hot-shingle doc-frequency cap must be a map-side-combined
+    count + broadcast anti-join — never a count-window over the shingle
+    key, which would buffer the hottest shingle's full posting list in
+    one task (the exact skew the cap exists to defuse)."""
+    from metalpipe_spark.operators.dedup import jaccard_candidate_pairs
+    from metalpipe_spark.sources.readers import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _simple(jaccard_candidate_pairs(docs, max_doc_frequency=100))
+    assert "Window" not in plan
+    assert "partial_count" in plan  # df-count pre-combines map-side
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)  # hot-set removal
+
+
 def test_enrich_join_broadcasts_dim(spark):
     df = REGISTRY["q_enrich_join"].build(spark, SF_ORACLE)
     plan = _formatted(df)
