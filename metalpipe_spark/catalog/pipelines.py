@@ -217,8 +217,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_key"),
         "n_chunk_tokens",
         "chunk_key",
-        4096,
-        persist=True,  # the 5-stage upstream is expensive; compute once
+        4096,  # pack_shards checkpoints its ranged frame: the 5-stage
+        # upstream is computed once and partition membership is frozen
     )
     return packed.select(
         "doc_id", "chunk_id", "n_chunk_tokens", "shard_id"

@@ -78,7 +78,6 @@ def pack_shards(
     order_col: str,
     shard_budget: int | float,
     num_partitions: int | None = None,
-    persist: bool = False,
 ) -> DataFrame:
     """Pack rows into fixed-budget training shards: ``shard_id =
     floor(prefix_weight / shard_budget)`` where ``prefix_weight`` is the
@@ -89,30 +88,39 @@ def pack_shards(
     PARTITION BY — collapses 100 TB into ONE task.  This runs the
     classic two-pass scheme instead (zipWithIndex's shape):
 
-      1. range-partition + sort by ``order_col`` (the one shuffle);
+      1. range-partition + sort by ``order_col`` (the one shuffle),
+         lineage-truncated with a lazy checkpoint;
       2. per-partition weight totals → driver (one tiny row per
          partition), exclusive offsets computed there;
       3. Arrow-batched ``mapInPandas`` adds ``offset[pid] + local
          cumsum`` — no further shuffle, per-row work is a vectorized
          numpy cumsum.
 
+    The checkpoint in step 1 is CORRECTNESS, not a cache: steps 2 and 3
+    are separate jobs, and ``repartitionByRange`` samples its boundaries
+    with a per-RDD-id seed, so re-evaluating the lineage in each job can
+    place rows in different partitions — offsets computed in job 2 would
+    then misapply in job 3, silently corrupting shard_id near partition
+    boundaries (small inputs never show this: the sample IS the data).
+    The checkpoint is LAZY: the totals job materializes it, so the
+    upstream is evaluated exactly once total (one fewer pass than an
+    eager checkpoint), and an expensive upstream (e.g. a whole curation
+    pipeline) is never recomputed — measured 9.7s -> ~6s on the composed
+    corpus pipeline at sf0.1 versus re-evaluating per job.
+
     Shard assignment depends only on the GLOBAL prefix sum, so results
     are identical for any partition count (tested).  ``order_col`` must
-    be a unique key, otherwise "preceding" is ambiguous.  The two JVM
-    jobs each evaluate the input once; ``persist=True`` localCheckpoints
-    the range-partitioned projection so an expensive upstream (e.g. a
-    whole curation pipeline) is computed once, not twice — measured
-    9.7s -> ~6s on the composed corpus pipeline at sf0.1.
+    be a unique key, otherwise "preceding" is ambiguous.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, F.col(order_col)).sortWithinPartitions(
-        order_col
+    ranged = (
+        df.repartitionByRange(p, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .localCheckpoint(eager=False)
     )
-    if persist:
-        ranged = ranged.localCheckpoint(eager=True)
     totals = {
         r["__pid"]: r["__w"]
         for r in ranged.select(

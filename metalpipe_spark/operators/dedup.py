@@ -283,11 +283,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool):
+    """Checkpoint ``df`` lazily and return ``(checkpointed_df, backing_rdd)``.
+
+    ``backing_rdd`` is the JVM RDD the resulting LogicalRDD wraps — the
+    handle needed to actually free a ``localCheckpoint``'s
+    MEMORY_AND_DISK blocks once a later round no longer depends on it.
+    ``DataFrame.unpersist()`` only clears the SQL cache-manager entry,
+    which a checkpoint never registered, so without this handle every
+    round's edge set would stay pinned for the life of the session.
+    """
+    jdf = df._jdf.checkpoint(False) if reliable else df._jdf.localCheckpoint(False)
+    out = DataFrame(jdf, df.sparkSession)
+    return out, jdf.queryExecution().analyzed().rdd()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of a pair list → ``(node, cluster_id)`` rows,
     ``cluster_id`` = the minimum node id in the component.  Every node that
@@ -300,10 +316,17 @@ def connected_components(
     partial-aggregating, no windows buffering a hot key), and the edge
     set converges to per-component stars in O(log n) rounds even on
     pathological long-chain graphs — the property plain min-label
-    propagation (O(diameter) rounds) lacks.  Per round the lineage is
-    truncated with ``localCheckpoint``; at cluster scale prefer a
-    reliable ``checkpoint`` dir so a lost executor cannot force a full
-    recompute of all prior rounds.
+    propagation (O(diameter) rounds) lacks.
+
+    Per round the lineage is truncated with a checkpoint.  With the
+    default ``checkpoint_dir=None`` that is ``localCheckpoint`` —
+    executor-local MEMORY_AND_DISK blocks, fastest, but a lost executor
+    loses blocks with no recompute path back past the truncation.  On a
+    real cluster pass ``checkpoint_dir`` (an HDFS/object-store path):
+    rounds then write reliable checkpoint files there and survive
+    executor loss.  Files from superseded rounds are bounded (one edge
+    set per round) and are reclaimed by the context cleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
 
     Convergence is detected with a one-row count+checksum aggregate —
     no edge data ever reaches the driver.
@@ -315,21 +338,28 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    reliable = checkpoint_dir is not None
+    if reliable:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     prev_sig: tuple | None = None
-    prev_df: DataFrame | None = None
+    prev_rdd = None
     for _ in range(max_iterations):
         # Lazy checkpoint: the convergence aggregate below is the action
         # that materializes it, so each round costs ONE job (an eager
         # checkpoint + separate agg measured ~2x the wall on small
         # graphs, where per-job overhead dominates).
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges, rdd = _truncate_lineage(_small_star(_large_star(edges)), reliable)
         row = edges.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
         ).first()
-        if prev_df is not None:
-            prev_df.unpersist()
-        prev_df = edges
+        # This round is materialized past the truncation point, so the
+        # previous round's blocks can be dropped (local mode; reliable
+        # checkpoints hold no block storage — their files are the
+        # cleaner's job, see docstring).
+        if prev_rdd is not None and not reliable:
+            prev_rdd.unpersist(False)
+        prev_rdd = rdd
         sig = (row["n"], row["chk"])
         if sig == prev_sig:
             break
@@ -353,14 +383,18 @@ def dedup_corpus(
     id_col: str = "doc_id",
     src: str = "d1",
     dst: str = "d2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dup removal: cluster the candidate ``pairs`` with
     :func:`connected_components` and keep, per cluster, only the canonical
     document (minimum id).  Documents in no cluster pass through.
 
+    ``checkpoint_dir`` is forwarded to :func:`connected_components` — set
+    it on a real cluster so the clustering rounds survive executor loss.
+
     The loser set can be arbitrarily large at corpus scale, so it is
     removed with a shuffled ``left_anti`` join (never a broadcast/IN)."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    comp = connected_components(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
     losers = comp.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
@@ -381,10 +415,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     codegen, so that was ~32 interpreted traversals of a ~100-element
     array per document (measured 4.0 s vs this shape at sf0.1).
 
-    ``F.split`` yields at least ``[""]`` for any non-null string, so every
-    document survives the groupBy (row counts are preserved).
+    ``F.split`` yields at least ``[""]`` for any non-null string, and the
+    text column is coalesced to ``''`` first, so every document — null
+    text included — survives the groupBy (row counts are preserved; a
+    null-text doc fingerprints identically to an empty-text doc, the
+    same contract the pre-reshape per-row expression had).
     """
-    toks = F.array_distinct(F.split(F.col(text_col), r" "))
+    toks = F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), r" "))
     hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _hash64(F.col("__t")).alias("__h")
     )

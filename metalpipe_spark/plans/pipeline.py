@@ -458,7 +458,12 @@ def _near_dup_dedup_node(spark, upstreams, opts):
         num_hashes=opts.get("num_hashes", 16),
         bands=opts.get("bands", 8),
     ).where(F.col("est_jaccard") >= opts.get("threshold", 0.5))
-    return dedup_corpus(df, pairs, id_col=opts.get("id_col", "doc_id"))
+    return dedup_corpus(
+        df,
+        pairs,
+        id_col=opts.get("id_col", "doc_id"),
+        checkpoint_dir=opts.get("checkpoint_dir"),
+    )
 
 
 @node_class("ChunkDocuments")

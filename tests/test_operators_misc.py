@@ -315,6 +315,46 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """With checkpoint_dir set, rounds write reliable checkpoint files
+    (executor-loss-safe at cluster scale) and the result is unchanged."""
+    import os
+
+    from metalpipe_spark.operators.dedup import connected_components
+
+    ckdir = str(tmp_path / "cc_ckpt")
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    # at least one round actually hit the reliable dir
+    found = [
+        name
+        for _, dirs, _ in os.walk(ckdir)
+        for name in dirs
+        if name.startswith("rdd-")
+    ]
+    assert found, "no rdd-* checkpoint directories written"
+
+
+def test_connected_components_frees_prior_round_blocks(spark):
+    """localCheckpoint mode must not pin every round's edge set: after a
+    multi-round run at most ONE new persistent RDD (the final round the
+    result DataFrame is built on) may remain."""
+    from metalpipe_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    chain = [(i, i + 1) for i in range(63)]  # needs several rounds
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    connected_components(df).collect()
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    assert len(after - before) <= 1
+
+
 def test_dedup_corpus_keeps_canonical_and_isolated(spark):
     from metalpipe_spark.operators.dedup import dedup_corpus
 
@@ -447,6 +487,21 @@ def test_connected_components_iteration_guard(spark):
     df = spark.createDataFrame(chain, ["d1", "d2"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=1)
+
+
+def test_simhash_preserves_null_text_rows(spark):
+    """Null-text docs must still get a fingerprint row (explode of a null
+    array emits nothing, so the text column is coalesced to '' first) and
+    fingerprint identically to empty-text docs."""
+    from metalpipe_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == got[3]
 
 
 def test_simhash_neardup_pigeonhole_guarantee(spark):
