@@ -46,8 +46,10 @@ HEADLINE = [
     "q_paragraph_dedup",
     # similarity search
     "q_ann_brute_topk",
+    "q_ann_batch_topk",
     "q_ann_blocked_knn",
     "q_ann_blocked_knn_gemm",
+    "q_ann_ivf_topk",
     "q_embed_neardup_lsh",
     # text analysis
     "q_langid",
@@ -56,12 +58,22 @@ HEADLINE = [
     "q_token_commonness",
     "q_repetition_signals",
     "q_quality_filter",
+    "q_distinctive_terms",
+    "q_length_quantiles",
+    "q_tokenize_regex",
+    "q_fingerprint",
     # curation / packing
     "q_pii_scrub",
     "q_chunk_documents",
     "q_curate_top_docs",
     "q_pack_shards",
     "q_corpus_pipeline",
+    # structured streaming (availableNow micro-batch runs; timings are
+    # dominated by fixed stream-lifecycle overhead, tracked anyway so
+    # regressions in the stateful paths show up)
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_stats",
 ]
 
 
