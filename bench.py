@@ -136,20 +136,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = registry[name]
         # Independent timings: drop persisted intermediates from prior
         # queries so no plan silently reuses another query's cache.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        # Checksum drain: referencing every column in the aggregate
-        # defeats column pruning, so the payload expressions actually run.
-        df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),  # no ANSI overflow
-        ).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # One broken query must never zero the whole bench signal: record
+        # the error and keep timing the rest.
+        try:
+            df = q.build(spark, sf_dir)
+            # Checksum drain: referencing every column in the aggregate
+            # defeats column pruning, so the payload expressions actually run.
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),  # no ANSI overflow
+            ).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,6 +171,7 @@ def main() -> None:
                 # (column-pruned); r02+ checksum every output column, so
                 # cross-round diffs must compare like with like.
                 "drain": "xxhash64-checksum",
+                **({"errors": errors} if errors else {}),
             }
         )
     )

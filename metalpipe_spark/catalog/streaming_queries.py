@@ -23,16 +23,29 @@ from metalpipe_spark.streaming.streams import (
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file-source stream (schema from the batch
-    reader, including the nanos->micros ts normalization)."""
+    """The events table as a file-source stream.
+
+    The physical type of ``events.ts`` depends on the writer/reader
+    combination: TIMESTAMP(NANOS) surfaces as bigint nanos under the
+    legacy conf (older driver data), while newer Spark reads micros
+    parquet as TIMESTAMP_NTZ.  A hard-coded ``ts long`` schema would
+    silently reinterpret micros as nanos — a 1000x timestamp shift — so
+    probe the batch reader for the actual type and build the streaming
+    schema to match.  ``file_watchdog`` normalizes any NTZ column to
+    tz-aware ``timestamp``."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = file_watchdog(
-        spark,
-        sf_dir,
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-        glob="events.parquet",
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(probe.dtypes).get("ts") == "bigint":
+        raw = file_watchdog(
+            spark,
+            sf_dir,
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+            glob="events.parquet",
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return file_watchdog(spark, sf_dir, probe.schema, glob="events.parquet")
 
 
 @register(

@@ -46,8 +46,13 @@ def seconds_epoch_to_datetime(sec: Column | str) -> Column:
 
 
 def datetime_to_milliseconds(ts: Column | str) -> Column:
-    """helpers.py:225-226 — timestamp → epoch milliseconds."""
-    return F.unix_millis(_col(ts))
+    """helpers.py:225-226 — timestamp → epoch milliseconds.
+
+    Casts through ``timestamp`` so TIMESTAMP_NTZ inputs (how newer Spark
+    reads un-annotated parquet timestamps) work; the session timezone is
+    pinned UTC, so the instant is unchanged.
+    """
+    return F.unix_millis(_col(ts).cast("timestamp"))
 
 
 def now_milliseconds() -> Column:

@@ -63,25 +63,32 @@ def attach_streaming_progress(spark: SparkSession, sink: list[dict]) -> None:
     reference's queue-throughput counters) into ``sink``."""
     from pyspark.sql.streaming import StreamingQueryListener
 
+    import logging
+
+    log = logging.getLogger(__name__)
+
     class _L(StreamingQueryListener):
         def onQueryStarted(self, event):
-            pass
+            log.debug("stream started: %s", getattr(event, "id", None))
 
         def onQueryProgress(self, event):
-            p = event.progress
-            sink.append(
-                {
-                    "id": str(p.id),
-                    "batchId": p.batchId,
-                    "numInputRows": p.numInputRows,
-                    "processedRowsPerSecond": p.processedRowsPerSecond,
-                }
-            )
+            try:
+                p = event.progress
+                sink.append(
+                    {
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                    }
+                )
+            except Exception:
+                log.debug("progress event dropped", exc_info=True)
 
         def onQueryIdle(self, event):
-            pass
+            log.debug("stream idle: %s", getattr(event, "id", None))
 
         def onQueryTerminated(self, event):
-            pass
+            log.debug("stream terminated: %s", getattr(event, "id", None))
 
     spark.streams.addListener(_L())

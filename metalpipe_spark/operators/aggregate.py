@@ -148,7 +148,7 @@ def funnel(
             F.min(F.col(tcols[i])).isNotNull(), F.lit(i + 1)
         ).otherwise(stage_expr)
     aggs = [stage_expr.cast("long").alias("stage")] + [
-        F.unix_millis(F.min(tcols[i])).alias(f"{stages[i]}_ms")
+        F.unix_millis(F.min(tcols[i]).cast("timestamp")).alias(f"{stages[i]}_ms")
         for i in range(len(stages))
     ]
     return out.groupBy(user_col).agg(*aggs)

@@ -34,16 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; read it as raw nanos (legacy conf) and
     truncate to microseconds with integer division — ``ts div 1000`` stays
     in LONG arithmetic, so no double rounding on int64 nanos.
-    """
-    if name == "events":
-        from pyspark.sql import functions as F
 
+    Depending on the Spark version / reader config, parquet timestamps may
+    also surface as TIMESTAMP_NTZ (PySpark 4.1 reads the driver parquet this
+    way).  NTZ breaks ``unix_millis`` and Structured Streaming watermarks,
+    so normalize every ``timestamp_ntz`` column to ``timestamp`` here.  The
+    session timezone is pinned to UTC (session.py), so the wall-clock value
+    maps to the identical instant and the DuckDB oracle is unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _event_time_safe(df: DataFrame, *ts_cols: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; newer Spark reads un-annotated parquet
+    as TIMESTAMP_NTZ, which Structured Streaming rejects outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Cast any NTZ event-time column
+    to ``timestamp`` — session tz is pinned UTC, so the instant is
+    unchanged."""
+    dtypes = dict(df.dtypes)
+    for c in ts_cols:
+        if dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def file_watchdog(
     spark: SparkSession,
     directory: str,
@@ -46,7 +59,9 @@ def file_watchdog(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return reader.load(directory)
+    df = reader.load(directory)
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    return _event_time_safe(df, *ntz)
 
 
 def rate_emitter(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
@@ -74,6 +89,7 @@ def tumbling_window(
     keys = [F.window(ts_col, window_size).alias("window")] + [
         F.col(c) for c in (group_by or [])
     ]
+    df = _event_time_safe(df, ts_col)
     return df.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
 
 
@@ -86,6 +102,7 @@ def sliding_window(
     watermark: str = "30 seconds",
 ) -> DataFrame:
     """Sliding variant — emit every ``slide``, covering ``window_size``."""
+    df = _event_time_safe(df, ts_col)
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_size, slide).alias("window"))
@@ -103,6 +120,7 @@ def session_window(
 ) -> DataFrame:
     """Session windows (gap-based) — beyond the reference's surface but
     part of the engine's windowing family."""
+    df = _event_time_safe(df, ts_col)
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("session"), *key_cols)
@@ -127,8 +145,8 @@ def streaming_join(
     on both sides (state TTL, which the TimedDict approximated with
     wall-clock expiry)."""
     keys = [on] if isinstance(on, str) else list(on)
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _event_time_safe(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time_safe(right, right_ts).withWatermark(right_ts, watermark)
     cond = None
     for k in keys:
         c = lw[k] == rw[k]
@@ -148,6 +166,7 @@ def deduplicate_stream(
 ) -> DataFrame:
     """Streaming exact-dedup within the watermark horizon — the streaming
     face of the dedup family (state is bounded by the watermark)."""
+    df = _event_time_safe(df, ts_col)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 

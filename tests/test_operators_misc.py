@@ -650,3 +650,33 @@ def test_chunk_level_dedup_rejects_out_of_range_ids(spark):
     docs = spark.createDataFrame([(1 << 50, "hello world")], ["doc_id", "text"])
     with pytest.raises(Exception, match="packable range"):
         chunk_level_dedup(docs).collect()
+
+
+def test_catalog_timestamps_are_tz_aware(spark):
+    """Environment-drift canary: newer Spark reads un-annotated parquet
+    timestamps as TIMESTAMP_NTZ, which breaks ``unix_millis`` and
+    Structured Streaming watermarks.  ``load_table`` must normalize every
+    timestamp column to tz-aware TimestampType; if a Spark upgrade changes
+    reader behavior again, this one test goes red instead of 13 scattered
+    ones."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from metalpipe_spark.sources.readers import TPCH_TABLES, load_table
+
+    for name in TPCH_TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        for field in df.schema.fields:
+            assert "timestamp_ntz" not in field.dataType.simpleString(), (
+                name,
+                field.name,
+                field.dataType,
+            )
+            if field.dataType.typeName().startswith("timestamp"):
+                assert isinstance(field.dataType, TimestampType), (name, field.name)
+
+    # unix_millis smoke over the real events table — the exact call that
+    # failed under PySpark 4.1's NTZ read.
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    row = events.select(F.unix_millis("ts").alias("ms")).first()
+    assert row["ms"] is not None and row["ms"] > 0
