@@ -38,12 +38,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Depending on the Spark version / reader config, parquet timestamps may
     also surface as TIMESTAMP_NTZ (PySpark 4.1 reads the driver parquet this
     way).  NTZ breaks ``unix_millis`` and Structured Streaming watermarks,
-    so normalize every ``timestamp_ntz`` column to ``timestamp`` here.  The
-    session timezone is pinned to UTC (session.py), so the wall-clock value
-    maps to the identical instant and the DuckDB oracle is unaffected.
+    so normalize to tz-aware ``timestamp`` — at the SCAN, not as a
+    projection: ``inferTimestampNTZ.enabled=false`` makes the parquet
+    reader emit TIMESTAMP directly, so predicates on timestamp columns
+    (``l_shipdate``, ``o_orderdate``) still push down to the scan.  A
+    projection cast would sit between filter and scan and disable
+    pushdown on every TPC-H hot path.  The cast loop below is only a
+    fallback for readers that ignore the conf.  The session timezone is
+    pinned to UTC (session.py), so the wall-clock value maps to the
+    identical instant and the DuckDB oracle is unaffected.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
