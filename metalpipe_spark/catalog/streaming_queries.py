@@ -6,6 +6,7 @@ same data (SURVEY.md §2.11)."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,10 +17,20 @@ from metalpipe_spark.streaming.streams import (
     deduplicate_stream,
     file_watchdog,
     run_to_memory,
+    sized_state_partitions,
+    state_partition_scope,
     stateful_running_stats,
     streaming_join,
     tumbling_window,
 )
+
+
+def _events_state_scope(spark: SparkSession, sf_dir: str):
+    """State partitions sized to the events source volume (streams.py:
+    state-store instances dominate stateful cost, so their count must
+    track state size, not a fixed session default)."""
+    size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    return state_partition_scope(spark, sized_state_partitions(size))
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,8 +44,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the batch reader for the actual type and build the streaming
     schema to match.  ``file_watchdog`` normalizes any NTZ column to
     tz-aware ``timestamp``."""
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(probe.dtypes).get("ts") == "bigint":
@@ -74,7 +83,10 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 second",
         group_by=["event_type"],
     )
-    out = run_to_memory(agg, f"cat_stream_{uuid.uuid4().hex[:8]}", spark, output_mode="complete")
+    with _events_state_scope(spark, sf_dir):
+        out = run_to_memory(
+            agg, f"cat_stream_{uuid.uuid4().hex[:8]}", spark, output_mode="complete"
+        )
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type",
@@ -106,9 +118,10 @@ def q_stream_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir).select("user_id", "value")
     stats = stateful_running_stats(stream, "user_id", "value")
-    out = run_to_memory(
-        stats, f"cat_sstats_{uuid.uuid4().hex[:8]}", spark, output_mode="update"
-    )
+    with _events_state_scope(spark, sf_dir):
+        out = run_to_memory(
+            stats, f"cat_sstats_{uuid.uuid4().hex[:8]}", spark, output_mode="update"
+        )
     # One parquet file -> one availableNow micro-batch -> exactly one
     # state emission per key; max_by(n) guards re-emits if a runner
     # splits input into several batches (the final state has the largest
@@ -139,7 +152,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = deduplicate_stream(
         stream, ["user_id", "event_type"], "ts", watermark="365 days"
     )
-    out = run_to_memory(deduped, f"cat_sdedup_{uuid.uuid4().hex[:8]}", spark)
+    with _events_state_scope(spark, sf_dir):
+        out = run_to_memory(deduped, f"cat_sdedup_{uuid.uuid4().hex[:8]}", spark)
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
@@ -196,7 +210,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="1 hour",
         watermark="1 hour",
     )
-    out = run_to_memory(joined, f"cat_sjoin_{uuid.uuid4().hex[:8]}", spark)
+    with _events_state_scope(spark, sf_dir):
+        out = run_to_memory(joined, f"cat_sjoin_{uuid.uuid4().hex[:8]}", spark)
     return out.select(
         "user_id",
         "click_id",
