@@ -24,6 +24,11 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Read un-annotated parquet timestamps as tz-aware TIMESTAMP at the
+    # scan (not TIMESTAMP_NTZ): keeps unix_millis/watermarks working and
+    # timestamp predicates pushed down.  load_table also sets this at
+    # runtime so driver-owned sessions get the same behavior.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # 128 MiB input splits: the parquet-scan sweet spot for wide clusters.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Let small dims broadcast aggressively; AQE converts to broadcast

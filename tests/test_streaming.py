@@ -237,3 +237,20 @@ def test_streaming_incremental_dedup_foreach_batch(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(kept_path).collect())
     want = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
     assert kept == want == [0, 1, 3, 5, 7]
+
+
+def test_sized_state_partitions_scales_with_volume():
+    from metalpipe_spark.streaming.streams import sized_state_partitions
+
+    assert sized_state_partitions(10 * 1024 * 1024) == 8  # floor at small inputs
+    assert sized_state_partitions(320 * 1024 * 1024) == 11
+    assert sized_state_partitions(100 * 1024**4) == 10_000  # 100 TB hits the ceiling
+
+
+def test_state_partition_scope_restores_conf(spark):
+    from metalpipe_spark.streaming.streams import state_partition_scope
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_partition_scope(spark, 7):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
