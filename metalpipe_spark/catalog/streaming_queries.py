@@ -29,7 +29,15 @@ def _events_state_scope(spark: SparkSession, sf_dir: str):
     """State partitions sized to the events source volume (streams.py:
     state-store instances dominate stateful cost, so their count must
     track state size, not a fixed session default)."""
-    size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        size = os.path.getsize(path)
     return state_partition_scope(spark, sized_state_partitions(size))
 
 
