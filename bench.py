@@ -29,6 +29,7 @@ HEADLINE = [
     "q_filter_events",
     "q_funnel",
     "q_retention_cohorts",
+    "q_merge_upsert",
     # config/language entry paths
     "q_pipeline_yaml",
     "q_mtl_events",

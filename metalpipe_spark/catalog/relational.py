@@ -622,3 +622,44 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return retention_cohorts(events).orderBy("cohort_day", "day_offset")
+
+
+@register(
+    "q_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), updates AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    UNION ALL
+    SELECT t.o_orderkey, t.o_custkey, t.o_totalprice
+    FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    ORDER BY o_orderkey
+    """,
+    doc=(
+        "MERGE / upsert semantics (SURVEY §4.2.3 divergence closed): "
+        "updates replace matched keys, new keys insert, unmatched target "
+        "rows pass through — one left_anti join + union, no window.  The "
+        "write-path twin (dynamic partition overwrite onto parquet) is "
+        "unit-tested in test_http_sinks."
+    ),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.sinks.writers import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    updates = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).cast("double").alias("o_totalprice"),
+    )
+    return merge_upsert(target, updates, "o_orderkey").orderBy("o_orderkey")

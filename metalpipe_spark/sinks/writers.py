@@ -147,3 +147,79 @@ def write_bucketed(
         scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
         w = w.sortBy(*scols)
     w.format("parquet").saveAsTable(table)
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key_cols: list[str] | str
+) -> DataFrame:
+    """MERGE semantics as a relation: every target row whose key appears
+    in ``updates`` is replaced by the update row (WHEN MATCHED UPDATE),
+    update rows with new keys are appended (WHEN NOT MATCHED INSERT),
+    untouched target rows pass through.
+
+    The reference publishes via staging ``INSERT INTO`` only
+    (civis_nodes.py:99-163) and leaves dedup-on-key to Redshift
+    consumers; this completes the documented SURVEY §4.2.3 divergence
+    with the Spark form: one ``left_anti`` join on the key (shuffle on
+    both sides, map-side prunable) + a union — no window, no driver
+    state, so the merge scales with the smaller of the two inputs'
+    shuffle width."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    survivors = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def upsert_parquet(
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str] | str,
+    partition_col: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """MERGE into a partitioned parquet directory — the lakehouse-free
+    upsert.  Only the partitions the batch touches are rewritten:
+
+    1. the touched partition VALUES (bounded by the number of partitions
+       in the batch — a few hundred at most, never row-scale) select the
+       target slice with partition pruning at the scan;
+    2. :func:`merge_upsert` replaces matched keys within that slice;
+    3. the merged slice is written back with
+       ``partitionOverwriteMode=dynamic``, so untouched partitions'
+       files are never listed, read, or replaced.
+
+    Spark refuses to overwrite a path that feeds the writing plan, so
+    the merged slice is checkpointed first (lineage cut).  With the
+    default ``checkpoint_dir=None`` that is ``localCheckpoint`` — fine
+    single-node, but a lost executor during the write loses blocks; on
+    a real cluster pass ``checkpoint_dir`` (HDFS/object store) just
+    like ``connected_components``.
+
+    A first write (no target yet) degenerates to a plain partitioned
+    write."""
+    import os
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    spark = updates.sparkSession
+    exists = os.path.isdir(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    if not exists:
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target_slice = spark.read.parquet(path).where(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_upsert(target_slice, updates, keys)
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        merged = merged.checkpoint(eager=True)
+    else:
+        merged = merged.localCheckpoint(eager=True)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)

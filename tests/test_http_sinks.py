@@ -195,3 +195,61 @@ def test_http_sources_against_real_localhost_server(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_upsert_parquet_rewrites_only_touched_partitions(spark, tmp_path):
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "target")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        ["id", "part", "v"],
+    )
+    upsert_parquet(initial, path, "id", "part")
+
+    import os
+    import time
+
+    c_files = {
+        f: os.path.getmtime(os.path.join(path, "part=c", f))
+        for f in os.listdir(os.path.join(path, "part=c"))
+        if f.endswith(".parquet")
+    }
+    time.sleep(1.1)
+
+    # update id=2 (partition a), insert id=5 (partition b); partition c untouched
+    batch = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "b", 50.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(batch, path, "id", "part")
+
+    rows = {
+        r["id"]: (r["part"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("a", 99.0),  # matched key replaced
+        3: ("b", 30.0),
+        4: ("c", 40.0),  # untouched partition intact
+        5: ("b", 50.0),  # new key inserted
+    }
+    # untouched partition's files were not rewritten
+    for f, mtime in c_files.items():
+        assert os.path.getmtime(os.path.join(path, "part=c", f)) == mtime
+
+
+def test_merge_upsert_multi_key(spark):
+    from metalpipe_spark.sinks.writers import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0)], ["k1", "k2", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(1, "y", 20.0), (3, "z", 30.0)], ["k1", "k2", "v"]
+    )
+    got = sorted(
+        (r["k1"], r["k2"], r["v"])
+        for r in merge_upsert(target, updates, ["k1", "k2"]).collect()
+    )
+    assert got == [(1, "x", 1.0), (1, "y", 20.0), (2, "x", 3.0), (3, "z", 30.0)]
