@@ -289,3 +289,30 @@ def foreach_batch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_sink(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str] | str,
+    partition_col: str,
+    checkpoint: str,
+    upsert_checkpoint_dir: str | None = None,
+):
+    """Continuous MERGE: each micro-batch upserts into a partitioned
+    parquet target (matched keys replaced, new keys inserted) — the
+    streaming face of ``sinks.writers.upsert_parquet`` and the engine's
+    CDC-apply pattern.  Exactly-once comes from the combination of the
+    streaming checkpoint (no batch replayed after commit) and the
+    idempotence of MERGE on key (a replayed batch rewrites the same
+    rows to the same values).  State is bounded: each batch touches
+    only its own partitions."""
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            batch_df, path, key_cols, partition_col,
+            checkpoint_dir=upsert_checkpoint_dir,
+        )
+
+    return foreach_batch_sink(df, apply, checkpoint)

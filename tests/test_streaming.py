@@ -254,3 +254,31 @@ def test_state_partition_scope_restores_conf(spark):
     with state_partition_scope(spark, 7):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_upsert_sink_applies_merge_per_batch(spark, tmp_path):
+    from metalpipe_spark.sinks.writers import upsert_parquet
+    from metalpipe_spark.streaming.streams import file_watchdog, stream_upsert_sink
+
+    target = str(tmp_path / "target")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, target, "id", "part")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, "a", 99.0), (4, "b", 40.0)], ["id", "part", "v"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    stream = file_watchdog(
+        spark, str(src / "batch1"), "id long, part string, v double"
+    )
+    q = stream_upsert_sink(
+        stream, target, "id", "part", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
