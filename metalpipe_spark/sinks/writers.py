@@ -150,23 +150,46 @@ def write_bucketed(
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, key_cols: list[str] | str
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str | None = None,
 ) -> DataFrame:
     """MERGE semantics as a relation: every target row whose key appears
     in ``updates`` is replaced by the update row (WHEN MATCHED UPDATE),
     update rows with new keys are appended (WHEN NOT MATCHED INSERT),
     untouched target rows pass through.
 
+    When a batch carries several updates for one key (CDC replay),
+    ``order_col`` picks the winner deterministically — max-by-order per
+    key via ``max_by`` aggregation (map-side partial, no window; the
+    reference's arrival-order last-write-wins made explicit, SURVEY
+    §4.2.3).  Without ``order_col``, update rows are assumed key-unique
+    and pass through untouched.
+
     The reference publishes via staging ``INSERT INTO`` only
     (civis_nodes.py:99-163) and leaves dedup-on-key to Redshift
-    consumers; this completes the documented SURVEY §4.2.3 divergence
-    with the Spark form: one ``left_anti`` join on the key (shuffle on
-    both sides, map-side prunable) + a union — no window, no driver
+    consumers; the Spark form is one ``left_anti`` join on the key
+    (shuffle on both sides, map-side prunable) + a union — no driver
     state, so the merge scales with the smaller of the two inputs'
     shuffle width."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if order_col is not None:
+        updates = _last_wins(updates, keys, order_col)
     survivors = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return survivors.unionByName(updates)
+
+
+def _last_wins(updates: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """One surviving update row per key: max-by-``order_col`` via a
+    ``max_by`` struct aggregate (map-side partial combine — no window
+    buffering a hot key)."""
+    others = [c for c in updates.columns if c not in keys]
+    return (
+        updates.groupBy(*keys)
+        .agg(F.max_by(F.struct(*others), F.col(order_col)).alias("__row"))
+        .select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
+    )
 
 
 def upsert_parquet(
@@ -175,6 +198,7 @@ def upsert_parquet(
     key_cols: list[str] | str,
     partition_col: str,
     checkpoint_dir: str | None = None,
+    order_col: str | None = None,
 ) -> None:
     """MERGE into a partitioned parquet directory — the lakehouse-free
     upsert.  Only the partitions the batch touches are rewritten:
@@ -200,6 +224,8 @@ def upsert_parquet(
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = updates.sparkSession
+    if order_col is not None:
+        updates = _last_wins(updates, keys, order_col)
     exists = os.path.isdir(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )

@@ -298,6 +298,7 @@ def stream_upsert_sink(
     partition_col: str,
     checkpoint: str,
     upsert_checkpoint_dir: str | None = None,
+    order_col: str | None = None,
 ):
     """Continuous MERGE: each micro-batch upserts into a partitioned
     parquet target (matched keys replaced, new keys inserted) — the
@@ -306,13 +307,14 @@ def stream_upsert_sink(
     streaming checkpoint (no batch replayed after commit) and the
     idempotence of MERGE on key (a replayed batch rewrites the same
     rows to the same values).  State is bounded: each batch touches
-    only its own partitions."""
+    only its own partitions.  ``order_col`` resolves multiple updates
+    per key within one micro-batch last-wins (CDC apply)."""
     from metalpipe_spark.sinks.writers import upsert_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         upsert_parquet(
             batch_df, path, key_cols, partition_col,
-            checkpoint_dir=upsert_checkpoint_dir,
+            checkpoint_dir=upsert_checkpoint_dir, order_col=order_col,
         )
 
     return foreach_batch_sink(df, apply, checkpoint)

@@ -253,3 +253,19 @@ def test_merge_upsert_multi_key(spark):
         for r in merge_upsert(target, updates, ["k1", "k2"]).collect()
     )
     assert got == [(1, "x", 1.0), (1, "y", 20.0), (2, "x", 3.0), (3, "z", 30.0)]
+
+
+def test_merge_upsert_last_wins_on_order_col(spark):
+    from metalpipe_spark.sinks.writers import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0, 0)], ["id", "v", "seq"])
+    # three updates for id=1 in one batch, plus a new key with two versions
+    updates = spark.createDataFrame(
+        [(1, 10.0, 5), (1, 30.0, 7), (1, 20.0, 6), (2, 5.0, 1), (2, 6.0, 2)],
+        ["id", "v", "seq"],
+    )
+    got = sorted(
+        (r["id"], r["v"], r["seq"])
+        for r in merge_upsert(target, updates, "id", order_col="seq").collect()
+    )
+    assert got == [(1, 30.0, 7), (2, 6.0, 2)]
