@@ -631,8 +631,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 3 <> 0
     ), updates AS (
+      -- +1.0 is exactly representable in double: no ROUND-on-double
+      -- half-way divergence between engines (determinism rules, README)
       SELECT o_orderkey, o_custkey,
-             CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE) AS o_totalprice
+             CAST(o_totalprice + 1.0 AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 2 = 0
     )
     SELECT o_orderkey, o_custkey, o_totalprice FROM updates
@@ -660,6 +662,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).cast("double").alias("o_totalprice"),
+        (F.col("o_totalprice") + F.lit(1.0)).cast("double").alias("o_totalprice"),
     )
     return merge_upsert(target, updates, "o_orderkey").orderBy("o_orderkey")
