@@ -181,15 +181,43 @@ def merge_upsert(
 
 
 def _last_wins(updates: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """One surviving update row per key: max-by-``order_col`` via a
-    ``max_by`` struct aggregate (map-side partial combine — no window
-    buffering a hot key)."""
+    """One surviving update row per key, deterministically: lexicographic
+    ``max`` over ``struct(order_col, <remaining non-key cols>)`` (map-side
+    partial combine — no window buffering a hot key).
+
+    ``max_by(..., order_col)`` alone is nondeterministic when two updates
+    for a key tie on ``order_col``; ordering the whole struct breaks ties
+    by the remaining column values, so equal-``order_col`` replays pick
+    the same winner on every run.  Requires the non-key columns to be
+    orderable types (no maps) — true for any CDC row shape."""
     others = [c for c in updates.columns if c not in keys]
+    rest = [c for c in others if c != order_col]
+    row = F.max(F.struct(F.col(order_col), *[F.col(c) for c in rest])).alias("__row")
     return (
         updates.groupBy(*keys)
-        .agg(F.max_by(F.struct(*others), F.col(order_col)).alias("__row"))
+        .agg(row)
         .select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
     )
+
+
+def _target_exists(spark, path: str) -> bool:
+    """True when ``path`` exists and holds at least one non-hidden entry,
+    probed through the Hadoop FileSystem API so ``hdfs://``, ``s3a://``,
+    ``file://`` and bare local paths all answer correctly.  (A plain
+    ``os.path.isdir`` is always False for remote URIs, which would send
+    :func:`upsert_parquet` down its first-write branch and overwrite an
+    existing cluster target with a single batch — data loss.)"""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
 
 
 def upsert_parquet(
@@ -219,24 +247,37 @@ def upsert_parquet(
     like ``connected_components``.
 
     A first write (no target yet) degenerates to a plain partitioned
-    write."""
-    import os
+    write.  Target existence is probed through the Hadoop FileSystem API
+    (:func:`_target_exists`) so remote targets (``hdfs://``/``s3a://``)
+    are merged, never mistaken for absent and clobbered.
 
+    **Atomicity contract**: dynamic partition overwrite deletes and
+    rewrites each touched partition; a failure mid-write can leave a
+    touched partition partially rewritten.  Untouched partitions are
+    never at risk.  Under :func:`~metalpipe_spark.streaming.streams.
+    stream_upsert_sink` the streaming checkpoint replays the failed
+    batch and the rewrite repairs the partition (MERGE on key is
+    idempotent); for ad-hoc batch use, re-running the same
+    ``upsert_parquet`` call has the same repairing effect.  For
+    reader-visible atomicity during the window, use a table format
+    (Delta/Iceberg) instead of bare parquet."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = updates.sparkSession
     if order_col is not None:
         updates = _last_wins(updates, keys, order_col)
-    exists = os.path.isdir(path) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(path)
-    )
-    if not exists:
+    if not _target_exists(spark, path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target_slice = spark.read.parquet(path).where(
-        F.col(partition_col).isin(touched)
-    )
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and are
+    # rewritten by dynamic overwrite like any other touched partition —
+    # but isin() never matches NULL, so the existing NULL-partition rows
+    # must be pulled into the slice explicitly or they would be dropped.
+    slice_pred = F.col(partition_col).isin([t for t in touched if t is not None])
+    if any(t is None for t in touched):
+        slice_pred = slice_pred | F.col(partition_col).isNull()
+    target_slice = spark.read.parquet(path).where(slice_pred)
     merged = merge_upsert(target_slice, updates, keys)
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

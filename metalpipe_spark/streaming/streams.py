@@ -308,7 +308,14 @@ def stream_upsert_sink(
     idempotence of MERGE on key (a replayed batch rewrites the same
     rows to the same values).  State is bounded: each batch touches
     only its own partitions.  ``order_col`` resolves multiple updates
-    per key within one micro-batch last-wins (CDC apply)."""
+    per key within one micro-batch last-wins (CDC apply).
+
+    **Atomicity**: the underlying dynamic partition overwrite is not
+    atomic per partition — a crash mid-batch can leave a touched
+    partition partially rewritten until the checkpoint replays the
+    batch on restart and the idempotent MERGE repairs it.  Readers
+    racing that window can observe the partial partition; use a table
+    format (Delta/Iceberg) if that matters."""
     from metalpipe_spark.sinks.writers import upsert_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -269,3 +269,79 @@ def test_merge_upsert_last_wins_on_order_col(spark):
         for r in merge_upsert(target, updates, "id", order_col="seq").collect()
     )
     assert got == [(1, 30.0, 7), (2, 6.0, 2)]
+
+
+def test_merge_upsert_last_wins_tie_is_deterministic(spark):
+    """Equal order_col values must pick the same winner on every run:
+    _last_wins orders the whole struct, so ties break on the remaining
+    column values (lexicographic max)."""
+    from metalpipe_spark.sinks.writers import merge_upsert
+
+    target = spark.createDataFrame([(1, "old", 0)], ["id", "v", "seq"])
+    updates = spark.createDataFrame(
+        [(1, "alpha", 5), (1, "beta", 5), (1, "aardvark", 5)],
+        ["id", "v", "seq"],
+    ).repartition(8)  # spread the tied rows across partitions
+    for _ in range(3):
+        got = merge_upsert(target, updates, "id", order_col="seq").collect()
+        assert [(r["id"], r["v"], r["seq"]) for r in got] == [(1, "beta", 5)]
+
+
+def test_upsert_parquet_file_uri_target_merges(spark, tmp_path):
+    """A file:// URI target forces the Hadoop-FS existence probe
+    (os.path.isdir is False for any URI): the second batch must MERGE —
+    unmatched target rows survive — not clobber the target."""
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    uri = "file://" + str(tmp_path / "uri_target")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, uri, "id", "part")
+    batch = spark.createDataFrame([(2, "a", 99.0)], ["id", "part", "v"])
+    upsert_parquet(batch, uri, "id", "part")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(uri).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_upsert_parquet_null_partition_preserved(spark, tmp_path):
+    """isin() never matches NULL: existing rows in the NULL partition
+    (__HIVE_DEFAULT_PARTITION__) must be pulled into the merge slice
+    explicitly or the dynamic overwrite would drop them."""
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "null_part")
+    schema = "id bigint, part string, v double"
+    initial = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)], schema
+    )
+    upsert_parquet(initial, path, "id", "part")
+    batch = spark.createDataFrame([(2, None, 99.0)], schema)
+    upsert_parquet(batch, path, "id", "part")
+    rows = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (None, 10.0), 2: (None, 99.0), 3: ("b", 30.0)}
+
+
+def test_upsert_parquet_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same batch (the streaming-restart repair path) must
+    leave the target byte-identical in content: MERGE on key rewrites
+    the same rows to the same values."""
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "replay")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, path, "id", "part")
+    batch = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "a", 33.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(batch, path, "id", "part")
+    first = sorted(
+        (r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    upsert_parquet(batch, path, "id", "part")  # replay
+    second = sorted(
+        (r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert first == second == [(1, "a", 11.0), (2, "b", 20.0), (3, "a", 33.0)]
