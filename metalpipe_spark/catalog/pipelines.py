@@ -226,6 +226,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         4096,  # pack_shards checkpoints its ranged frame: the 5-stage
         # upstream is computed once and partition membership is frozen
     )
+    # pack_shards has already materialized its checkpoint (its internal
+    # totals job ran), so the upstream caches are done serving reads —
+    # release them instead of holding blocks for the session lifetime.
+    scrubbed.unpersist()
+    kept.unpersist()
     return packed.select(
         "doc_id", "chunk_id", "n_chunk_tokens", "shard_id"
     ).orderBy("doc_id", "chunk_id")

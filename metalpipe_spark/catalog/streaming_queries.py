@@ -155,10 +155,21 @@ def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checks the deterministic projection)."
     ),
 )
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "365 days"
+) -> DataFrame:
+    """Oracle-parity row: the 365-day default watermark makes the
+    availableNow run over a STATIC file keep every key (so the surviving
+    key set equals batch DISTINCT).  That horizon is a parity device,
+    not a template — dedup state grows with the number of distinct keys
+    inside the watermark, so a year-wide horizon on a real stream is
+    ~unbounded state.  Production near/exact dedup over long horizons is
+    the incremental batch path (``operators.dedup.incremental_dedup`` /
+    the persisted LSH band store), which bounds state in storage, not
+    memory; pass a tight ``watermark`` here for true streaming use."""
     stream = _events_stream(spark, sf_dir)
     deduped = deduplicate_stream(
-        stream, ["user_id", "event_type"], "ts", watermark="365 days"
+        stream, ["user_id", "event_type"], "ts", watermark=watermark
     )
     with _events_state_scope(spark, sf_dir):
         out = run_to_memory(deduped, f"cat_sdedup_{uuid.uuid4().hex[:8]}", spark)

@@ -260,7 +260,12 @@ def upsert_parquet(
     idempotent); for ad-hoc batch use, re-running the same
     ``upsert_parquet`` call has the same repairing effect.  For
     reader-visible atomicity during the window, use a table format
-    (Delta/Iceberg) instead of bare parquet."""
+    (Delta/Iceberg) instead of bare parquet.
+
+    The ``partitionOverwriteMode=dynamic`` toggle is session-global for
+    the duration of the write; like ``state_partition_scope`` this
+    assumes a single-threaded driver (a concurrent write planned on the
+    same session would inherit dynamic mode)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = updates.sparkSession
     if order_col is not None:

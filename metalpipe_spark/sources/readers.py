@@ -50,9 +50,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _set_conf_once(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _set_conf_once(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -62,6 +62,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def _set_conf_once(spark: SparkSession, key: str, value: str) -> None:
+    """Idempotent session-conf set: reads before writing so repeated
+    ``load_table`` calls don't mutate session state on every load (the
+    driver owns the session, so the conf must still be applied the first
+    time regardless of how the session was built)."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -46,7 +46,13 @@ def state_partition_scope(spark: SparkSession, n: int):
     from the source, and this scope to apply it only to the streaming
     query (batch queries keep the session default).  The count is
     frozen into the checkpoint at first start, matching Spark's rule
-    that state partitioning cannot change across restarts."""
+    that state partitioning cannot change across restarts.
+
+    The pin is session-global while the scope is open: a query planned
+    CONCURRENTLY on the same SparkSession inherits the pinned count.
+    This helper assumes the usual single-threaded driver; for
+    multi-threaded drivers, plan the scoped query on a cloned session
+    (``spark.newSession()`` shares the cluster but isolates conf)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
