@@ -64,6 +64,14 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     merged = dict(_DEFAULT_CONF)
+    if master.startswith("local"):
+        # Local mode defaults the JVM heap to 1g — far too small for 32
+        # executor threads sorting/shuffling concurrently (GC pressure at
+        # sf0.1, OOM at sf1).  Size it for the host; a cluster launcher
+        # overrides via spark-submit and never hits this branch.
+        merged["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        )
     if conf:
         merged.update(conf)
     for k, v in merged.items():
