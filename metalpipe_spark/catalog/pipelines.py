@@ -205,7 +205,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from metalpipe_spark.sources.readers import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     # The PII regex chain is the most expensive scan in the pipeline and
     # the plan references it 4x (quality keep-list, semi-join back, and
     # both sides of the dedup semi-join).  Persist it — and the

@@ -86,7 +86,7 @@ _LANGID_SQL = f"""
     doc="Language-ID heuristic: marker-word ratio argmax (operators/text.py).",
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
@@ -112,7 +112,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quality scoring + token counting (operators/text.py).",
 )
 def q_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = tokens("text")
     return docs.select(
         "doc_id",
@@ -144,7 +144,7 @@ def q_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import regex_token_count, regex_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = regex_tokens("text")
     return docs.select(
         "doc_id",
@@ -170,7 +170,7 @@ def q_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Document fingerprinting: md5 over normalized token stream.",
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
 
 
@@ -191,7 +191,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus-level aggregation of text stats (one shuffle on lang).",
 )
 def q_text_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return (
         docs.withColumn("n_tokens", F.size(tokens("text")))
         .groupBy("lang")
@@ -308,7 +308,7 @@ _STRIDE = _CHUNK - _OVERLAP
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import chunk_documents
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return chunk_documents(
         docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
     ).orderBy("doc_id", "chunk_id")
@@ -343,7 +343,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import token_commonness
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # join-shaped: rebalance regresses (extra exchange)
     return token_commonness(docs).orderBy("doc_id")
 
 
@@ -368,7 +368,7 @@ def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import length_quantiles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return length_quantiles(docs).orderBy("lang")
 
 
@@ -413,7 +413,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return repetition_signals(docs).orderBy("doc_id")
 
 
@@ -473,7 +473,7 @@ def _quality_filter_oracle() -> str:
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import quality_filter
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return quality_filter(docs).orderBy("doc_id")
 
 
@@ -513,5 +513,5 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.text import distinctive_terms
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # join-shaped: rebalance regresses (extra exchange)
     return distinctive_terms(docs, k=10).orderBy("lang", "rnk")

@@ -27,7 +27,9 @@ TPCH_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
@@ -61,7 +63,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if rebalance:
+        df = rebalance_small_scan(spark, df, os.path.join(sf_dir, f"{name}.parquet"))
     return df
+
+
+def rebalance_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spread a row-group-starved scan across the cluster's cores for
+    CPU-per-row-heavy downstream work (regex chains, shingling, decimal
+    aggregation).
+
+    Parquet scans parallelize at ROW-GROUP granularity: a file with one
+    row group is one task no matter how many cores exist, so an
+    operator whose cost is per-row CPU rather than bytes runs
+    single-threaded on small single-file inputs (exactly the driver's
+    test parquet: 1 row group per table).  When — and only when — the
+    metadata probe shows fewer row groups than half the cores AND the
+    file is small enough that a shuffle is trivially cheap, insert one
+    round-robin repartition.  At scale the gate self-disables: a 100 TB
+    table has thousands of row groups (and exceeds the byte ceiling),
+    so the plan carries no extra exchange.  Callers opt in per site —
+    join-shaped queries must NOT use this (the exchange costs more than
+    the parallelism wins; measured on TPC-H q03/q05).  Filters and
+    column pruning still reach the scan: Catalyst pushes predicates
+    through Repartition, so the shuffle carries only surviving rows."""
+    try:
+        if not os.path.isfile(path) or os.path.getsize(path) > 256 * 1024 * 1024:
+            return df
+        import pyarrow.parquet as pq
+
+        groups = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if groups * 2 >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def _set_conf_once(spark: SparkSession, key: str, value: str) -> None:

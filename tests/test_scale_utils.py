@@ -249,3 +249,32 @@ def test_ivf_index_build_load_serve_roundtrip(spark, tmp_path):
         for r in ivf_search_prebuilt(index, queries, k=5, n_probe=2).collect()
     }
     assert served == inline and served
+
+
+def test_rebalance_small_scan_gate(spark, tmp_path):
+    """Rebalance fires only for row-group-starved small files: a
+    1-row-group file spreads to defaultParallelism partitions, a
+    many-row-group file keeps its scan partitioning (the 100 TB shape),
+    and a non-file path is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metalpipe_spark.sources.readers import rebalance_small_scan
+
+    tbl = pa.table({"id": list(range(10000)), "v": [float(i) for i in range(10000)]})
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(tbl, one)  # single row group
+    many = str(tmp_path / "many.parquet")
+    pq.write_table(tbl, many, row_group_size=100)  # 100 row groups
+
+    cores = spark.sparkContext.defaultParallelism
+    df_one = spark.read.parquet(one)
+    out_one = rebalance_small_scan(spark, df_one, one)
+    assert out_one.rdd.getNumPartitions() == cores
+    assert out_one.count() == 10000
+
+    df_many = spark.read.parquet(many)
+    out_many = rebalance_small_scan(spark, df_many, many)
+    assert out_many is df_many  # untouched: enough row groups already
+
+    assert rebalance_small_scan(spark, df_one, str(tmp_path / "nope")) is df_one
