@@ -72,7 +72,10 @@ def _davg(expr: str) -> str:
     doc="TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Join-free scan+agg: the decimal partial agg is per-row CPU, so a
+    # row-group-starved local scan benefits from rebalance (the joins in
+    # q03/q05 do NOT — measured regressions from the extra exchange).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

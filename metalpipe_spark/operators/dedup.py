@@ -339,35 +339,54 @@ def connected_components(
         .distinct()
     )
     reliable = checkpoint_dir is not None
+    spark = pairs.sparkSession
     if reliable:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     prev_sig: tuple | None = None
     prev_rdd = None
-    for _ in range(max_iterations):
-        # Lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it, so each round costs ONE job (an eager
-        # checkpoint + separate agg measured ~2x the wall on small
-        # graphs, where per-job overhead dominates).
-        edges, rdd = _truncate_lineage(_small_star(_large_star(edges)), reliable)
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
-        ).first()
-        # This round is materialized past the truncation point, so the
-        # previous round's blocks can be dropped (local mode; reliable
-        # checkpoints hold no block storage — their files are the
-        # cleaner's job, see docstring).
-        if prev_rdd is not None and not reliable:
-            prev_rdd.unpersist(False)
-        prev_rdd = rdd
-        sig = (row["n"], row["chk"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+    # Shuffle partitions sized to the EDGE SET, not the session default:
+    # each round's cost at small edge counts is task scheduling, not
+    # data, and at billions of edges the session default (sized for
+    # scans) underscales the per-round groupBy+join.  The count from
+    # each round's convergence aggregate sizes the NEXT round — zero
+    # extra jobs.  Round 1 runs at the session default.  Same
+    # single-threaded-driver caveat as state_partition_scope: the pin
+    # is session-global while the loop runs.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(max_iterations):
+            # Lazy checkpoint: the convergence aggregate below is the action
+            # that materializes it, so each round costs ONE job (an eager
+            # checkpoint + separate agg measured ~2x the wall on small
+            # graphs, where per-job overhead dominates).
+            edges, rdd = _truncate_lineage(_small_star(_large_star(edges)), reliable)
+            row = edges.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+            ).first()
+            # This round is materialized past the truncation point, so the
+            # previous round's blocks can be dropped (local mode; reliable
+            # checkpoints hold no block storage — their files are the
+            # cleaner's job, see docstring).
+            if prev_rdd is not None and not reliable:
+                prev_rdd.unpersist(False)
+            prev_rdd = rdd
+            sig = (row["n"], row["chk"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            # ~1M edge rows (~50 MB) per reduce task, clamped like
+            # sized_state_partitions.
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(10_000, row["n"] // 1_000_000 + 1))),
+            )
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
     roots = (
         edges.select(F.col("v").alias("node"))
