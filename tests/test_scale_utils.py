@@ -278,3 +278,25 @@ def test_rebalance_small_scan_gate(spark, tmp_path):
     assert out_many is df_many  # untouched: enough row groups already
 
     assert rebalance_small_scan(spark, df_one, str(tmp_path / "nope")) is df_one
+
+
+def test_connected_components_restores_shuffle_conf(spark):
+    """The CC loop retunes spark.sql.shuffle.partitions per round from
+    the live edge count; the session value must be restored afterwards
+    (batch queries planned later keep the session default)."""
+    from metalpipe_spark.operators.dedup import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["d1", "d2"]
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
