@@ -76,7 +76,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="N-gram Jaccard near-dup pairs: shingle-join candidate generation.",
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     # max_doc_frequency=None: the oracle computes exact (uncapped)
     # Jaccard; production callers keep the default cap.
     return jaccard_candidate_pairs(
@@ -122,7 +122,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's GROUP BY over the shingle set). The operator keeps its
     # array-valued form for the LSH path; the catalog surface flattens to
     # scalar columns so results stay hashable in any downstream engine.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     sigs = minhash_signatures(docs, num_hashes=16)
     return sigs.select(
         "doc_id", *[F.col("minhash")[i].alias(f"m{i}") for i in range(16)]
@@ -191,7 +191,7 @@ def _component_ctes(num_hashes: int, bands: int, threshold: float) -> str:
     doc="MinHash+LSH banding: candidates meet through shared band buckets.",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("d1", "d2")
 
 
@@ -449,7 +449,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.dedup import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     bench = docs.where(F.col("doc_id") % 2 == 1)
     _, report = decontaminate(corpus, bench, min_shared=3)
