@@ -92,13 +92,19 @@ def rebalance_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataF
             return df
         import pyarrow.parquet as pq
 
-        groups = pq.ParquetFile(path).metadata.num_row_groups
+        meta = pq.ParquetFile(path).metadata
+        groups, rows = meta.num_row_groups, meta.num_rows
     except Exception:
         return df
     cores = spark.sparkContext.defaultParallelism
     if groups * 2 >= cores:
         return df
-    return df.repartition(cores)
+    # Width capped by row count as well as cores: on a wide cluster
+    # (defaultParallelism in the thousands) a small file must not shatter
+    # into near-empty partitions — ~64 rows per task is plenty for
+    # per-row-CPU work, and the cap keeps task count proportional to
+    # the data.
+    return df.repartition(max(1, min(cores, rows // 64)))
 
 
 def _set_conf_once(spark: SparkSession, key: str, value: str) -> None:
