@@ -328,8 +328,15 @@ def connected_components(
     set per round) and are reclaimed by the context cleaner when
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
 
-    Convergence is detected with a one-row count+checksum aggregate —
-    no edge data ever reaches the driver.
+    Convergence is detected STRUCTURALLY in the round that produces the
+    final state, so no confirm round runs: the algorithm's fixpoints are
+    exactly star forests centered at component minima, and a
+    small-star-oriented edge set (``u > v`` everywhere) is a star forest
+    iff every leaf carries exactly one edge (``count == distinct u``)
+    and no center is also a leaf (``u``/``v`` sets disjoint, i.e.
+    ``distinct u + distinct v == distinct nodes``).  Both checks run as
+    one job on one-row aggregates — no edge data ever reaches the
+    driver, and the saved round is a full LS+SS pass at any scale.
     """
     # Keys keep their input type: orderable comparisons (least/greatest,
     # </>) are all the algorithm needs, so string/long ids both work.
@@ -342,7 +349,6 @@ def connected_components(
     spark = pairs.sparkSession
     if reliable:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    prev_sig: tuple | None = None
     prev_rdd = None
     # Shuffle partitions sized to the EDGE SET, not the session default:
     # each round's cost at small edge counts is task scheduling, not
@@ -360,10 +366,21 @@ def connected_components(
             # checkpoint + separate agg measured ~2x the wall on small
             # graphs, where per-job overhead dominates).
             edges, rdd = _truncate_lineage(_small_star(_large_star(edges)), reliable)
-            row = edges.agg(
+            # Star-forest test (see docstring) + edge count, one job:
+            # small-star output is always oriented u > v, so the set is
+            # converged iff no leaf has two edges (n == du) and no
+            # center is also a leaf (u/v sets disjoint, checked as
+            # du + dv == distinct node count — counting is cheaper than
+            # a distinct-distinct semi-join, measured).
+            stats = edges.agg(
                 F.count("*").alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
-            ).first()
+                F.count_distinct("u").alias("du"),
+                F.count_distinct("v").alias("dv"),
+            )
+            dn = edges.select(F.explode(F.array("u", "v")).alias("x")).agg(
+                F.count_distinct("x").alias("dn")
+            )
+            row = stats.crossJoin(dn).first()
             # This round is materialized past the truncation point, so the
             # previous round's blocks can be dropped (local mode; reliable
             # checkpoints hold no block storage — their files are the
@@ -371,10 +388,8 @@ def connected_components(
             if prev_rdd is not None and not reliable:
                 prev_rdd.unpersist(False)
             prev_rdd = rdd
-            sig = (row["n"], row["chk"])
-            if sig == prev_sig:
+            if row["n"] == row["du"] and row["du"] + row["dv"] == row["dn"]:
                 break
-            prev_sig = sig
             # ~1M edge rows (~50 MB) per reduce task, clamped like
             # sized_state_partitions.
             spark.conf.set(

@@ -300,3 +300,52 @@ def test_connected_components_restores_shuffle_conf(spark):
         (20, 20), (21, 20), (22, 20),
     }
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_connected_components_structural_convergence(spark):
+    """The star-forest convergence test must stop at the true fixpoint:
+    long chains (worst case for star contraction) and random graphs all
+    match a driver-side union-find."""
+    import random
+
+    from metalpipe_spark.operators.dedup import connected_components
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # path-compress fully, then map every node to its component min
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(ms) for r, ms in comp.items() for n in ms}
+
+    cases = [
+        [(i, i + 1) for i in range(40)],              # one long chain
+        [(i + 1, i) for i in range(40)],              # reversed chain
+        [(0, 1), (2, 3), (4, 5), (1, 2)],             # chain of stars
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 60
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        )
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        nodes = {x for e in edges_py for x in e}
+        expect = union_find(edges_py, nodes)
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges_py, ["d1", "d2"])
+            ).collect()
+        }
+        assert got == expect, (sorted(edges_py), got, expect)
