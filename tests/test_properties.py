@@ -65,3 +65,44 @@ def test_pack_shards_matches_sequential_property(spark, weights, budget, parts):
         want[i] = prefix // budget
         prefix += w
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    updates=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=3),    # order_col (ties likely)
+            st.integers(min_value=-100, max_value=100),  # payload
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_merge_upsert_last_wins_permutation_invariant(spark, updates, seed):
+    """merge_upsert with order_col must produce the same surviving row
+    per key for ANY arrival order of the update batch, including ties on
+    order_col — the determinism contract of the CDC-apply path.  The
+    expected winner is the lexicographic max of (order_col, payload)."""
+    import random
+
+    from metalpipe_spark.sinks.writers import merge_upsert
+
+    target = spark.createDataFrame([(99, -1, -1)], ["k", "seq", "payload"])
+    shuffled = list(updates)
+    random.Random(seed).shuffle(shuffled)
+    results = []
+    for batch in (updates, shuffled):
+        df = spark.createDataFrame(batch, ["k", "seq", "payload"]).repartition(5)
+        got = {
+            r["k"]: (r["seq"], r["payload"])
+            for r in merge_upsert(target, df, "k", order_col="seq").collect()
+            if r["k"] != 99
+        }
+        results.append(got)
+    want = {}
+    for k, seq, payload in updates:
+        if k not in want or (seq, payload) > want[k]:
+            want[k] = (seq, payload)
+    assert results[0] == results[1] == want
