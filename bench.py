@@ -43,6 +43,7 @@ HEADLINE = [
     "q_simhash",
     "q_dedup_corpus",
     "q_incremental_dedup",
+    "q_incremental_neardup",
     "q_simhash_neardup",
     "q_paragraph_dedup",
     # similarity search

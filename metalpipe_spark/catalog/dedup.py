@@ -314,6 +314,107 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def _subset_band_ctes(tag: str, pred: str, num_hashes: int = 16, bands: int = 8) -> str:
+    """The shingle→minhash→band CTE chain of ``_lsh_pair_ctes``, but over
+    ``documents WHERE pred`` with ``_{tag}``-suffixed names so two doc
+    subsets (batch vs store) can coexist in one oracle query."""
+    rows = num_hashes // bands
+    arr = ", ".join(f"m{i}" for i in range(num_hashes))
+    band_exprs = ", ".join(
+        "md5('"
+        + str(b)
+        + "' || ',' || "
+        + " || ',' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    toks_{tag} AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE {pred}
+    ),
+    sh_{tag} AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks_{tag}
+    ),
+    hsh_{tag} AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh_{tag}),
+    mh_{tag} AS (
+      SELECT doc_id, {_affine_mins(num_hashes)}
+      FROM hsh_{tag} GROUP BY doc_id
+    ),
+    sig_{tag} AS (SELECT doc_id, [{arr}] AS minhash, [{band_exprs}] AS bnds FROM mh_{tag}),
+    banded_{tag} AS (SELECT doc_id, minhash, unnest(bnds) AS band_key FROM sig_{tag})"""
+
+
+def _incremental_neardup_oracle(num_hashes: int = 16, threshold: float = 0.5) -> str:
+    est = (
+        "len(list_filter(list_zip({a}, {b}), p -> p[1] = p[2]))::DOUBLE"
+        f" / {num_hashes}.0"
+    )
+    return f"""
+    WITH RECURSIVE {_subset_band_ctes("b", "doc_id % 2 = 1", num_hashes)},
+    {_subset_band_ctes("s", "doc_id % 2 = 0", num_hashes)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.minhash AS m1, b.minhash AS m2
+      FROM banded_b a JOIN banded_b b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    e AS (
+      SELECT d1 AS u, d2 AS v FROM cand WHERE {est.format(a="m1", b="m2")} >= {threshold}
+      UNION
+      SELECT d2, d1 FROM cand WHERE {est.format(a="m1", b="m2")} >= {threshold}
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    surv AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+    ),
+    hits AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded_b a
+      JOIN surv sv ON a.doc_id = sv.doc_id
+      JOIN banded_s b ON a.band_key = b.band_key
+      WHERE {est.format(a="a.minhash", b="b.minhash")} >= {threshold}
+    )
+    SELECT doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_incremental_neardup",
+    _incremental_neardup_oracle(16, _CLUSTER_THRESHOLD),
+    doc=(
+        "Incremental NEAR-dup dedup: a new batch (odd doc_ids) resolves "
+        "in-batch near-dups by connected components, then band-joins the "
+        "persisted LSH store of the existing corpus (even doc_ids) and "
+        "drops batch docs whose estimated Jaccard vs any stored doc "
+        "clears the threshold — the continuously-ingesting near-dup "
+        "pipeline shape (full-corpus re-clustering per batch is a "
+        "non-starter at 100 TB)."
+    ),
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import band_store, incremental_neardup_dedup
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
+    store = band_store(docs.where(F.col("doc_id") % 2 == 0))
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    fresh, _ = incremental_neardup_dedup(batch, store, threshold=_CLUSTER_THRESHOLD)
+    return fresh.select("doc_id").orderBy("doc_id")
+
+
 def _simhash_neardup_oracle(
     bits: int = 60, max_hamming: int = 3, blocks: int = 4
 ) -> str:
