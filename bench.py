@@ -53,6 +53,7 @@ HEADLINE = [
     "q_ann_blocked_knn_gemm",
     "q_ann_ivf_topk",
     "q_embed_neardup_lsh",
+    "q_semdedup",
     # text analysis
     "q_langid",
     "q_quality_tokens",

@@ -301,3 +301,79 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk_batch(emb, qs, k=5).orderBy("query_id", "rnk")
+
+
+def _semdedup_oracle(
+    centroids: list[list[float]], threshold: float
+) -> str:
+    """Pure-SQL replay of semantic_dedup: literal-centroid assignment
+    (same argmin + ascending-cell tie-break as the IVF oracle), within-
+    cell pair cosine at 6 decimals, drop-if-lower-id-neardup, survivors
+    re-tagged with their cell."""
+    cent_rows = ", ".join(
+        f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for j, c in enumerate(centroids)
+    )
+    dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
+    dot_ab = _DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT c.vec_id, c.embedding, c.nrm, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_cv}) / c.nrm, t.cell
+               ) AS arnk
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE arnk = 1
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(({dot_ab}) / (a.nrm * b.nrm), 6) >= {threshold}
+    )
+    SELECT a.vec_id, a.cell FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY a.vec_id
+    """
+
+
+@register(
+    "q_semdedup",
+    # Same 0.25 threshold rationale as q_embed_neardup_lsh: the synthetic
+    # embeddings are near-orthogonal, so a production 0.9 threshold would
+    # drop nothing and the row would be a trivially-passing check.
+    _semdedup_oracle(deterministic_centroids(8, 64), threshold=0.25),
+    doc=(
+        "SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-"
+        "centroid cells bound the candidate space (map-side assignment, "
+        "one equi-join on cell — never all-pairs), within-cell cosine "
+        "pairs above threshold mark lower-id-wins losers, survivors "
+        "left_anti out.  The learned-centroid production twin reuses "
+        "ivf_assign's spherical k-means; this row serves the fixed-"
+        "centroid path so the whole pipeline is SQL-replayable."
+    ),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        ivf_assign_literal,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents()
+    kept = semantic_dedup(
+        emb.select("vec_id", "embedding"), cents, threshold=0.25
+    )
+    return (
+        ivf_assign_literal(kept, cents)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )

@@ -801,3 +801,107 @@ def ivf_search_prebuilt(
         "cosine_sim",
         "rnk",
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Within-cell embedding-cosine near-duplicate pairs: every vector is
+    assigned to its nearest centroid cell (map-side, centroids as plan
+    literals — :func:`_probe_cells`), and candidates meet ONLY through a
+    shared cell (one equi-join shuffle on ``cell``), never all-pairs.
+
+    Returns ``(cell, d1, d2, cosine_sim)`` with ``d1 < d2`` — each pair
+    appears exactly once because a vector lives in exactly one cell.
+    Norms are precomputed per ROW before the join, so per-pair work is a
+    single dot product.
+
+    Scale shape: average cell population is N/len(centroids); size the
+    centroid set so a cell's pair block fits a task (SemDeDup ran 50k
+    clusters over ~1e9 embeddings for the same reason).  A pathological
+    hot cell is the same hazard as a hot label in
+    :func:`pairwise_topk_per_label` — refit/expand the centroid set, or
+    pre-split with that function's salting pattern.
+    """
+    dim = dim or len(centroids[0])
+    pre = df.select(
+        F.col(id_col),
+        F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("_vd"),
+    )
+    sigs = pre.select(
+        F.col(id_col),
+        F.col("_vd"),
+        F.element_at(_probe_cells(centroids, 1), 1).alias("cell"),
+        F.expr(norm_sql("_vd", dim, cast=False)).alias("nrm"),
+    )
+    a = sigs.select(
+        F.col("cell"),
+        F.col(id_col).alias("d1"),
+        F.col("_vd").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = sigs.select(
+        F.col("cell"),
+        F.col(id_col).alias("d2"),
+        F.col("_vd").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.expr(dot_sql("v1", "v2", dim, cast=False))
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("cell", "d1", "d2", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into centroid cells, call two
+    docs semantic duplicates when their cosine similarity within a cell
+    clears ``threshold``, and keep one representative per duplicate
+    group — here the MINIMUM id, so the survivor set is deterministic
+    under any partitioning (the paper keeps a random representative;
+    min-id is the reproducible choice, same policy as
+    ``dedup_corpus``).
+
+    A doc is dropped iff some LOWER-id doc in its cell is a near-dup —
+    the greedy per-cell approximation SemDeDup itself uses (no
+    connected-components pass over the epsilon graph; a transitive
+    chain collapses toward the chain minimum).  Survivors = input
+    ``left_anti`` the loser set, so the operator composes with any
+    downstream pipeline stage and never materializes pair data beyond
+    the loser ids.
+    """
+    losers = (
+        semantic_neardup_pairs(
+            df,
+            centroids,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dim,
+        )
+        .select(F.col("d2").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

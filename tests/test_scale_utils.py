@@ -349,3 +349,54 @@ def test_connected_components_structural_convergence(spark):
             ).collect()
         }
         assert got == expect, (sorted(edges_py), got, expect)
+
+
+def test_semantic_dedup_keeps_min_id_per_dup_group(spark):
+    """SemDeDup keep-min-id: within a cell, a doc survives iff no
+    lower-id doc clears the cosine threshold.  Greedy chain behavior
+    (a~b, b~c, a!~c) drops BOTH b and c — the per-cell approximation
+    SemDeDup itself uses, pinned here so it can't silently change."""
+    from metalpipe_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        # dup group in cell 0: 1 and 2 are parallel (cosine 1.0)
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [2.0, 0.2, 0.0, 0.0]),
+        # dup group in cell 1: parallel negatives
+        (3, [-1.0, 0.0, 0.3, 0.0]),
+        (4, [-3.0, 0.0, 0.9, 0.0]),
+        # singleton: near-orthogonal to both groups, lands in one cell
+        (5, [0.1, -1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    )
+    assert kept == [1, 3, 5]
+
+    # chain: a~b (cos ~1), b~c (cos ~1 after rotation), a!~c — all one cell
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    chain = spark.createDataFrame(
+        [(10, unit(0.0)), (11, unit(0.35)), (12, unit(0.7))],
+        "vec_id int, embedding array<double>",
+    )
+    # cos(0.35) ~ 0.939 >= 0.93; cos(0.7) ~ 0.765 < 0.93
+    pairs = sorted(
+        (r["d1"], r["d2"])
+        for r in semantic_neardup_pairs(chain, cents, threshold=0.93).collect()
+    )
+    assert pairs == [(10, 11), (11, 12)]
+    kept_chain = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(chain, cents, threshold=0.93).collect()
+    )
+    assert kept_chain == [10]
