@@ -54,6 +54,7 @@ HEADLINE = [
     "q_ann_ivf_topk",
     "q_embed_neardup_lsh",
     "q_semdedup",
+    "q_domain_mix",
     # text analysis
     "q_langid",
     "q_quality_tokens",

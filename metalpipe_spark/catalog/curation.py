@@ -123,3 +123,54 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(
         sized, "n_tokens", "doc_id", _SHARD_BUDGET
     ).orderBy("doc_id")
+
+
+_MIX_WEIGHTS = {"en": 0.3, "de": 0.25, "fr": 0.2, "es": 0.15, "zh": 0.1}
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{v}' THEN '{f}'::DOUBLE" for v, f in sorted(_MIX_WEIGHTS.items())
+) + " ELSE '0.0'::DOUBLE END"
+
+
+@register(
+    "q_domain_mix",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    rates AS (
+      SELECT lang,
+             least('1.0'::DOUBLE,
+                   (('0.5'::DOUBLE * total) * {_MIX_CASE}) / n) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Domain-mixture resampling (data mixing, cf. DoReMi): per-domain "
+        "keep-rates min(1, budget*w/n) derived from a few-row count "
+        "aggregate broadcast back onto the scan, rows selected on the "
+        "portable md5 uniform — a pure filter after one tiny agg, no "
+        "data-scale shuffle, reproducible under any partitioning."
+    ),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        domain_mix_sample(
+            docs.select("doc_id", "lang"),
+            "lang",
+            "doc_id",
+            _MIX_WEIGHTS,
+            budget_frac=0.5,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

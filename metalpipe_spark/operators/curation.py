@@ -155,3 +155,60 @@ def pack_shards(
             yield out
 
     return ranged.mapInPandas(assign, schema)
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    budget_frac: float | None = None,
+    budget_rows: int | None = None,
+) -> DataFrame:
+    """Resample a corpus toward a target domain MIXTURE (the data-mixing
+    step of a training pipeline, cf. DoReMi arXiv:2305.10429 — there the
+    weights are learned; here they are an input): given mixture weights
+    per domain and a total row budget, each domain keeps a deterministic
+
+        ``rate_d = min(1, budget * w_d / n_d)``
+
+    share of its rows, selected on the same portable md5 uniform as
+    :func:`stratified_sample`.  Expected output composition is the
+    target mixture wherever the corpus has enough rows; a domain too
+    small to fill its allocation keeps everything (rate capped at 1) and
+    the result undershoots — water-filling the shortfall into other
+    domains would break the fixed per-domain rate that makes the sample
+    reproducible, so the cap is reported honestly instead.  Domains
+    absent from ``weights`` keep nothing.
+
+    ``budget_rows`` gives the budget absolutely; ``budget_frac`` as a
+    fraction of the observed corpus size (scale-factor portable).
+
+    Scale shape: one map-side-combined count per domain (a few rows),
+    broadcast-joined back onto the scan, then a pure filter — no
+    data-scale shuffle, stable under any partitioning.  The per-domain
+    count table never touches the driver.
+    """
+    if (budget_frac is None) == (budget_rows is None):
+        raise ValueError("give exactly one of budget_frac / budget_rows")
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    if budget_rows is not None:
+        budget: Column = F.lit(float(budget_rows))
+    else:
+        total = counts.agg(F.sum("__n").alias("__total"))
+        counts = counts.crossJoin(broadcast(total))
+        budget = F.lit(float(budget_frac)) * F.col("__total")
+    w = F.lit(0.0)
+    for value, f in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == value, F.lit(float(f))).otherwise(w)
+    rates = counts.select(
+        F.col(domain_col),
+        F.least(F.lit(1.0), budget * w / F.col("__n")).alias("__rate"),
+    )
+    return (
+        df.join(broadcast(rates), domain_col)
+        .where(deterministic_uniform(key_col) < F.col("__rate"))
+        .drop("__rate")
+    )

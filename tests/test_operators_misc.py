@@ -680,3 +680,50 @@ def test_catalog_timestamps_are_tz_aware(spark):
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     row = events.select(F.unix_millis("ts").alias("ms")).first()
     assert row["ms"] is not None and row["ms"] > 0
+
+
+def test_domain_mix_sample_rates_and_cap(spark):
+    """rate_d = min(1, budget*w_d/n_d): a domain too small for its
+    allocation keeps ALL its rows (cap at 1, honest undershoot); others
+    keep a deterministic md5-selected share.  Output is partition-
+    invariant and repeatable."""
+    import pytest as _pytest
+
+    from metalpipe_spark.operators.curation import domain_mix_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, domain string")
+    # budget 100, weights 50/50 -> big wants 50 of 400 (rate .125),
+    # small wants 50 of 10 -> rate capped at 1, keeps all 10
+    out = domain_mix_sample(
+        df, "domain", "doc_id", {"big": 0.5, "small": 0.5}, budget_rows=100
+    )
+    got = {r["doc_id"]: r["domain"] for r in out.collect()}
+    n_small = sum(1 for d in got.values() if d == "small")
+    n_big = sum(1 for d in got.values() if d == "big")
+    assert n_small == 10  # capped domain keeps everything
+    assert 25 <= n_big <= 75  # md5-uniform share of rate 0.125*400=50
+
+    # partition invariance + determinism
+    again = {
+        r["doc_id"]: r["domain"]
+        for r in domain_mix_sample(
+            df.repartition(7), "domain", "doc_id",
+            {"big": 0.5, "small": 0.5}, budget_rows=100,
+        ).collect()
+    }
+    assert again == got
+
+    # domains absent from weights keep nothing
+    none_kept = domain_mix_sample(
+        df, "domain", "doc_id", {"other": 1.0}, budget_rows=100
+    ).count()
+    assert none_kept == 0
+
+    with _pytest.raises(ValueError):
+        domain_mix_sample(df, "domain", "doc_id", {"big": 1.0})
+    with _pytest.raises(ValueError):
+        domain_mix_sample(
+            df, "domain", "doc_id", {"big": 1.0},
+            budget_frac=0.5, budget_rows=10,
+        )
