@@ -256,9 +256,14 @@ def upsert_parquet(
     touched partition partially rewritten.  Untouched partitions are
     never at risk.  Under :func:`~metalpipe_spark.streaming.streams.
     stream_upsert_sink` the streaming checkpoint replays the failed
-    batch and the rewrite repairs the partition (MERGE on key is
-    idempotent); for ad-hoc batch use, re-running the same
-    ``upsert_parquet`` call has the same repairing effect.  For
+    batch and the rewrite restores the BATCH's full effect — every
+    batch row present exactly once (MERGE on key is idempotent; pinned
+    by test_upsert_parquet_replay_repairs_partial_rewrite); for ad-hoc
+    batch use, re-running the same ``upsert_parquet`` call has the same
+    repairing effect.  What replay can NOT restore: pre-existing
+    unmatched rows of a touched partition whose files were already
+    deleted when the write died — the merge re-reads the (partial)
+    target, so those rows are gone.  For that guarantee, and for
     reader-visible atomicity during the window, use a table format
     (Delta/Iceberg) instead of bare parquet.
 
