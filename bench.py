@@ -55,6 +55,7 @@ HEADLINE = [
     "q_embed_neardup_lsh",
     "q_semdedup",
     "q_domain_mix",
+    "q_global_shuffle",
     # text analysis
     "q_langid",
     "q_quality_tokens",

@@ -174,3 +174,33 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_global_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR || ':0') || '|' || doc_id::VARCHAR AS sk
+      FROM documents
+    )
+    SELECT doc_id, (row_number() OVER (ORDER BY sk) - 1)::BIGINT AS pos
+    FROM k ORDER BY pos
+    """,
+    doc=(
+        "Deterministic global shuffle: reproducible pseudo-random "
+        "training order via md5 permutation keys ranked by pack_shards' "
+        "distributed prefix sum (range partition + per-partition "
+        "offsets + Arrow cumsum) — one shuffle, never the single-task "
+        "global window the naive row_number() plan collapses to."
+    ),
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        global_shuffle(docs.select("doc_id"), "doc_id", seed=0)
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    )

@@ -212,3 +212,43 @@ def domain_mix_sample(
         .where(deterministic_uniform(key_col) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a ``pos`` (0-based) giving its place in a pseudo-random but
+    fully REPRODUCIBLE global permutation — the order a training run
+    reads examples in, stable across re-runs, cluster sizes, and input
+    partitionings (``df.orderBy(rand())`` is none of those).
+
+    The permutation key is ``md5(key || ':' || seed)`` with the row key
+    appended as a tie-break, so it is total even if two keys ever
+    collided in the hash prefix; a different ``seed`` yields an
+    independent permutation (per-epoch reshuffles).
+
+    Scale shape: ranking is :func:`pack_shards`'s distributed prefix
+    sum over unit weights (range partition on the shuffle key + per-
+    partition offsets + Arrow cumsum) — one shuffle, never a
+    single-task global window.  Balanced shuffled shards follow as
+    ``pos % n_shards`` (round-robin interleave) or ``pos // shard_rows``
+    (contiguous), both pure map-side arithmetic on top.
+    """
+    tagged = df.withColumn(
+        "__sk",
+        F.concat(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+            F.lit("|"),
+            F.col(key_col).cast("string"),
+        ),
+    ).withColumn("__one", F.lit(1))
+    out = pack_shards(
+        tagged, "__one", "__sk", 1, num_partitions=num_partitions
+    )
+    return (
+        out.withColumnRenamed("shard_id", "pos").drop("__sk", "__one")
+    )

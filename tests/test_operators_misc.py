@@ -727,3 +727,29 @@ def test_domain_mix_sample_rates_and_cap(spark):
             df, "domain", "doc_id", {"big": 1.0},
             budget_frac=0.5, budget_rows=10,
         )
+
+
+def test_global_shuffle_is_permutation_and_partition_invariant(spark):
+    from metalpipe_spark.operators.curation import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
+    out = {r["doc_id"]: r["pos"] for r in global_shuffle(df, "doc_id").collect()}
+    assert sorted(out.values()) == list(range(200))  # exact permutation
+    assert list(out.keys()) != sorted(out.keys()) or True
+    # order is not the identity (vanishingly unlikely for md5)
+    by_pos = [k for k, _ in sorted(out.items(), key=lambda kv: kv[1])]
+    assert by_pos != sorted(by_pos)
+
+    # partition-invariant and deterministic
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in global_shuffle(df.repartition(7), "doc_id", num_partitions=3).collect()
+    }
+    assert again == out
+
+    # a different seed gives a different permutation
+    other = {
+        r["doc_id"]: r["pos"] for r in global_shuffle(df, "doc_id", seed=1).collect()
+    }
+    assert other != out
+    assert sorted(other.values()) == list(range(200))
