@@ -63,6 +63,7 @@ HEADLINE = [
     "q_token_commonness",
     "q_repetition_signals",
     "q_quality_filter",
+    "q_model_quality",
     "q_distinctive_terms",
     "q_length_quantiles",
     "q_tokenize_regex",

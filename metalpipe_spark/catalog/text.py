@@ -515,3 +515,62 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")  # join-shaped: rebalance regresses (extra exchange)
     return distinctive_terms(docs, k=10).orderBy("lang", "rnk")
+
+
+def _model_weights() -> list[float]:
+    from metalpipe_spark.operators.similarity import deterministic_centroids
+
+    # 32 exactly-representable pseudo-random weights in (-1, 1); a real
+    # distilled quality classifier's weights drop into the same plumbing.
+    return deterministic_centroids(1, 32)[0]
+
+
+def _model_quality_oracle(weights: list[float], threshold: float) -> str:
+    warr = "[" + ", ".join(f"'{float(w)!r}'::DOUBLE" for w in weights) + "]"
+    d = len(weights)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 toks,
+                 tok -> {warr}[
+                   (('0x' || substr(md5(tok), 1, 15))::BIGINT % {d}) + 1
+                 ]
+               ),
+               (a, x) -> a + x
+             ) / greatest(len(toks), 1) AS raw
+      FROM t
+    )
+    SELECT doc_id, round(raw, 6) AS logit,
+           round(raw, 6) >= {threshold} AS keep
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "q_model_quality",
+    _model_quality_oracle(_model_weights(), 0.0),
+    doc=(
+        "Model-based quality filter plumbing (fasttext-style hashed-"
+        "feature linear classifier): weights inline as a plan literal "
+        "array, the token fold is F.aggregate over the portable md5 "
+        "hash, thresholding happens in logit space (monotone in the "
+        "sigmoid — no exp per row, no cross-engine libm drift).  Pure "
+        "scan shape, runs at parquet scan speed."
+    ),
+)
+def q_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import model_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        model_quality_filter(
+            docs.select("doc_id", "text"), _model_weights(), threshold=0.0
+        )
+        .select("doc_id", "logit", "keep")
+        .orderBy("doc_id")
+    )

@@ -455,3 +455,55 @@ def distinctive_terms(
         .where(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("long"))
     )
+
+
+def hashed_linear_logit(
+    text: Column | str, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Model-based quality scoring, the plumbing fasttext-style filters
+    need at scale: logit = bias + mean over tokens of
+    ``weights[h(token) mod D]`` — a hashed-feature ("hashing trick")
+    linear classifier evaluated entirely in codegen.  No Python in the
+    hot path: the weight vector inlines as a plan literal array (fine to
+    a few thousand weights; beyond that, join a broadcast weight table
+    instead), the token fold is ``F.aggregate``, the hash is the
+    portable md5-60-bit used across the engine.
+
+    Returns the LOGIT, not the sigmoid probability: thresholding is
+    monotone in the logit, so a production cut ``p >= t`` becomes
+    ``logit >= ln(t/(1-t))`` with no ``exp`` per row — and no cross-
+    engine libm drift for the oracle to trip on.  Real model weights
+    (a distilled quality classifier, a fasttext head) drop into the
+    same plumbing; the deterministic test weights only exist so the
+    whole path is SQL-replayable.
+    """
+    from metalpipe_spark.operators.dedup import _hash64
+
+    col = F.col(text) if isinstance(text, str) else text
+    D = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(col)
+
+    def step(acc: Column, t: Column) -> Column:
+        idx = F.pmod(_hash64(t), F.lit(D)).cast("int") + F.lit(1)
+        return acc + F.element_at(warr, idx)
+
+    total = F.aggregate(toks, F.lit(0.0), step)
+    return F.lit(float(bias)) + total / F.greatest(F.size(toks), F.lit(1))
+
+
+def model_quality_filter(
+    df: DataFrame,
+    weights: list[float],
+    threshold: float = 0.0,
+    text_col: str = "text",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Tag every row with the hashed-linear quality logit and a ``keep``
+    decision (``logit >= threshold``, threshold in logit space).  A pure
+    scan-shaped projection — no shuffle; at 100 TB it runs at parquet
+    scan speed like the rule-based ``quality_filter``."""
+    logit = F.round(hashed_linear_logit(text_col, weights, bias), 6)
+    return df.withColumn("logit", logit).withColumn(
+        "keep", (F.col("logit") >= F.lit(float(threshold)))
+    )

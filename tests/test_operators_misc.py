@@ -753,3 +753,32 @@ def test_global_shuffle_is_permutation_and_partition_invariant(spark):
     }
     assert other != out
     assert sorted(other.values()) == list(range(200))
+
+
+def test_hashed_linear_logit_matches_python_reference(spark):
+    """The codegen fold must equal a plain-Python evaluation of the same
+    hashed-feature classifier (and thresholding must be logit-space)."""
+    import hashlib
+
+    from metalpipe_spark.operators.text import model_quality_filter
+
+    weights = [(-1) ** i * (0.1 + 0.05 * i) for i in range(8)]
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    def ref_logit(text):
+        toks = text.split(" ")
+        s = sum(weights[h(t) % len(weights)] for t in toks)
+        return round(s / max(len(toks), 1), 6)
+
+    rows = [(1, "good clean prose here"), (2, "spam spam spam"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in model_quality_filter(df, weights, threshold=0.0).collect()
+    }
+    for i, text in rows:
+        want = ref_logit(text)
+        assert abs(out[i][0] - want) < 1e-9, (i, out[i][0], want)
+        assert out[i][1] == (out[i][0] >= 0.0)
