@@ -54,6 +54,8 @@ HEADLINE = [
     "q_ann_ivf_topk",
     "q_embed_neardup_lsh",
     "q_semdedup",
+    "q_semdedup_gemm",
+    "q_incremental_semdedup",
     "q_domain_mix",
     "q_global_shuffle",
     # text analysis

@@ -377,3 +377,125 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
         .orderBy("vec_id")
     )
+
+
+def _inc_semdedup_oracle(
+    centroids: list[list[float]], threshold: float
+) -> str:
+    """SQL replay of incremental_semantic_dedup: even vec_ids form the
+    accumulated store, odd vec_ids arrive as the new batch; in-batch
+    keep-min-id within cells first, then drop batch survivors with a
+    stored near-dup in their cell."""
+    cent_rows = ", ".join(
+        f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for j, c in enumerate(centroids)
+    )
+    dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(({_DOT.format(a=a + '.embedding', b=b + '.embedding')})"
+            f" / ({a}.nrm * {b}.nrm), 6)"
+        )
+
+    return f"""
+    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT c.vec_id, c.embedding, c.nrm, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_cv}) / c.nrm, t.cell
+               ) AS arnk
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE arnk = 1
+    ),
+    old AS (SELECT * FROM assigned WHERE vec_id % 2 = 0),
+    batch AS (SELECT * FROM assigned WHERE vec_id % 2 = 1),
+    batch_losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM batch a JOIN batch b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos('a', 'b')} >= {threshold}
+    ),
+    surv AS (
+      SELECT * FROM batch
+      WHERE vec_id NOT IN (SELECT vec_id FROM batch_losers)
+    ),
+    cross_hits AS (
+      SELECT DISTINCT s.vec_id
+      FROM surv s JOIN old o ON s.cell = o.cell
+      WHERE {cos('s', 'o')} >= {threshold}
+    )
+    SELECT s.vec_id, s.cell FROM surv s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM cross_hits)
+    ORDER BY s.vec_id
+    """
+
+
+@register(
+    "q_incremental_semdedup",
+    _inc_semdedup_oracle(deterministic_centroids(8, 64), threshold=0.25),
+    doc=(
+        "Incremental semantic dedup: a new batch (odd vec_ids) dedups "
+        "against the accumulated store (even vec_ids) — in-batch keep-"
+        "min-id within centroid cells, then an equi-join on cell against "
+        "the store drops batch docs with a stored cosine near-dup.  "
+        "Completes the incremental family (exact / MinHash-LSH / "
+        "embedding)."
+    ),
+)
+def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        cell_store,
+        incremental_semantic_dedup,
+        ivf_assign_literal,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_cents()
+    store = cell_store(emb.where(F.col("vec_id") % 2 == 0), cents)
+    fresh, _ = incremental_semantic_dedup(
+        emb.where(F.col("vec_id") % 2 == 1), store, cents, threshold=0.25
+    )
+    return (
+        ivf_assign_literal(fresh, cents)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_semdedup_gemm",
+    # Same oracle as q_semdedup: the GEMM twin's survivor set matches the
+    # exact fold everywhere except pairs whose raw cosine sits within an
+    # ulp of the 6-decimal rounding boundary (see the operator docstring;
+    # equality with the exact twin is also asserted in tests).
+    _semdedup_oracle(deterministic_centroids(8, 64), threshold=0.25),
+    doc=(
+        "Production path for semantic dedup: per-cell BLAS cosine "
+        "matrix in row chunks (applyInPandas, memory O(chunk x B)), "
+        "keep-min-id decided over the quantized similarity — dense "
+        "linear algebra instead of B^2 interpreted array folds."
+    ),
+)
+def q_semdedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        ivf_assign_literal,
+        semantic_dedup_gemm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents()
+    kept = semantic_dedup_gemm(
+        emb.select("vec_id", "embedding"), cents, threshold=0.25
+    )
+    return (
+        ivf_assign_literal(kept, cents)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )

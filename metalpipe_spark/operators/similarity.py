@@ -905,3 +905,137 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cell_store(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The persistable state for incremental semantic dedup: one
+    ``(id, cell, vec, nrm)`` row per accepted document — nearest-cell
+    assignment plus the precomputed double vector and norm, so future
+    batches pay zero per-store-row recompute.  At warehouse scale write
+    it partitioned/bucketed on ``cell`` so every batch joins
+    co-located."""
+    dim = len(centroids[0])
+    pre = df.select(
+        F.col(id_col),
+        F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("_vd"),
+    )
+    return pre.select(
+        F.col(id_col),
+        F.element_at(_probe_cells(centroids, 1), 1).alias("cell"),
+        F.col("_vd").alias("vec"),
+        F.expr(norm_sql("_vd", dim, cast=False)).alias("nrm"),
+    )
+
+
+def incremental_semantic_dedup(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic dedup of a NEW batch against the accumulated corpus —
+    the incremental twin of :func:`semantic_dedup`, completing the
+    incremental family (exact: ``incremental_exact_dedup``, MinHash:
+    ``incremental_neardup_dedup``, embedding: here).
+
+    In-batch semantic dups resolve first (keep-min-id per cell); the
+    surviving batch rows then meet the store ONLY through their cell
+    (equi-join on ``cell`` — co-located when the store is bucketed on
+    it) and are dropped when any stored doc clears the cosine
+    threshold.  Returns ``(fresh, updated_store)``; the store grows
+    only by surviving docs, so future batches dedup against canonical
+    survivors.
+
+    Same cross-batch chain semantics as the other incremental ops
+    (documented on ``incremental_neardup_dedup``): membership is
+    decided against surviving canonicals at arrival time.
+    """
+    batch_survivors = semantic_dedup(
+        new_docs, centroids, threshold=threshold, vec_col=vec_col, id_col=id_col
+    )
+    surv_store = cell_store(batch_survivors, centroids, vec_col, id_col)
+    if store is not None:
+        a = surv_store.alias("a")
+        b = store.alias("b")
+        cos = F.round(
+            dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        )
+        hits = (
+            a.join(b, F.col("a.cell") == F.col("b.cell"))
+            .where(cos >= F.lit(threshold))
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+        fresh = batch_survivors.join(hits, id_col, "left_anti")
+        surv_store = surv_store.join(hits, id_col, "left_anti")
+        updated = store.unionByName(surv_store)
+        return fresh, updated
+    return batch_survivors, surv_store
+
+
+def semantic_dedup_gemm(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 1024,
+    max_cell_size: int = 65_536,
+) -> DataFrame:
+    """Vectorized twin of :func:`semantic_dedup` — the production path.
+
+    Each centroid cell arrives as ONE Arrow batch (``applyInPandas``);
+    a BLAS matmul computes the cell's cosine matrix in row chunks
+    (memory O(chunk × B), never B²) and a doc is marked a loser when
+    any LOWER-id row in the cell clears the threshold — identical
+    keep-min-id policy, dense linear algebra instead of B² interpreted
+    array folds (measured ~10× on the sf0.1 bench corpus).
+
+    Decision contract: the comparison runs over the 6-decimal-QUANTIZED
+    similarity, same as the exact twin, so the survivor set matches it
+    everywhere except pairs whose raw cosine sits within an ulp of a
+    rounding boundary (BLAS accumulates blocked/SIMD; same caveat as
+    ``pairwise_topk_per_label_gemm``, equality-tested on real data in
+    tests).  ``max_cell_size`` guards the Arrow-batch hazard — size the
+    centroid set so cells fit; oversized cells raise."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sigs = cell_store(df, centroids, vec_col, id_col)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = len(pdf)
+        if b > max_cell_size:
+            raise ValueError(
+                f"cell {pdf['cell'].iloc[0]!r} has {b} rows "
+                f"(max_cell_size={max_cell_size}); refit with more centroids"
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        norms = pdf["nrm"].to_numpy()
+        out = []
+        for lo in range(0, b, chunk):
+            hi = min(lo + chunk, b)
+            S = np.round((V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms), 6)
+            # loser: any strictly-lower-id column clears the threshold
+            lower = np.arange(b)[None, :] < np.arange(lo, hi)[:, None]
+            hit = ((S >= threshold) & lower).any(axis=1)
+            out.append(ids[lo:hi][hit])
+        losers = np.concatenate(out) if out else np.array([], dtype=ids.dtype)
+        return pd.DataFrame({id_col: losers})
+
+    losers = sigs.groupBy("cell").applyInPandas(
+        per_cell, schema=f"{id_col} {id_type}"
+    )
+    return df.join(losers, id_col, "left_anti")

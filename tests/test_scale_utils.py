@@ -400,3 +400,73 @@ def test_semantic_dedup_keeps_min_id_per_dup_group(spark):
         for r in semantic_dedup(chain, cents, threshold=0.93).collect()
     )
     assert kept_chain == [10]
+
+
+def test_semantic_dedup_gemm_matches_exact(spark):
+    """The BLAS twin must produce the same survivor set as the exact
+    fold on real data (sf0.001 embeddings), plus the synthetic groups
+    from the exact-twin test."""
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        semantic_dedup,
+        semantic_dedup_gemm,
+    )
+    from metalpipe_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    cents = deterministic_centroids(8, 64)
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    exact = sorted(r["vec_id"] for r in semantic_dedup(emb, cents, 0.25).collect())
+    gemm = sorted(
+        r["vec_id"] for r in semantic_dedup_gemm(emb, cents, 0.25).collect()
+    )
+    assert gemm == exact
+    assert 0 < len(gemm) < emb.count()
+
+    small = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [2.0, 0.2, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.3, 0.0]),
+        (4, [-3.0, 0.0, 0.9, 0.0]),
+        (5, [0.1, -1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    assert sorted(
+        r["vec_id"] for r in semantic_dedup_gemm(df, small, threshold=0.9).collect()
+    ) == [1, 3, 5]
+
+
+def test_incremental_semantic_dedup_matches_batch_policy(spark):
+    """Incremental semantic dedup: batch rows with a stored near-dup are
+    dropped; survivors extend the store; a second batch dedups against
+    the grown store."""
+    from metalpipe_spark.operators.similarity import (
+        cell_store,
+        incremental_semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    accepted = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    store = cell_store(accepted, cents)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, [2.0, 0.1, 0.0, 0.0]),   # near-dup of stored 1 -> dropped
+            (11, [-1.0, 0.0, 0.2, 0.0]),  # new content -> kept
+            (12, [-2.0, 0.0, 0.4, 0.0]),  # in-batch dup of 11 -> dropped
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    fresh, store2 = incremental_semantic_dedup(batch1, store, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in fresh.collect()) == [11]
+    assert sorted(r["vec_id"] for r in store2.select("vec_id").collect()) == [1, 11]
+
+    batch2 = spark.createDataFrame(
+        [(20, [-3.0, 0.0, 0.6, 0.0])], "vec_id int, embedding array<double>"
+    )  # near-dup of the NEWLY accepted 11
+    fresh2, store3 = incremental_semantic_dedup(batch2, store2, cents, threshold=0.95)
+    assert fresh2.count() == 0
+    assert sorted(r["vec_id"] for r in store3.select("vec_id").collect()) == [1, 11]
