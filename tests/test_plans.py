@@ -318,3 +318,57 @@ def test_funnel_single_user_exchange(spark):
     plan = _formatted(funnel(ev, ["view", "click", "purchase"]))
     assert _nodes(plan, "Exchange") == 1, plan
     assert _nodes(plan, "Window") == 3, plan
+
+
+def test_model_quality_is_scan_shaped(spark):
+    """The hashed-linear classifier must run at scan speed: zero
+    exchanges, whole plan map-side."""
+    from metalpipe_spark.operators.text import model_quality_filter
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = model_quality_filter(docs, [0.1, -0.2, 0.3, -0.4])
+    assert _nodes(_formatted(out), "Exchange") == 0
+
+
+def test_domain_mix_broadcasts_rates_no_data_shuffle(spark):
+    """The data-scale side of domain_mix_sample must never shuffle: the
+    per-domain rates (a few rows) broadcast back onto the scan, so every
+    Exchange in the plan is on the tiny counts aggregate, and the join
+    is broadcast."""
+    from metalpipe_spark.operators.curation import domain_mix_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = domain_mix_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.5}, budget_frac=0.5
+    )
+    plan = _formatted(out)
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    # exchanges exist only under the counts-aggregate/broadcast subtree;
+    # the probe side reads the scan directly (no Exchange hashpartitioning
+    # of doc_id rows)
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_semantic_pairs_single_cell_exchange(spark):
+    """Within-cell candidate generation must meet through ONE shuffle on
+    the cell key (both join inputs derive from the same scan-side
+    assignment) — never an all-pairs cross product."""
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        semantic_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    with _no_auto_broadcast(spark):
+        plan = _simple(
+            semantic_neardup_pairs(emb, deterministic_centroids(4, 64), 0.25)
+        )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(cell") == 2  # two join inputs
