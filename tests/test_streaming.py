@@ -338,3 +338,61 @@ def test_upsert_parquet_replay_repairs_partial_rewrite(spark, tmp_path):
     assert by_id[2] == ("a", 99.0)
     assert by_id[5] == ("a", 50.0)
     assert by_id[6] == ("b", 60.0)
+
+
+def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
+    """Streaming semantic dedup end-to-end: an embedding stream flows
+    through foreachBatch, each micro-batch dedups against the persisted
+    cell store (incremental_semantic_dedup, GEMM path) and survivors
+    extend it — the kept set must equal one-shot semantic_dedup over
+    everything (files arrive in id order, so canonical min-ids agree)."""
+    from metalpipe_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [0.1, -1.0, 0.0, 0.0]),
+        (2, [2.0, 0.2, 0.0, 0.0]),   # dup of 0
+        (3, [-1.0, 0.0, 0.3, 0.0]),
+        (4, [-3.0, 0.0, 0.9, 0.0]),  # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import time as _time
+
+    src = tmp_path / "vecs"
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        vecs.where(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    store_path = str(tmp_path / "store")
+    kept_path = str(tmp_path / "kept")
+
+    stream = file_watchdog(spark, str(src), vecs.schema, max_files_per_trigger=1)
+
+    def dedup_batch(batch_df, batch_id):
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        fresh, updated = incremental_semantic_dedup(
+            batch_df, store, cents, threshold=0.9
+        )
+        fresh.write.mode("append").parquet(kept_path)
+        updated.write.mode("overwrite").parquet(store_path + "_next")
+        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(
+            store_path
+        )
+
+    q = foreach_batch_sink(stream, dedup_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(kept_path).collect())
+    want = sorted(
+        r["vec_id"] for r in semantic_dedup(vecs, cents, threshold=0.9).collect()
+    )
+    assert kept == want == [0, 1, 3, 5]
