@@ -300,3 +300,42 @@ def upsert_parquet(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: int = 0,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export a corpus as globally-shuffled training shards: rows are
+    placed in the deterministic pseudo-random order of
+    :func:`~metalpipe_spark.operators.curation.global_shuffle` and
+    round-robin interleaved into ``num_shards`` shard directories
+    (``shard=K`` partitions), so every shard is an unbiased,
+    reproducible sample of the whole corpus and a data loader can read
+    shards independently with no cross-shard coordination.
+
+    ``pos % num_shards`` (interleave) rather than ``pos // shard_size``
+    (contiguous): contiguous splits put each shard's rows adjacent in
+    the permutation — fine — but interleaving also keeps shard sizes
+    equal to within one row with no size precomputation.  Within a
+    shard, ``pos`` is written so loaders can restore the exact global
+    order (resume from a step counter).  A different ``seed`` is a
+    fresh epoch.
+
+    Scale shape: one range-partition shuffle (the prefix-sum ranking)
+    plus a partitioned write — ``partitionBy(shard)`` with
+    ``maxRecordsPerFile`` bounding straggler files."""
+    from metalpipe_spark.operators.curation import global_shuffle
+
+    ranked = global_shuffle(df, key_col, seed=seed)
+    out = ranked.withColumn(
+        "shard", F.pmod(F.col("pos"), F.lit(num_shards)).cast("int")
+    )
+    w = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

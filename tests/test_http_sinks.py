@@ -345,3 +345,36 @@ def test_upsert_parquet_replay_is_idempotent(spark, tmp_path):
         (r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert first == second == [(1, "a", 11.0), (2, "b", 20.0), (3, "a", 33.0)]
+
+
+def test_write_training_shards_balanced_and_reproducible(spark, tmp_path):
+    """Shards are equal-sized to within one row, their union is the
+    corpus, pos restores the global permutation, and a re-export with
+    the same seed is byte-identical in assignment."""
+    from metalpipe_spark.sinks.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(103)], "doc_id int, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", num_shards=4)
+
+    back = spark.read.parquet(out)
+    rows = [(r["doc_id"], r["pos"], r["shard"]) for r in back.collect()]
+    assert len(rows) == 103
+    assert sorted(p for _, p, _ in rows) == list(range(103))
+    by_shard = {}
+    for d, p, s in rows:
+        assert s == p % 4  # round-robin interleave
+        by_shard.setdefault(s, []).append(d)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1
+
+    # reproducible: same seed -> same assignment
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(7), out2, "doc_id", num_shards=4)
+    again = {
+        (r["doc_id"], r["pos"], r["shard"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert again == set(rows)
