@@ -46,6 +46,7 @@ HEADLINE = [
     "q_incremental_neardup",
     "q_simhash_neardup",
     "q_paragraph_dedup",
+    "q_source_overlap",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

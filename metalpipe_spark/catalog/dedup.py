@@ -583,3 +583,37 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("size")
     )
+
+
+@register(
+    "q_source_overlap",
+    f"""
+    WITH {_lsh_pair_ctes(16, 8)},
+    hits AS (SELECT d1, d2 FROM lshp WHERE est_jaccard >= {_CLUSTER_THRESHOLD}),
+    lab AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM hits h
+      JOIN documents a ON h.d1 = a.doc_id
+      JOIN documents b ON h.d2 = b.doc_id
+    )
+    SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc=(
+        "Cross-source near-dup overlap diagnostic: thresholded "
+        "MinHash-LSH pairs labeled with each side's source and counted "
+        "per unordered source pair — diagonal rows are within-source "
+        "duplication, off-diagonal rows cross-source contamination.  "
+        "The label join touches only pair ids (orders of magnitude "
+        "smaller than the corpus)."
+    ),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import cross_source_overlap
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return cross_source_overlap(
+        docs, bands=8, threshold=_CLUSTER_THRESHOLD
+    ).orderBy("source_a", "source_b")

@@ -781,3 +781,54 @@ def incremental_neardup_dedup(
         surv_bands = surv_bands.join(hits, id_col, "left_anti")
     updated = surv_bands if store is None else store.unionByName(surv_bands)
     return survivors, updated
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate overlap BETWEEN corpus sources — the curation
+    diagnostic behind "how much of crawl B re-scrapes corpus A":
+    thresholded MinHash-LSH pairs are labeled with each side's
+    ``group_col`` and counted per unordered source pair.
+
+    Output ``(source_a, source_b, n_pairs)`` with
+    ``source_a <= source_b``; the diagonal rows are within-source
+    duplication, off-diagonal rows cross-source contamination.
+
+    Scale shape: candidate pairs come from the band-bucket join (never
+    all-pairs), and the label join touches only PAIR ids — two hash
+    joins on a relation that is orders of magnitude smaller than the
+    corpus — before a few-row groupBy.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        n,
+        num_hashes,
+        bands,
+    ).where(F.col("est_jaccard") >= threshold)
+    labels = df.select(F.col(id_col), F.col(group_col))
+    l1 = labels.select(
+        F.col(id_col).alias("d1"), F.col(group_col).alias("s1")
+    )
+    l2 = labels.select(
+        F.col(id_col).alias("d2"), F.col(group_col).alias("s2")
+    )
+    return (
+        pairs.join(l1, "d1")
+        .join(l2, "d2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
