@@ -59,6 +59,7 @@ HEADLINE = [
     "q_incremental_semdedup",
     "q_domain_mix",
     "q_global_shuffle",
+    "q_corpus_split",
     # text analysis
     "q_langid",
     "q_quality_tokens",

@@ -204,3 +204,46 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos")
         .orderBy("pos")
     )
+
+
+_SPLITS = {"train": 0.8, "validation": 0.1, "test": 0.1}
+
+
+def _split_oracle(fractions: dict[str, float]) -> str:
+    """CASE chain over the same cumulative boundaries (same float
+    accumulation order as split_corpus, so the literals are the exact
+    doubles the Spark plan compares against)."""
+    items = sorted(fractions.items())
+    cum = 0.0
+    whens = []
+    for name, frac in items[:-1]:
+        cum += frac
+        whens.append(f"WHEN {_UNIFORM_SQL} < '{cum!r}'::DOUBLE THEN '{name}'")
+    return f"""
+    SELECT doc_id,
+           CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_corpus_split",
+    _split_oracle(_SPLITS),
+    doc=(
+        "Deterministic train/validation/test split: membership is where "
+        "the row's md5 uniform falls among cumulative fraction "
+        "boundaries — reproducible across runs/engines/partitionings, "
+        "leakage-free on re-processing (unlike randomSplit).  Pure "
+        "map-side projection, no shuffle."
+    ),
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_corpus(docs.select("doc_id"), "doc_id", _SPLITS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )

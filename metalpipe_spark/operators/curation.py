@@ -252,3 +252,42 @@ def global_shuffle(
     return (
         out.withColumnRenamed("shard_id", "pos").drop("__sk", "__one")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/validation/test split: each row lands in
+    exactly one named split by where its md5 uniform falls among the
+    cumulative fraction boundaries (splits ordered by name for a stable
+    boundary layout).  Membership depends only on ``key_col`` (and the
+    optional ``salt``), so it is reproducible across runs, engines, and
+    partitionings, and a document can never leak between splits when
+    the corpus is re-processed — the property a ``randomSplit`` sample
+    loses on every re-run.  Fractions must sum to 1 (validated).
+
+    A pure map-side projection: no shuffle, no state; filter a split
+    out with ``.where(F.col("split") == "train")`` and the md5 filter
+    still pushes to the scan."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = deterministic_uniform(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    expr = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

@@ -782,3 +782,40 @@ def test_hashed_linear_logit_matches_python_reference(spark):
         want = ref_logit(text)
         assert abs(out[i][0] - want) < 1e-9, (i, out[i][0], want)
         assert out[i][1] == (out[i][0] >= 0.0)
+
+
+def test_split_corpus_partition_and_exclusive(spark):
+    """Every row lands in exactly one split, proportions are near the
+    targets, assignment is partition-invariant, and fractions must sum
+    to 1."""
+    import pytest as _pytest
+
+    from metalpipe_spark.operators.curation import split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id int")
+    fr = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"] for r in split_corpus(df, "doc_id", fr).collect()}
+    assert len(out) == 1000
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert set(c) == {"train", "validation", "test"}
+    assert 700 <= c["train"] <= 880
+    assert 50 <= c["validation"] <= 160
+    assert 50 <= c["test"] <= 160
+
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df.repartition(9), "doc_id", fr).collect()
+    }
+    assert again == out
+
+    # a different salt reshuffles membership without changing proportions
+    other = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df, "doc_id", fr, salt="v2").collect()
+    }
+    assert other != out
+
+    with _pytest.raises(ValueError):
+        split_corpus(df, "doc_id", {"train": 0.8, "test": 0.1})
