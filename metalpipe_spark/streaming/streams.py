@@ -331,3 +331,48 @@ def stream_upsert_sink(
         )
 
     return foreach_batch_sink(df, apply, checkpoint)
+
+
+def stream_semantic_dedup_sink(
+    df: DataFrame,
+    centroids: list[list[float]],
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Continuously-ingesting semantic dedup: each micro-batch dedups
+    against the cell store persisted so far
+    (``similarity.incremental_semantic_dedup``, GEMM path), survivors
+    append to ``kept_path`` and extend the store — the embedding-space
+    member of the streaming dedup family (exact fingerprints and
+    MinHash bands have the same shape, test_streaming.py).
+
+    The store swap is write-new + overwrite (not atomic): a crash
+    between the kept append and the store swap can admit one batch's
+    near-dups on replay — the same at-least-once caveat as the exact
+    incremental sink; a table format gives the transactional upgrade.
+    Store reads prune to the batch's cells when the store is written
+    partitioned by ``cell``."""
+    from metalpipe_spark.operators.similarity import incremental_semantic_dedup
+
+    spark = df.sparkSession
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        fresh, updated = incremental_semantic_dedup(
+            batch_df, store, centroids,
+            threshold=threshold, vec_col=vec_col, id_col=id_col,
+        )
+        fresh.write.mode("append").parquet(kept_path)
+        updated.write.mode("overwrite").parquet(store_path + "_next")
+        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(
+            store_path
+        )
+
+    return foreach_batch_sink(df, apply, checkpoint)

@@ -346,10 +346,8 @@ def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
     cell store (incremental_semantic_dedup, GEMM path) and survivors
     extend it — the kept set must equal one-shot semantic_dedup over
     everything (files arrive in id order, so canonical min-ids agree)."""
-    from metalpipe_spark.operators.similarity import (
-        incremental_semantic_dedup,
-        semantic_dedup,
-    )
+    from metalpipe_spark.operators.similarity import semantic_dedup
+    from metalpipe_spark.streaming.streams import stream_semantic_dedup_sink
 
     cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
     rows = [
@@ -373,22 +371,10 @@ def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
     kept_path = str(tmp_path / "kept")
 
     stream = file_watchdog(spark, str(src), vecs.schema, max_files_per_trigger=1)
-
-    def dedup_batch(batch_df, batch_id):
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            store = None
-        fresh, updated = incremental_semantic_dedup(
-            batch_df, store, cents, threshold=0.9
-        )
-        fresh.write.mode("append").parquet(kept_path)
-        updated.write.mode("overwrite").parquet(store_path + "_next")
-        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(
-            store_path
-        )
-
-    q = foreach_batch_sink(stream, dedup_batch, str(tmp_path / "ckpt"))
+    q = stream_semantic_dedup_sink(
+        stream, cents, kept_path, store_path, str(tmp_path / "ckpt"),
+        threshold=0.9,
+    )
     q.awaitTermination()
 
     kept = sorted(r["vec_id"] for r in spark.read.parquet(kept_path).collect())
