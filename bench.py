@@ -54,6 +54,7 @@ HEADLINE = [
     "q_ann_blocked_knn_gemm",
     "q_ann_ivf_topk",
     "q_embed_neardup_lsh",
+    "q_mean_pool",
     "q_semdedup",
     "q_semdedup_gemm",
     "q_incremental_semdedup",

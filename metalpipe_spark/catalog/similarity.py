@@ -499,3 +499,44 @@ def q_semdedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
         .orderBy("vec_id")
     )
+
+
+def _mean_pool_oracle(dim: int) -> str:
+    elems = ", ".join(
+        f"round(sum(embedding[{i + 1}]::DECIMAL(28,12))::DOUBLE / count(*), 6)"
+        f" AS m{i}"
+        for i in range(dim)
+    )
+    return f"""
+    SELECT label, {elems}
+    FROM embeddings GROUP BY label ORDER BY label
+    """
+
+
+@register(
+    "q_mean_pool",
+    _mean_pool_oracle(64),
+    doc=(
+        "Mean-pool embeddings per label (the chunk->document embedding "
+        "aggregation): each dimension is its own SUM aggregate, so "
+        "partial sums combine map-side and the one exchange carries "
+        "groups x dim scalars, never row-scale data.  Exact mode "
+        "accumulates in DECIMAL(28,12) — order-independent, the money-"
+        "aggregation rule — so the oracle hash is reproducible.  The "
+        "catalog surface flattens the vector to scalar columns (same "
+        "hashability rule as q_minhash_signatures); the operator keeps "
+        "its array form for downstream ANN/semantic-dedup composition."
+    ),
+)
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import mean_pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = mean_pool_embeddings(emb, "label", dim=64, exact=True)
+    return pooled.select(
+        "label",
+        *[
+            F.round(F.col("mean_embedding")[i], 6).alias(f"m{i}")
+            for i in range(64)
+        ],
+    ).orderBy("label")

@@ -1106,3 +1106,49 @@ def semantic_dedup_gemm(
         per_cell, schema=f"{id_col} {id_type}"
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→document embedding
+    aggregation step (pool chunk embeddings into one doc vector before
+    semantic dedup / ANN indexing).
+
+    Plan shape: ONE map-side-combined shuffle — each dimension is its
+    own ``SUM(vec[i])`` aggregate, so partial sums happen before the
+    exchange and the shuffle carries ``groups × dim`` scalars, never
+    row-scale data.  (The alternative — posexplode → two shuffles — is
+    strictly worse; a per-group Pandas kernel would move whole vectors
+    across the wire.)
+
+    ``exact=True`` accumulates each dimension in DECIMAL(28, 12)
+    (exact, order-independent — the engine's money-aggregation rule)
+    before the final double division, making the result reproducible
+    across engines and partitionings; the default double sum is the
+    fast production path whose low-order bits may vary with partition
+    order (document-level cosine doesn't care).
+    """
+    el = F.col(vec_col)
+    if exact:
+        sums = [
+            F.sum(el.getItem(i).cast("decimal(28,12)")).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+    else:
+        sums = [
+            F.sum(el.getItem(i).cast("double")).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+    agg = df.groupBy(group_col).agg(*sums, F.count(F.lit(1)).alias("_n"))
+    mean = F.array(
+        *[
+            (F.col(f"_s{i}").cast("double") / F.col("_n")).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    return agg.select(F.col(group_col), mean.alias("mean_embedding"))

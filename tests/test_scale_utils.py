@@ -470,3 +470,37 @@ def test_incremental_semantic_dedup_matches_batch_policy(spark):
     fresh2, store3 = incremental_semantic_dedup(batch2, store2, cents, threshold=0.95)
     assert fresh2.count() == 0
     assert sorted(r["vec_id"] for r in store3.select("vec_id").collect()) == [1, 11]
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    """Pooled vectors must equal a numpy mean per group (double mode),
+    and exact mode must be invariant to partitioning (decimal sums are
+    order-independent)."""
+    import numpy as np
+
+    from metalpipe_spark.operators.similarity import mean_pool_embeddings
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i % 3), [float(x) for x in rng.normal(size=4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        r["label"]: r["mean_embedding"]
+        for r in mean_pool_embeddings(df, "label", dim=4).collect()
+    }
+    for lbl in (0, 1, 2):
+        want = np.mean([v for l, v in rows if l == lbl], axis=0)
+        assert np.allclose(got[lbl], want, atol=1e-12)
+
+    exact1 = {
+        r["label"]: r["mean_embedding"]
+        for r in mean_pool_embeddings(df, "label", dim=4, exact=True).collect()
+    }
+    exact2 = {
+        r["label"]: r["mean_embedding"]
+        for r in mean_pool_embeddings(
+            df.repartition(11), "label", dim=4, exact=True
+        ).collect()
+    }
+    assert exact1 == exact2  # bit-identical under any partitioning
