@@ -47,6 +47,7 @@ HEADLINE = [
     "q_simhash_neardup",
     "q_paragraph_dedup",
     "q_source_overlap",
+    "q_normalized_dedup",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

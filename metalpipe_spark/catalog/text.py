@@ -574,3 +574,52 @@ def q_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "logit", "keep")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_normalized_dedup",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(
+                 translate(lower(text),
+                           'áàâäãåéèêëíìîïóòôöõúùûüýÿçñ',
+                           'aaaaaaeeeeiiiiooooouuuuyycn'),
+                 '[^\p{L}\p{N} ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, norm_fp,
+             row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+      FROM n
+    )
+    SELECT doc_id, norm_fp FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Exact dedup over CCNet-style normalized text (lowercase, "
+        "accent fold, punctuation strip, whitespace collapse): case/"
+        "punctuation/accent variants of the same document collapse to "
+        "one fingerprint, min-id survives.  Normalization is pure "
+        "codegen on the scan; dedup is the same single fingerprint "
+        "groupBy as exact_dedup."
+    ),
+)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from metalpipe_spark.operators.text import normalize_for_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.md5(normalize_for_dedup("text")).alias("norm_fp")
+    )
+    w = Window.partitionBy("norm_fp").orderBy("doc_id")
+    return (
+        n.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "norm_fp")
+        .orderBy("doc_id")
+    )

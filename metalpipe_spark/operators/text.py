@@ -507,3 +507,30 @@ def model_quality_filter(
     return df.withColumn("logit", logit).withColumn(
         "keep", (F.col("logit") >= F.lit(float(threshold)))
     )
+
+
+# Accent-fold table for dedup normalization: the common Latin-1/Latin
+# Extended accents the corpus languages (en/de/fr/es) produce.  A literal
+# translate table, valid verbatim in Spark and ANSI engines — real
+# Unicode NFKC needs a Pandas UDF (unicodedata), which this deliberately
+# avoids so normalization stays in codegen on the scan.
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycn"
+
+
+def normalize_for_dedup(text: Column | str) -> Column:
+    """CCNet-style dedup normalization: lowercase → accent fold →
+    strip everything but letters/digits/spaces (``\\p{L}\\p{N}`` so
+    unsegmented scripts survive — an ASCII-only class would collapse
+    every CJK document to the empty string) → collapse whitespace →
+    trim.  Two texts that differ only in case, punctuation, accents, or
+    spacing normalize identically, so fingerprint/MinHash over the
+    normalized form catches the near-dups raw hashing misses.
+
+    Pure Column expression (lower/translate/regexp_replace) — whole-
+    stage codegen, no shuffle, runs at scan speed; ``\\p{L}``/``\\p{N}``
+    classes are supported identically by Java regex and RE2."""
+    col = F.col(text) if isinstance(text, str) else text
+    folded = F.translate(F.lower(col), ACCENT_SRC, ACCENT_DST)
+    stripped = F.regexp_replace(folded, r"[^\p{L}\p{N} ]", " ")
+    return F.trim(F.regexp_replace(stripped, r" +", " "))

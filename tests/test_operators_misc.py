@@ -819,3 +819,28 @@ def test_split_corpus_partition_and_exclusive(spark):
 
     with _pytest.raises(ValueError):
         split_corpus(df, "doc_id", {"train": 0.8, "test": 0.1})
+
+
+def test_normalize_for_dedup_collapses_variants(spark):
+    """Case / punctuation / accent / spacing variants must normalize
+    identically; CJK text must survive (not collapse to empty)."""
+    from metalpipe_spark.operators.text import normalize_for_dedup
+
+    rows = [
+        (1, "Héllo,   World!"),
+        (2, "hello world"),
+        (3, "HELLO -- WORLD?"),
+        (4, "Café au lait"),
+        (5, "cafe au lait"),
+        (6, "你好，世界！"),
+        (7, "different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_for_dedup("text").alias("n")).collect()
+    }
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == out[5] == "cafe au lait"
+    assert out[6] == "你好 世界"  # punctuation stripped, script preserved
+    assert out[7] == "different text"
