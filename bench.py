@@ -80,6 +80,7 @@ HEADLINE = [
     "q_curate_top_docs",
     "q_pack_shards",
     "q_corpus_pipeline",
+    "q_mix_pipeline",
     # treehorn / nested-data
     "q_treehorn_props",
     # structured streaming (availableNow micro-batch runs; timings are

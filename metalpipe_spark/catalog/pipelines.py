@@ -234,3 +234,131 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "chunk_id", "n_chunk_tokens", "shard_id"
     ).orderBy("doc_id", "chunk_id")
+
+
+def _mix_pipeline_oracle() -> str:
+    """SQL replay of the round-7 curation chain: normalized exact dedup
+    (min-id per CCNet-normalized fingerprint) → hashed-linear model
+    quality filter (logit >= 0) → domain-mixture resampling over the
+    SURVIVING corpus → deterministic train/val/test split."""
+    from metalpipe_spark.catalog.curation import _MIX_CASE
+    from metalpipe_spark.catalog.text import _model_quality_oracle, _model_weights
+
+    # Reuse the model-quality oracle's fold by inlining its expression.
+    warr = "[" + ", ".join(f"'{float(w)!r}'::DOUBLE" for w in _model_weights()) + "]"
+    d = len(_model_weights())
+    logit = f"""
+             list_reduce(
+               list_transform(
+                 string_split(text, ' '),
+                 tok -> {warr}[
+                   (('0x' || substr(md5(tok), 1, 15))::BIGINT % {d}) + 1
+                 ]
+               ),
+               (a, x) -> a + x
+             ) / greatest(len(string_split(text, ' ')), 1)
+    """
+    uniform = (
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+        " / 1152921504606846976.0"
+    )
+    # The mixing filter already conditioned on `uniform` (kept rows have
+    # LOW uniforms), so the split must draw an INDEPENDENT uniform or
+    # 'test' (u < 0.1) would be over-represented — the salt exists for
+    # exactly this (measured 65 test vs 9 validation rows unsalted at
+    # sf0.01 for nominal 0.1/0.1).
+    salted = (
+        "('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT"
+        " / 1152921504606846976.0"
+    )
+    return rf"""
+    WITH n AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(
+               regexp_replace(
+                 translate(lower(text),
+                           'áàâäãåéèêëíìîïóòôöõúùûüýÿçñ',
+                           'aaaaaaeeeeiiiiooooouuuuyycn'),
+                 '[^\p{{L}}\p{{N}} ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    ),
+    dd AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+        FROM n
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT doc_id, lang FROM dd
+      WHERE round({logit}, 6) >= 0.0
+    ),
+    counts AS (SELECT lang, count(*) AS cnt FROM q GROUP BY lang),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    rates AS (
+      SELECT lang,
+             least('1.0'::DOUBLE,
+                   (('0.6'::DOUBLE * total) * {_MIX_CASE}) / cnt) AS rate
+      FROM counts CROSS JOIN tot
+    ),
+    mixed AS (
+      SELECT q.doc_id, q.lang
+      FROM q JOIN rates r ON q.lang = r.lang
+      WHERE {uniform} < r.rate
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {salted} < '0.1'::DOUBLE THEN 'test'
+                WHEN '{0.1 + 0.8!r}'::DOUBLE > {salted} THEN 'train'
+                ELSE 'validation' END AS split
+    FROM mixed
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_mix_pipeline",
+    _mix_pipeline_oracle(),
+    doc=(
+        "Round-7 curation chain composed end-to-end: CCNet-normalized "
+        "exact dedup -> hashed-linear model quality filter -> domain-"
+        "mixture resampling over the surviving corpus -> deterministic "
+        "train/val/test split.  Every stage is a pure filter or one "
+        "bounded aggregate; the whole chain shuffles only the dedup "
+        "fingerprint window and the few-row mixture counts."
+    ),
+)
+def q_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from metalpipe_spark.catalog.curation import _MIX_WEIGHTS
+    from metalpipe_spark.catalog.text import _model_weights
+    from metalpipe_spark.operators.curation import domain_mix_sample, split_corpus
+    from metalpipe_spark.operators.text import (
+        model_quality_filter,
+        normalize_for_dedup,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = Window.partitionBy(F.md5(normalize_for_dedup("text"))).orderBy("doc_id")
+    dd = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = (
+        model_quality_filter(dd, _model_weights(), threshold=0.0)
+        .where(F.col("keep"))
+        .select("doc_id", "lang")
+    )
+    mixed = domain_mix_sample(q, "lang", "doc_id", _MIX_WEIGHTS, budget_frac=0.6)
+    # Independent uniform for the split (salt): the mix filter already
+    # conditioned on the unsalted doc_id uniform, which would bias the
+    # split toward 'test' (see the oracle builder's comment).
+    out = split_corpus(
+        mixed, "doc_id", {"train": 0.8, "validation": 0.1, "test": 0.1},
+        salt="split",
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
