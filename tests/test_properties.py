@@ -106,3 +106,51 @@ def test_merge_upsert_last_wins_permutation_invariant(spark, updates, seed):
         if k not in want or (seq, payload) > want[k]:
             want[k] = (seq, payload)
     assert results[0] == results[1] == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    parts=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_global_shuffle_permutation_property(spark, n, parts, seed):
+    """For any corpus size, partition count, and seed: pos is an exact
+    0..n-1 permutation and is identical under repartitioning."""
+    from metalpipe_spark.operators.curation import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in global_shuffle(df, "doc_id", seed=seed, num_partitions=parts).collect()
+    }
+    assert sorted(got.values()) == list(range(n))
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in global_shuffle(
+            df.repartition(3), "doc_id", seed=seed, num_partitions=parts
+        ).collect()
+    }
+    assert again == got
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=1.0), min_size=1, max_size=4
+    ),
+)
+def test_split_corpus_exact_partition_property(spark, n, fracs):
+    """For any normalized fraction vector: every row lands in exactly
+    one split and every named split is a valid label."""
+    from metalpipe_spark.operators.curation import split_corpus
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # force exact sum-to-1 after float division
+    fractions[f"s{len(fracs) - 1}"] += 1.0 - sum(fractions.values())
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    rows = split_corpus(df, "doc_id", fractions).collect()
+    assert len(rows) == n
+    assert {r["split"] for r in rows} <= set(fractions)
