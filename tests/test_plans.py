@@ -372,3 +372,18 @@ def test_semantic_pairs_single_cell_exchange(spark):
         )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning(cell") == 2  # two join inputs
+
+
+def test_mix_pipeline_bounded_exchanges(spark):
+    """The composed curation chain must stay cheap: one fingerprint
+    window shuffle for the dedup stage plus the few-row mixture-count
+    aggregate — the model filter, mix filter, and split are all
+    map-side.  Pin the exchange budget so a refactor can't quietly turn
+    a filter into a shuffle."""
+    df = REGISTRY["q_mix_pipeline"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    # window + count-agg + broadcast machinery + final orderBy range
+    # exchange; the data-scale path shuffles exactly twice (fingerprint
+    # window, output sort)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
