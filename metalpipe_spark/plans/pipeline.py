@@ -568,6 +568,123 @@ def _pack_shards_node(spark, upstreams, opts):
     )
 
 
+@node_class("NormalizedDedup")
+def _normalized_dedup_node(spark, upstreams, opts):
+    """Exact dedup over CCNet-normalized text: min-id survivor per
+    normalized fingerprint (catalog row q_normalized_dedup)."""
+    from pyspark.sql.window import Window
+
+    from metalpipe_spark.operators.text import normalize_for_dedup
+
+    df = _one(upstreams, "NormalizedDedup")
+    text_col = opts.get("text_col", "text")
+    id_col = opts.get("id_col", "doc_id")
+    w = Window.partitionBy(F.md5(normalize_for_dedup(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@node_class("ModelQualityFilter")
+def _model_quality_filter_node(spark, upstreams, opts):
+    """Hashed-feature linear classifier filter; ``keep_only=True``
+    (default) drops failing docs, else annotates logit/keep."""
+    from metalpipe_spark.operators.text import model_quality_filter
+
+    df = _one(upstreams, "ModelQualityFilter")
+    out = model_quality_filter(
+        df,
+        weights=opts["weights"],
+        threshold=opts.get("threshold", 0.0),
+        text_col=opts.get("text_col", "text"),
+        bias=opts.get("bias", 0.0),
+    )
+    if opts.get("keep_only", True):
+        return out.where(F.col("keep")).drop("logit", "keep")
+    return out
+
+
+@node_class("DomainMixSample")
+def _domain_mix_sample_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import domain_mix_sample
+
+    return domain_mix_sample(
+        _one(upstreams, "DomainMixSample"),
+        domain_col=opts["domain_col"],
+        key_col=opts["key_col"],
+        weights=opts["weights"],
+        budget_frac=opts.get("budget_frac"),
+        budget_rows=opts.get("budget_rows"),
+    )
+
+
+@node_class("SplitCorpus")
+def _split_corpus_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import split_corpus
+
+    return split_corpus(
+        _one(upstreams, "SplitCorpus"),
+        key_col=opts["key_col"],
+        fractions=opts["fractions"],
+        split_col=opts.get("split_col", "split"),
+        salt=opts.get("salt", ""),
+    )
+
+
+@node_class("GlobalShuffle")
+def _global_shuffle_node(spark, upstreams, opts):
+    from metalpipe_spark.operators.curation import global_shuffle
+
+    return global_shuffle(
+        _one(upstreams, "GlobalShuffle"),
+        key_col=opts["key_col"],
+        seed=opts.get("seed", 0),
+    )
+
+
+@node_class("SemanticDedup")
+def _semantic_dedup_node(spark, upstreams, opts):
+    """SemDeDup over an embedding column (GEMM path by default);
+    ``centroids`` inline, or ``num_centroids``/``dim`` for the
+    deterministic fixed set."""
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        semantic_dedup,
+        semantic_dedup_gemm,
+    )
+
+    df = _one(upstreams, "SemanticDedup")
+    cents = opts.get("centroids") or deterministic_centroids(
+        opts.get("num_centroids", 8), opts.get("dim", 64)
+    )
+    fn = semantic_dedup_gemm if opts.get("use_gemm", True) else semantic_dedup
+    return fn(
+        df,
+        cents,
+        threshold=opts.get("threshold", 0.9),
+        vec_col=opts.get("vec_col", "embedding"),
+        id_col=opts.get("id_col", "vec_id"),
+    )
+
+
+@node_class("TrainingShardWriter")
+def _training_shard_writer_node(spark, upstreams, opts):
+    from metalpipe_spark.sinks.writers import write_training_shards
+
+    df = _one(upstreams, "TrainingShardWriter")
+    write_training_shards(
+        df,
+        path=opts["path"],
+        key_col=opts["key_col"],
+        num_shards=opts["num_shards"],
+        seed=opts.get("seed", 0),
+        max_records_per_file=opts.get("max_records_per_file"),
+    )
+    return df
+
+
 @node_class("ParquetWriter")
 def _parquet_writer(spark, upstreams, opts):
     df = _one(upstreams, "ParquetWriter")

@@ -526,3 +526,52 @@ def test_decontaminate_and_quality_nodes(spark):
         out = p.dataframes["pdedup"].collect()
         assert [r["doc_id"] for r in out] == [2]
         assert spark.table("decon_report").first()["corpus_id"] == 1
+
+
+def test_mix_export_pipeline_yaml_end_to_end(spark, tmp_path):
+    """The round-7 curation surface is reachable from the YAML entry
+    path: normalized dedup -> model quality filter -> domain mix ->
+    split -> shuffled shard export, in one config."""
+    shards = str(tmp_path / "shards")
+    text = textwrap.dedent(
+        f"""
+        pipeline_name: mix_export
+        nodes:
+          read:
+            class: ParquetReader
+            options: {{path: "{SF_SMOKE}/documents.parquet"}}
+          dedup:
+            class: NormalizedDedup
+          quality:
+            class: ModelQualityFilter
+            options:
+              weights: [0.31, -0.12, 0.27, -0.05, 0.18, -0.22, 0.09, 0.14]
+              threshold: -1.0
+          mix:
+            class: DomainMixSample
+            options:
+              domain_col: lang
+              key_col: doc_id
+              weights: {{en: 0.4, de: 0.2, fr: 0.2, es: 0.1, zh: 0.1}}
+              budget_frac: 0.8
+          split:
+            class: SplitCorpus
+            options:
+              key_col: doc_id
+              fractions: {{train: 0.8, validation: 0.1, test: 0.1}}
+              salt: split
+          export:
+            class: TrainingShardWriter
+            options: {{path: "{shards}", key_col: doc_id, num_shards: 3}}
+        paths:
+          - [read, dedup, quality, mix, split, export]
+        """
+    )
+    p = load_yaml_pipeline(spark, text)
+    counts = run_pipeline(p)
+    assert counts["export"] > 0
+    back = spark.read.parquet(shards)
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1, 2}
+    assert "split" in back.columns
+    # the export count matches what survived the chain
+    assert back.count() == counts["export"]
