@@ -70,6 +70,7 @@ HEADLINE = [
     "q_repetition_signals",
     "q_quality_filter",
     "q_model_quality",
+    "q_lexicon_score",
     "q_distinctive_terms",
     "q_length_quantiles",
     "q_tokenize_regex",

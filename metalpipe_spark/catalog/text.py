@@ -623,3 +623,62 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "norm_fp")
         .orderBy("doc_id")
     )
+
+
+# Exactly-representable k/256 weights (8 fractional decimal digits, so
+# double -> DECIMAL(18,9) is lossless in both engines).
+_LEXICON = {
+    "the": 0.5, "and": 0.375, "of": 0.25, "is": 0.125,
+    "der": 0.5, "und": 0.375, "das": 0.25,
+    "le": 0.5, "et": 0.375, "la": 0.25,
+    "el": 0.5, "y": 0.375,
+}
+
+
+def _lexicon_oracle(lexicon: dict[str, float]) -> str:
+    rows = ", ".join(
+        f"('{t}', '{float(w)!r}'::DOUBLE)" for t, w in sorted(lexicon.items())
+    )
+    return f"""
+    WITH lex(token, weight) AS (VALUES {rows}),
+    t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    j AS (
+      SELECT t.doc_id, t.n,
+             coalesce(l.weight, '0.0'::DOUBLE) AS w
+      FROM t LEFT JOIN lex l ON t.token = l.token
+    )
+    SELECT doc_id,
+           round(sum(w::DECIMAL(18,9))::DOUBLE / greatest(n, 1), 6)
+             AS lex_score
+    FROM j GROUP BY doc_id, n
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_lexicon_score",
+    _lexicon_oracle(_LEXICON),
+    doc=(
+        "Lexicon-based document scoring (table-weights complement to the "
+        "hashed classifier): explode tokens -> BROADCAST-join the "
+        "lexicon -> one map-side-combined groupBy on the doc key.  "
+        "DECIMAL(18,9) accumulation keeps the score order-independent "
+        "for the oracle hash; a vocab too big to broadcast hashes down "
+        "to hashed_linear_logit's literal array instead of shuffling "
+        "the corpus."
+    ),
+)
+def q_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import lexicon_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lexicon_score(
+        docs.select("doc_id", "text"), _LEXICON, exact=True
+    )
+    return out.select(
+        "doc_id", F.round("lex_score", 6).alias("lex_score")
+    ).orderBy("doc_id")

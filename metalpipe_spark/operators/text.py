@@ -534,3 +534,58 @@ def normalize_for_dedup(text: Column | str) -> Column:
     folded = F.translate(F.lower(col), ACCENT_SRC, ACCENT_DST)
     stripped = F.regexp_replace(folded, r"[^\p{L}\p{N} ]", " ")
     return F.trim(F.regexp_replace(stripped, r" +", " "))
+
+
+def lexicon_score(
+    df: DataFrame,
+    lexicon: dict[str, float] | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Lexicon-based document scoring — the TABLE-weights complement to
+    :func:`hashed_linear_logit`: score = mean over tokens of the
+    token's lexicon weight (0 for out-of-lexicon tokens).  This is the
+    shape for real vocab-keyed models (sentiment/quality lexicons, IDF
+    tables, fasttext vocab rows) where weights don't fit a plan
+    literal.
+
+    Plan shape: explode tokens → BROADCAST-join the lexicon (the
+    lexicon is small by definition; a vocab too big to broadcast should
+    hash down to :func:`hashed_linear_logit`'s literal array instead of
+    shuffling the corpus) → one map-side-combined groupBy on the doc
+    key.  One data-scale shuffle total.
+
+    ``exact=True`` accumulates weights in DECIMAL(18,9) (exact,
+    order-independent) before the final double division — the
+    reproducibility rule the oracle rows use; the default double sum is
+    the fast path whose low-order bits may vary with partition order.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    if isinstance(lexicon, dict):
+        lex = spark.createDataFrame(
+            sorted(lexicon.items()), "token string, weight double"
+        )
+    else:
+        lex = lexicon
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__n"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    joined = toks.join(broadcast(lex), "token", "left")
+    w = F.coalesce(F.col("weight"), F.lit(0.0))
+    if exact:
+        total = F.sum(w.cast("decimal(18,9)")).cast("double")
+    else:
+        total = F.sum(w)
+    return (
+        joined.groupBy(id_col, "__n")
+        .agg(total.alias("__t"))
+        .select(
+            F.col(id_col),
+            (F.col("__t") / F.greatest(F.col("__n"), F.lit(1))).alias("lex_score"),
+        )
+    )

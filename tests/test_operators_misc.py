@@ -844,3 +844,19 @@ def test_normalize_for_dedup_collapses_variants(spark):
     assert out[4] == out[5] == "cafe au lait"
     assert out[6] == "你好 世界"  # punctuation stripped, script preserved
     assert out[7] == "different text"
+
+
+def test_lexicon_score_matches_python_reference(spark):
+    from metalpipe_spark.operators.text import lexicon_score
+
+    lex = {"good": 0.5, "bad": -0.25}
+    rows = [(1, "good good bad"), (2, "neutral words here"), (3, "bad")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for exact in (False, True):
+        got = {
+            r["doc_id"]: r["lex_score"]
+            for r in lexicon_score(df, lex, exact=exact).collect()
+        }
+        assert abs(got[1] - (0.5 + 0.5 - 0.25) / 3) < 1e-12
+        assert got[2] == 0.0
+        assert abs(got[3] - (-0.25)) < 1e-12
