@@ -71,6 +71,7 @@ HEADLINE = [
     "q_quality_filter",
     "q_model_quality",
     "q_lexicon_score",
+    "q_ngram_logprob",
     "q_distinctive_terms",
     "q_length_quantiles",
     "q_tokenize_regex",

@@ -682,3 +682,71 @@ def q_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("lex_score", 6).alias("lex_score")
     ).orderBy("doc_id")
+
+
+# Synthetic bigram LM over the corpus's actual frequent bigrams; real
+# KenLM exports (rounded to <=9 frac digits at export) drop into the
+# same table shape.  Values are k/256 multiples: double<->DECIMAL(18,9)
+# lossless in both engines.
+_BIGRAM_LM = {
+    "table hash": -1.5, "part filter": -1.75, "customer join": -2.0,
+    "slow key": -2.25, "merge group": -2.5, "vector small": -2.75,
+    "big order": -3.0, "filter small": -3.25, "sort a": -3.5,
+    "row a": -3.75, "merge order": -4.0, "filter hash": -4.25,
+}
+_OOV_LP = -8.0
+
+
+def _ngram_lm_oracle(lm: dict[str, float], oov: float) -> str:
+    rows = ", ".join(
+        f"('{g}', '{float(lp)!r}'::DOUBLE)" for g, lp in sorted(lm.items())
+    )
+    return f"""
+    WITH lm(ngram, logprob) AS (VALUES {rows}),
+    t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, (len(tk) - 1)::BIGINT AS n,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS ngram
+      FROM t WHERE len(tk) >= 2
+    ),
+    j AS (
+      SELECT g.doc_id, g.n,
+             coalesce(l.logprob, '{float(oov)!r}'::DOUBLE) AS lp
+      FROM g LEFT JOIN lm l ON g.ngram = l.ngram
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(sum(lp::DECIMAL(18,9))::DOUBLE / n, 6) AS mean_logprob
+      FROM j GROUP BY doc_id, n
+    )
+    SELECT doc_id, mean_logprob FROM scored
+    UNION ALL
+    SELECT doc_id, '{float(oov)!r}'::DOUBLE AS mean_logprob
+    FROM t WHERE len(tk) < 2
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_ngram_logprob",
+    _ngram_lm_oracle(_BIGRAM_LM, _OOV_LP),
+    doc=(
+        "Bigram LM scoring (CCNet's KenLM-perplexity-filter plumbing): "
+        "n-gram construction in codegen (transform over an index "
+        "sequence slicing the token array), broadcast LM-table join "
+        "with flat OOV backoff, map-side-combined per-doc mean.  "
+        "DECIMAL accumulation keeps the oracle hash reproducible."
+    ),
+)
+def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import ngram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_logprob(
+        docs.select("doc_id", "text"), _BIGRAM_LM, n=2,
+        oov_logprob=_OOV_LP, exact=True,
+    )
+    return out.select(
+        "doc_id", F.round("mean_logprob", 6).alias("mean_logprob")
+    ).orderBy("doc_id")

@@ -589,3 +589,69 @@ def lexicon_score(
             (F.col("__t") / F.greatest(F.col("__n"), F.lit(1))).alias("lex_score"),
         )
     )
+
+
+def ngram_logprob(
+    df: DataFrame,
+    lm: dict[str, float] | DataFrame,
+    n: int = 2,
+    oov_logprob: float = -8.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """N-gram language-model scoring — the plumbing behind CCNet's
+    KenLM perplexity filter: mean log-probability over the document's
+    n-grams, with a flat ``oov_logprob`` backoff for n-grams the model
+    table lacks.  Lower (more negative) means less natural text; filter
+    on a threshold exactly like the perplexity cut.
+
+    The model ships as a table of ``(ngram, logprob)`` rows (space-
+    joined tokens) — a real KenLM/arpa export drops into the same
+    shape.  N-gram construction is codegen (``F.transform`` over a
+    0..len-n index sequence slicing the token array), then the same
+    explode → broadcast-join → map-side-combined doc aggregate as
+    :func:`lexicon_score`.  One data-scale shuffle.
+
+    ``exact=True`` accumulates in DECIMAL(18,9) (order-independent) —
+    requires the table's logprobs (and ``oov_logprob``) to carry at
+    most 9 fractional decimal digits exactly, which an LM export can
+    guarantee by rounding once at export time.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    if isinstance(lm, dict):
+        lm_df = spark.createDataFrame(
+            sorted(lm.items()), "ngram string, logprob double"
+        )
+    else:
+        lm_df = lm
+    toks = tokens(text_col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        count.alias("__n"),
+        F.explode(F.when(count > 0, grams).otherwise(F.array())).alias("ngram"),
+    )
+    joined = exploded.join(broadcast(lm_df), "ngram", "left")
+    lp = F.coalesce(F.col("logprob"), F.lit(float(oov_logprob)))
+    total = F.sum(lp.cast("decimal(18,9)")).cast("double") if exact else F.sum(lp)
+    scored = (
+        joined.groupBy(id_col, "__n")
+        .agg(total.alias("__t"))
+        .select(
+            F.col(id_col),
+            (F.col("__t") / F.col("__n")).alias("mean_logprob"),
+        )
+    )
+    # docs with fewer than n tokens have no n-grams: emit oov_logprob
+    # (they are exactly the fragments a perplexity filter should flag)
+    short = df.where(F.size(tokens(text_col)) < n).select(
+        F.col(id_col), F.lit(float(oov_logprob)).alias("mean_logprob")
+    )
+    return scored.unionByName(short)

@@ -860,3 +860,20 @@ def test_lexicon_score_matches_python_reference(spark):
         assert abs(got[1] - (0.5 + 0.5 - 0.25) / 3) < 1e-12
         assert got[2] == 0.0
         assert abs(got[3] - (-0.25)) < 1e-12
+
+
+def test_ngram_logprob_matches_python_reference(spark):
+    """Bigram construction + OOV backoff must equal a plain-Python
+    evaluation; short docs (< n tokens) emit the OOV score."""
+    from metalpipe_spark.operators.text import ngram_logprob
+
+    lm = {"a b": -1.0, "b c": -2.0}
+    rows = [(1, "a b c"), (2, "x y"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob(df, lm, n=2, oov_logprob=-8.0).collect()
+    }
+    assert abs(got[1] - (-1.0 + -2.0) / 2) < 1e-12
+    assert abs(got[2] - (-8.0)) < 1e-12  # one OOV bigram
+    assert got[3] == -8.0  # short doc fallback
