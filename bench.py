@@ -185,7 +185,11 @@ def main() -> None:
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
                 break
-        if samples:
+        # A query that succeeded on an earlier run but errored later is
+        # flaky, not timed: reporting its partial sample as a "median"
+        # would let a broken query masquerade as a valid timing in
+        # round-over-round comparisons.
+        if samples and name not in errors:
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 4)
 

@@ -330,24 +330,18 @@ def _mix_pipeline_oracle() -> str:
 )
 def q_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from metalpipe_spark.catalog.curation import _MIX_WEIGHTS
     from metalpipe_spark.catalog.text import _model_weights
     from metalpipe_spark.operators.curation import domain_mix_sample, split_corpus
     from metalpipe_spark.operators.text import (
         model_quality_filter,
-        normalize_for_dedup,
+        normalized_dedup,
     )
     from metalpipe_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    w = Window.partitionBy(F.md5(normalize_for_dedup("text"))).orderBy("doc_id")
-    dd = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    dd = normalized_dedup(docs)
     q = (
         model_quality_filter(dd, _model_weights(), threshold=0.0)
         .where(F.col("keep"))

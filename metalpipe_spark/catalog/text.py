@@ -608,18 +608,11 @@ def q_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from metalpipe_spark.operators.text import normalize_for_dedup
+    from metalpipe_spark.operators.text import normalized_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.select(
-        "doc_id", F.md5(normalize_for_dedup("text")).alias("norm_fp")
-    )
-    w = Window.partitionBy("norm_fp").orderBy("doc_id")
     return (
-        n.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        normalized_dedup(docs, keep_fingerprint=True)
         .select("doc_id", "norm_fp")
         .orderBy("doc_id")
     )

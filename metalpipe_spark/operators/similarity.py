@@ -1028,7 +1028,9 @@ def _cross_hits_gemm(
 
     def per_cell(left: pd.DataFrame, rgt: pd.DataFrame) -> pd.DataFrame:
         if left.empty or rgt.empty:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+            # Preserve the id column's real dtype (string ids included):
+            # Arrow hands even empty groups a correctly-typed frame.
+            return left.iloc[0:0][[id_col]]
         ids = left[id_col].to_numpy()
         A = np.array(left["vec"].tolist(), dtype=np.float64)
         B = np.array(rgt["__r_vec"].tolist(), dtype=np.float64)

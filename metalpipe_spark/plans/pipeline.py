@@ -572,18 +572,12 @@ def _pack_shards_node(spark, upstreams, opts):
 def _normalized_dedup_node(spark, upstreams, opts):
     """Exact dedup over CCNet-normalized text: min-id survivor per
     normalized fingerprint (catalog row q_normalized_dedup)."""
-    from pyspark.sql.window import Window
+    from metalpipe_spark.operators.text import normalized_dedup
 
-    from metalpipe_spark.operators.text import normalize_for_dedup
-
-    df = _one(upstreams, "NormalizedDedup")
-    text_col = opts.get("text_col", "text")
-    id_col = opts.get("id_col", "doc_id")
-    w = Window.partitionBy(F.md5(normalize_for_dedup(text_col))).orderBy(id_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    return normalized_dedup(
+        _one(upstreams, "NormalizedDedup"),
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
     )
 
 

@@ -350,29 +350,39 @@ def stream_semantic_dedup_sink(
     member of the streaming dedup family (exact fingerprints and
     MinHash bands have the same shape, test_streaming.py).
 
-    The store swap is write-new + overwrite (not atomic): a crash
-    between the kept append and the store swap can admit one batch's
-    near-dups on replay — the same at-least-once caveat as the exact
-    incremental sink; a table format gives the transactional upgrade.
-    Store reads prune to the batch's cells when the store is written
-    partitioned by ``cell``."""
+    The store overwrite is not atomic: a crash between the kept append
+    and the store write can admit one batch's near-dups on replay — the
+    same at-least-once caveat as the exact incremental sink; a table
+    format gives the transactional upgrade.  Store reads prune to the
+    batch's cells when the store is written partitioned by ``cell``.
+
+    Store absence is decided by an explicit Hadoop-FS existence probe
+    (never by catching read errors: a transient read failure mistaken
+    for "no store yet" would dedup the batch against nothing and then
+    OVERWRITE the accumulated store with one batch — silent loss of all
+    prior state; a real read error must fail the batch so the
+    checkpoint replays it).  The dedup lineage is materialized once per
+    batch (eager ``localCheckpoint``) so the kept append and the store
+    rewrite don't each recompute the GEMM passes, and the checkpointed
+    store relation lets the rewrite target the path it was read from."""
     from metalpipe_spark.operators.similarity import incremental_semantic_dedup
+    from metalpipe_spark.sinks.writers import _target_exists
 
     spark = df.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            store = None
+        store = (
+            spark.read.parquet(store_path)
+            if _target_exists(spark, store_path)
+            else None
+        )
         fresh, updated = incremental_semantic_dedup(
             batch_df, store, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,
         )
+        fresh = fresh.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(kept_path)
-        updated.write.mode("overwrite").parquet(store_path + "_next")
-        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(
-            store_path
-        )
+        updated.write.mode("overwrite").parquet(store_path)
 
     return foreach_batch_sink(df, apply, checkpoint)

@@ -39,7 +39,13 @@ def main() -> None:
         if r > 0:
             texts = []
             for s in docs["text"]:
-                toks = np.array(s.split())
+                # dtype=object: a fixed-width '<U{k}' token array would
+                # silently TRUNCATE replacement vocab words longer than
+                # the doc's longest token ('customer' -> 'cu'), seeding
+                # the corpus with tokens that exist nowhere in the vocab
+                # and distorting the word-frequency shape this script
+                # promises to preserve.
+                toks = np.array(s.split(), dtype=object)
                 mask = rng.random(len(toks)) < 0.2
                 toks[mask] = vocab[rng.integers(0, len(vocab), mask.sum())]
                 texts.append(" ".join(toks))

@@ -504,3 +504,32 @@ def test_mean_pool_embeddings_matches_numpy(spark):
         ).collect()
     }
     assert exact1 == exact2  # bit-identical under any partitioning
+
+
+def test_incremental_semantic_dedup_string_ids_one_sided_cells(spark):
+    """Regression: the cogrouped cross-store GEMM must handle string id
+    columns AND cells present on only one side (empty cogroup halves) —
+    the empty-group fallback previously hardcoded an int64 frame and
+    crashed Arrow conversion for string ids."""
+    from metalpipe_spark.operators.similarity import (
+        cell_store,
+        incremental_semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    # store only has cell-1 (negative) vectors
+    accepted = spark.createDataFrame(
+        [("s1", [-1.0, 0.0, 0.1, 0.0])], "vec_id string, embedding array<double>"
+    )
+    store = cell_store(accepted, cents)
+    # batch only has cell-0 (positive) vectors -> both cogroup sides
+    # see an empty opposite half
+    batch = spark.createDataFrame(
+        [("b1", [1.0, 0.0, 0.0, 0.0]), ("b2", [2.0, 0.1, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    fresh, updated = incremental_semantic_dedup(batch, store, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in fresh.collect()) == ["b1"]  # b2 in-batch dup
+    assert sorted(r["vec_id"] for r in updated.select("vec_id").collect()) == [
+        "b1", "s1",
+    ]
