@@ -179,7 +179,9 @@ def domain_mix_sample(
     the result undershoots — water-filling the shortfall into other
     domains would break the fixed per-domain rate that makes the sample
     reproducible, so the cap is reported honestly instead.  Domains
-    absent from ``weights`` keep nothing.
+    absent from ``weights`` keep nothing; rows with a NULL domain are
+    likewise dropped (the rate join is an equi-join, and NULL never
+    equals a weighted domain).
 
     ``budget_rows`` gives the budget absolutely; ``budget_frac`` as a
     fraction of the observed corpus size (scale-factor portable).
@@ -272,7 +274,10 @@ def split_corpus(
 
     A pure map-side projection: no shuffle, no state; filter a split
     out with ``.where(F.col("split") == "train")`` and the md5 filter
-    still pushes to the scan."""
+    still pushes to the scan.  A NULL ``key_col`` yields a NULL uniform,
+    which fails every ``<`` comparison and lands deterministically in
+    the LAST split (sorted by name) — supply non-null keys if that
+    placement matters."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
