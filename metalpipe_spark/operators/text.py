@@ -698,3 +698,66 @@ def normalized_dedup(
         .drop("__rn")
     )
     return out if keep_fingerprint else out.drop(fp_col)
+
+
+def train_hashed_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    dim: int = 32,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> tuple[list[float], float]:
+    """Train the weights :func:`hashed_linear_logit` serves — closing
+    the loop train → export → codegen serving for the model-based
+    quality filter.
+
+    Features are the SAME hashed representation the serving path folds:
+    ``x[j] = (# tokens with md5-hash ≡ j mod dim) / n_tokens``, so the
+    fitted ``(weights, bias)`` satisfy ``logit(doc) = w·x + b`` exactly
+    and drop into :func:`model_quality_filter` unchanged — the serving
+    cut ``logit >= t`` reproduces the model's decision boundary
+    bit-for-bit (parity-tested).
+
+    Training is distributed (``pyspark.ml`` LogisticRegression, L-BFGS
+    over the cluster); featurization runs in an Arrow-batched
+    ``mapInPandas`` because it needs the portable md5 hash, which is
+    fine on the TRAINING path — labeled sets are orders of magnitude
+    smaller than serving corpora, and serving stays pure codegen.
+
+    Returns ``(weights, bias)`` as plain Python floats, ready to inline
+    as plan literals (or persist to a weight table for
+    :func:`lexicon_score`-style joins at larger ``dim``)."""
+    import hashlib
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    d = dim
+
+    # Arrow cannot carry VectorUDT through mapInPandas — featurize to a
+    # plain array<double> and convert to ml vectors JVM-side.
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats, labels = [], []
+            for text, label in zip(pdf[text_col], pdf[label_col]):
+                toks = text.split(" ")
+                x = [0.0] * d
+                for t in toks:
+                    j = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % d
+                    x[j] += 1.0
+                n = max(len(toks), 1)
+                feats.append([v / n for v in x])
+                labels.append(float(label))
+            yield pd.DataFrame({"features": feats, "label": labels})
+
+    train = (
+        df.select(text_col, label_col)
+        .mapInPandas(featurize, schema="features array<double>, label double")
+        .select(array_to_vector("features").alias("features"), "label")
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)
+    model = lr.fit(train)
+    return [float(w) for w in model.coefficients], float(model.intercept)

@@ -877,3 +877,35 @@ def test_ngram_logprob_matches_python_reference(spark):
     assert abs(got[1] - (-1.0 + -2.0) / 2) < 1e-12
     assert abs(got[2] - (-8.0)) < 1e-12  # one OOV bigram
     assert got[3] == -8.0  # short doc fallback
+
+
+def test_train_export_serve_quality_classifier_roundtrip(spark):
+    """Close the model loop: train on hashed features (pyspark.ml
+    L-BFGS), export (weights, bias), serve through the codegen
+    hashed_linear_logit — the serving cut must reproduce the trained
+    model's decision on every training doc, and accuracy must clear 0.9
+    on a separable corpus."""
+    from metalpipe_spark.operators.text import (
+        model_quality_filter,
+        train_hashed_quality_classifier,
+    )
+
+    good_vocab = ["clear", "prose", "informative", "structured", "useful"]
+    spam_vocab = ["buy", "click", "free", "winner", "pills"]
+    rows = []
+    for i in range(60):
+        g = " ".join(good_vocab[(i + j) % 5] for j in range(8))
+        s = " ".join(spam_vocab[(i + j) % 5] for j in range(8))
+        rows.append((2 * i, g, 1.0))
+        rows.append((2 * i + 1, s, 0.0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, label double")
+
+    weights, bias = train_hashed_quality_classifier(df, dim=32)
+    assert len(weights) == 32
+
+    served = model_quality_filter(
+        df, weights, threshold=0.0, bias=bias
+    ).select("doc_id", "label", "keep")
+    got = {r["doc_id"]: (r["label"], r["keep"]) for r in served.collect()}
+    acc = sum(1 for lbl, keep in got.values() if keep == (lbl == 1.0)) / len(got)
+    assert acc >= 0.9, acc
