@@ -159,3 +159,83 @@ def resize_media(
             )
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def decode_pcm16(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL PCM16 audio decode — not a stub: 16-bit little-endian PCM is
+    pure byte interpretation (``numpy.frombuffer``), no codec library
+    required (that boundary — mp3/ogg/flac — lives in ``decode_media``'s
+    clearly-marked fake).  Emits ``(id, waveform: array<double>,
+    n_samples)`` with samples scaled to [-1, 1); an odd trailing byte is
+    dropped.  Arrow-batched ``mapInPandas``: embarrassingly parallel,
+    payloads never shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            waves = []
+            for content in pdf[content_col]:
+                raw = bytes(content)
+                n = len(raw) // 2 * 2
+                wav = np.frombuffer(raw[:n], dtype="<i2").astype(np.float64)
+                waves.append(wav / 32768.0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "waveform": waves,
+                    "n_samples": [len(w) for w in waves],
+                }
+            )
+
+    return df.mapInPandas(
+        batches, "id string, waveform array<double>, n_samples long"
+    )
+
+
+def audio_window_features(
+    df: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    id_col: str = "id",
+    wave_col: str = "waveform",
+) -> DataFrame:
+    """Windowed audio features over decoded waveforms: per analysis
+    window (``frame`` samples every ``hop``) emit RMS energy and
+    zero-crossing RATE (fraction of adjacent sample pairs that change
+    sign) — the classic VAD/segmentation features, and the plumbing a
+    real frontend (fbank/MFCC) drops into.
+
+    Vectorized numpy per row (sliding windows are strided views, no
+    copies); one output row per window via the Arrow batch, so a long
+    recording fans out to many rows without ever shuffling the raw
+    payload.  Windows shorter than ``frame`` at the tail are dropped
+    (standard frontend behavior)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, rms, zcr = [], [], [], []
+            for rid, wave in zip(pdf[id_col], pdf[wave_col]):
+                w = np.asarray(wave, dtype=np.float64)
+                n_win = (len(w) - frame) // hop + 1 if len(w) >= frame else 0
+                if n_win <= 0:
+                    continue
+                view = np.lib.stride_tricks.sliding_window_view(w, frame)[::hop]
+                ids.extend([rid] * n_win)
+                wins.extend(range(n_win))
+                rms.extend(np.sqrt((view * view).mean(axis=1)))
+                signs = np.signbit(view)
+                zcr.extend(
+                    (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+                )
+            yield pd.DataFrame(
+                {"id": ids, "window_id": wins, "rms": rms, "zcr": zcr}
+            )
+
+    return df.mapInPandas(
+        batches, "id string, window_id long, rms double, zcr double"
+    )

@@ -109,3 +109,46 @@ def test_resize_media_nearest_neighbor_kernel(spark):
     assert (got == want).all()
     back = resize_media(up, 2, 2).first()
     assert bytes(back["content"]) == px.tobytes()
+
+
+def test_pcm16_decode_and_audio_features_physics(spark):
+    """REAL PCM16 decode + windowed features, checked against physics:
+    a full-scale sine at frequency f has RMS ~ amp/sqrt(2) and
+    zero-crossing rate ~ 2f/sr; silence has RMS 0 and ZCR 0."""
+    import numpy as np
+
+    from metalpipe_spark.operators.multimodal import (
+        audio_window_features,
+        decode_pcm16,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    amp = 0.5
+    f = 440.0
+    sine = (amp * np.sin(2 * np.pi * f * t) * 32768).astype("<i2").tobytes()
+    silence = np.zeros(sr, dtype="<i2").tobytes()
+    # odd trailing byte must be dropped, not crash
+    df = spark.createDataFrame(
+        [("sine", bytearray(sine + b"\x01")), ("silence", bytearray(silence))],
+        "id string, content binary",
+    )
+    decoded = decode_pcm16(df)
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert rows["sine"]["n_samples"] == sr
+    assert abs(max(rows["sine"]["waveform"]) - amp) < 0.01
+
+    feats = audio_window_features(decoded, frame=512, hop=256)
+    import collections
+
+    by_id = collections.defaultdict(list)
+    for r in feats.collect():
+        by_id[r["id"]].append(r)
+    n_expected = (sr - 512) // 256 + 1
+    assert len(by_id["sine"]) == n_expected
+    mean_rms = float(np.mean([r["rms"] for r in by_id["sine"]]))
+    assert abs(mean_rms - amp / np.sqrt(2)) < 0.02
+    mean_zcr = float(np.mean([r["zcr"] for r in by_id["sine"]]))
+    assert abs(mean_zcr - 2 * f / sr) < 0.01  # ~0.055 crossings/sample
+    assert all(r["rms"] == 0.0 for r in by_id["silence"])
+    assert all(r["zcr"] == 0.0 for r in by_id["silence"])
