@@ -175,6 +175,8 @@ def decode_pcm16(
     payloads never shuffle."""
     import numpy as np
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             waves = []
@@ -185,14 +187,14 @@ def decode_pcm16(
                 waves.append(wav / 32768.0)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "waveform": waves,
                     "n_samples": [len(w) for w in waves],
                 }
             )
 
     return df.mapInPandas(
-        batches, "id string, waveform array<double>, n_samples long"
+        batches, f"{id_col} {id_type}, waveform array<double>, n_samples long"
     )
 
 
@@ -216,6 +218,8 @@ def audio_window_features(
     (standard frontend behavior)."""
     import numpy as np
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, wins, rms, zcr = [], [], [], []
@@ -233,9 +237,9 @@ def audio_window_features(
                     (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
                 )
             yield pd.DataFrame(
-                {"id": ids, "window_id": wins, "rms": rms, "zcr": zcr}
+                {id_col: ids, "window_id": wins, "rms": rms, "zcr": zcr}
             )
 
     return df.mapInPandas(
-        batches, "id string, window_id long, rms double, zcr double"
+        batches, f"{id_col} {id_type}, window_id long, rms double, zcr double"
     )

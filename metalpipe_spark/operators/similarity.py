@@ -940,6 +940,7 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     use_gemm: bool = True,
+    checkpoint_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic dedup of a NEW batch against the accumulated corpus —
     the incremental twin of :func:`semantic_dedup`, completing the
@@ -976,6 +977,14 @@ def incremental_semantic_dedup(
         batch_survivors = semantic_dedup(
             new_docs, centroids, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
+    if checkpoint_batch:
+        # Materialize the BATCH-scale GEMM results once so a caller
+        # running several actions over (fresh, updated) — e.g. the
+        # streaming sink's kept-append + store-rewrite — doesn't re-run
+        # the dedup kernels per action.  Only batch-sized relations are
+        # checkpointed; the accumulated store never enters block
+        # storage.
+        batch_survivors = batch_survivors.localCheckpoint(eager=True)
     surv_store = cell_store(batch_survivors, centroids, vec_col, id_col)
     if store is not None:
         if use_gemm:
@@ -994,6 +1003,8 @@ def incremental_semantic_dedup(
                 .select(F.col(f"a.{id_col}").alias(id_col))
                 .distinct()
             )
+        if checkpoint_batch:
+            hits = hits.localCheckpoint(eager=True)  # ids only — tiny
         fresh = batch_survivors.join(hits, id_col, "left_anti")
         surv_store = surv_store.join(hits, id_col, "left_anti")
         updated = store.unionByName(surv_store)

@@ -686,18 +686,22 @@ def normalized_dedup(
     from the plan paths.
 
     One fingerprint-window shuffle; ``keep_fingerprint`` retains the
-    md5 as ``fp_col`` for downstream joins/reporting."""
+    md5 as ``fp_col`` for downstream joins/reporting (replacing any
+    existing column of that name).  Without it, the fingerprint lives
+    in a private temp column so a pre-existing user column named
+    ``fp_col`` passes through untouched."""
     from pyspark.sql.window import Window
 
+    tmp = fp_col if keep_fingerprint else "__norm_fp_tmp"
     fp = F.md5(normalize_for_dedup(text_col))
-    w = Window.partitionBy(fp_col).orderBy(id_col)
+    w = Window.partitionBy(tmp).orderBy(id_col)
     out = (
-        df.withColumn(fp_col, fp)
+        df.withColumn(tmp, fp)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return out if keep_fingerprint else out.drop(fp_col)
+    return out if keep_fingerprint else out.drop(tmp)
 
 
 def train_hashed_quality_classifier(
@@ -729,11 +733,24 @@ def train_hashed_quality_classifier(
     as plan literals (or persist to a weight table for
     :func:`lexicon_score`-style joins at larger ``dim``)."""
     import hashlib
+    import re
 
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
     d = dim
+
+    def java_ws_split(text: str) -> list[str]:
+        """Mirror Spark's ``split(text, '\\s+')`` (Java split): runs of
+        whitespace delimit; a leading run yields an empty first token;
+        TRAILING empty tokens are removed.  Training must tokenize
+        exactly like the serving fold or the fitted weights apply to
+        different feature vectors (tabs/double spaces would diverge
+        under a plain ``str.split(' ')``)."""
+        parts = re.split(r"\s+", text)
+        while parts and parts[-1] == "":
+            parts.pop()
+        return parts if parts else [""]
 
     # Arrow cannot carry VectorUDT through mapInPandas — featurize to a
     # plain array<double> and convert to ml vectors JVM-side.
@@ -743,7 +760,7 @@ def train_hashed_quality_classifier(
         for pdf in batches:
             feats, labels = [], []
             for text, label in zip(pdf[text_col], pdf[label_col]):
-                toks = text.split(" ")
+                toks = java_ws_split(text)
                 x = [0.0] * d
                 for t in toks:
                     j = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % d
@@ -754,7 +771,11 @@ def train_hashed_quality_classifier(
             yield pd.DataFrame({"features": feats, "label": labels})
 
     train = (
+        # NULL text/label rows would die inside the Arrow batch with an
+        # opaque AttributeError — drop them up front (unlabeled rows
+        # carry no training signal anyway).
         df.select(text_col, label_col)
+        .where(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
         .mapInPandas(featurize, schema="features array<double>, label double")
         .select(array_to_vector("features").alias("features"), "label")
     )

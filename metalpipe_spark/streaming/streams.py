@@ -361,14 +361,23 @@ def stream_semantic_dedup_sink(
     for "no store yet" would dedup the batch against nothing and then
     OVERWRITE the accumulated store with one batch — silent loss of all
     prior state; a real read error must fail the batch so the
-    checkpoint replays it).  The dedup lineage is materialized once per
-    batch (eager ``localCheckpoint``) so the kept append and the store
-    rewrite don't each recompute the GEMM passes, and the checkpointed
-    store relation lets the rewrite target the path it was read from."""
+    checkpoint replays it).
+
+    Durability of the swap: the new store is fully written to a durable
+    ``_next`` staging directory BEFORE the old store is touched, then
+    promoted with a filesystem rename (metadata-only on local/HDFS) —
+    at no point is the only complete copy of the accumulated state
+    sitting in executor block storage.  A crash in the tiny window
+    between delete and rename leaves ``_next`` intact for operator
+    recovery.  Batch-scale GEMM results are materialized once
+    (``checkpoint_batch`` in ``incremental_semantic_dedup``) so the
+    kept-append and the staging write don't re-run the dedup kernels;
+    the store itself streams scan→parquet exactly once."""
     from metalpipe_spark.operators.similarity import incremental_semantic_dedup
     from metalpipe_spark.sinks.writers import _target_exists
 
     spark = df.sparkSession
+    next_path = store_path + "_next"
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         store = (
@@ -379,10 +388,20 @@ def stream_semantic_dedup_sink(
         fresh, updated = incremental_semantic_dedup(
             batch_df, store, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,
+            checkpoint_batch=True,
         )
-        fresh = fresh.localCheckpoint(eager=True)
-        updated = updated.localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(kept_path)
-        updated.write.mode("overwrite").parquet(store_path)
+        updated.write.mode("overwrite").parquet(next_path)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(next_path)
+        dst = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"store promotion failed: rename {next_path} -> {store_path}"
+            )
 
     return foreach_batch_sink(df, apply, checkpoint)
