@@ -387,3 +387,23 @@ def test_mix_pipeline_bounded_exchanges(spark):
     # exchange; the data-scale path shuffles exactly twice (fingerprint
     # window, output sort)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_model_scoring_joins_broadcast(spark):
+    """lexicon_score and ngram_logprob must broadcast their weight/LM
+    tables — the corpus-side explode must never shuffle to meet a tiny
+    model table — and keep the doc aggregate map-side-combined (one
+    data-scale exchange on the doc key)."""
+    from metalpipe_spark.operators.text import lexicon_score, ngram_logprob
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for out in (
+        lexicon_score(docs, {"the": 0.5, "and": 0.25}),
+        ngram_logprob(docs, {"of the": -1.5}, n=2),
+    ):
+        plan = _formatted(out)
+        assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+        assert _nodes(plan, "SortMergeJoin") == 0, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
