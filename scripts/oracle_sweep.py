@@ -1,0 +1,62 @@
+"""Run the driver's correctness gate locally: every catalog row's Spark
+plan vs its DuckDB oracle at a chosen scale factor (default sf0.01, the
+driver's setting; the pytest suite gates at sf0.001).
+
+Usage:  python scripts/oracle_sweep.py [sf_dir]
+
+Prints one PASS/FAIL line per row using the same comparator as
+tests/oracle_utils (sorted columns, order-insensitive row compare,
+driver strictness checks), and exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from metalpipe_spark.catalog import load_all
+    from tests.oracle_utils import compare_with_oracle, duckdb_con
+
+    reg = load_all()
+    con = duckdb_con(sf_dir)
+    bad = []
+    for name in sorted(reg):
+        q = reg[name]
+        if not q.oracle:
+            print(f"SKIP {name} (no oracle)")
+            continue
+        try:
+            got, want = compare_with_oracle(q.build(spark, sf_dir), con, q.oracle)
+            ok = got == want
+        except Exception as ex:  # comparator/strictness/run error
+            bad.append(name)
+            print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:140]}")
+            continue
+        if not ok:
+            bad.append(name)
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({len(got)} rows)")
+    print(f"---- {len(reg) - len(bad)}/{len(reg)} green")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
