@@ -227,6 +227,7 @@ def upsert_parquet(
     partition_col: str,
     checkpoint_dir: str | None = None,
     order_col: str | None = None,
+    staged: bool = True,
 ) -> None:
     """MERGE into a partitioned parquet directory — the lakehouse-free
     upsert.  Only the partitions the batch touches are rewritten:
@@ -235,42 +236,44 @@ def upsert_parquet(
        in the batch — a few hundred at most, never row-scale) select the
        target slice with partition pruning at the scan;
     2. :func:`merge_upsert` replaces matched keys within that slice;
-    3. the merged slice is written back with
-       ``partitionOverwriteMode=dynamic``, so untouched partitions'
-       files are never listed, read, or replaced.
-
-    Spark refuses to overwrite a path that feeds the writing plan, so
-    the merged slice is checkpointed first (lineage cut).  With the
-    default ``checkpoint_dir=None`` that is ``localCheckpoint`` — fine
-    single-node, but a lost executor during the write loses blocks; on
-    a real cluster pass ``checkpoint_dir`` (HDFS/object store) just
-    like ``connected_components``.
+    3. the merged slice replaces the touched partitions — by default
+       (``staged=True``) via a durable STAGE directory plus one
+       filesystem rename per touched partition, else
+       (``staged=False``) via ``partitionOverwriteMode=dynamic``.
 
     A first write (no target yet) degenerates to a plain partitioned
     write.  Target existence is probed through the Hadoop FileSystem API
     (:func:`_target_exists`) so remote targets (``hdfs://``/``s3a://``)
     are merged, never mistaken for absent and clobbered.
 
-    **Atomicity contract**: dynamic partition overwrite deletes and
-    rewrites each touched partition; a failure mid-write can leave a
-    touched partition partially rewritten.  Untouched partitions are
-    never at risk.  Under :func:`~metalpipe_spark.streaming.streams.
-    stream_upsert_sink` the streaming checkpoint replays the failed
-    batch and the rewrite restores the BATCH's full effect — every
-    batch row present exactly once (MERGE on key is idempotent; pinned
-    by test_upsert_parquet_replay_repairs_partial_rewrite); for ad-hoc
-    batch use, re-running the same ``upsert_parquet`` call has the same
-    repairing effect.  What replay can NOT restore: pre-existing
-    unmatched rows of a touched partition whose files were already
-    deleted when the write died — the merge re-reads the (partial)
-    target, so those rows are gone.  For that guarantee, and for
-    reader-visible atomicity during the window, use a table format
-    (Delta/Iceberg) instead of bare parquet.
+    **Atomicity contract (staged, the default)**: the merged slice is
+    fully written to ``{path}__stage`` BEFORE any target file is
+    touched, then each touched partition directory is promoted by a
+    rename (metadata-only on local/HDFS; the stage's directory names
+    carry Spark's own Hive escaping, so values never need re-encoding
+    here).  A touched partition is therefore always either old-complete
+    or new-complete — never partial — and a crash mid-promotion leaves
+    the remaining new partitions durable in the stage for replay or
+    operator recovery.  The one narrow window is between a partition's
+    delete and its rename; a crash exactly there loses that single
+    partition's OLD copy (its new copy survives in the stage).  The
+    staged path also needs no lineage-cut checkpoint: the slice is
+    written to a different directory than the one being read.  Readers
+    racing the promotion can still observe a mix of old and new
+    partitions; a table format (Delta/Iceberg) is the reader-atomic
+    upgrade.
 
-    The ``partitionOverwriteMode=dynamic`` toggle is session-global for
-    the duration of the write; like ``state_partition_scope`` this
-    assumes a single-threaded driver (a concurrent write planned on the
-    same session would inherit dynamic mode)."""
+    **Atomicity contract (staged=False)**: dynamic partition overwrite
+    deletes and rewrites touched partitions in place; a failure
+    mid-write can leave a touched partition partially rewritten, and
+    the merged slice must be checkpointed first (Spark refuses to
+    overwrite a path feeding the writing plan) — with
+    ``checkpoint_dir=None`` that is ``localCheckpoint`` (single-node;
+    pass a durable dir on a cluster).  The mode toggle is
+    session-global for the duration of the write (single-threaded
+    driver assumed).  Either way, replaying the same batch restores the
+    BATCH's full effect — MERGE on key is idempotent (pinned by
+    test_upsert_parquet_replay_repairs_partial_rewrite)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = updates.sparkSession
     if order_col is not None:
@@ -281,14 +284,39 @@ def upsert_parquet(
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and are
-    # rewritten by dynamic overwrite like any other touched partition —
-    # but isin() never matches NULL, so the existing NULL-partition rows
-    # must be pulled into the slice explicitly or they would be dropped.
+    # rewritten like any other touched partition — but isin() never
+    # matches NULL, so the existing NULL-partition rows must be pulled
+    # into the slice explicitly or they would be dropped.
     slice_pred = F.col(partition_col).isin([t for t in touched if t is not None])
     if any(t is None for t in touched):
         slice_pred = slice_pred | F.col(partition_col).isNull()
     target_slice = spark.read.parquet(path).where(slice_pred)
     merged = merge_upsert(target_slice, updates, keys)
+
+    if staged:
+        stage = path.rstrip("/") + "__stage"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        target_p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = target_p.getFileSystem(hconf)
+        for status in fs.listStatus(stage_p):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(
+                f"{partition_col}="
+            ):
+                continue  # _SUCCESS and other markers stay in the stage
+            dst = jvm.org.apache.hadoop.fs.Path(target_p, name)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(status.getPath(), dst):
+                raise IOError(
+                    f"partition promotion failed: {name} -> {path}"
+                )
+        fs.delete(stage_p, True)
+        return
+
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         merged = merged.checkpoint(eager=True)
