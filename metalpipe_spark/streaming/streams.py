@@ -316,12 +316,13 @@ def stream_upsert_sink(
     only its own partitions.  ``order_col`` resolves multiple updates
     per key within one micro-batch last-wins (CDC apply).
 
-    **Atomicity**: the underlying dynamic partition overwrite is not
-    atomic per partition — a crash mid-batch can leave a touched
-    partition partially rewritten until the checkpoint replays the
-    batch on restart and the idempotent MERGE repairs it.  Readers
-    racing that window can observe the partial partition; use a table
-    format (Delta/Iceberg) if that matters."""
+    **Atomicity**: with ``upsert_parquet``'s default staged promotion a
+    touched partition is always either old-complete or new-complete —
+    never partial — and a crash mid-promotion leaves the new partitions
+    durable in the stage; the streaming checkpoint replays the batch
+    and the idempotent MERGE restores its full effect.  Readers racing
+    the promotion can observe a mix of old and new partitions; use a
+    table format (Delta/Iceberg) for reader-visible atomicity."""
     from metalpipe_spark.sinks.writers import upsert_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
