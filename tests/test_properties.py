@@ -154,3 +154,36 @@ def test_split_corpus_exact_partition_property(spark, n, fracs):
     rows = split_corpus(df, "doc_id", fractions).collect()
     assert len(rows) == n
     assert {r["split"] for r in rows} <= set(fractions)
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=80), min_size=1, max_size=4),
+    budget=st.integers(min_value=1, max_value=150),
+)
+def test_domain_mix_rate_cap_property(spark, sizes, budget):
+    """For any domain sizes and budget: capped domains keep ALL their
+    rows, uncapped domains keep a subset, and output never exceeds the
+    input (rates are probabilities)."""
+    from metalpipe_spark.operators.curation import domain_mix_sample
+
+    rows, weights = [], {}
+    base = 0
+    for i, n in enumerate(sizes):
+        dom = f"d{i}"
+        weights[dom] = 1.0 / len(sizes)
+        rows += [(base + j, dom) for j in range(n)]
+        base += 1000
+    df = spark.createDataFrame(rows, "doc_id int, domain string")
+    out = domain_mix_sample(
+        df, "domain", "doc_id", weights, budget_rows=budget
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    for i, n in enumerate(sizes):
+        dom = f"d{i}"
+        kept = len(by_dom.get(dom, ()))
+        assert kept <= n
+        if budget * weights[dom] >= n:  # rate capped at 1
+            assert kept == n, (dom, kept, n, budget)
