@@ -411,6 +411,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     store = band_store(docs.where(F.col("doc_id") % 2 == 0))
     batch = docs.where(F.col("doc_id") % 2 == 1)
+    # cache_bands stays OFF: measured at sf0.1, persisting the band table
+    # (6.1 s) loses to the map-side-combined recompute (5.4 s) — the
+    # house cache_shingles/cache_signatures result again.
     fresh, _ = incremental_neardup_dedup(batch, store, threshold=_CLUSTER_THRESHOLD)
     return fresh.select("doc_id").orderBy("doc_id")
 

@@ -229,6 +229,17 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sigs.select(id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_key"))
+    return _pairs_from_bands(banded, id_col, num_hashes)
+
+
+def _pairs_from_bands(banded: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """LSH candidate pairs from a prebuilt ``(id, minhash, band_key)``
+    band table (the shape :func:`band_store` persists): bucket-local
+    self-join on ``band_key``, then estimated Jaccard as the matching
+    minhash-component fraction.  Shared by :func:`minhash_lsh_pairs`
+    (fresh bands) and :func:`incremental_neardup_dedup` (reuses the
+    batch band table it already built, so the signature pipeline is
+    planned once, not re-derived per consumer)."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -360,18 +371,53 @@ def connected_components(
     # is session-global while the loop runs.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        for _ in range(max_iterations):
-            # Lazy checkpoint: the convergence aggregate below is the action
-            # that materializes it, so each round costs ONE job (an eager
-            # checkpoint + separate agg measured ~2x the wall on small
-            # graphs, where per-job overhead dominates).
-            edges, rdd = _truncate_lineage(_small_star(_large_star(edges)), reliable)
-            # Star-forest test (see docstring) + edge count, one job:
-            # small-star output is always oriented u > v, so the set is
-            # converged iff no leaf has two edges (n == du) and no
-            # center is also a leaf (u/v sets disjoint, checked as
-            # du + dv == distinct node count — counting is cheaper than
-            # a distinct-distinct semi-join, measured).
+        it = 0
+        converged = False
+        while it < max_iterations:
+            # Round fusion: after round 1, chain TWO lazily-checkpointed
+            # LS+SS rounds per convergence check — one driver job
+            # materializes both (the aggregate below is the action).  At
+            # small edge counts each round's cost is pure job-scheduling
+            # overhead (BENCH_NOTES r7 measured ~2.9 s for ~10 rounds
+            # over 77 edges), so halving the job count halves the fixed
+            # constant; at billions of edges the shuffles dominate and
+            # fusion is neutral.  Convergence can be detected one round
+            # late, but the algorithm's fixpoints are stable (LS+SS on a
+            # star forest returns the same star forest), so the output
+            # is identical and the overshoot costs two cheap shuffles on
+            # the final (smallest) edge set.  Round 1 runs alone so the
+            # first edge count can size shuffle partitions before any
+            # fused pair runs, and so already-converged inputs exit
+            # after one round.
+            fuse = 1 if it == 0 else min(2, max_iterations - it)
+            new_rdds = []
+            for _ in range(fuse):
+                # Lazy checkpoint: the convergence aggregate below is the
+                # action that materializes the whole fused chain, so each
+                # check costs ONE job (an eager checkpoint + separate agg
+                # measured ~2x the wall on small graphs, where per-job
+                # overhead dominates).
+                edges, rdd = _truncate_lineage(
+                    _small_star(_large_star(edges)), reliable
+                )
+                new_rdds.append(rdd)
+                it += 1
+            # Materialize the fused chain with a bare count() FIRST: a
+            # single-subtree job, so the checkpoint blocks exist before
+            # the two-subtree stats plan below runs.  Issued directly
+            # against the stats crossJoin, its two independent aggregate
+            # subtrees schedule as parallel leaf stages that RACE to
+            # materialize the lazy checkpoint — each computing the
+            # round's full upstream pipeline (the entire pair-generation
+            # plan on round 1).  The extra count job is ~10 ms of
+            # scheduling against a duplicated multi-second stage.
+            n_edges = edges.count()
+            # Star-forest test (see docstring) + edge count, one job on
+            # the cached blocks: small-star output is always oriented
+            # u > v, so the set is converged iff no leaf has two edges
+            # (n == du) and no center is also a leaf (u/v sets disjoint,
+            # checked as du + dv == distinct node count — counting is
+            # cheaper than a distinct-distinct semi-join, measured).
             stats = edges.agg(
                 F.count("*").alias("n"),
                 F.count_distinct("u").alias("du"),
@@ -380,15 +426,21 @@ def connected_components(
             dn = edges.select(F.explode(F.array("u", "v")).alias("x")).agg(
                 F.count_distinct("x").alias("dn")
             )
-            row = stats.crossJoin(dn).first()
-            # This round is materialized past the truncation point, so the
-            # previous round's blocks can be dropped (local mode; reliable
-            # checkpoints hold no block storage — their files are the
-            # cleaner's job, see docstring).
-            if prev_rdd is not None and not reliable:
-                prev_rdd.unpersist(False)
-            prev_rdd = rdd
+            row = (
+                stats.crossJoin(dn).first()
+                if n_edges
+                else {"n": 0, "du": 0, "dv": 0, "dn": 0}
+            )
+            # Everything before the newest round is materialized past the
+            # truncation point, so earlier rounds' blocks can be dropped
+            # (local mode; reliable checkpoints hold no block storage —
+            # their files are the cleaner's job, see docstring).
+            if not reliable:
+                for r in ([prev_rdd] if prev_rdd is not None else []) + new_rdds[:-1]:
+                    r.unpersist(False)
+            prev_rdd = new_rdds[-1]
             if row["n"] == row["du"] and row["du"] + row["dv"] == row["dn"]:
+                converged = True
                 break
             # ~1M edge rows (~50 MB) per reduce task, clamped like
             # sized_state_partitions.
@@ -396,7 +448,7 @@ def connected_components(
                 "spark.sql.shuffle.partitions",
                 str(max(1, min(10_000, row["n"] // 1_000_000 + 1))),
             )
-        else:
+        if not converged:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} rounds"
             )
@@ -439,15 +491,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
     majority vote of token-hash bit j.
 
-    Plan shape (minhash_signatures' proven pattern): explode distinct
-    tokens → ONE md5 per token → groupBy(doc) with ``bits`` conditional
-    SUM aggregates → recombine bit columns into the fingerprint.  Every
-    expression is whole-stage-codegen arithmetic and the single shuffle
-    partial-aggregates map-side (one row of 32 ints per doc crosses the
-    wire).  The previous formulation ran ``bits`` separate ``F.aggregate``
-    higher-order folds over the token-hash array per row — HOFs don't
-    codegen, so that was ~32 interpreted traversals of a ~100-element
-    array per document (measured 4.0 s vs this shape at sf0.1).
+    Plan shape: explode distinct tokens → ONE md5 per token → pack the
+    per-bit indicator values into 21-bit counter lanes (3 per long)
+    in a codegen projection → groupBy(doc) with ceil(bits/3) packed
+    SUMs + a count → unpack lanes and majority-vote each bit in a
+    post-projection.  Every expression is whole-stage-codegen
+    arithmetic, the single shuffle partial-aggregates map-side (one row
+    of ~12 longs per doc crosses the wire), and — the point of the
+    packing — the generated HashAggregate class stays small: the
+    previous one-SUM-per-bit shape (33-61 aggregate expressions) paid
+    seconds of janino compile + JIT warm-up per fresh session, which is
+    what a cold driver bench measures.  An earlier formulation ran
+    ``bits`` separate ``F.aggregate`` higher-order folds per row — HOFs
+    don't codegen, ~32 interpreted array traversals per document.
 
     ``F.split`` yields at least ``[""]`` for any non-null string, and the
     text column is coalesced to ``''`` first, so every document — null
@@ -459,23 +515,63 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _hash64(F.col("__t")).alias("__h")
     )
-    # votes as SUM((h >> j) & 1) + one token count: same majority
-    # semantics as the +1/-1 fold (2*ones > n <=> sum(+1/-1) > 0, ties
-    # -> 0 either way) but a much smaller generated aggregate: the
-    # 60-bit cold run (janino compile dominates) measured 7.9s -> 4.8s
-    # at sf0.1; warm runtime unchanged.
-    votes = [
-        F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__v{j}")
-        for j in range(bits)
-    ]
-    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *votes)
+    # Per-bit votes PACKED into 21-bit counter lanes, 3 lanes per long,
+    # computed in a pre-aggregate projection so the groupBy carries only
+    # ceil(bits/3) SUMs + one count (12 aggregates at 32 bits, 21 at 60,
+    # vs one SUM per bit before).  The per-bit shape was correct and
+    # map-side combining, but its generated HashAggregate class (33-61
+    # aggregate expressions) paid seconds of janino compile + JVM JIT
+    # warm-up per fresh session — the driver's median-of-3 sat entirely
+    # in that warm-up tail (r7: 6.12 s median vs ~1.0 s steady state).
+    # Packing moves the bit arithmetic into a cheap codegen projection
+    # and keeps the aggregate class small enough to compile fast.  Lane
+    # geometry is chosen for ANSI safety: with 21-bit lanes at offsets
+    # 0/21/42 the worst-case sum is (2^21-1)*(2^42+2^21+1) = 2^63-1,
+    # EXACTLY Long.MAX — the packed SUM can never trip ANSI overflow,
+    # and lanes can't carry into each other while every per-doc distinct
+    # token count stays below 2^21 (guarded below — silent lane overflow
+    # would corrupt neighbor bits).
+    lane_width, lanes_per_long = 21, 3
+    lane_mask = (1 << lane_width) - 1
+    n_packed = (bits + lanes_per_long - 1) // lanes_per_long
+    packed_cols = []
+    for g in range(n_packed):
+        lanes = None
+        for lane, j in enumerate(
+            range(g * lanes_per_long, min(bits, (g + 1) * lanes_per_long))
+        ):
+            term = F.shiftleft(
+                F.shiftright("__h", j).bitwiseAND(F.lit(1)), lane_width * lane
+            )
+            lanes = term if lanes is None else lanes.bitwiseOR(term)
+        packed_cols.append(lanes.alias(f"__p{g}"))
+    packed = hashed.select(F.col(id_col), *packed_cols)
+    agg = packed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"__p{g}").alias(f"__s{g}") for g in range(n_packed)],
+    )
     fp = None
     for j in range(bits):
-        bit = F.when(
-            F.col(f"__v{j}") * 2 > F.col("__n"), F.lit(1 << j)
-        ).otherwise(F.lit(0))
+        g, lane = j // lanes_per_long, j % lanes_per_long
+        vote = F.shiftright(F.col(f"__s{g}"), lane_width * lane).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        bit = F.when(vote * 2 > F.col("__n"), F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    # Loud failure instead of silent counter-lane overflow: assert_true
+    # yields NULL when the predicate holds, so the coalesce contributes 0
+    # to the fingerprint and cannot be pruned out of the plan.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__n") < F.lit(1 << lane_width),
+            F.lit(
+                f"simhash: document has >= {1 << lane_width} distinct tokens; "
+                "packed vote counter lanes would overflow (pre-chunk the document)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return agg.select(F.col(id_col), (fp + guard).cast("long").alias("simhash"))
 
 
 def incremental_exact_dedup(
@@ -738,6 +834,7 @@ def incremental_neardup_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    cache_bands: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a NEW batch against the accumulated corpus —
     the incremental twin of :func:`minhash_lsh_pairs`: batch signatures
@@ -750,6 +847,17 @@ def incremental_neardup_dedup(
     surviving docs, so contested future batches dedup against
     canonical survivors, never against already-dropped text.
 
+    The batch band table feeds every stage (in-batch pair generation,
+    the survivor semi-join, the store join), and the connected-components
+    pass splits the work into separate jobs, so exchange reuse cannot
+    carry it across — ``cache_bands=True`` persists it once instead of
+    re-running the shingle→minhash pipeline per job (the caller owns the
+    blocks' lifetime: drop them via ``spark.catalog.clearCache()`` or a
+    fresh session once the returned frames are drained).  OFF by default,
+    matching the ``cache_signatures``/``cache_shingles`` house rule: at
+    warehouse scale the band table is a bucketed TABLE (storage), and an
+    executor-cache default would silently pin memory.
+
     Semantics note (inherent to ANY incremental near-dedup): a
     transitive chain spanning batches — A≈B in batch 1+2, B≈C in 2+3,
     A≉C — keeps {A, C} here (C only meets the surviving A), while a
@@ -757,10 +865,13 @@ def incremental_neardup_dedup(
     incremental answer is the one production systems ship: membership
     is decided against surviving canonicals at arrival time."""
     batch_bands = band_store(new_docs, text_col, id_col, n, num_hashes, bands)
-    # in-batch near-dups -> keep component minimum
-    in_pairs = minhash_lsh_pairs(
-        new_docs, text_col, id_col, n, num_hashes, bands
-    ).where(F.col("est_jaccard") >= threshold)
+    if cache_bands:
+        batch_bands = batch_bands.persist()
+    # in-batch near-dups -> keep component minimum; pairs derive from the
+    # SAME band table every other stage uses (one signature pipeline).
+    in_pairs = _pairs_from_bands(batch_bands, id_col, num_hashes).where(
+        F.col("est_jaccard") >= threshold
+    )
     survivors = dedup_corpus(new_docs, in_pairs, id_col=id_col)
     surv_bands = batch_bands.join(
         survivors.select(id_col), id_col, "left_semi"
