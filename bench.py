@@ -26,10 +26,25 @@ HEADLINE = [
     "q_enrich_join",
     "q_asof_clicks",
     "q_window_top_orders",
+    "q_rollup_nation",
+    "q_cube_orders",
     "q_filter_events",
     "q_funnel",
     "q_retention_cohorts",
     "q_merge_upsert",
+    "q_union_parties",
+    "q_except_customers",
+    "q_intersect_nations",
+    # reference-node surface (sub-second rows; in HEADLINE so every
+    # registered query gets at least one driver-visible signal per round)
+    "q_batch_orders",
+    "q_serializer",
+    "q_remap_customers",
+    "q_insert_scalars",
+    "q_regex_parts",
+    "q_profile_customer",
+    "q_systematic_sample",
+    "q_edges_part_supplier",
     # config/language entry paths
     "q_pipeline_yaml",
     "q_mtl_events",
