@@ -530,7 +530,7 @@ def _model_quality_oracle(weights: list[float], threshold: float) -> str:
     d = len(weights)
     return f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id,
@@ -635,8 +635,8 @@ def _lexicon_oracle(lexicon: dict[str, float]) -> str:
     return f"""
     WITH lex(token, weight) AS (VALUES {rows}),
     t AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n,
-             unnest(string_split(text, ' ')) AS token
+      SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n,
+             unnest(regexp_split_to_array(text, '\\s+')) AS token
       FROM documents
     ),
     j AS (
@@ -696,7 +696,7 @@ def _ngram_lm_oracle(lm: dict[str, float], oov: float) -> str:
     )
     return f"""
     WITH lm(ngram, logprob) AS (VALUES {rows}),
-    t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
     g AS (
       SELECT doc_id, (len(tk) - 1)::BIGINT AS n,
              unnest(list_transform(range(1, len(tk)),

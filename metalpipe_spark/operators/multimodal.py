@@ -215,7 +215,11 @@ def audio_window_features(
     copies); one output row per window via the Arrow batch, so a long
     recording fans out to many rows without ever shuffling the raw
     payload.  Windows shorter than ``frame`` at the tail are dropped
-    (standard frontend behavior)."""
+    (standard frontend behavior).  A recording shorter than ONE frame
+    has no analysis windows at all — it still emits a single marker row
+    (``window_id``/``rms``/``zcr`` all NULL) so the id stays visible to
+    downstream joins instead of vanishing silently; filter
+    ``window_id IS NOT NULL`` where only real windows are wanted."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -227,6 +231,11 @@ def audio_window_features(
                 w = np.asarray(wave, dtype=np.float64)
                 n_win = (len(w) - frame) // hop + 1 if len(w) >= frame else 0
                 if n_win <= 0:
+                    # sub-frame recording: NULL marker row, not silence
+                    ids.append(rid)
+                    wins.append(None)
+                    rms.append(None)
+                    zcr.append(None)
                     continue
                 view = np.lib.stride_tricks.sliding_window_view(w, frame)[::hop]
                 ids.extend([rid] * n_win)

@@ -220,6 +220,50 @@ def _target_exists(spark, path: str) -> bool:
     return False
 
 
+def _recover_staged_promotion(spark, path: str, partition_col: str) -> None:
+    """Self-heal a crashed :func:`upsert_parquet` staged promotion BEFORE
+    the target is read for a new merge.  Two kinds of debris can exist:
+
+    - a stage partition dir whose target dir is MISSING: the crash hit
+      after that target dir was renamed aside (or deleted by a pre-fix
+      writer) but before the stage copy was promoted.  The stage copy is
+      complete (promotion only starts after the stage write committed),
+      so promote it now.  Without this, the next merge would read a
+      target missing that partition, compute a merge WITHOUT its
+      non-batch rows, and then overwrite the stage — permanently
+      dropping those rows (the checkpoint-replay data-loss window).
+    - a hidden ``.upsert_old__<dir>`` rename-aside copy: delete it when
+      its live dir exists (crash after a successful promote), restore it
+      otherwise (defensive: stage copy lost too).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    stage_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__stage")
+    target_p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = target_p.getFileSystem(hconf)
+    if fs.exists(stage_p):
+        for status in fs.listStatus(stage_p):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(f"{partition_col}="):
+                continue
+            dst = jvm.org.apache.hadoop.fs.Path(target_p, name)
+            if not fs.exists(dst):
+                if not fs.rename(status.getPath(), dst):
+                    raise IOError(f"stage recovery failed: {name} -> {path}")
+    if fs.exists(target_p):
+        for status in fs.listStatus(target_p):
+            name = status.getPath().getName()
+            if not name.startswith(".upsert_old__"):
+                continue
+            live = jvm.org.apache.hadoop.fs.Path(
+                target_p, name[len(".upsert_old__"):]
+            )
+            if fs.exists(live):
+                fs.delete(status.getPath(), True)
+            elif not fs.rename(status.getPath(), live):
+                raise IOError(f"old-copy recovery failed: {name} -> {path}")
+
+
 def upsert_parquet(
     updates: DataFrame,
     path: str,
@@ -248,20 +292,24 @@ def upsert_parquet(
 
     **Atomicity contract (staged, the default)**: the merged slice is
     fully written to ``{path}__stage`` BEFORE any target file is
-    touched, then each touched partition directory is promoted by a
-    rename (metadata-only on local/HDFS; the stage's directory names
-    carry Spark's own Hive escaping, so values never need re-encoding
-    here).  A touched partition is therefore always either old-complete
-    or new-complete — never partial — and a crash mid-promotion leaves
-    the remaining new partitions durable in the stage for replay or
-    operator recovery.  The one narrow window is between a partition's
-    delete and its rename; a crash exactly there loses that single
-    partition's OLD copy (its new copy survives in the stage).  The
-    staged path also needs no lineage-cut checkpoint: the slice is
-    written to a different directory than the one being read.  Readers
-    racing the promotion can still observe a mix of old and new
-    partitions; a table format (Delta/Iceberg) is the reader-atomic
-    upgrade.
+    touched, then each touched partition directory is promoted by
+    rename-aside: the old dir moves to a hidden ``.upsert_old__`` name,
+    the stage dir renames into place, and only then is the old copy
+    deleted (renames are metadata-only on local/HDFS; the stage's
+    directory names carry Spark's own Hive escaping, so values never
+    need re-encoding here).  A touched partition is therefore always
+    either old-complete or new-complete — never partial — and at every
+    crash point at least one complete copy exists on durable storage
+    (stage, live, or set-aside).  Each call starts by self-healing any
+    crashed previous promotion (:func:`_recover_staged_promotion`)
+    BEFORE reading the target, so a checkpoint replay merges against
+    complete data — without that, a replay after a mid-promotion crash
+    would compute the merge missing a partition's non-batch rows and
+    make the loss permanent.  The staged path also needs no lineage-cut
+    checkpoint: the slice is written to a different directory than the
+    one being read.  Readers racing the promotion can still observe a
+    mix of old and new partitions; a table format (Delta/Iceberg) is
+    the reader-atomic upgrade.
 
     **Atomicity contract (staged=False)**: dynamic partition overwrite
     deletes and rewrites touched partitions in place; a failure
@@ -281,6 +329,13 @@ def upsert_parquet(
     if not _target_exists(spark, path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
+
+    # Heal any crashed previous promotion BEFORE the target is read:
+    # the merge below must see every partition's complete data, or a
+    # checkpoint replay would rebuild the stage from a merge computed
+    # against the crash-damaged target and make the loss permanent.
+    if staged:
+        _recover_staged_promotion(spark, path, partition_col)
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and are
@@ -308,12 +363,24 @@ def upsert_parquet(
             ):
                 continue  # _SUCCESS and other markers stay in the stage
             dst = jvm.org.apache.hadoop.fs.Path(target_p, name)
+            # Rename-aside, never delete-then-rename: the old copy moves
+            # to a hidden dot-dir (invisible to Spark partition discovery
+            # and _target_exists) and is deleted only AFTER the new copy
+            # is in place, so no crash point leaves the partition with
+            # zero live complete copies; _recover_staged_promotion
+            # resolves whichever side a crash strands.
+            aside = jvm.org.apache.hadoop.fs.Path(target_p, f".upsert_old__{name}")
             if fs.exists(dst):
-                fs.delete(dst, True)
+                if fs.exists(aside):
+                    fs.delete(aside, True)  # stale debris from an older crash
+                if not fs.rename(dst, aside):
+                    raise IOError(f"old-copy set-aside failed: {name} in {path}")
             if not fs.rename(status.getPath(), dst):
                 raise IOError(
                     f"partition promotion failed: {name} -> {path}"
                 )
+            if fs.exists(aside):
+                fs.delete(aside, True)
         fs.delete(stage_p, True)
         return
 

@@ -318,11 +318,16 @@ def stream_upsert_sink(
 
     **Atomicity**: with ``upsert_parquet``'s default staged promotion a
     touched partition is always either old-complete or new-complete —
-    never partial — and a crash mid-promotion leaves the new partitions
-    durable in the stage; the streaming checkpoint replays the batch
-    and the idempotent MERGE restores its full effect.  Readers racing
-    the promotion can observe a mix of old and new partitions; use a
-    table format (Delta/Iceberg) for reader-visible atomicity."""
+    never partial.  A crash mid-promotion leaves every touched
+    partition with at least one complete copy on durable storage
+    (stage, live, or rename-aside), and the NEXT ``upsert_parquet``
+    call self-heals that state before merging — so the checkpoint
+    replay's MERGE sees complete data and restores the batch's full
+    effect, non-batch rows included.  (Replay alone only re-applies the
+    BATCH's rows; it is the recovery pass that preserves everything
+    else — see ``_recover_staged_promotion``.)  Readers racing the
+    promotion can observe a mix of old and new partitions; use a table
+    format (Delta/Iceberg) for reader-visible atomicity."""
     from metalpipe_spark.sinks.writers import upsert_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -369,8 +374,14 @@ def stream_semantic_dedup_sink(
     promoted with a filesystem rename (metadata-only on local/HDFS) —
     at no point is the only complete copy of the accumulated state
     sitting in executor block storage.  A crash in the tiny window
-    between delete and rename leaves ``_next`` intact for operator
-    recovery.  Batch-scale GEMM results are materialized once
+    between delete and rename leaves ``_next`` holding the only
+    complete copy — so every batch STARTS by self-healing that state:
+    if the store is absent but ``_next`` exists, ``_next`` is promoted
+    before anything is read or written.  Without that step an automatic
+    streaming restart would see "no store", dedup the replayed batch
+    against nothing, and overwrite ``_next`` — destroying the
+    accumulated state the moment it was needed.  Batch-scale GEMM
+    results are materialized once
     (``checkpoint_batch`` in ``incremental_semantic_dedup``) so the
     kept-append and the staging write don't re-run the dedup kernels;
     the store itself streams scan→parquet exactly once."""
@@ -381,6 +392,21 @@ def stream_semantic_dedup_sink(
     next_path = store_path + "_next"
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(next_path)
+        dst = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = dst.getFileSystem(hconf)
+        # Crash self-heal BEFORE any read or write: if the previous
+        # batch died between its delete and rename, the only complete
+        # store copy is sitting in _next — promote it now, so the
+        # replayed batch dedups against the recovered state instead of
+        # reading "no store" and then clobbering the recovery copy.
+        if not fs.exists(dst) and fs.exists(src):
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"store recovery failed: rename {next_path} -> {store_path}"
+                )
         store = (
             spark.read.parquet(store_path)
             if _target_exists(spark, store_path)
@@ -393,11 +419,6 @@ def stream_semantic_dedup_sink(
         )
         fresh.write.mode("append").parquet(kept_path)
         updated.write.mode("overwrite").parquet(next_path)
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        src = jvm.org.apache.hadoop.fs.Path(next_path)
-        dst = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = dst.getFileSystem(hconf)
         if fs.exists(dst):
             fs.delete(dst, True)
         if not fs.rename(src, dst):

@@ -410,3 +410,70 @@ def test_upsert_parquet_staged_equals_dynamic_incl_null_partition(spark, tmp_pat
         (1, "a", 10.0), (2, None, 99.0), (3, "b", 30.0),
         (4, "a", 40.0), (5, None, 50.0),
     ]
+
+
+def test_upsert_parquet_heals_crash_between_aside_and_promote(spark, tmp_path):
+    """The ADVICE r7 data-loss window: a crash after a touched partition's
+    old dir was moved aside but before the stage copy was promoted leaves
+    the partition's only complete copy in the stage.  A replayed upsert
+    must self-heal BEFORE merging — otherwise it merges against a target
+    missing that partition and permanently drops its non-batch rows."""
+    import os
+    import shutil
+
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "crash_target")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, path, "id", "part")
+    # Crash state: partition a's target dir is gone; its complete copy
+    # (here: the pre-batch content, which is what a mid-crash stage holds
+    # after the previous batch's merge) sits in the stage.
+    stage = path + "__stage"
+    os.makedirs(stage)
+    shutil.move(os.path.join(path, "part=a"), os.path.join(stage, "part=a"))
+    # Replayed batch updates id=2 in partition a.
+    batch = spark.createDataFrame([(2, "a", 99.0)], ["id", "part", "v"])
+    upsert_parquet(batch, path, "id", "part")
+    rows = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # id=1 is the non-batch row the pre-fix code lost.
+    assert rows == {1: ("a", 10.0), 2: ("a", 99.0), 3: ("b", 30.0)}
+    assert not os.path.exists(stage)
+
+
+def test_upsert_parquet_heals_set_aside_old_copies(spark, tmp_path):
+    """Hidden .upsert_old__ debris: deleted when the live dir exists
+    (crash after a successful promote), restored when it does not."""
+    import os
+    import shutil
+
+    from metalpipe_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "aside_target")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, path, "id", "part")
+
+    # Case 1: live dir exists -> stale aside debris is removed.
+    shutil.copytree(
+        os.path.join(path, "part=a"), os.path.join(path, ".upsert_old__part=a")
+    )
+    upsert_parquet(
+        spark.createDataFrame([(3, "b", 31.0)], ["id", "part", "v"]),
+        path, "id", "part",
+    )
+    assert not os.path.exists(os.path.join(path, ".upsert_old__part=a"))
+
+    # Case 2: live dir missing and no stage copy -> aside is restored.
+    shutil.move(
+        os.path.join(path, "part=a"), os.path.join(path, ".upsert_old__part=a")
+    )
+    upsert_parquet(
+        spark.createDataFrame([(3, "b", 32.0)], ["id", "part", "v"]),
+        path, "id", "part",
+    )
+    rows = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", 10.0), 3: ("b", 32.0)}

@@ -152,3 +152,25 @@ def test_pcm16_decode_and_audio_features_physics(spark):
     assert abs(mean_zcr - 2 * f / sr) < 0.01  # ~0.055 crossings/sample
     assert all(r["rms"] == 0.0 for r in by_id["silence"])
     assert all(r["zcr"] == 0.0 for r in by_id["silence"])
+
+
+def test_audio_window_features_emits_marker_row_for_subframe_clip(spark):
+    """ADVICE r7: clips shorter than one frame must not vanish — they
+    emit one NULL-feature marker row so downstream joins keep the id."""
+    from metalpipe_spark.operators.multimodal import audio_window_features
+
+    rows = [
+        (1, [0.1] * 600),   # one real window at frame=512
+        (2, [0.5] * 100),   # sub-frame: marker row only
+    ]
+    df = spark.createDataFrame(rows, "id long, waveform array<double>")
+    got = audio_window_features(df, frame=512, hop=256).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["window_id"] == 0
+    assert by_id[1][0]["rms"] is not None
+    assert len(by_id[2]) == 1
+    marker = by_id[2][0]
+    assert marker["window_id"] is None
+    assert marker["rms"] is None and marker["zcr"] is None

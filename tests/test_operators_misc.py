@@ -909,3 +909,67 @@ def test_train_export_serve_quality_classifier_roundtrip(spark):
     got = {r["doc_id"]: (r["label"], r["keep"]) for r in served.collect()}
     acc = sum(1 for lbl, keep in got.values() if keep == (lbl == 1.0)) / len(got)
     assert acc >= 0.9, acc
+
+
+def test_model_scoring_tokenization_matches_oracle_on_messy_whitespace(spark):
+    """ADVICE r7: the model-scoring operators tokenize with split('\\s+')
+    while their oracles used string_split(text, ' ') — parity silently
+    depended on the corpus being single-spaced.  The oracles now use
+    regexp_split_to_array(text, '\\s+') (verified byte-identical to Java
+    split on leading/trailing/consecutive whitespace and tabs); this
+    pins the agreement on deliberately messy text."""
+    import duckdb
+
+    from metalpipe_spark.operators.text import (
+        hashed_linear_logit,
+        lexicon_score,
+        ngram_logprob,
+    )
+
+    rows = [
+        (0, "plain single spaced text"),
+        (1, " leading space"),
+        (2, "trailing space "),
+        (3, "double  space and\ttab"),
+        (4, "a\n b\t\tc   d "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = [0.5, -1.0, 2.0, 0.25]
+    lex = {"a": 1.0, "b": -2.0, "text": 0.5, "space": 0.25}
+    lm = {"a b": -0.5, "b c": -1.5, "single spaced": -0.25}
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.catalog.text import (
+        _lexicon_oracle,
+        _model_quality_oracle,
+        _ngram_lm_oracle,
+    )
+
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in docs.select(
+            "doc_id", F.round(hashed_linear_logit("text", weights), 6).alias("logit")
+        ).collect()
+    }
+    want_sql = _model_quality_oracle(weights, threshold=0.0)
+    want = {r[0]: r[1] for r in con.execute(want_sql).fetchall()}
+    assert got == {k: want[k] for k in got}
+
+    got = {
+        r["doc_id"]: round(r["lex_score"], 6)
+        for r in lexicon_score(docs, lex, exact=True).collect()
+    }
+    want = {r[0]: r[1] for r in con.execute(_lexicon_oracle(lex)).fetchall()}
+    assert got == {k: round(want[k], 6) for k in got}
+
+    got = {
+        r["doc_id"]: round(r["mean_logprob"], 6)
+        for r in ngram_logprob(docs, lm).collect()
+    }
+    want = {r[0]: r[1] for r in con.execute(_ngram_lm_oracle(lm, -8.0)).fetchall()}
+    assert set(got) <= set(want)
+    assert got == {k: round(want[k], 6) for k in got}

@@ -382,3 +382,51 @@ def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
         r["vec_id"] for r in semantic_dedup(vecs, cents, threshold=0.9).collect()
     )
     assert kept == want == [0, 1, 3, 5]
+
+
+def test_streaming_semantic_dedup_self_heals_lost_store(spark, tmp_path):
+    """ADVICE r7: a crash in the store swap's delete->rename window leaves
+    the only copy of the accumulated cell store in `_next`.  On restart
+    the sink must promote `_next` back BEFORE reading, so the replayed
+    batch dedups against the recovered state — not against "no store"
+    (which would also overwrite the recovery copy: total state loss)."""
+    import shutil
+    import time as _time
+
+    from metalpipe_spark.streaming.streams import stream_semantic_dedup_sink
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    first = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.1, -1.0, 0.0, 0.0])], schema
+    )
+    src = tmp_path / "vecs"
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    store_path = str(tmp_path / "store")
+    kept_path = str(tmp_path / "kept")
+
+    stream = file_watchdog(spark, str(src), first.schema, max_files_per_trigger=1)
+    stream_semantic_dedup_sink(
+        stream, cents, kept_path, store_path, str(tmp_path / "ckpt1"),
+        threshold=0.9,
+    ).awaitTermination()
+
+    # Simulate the crash window: store gone, _next holds the only copy.
+    shutil.move(store_path, store_path + "_next")
+
+    _time.sleep(1.1)
+    second = spark.createDataFrame(
+        [(2, [2.0, 0.2, 0.0, 0.0]), (3, [-1.0, 0.0, 0.3, 0.0])], schema
+    )  # vec 2 duplicates vec 0, which lives only in the recovered store
+    second.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = file_watchdog(spark, str(src), first.schema, max_files_per_trigger=4)
+    stream_semantic_dedup_sink(
+        stream, cents, kept_path, store_path, str(tmp_path / "ckpt2"),
+        threshold=0.9,
+    ).awaitTermination()
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(kept_path).collect())
+    # Pre-fix behavior: vec 2 survives (deduped against nothing) and the
+    # accumulated store is destroyed.  Post-fix: 2 is dropped as a dup.
+    assert kept == [0, 1, 3]
