@@ -91,6 +91,8 @@ HEADLINE = [
     "q_length_quantiles",
     "q_tokenize_regex",
     "q_fingerprint",
+    # multimodal
+    "q_image_neardup",
     # curation / packing
     "q_pii_scrub",
     "q_chunk_documents",

@@ -16,11 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.dedup import hamming_neardup_pairs
 from metalpipe_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_media,
     extract_features,
     frame_sample,
+    image_dhash,
 )
 from metalpipe_spark.sources.readers import load_table
 
@@ -127,3 +129,124 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("frame").alias("frame_md5"),
         F.length("frame").alias("frame_bytes"),
     ).orderBy("id", "frame_id")
+
+
+# --- image perceptual-hash near-dup ---------------------------------------
+#
+# Deterministic synthetic RAW-RGB fixture: each document's text is cycled
+# and space-padded to exactly 864 bytes = an 18x16 RGB tensor, identical
+# bytes in both engines (pure-ASCII corpus; Spark CAST(string AS BINARY)
+# == DuckDB per-char ascii()).  Every 5th document ALSO emits an "edited"
+# variant with two pixels overwritten — the real near-dup shape (same
+# image, small edit): the edit touches grid cells (0,0)/(0,1) only, so
+# base and variant sit within hamming 2 of each other while unrelated
+# corpus images measure >= 7 apart (checked at sf0.01).  image_dhash's
+# REAL numpy kernel (nearest-neighbor 9x8 downsample -> grayscale ->
+# gradient bits) is exactly replayable in SQL because every grid cell
+# maps to three fixed byte offsets — so the full distributed path (Arrow
+# batches through Python, Manku block banding, bucket join, bit_count
+# verify) gets a value-hashed CORRECTNESS row, the same contract as
+# q_multimodal_decode.
+
+_IMG_W, _IMG_H = 18, 16
+_IMG_BYTES = _IMG_W * _IMG_H * 3
+_IMG_SQL = (
+    f"rpad(substring(repeat(text, CAST(ceil({_IMG_BYTES}.0 / "
+    f"greatest(length(text), 1)) AS INT)), 1, {_IMG_BYTES}), "
+    f"{_IMG_BYTES}, ' ')"
+)
+# overwrite pixel (0,0) (bytes 1-3) and pixel (0,2) (bytes 7-9): those
+# are grid cells (0,0) and (0,1), so only dhash bits 0-1 can flip.
+_VARIANT_SQL = "'~~~' || substr(img, 4, 3) || '!!!' || substr(img, 10)"
+_VARIANT_MOD = 5
+_DHASH_MAX_HAMMING = 3
+_DHASH_BLOCKS = 4
+
+
+def _image_neardup_oracle() -> str:
+    grid_w, grid_h = 9, 8
+
+    def gray(r: int, c: int) -> str:
+        # grid cell (r, c) samples pixel (2r, 2c) of the 18x16 image:
+        # sy = (r * 16) // 8 = 2r, sx = (c * 18) // 9 = 2c.
+        o = ((2 * r) * _IMG_W + 2 * c) * 3
+        return (
+            "("
+            + " + ".join(f"ascii(substr(img, {o + k}, 1))" for k in (1, 2, 3))
+            + ")"
+        )
+
+    terms = []
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            i = r * (grid_w - 1) + c
+            # 1::BIGINT << 63 overflows DuckDB's checked shift; the sign
+            # bit ORs in as the min-int64 literal instead.
+            val = "(-9223372036854775807 - 1)" if i == 63 else f"({1 << i}::BIGINT)"
+            terms.append(
+                f"(CASE WHEN {gray(r, c + 1)} > {gray(r, c)} "
+                f"THEN {val} ELSE 0::BIGINT END)"
+            )
+    dhash = " | ".join(terms)
+    width = 64 // _DHASH_BLOCKS
+    mask = (1 << width) - 1
+    keys = ", ".join(
+        f"((dhash >> {i * width}) & {mask}) + {i * (mask + 1)}"
+        for i in range(_DHASH_BLOCKS)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {_IMG_SQL} AS img FROM documents),
+    m AS (
+      SELECT doc_id * 2 AS id, img FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id, {_VARIANT_SQL} AS img
+      FROM base WHERE doc_id % {_VARIANT_MOD} = 0
+    ),
+    s AS (SELECT id, ({dhash}) AS dhash FROM m),
+    banded AS (SELECT id, dhash, unnest([{keys}]) AS bk FROM s),
+    cand AS (
+      SELECT DISTINCT a.id AS d1, b.id AS d2,
+             a.dhash AS s1, b.dhash AS s2
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+    )
+    SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {_DHASH_MAX_HAMMING}
+    ORDER BY d1, d2
+    """
+
+
+def _image_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(_IMG_SQL).alias("img"))
+    w, h = F.lit(_IMG_W).alias("width"), F.lit(_IMG_H).alias("height")
+    originals = base.select(
+        (F.col("doc_id") * 2).alias("id"),
+        F.col("img").cast("binary").alias("content"),
+        w, h,
+    )
+    variants = base.where(F.col("doc_id") % _VARIANT_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.expr(_VARIANT_SQL).cast("binary").alias("content"),
+        w, h,
+    )
+    return originals.unionByName(variants)
+
+
+@register(
+    "q_image_neardup",
+    _image_neardup_oracle(),
+    doc=(
+        "Image perceptual-hash near-dup: REAL dHash kernel over raw RGB "
+        "tensors (numpy nearest-neighbor downsample + gradient bits, no "
+        "image lib needed) -> 64-bit code -> Manku block banding "
+        "(hamming_neardup_pairs, the SimHash machinery reused) -> exact "
+        "bit_count(xor) verify.  Candidates meet through block buckets, "
+        "never all pairs; per-image dedup state is 8 bytes."
+    ),
+)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = image_dhash(_image_fixture(spark, sf_dir))
+    return hamming_neardup_pairs(
+        codes, code_col="dhash", id_col="id",
+        bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+    ).orderBy("d1", "d2")

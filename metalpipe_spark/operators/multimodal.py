@@ -198,6 +198,57 @@ def decode_pcm16(
     )
 
 
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    width_col: str = "width",
+    height_col: str = "height",
+    id_col: str = "id",
+) -> DataFrame:
+    """Perceptual dHash over RAW RGB byte tensors — a REAL kernel, not a
+    stub (like :func:`resize_media`, raw-pixel hashing is pure index
+    arithmetic and needs no image library; only compressed-format decode
+    lives behind ``decode_media``'s marked fake): nearest-neighbor
+    downsample to a 9x8 grid, grayscale each cell (channel sum — the
+    mean's /3 is monotone, so comparisons are unchanged), then bit
+    ``r*8 + c`` = "cell (r, c+1) brighter than cell (r, c)" — the
+    classic difference hash.  Output ``(id, dhash: long)``, 64 bits in
+    the int64 bit pattern (bit 63 lands in the sign bit).
+
+    Crops, re-encodes and small edits flip few gradient comparisons, so
+    near-duplicate images land within a small hamming distance; feed
+    the codes to :func:`~metalpipe_spark.operators.dedup.
+    hamming_neardup_pairs` for the bucket-banded pair join (the image
+    twin of SimHash near-dup — same Manku banding, same 8-bytes/image
+    state).  Arrow-batched ``mapInPandas``: embarrassingly parallel,
+    payloads never shuffle, and downstream dedup moves only the 8-byte
+    code."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    grid_w, grid_h = 9, 8
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            codes = []
+            for content, w, h in zip(
+                pdf[content_col], pdf[width_col], pdf[height_col]
+            ):
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(content), dtype=np.uint8)
+                img = img[: w * h * 3].reshape(h, w, 3)
+                sy = (np.arange(grid_h) * h) // grid_h
+                sx = (np.arange(grid_w) * w) // grid_w
+                gray = img[sy][:, sx].astype(np.int32).sum(axis=2)
+                bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+                code = np.uint64(bits.astype(np.uint64) @ weights)
+                codes.append(int(code.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": codes})
+
+    return df.mapInPandas(batches, f"{id_col} {id_type}, dhash long")
+
+
 def audio_window_features(
     df: DataFrame,
     frame: int = 512,

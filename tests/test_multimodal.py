@@ -174,3 +174,47 @@ def test_audio_window_features_emits_marker_row_for_subframe_clip(spark):
     marker = by_id[2][0]
     assert marker["window_id"] is None
     assert marker["rms"] is None and marker["zcr"] is None
+
+
+def test_image_dhash_neardup_physics(spark):
+    """dHash physics on constructed images: a small edit of a gradient
+    image stays within hamming 3 of the original, an unrelated image
+    measures far, and hamming_neardup_pairs surfaces exactly the near
+    pair — the image twin of the SimHash near-dup contract."""
+    import hashlib
+
+    import numpy as np
+
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+    from metalpipe_spark.operators.multimodal import image_dhash
+
+    w, h = 36, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((yy * 3 + xx * 5) % 251).astype(np.uint8)
+    img_a = np.repeat(base[:, :, None], 3, axis=2)
+    img_b = img_a.copy()
+    img_b[0:2, 0:2, :] = 255          # small local edit
+    rnd = hashlib.sha256(b"unrelated").digest() * (w * h * 3 // 32 + 1)
+    img_c = np.frombuffer(rnd[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    rows = [
+        (1, bytearray(img_a.tobytes()), w, h),
+        (2, bytearray(img_b.tobytes()), w, h),
+        (3, bytearray(img_c.tobytes()), w, h),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, content binary, width int, height int"
+    )
+    codes = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert 0 < hamming(codes[1], codes[2]) <= 3
+    assert hamming(codes[1], codes[3]) > 10
+
+    pairs = hamming_neardup_pairs(
+        image_dhash(df), code_col="dhash", id_col="id",
+        bits=64, max_hamming=3, blocks=4,
+    ).collect()
+    assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
