@@ -220,6 +220,139 @@ def _target_exists(spark, path: str) -> bool:
     return False
 
 
+_MANIFEST_RE = r"_manifest-v(\d+)\.json"
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(hconf), jpath
+
+
+def read_current_manifest(spark, path: str):
+    """Highest-version ``_manifest-v{N}.json`` at ``path`` as
+    ``(version, {partition_dir: [file, ...]})``, or ``None`` when the
+    table has never been published with ``upsert_parquet(...,
+    manifest=True)``.  Each manifest is immutable once renamed into
+    place, so a racing reader resolves either version N-1 or N — both
+    complete, internally consistent file sets — never a mix."""
+    import json
+    import re
+
+    jvm, fs, target_p = _fs_for(spark, path)
+    if not fs.exists(target_p):
+        return None
+    best, best_path = None, None
+    for status in fs.listStatus(target_p):
+        m = re.fullmatch(_MANIFEST_RE, status.getPath().getName())
+        if m and (best is None or int(m.group(1)) > best):
+            best, best_path = int(m.group(1)), status.getPath()
+    if best is None:
+        return None
+    stream = fs.open(best_path)
+    try:
+        # commons-io ships with Hadoop; a returned byte[] crosses py4j
+        # as Python bytes in one call (per-element array reads don't).
+        body = json.loads(
+            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode("utf-8")
+        )
+    finally:
+        stream.close()
+    return best, body["partitions"]
+
+
+def _write_manifest(spark, path: str, version: int, partitions: dict) -> None:
+    """Durably publish a manifest: full write to a dot-tmp name (hidden
+    from readers and ``_target_exists``), then one rename — the atomic
+    flip that moves readers from version N-1 to N."""
+    import json
+
+    jvm, fs, target_p = _fs_for(spark, path)
+    name = f"_manifest-v{version:010d}.json"
+    tmp = jvm.org.apache.hadoop.fs.Path(target_p, f".{name}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(target_p, name)
+    data = json.dumps(
+        {"version": version, "partitions": {k: sorted(v) for k, v in partitions.items()}},
+        sort_keys=True,
+    ).encode("utf-8")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest publish failed: {name} at {path}")
+
+
+def _list_partition_files(fs, jvm, target_p, partition_col: str) -> dict:
+    """Current on-disk state as ``{partition_dir: [file, ...]}`` —
+    synthesizes a manifest for a table that predates manifest mode."""
+    out = {}
+    for status in fs.listStatus(target_p):
+        name = status.getPath().getName()
+        if not status.isDirectory() or not name.startswith(f"{partition_col}="):
+            continue
+        files = [
+            f.getPath().getName()
+            for f in fs.listStatus(status.getPath())
+            if not f.isDirectory()
+            and not f.getPath().getName().startswith(("_", "."))
+        ]
+        out[name] = files
+    return out
+
+
+def _recover_manifest_promotion(spark, path: str, partition_col: str, manifest: dict) -> None:
+    """Reconcile the directory tree with the CURRENT manifest before a
+    new merge: delete any non-hidden data file the manifest does not
+    list (v{N} orphans from a promotion that crashed before its flip,
+    or superseded v{N-1} files from one that crashed after it), and any
+    partition dir the manifest has never heard of.  The manifest is the
+    single source of truth, so recovery needs no crash-point case
+    analysis — disk state converges to the published version."""
+    jvm, fs, target_p = _fs_for(spark, path)
+    for status in fs.listStatus(target_p):
+        name = status.getPath().getName()
+        if not status.isDirectory() or not name.startswith(f"{partition_col}="):
+            continue
+        if name not in manifest:
+            fs.delete(status.getPath(), True)
+            continue
+        live = set(manifest[name])
+        for f in fs.listStatus(status.getPath()):
+            fname = f.getPath().getName()
+            if f.isDirectory() or fname.startswith(("_", ".")):
+                continue
+            if fname not in live:
+                fs.delete(f.getPath(), False)
+
+
+def load_published(spark, path: str) -> DataFrame:
+    """Read a table published by ``upsert_parquet(..., manifest=True)``
+    at its CURRENT manifest version: the scan is pinned to the exact
+    file set of one published version, so a reader racing a promotion
+    sees entirely-old or entirely-new — never the mixed snapshot a
+    plain directory read can observe.  Partition columns still parse
+    (``basePath`` + the ``part=`` path segments), so partition pruning
+    works as usual.  Falls back to a plain directory read when no
+    manifest exists.
+
+    Caveat (same as any vacuum-style format): a reader that resolved
+    version N-1 immediately before a promotion completes may find
+    superseded files GC'd mid-read — a retryable read error, never
+    silently wrong data."""
+    m = read_current_manifest(spark, path)
+    if m is None:
+        return spark.read.parquet(path)
+    _, partitions = m
+    base = path.rstrip("/")
+    files = [f"{base}/{d}/{f}" for d, fl in sorted(partitions.items()) for f in fl]
+    if not files:
+        return spark.read.parquet(path)
+    return spark.read.option("basePath", base).parquet(*files)
+
+
 def _recover_staged_promotion(spark, path: str, partition_col: str) -> None:
     """Self-heal a crashed :func:`upsert_parquet` staged promotion BEFORE
     the target is read for a new merge.  Two kinds of debris can exist:
@@ -272,6 +405,7 @@ def upsert_parquet(
     checkpoint_dir: str | None = None,
     order_col: str | None = None,
     staged: bool = True,
+    manifest: bool = False,
 ) -> None:
     """MERGE into a partitioned parquet directory — the lakehouse-free
     upsert.  Only the partitions the batch touches are rewritten:
@@ -321,20 +455,53 @@ def upsert_parquet(
     session-global for the duration of the write (single-threaded
     driver assumed).  Either way, replaying the same batch restores the
     BATCH's full effect — MERGE on key is idempotent (pinned by
-    test_upsert_parquet_replay_repairs_partial_rewrite)."""
+    test_upsert_parquet_replay_repairs_partial_rewrite).
+
+    **Reader-atomic publish (``manifest=True``)**: touched partitions
+    promote by moving the staged data FILES into the live partition
+    dirs under version-prefixed names (``v{N}-...``) — the previous
+    version's files are untouched until after a versioned
+    ``_manifest-v{N}.json`` (the exact live file set) is renamed into
+    place, then GC'd.  :func:`load_published` pins its scan to the
+    current manifest, so a reader racing the promotion sees version
+    N-1 or N in full — never the mixed old/new snapshot a plain
+    directory read can observe mid-promotion.  Crash recovery is
+    manifest-driven (:func:`_recover_manifest_promotion`): disk
+    converges to the published version, and the replayed batch merges
+    against it.  Single writer assumed (as above); plain
+    ``spark.read.parquet`` on a manifest table stays correct between
+    promotions and can only observe mixing DURING one — the same
+    contract as ``staged``."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = updates.sparkSession
     if order_col is not None:
         updates = _last_wins(updates, keys, order_col)
     if not _target_exists(spark, path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        if manifest:
+            jvm, fs, target_p = _fs_for(spark, path)
+            _write_manifest(
+                spark, path, 1,
+                _list_partition_files(fs, jvm, target_p, partition_col),
+            )
         return
 
     # Heal any crashed previous promotion BEFORE the target is read:
     # the merge below must see every partition's complete data, or a
     # checkpoint replay would rebuild the stage from a merge computed
     # against the crash-damaged target and make the loss permanent.
-    if staged:
+    cur_version, cur_parts = 0, None
+    if manifest:
+        cur = read_current_manifest(spark, path)
+        if cur is None:
+            # first manifest-mode publish over a legacy table: adopt the
+            # on-disk state as the current version.
+            jvm, fs, target_p = _fs_for(spark, path)
+            cur_parts = _list_partition_files(fs, jvm, target_p, partition_col)
+        else:
+            cur_version, cur_parts = cur
+            _recover_manifest_promotion(spark, path, partition_col, cur_parts)
+    elif staged:
         _recover_staged_promotion(spark, path, partition_col)
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
@@ -345,8 +512,75 @@ def upsert_parquet(
     slice_pred = F.col(partition_col).isin([t for t in touched if t is not None])
     if any(t is None for t in touched):
         slice_pred = slice_pred | F.col(partition_col).isNull()
-    target_slice = spark.read.parquet(path).where(slice_pred)
+    if manifest:
+        # merge against the PUBLISHED version's exact file set (never a
+        # raw dir listing that could include crash debris).
+        base = path.rstrip("/")
+        mfiles = [
+            f"{base}/{d}/{f}" for d, fl in sorted(cur_parts.items()) for f in fl
+        ]
+        target_slice = (
+            spark.read.option("basePath", base).parquet(*mfiles).where(slice_pred)
+            if mfiles
+            else spark.read.parquet(path).where(slice_pred)
+        )
+    else:
+        target_slice = spark.read.parquet(path).where(slice_pred)
     merged = merge_upsert(target_slice, updates, keys)
+
+    if manifest:
+        stage = path.rstrip("/") + "__stage"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        jvm, fs, target_p = _fs_for(spark, path)
+        stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        new_version = cur_version + 1
+        new_parts = dict(cur_parts)
+        replaced: list[str] = []
+        for status in fs.listStatus(stage_p):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(f"{partition_col}="):
+                continue
+            dst_dir = jvm.org.apache.hadoop.fs.Path(target_p, name)
+            fs.mkdirs(dst_dir)
+            moved = []
+            for f in fs.listStatus(status.getPath()):
+                fname = f.getPath().getName()
+                if f.isDirectory() or fname.startswith(("_", ".")):
+                    continue
+                new_name = f"v{new_version:010d}-{fname}"
+                if not fs.rename(
+                    f.getPath(), jvm.org.apache.hadoop.fs.Path(dst_dir, new_name)
+                ):
+                    raise IOError(
+                        f"file promotion failed: {name}/{fname} -> {path}"
+                    )
+                moved.append(new_name)
+            replaced.append(name)
+            new_parts[name] = moved
+        # The atomic flip: readers move from version N-1 to N here.
+        _write_manifest(spark, path, new_version, new_parts)
+        # GC superseded files (old versions of the replaced partitions)
+        # and manifests older than N-1 (N-1 itself stays so a reader
+        # that resolved it just before the flip still parses it; its
+        # FILES are gone — the documented retryable-read caveat).
+        import re as _re
+
+        for name in replaced:
+            keep = set(new_parts[name])
+            for fname in cur_parts.get(name, []):
+                if fname not in keep:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            target_p, f"{name}/{fname}"
+                        ),
+                        False,
+                    )
+        for status in fs.listStatus(target_p):
+            m = _re.fullmatch(_MANIFEST_RE, status.getPath().getName())
+            if m and int(m.group(1)) < new_version - 1:
+                fs.delete(status.getPath(), False)
+        fs.delete(stage_p, True)
+        return
 
     if staged:
         stage = path.rstrip("/") + "__stage"

@@ -305,11 +305,15 @@ def stream_upsert_sink(
     checkpoint: str,
     upsert_checkpoint_dir: str | None = None,
     order_col: str | None = None,
+    manifest: bool = False,
 ):
     """Continuous MERGE: each micro-batch upserts into a partitioned
     parquet target (matched keys replaced, new keys inserted) — the
     streaming face of ``sinks.writers.upsert_parquet`` and the engine's
-    CDC-apply pattern.  Exactly-once comes from the combination of the
+    CDC-apply pattern.  ``manifest=True`` publishes each batch through
+    the versioned-manifest protocol, upgrading readers that use
+    ``load_published`` to snapshot-consistent scans (see
+    ``upsert_parquet``).  Exactly-once comes from the combination of the
     streaming checkpoint (no batch replayed after commit) and the
     idempotence of MERGE on key (a replayed batch rewrites the same
     rows to the same values).  State is bounded: each batch touches
@@ -334,6 +338,7 @@ def stream_upsert_sink(
         upsert_parquet(
             batch_df, path, key_cols, partition_col,
             checkpoint_dir=upsert_checkpoint_dir, order_col=order_col,
+            manifest=manifest,
         )
 
     return foreach_batch_sink(df, apply, checkpoint)
