@@ -620,6 +620,7 @@ def simhash_neardup_pairs(
     bits: int = 60,
     max_hamming: int = 3,
     blocks: int | None = None,
+    combo: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via block banding (Manku et al., WWW'07): split the
@@ -632,18 +633,46 @@ def simhash_neardup_pairs(
     an integer fingerprint (8 bytes/doc of state instead of a
     signature array).
 
-    Block width must clear log2(corpus size) or buckets overfill and
-    the candidate join quadratically explodes — the 60-bit default
-    (15-bit blocks, max the 60-bit portable token hash supports inside
-    signed int64) keeps expected bucket occupancy < 1 up to ~10^4 docs
-    per block value and measured 12x faster than 32-bit/8-bit blocks at
-    sf0.1.  For 10^9-doc corpora, raise ``bits`` (e.g. 64 via a second
-    hash) or ``blocks`` so that ``2^(bits/blocks) >> n``."""
+    Effective key width (``combo * bits/blocks``) must clear
+    log2(corpus size) or buckets overfill and the candidate join
+    quadratically explodes — the 60-bit default (15-bit single-block
+    keys, max the 60-bit portable token hash supports inside signed
+    int64) keeps expected bucket occupancy < 1 up to ~10^4 docs per
+    block value and measured 12x faster than 32-bit/8-bit blocks at
+    sf0.1.  Template-heavy corpora overfill single blocks long before
+    the EXPECTED occupancy does (near-identical boilerplate shares
+    whole blocks); raise ``combo`` — see
+    :func:`hamming_neardup_pairs` — to key block COMBINATIONS
+    (blocks=6, combo=3 keys 30 bits through 20 combinations; the
+    catalog row's configuration).  For 10^9-doc corpora, also raise
+    ``bits`` (e.g. 64 via a second hash) so the combined key keeps
+    clearing log2(n)."""
     fp = simhash(df, text_col, id_col, bits)
     return hamming_neardup_pairs(
         fp, code_col="simhash", id_col=id_col,
-        bits=bits, max_hamming=max_hamming, blocks=blocks,
+        bits=bits, max_hamming=max_hamming, blocks=blocks, combo=combo,
     )
+
+
+def hamming_block_keys(bits: int, max_hamming: int, blocks: int, combo: int) -> list[tuple[int, ...]]:
+    """The block-index combinations that key the Manku banding: every
+    ``combo``-subset of the ``blocks`` blocks.  A pair within hamming
+    ``max_hamming`` flips bits in at most ``max_hamming`` blocks, so it
+    agrees on at least ``blocks - max_hamming`` blocks — and therefore
+    matches verbatim on at least one enumerated ``combo``-subset
+    whenever ``combo <= blocks - max_hamming`` (validated): perfect
+    recall by pigeonhole, at any combo width."""
+    from itertools import combinations
+
+    if bits % blocks:
+        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    if blocks - max_hamming < combo:
+        raise ValueError(
+            f"combo={combo} keys cannot guarantee recall at "
+            f"max_hamming={max_hamming} with blocks={blocks}: need "
+            f"combo <= blocks - max_hamming"
+        )
+    return list(combinations(range(blocks), combo))
 
 
 def hamming_neardup_pairs(
@@ -653,30 +682,49 @@ def hamming_neardup_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     blocks: int | None = None,
+    combo: int = 1,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` over ANY integer
-    code column via Manku block banding — the shared engine behind
-    :func:`simhash_neardup_pairs` (text fingerprints) and the image
-    perceptual-hash dedup (``multimodal.image_dhash`` codes): split the
-    code into ``max_hamming + 1`` equal blocks; a pair within distance k
-    differs in at most k blocks, so by pigeonhole it shares one block
-    verbatim.  Candidates meet through (block_index, block_value)
-    buckets — never all pairs — and the exact check is one codegen
-    ``bit_count(xor)`` per candidate.  Arithmetic shiftright on a
-    64-bit code's sign bit is masked off, so full-width codes band
-    correctly.  Output: ``(d1, d2, hamming)`` with ``d1 < d2``."""
-    blocks = blocks or max_hamming + 1
-    if bits % blocks:
-        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    code column via Manku block banding (Manku et al., WWW'07 §3) — the
+    shared engine behind :func:`simhash_neardup_pairs` (text
+    fingerprints) and the image perceptual-hash dedup
+    (``multimodal.image_dhash`` codes): split the code into ``blocks``
+    equal blocks and key every ``combo``-subset of blocks
+    (:func:`hamming_block_keys`).  A pair within distance k flips at
+    most k blocks, so it agrees verbatim on some ``combo``-subset —
+    perfect recall by pigeonhole — and candidates meet through
+    (combo_index, concatenated block values) buckets, never all pairs;
+    the exact check is one codegen ``bit_count(xor)`` per candidate.
+    Arithmetic shiftright on a 64-bit code's sign bit is masked off, so
+    full-width codes band correctly.  Output: ``(d1, d2, hamming)``
+    with ``d1 < d2``.
+
+    ``combo`` is the selectivity lever — exactly Manku's
+    multiple-tables-over-block-unions construction: ``combo=1``
+    (default) keys single blocks of width bits/blocks, the minimal
+    replication (``blocks`` rows/doc) that works when block width
+    clears log2(corpus size).  On template-heavy corpora single blocks
+    overfill — the sf1 scaling corpus puts 13.4k docs in ONE 15-bit
+    block value, 90M candidate pairs in a single bucket that no
+    scheduler can split (skew detection is input-byte-based and cannot
+    see output explosion) — and raising ``combo`` widens the effective
+    key (combo * bits/blocks bits) at the cost of C(blocks, combo)
+    rows/doc: 60-bit codes at blocks=6, combo=3 key 30 bits through 20
+    combinations.  Measured at sf1: worst bucket 13.4k -> 3.5k docs
+    (90M -> 6M pairs inside it), wall 70-168 s -> 15 s for the same
+    18.7M output pairs.  Raise blocks/combo further when corpus
+    cardinality approaches 2^(combo * bits/blocks)."""
+    blocks = blocks or max_hamming + combo
+    combos = hamming_block_keys(bits, max_hamming, blocks, combo)
     width = bits // blocks
     mask = (1 << width) - 1
-    keys = [
-        (
-            F.shiftright(F.col(code_col), i * width).bitwiseAND(F.lit(mask))
-            + F.lit(i * (mask + 1))
-        ).cast("long")
-        for i in range(blocks)
-    ]
+    keys = []
+    for j, idxs in enumerate(combos):
+        key = F.lit(j << (combo * width)).cast("long")
+        for t, i in enumerate(idxs):
+            block = F.shiftright(F.col(code_col), i * width).bitwiseAND(F.lit(mask))
+            key = key + F.shiftleft(block, t * width)
+        keys.append(key.cast("long"))
     banded = codes.select(
         F.col(id_col), F.col(code_col), F.explode(F.array(*keys)).alias("bk")
     )

@@ -21,6 +21,17 @@ from pyspark.sql import SparkSession
 _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Lower the coalescing floor from the 1 MiB default: AQE sizes
+    # post-shuffle partitions by INPUT bytes, but bucket-join stages
+    # (LSH bands, hamming blocks) shuffle a few bytes per doc and then
+    # EXPAND quadratically inside each bucket — with a 1 MiB floor a
+    # ~4 MB band shuffle collapses to 4 tasks that serialize an 18.7M-
+    # pair join (measured 135 s vs 70 s at full width on the sf1
+    # corpus).  With a 64 KiB floor, parallelism-first sizing
+    # (totalBytes / defaultParallelism, the AQE default policy) decides
+    # instead, keeping CPU-heavy low-byte stages wide while still
+    # coalescing genuinely tiny shuffles.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

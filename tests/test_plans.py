@@ -407,3 +407,28 @@ def test_model_scoring_joins_broadcast(spark):
         assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
         assert _nodes(plan, "SortMergeJoin") == 0, plan
         assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_image_neardup_bucket_join_shape(spark):
+    """The image dHash pair join has exactly simhash_neardup's bucket
+    shape: candidates meet through block-key buckets (equi-join), never
+    a cartesian or a corpus-side broadcast; the dHash itself is a
+    payload-local mapInPandas (codes shuffle, 8 bytes each — the raw
+    image bytes never cross an exchange)."""
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+    from metalpipe_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 108), 6, 6)],
+        "id long, content binary, width int, height int",
+    )
+    with _no_auto_broadcast(spark):
+        plan = _formatted(
+            hamming_neardup_pairs(
+                image_dhash(df), code_col="dhash", id_col="id",
+                bits=64, max_hamming=3, blocks=4,
+            )
+        )
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _nodes(plan, "SortMergeJoin") >= 1, plan

@@ -187,3 +187,82 @@ def test_domain_mix_rate_cap_property(spark, sizes, budget):
         assert kept <= n
         if budget * weights[dom] >= n:  # rate capped at 1
             assert kept == n, (dom, kept, n, budget)
+
+
+@settings(**_SETTINGS)
+@given(
+    codes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    ),
+    max_hamming=st.integers(min_value=1, max_value=3),
+)
+def test_hamming_neardup_pairs_matches_brute_force_property(
+    spark, codes, max_hamming
+):
+    """hamming_neardup_pairs over ARBITRARY int64 codes (sign bit
+    included) must equal the brute-force hamming join exactly: Manku
+    banding has perfect recall within max_hamming (pigeonhole) and the
+    bit_count(xor) verify removes every over-distance candidate."""
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "id long, code long"
+    )
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            df, code_col="code", id_col="id",
+            bits=64, max_hamming=max_hamming, blocks=4,
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(codes):
+        for j, b in enumerate(codes):
+            if i < j:
+                h = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= max_hamming:
+                    want[(i, j)] = h
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    codes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=16,
+        unique=True,
+    ),
+    geometry=st.sampled_from([(4, 1), (8, 2), (8, 5)]),
+)
+def test_hamming_combo_banding_matches_brute_force_property(
+    spark, codes, geometry
+):
+    """Combination banding (combo > 1, the Manku multi-block-key scheme
+    the hot-bucket fix uses) must stay exactly equal to brute force:
+    wider keys change selectivity, never recall."""
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+
+    blocks, combo = geometry
+    max_hamming = blocks - combo  # the widest guarantee this geometry has
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "id long, code long"
+    )
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            df, code_col="code", id_col="id",
+            bits=64, max_hamming=max_hamming, blocks=blocks, combo=combo,
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(codes):
+        for j, b in enumerate(codes):
+            if i < j:
+                h = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= max_hamming:
+                    want[(i, j)] = h
+    assert got == want
