@@ -93,6 +93,7 @@ HEADLINE = [
     "q_fingerprint",
     # multimodal
     "q_image_neardup",
+    "q_incremental_imagedup",
     # curation / packing
     "q_pii_scrub",
     "q_chunk_documents",

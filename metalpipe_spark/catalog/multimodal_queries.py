@@ -163,7 +163,9 @@ _DHASH_MAX_HAMMING = 3
 _DHASH_BLOCKS = 4
 
 
-def _image_neardup_oracle() -> str:
+def _dhash_expr_sql() -> str:
+    """The dHash kernel replayed in SQL over an ``img`` column: grid
+    cell grays from fixed byte offsets, gradient bits OR'd together."""
     grid_w, grid_h = 9, 8
 
     def gray(r: int, c: int) -> str:
@@ -187,13 +189,23 @@ def _image_neardup_oracle() -> str:
                 f"(CASE WHEN {gray(r, c + 1)} > {gray(r, c)} "
                 f"THEN {val} ELSE 0::BIGINT END)"
             )
-    dhash = " | ".join(terms)
+    return " | ".join(terms)
+
+
+def _dhash_keys_sql() -> str:
+    """The banding keys for the catalog's 64-bit/4-block/combo-1
+    geometry, identical to hamming_neardup_pairs' key construction."""
     width = 64 // _DHASH_BLOCKS
     mask = (1 << width) - 1
-    keys = ", ".join(
+    return ", ".join(
         f"((dhash >> {i * width}) & {mask}) + {i * (mask + 1)}"
         for i in range(_DHASH_BLOCKS)
     )
+
+
+def _image_neardup_oracle() -> str:
+    dhash = _dhash_expr_sql()
+    keys = _dhash_keys_sql()
     return f"""
     WITH base AS (SELECT doc_id, {_IMG_SQL} AS img FROM documents),
     m AS (
@@ -250,3 +262,78 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, code_col="dhash", id_col="id",
         bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
     ).orderBy("d1", "d2")
+
+
+def _incremental_imagedup_oracle() -> str:
+    """Incremental image dedup replayed in SQL: store = base images of
+    EVEN doc_ids (fixture id % 4 = 0), batch = everything else.  The
+    batch first resolves in-batch near-dups by transitive closure over
+    the banded hamming pairs (odd-doc_id variants collapse onto their
+    in-batch base, minimum id survives), then band-joins the store and
+    drops on hamming <= k (even-doc_id variants match their stored
+    base)."""
+    dhash = _dhash_expr_sql()
+    keys = _dhash_keys_sql()
+    k = _DHASH_MAX_HAMMING
+    return f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {_IMG_SQL} AS img FROM documents),
+    m AS (
+      SELECT doc_id * 2 AS id, img FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id, {_VARIANT_SQL} AS img
+      FROM base WHERE doc_id % {_VARIANT_MOD} = 0
+    ),
+    s AS (SELECT id, ({dhash}) AS dhash FROM m),
+    store AS (SELECT * FROM s WHERE id % 4 = 0),
+    batch AS (SELECT * FROM s WHERE id % 4 <> 0),
+    bb AS (SELECT id, dhash, unnest([{keys}]) AS bk FROM batch),
+    p AS (
+      SELECT DISTINCT a.id AS d1, b.id AS d2
+      FROM bb a JOIN bb b ON a.bk = b.bk AND a.id < b.id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {k}
+    ),
+    e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u
+    ),
+    surv AS (
+      SELECT id, dhash FROM batch
+      WHERE id NOT IN (SELECT id FROM comp WHERE id <> cid)
+    ),
+    sb AS (SELECT id, dhash, unnest([{keys}]) AS bk FROM surv),
+    stb AS (SELECT id, dhash, unnest([{keys}]) AS bk FROM store),
+    hits AS (
+      SELECT DISTINCT a.id FROM sb a JOIN stb b ON a.bk = b.bk
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {k}
+    )
+    SELECT id FROM surv WHERE id NOT IN (SELECT id FROM hits) ORDER BY id
+    """
+
+
+@register(
+    "q_incremental_imagedup",
+    _incremental_imagedup_oracle(),
+    doc=(
+        "Incremental IMAGE near-dup dedup: a new batch of dHash codes "
+        "resolves in-batch dups by connected components, then band-joins "
+        "the persisted code store (8 bytes of state per image) and drops "
+        "on hamming <= 3 - the continuously-ingesting multimodal "
+        "pipeline shape, mirroring the MinHash incremental twin."
+    ),
+)
+def q_incremental_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import incremental_hamming_dedup
+
+    codes = image_dhash(_image_fixture(spark, sf_dir))
+    store = codes.where(F.col("id") % 4 == 0)
+    batch = codes.where(F.col("id") % 4 != 0)
+    fresh, _ = incremental_hamming_dedup(
+        batch, store, code_col="dhash", id_col="id",
+        bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+    )
+    return fresh.select("id").orderBy("id")

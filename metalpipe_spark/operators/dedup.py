@@ -714,20 +714,7 @@ def hamming_neardup_pairs(
     (90M -> 6M pairs inside it), wall 70-168 s -> 15 s for the same
     18.7M output pairs.  Raise blocks/combo further when corpus
     cardinality approaches 2^(combo * bits/blocks)."""
-    blocks = blocks or max_hamming + combo
-    combos = hamming_block_keys(bits, max_hamming, blocks, combo)
-    width = bits // blocks
-    mask = (1 << width) - 1
-    keys = []
-    for j, idxs in enumerate(combos):
-        key = F.lit(j << (combo * width)).cast("long")
-        for t, i in enumerate(idxs):
-            block = F.shiftright(F.col(code_col), i * width).bitwiseAND(F.lit(mask))
-            key = key + F.shiftleft(block, t * width)
-        keys.append(key.cast("long"))
-    banded = codes.select(
-        F.col(id_col), F.col(code_col), F.explode(F.array(*keys)).alias("bk")
-    )
+    banded = _banded_codes(codes, code_col, id_col, bits, max_hamming, blocks, combo)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -750,6 +737,93 @@ def hamming_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def _banded_codes(
+    codes: DataFrame,
+    code_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    blocks: int | None,
+    combo: int,
+) -> DataFrame:
+    """``(id, code, bk)`` rows under the Manku combination keys — the
+    shared band table behind :func:`hamming_neardup_pairs` (self-join)
+    and :func:`incremental_hamming_dedup` (batch-vs-store join)."""
+    blocks = blocks or max_hamming + combo
+    combos = hamming_block_keys(bits, max_hamming, blocks, combo)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    keys = []
+    for j, idxs in enumerate(combos):
+        key = F.lit(j << (combo * width)).cast("long")
+        for t, i in enumerate(idxs):
+            block = F.shiftright(F.col(code_col), i * width).bitwiseAND(F.lit(mask))
+            key = key + F.shiftleft(block, t * width)
+        keys.append(key.cast("long"))
+    return codes.select(
+        F.col(id_col), F.col(code_col), F.explode(F.array(*keys)).alias("bk")
+    )
+
+
+def incremental_hamming_dedup(
+    new_codes: DataFrame,
+    store: DataFrame | None,
+    code_col: str = "code",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+    combo: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW batch of hamming codes against the
+    accumulated corpus — the incremental twin of
+    :func:`hamming_neardup_pairs`, and the continuously-ingesting shape
+    for IMAGE dedup (``multimodal.image_dhash`` codes) exactly as
+    :func:`incremental_neardup_dedup` is for MinHash text: in-batch
+    near-dups resolve by connected components first (lowest id
+    survives), then surviving codes band-join the store under the same
+    Manku combination keys and drop on ``bit_count(xor) <= max_hamming``.
+
+    Returns ``(fresh, updated_store)``; the store carries one
+    ``(id, code)`` row per surviving item — 8 bytes of dedup state per
+    image/document, bucketable on the band key at warehouse scale.  The
+    same cross-batch transitivity caveat as the MinHash twin applies
+    (membership is decided against surviving canonicals at arrival
+    time)."""
+    in_pairs = hamming_neardup_pairs(
+        new_codes, code_col, id_col, bits, max_hamming, blocks, combo
+    )
+    survivors = dedup_corpus(
+        new_codes, in_pairs, id_col=id_col, src="d1", dst="d2"
+    )
+    if store is not None:
+        a = _banded_codes(
+            survivors, code_col, id_col, bits, max_hamming, blocks, combo
+        ).alias("a")
+        b = _banded_codes(
+            store, code_col, id_col, bits, max_hamming, blocks, combo
+        ).alias("b")
+        hits = (
+            a.join(b, F.col("a.bk") == F.col("b.bk"))
+            .where(
+                F.bit_count(
+                    F.col(f"a.{code_col}").bitwiseXOR(F.col(f"b.{code_col}"))
+                )
+                <= max_hamming
+            )
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(hits, id_col, "left_anti")
+    fresh_codes = survivors.select(id_col, code_col)
+    updated = (
+        fresh_codes
+        if store is None
+        else store.select(id_col, code_col).unionByName(fresh_codes)
+    )
+    return survivors, updated
 
 
 def chunk_level_dedup(
