@@ -61,6 +61,7 @@ HEADLINE = [
     "q_incremental_neardup",
     "q_simhash_neardup",
     "q_paragraph_dedup",
+    "q_span_dedup",
     "q_source_overlap",
     "q_normalized_dedup",
     # similarity search

@@ -632,3 +632,59 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(
         docs, bands=8, threshold=_CLUSTER_THRESHOLD
     ).orderBy("source_a", "source_b")
+
+
+_SPAN_W, _SPAN_S = 32, 8
+
+
+@register(
+    "q_span_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    w AS (
+      SELECT doc_id, i - 1 AS s,
+             md5(array_to_string(tk[i : i + {_SPAN_W} - 1], ' ')) AS h
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE ('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % {_SPAN_S} = 0
+        AND i - 1 + {_SPAN_W} <= len(tk)
+    ),
+    r AS (
+      SELECT doc_id, s, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+      FROM w
+    ),
+    cover AS (
+      SELECT DISTINCT doc_id, u.pos
+      FROM r, unnest(range(s, s + {_SPAN_W})) AS u(pos)
+      WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, tk[i] AS tok, i - 1 AS pos
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Duplicate-SPAN removal (content-defined-anchor ExactSubstr "
+        "approximation, Lee et al. 2022): 32-token spans hashed at "
+        "every anchor token (token-hash % 8 == 0, the rsync/CDC trick, "
+        "so identical runs anchor identically at ANY offset); the "
+        "globally first occurrence survives and tokens covered by "
+        "later occurrences are deleted; documents reassemble from "
+        "surviving tokens."
+    ),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return duplicate_span_dedup(
+        docs, window=_SPAN_W, anchor_stride=_SPAN_S
+    ).orderBy("doc_id")

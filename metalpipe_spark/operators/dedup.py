@@ -826,6 +826,89 @@ def incremental_hamming_dedup(
     return survivors, updated
 
 
+def duplicate_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    anchor_stride: int = 8,
+) -> DataFrame:
+    """Duplicate-SPAN removal — a content-defined-anchor approximation
+    of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash the
+    ``window``-token span starting at every ANCHOR token (a token whose
+    64-bit hash ≡ 0 mod ``anchor_stride`` — the rsync/LBFS
+    content-defined-chunking trick), keep the globally FIRST occurrence
+    of each span (ordered by ``(doc, start)``), and delete every token
+    covered by a later occurrence.  Documents reassemble from their
+    surviving tokens; documents reduced to nothing disappear (the
+    :func:`chunk_level_dedup` contract, which this refines: chunking
+    catches duplication at fixed offsets, spans catch it anywhere).
+
+    Content-defined anchoring is what makes detection OFFSET-ROBUST:
+    a position-grid window (every k-th token) only matches across two
+    occurrences when their offsets agree mod k, so a copied paragraph
+    pasted one token later escapes entirely.  Anchors are a function of
+    token CONTENT, so identical runs anchor at identical interior
+    positions wherever they sit.  Approximation contract vs a true
+    suffix array: a duplicated run is caught iff it contains an anchor
+    in its first ``L - window + 1`` tokens — deterministic per content,
+    expected anchor gap ``anchor_stride``, so runs of length
+    ``>= window + anchor_stride`` escape only when their tokens happen
+    to contain no anchor (probability ~(1 - 1/stride)^(L - window + 1));
+    ``anchor_stride=1`` anchors every token (exhaustive sliding window).
+
+    Scale shape: anchor detection is scan-side (one hash per token);
+    window content is gathered by a (doc, pos) co-located equi-join of
+    the anchor×window coverage rows (~``window/anchor_stride`` per
+    token) against the token table — never a range join, never a
+    carried array; span hashing is a map-side-combined groupBy whose
+    state is one window per group; first-occurrence is one
+    ``groupBy(hash).min`` joined back hash-co-located; removal shuffles
+    are bounded by DUPLICATED-span volume; reassembly state is bounded
+    by document size.  Output: ``(id, clean_text, n_kept)``."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r" ")
+    tokpos = df.select(
+        F.col(id_col), F.size(toks).alias("__n"), F.posexplode(toks).alias("pos", "tok")
+    )
+    anchors = tokpos.where(
+        (F.pmod(_hash64(F.col("tok")), F.lit(anchor_stride)) == 0)
+        & (F.col("pos") + window <= F.col("__n"))
+    ).select(F.col(id_col), F.col("pos").alias("__s"))
+    wcover = anchors.select(
+        F.col(id_col),
+        F.col("__s"),
+        F.explode(F.sequence(F.col("__s"), F.col("__s") + window - 1)).alias("pos"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    w = (
+        wcover.join(tokpos.select(id_col, "pos", "tok"), [id_col, "pos"])
+        .groupBy(id_col, "__s")
+        .agg(
+            F.md5(
+                F.concat_ws(" ", F.transform(ordered, lambda s: s["tok"]))
+            ).alias("__h")
+        )
+    )
+    first = w.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))).alias("__f")
+    )
+    dup = w.join(first, "__h").where(
+        ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
+    )
+    cover = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__s"), F.col("__s") + window - 1)).alias("pos"),
+    ).distinct()
+    kept = tokpos.join(cover, [id_col, "pos"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(ordered, lambda s: s["tok"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def chunk_level_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -973,3 +973,65 @@ def test_model_scoring_tokenization_matches_oracle_on_messy_whitespace(spark):
     want = {r[0]: r[1] for r in con.execute(_ngram_lm_oracle(lm, -8.0)).fetchall()}
     assert set(got) <= set(want)
     assert got == {k: round(want[k], 6) for k in got}
+
+
+def test_duplicate_span_dedup_offset_robust_first_wins(spark):
+    """The content-defined-anchor contract: a duplicated run is caught
+    at ANY offset (anchors are token-content functions), the globally
+    first occurrence survives, short repeats below the window escape,
+    and unique docs pass through byte-identical.  anchor_stride=1
+    anchors every token, so detection is exhaustive and deterministic."""
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    run = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "a b c " + run + " tail1 x y"),
+        (2, "p q r s t " + run + " tail2"),    # different offset: removed
+        (3, "u v w1 w2 w3 u v"),               # short self-repeat: escapes
+        (4, " ".join(f"t{i}" for i in range(20))),  # unique: untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_dedup(
+            docs, window=8, anchor_stride=1
+        ).collect()
+    }
+    assert got[1] == rows[0][1]               # first occurrence intact
+    for t in run.split():
+        assert t not in got[2]                # the whole run removed
+    assert got[2].startswith("p q r s t")     # uncovered prefix survives
+    assert got[3] == rows[2][1]               # short repeat below window
+    assert got[4] == rows[3][1]
+
+
+def test_duplicate_span_dedup_anchor_offset_independence(spark):
+    """With a sparse anchor stride, detection depends only on the run
+    CONTENT containing an anchor token — verified against the same md5
+    anchor rule computed in Python — never on the run's offset."""
+    import hashlib
+
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    stride, window = 2, 6
+
+    def is_anchor(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % stride == 0
+
+    run = [f"w{i}" for i in range(12)]
+    # fixture precondition: some anchor exists in the catchable prefix
+    assert any(is_anchor(t) for t in run[: len(run) - window + 1])
+    rows = [
+        (1, " ".join(["x1"] + run)),           # run at offset 1
+        (2, " ".join(["y1", "y2"] + run)),     # run at offset 2 (odd/even shift)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_dedup(
+            docs, window=window, anchor_stride=stride
+        ).collect()
+    }
+    assert got[1] == rows[0][1]
+    removed = [t for t in run if t not in got[2].split()]
+    assert len(removed) >= window             # a full window was removed
