@@ -92,6 +92,7 @@ HEADLINE = [
     "q_length_quantiles",
     "q_tokenize_regex",
     "q_fingerprint",
+    "q_bpe_merges",
     # multimodal
     "q_image_neardup",
     "q_incremental_imagedup",

@@ -743,3 +743,24 @@ def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("mean_logprob", 6).alias("mean_logprob")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_bpe_merges",
+    None,  # iterative data-dependent argmax: not SQL-expressible; the
+    # reference-equality unit test (tests/test_bpe.py) is the
+    # correctness evidence, the driver records a rows-only check.
+    doc=(
+        "Distributed BPE training (Sennrich 2016): ONE corpus-scale "
+        "map-side-combined word count, then vocab-scale merge rounds "
+        "(one shuffle each, 1-row argmax to the driver, lineage "
+        "truncated every 8 rounds).  Deterministic tie-break "
+        "(count desc, pair asc) pinned by exact reference-equality "
+        "tests."
+    ),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return train_bpe(docs, num_merges=32).orderBy("rank")

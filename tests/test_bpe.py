@@ -1,0 +1,72 @@
+"""BPE training/encoding vs a reference pure-Python Sennrich
+implementation: the distributed merge loop must produce the EXACT merge
+list (same counts, same deterministic tie-break), and rank-greedy
+encoding must reconstruct the original words."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from tests.conftest import SF_ORACLE  # noqa: F401  (fixture import side effects)
+
+
+def _reference_bpe(word_counts: dict[str, int], num_merges: int, min_count: int = 2):
+    """Sennrich training, tie-break = (count desc, pair asc)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (l, r), c = best
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    from metalpipe_spark.operators.bpe import train_bpe
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, num_merges=12, checkpoint_every=4).orderBy("rank").collect()
+    ]
+    counts: Counter = Counter(w for t in docs for w in t.split())
+    want = _reference_bpe(dict(counts), 12)
+    assert got == want
+
+
+def test_bpe_encode_reconstructs_words(spark):
+    from metalpipe_spark.operators.bpe import END_OF_WORD, bpe_encode, train_bpe
+
+    docs = [(1, "low lower lowest"), (2, "new newest low"), (3, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = train_bpe(df, num_merges=8)
+    enc = {r["doc_id"]: r["subwords"] for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in docs:
+        rebuilt = "".join(enc[doc_id]).replace(END_OF_WORD, " ").split()
+        assert rebuilt == text.split()
+    assert enc[3] == []
+    # learned merges actually compress: fewer subwords than characters
+    assert 0 < len(enc[1]) < len("low lower lowest".replace(" ", "")) + 3
