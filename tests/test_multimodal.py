@@ -218,3 +218,53 @@ def test_image_dhash_neardup_physics(spark):
         bits=64, max_hamming=3, blocks=4,
     ).collect()
     assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
+
+
+def test_image_phash_physics(spark):
+    """pHash physics: per-pixel noise and a 2x rescale of the same image
+    stay within a small hamming distance (global frequency envelope
+    unchanged), an unrelated image measures far, and the codes drive
+    hamming_neardup_pairs exactly like dHash codes."""
+    import hashlib
+
+    import numpy as np
+
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+    from metalpipe_spark.operators.multimodal import image_phash
+
+    w, h = 36, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 90 * np.sin(yy / 5.0) * np.cos(xx / 7.0)).astype(np.uint8)
+    img_a = np.repeat(base[:, :, None], 3, axis=2)
+    rng_bytes = hashlib.sha256(b"noise").digest() * (w * h * 3 // 32 + 1)
+    noise = (np.frombuffer(rng_bytes[: w * h * 3], dtype=np.uint8).reshape(h, w, 3) % 7).astype(np.int16) - 3
+    img_b = np.clip(img_a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    big = np.repeat(np.repeat(img_a, 2, axis=0), 2, axis=1)  # 2x upscale
+    rnd = hashlib.sha256(b"unrelated").digest() * (w * h * 3 // 32 + 1)
+    img_u = np.frombuffer(rnd[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    rows = [
+        (1, bytearray(img_a.tobytes()), w, h),
+        (2, bytearray(img_b.tobytes()), w, h),
+        (3, bytearray(big.tobytes()), 2 * w, 2 * h),
+        (4, bytearray(img_u.tobytes()), w, h),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, content binary, width int, height int"
+    )
+    codes = {r["id"]: r["phash"] for r in image_phash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(codes[1], codes[2]) <= 6     # noise: near (measured 4)
+    assert hamming(codes[1], codes[3]) <= 3     # 2x rescale: near (measured 0)
+    assert hamming(codes[1], codes[4]) > 20     # unrelated: far (measured 36)
+
+    pairs = hamming_neardup_pairs(
+        image_phash(df), code_col="phash", id_col="id",
+        bits=64, max_hamming=6, blocks=8,
+    ).collect()
+    got = sorted((r["d1"], r["d2"]) for r in pairs)
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
