@@ -430,3 +430,39 @@ def test_streaming_semantic_dedup_self_heals_lost_store(spark, tmp_path):
     # Pre-fix behavior: vec 2 survives (deduped against nothing) and the
     # accumulated store is destroyed.  Post-fix: 2 is dropped as a dup.
     assert kept == [0, 1, 3]
+
+
+def test_stream_upsert_sink_manifest_mode_publishes_versions(spark, tmp_path):
+    """Streaming MERGE through the versioned-manifest protocol: each
+    micro-batch bumps the manifest, and load_published reads the merged
+    state snapshot-consistently."""
+    from metalpipe_spark.sinks.writers import (
+        load_published,
+        read_current_manifest,
+        upsert_parquet,
+    )
+    from metalpipe_spark.streaming.streams import file_watchdog, stream_upsert_sink
+
+    target = str(tmp_path / "mtarget")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, target, "id", "part", manifest=True)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, "a", 99.0), (4, "c", 40.0)], ["id", "part", "v"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    stream = file_watchdog(
+        spark, str(src / "batch1"), "id long, part string, v double"
+    )
+    stream_upsert_sink(
+        stream, target, "id", "part", str(tmp_path / "ckpt"), manifest=True
+    ).awaitTermination()
+
+    version, parts = read_current_manifest(spark, target)
+    assert version == 2 and "part=c" in parts
+    rows = {r["id"]: r["v"] for r in load_published(spark, target).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
