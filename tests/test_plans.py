@@ -432,3 +432,37 @@ def test_image_neardup_bucket_join_shape(spark):
     assert _nodes(plan, "CartesianProduct") == 0, plan
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert _nodes(plan, "SortMergeJoin") >= 1, plan
+
+
+def test_span_dedup_no_cartesian_no_corpus_broadcast(spark):
+    """Span dedup's gathers are (doc, pos) / hash equi-joins — never a
+    range join, cartesian, or corpus-side broadcast-nested-loop."""
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    with _no_auto_broadcast(spark):
+        plan = _formatted(duplicate_span_dedup(docs))
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_bpe_pair_count_partial_aggregates(spark):
+    """Each BPE merge round's pair count must partial-aggregate map-side
+    (vocab-scale shuffle carries one row per distinct pair per task)."""
+    from pyspark.sql import functions as F
+
+    vocab = spark.createDataFrame(
+        [(["l", "o", "w", "</w>"], 5)], "syms array<string>, n long"
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
+        F.col("n"),
+    )
+    plan = _simple(pairs.groupBy("p").agg(F.sum("n")))
+    assert "partial_sum" in plan, plan

@@ -266,3 +266,69 @@ def test_hamming_combo_banding_matches_brute_force_property(
                 if h <= max_hamming:
                     want[(i, j)] = h
     assert got == want
+
+
+def _ref_span_dedup(docs, window, stride):
+    """Brute-force reference of duplicate_span_dedup's contract."""
+    import hashlib
+
+    def anchor(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % stride == 0
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    spans = []
+    for d in sorted(docs):
+        tk = docs[d].split(" ")
+        for s in range(len(tk)):
+            if s + window <= len(tk) and anchor(tk[s]):
+                spans.append((d, s, md5(" ".join(tk[s : s + window]))))
+    firsts = {}
+    for d, s, h in sorted(spans):
+        firsts.setdefault(h, (d, s))
+    cover = set()
+    for d, s, h in spans:
+        if firsts[h] != (d, s):
+            cover.update((d, p) for p in range(s, s + window))
+    out = {}
+    for d in docs:
+        tk = docs[d].split(" ")
+        kept = [t for p, t in enumerate(tk) if (d, p) not in cover]
+        if kept:
+            out[d] = (" ".join(kept), len(kept))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=24), min_size=1, max_size=6),
+    window=st.integers(min_value=2, max_value=4),
+    stride=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_duplicate_span_dedup_matches_reference_property(
+    spark, lengths, window, stride, seed
+):
+    """Random small-alphabet corpora (dense accidental duplication, all
+    the overlap/self-repeat/full-consumption edge cases) must match the
+    brute-force reference exactly — same survivors, same token counts."""
+    import random
+
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    rng = random.Random(seed)
+    docs = {
+        d: " ".join(rng.choice("abcde") + str(rng.randint(0, 2)) for _ in range(n))
+        for d, n in enumerate(lengths)
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in duplicate_span_dedup(
+            df, window=window, anchor_stride=stride
+        ).collect()
+    }
+    assert got == _ref_span_dedup(docs, window, stride)
