@@ -391,6 +391,28 @@ def stream_semantic_dedup_sink(
     kept-append and the staging write don't re-run the dedup kernels;
     the store itself streams scan→parquet exactly once."""
     from metalpipe_spark.operators.similarity import incremental_semantic_dedup
+
+    def step(batch_df: DataFrame, store: DataFrame | None):
+        return incremental_semantic_dedup(
+            batch_df, store, centroids,
+            threshold=threshold, vec_col=vec_col, id_col=id_col,
+            checkpoint_batch=True,
+        )
+
+    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+
+
+def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, checkpoint: str, step):
+    """The shared skeleton of every store-backed incremental dedup sink
+    (semantic cells, image codes): per micro-batch, SELF-HEAL a crashed
+    previous swap (store absent + ``_next`` present → promote ``_next``
+    before anything is read — see ``stream_semantic_dedup_sink``'s
+    docstring for why skipping this destroys the accumulated state on
+    restart), read the store through an explicit existence probe, run
+    ``step(batch_df, store) -> (fresh, updated_store)``, append the
+    fresh rows, stage the updated store durably in ``_next``, then
+    delete + rename.  One implementation, every sink — a hand-copied
+    swap in a second sink would silently drift from the healed one."""
     from metalpipe_spark.sinks.writers import _target_exists
 
     spark = df.sparkSession
@@ -402,11 +424,6 @@ def stream_semantic_dedup_sink(
         src = jvm.org.apache.hadoop.fs.Path(next_path)
         dst = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = dst.getFileSystem(hconf)
-        # Crash self-heal BEFORE any read or write: if the previous
-        # batch died between its delete and rename, the only complete
-        # store copy is sitting in _next — promote it now, so the
-        # replayed batch dedups against the recovered state instead of
-        # reading "no store" and then clobbering the recovery copy.
         if not fs.exists(dst) and fs.exists(src):
             if not fs.rename(src, dst):
                 raise IOError(
@@ -417,11 +434,7 @@ def stream_semantic_dedup_sink(
             if _target_exists(spark, store_path)
             else None
         )
-        fresh, updated = incremental_semantic_dedup(
-            batch_df, store, centroids,
-            threshold=threshold, vec_col=vec_col, id_col=id_col,
-            checkpoint_batch=True,
-        )
+        fresh, updated = step(batch_df, store)
         fresh.write.mode("append").parquet(kept_path)
         updated.write.mode("overwrite").parquet(next_path)
         if fs.exists(dst):
@@ -432,3 +445,36 @@ def stream_semantic_dedup_sink(
             )
 
     return foreach_batch_sink(df, apply, checkpoint)
+
+
+def stream_image_dedup_sink(
+    df: DataFrame,
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    combo: int = 1,
+    id_col: str = "id",
+):
+    """Continuously-ingesting IMAGE near-dup dedup: each micro-batch of
+    raw-RGB rows ``(id, content, width, height)`` hashes to dHash codes
+    (``multimodal.image_dhash``), dedups against the persisted
+    ``(id, dhash)`` code store (``dedup.incremental_hamming_dedup`` —
+    in-batch connected components, then a Manku band join), survivors'
+    codes append to ``kept_path`` and extend the store — the multimodal
+    member of the streaming dedup family (exact fingerprints, MinHash
+    bands and semantic cells have the same shape).  Store state is 8
+    bytes per surviving image; the swap durability and crash self-heal
+    are the shared ``_incremental_store_sink`` contract."""
+    from metalpipe_spark.operators.dedup import incremental_hamming_dedup
+    from metalpipe_spark.operators.multimodal import image_dhash
+
+    def step(batch_df: DataFrame, store: DataFrame | None):
+        codes = image_dhash(batch_df, id_col=id_col)
+        return incremental_hamming_dedup(
+            codes, store, code_col="dhash", id_col=id_col,
+            bits=64, max_hamming=max_hamming, blocks=blocks, combo=combo,
+        )
+
+    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)

@@ -466,3 +466,46 @@ def test_stream_upsert_sink_manifest_mode_publishes_versions(spark, tmp_path):
     assert version == 2 and "part=c" in parts
     rows = {r["id"]: r["v"] for r in load_published(spark, target).collect()}
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_streaming_image_dedup_foreach_batch(spark, tmp_path):
+    """Streaming image dedup end-to-end: micro-batches of raw-RGB rows
+    dedup against the persisted dHash code store; a later batch's edited
+    near-duplicate of an earlier image is dropped, a genuinely new image
+    survives, and the store accumulates exactly the survivors."""
+    import time as _time
+
+    import numpy as np
+
+    from metalpipe_spark.streaming.streams import stream_image_dedup_sink
+
+    w, h = 36, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((yy * 3 + xx * 5) % 251).astype(np.uint8)
+    img_a = np.repeat(base[:, :, None], 3, axis=2)
+    img_b = img_a.copy()
+    img_b[0:2, 0:2, :] = 255                     # near-dup of A
+    img_c = ((base.astype(int) * 7 + 31) % 251).astype(np.uint8)
+    img_c = np.repeat(img_c[:, :, None], 3, axis=2)  # distinct
+
+    schema = "id long, content binary, width int, height int"
+    src = tmp_path / "imgs"
+    spark.createDataFrame(
+        [(1, bytearray(img_a.tobytes()), w, h)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, bytearray(img_b.tobytes()), w, h),
+         (3, bytearray(img_c.tobytes()), w, h)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    kept_path = str(tmp_path / "kept")
+    store_path = str(tmp_path / "store")
+    stream = file_watchdog(spark, str(src), schema, max_files_per_trigger=1)
+    stream_image_dedup_sink(
+        stream, kept_path, store_path, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    kept = sorted(r["id"] for r in spark.read.parquet(kept_path).collect())
+    store = sorted(r["id"] for r in spark.read.parquet(store_path).collect())
+    assert kept == store == [1, 3]
