@@ -96,6 +96,7 @@ HEADLINE = [
     # multimodal
     "q_image_neardup",
     "q_incremental_imagedup",
+    "q_multimodal_pipeline",
     # curation / packing
     "q_pii_scrub",
     "q_chunk_documents",

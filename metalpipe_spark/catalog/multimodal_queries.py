@@ -337,3 +337,86 @@ def q_incremental_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
     )
     return fresh.select("id").orderBy("id")
+
+
+def _multimodal_pipeline_oracle(dim: int = 4) -> str:
+    """Pipeline oracle: dHash near-dup pairs over the image fixture →
+    transitive closure → minimum-id survivor per cluster → features of
+    the surviving images (sha256-derived, the decode fake's contract)."""
+    dhash = _dhash_expr_sql()
+    keys = _dhash_keys_sql()
+    k = _DHASH_MAX_HAMMING
+    feats = ",\n           ".join(
+        f"CAST((('0x' || substr(sha256(img), {2 * i + 1}, 2))::INT - 128)"
+        f" / 128.0 AS DOUBLE) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {_IMG_SQL} AS img FROM documents),
+    m AS (
+      SELECT doc_id * 2 AS id, img FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id, {_VARIANT_SQL} AS img
+      FROM base WHERE doc_id % {_VARIANT_MOD} = 0
+    ),
+    s AS (SELECT id, img, ({dhash}) AS dhash FROM m),
+    banded AS (SELECT id, dhash, unnest([{keys}]) AS bk FROM s),
+    p AS (
+      SELECT DISTINCT a.id AS d1, b.id AS d2
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {k}
+    ),
+    e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u)
+    SELECT id, dhash,
+           {feats}
+    FROM s
+    WHERE id NOT IN (SELECT id FROM comp WHERE id <> cid)
+    ORDER BY id
+    """
+
+
+_PIPE_FEAT_DIM = 4
+
+
+@register(
+    "q_multimodal_pipeline",
+    _multimodal_pipeline_oracle(_PIPE_FEAT_DIM),
+    doc=(
+        "Composed multimodal pipeline: decode fixture -> dHash -> "
+        "banded near-dup pairs -> connected components -> minimum-id "
+        "survivors -> feature extraction on the survivors only (the "
+        "dedup-before-expensive-model ordering a real pipeline uses). "
+        "Every stage is the oracle-checked operator; the composition "
+        "itself is what this row pins."
+    ),
+)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import dedup_corpus
+
+    fixture = _image_fixture(spark, sf_dir)
+    codes = image_dhash(fixture)
+    pairs = hamming_neardup_pairs(
+        codes, code_col="dhash", id_col="id",
+        bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+    )
+    survivors = dedup_corpus(codes, pairs, id_col="id")
+    surviving_media = fixture.join(survivors.select("id"), "id", "left_semi")
+    feats = extract_features(surviving_media)
+    return (
+        survivors.select("id", "dhash")
+        .join(feats, "id")
+        .select(
+            "id", "dhash",
+            *[
+                F.col("feature")[i].cast("double").alias(f"f{i}")
+                for i in range(_PIPE_FEAT_DIM)
+            ],
+        )
+        .orderBy("id")
+    )
