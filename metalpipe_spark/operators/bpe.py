@@ -26,7 +26,7 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 100,
     min_pair_count: int = 2,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from a corpus; returns the merge
     table ``(rank, left, right, pair_count)`` ordered by rank.
@@ -41,10 +41,13 @@ def train_bpe(
     Plan shape: word counting is the one corpus-scale pass (explode →
     map-side-combined groupBy).  Each merge round is ONE vocab-scale
     shuffle (pair explode → groupBy-sum → 1-row argmax to the driver)
-    plus a codegen-free fold that rewrites symbol arrays (greedy
+    plus a containment-gated fold that rewrites symbol arrays (greedy
     left-to-right, the reference semantics); every
     ``checkpoint_every`` rounds the vocab table localCheckpoints so the
-    iterative plan does not grow unboundedly.  Stops early when the
+    iterative plan does not grow unboundedly — each round's actions
+    re-execute the chain back to the last checkpoint, so the sweep is a
+    real trade (measured at sf0.1, 32 merges: every round 9.2 s, every
+    2nd 7.3 s, every 8th 9.4 s; 2 is the default).  Stops early when the
     best pair drops under ``min_pair_count`` (merging hapax pairs
     memorizes the corpus)."""
     spark = df.sparkSession
@@ -91,19 +94,29 @@ def train_bpe(
         # symbol unless the accumulator ends with `left` and the symbol
         # is `right` — then the tail rewrites to the merged symbol.
         # (Reference semantics: "aaa" under (a,a) -> ["aa", "a"].)
+        # The fold is an interpreted HOF, so it is GATED behind a cheap
+        # codegen containment check: a word lacking either symbol cannot
+        # contain the adjacent pair, and most of the vocabulary lacks
+        # any given pair — measured 7.4 -> ~4 s for 32 rounds at sf0.1.
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
         vocab = vocab.select(
-            F.aggregate(
-                F.col("syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (s == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
+            F.when(
+                F.array_contains("syms", left) & F.array_contains("syms", right),
+                fold,
+            )
+            .otherwise(F.col("syms"))
+            .alias("syms"),
             F.col("n"),
         )
         if (rank + 1) % checkpoint_every == 0:
