@@ -15,7 +15,7 @@ repeat; each unique word is encoded once per batch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
@@ -97,7 +97,9 @@ def train_bpe(
         # The fold is an interpreted HOF, so it is GATED behind a cheap
         # codegen containment check: a word lacking either symbol cannot
         # contain the adjacent pair, and most of the vocabulary lacks
-        # any given pair — measured 7.4 -> ~4 s for 32 rounds at sf0.1.
+        # any given pair, so the interpreted path runs on a sliver of
+        # rows (the win grows with vocabulary size; at sf0.1 the round
+        # cost is dominated by job scheduling, not the fold).
         fold = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
