@@ -595,3 +595,30 @@ def test_upsert_parquet_manifest_recovery_heals_crash_debris(spark, tmp_path):
     upsert_parquet(batch, path, "id", "part", manifest=True)
     rows = {r["id"]: (r["part"], r["v"]) for r in load_published(spark, path).collect()}
     assert rows == {1: ("a", 10.0), 2: ("a", 99.0), 3: ("b", 30.0)}
+
+
+def test_upsert_parquet_manifest_null_partition_and_last_wins(spark, tmp_path):
+    """Manifest mode composes with the NULL-partition slice and the
+    order_col last-wins resolution exactly like the staged mode."""
+    from metalpipe_spark.sinks.writers import load_published, upsert_parquet
+
+    path = str(tmp_path / "mnull")
+    schema = "id bigint, part string, v double, seq bigint"
+    initial = spark.createDataFrame(
+        [(1, None, 10.0, 0), (2, None, 20.0, 0), (3, "b", 30.0, 0)], schema
+    )
+    upsert_parquet(initial, path, "id", "part", manifest=True)
+    batch = spark.createDataFrame(
+        [(2, None, 50.0, 1), (2, None, 99.0, 2), (4, "b", 40.0, 1)], schema
+    )
+    upsert_parquet(batch, path, "id", "part", order_col="seq", manifest=True)
+    rows = {
+        r["id"]: (r["part"], r["v"])
+        for r in load_published(spark, path).collect()
+    }
+    assert rows == {
+        1: (None, 10.0),
+        2: (None, 99.0),   # last-wins by seq
+        3: ("b", 30.0),
+        4: ("b", 40.0),
+    }

@@ -1035,3 +1035,29 @@ def test_duplicate_span_dedup_anchor_offset_independence(spark):
     assert got[1] == rows[0][1]
     removed = [t for t in run if t not in got[2].split()]
     assert len(removed) >= window             # a full window was removed
+
+
+def test_incremental_hamming_dedup_first_batch_and_geometry_guard(spark):
+    """store=None seeds the code store with the batch's survivors, and
+    an unsatisfiable banding geometry fails loudly instead of silently
+    losing recall."""
+    import pytest
+
+    from metalpipe_spark.operators.dedup import (
+        hamming_block_keys,
+        incremental_hamming_dedup,
+    )
+
+    codes = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 1 << 40)], "id long, code long"
+    )
+    fresh, store = incremental_hamming_dedup(
+        codes, None, code_col="code", id_col="id", bits=64, max_hamming=3, blocks=4
+    )
+    assert sorted(r["id"] for r in fresh.collect()) == [1, 3]  # 2 dups 1
+    assert sorted(r["id"] for r in store.collect()) == [1, 3]
+
+    with pytest.raises(ValueError, match="combo"):
+        hamming_block_keys(64, max_hamming=3, blocks=4, combo=2)
+    with pytest.raises(ValueError, match="divisible"):
+        hamming_block_keys(64, max_hamming=3, blocks=5, combo=1)
