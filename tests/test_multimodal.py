@@ -268,3 +268,51 @@ def test_image_phash_physics(spark):
     got = sorted((r["d1"], r["d2"]) for r in pairs)
     assert (1, 2) in got and (1, 3) in got
     assert not any(4 in p for p in got)
+
+
+def test_audio_fingerprint_physics(spark):
+    """Audio fingerprint physics: uniform gain is hamming-0 (RMS scales
+    linearly), mild noise stays near, different material measures far,
+    sub-frame clips yield NULL, and the codes drive the shared banding."""
+    import numpy as np
+
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+    from metalpipe_spark.operators.multimodal import audio_fingerprint
+
+    sr, dur = 8000, 4.0
+    t = np.arange(int(sr * dur)) / sr
+    am = 0.5 + 0.4 * np.sin(2 * np.pi * 0.9 * t)     # slow AM envelope
+    sig = (am * np.sin(2 * np.pi * 440 * t))
+    rng = np.random.default_rng(7)
+    noisy = sig + 0.01 * rng.standard_normal(sig.shape)
+    quiet = 0.25 * sig                                # uniform gain
+    other = (0.5 + 0.4 * np.sin(2 * np.pi * 3.7 * t + 1.3)) * np.sin(
+        2 * np.pi * 440 * t
+    )                                                 # different envelope
+
+    rows = [
+        (1, sig.tolist()),
+        (2, noisy.tolist()),
+        (3, quiet.tolist()),
+        (4, other.tolist()),
+        (5, [0.1] * 100),                             # sub-frame clip
+    ]
+    df = spark.createDataFrame(rows, "id long, waveform array<double>")
+    codes = {r["id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert codes[5] is None
+    assert hamming(codes[1], codes[3]) == 0           # gain-invariant
+    assert hamming(codes[1], codes[2]) <= 6           # mild noise: near
+    assert hamming(codes[1], codes[4]) > 12           # different: far
+
+    hashable = audio_fingerprint(df).where("afp IS NOT NULL")
+    pairs = hamming_neardup_pairs(
+        hashable, code_col="afp", id_col="id",
+        bits=64, max_hamming=6, blocks=8,
+    ).collect()
+    got = sorted((r["d1"], r["d2"]) for r in pairs)
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
