@@ -25,6 +25,7 @@ HEADLINE = [
     "q05_region_revenue",
     "q_enrich_join",
     "q_asof_clicks",
+    "q_range_join",
     "q_window_top_orders",
     "q_rollup_nation",
     "q_cube_orders",

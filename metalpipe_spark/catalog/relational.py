@@ -668,3 +668,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + F.lit(1.0)).cast("double").alias("o_totalprice"),
     )
     return merge_upsert(target, updates, "o_orderkey").orderBy("o_orderkey")
+
+
+@register(
+    "q_range_join",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, p.purchase_id
+    FROM events e JOIN p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.start_ts AND e.ts < p.end_ts
+    ORDER BY event_id, purchase_id
+    """,
+    doc=(
+        "Bucketized range join (engine surface; Spark would plan the "
+        "naive form as a BroadcastNestedLoopJoin): events attributed to "
+        "the 1-hour windows following each purchase, per user.  "
+        "Intervals explode to the hour buckets they overlap, points map "
+        "to ONE bucket, the match is an equi-join plus one codegen "
+        "boundary check - each pair meets at most once by construction."
+    ),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    pairs = range_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        point_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        keys="user_id",
+        bucket_seconds=3600,
+    )
+    return pairs.select("event_id", "purchase_id").orderBy(
+        "event_id", "purchase_id"
+    )

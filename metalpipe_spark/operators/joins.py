@@ -88,3 +88,60 @@ def as_of_join(
     for t in tagged_vals:
         merged = merged.withColumn(t, F.last(t, ignorenulls=True).over(w))
     return merged.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (inclusive start, EXCLUSIVE end) without
+    the O(points x intervals) theta join Spark would otherwise plan
+    (BroadcastNestedLoopJoin — a nonstarter at corpus scale): both
+    sides bucketize time into ``bucket_seconds`` cells, intervals
+    EXPLODE to every bucket they overlap, points map to their single
+    bucket, and the match becomes an equi-join on (keys..., bucket)
+    followed by one codegen boundary check.  Because a point lives in
+    exactly one bucket, each (point, interval) pair meets at most once
+    — no dedup pass.
+
+    Output: every matching (point row, interval row) pair, both sides'
+    columns (clashes suffixed ``_r``).  Scale shape: interval-side
+    replication is span/bucket_seconds rows per interval — size
+    ``bucket_seconds`` near the TYPICAL interval span so replication
+    stays O(1) per interval while buckets stay selective; skewed keys
+    ride the same AQE machinery as any equi-join.  Timestamps compare
+    at microsecond precision (``unix_micros``)."""
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    bw = F.lit(int(bucket_seconds) * 1_000_000)
+    p_us = F.unix_micros(F.col(point_col))
+    clashes = [
+        c for c in intervals.columns if c in points.columns and c not in keys
+    ]
+    renamed = intervals
+    for c in clashes:
+        renamed = renamed.withColumnRenamed(c, f"{c}_r")
+    start_r = f"{start_col}_r" if start_col in clashes else start_col
+    end_r = f"{end_col}_r" if end_col in clashes else end_col
+    s_us_r = F.unix_micros(F.col(start_r))
+    e_us_r = F.unix_micros(F.col(end_r))
+    banded = (
+        renamed.where(e_us_r > s_us_r)  # empty intervals match nothing
+        .withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us_r / bw), F.floor((e_us_r - 1) / bw)
+                )
+            ),
+        )
+    )
+    pointed = points.withColumn("__bk", F.floor(p_us / bw))
+    out = pointed.join(banded, [*keys, "__bk"]).where(
+        (p_us >= s_us_r) & (p_us < e_us_r)
+    )
+    return out.drop("__bk")

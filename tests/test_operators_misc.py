@@ -1061,3 +1061,39 @@ def test_incremental_hamming_dedup_first_batch_and_geometry_guard(spark):
         hamming_block_keys(64, max_hamming=3, blocks=4, combo=2)
     with pytest.raises(ValueError, match="divisible"):
         hamming_block_keys(64, max_hamming=3, blocks=5, combo=1)
+
+
+def test_range_join_boundaries_buckets_and_empty_intervals(spark):
+    """Range-join semantics: inclusive start, exclusive end; intervals
+    spanning many buckets still match each point exactly once; empty
+    intervals match nothing; keys separate users."""
+    from datetime import datetime
+
+    from metalpipe_spark.operators.joins import range_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 0, 0, 0)),   # == start: in
+            (2, 10, T(2024, 1, 1, 5, 0, 0)),   # mid, 5 buckets later: in
+            (3, 10, T(2024, 1, 1, 6, 0, 0)),   # == end: OUT (exclusive)
+            (4, 99, T(2024, 1, 1, 1, 0, 0)),   # wrong key: out
+            (5, 10, T(2024, 1, 2, 0, 0, 30)),  # inside the empty interval's span: out
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1, 0, 0, 0), T(2024, 1, 1, 6, 0, 0)),
+            (101, 10, T(2024, 1, 2, 0, 0, 30), T(2024, 1, 2, 0, 0, 30)),  # empty
+        ],
+        "interval_id long, user_id long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["interval_id"])
+        for r in range_join(
+            points, intervals, "ts", "start", "end",
+            keys="user_id", bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == [(1, 100), (2, 100)]

@@ -466,3 +466,28 @@ def test_bpe_pair_count_partial_aggregates(spark):
     )
     plan = _simple(pairs.groupBy("p").agg(F.sum("n")))
     assert "partial_sum" in plan, plan
+
+
+def test_range_join_is_bucketized_equi_join(spark):
+    """The point of range_join: Spark plans the naive interval predicate
+    as a BroadcastNestedLoopJoin/cartesian; the bucketized form must be
+    a pure equi-join (SMJ/SHJ) on (key, bucket)."""
+    from metalpipe_spark.operators.joins import range_join
+    from metalpipe_spark.sources.readers import load_table
+
+    events = load_table(spark, SF_ORACLE, "events")
+    iv = events.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    with _no_auto_broadcast(spark):
+        plan = _formatted(
+            range_join(
+                events.select("event_id", "user_id", "ts"), iv,
+                "ts", "start_ts", "end_ts", keys="user_id",
+            )
+        )
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+    assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin") >= 1, plan
