@@ -29,6 +29,7 @@ HEADLINE = [
     "q_window_top_orders",
     "q_rollup_nation",
     "q_cube_orders",
+    "q_time_rollup",
     "q_filter_events",
     "q_funnel",
     "q_retention_cohorts",

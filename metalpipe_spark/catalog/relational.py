@@ -715,3 +715,33 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("event_id", "purchase_id").orderBy(
         "event_id", "purchase_id"
     )
+
+
+@register(
+    "q_time_rollup",
+    """
+    SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n, SUM(value) AS sum_value, MIN(value) AS min_value,
+           MAX(value) AS max_value, AVG(value) AS avg_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           COUNT(*), SUM(value), MIN(value), MAX(value), AVG(value)
+    FROM events GROUP BY 2, 3
+    ORDER BY granularity, bucket_ts, event_type
+    """,
+    doc=(
+        "Hypertable-style multi-granularity rollup (engine surface): "
+        "hour + day continuous-aggregate levels over the event stream, "
+        "one map-side-combined shuffle per level."
+    ),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.aggregate import time_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        events, "ts", "value", granularities=("hour", "day"),
+        group_cols=["event_type"],
+    ).orderBy("granularity", "bucket_ts", "event_type")

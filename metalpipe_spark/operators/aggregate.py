@@ -181,3 +181,47 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def time_rollup(
+    df,
+    ts_col: str,
+    value_col: str,
+    granularities: tuple[str, ...] = ("hour", "day"),
+    group_cols: list[str] | None = None,
+):
+    """Hypertable-style multi-granularity downsampling: one aggregate
+    row per (granularity, truncated bucket[, group...]) carrying
+    count / sum / min / max / avg of ``value_col`` — the continuous-
+    aggregate hierarchy a time-series store materializes (minute →
+    hour → day), expressed as a union of ``date_trunc`` groupBys.
+
+    Scale shape: each granularity is ONE map-side-combined shuffle
+    whose key count is buckets × groups (collapsing with coarseness);
+    the union is plan-level, no extra exchange.  At 100 TB the right
+    deployment materializes each level to a partitioned table and
+    derives coarser levels FROM finer ones (sum of sums) — the operator
+    keeps per-level aggregation self-contained so either wiring works.
+    """
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols or [])
+    parts = []
+    for g in granularities:
+        parts.append(
+            df.groupBy(
+                F.lit(g).alias("granularity"),
+                F.date_trunc(g, F.col(ts_col)).alias("bucket_ts"),
+                *groups,
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(value_col).alias("sum_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+                F.avg(value_col).alias("avg_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
