@@ -94,6 +94,7 @@ HEADLINE = [
     "q_length_quantiles",
     "q_tokenize_regex",
     "q_fingerprint",
+    "q_hll_tokens",
     "q_bpe_merges",
     # multimodal
     "q_image_neardup",

@@ -764,3 +764,81 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return train_bpe(docs, num_merges=32).orderBy("rank")
+
+
+def _hll_oracle(p: int = 12) -> str:
+    m = 1 << p
+    w = 60 - p
+    scale = 1 << (w + 1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+    WITH t AS (
+      SELECT DISTINCT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    hh AS (
+      SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t
+    ),
+    r AS (
+      SELECT lang, h >> {w} AS b,
+             MAX(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+                      ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END) AS mx
+      FROM hh GROUP BY lang, b
+    ),
+    g AS (
+      SELECT lang,
+             SUM((1::BIGINT << ({w + 1} - mx))) AS s,
+             COUNT(*) AS present
+      FROM r GROUP BY lang
+    ),
+    e AS (
+      SELECT lang,
+             ((s + ({m} - present) * {scale}::BIGINT)::DOUBLE / {scale}.0) AS harm,
+             ({m} - present) AS zeros
+      FROM g
+    ),
+    x AS (
+      SELECT lang, zeros,
+             ('{alpha!r}'::DOUBLE * {m} * {m}) / harm AS raw
+      FROM e
+    ),
+    est AS (
+      SELECT lang,
+             CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros)
+                  ELSE raw END AS v
+      FROM x
+    ),
+    exact AS (
+      SELECT lang, COUNT(*) AS n_exact
+      FROM t GROUP BY lang
+    )
+    SELECT exact.lang AS lang, n_exact, round(est.v, 4) AS hll_estimate
+    FROM exact JOIN est ON exact.lang = est.lang
+    ORDER BY exact.lang
+    """
+
+
+@register(
+    "q_hll_tokens",
+    _hll_oracle(12),
+    doc=(
+        "Deterministic HyperLogLog (engine surface): distinct-token "
+        "cardinality per language from the portable md5 hash and "
+        "integer-exact register sums, so the ESTIMATE itself is "
+        "value-hash identical across engines (native approx_* "
+        "aggregates never can be).  One map-side-combined shuffle "
+        "capped at 2^p rows per group regardless of input size; exact "
+        "count alongside for accuracy reading."
+    ),
+)
+def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import hll_count_distinct
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(
+        "lang", F.explode_outer(F.array_distinct(tokens("text"))).alias("tok")
+    ).dropDuplicates(["lang", "tok"])
+    est = hll_count_distinct(toks, "tok", group_cols=["lang"], p=12)
+    exact = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "lang").orderBy("lang")

@@ -1097,3 +1097,24 @@ def test_range_join_boundaries_buckets_and_empty_intervals(spark):
         ).collect()
     )
     assert got == [(1, 100), (2, 100)]
+
+
+def test_hll_estimate_accuracy_and_merge_regime(spark):
+    """HLL in its raw-estimator regime (cardinality >> 2.5m is false
+    here, but >> zeros-correction territory): 50k distinct values at
+    p=12 must land within ~5% (theory: 1.04/sqrt(4096) = 1.6% sigma),
+    and the estimate is deterministic (same md5 inputs, same answer)."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import hll_count_distinct
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    est1 = hll_count_distinct(df, "v", group_cols=["grp"]).collect()[0]["hll_estimate"]
+    est2 = hll_count_distinct(
+        df.repartition(7), "v", group_cols=["grp"]
+    ).collect()[0]["hll_estimate"]
+    assert est1 == est2  # partitioning-independent by integer-exact sums
+    assert abs(est1 - n) / n < 0.05
