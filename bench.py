@@ -95,6 +95,7 @@ HEADLINE = [
     "q_tokenize_regex",
     "q_fingerprint",
     "q_hll_tokens",
+    "q_countmin_tokens",
     "q_bpe_merges",
     # multimodal
     "q_image_neardup",

@@ -842,3 +842,74 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_count_distinct(toks, "tok", group_cols=["lang"], p=12)
     exact = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
     return exact.join(est, "lang").orderBy("lang")
+
+
+def _countmin_oracle(depth: int = 4, width: int = 2048, k: int = 20) -> str:
+    from metalpipe_spark.operators.dedup import minhash_coefficients
+
+    h32 = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+    coeffs = minhash_coefficients(depth)
+    hash_rows = "\n      UNION ALL ".join(
+        f"SELECT tok, {j} AS j, (({a} * h + {b}) % 4294967296) % {width} AS bucket FROM hh"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ),
+    hh AS (SELECT tok, {h32} AS h FROM t),
+    rb AS (
+      {hash_rows}
+    ),
+    sk AS (SELECT j, bucket, COUNT(*) AS c FROM rb GROUP BY j, bucket),
+    top AS (
+      SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT {k}
+    ),
+    q AS (
+      SELECT DISTINCT rb.tok, rb.j, rb.bucket
+      FROM rb JOIN top ON rb.tok = top.tok
+    ),
+    est AS (
+      SELECT q.tok, MIN(sk.c) AS cm_estimate
+      FROM q JOIN sk ON q.j = sk.j AND q.bucket = sk.bucket
+      GROUP BY q.tok
+    )
+    SELECT top.tok AS tok, n_exact, cm_estimate
+    FROM top JOIN est ON top.tok = est.tok
+    ORDER BY n_exact DESC, tok
+    """
+
+
+@register(
+    "q_countmin_tokens",
+    _countmin_oracle(4, 2048, 20),
+    doc=(
+        "Count-min heavy-hitter estimates (engine surface): the sketch "
+        "table is depth x width counters regardless of corpus size "
+        "(one map-side-combined shuffle), estimates are min-over-rows "
+        "via a broadcast join, and - the sketches discipline - the md5 "
+        "affine family plus integer counters make every estimate "
+        "value-hash identical in the DuckDB oracle.  cm_estimate >= "
+        "n_exact always (one-sided error, pinned by tests)."
+    ),
+)
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = count_min_sketch(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    est = count_min_lookup(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select(
+        "tok", "n_exact", "cm_estimate"
+    ).orderBy(F.desc("n_exact"), F.asc("tok"))

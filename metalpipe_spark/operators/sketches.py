@@ -87,3 +87,70 @@ def hll_count_distinct(
     return per_group.select(
         *groups, F.round(est, 4).alias("hll_estimate")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Build a count-min sketch TABLE over a column — ``(row, bucket,
+    c)`` with ``depth * width`` rows total regardless of input size
+    (Cormode & Muthukrishnan 2005): hash row j maps a value through the
+    engine's affine md5 family (``dedup.minhash_coefficients`` — the
+    same deterministic coefficients MinHash uses) into ``width``
+    buckets and counts collisions.  ONE map-side-combined shuffle whose
+    key space is depth x width; the sketch is mergeable by summing
+    counters.  Same determinism contract as :func:`hll_count_distinct`:
+    md5-derived hashing and integer counters, so the DuckDB oracle
+    reproduces every counter exactly."""
+    from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
+
+    h = _hash32(F.col(col))
+    mod = F.lit(1 << 32).cast("long")
+    rows = [
+        F.struct(
+            F.lit(j).alias("row"),
+            (((F.lit(a) * h + F.lit(b)) % mod) % F.lit(width)).alias("bucket"),
+        )
+        for j, (a, b) in enumerate(minhash_coefficients(depth))
+    ]
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates for the values in ``queries[col]``:
+    min over the sketch's ``depth`` counters at the value's buckets.
+    The sketch (depth x width rows, bounded) broadcasts; estimates are
+    one-sided — ``cm_estimate >= true count`` always, the property the
+    tests pin.  Query set stays distributed (a heavy-hitter candidate
+    list can be millions of rows)."""
+    from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
+
+    h = _hash32(F.col(col))
+    mod = F.lit(1 << 32).cast("long")
+    rows = [
+        F.struct(
+            F.lit(j).alias("row"),
+            (((F.lit(a) * h + F.lit(b)) % mod) % F.lit(width)).alias("bucket"),
+        )
+        for j, (a, b) in enumerate(minhash_coefficients(depth))
+    ]
+    exploded = queries.select(F.col(col), F.explode(F.array(*rows)).alias("rb")).select(
+        col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        col, F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy(col).agg(F.min("c").alias("cm_estimate"))

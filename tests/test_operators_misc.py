@@ -1118,3 +1118,36 @@ def test_hll_estimate_accuracy_and_merge_regime(spark):
     ).collect()[0]["hll_estimate"]
     assert est1 == est2  # partitioning-independent by integer-exact sums
     assert abs(est1 - n) / n < 0.05
+
+
+def test_count_min_one_sided_and_collision_behavior(spark):
+    """Count-min contract: estimates are NEVER below the true count
+    (one-sided error), exact when no collisions, and inflated-but-
+    bounded when a tiny width forces collisions."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [(f"x{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["tok"])
+    truth = {"a": 100, "b": 10, "x0": 1}
+    queries = spark.createDataFrame([(t,) for t in truth], ["tok"])
+
+    wide = count_min_lookup(
+        count_min_sketch(df, "tok", depth=4, width=2048), queries, "tok",
+        depth=4, width=2048,
+    )
+    got = {r["tok"]: r["cm_estimate"] for r in wide.collect()}
+    assert got == truth  # no collisions at this width
+
+    narrow = count_min_lookup(
+        count_min_sketch(df, "tok", depth=4, width=4), queries, "tok",
+        depth=4, width=4,
+    )
+    got = {r["tok"]: r["cm_estimate"] for r in narrow.collect()}
+    total = len(rows)
+    for t, n in truth.items():
+        assert n <= got[t] <= total  # one-sided, bounded by stream size
