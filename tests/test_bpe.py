@@ -70,3 +70,21 @@ def test_bpe_encode_reconstructs_words(spark):
     assert enc[3] == []
     # learned merges actually compress: fewer subwords than characters
     assert 0 < len(enc[1]) < len("low lower lowest".replace(" ", "")) + 3
+
+
+def test_bpe_merge_table_parquet_roundtrip(spark, tmp_path):
+    """The merge table is a plain DataFrame: write it once, read it in a
+    later job, and encoding with the reloaded table is identical — the
+    train-offline / encode-at-scale deployment split."""
+    from metalpipe_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newest")], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, num_merges=6)
+    path = str(tmp_path / "merges")
+    merges.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = {r["doc_id"]: r["subwords"] for r in bpe_encode(df, merges).collect()}
+    b = {r["doc_id"]: r["subwords"] for r in bpe_encode(df, reloaded).collect()}
+    assert a == b
