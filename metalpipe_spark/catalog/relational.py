@@ -722,12 +722,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_ts,
            event_type,
-           COUNT(*) AS n, SUM(value) AS sum_value, MIN(value) AS min_value,
-           MAX(value) AS max_value, AVG(value) AS avg_value
+           COUNT(*) AS n,
+           SUM(value::DECIMAL(28,12))::DOUBLE AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           SUM(value::DECIMAL(28,12))::DOUBLE / COUNT(*) AS avg_value
     FROM events GROUP BY 2, 3
     UNION ALL
     SELECT 'day', date_trunc('day', ts), event_type,
-           COUNT(*), SUM(value), MIN(value), MAX(value), AVG(value)
+           COUNT(*), SUM(value::DECIMAL(28,12))::DOUBLE,
+           MIN(value), MAX(value),
+           SUM(value::DECIMAL(28,12))::DOUBLE / COUNT(*)
     FROM events GROUP BY 2, 3
     ORDER BY granularity, bucket_ts, event_type
     """,

@@ -754,7 +754,7 @@ def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Distributed BPE training (Sennrich 2016): ONE corpus-scale "
         "map-side-combined word count, then vocab-scale merge rounds "
         "(one shuffle each, 1-row argmax to the driver, lineage "
-        "truncated every 8 rounds).  Deterministic tie-break "
+        "truncated every 2nd round).  Deterministic tie-break "
         "(count desc, pair asc) pinned by exact reference-equality "
         "tests."
     ),

@@ -206,6 +206,14 @@ def time_rollup(
     from pyspark.sql import functions as F
 
     groups = list(group_cols or [])
+    # DECIMAL accumulation (the engine's money-aggregation rule): a raw
+    # DOUBLE sum's low-order bits depend on partition combine order, so
+    # the same data at a different partitioning would flip the value
+    # hash (reproduced: an 8-partition source diverged from the
+    # sequential oracle sum in the 16th digit).  The exact decimal sum
+    # casts to DOUBLE once; avg derives from it, never from a separate
+    # order-sensitive average.
+    dec = F.col(value_col).cast("decimal(28,12)")
     parts = []
     for g in granularities:
         parts.append(
@@ -215,10 +223,14 @@ def time_rollup(
                 *groups,
             ).agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(value_col).alias("sum_value"),
+                F.sum(dec).alias("__s"),
                 F.min(value_col).alias("min_value"),
                 F.max(value_col).alias("max_value"),
-                F.avg(value_col).alias("avg_value"),
+            ).select(
+                "granularity", "bucket_ts", *groups, "n",
+                F.col("__s").cast("double").alias("sum_value"),
+                "min_value", "max_value",
+                (F.col("__s").cast("double") / F.col("n")).alias("avg_value"),
             )
         )
     out = parts[0]

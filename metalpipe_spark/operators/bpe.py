@@ -122,13 +122,20 @@ def train_bpe(
             F.col("n"),
         )
         if (rank + 1) % checkpoint_every == 0:
-            jdf = vocab._jdf.localCheckpoint(False)
-            vocab = DataFrame(jdf, spark)
+            from metalpipe_spark.operators.dedup import _truncate_lineage
+
+            vocab, rdd = _truncate_lineage(vocab, reliable=False)
             vocab.count()  # materialize so the lineage truncation holds
-            new_rdd = jdf.queryExecution().analyzed().rdd()
             if prev_rdd is not None:
                 prev_rdd.unpersist(False)
-            prev_rdd = new_rdd
+            prev_rdd = rdd
+    # The merge table lives in the driver-side list; nothing reads the
+    # vocab DataFrame after the loop, so the final round's checkpoint
+    # blocks are dropped here — without this, every train_bpe call
+    # would pin one vocabulary table in executor storage for the
+    # session's lifetime (3x per bench run of the catalog row).
+    if prev_rdd is not None:
+        prev_rdd.unpersist(False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

@@ -102,9 +102,27 @@ def count_min_sketch(
     same deterministic coefficients MinHash uses) into ``width``
     buckets and counts collisions.  ONE map-side-combined shuffle whose
     key space is depth x width; the sketch is mergeable by summing
-    counters.  Same determinism contract as :func:`hll_count_distinct`:
-    md5-derived hashing and integer counters, so the DuckDB oracle
-    reproduces every counter exactly."""
+    counters (grouped on row/bucket/depth/width).  The GEOMETRY rides
+    along as constant ``depth``/``width`` columns, so
+    :func:`count_min_lookup` always hashes with the sketch's own
+    parameters — a caller-supplied mismatch would silently produce
+    under-estimates of 0 and break the one-sided contract.  Same
+    determinism contract as :func:`hll_count_distinct`: md5-derived
+    hashing and integer counters, so the DuckDB oracle reproduces
+    every counter exactly."""
+    h, rows = _cm_bucket_structs(col, depth, width)
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "row", "bucket", "c",
+            F.lit(depth).alias("depth"), F.lit(width).alias("width"),
+        )
+    )
+
+
+def _cm_bucket_structs(col: str, depth: int, width: int):
     from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
 
     h = _hash32(F.col(col))
@@ -116,41 +134,31 @@ def count_min_sketch(
         )
         for j, (a, b) in enumerate(minhash_coefficients(depth))
     ]
-    return (
-        df.select(F.explode(F.array(*rows)).alias("rb"))
-        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return h, rows
 
 
 def count_min_lookup(
     sketch: DataFrame,
     queries: DataFrame,
     col: str,
-    depth: int = 4,
-    width: int = 2048,
 ) -> DataFrame:
     """Point-frequency estimates for the values in ``queries[col]``:
-    min over the sketch's ``depth`` counters at the value's buckets.
-    The sketch (depth x width rows, bounded) broadcasts; estimates are
-    one-sided — ``cm_estimate >= true count`` always, the property the
-    tests pin.  Query set stays distributed (a heavy-hitter candidate
-    list can be millions of rows)."""
-    from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
-
-    h = _hash32(F.col(col))
-    mod = F.lit(1 << 32).cast("long")
-    rows = [
-        F.struct(
-            F.lit(j).alias("row"),
-            (((F.lit(a) * h + F.lit(b)) % mod) % F.lit(width)).alias("bucket"),
-        )
-        for j, (a, b) in enumerate(minhash_coefficients(depth))
-    ]
+    min over the sketch's ``depth`` counters at the value's buckets,
+    with the hashing geometry READ FROM THE SKETCH ITSELF (its
+    ``depth``/``width`` columns) so a mismatched re-hash is impossible
+    by construction.  The sketch (depth x width rows, bounded)
+    broadcasts; an absent counter is a true zero (no item ever hashed
+    there), so estimates stay one-sided — ``cm_estimate >= true
+    count`` always, the property the tests pin.  Query set stays
+    distributed (a heavy-hitter candidate list can be millions of
+    rows)."""
+    meta = sketch.select("depth", "width").first()
+    depth, width = int(meta["depth"]), int(meta["width"])
+    _, rows = _cm_bucket_structs(col, depth, width)
     exploded = queries.select(F.col(col), F.explode(F.array(*rows)).alias("rb")).select(
         col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     )
-    joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
-        col, F.coalesce(F.col("c"), F.lit(0)).alias("c")
-    )
+    joined = exploded.join(
+        F.broadcast(sketch.select("row", "bucket", "c")), ["row", "bucket"], "left"
+    ).select(col, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     return joined.groupBy(col).agg(F.min("c").alias("cm_estimate"))

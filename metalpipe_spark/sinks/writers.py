@@ -494,9 +494,32 @@ def upsert_parquet(
     if manifest:
         cur = read_current_manifest(spark, path)
         if cur is None:
-            # first manifest-mode publish over a legacy table: adopt the
-            # on-disk state as the current version.
+            # First manifest-mode publish over a legacy table.  BEFORE
+            # adopting the directory listing as the current version,
+            # heal whatever a crash may have left behind — otherwise
+            # the debris gets baked into manifest v1 as live data:
+            # (a) staged-mode debris (a stranded stage copy whose live
+            #     dir is gone, or a hidden .upsert_old__ aside) — the
+            #     staged recovery handles both;
+            # (b) version-prefixed data files with NO manifest anywhere
+            #     — a manifest-mode promotion that crashed before its
+            #     very first flip; the files are orphans (the batch
+            #     replays), and listing them alongside the old files
+            #     would duplicate every non-batch row in the merge.
+            import re as _re
+
+            _recover_staged_promotion(spark, path, partition_col)
             jvm, fs, target_p = _fs_for(spark, path)
+            for status in fs.listStatus(target_p):
+                name = status.getPath().getName()
+                if not status.isDirectory() or not name.startswith(
+                    f"{partition_col}="
+                ):
+                    continue
+                for f in fs.listStatus(status.getPath()):
+                    fname = f.getPath().getName()
+                    if not f.isDirectory() and _re.match(r"v\d{10}-", fname):
+                        fs.delete(f.getPath(), False)
             cur_parts = _list_partition_files(fs, jvm, target_p, partition_col)
         else:
             cur_version, cur_parts = cur

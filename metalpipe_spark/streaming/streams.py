@@ -409,10 +409,14 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
     before anything is read — see ``stream_semantic_dedup_sink``'s
     docstring for why skipping this destroys the accumulated state on
     restart), read the store through an explicit existence probe, run
-    ``step(batch_df, store) -> (fresh, updated_store)``, append the
-    fresh rows, stage the updated store durably in ``_next``, then
-    delete + rename.  One implementation, every sink — a hand-copied
-    swap in a second sink would silently drift from the healed one."""
+    ``step(batch_df, store) -> (fresh, updated_store[, cleanup])``,
+    append the fresh rows, stage the updated store durably in
+    ``_next``, then delete + rename; a ``cleanup`` callable (optional
+    third element) runs after the swap so a step that materialized
+    batch-scale intermediates can drop their blocks instead of pinning
+    one set per micro-batch for the stream's lifetime.  One
+    implementation, every sink — a hand-copied swap in a second sink
+    would silently drift from the healed one."""
     from metalpipe_spark.sinks.writers import _target_exists
 
     spark = df.sparkSession
@@ -434,7 +438,9 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
             if _target_exists(spark, store_path)
             else None
         )
-        fresh, updated = step(batch_df, store)
+        out = step(batch_df, store)
+        fresh, updated = out[0], out[1]
+        cleanup = out[2] if len(out) > 2 else None
         fresh.write.mode("append").parquet(kept_path)
         updated.write.mode("overwrite").parquet(next_path)
         if fs.exists(dst):
@@ -443,6 +449,8 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
             raise IOError(
                 f"store promotion failed: rename {next_path} -> {store_path}"
             )
+        if cleanup is not None:
+            cleanup()
 
     return foreach_batch_sink(df, apply, checkpoint)
 
@@ -467,14 +475,28 @@ def stream_image_dedup_sink(
     bands and semantic cells have the same shape).  Store state is 8
     bytes per surviving image; the swap durability and crash self-heal
     are the shared ``_incremental_store_sink`` contract."""
-    from metalpipe_spark.operators.dedup import incremental_hamming_dedup
+    from metalpipe_spark.operators.dedup import (
+        _truncate_lineage,
+        incremental_hamming_dedup,
+    )
     from metalpipe_spark.operators.multimodal import image_dhash
 
     def step(batch_df: DataFrame, store: DataFrame | None):
-        codes = image_dhash(batch_df, id_col=id_col)
-        return incremental_hamming_dedup(
+        # Materialize the batch's codes ONCE: the dedup consumes them in
+        # several jobs (in-batch CC, the kept append, the store join and
+        # the store rewrite), and without the checkpoint each would
+        # re-run the Python dHash kernel over the raw images; the
+        # cleanup drops the blocks after the swap so micro-batches don't
+        # accumulate pinned state (the semantic sink's checkpoint_batch
+        # contract, realized through the skeleton's cleanup hook).
+        codes, rdd = _truncate_lineage(
+            image_dhash(batch_df, id_col=id_col), reliable=False
+        )
+        codes.count()
+        fresh, updated = incremental_hamming_dedup(
             codes, store, code_col="dhash", id_col=id_col,
             bits=64, max_hamming=max_hamming, blocks=blocks, combo=combo,
         )
+        return fresh, updated, lambda: rdd.unpersist(False)
 
     return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)

@@ -622,3 +622,41 @@ def test_upsert_parquet_manifest_null_partition_and_last_wins(spark, tmp_path):
         3: ("b", 30.0),
         4: ("b", 40.0),
     }
+
+
+def test_upsert_parquet_manifest_adoption_heals_preexisting_debris(spark, tmp_path):
+    """First manifest-mode publish over a legacy table must NOT bake
+    crash debris into manifest v1: v-prefixed orphans from a crashed
+    first manifest promotion are deleted (else every non-batch row
+    would be duplicated in the merge), and staged-mode debris heals
+    through the staged recovery before adoption."""
+    import os
+    import shutil
+
+    from metalpipe_spark.sinks.writers import load_published, upsert_parquet
+
+    path = str(tmp_path / "adopt")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "part", "v"]
+    )
+    upsert_parquet(initial, path, "id", "part")  # legacy staged-mode table
+
+    # debris (a): orphan v1 files from a crashed first manifest publish
+    for f in os.listdir(os.path.join(path, "part=a")):
+        if not f.startswith(("_", ".")):
+            shutil.copy(
+                os.path.join(path, "part=a", f),
+                os.path.join(path, "part=a", f"v0000000001-{f}"),
+            )
+    # debris (b): a staged-mode crash state for part=b (live dir gone,
+    # only copy stranded in the stage)
+    os.makedirs(path + "__stage", exist_ok=True)
+    shutil.move(os.path.join(path, "part=b"), os.path.join(path + "__stage", "part=b"))
+
+    batch = spark.createDataFrame([(2, "a", 99.0)], ["id", "part", "v"])
+    upsert_parquet(batch, path, "id", "part", manifest=True)
+    rows = sorted(
+        (r["id"], r["part"], r["v"]) for r in load_published(spark, path).collect()
+    )
+    # no duplicated id=1, and part=b's rows survived the stranded stage
+    assert rows == [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0)]

@@ -1137,15 +1137,13 @@ def test_count_min_one_sided_and_collision_behavior(spark):
     queries = spark.createDataFrame([(t,) for t in truth], ["tok"])
 
     wide = count_min_lookup(
-        count_min_sketch(df, "tok", depth=4, width=2048), queries, "tok",
-        depth=4, width=2048,
+        count_min_sketch(df, "tok", depth=4, width=2048), queries, "tok"
     )
     got = {r["tok"]: r["cm_estimate"] for r in wide.collect()}
     assert got == truth  # no collisions at this width
 
     narrow = count_min_lookup(
-        count_min_sketch(df, "tok", depth=4, width=4), queries, "tok",
-        depth=4, width=4,
+        count_min_sketch(df, "tok", depth=4, width=4), queries, "tok"
     )
     got = {r["tok"]: r["cm_estimate"] for r in narrow.collect()}
     total = len(rows)
