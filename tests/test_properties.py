@@ -332,3 +332,56 @@ def test_duplicate_span_dedup_matches_reference_property(
         ).collect()
     }
     assert got == _ref_span_dedup(docs, window, stride)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_points=st.integers(min_value=0, max_value=25),
+    n_intervals=st.integers(min_value=0, max_value=12),
+    bucket=st.sampled_from([60, 3600, 7200]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_range_join_matches_brute_force_property(
+    spark, n_points, n_intervals, bucket, seed
+):
+    """Bucketized range join == the brute-force O(n*m) filter for every
+    bucket width: bucketization changes the plan, never the result
+    (inclusive start, exclusive end, key-scoped, empty intervals
+    excluded, boundary-straddling buckets included)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from metalpipe_spark.operators.joins import range_join
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 1, 1)
+
+    def ts():
+        return t0 + timedelta(seconds=rng.randint(0, 36_000))
+
+    points = [(i, rng.randint(0, 2), ts()) for i in range(n_points)]
+    intervals = []
+    for i in range(n_intervals):
+        a = ts()
+        b = a + timedelta(seconds=rng.choice([0, 1, 1800, 3600, 9000]))
+        intervals.append((100 + i, rng.randint(0, 2), a, b))
+    pdf = spark.createDataFrame(
+        points, "event_id long, user_id long, ts timestamp"
+    ) if points else spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "interval_id long, user_id long, start timestamp, end timestamp"
+    ) if intervals else spark.createDataFrame([], "interval_id long, user_id long, start timestamp, end timestamp")
+    got = sorted(
+        (r["event_id"], r["interval_id"])
+        for r in range_join(
+            pdf, idf, "ts", "start", "end", keys="user_id",
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (e, i)
+        for e, eu, et in points
+        for i, iu, a, b in intervals
+        if eu == iu and a <= et < b
+    )
+    assert got == want
