@@ -53,11 +53,18 @@ HEADLINE = [
     # entity-graph modeling
     "q_entity_customer",
     "q_master_customer",
+    # entity-graph (remaining rows: every registered query is benched)
+    "q_edges_lives_in",
+    "q_compound_entity",
     # dedup family
     "q_dedup_exact",
     "q_jaccard_pairs",
+    "q_minhash_signatures",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_dedup_clusters",
+    "q_cluster_sizes",
+    "q_decontaminate",
     "q_dedup_corpus",
     "q_incremental_dedup",
     "q_incremental_neardup",
@@ -98,10 +105,14 @@ HEADLINE = [
     "q_countmin_tokens",
     "q_bpe_merges",
     # multimodal
+    "q_multimodal_decode",
+    "q_multimodal_features",
+    "q_frame_sample",
     "q_image_neardup",
     "q_incremental_imagedup",
     "q_multimodal_pipeline",
     # curation / packing
+    "q_stratified_sample",
     "q_pii_scrub",
     "q_chunk_documents",
     "q_curate_top_docs",
