@@ -226,7 +226,6 @@ def compile_graph(
             # Deterministic last-writer-wins (SURVEY §7.4.3): order by the
             # explicit ordering column, else by the value itself.
             order_col = F.col(order_by) if order_by else F.col(a.column)
-            w = Window.partitionBy(a.designator).orderBy(order_col.desc_nulls_last())
             prop = (
                 canon.select(
                     F.col(a.designator).alias("name"),

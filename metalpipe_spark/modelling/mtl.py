@@ -242,7 +242,22 @@ class _Parser:
                 else:
                     raise SyntaxError(f"MTL: unexpected token after {name} IS")
             elif self.at("RELATED"):
-                self.expect("RELATED")
+                # elided-IS form: 'x RELATED TO y AS r ;' asserts the
+                # same relationship as the reference's full
+                # 'x IS RELATED TO y AS r ;' (previously this branch
+                # consumed RELATED and silently dropped the statement).
+                self.expect("RELATED"); self.expect("TO")
+                target = self.next().text
+                self.expect("AS")
+                rel = self.next().text
+                prog.assertions.append(
+                    Assertion(
+                        kind="relationship",
+                        source_column=name,
+                        target_column=target,
+                        relationship=rel,
+                    )
+                )
             else:
                 raise SyntaxError(f"MTL: unexpected statement start {name!r}")
         self.expect(";")
@@ -411,7 +426,20 @@ def compile_query(
 
 
 def _kp_name(expr: Keypath) -> str:
-    return "__kp_" + "_".join(expr.parts)
+    """Collision-free temp-column name for a keypath: joining parts with
+    '_' alone would alias distinct keypaths whose parts contain
+    underscores (a.b_c vs a_b.c), silently resolving both selections
+    from one projection — the md5 of the dotted form disambiguates while
+    keeping the name readable and deterministic."""
+    import hashlib
+
+    dotted = ".".join(expr.parts)
+    return (
+        "__kp_"
+        + "_".join(expr.parts)
+        + "_"
+        + hashlib.md5(dotted.encode()).hexdigest()[:8]
+    )
 
 
 def run_program(

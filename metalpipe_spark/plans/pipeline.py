@@ -224,11 +224,27 @@ def _simple_transforms(spark, upstreams, opts):
     """node.py:1194-1254 — dotted-path functions applied at tail-matching
     keypaths.  Functions load via the UDF registry; declared
     ``return_type`` keeps the wrapper typed."""
+    # Reference option name first (node.py:1199 `transform_mapping`),
+    # `transforms` as this engine's alias.  (An earlier revision read
+    # the list from "missing_keypaths" — a confusion with the
+    # reference's missing_keypath_action TOLERANCE flag; that key never
+    # held transform specs in any config shape.)
+    raw_specs = opts.get("transform_mapping", opts.get("transforms"))
+    if raw_specs is None:
+        raise ValueError(
+            "SimpleTransforms needs 'transform_mapping' (reference name) "
+            "or 'transforms'"
+        )
     specs = []
-    for raw in opts["missing_keypaths"] if "missing_keypaths" in opts else opts["transforms"]:
+    for raw in raw_specs:
         spec = dict(raw)
         if "target_function" in spec and isinstance(spec["target_function"], str):
-            fn = wrap_udf(spec["target_function"], spec.get("return_type", "string"))
+            # the reference writes dotted paths with '__' separators
+            # (node.py:1216 splits on '__'); accept both spellings.
+            path = spec["target_function"]
+            if "." not in path:
+                path = path.replace("__", ".")
+            fn = wrap_udf(path, spec.get("return_type", "string"))
             spec["target_function"] = lambda c, _f=fn: _f(c)
         specs.append(spec)
     return simple_transforms(_one(upstreams, "SimpleTransforms"), specs)
@@ -710,15 +726,18 @@ def render_template(text: str, variables: Mapping[str, Any] | None = None) -> st
     for name in names:
         if name in ctx:
             continue
-        if "." in name:
-            ctx[name] = load_function(name)()
+        if "__" in name:
+            # The reference's evaluator form (bin/metalpipe:62-72):
+            # jinja identifiers cannot contain '.', so dotted function
+            # paths are written with '__' as the module separator and
+            # the function is imported and called with no args.  (A
+            # branch keyed on '.' in the name is dead code — jinja's
+            # undeclared-variable names are plain identifiers.)
+            ctx[name] = load_function(name.replace("__", "."))()
         elif name in os.environ:
             ctx[name] = os.environ[name]
         else:
-            try:
-                ctx[name] = load_function(f"{name}")()
-            except Exception:
-                raise ValueError(f"unresolved template variable: {name!r}")
+            raise ValueError(f"unresolved template variable: {name!r}")
     return env.from_string(text).render(**ctx)
 
 
@@ -777,7 +796,12 @@ def _edges(config: Mapping[str, Any]) -> list[tuple[str, str]]:
         edges += list(zip(path, path[1:]))
     for e in config.get("edges", []) or []:
         if isinstance(e, Mapping):
-            edges.append((e["from"], e["to"]))
+            # reference vocabulary is source/target (bin/metalpipe:98-99);
+            # from/to kept as this engine's alias.
+            if "source" in e:
+                edges.append((e["source"], e["target"]))
+            else:
+                edges.append((e["from"], e["to"]))
         else:
             edges.append(tuple(e))
     return edges
@@ -853,6 +877,12 @@ def compile_pipeline(
                 if df is None:
                     raise ValueError(f"node {name!r} produced no DataFrame")
                 if post_fn:
+                    if post_keypath is None:
+                        raise ValueError(
+                            f"node {name!r}: post_process_function needs "
+                            "post_process_keypath (which column/keypath "
+                            "the function rewrites)"
+                        )
                     from metalpipe_spark.keypath import get_value, set_value
 
                     fn = wrap_udf(post_fn, post_rt)
@@ -887,9 +917,19 @@ def load_yaml_pipeline(
     rendered = render_template(text, variables)
     config = yaml.safe_load(rendered)
     secret_map: dict[str, Any] = {}
-    for path in secrets_files or config.get("secrets_files", []) or []:
-        with open(path) as fh:
-            secret_map.update(yaml.safe_load(fh) or {})
+    sf = secrets_files or config.get("secrets_files") or {}
+    if isinstance(sf, Mapping):
+        # Reference shape (bin/metalpipe:77-83): {cache_name: filename},
+        # and config tokens are namespaced '{cache_name}.{key}'.
+        for cache, path in sf.items():
+            with open(path) as fh:
+                for k, v in (yaml.safe_load(fh) or {}).items():
+                    secret_map[f"{cache}.{k}"] = v
+    else:
+        # legacy list-of-paths shape with bare-key tokens
+        for path in sf:
+            with open(path) as fh:
+                secret_map.update(yaml.safe_load(fh) or {})
     if secret_map:
         config = apply_secrets(config, secret_map)
     return compile_pipeline(spark, config, capture_dir=capture_dir)
@@ -906,6 +946,13 @@ def run_pipeline(pipeline: CompiledPipeline, show: bool = False) -> dict[str, in
     reference's monitor-table row counters, node.py:871-975)."""
     counts = {}
     for name, df in pipeline.terminal_frames().items():
+        if df.isStreaming:
+            raise ValueError(
+                f"terminal node {name!r} is a streaming DataFrame; "
+                "run_pipeline executes BATCH terminals only — wire "
+                "streaming terminals through streaming/streams.py sinks "
+                "(foreach_batch_sink / file sinks) instead of count()"
+            )
         if show and pipeline.specs[name].cls == "PrinterOfThings":
             df.show(truncate=False)
         counts[name] = df.count()

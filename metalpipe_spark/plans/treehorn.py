@@ -173,9 +173,22 @@ class Traversal:
         return self
 
     def __gt__(self, other: "Traversal") -> "Traversal":
-        """treehorn.py:148-151 — chain: search ``other`` inside each match."""
-        self._chain = self._chain + other._chain
-        return self
+        """treehorn.py:148-151 — chain: search ``other`` inside each match.
+
+        Accumulates on — and returns — the RIGHT operand, the
+        reference's contract (node.py:278-284).  That is what makes the
+        unparenthesized ``t1 > t2 > t3`` form work: Python evaluates it
+        as ``(t1 > t2) and (t2 > t3)``, whose VALUE is the last
+        comparison's result — an implementation accumulating on (and
+        returning) SELF silently drops ``t1`` from the chain the
+        expression yields, and an immutable implementation loses ``t1``
+        too because the middle comparison re-reads the original ``t2``.
+        Caveat (shared with the reference): chaining mutates the right
+        operand, so don't reuse one traversal object as a NON-HEAD
+        element of two different chains — construct fresh traversals
+        per chain."""
+        other._chain = self._chain + other._chain
+        return other
 
 
 class GoDown(Traversal):

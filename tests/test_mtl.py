@@ -120,3 +120,20 @@ def test_condition_algebra(spark, docs_df):
     """
     results = run_program({"document": docs_df}, text)
     assert sorted(r["n"] for r in results["q"].collect()) == ["alice", "bob", "carol"]
+
+
+def test_mtl_elided_is_related_and_keypath_temp_collision(spark):
+    """'x RELATED TO y AS r ;' (elided IS) asserts the same relationship
+    as the full form (previously silently dropped), and distinct
+    keypaths whose underscore-joined parts collide (a.b_c vs a_b.c)
+    resolve independently."""
+    from metalpipe_spark.modelling.mtl import Keypath, _kp_name, parse
+
+    prog = parse("email RELATED TO city AS LIVES_IN ;")
+    (a,) = prog.assertions
+    assert (a.kind, a.source_column, a.target_column, a.relationship) == (
+        "relationship", "email", "city", "LIVES_IN"
+    )
+    assert _kp_name(Keypath(parts=["a", "b_c"])) != _kp_name(
+        Keypath(parts=["a_b", "c"])
+    )

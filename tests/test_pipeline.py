@@ -575,3 +575,61 @@ def test_mix_export_pipeline_yaml_end_to_end(spark, tmp_path):
     assert "split" in back.columns
     # the export count matches what survived the chain
     assert back.count() == counts["export"]
+
+
+def test_reference_config_vocabulary_parity(spark, tmp_path, monkeypatch):
+    """Reference-shaped configs must load verbatim: source/target edges,
+    transform_mapping with '__'-separated function paths, the dict
+    secrets_files shape with '{cache}.{key}' tokens, and '__' evaluator
+    template variables (jinja identifiers cannot contain dots)."""
+    import yaml
+
+    secrets = tmp_path / "s.yml"
+    secrets.write_text("password: hunter2\n")
+    text = """
+nodes:
+  src:
+    class: ConstantEmitter
+    options:
+      thing: {user: "{{ os__getcwd }}", pw: mysecrets.password, v: "XY"}
+      max_loops: 2
+  trim:
+    class: SimpleTransforms
+    options:
+      transform_mapping:
+        - path: [v]
+          target_function: metalpipe_spark__functions__scalars__lower_str
+          return_type: string
+edges:
+  - {source: src, target: trim}
+secrets_files: {mysecrets: """ + str(secrets) + """}
+"""
+    p = load_yaml_pipeline(spark, text)
+    rows = p.terminal_frames()["trim"].collect()
+    assert rows and rows[0]["pw"] == "hunter2"      # namespaced secret
+    assert rows[0]["v"] == "xy"                     # __-path function ran
+    import os as _os
+
+    assert rows[0]["user"] == _os.getcwd()          # __ evaluator template
+
+
+def test_post_process_without_keypath_fails_loudly(spark):
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    config = {
+        "nodes": {
+            "src": {
+                "class": "ConstantEmitter",
+                "options": {
+                    "thing": {"a": 1},
+                    "max_loops": 1,
+                    "post_process_function": "metalpipe_spark.functions.scalars.lower_str",
+                },
+            }
+        },
+        "paths": [["src"]],
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="post_process_keypath"):
+        compile_pipeline(spark, config)

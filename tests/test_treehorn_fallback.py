@@ -68,3 +68,24 @@ def test_go_up_finds_ancestor(spark):
     )
     row = out.head()
     assert row["tag"] == "T" and row["email"] == "x@y.z"
+
+
+def test_traversal_chain_unparenthesized_matches_reference_contract():
+    """Python evaluates t1 > t2 > t3 as (t1>t2) and (t2>t3), whose value
+    is the LAST comparison's result — __gt__ must accumulate on and
+    return the right operand (the reference contract, node.py:278-284)
+    or the first traversal silently drops out of the chain.  The
+    parenthesized form must agree, and the head operand stays clean
+    (only non-head reuse is the documented caveat)."""
+    from metalpipe_spark.plans.treehorn import GoDown, HasKey
+
+    def keys(ch):
+        return [t.condition.key for t in ch._chain]
+
+    chain = GoDown(HasKey("a")) > GoDown(HasKey("b")) > GoDown(HasKey("c"))
+    assert keys(chain) == ["a", "b", "c"]
+    paren = (GoDown(HasKey("a")) > GoDown(HasKey("b"))) > GoDown(HasKey("c"))
+    assert keys(paren) == ["a", "b", "c"]
+    head = GoDown(HasKey("h"))
+    head > GoDown(HasKey("x"))
+    assert keys(head) == ["h"]  # the head is never mutated
