@@ -235,7 +235,7 @@ def q_remap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_insert_scalars",
     """
     SELECT event_id,
-           strftime(ts, '%b %d,%Y %H:%M:%S') AS ts_redshift,
+           strftime(ts, '%b %d,%Y  %H:%M:%S') AS ts_redshift,
            epoch_ms(ts) AS ts_ms,
            (value > 0) AS value_truthy,
            'metalpipe' AS source_system

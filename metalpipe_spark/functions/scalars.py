@@ -11,9 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The reference's Redshift-friendly datetime format "%b %d,%Y %H:%M:%S"
-# (/root/reference/metalpipe/utils/helpers.py:48-51,205-206).
-REDSHIFT_FORMAT = "MMM dd,yyyy HH:mm:ss"
+# The reference's Redshift-friendly datetime format "%b %d,%Y  %H:%M:%S"
+# (/root/reference/metalpipe/utils/helpers.py:48-51,205-206) — note the
+# DOUBLE space before the time, present verbatim in the reference source
+# (verified with cat -A); the reference's own string_to_redshift parser
+# expects it, so a single-space rendition would not round-trip there.
+REDSHIFT_FORMAT = "MMM dd,yyyy  HH:mm:ss"
 
 
 def _col(c: Column | str) -> Column:
@@ -21,7 +24,7 @@ def _col(c: Column | str) -> Column:
 
 
 def timestamp_to_redshift(ts: Column | str) -> Column:
-    """helpers.py:221-222 — format a timestamp as ``Jan 05,2024 13:00:00``."""
+    """helpers.py:221-222 — format a timestamp as ``Jan 05,2024  13:00:00``."""
     return F.date_format(_col(ts), REDSHIFT_FORMAT)
 
 
@@ -150,10 +153,33 @@ def is_building_segment(segment: str | None) -> bool:
 def _java_format(fmt: str) -> str:
     """Translate a strftime-style format (the reference's convention) to a
     java.time pattern.  Formats already in java style pass through
-    unchanged (they contain no '%')."""
+    unchanged (they contain no '%').
+
+    Tokenized, not sequential-replace: replacing specifiers in order
+    corrupts escapes ('%%Y' must mean a literal '%Y', but '%Y'→'yyyy'
+    would fire inside it first), and an unmapped specifier must fail
+    loudly — leaking a raw '%X' into a java.time pattern produces
+    silently wrong output or a runtime parse error far from the cause.
+    """
     if "%" not in fmt:
         return fmt
-    out = fmt
-    for sym, java in _STRFTIME_TO_JAVA:
-        out = out.replace(sym, java)
-    return out
+    mapping = dict(_STRFTIME_TO_JAVA)
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        tok = fmt[i : i + 2]
+        if tok == "%%":
+            out.append("%")
+        elif tok in mapping:
+            out.append(mapping[tok])
+        else:
+            raise ValueError(
+                f"unsupported strftime specifier {tok!r} in format {fmt!r}"
+            )
+        i += 2
+    return "".join(out)

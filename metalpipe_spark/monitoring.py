@@ -31,16 +31,26 @@ class ActionRecord:
 class EngineMonitor:
     """Driver-side action monitor: the thread_monitor table reimagined.
 
-    Use ``monitor.timed(name, df)`` around actions; ``table()`` returns
-    the accumulated records as a DataFrame for inspection/logging.
+    Use ``monitor.timed(name, lambda: df.count())`` around actions —
+    the action must be a CALLABLE: a pre-evaluated expression
+    (``timed(name, df.count())``) would execute during argument
+    evaluation and record a meaningless ~0 s success (or raise before
+    the error row could be written), so non-callables are rejected.
+    ``table()`` returns the accumulated records as a DataFrame.
     """
 
     records: list[ActionRecord] = field(default_factory=list)
 
     def timed(self, name: str, action):
+        if not callable(action):
+            raise TypeError(
+                f"timed({name!r}, ...) needs a callable (e.g. "
+                "lambda: df.count()); a pre-evaluated value runs before "
+                "timing starts and records nothing meaningful"
+            )
         t0 = time.perf_counter()
         try:
-            out = action() if callable(action) else action
+            out = action()
             self.records.append(
                 ActionRecord(name, round(time.perf_counter() - t0, 4), "success")
             )
@@ -52,10 +62,12 @@ class EngineMonitor:
             raise
 
     def table(self, spark: SparkSession) -> DataFrame:
-        rows = [(r.name, r.seconds, r.status, r.error) for r in self.records] or [
-            ("<none>", 0.0, "success", None)
-        ]
-        return spark.createDataFrame(rows, ["name", "seconds", "status", "error"])
+        rows = [(r.name, r.seconds, r.status, r.error) for r in self.records]
+        # explicit schema: the error column is all-None on the (normal)
+        # all-success path, which would defeat schema inference.
+        return spark.createDataFrame(
+            rows, "name string, seconds double, status string, error string"
+        )
 
 
 def attach_streaming_progress(spark: SparkSession, sink: list[dict]) -> None:

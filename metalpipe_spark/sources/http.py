@@ -46,7 +46,8 @@ def default_fetch(url: str, retries: int = 5, backoff: float = 1.0) -> str:
                 return resp.read().decode("utf-8")
         except Exception as e:  # pragma: no cover - needs a network
             err = e
-            time.sleep(backoff * (2**attempt))
+            if attempt + 1 < retries:  # no pointless sleep after the last try
+                time.sleep(backoff * (2**attempt))
     raise RuntimeError(f"GET {url} failed after {retries} tries") from err
 
 
@@ -118,6 +119,15 @@ def parallel_fetch(
 
     template = endpoint_template
     cols = list(url_cols)
+    clashes = {"url", "body"} & set(params_df.columns)
+    if clashes:
+        # pandas assignment would OVERWRITE the existing column while the
+        # declared schema appends a duplicate field — an Arrow
+        # column-count mismatch at runtime; fail at plan time instead.
+        raise ValueError(
+            f"parallel_fetch appends 'url' and 'body' columns; rename the "
+            f"input column(s) {sorted(clashes)} first"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -41,6 +41,10 @@ def wrap_udf(
     """
     if isinstance(fn, str):
         fn = load_function(fn)
+    if mode not in ("pandas", "arrow", "row"):
+        # a typo'd mode would otherwise silently fall through to the
+        # row-at-a-time UDF — the documented 10-100x slow path.
+        raise ValueError(f"wrap_udf mode must be pandas/arrow/row, got {mode!r}")
     if mode == "pandas":
         @F.pandas_udf(return_type)
         def _udf(*cols: pd.Series) -> pd.Series:

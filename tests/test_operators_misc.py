@@ -57,7 +57,7 @@ def test_redshift_format(spark):
     df = spark.createDataFrame([("2024-01-05 13:00:00",)], ["s"]).select(
         F.col("s").cast("timestamp").alias("ts")
     )
-    assert df.select(timestamp_to_redshift("ts")).head()[0] == "Jan 05,2024 13:00:00"
+    assert df.select(timestamp_to_redshift("ts")).head()[0] == "Jan 05,2024  13:00:00"
 
 
 def test_convert_date_format_strftime(spark):
@@ -1149,3 +1149,43 @@ def test_count_min_one_sided_and_collision_behavior(spark):
     total = len(rows)
     for t, n in truth.items():
         assert n <= got[t] <= total  # one-sided, bounded by stream size
+
+
+def test_third_review_fixes(spark):
+    """Pin the third self-review's behavior fixes: all-success monitor
+    tables materialize, counter range semantics are python-range
+    explicit, reference-shaped sequence tags and to_bool('1')==False,
+    empty sequences emit zero rows, strftime escapes tokenize, and
+    unknown UDF modes fail loudly."""
+    import pytest
+
+    from metalpipe_spark.functions.scalars import _java_format
+    from metalpipe_spark.monitoring import EngineMonitor
+    from metalpipe_spark.sources.emitters import counter_of_things, sequence_emitter
+    from metalpipe_spark.udf_registry import wrap_udf
+
+    mon = EngineMonitor()
+    assert mon.timed("ok", lambda: 7) == 7
+    assert [r["status"] for r in mon.table(spark).collect()] == ["success"]
+    with pytest.raises(TypeError, match="callable"):
+        mon.timed("bad", 42)
+
+    assert [r["count"] for r in counter_of_things(spark, 3).collect()] == [0, 1, 2]
+    assert [r["count"] for r in counter_of_things(spark, 2, 5).collect()] == [2, 3, 4]
+
+    ints = sequence_emitter(spark, [{"type": "Integer", "value": "3"}, {"int": "9"}])
+    assert sorted(r["value"] for r in ints.collect()) == [3, 9]
+    bools = sequence_emitter(
+        spark, [{"type": "bool", "value": "1"}, {"type": "bool", "value": "yes"}]
+    )
+    # reference to_bool: '1' is FALSE (first char not t/y), 'yes' is True
+    assert sorted(r["value"] for r in bools.collect()) == [False, True]
+    assert sequence_emitter(spark, [], 1).count() == 0
+    assert sequence_emitter(spark, ["a"], 0).count() == 0
+
+    assert _java_format("%%Y") == "%Y"
+    assert _java_format("%Y-%m") == "yyyy-MM"
+    with pytest.raises(ValueError, match="%j"):
+        _java_format("%j")
+    with pytest.raises(ValueError, match="mode"):
+        wrap_udf(lambda x: x, "string", mode="Pandas")
