@@ -635,8 +635,8 @@ def _lexicon_oracle(lexicon: dict[str, float]) -> str:
     return f"""
     WITH lex(token, weight) AS (VALUES {rows}),
     t AS (
-      SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n,
-             unnest(regexp_split_to_array(text, '\\s+')) AS token
+      SELECT doc_id, len(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS n,
+             unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS token
       FROM documents
     ),
     j AS (

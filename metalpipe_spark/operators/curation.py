@@ -116,6 +116,12 @@ def pack_shards(
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NULL weights count as 0 (SQL SUM semantics, matching the oracle):
+    # a NaN reaching np.cumsum would poison every later prefix in the
+    # partition into INT64_MIN shard ids with no error, and an all-NULL
+    # partition would make the totals fetch return None and crash the
+    # offset loop.
+    df = df.withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(0)))
     ranged = (
         df.repartitionByRange(p, F.col(order_col))
         .sortWithinPartitions(order_col)

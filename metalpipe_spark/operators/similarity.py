@@ -244,11 +244,17 @@ def pairwise_topk_per_label(
         # One map-side-combined count per label; the hot list is small by
         # construction (labels above the cap), so collecting it is a
         # few-row driver fetch, not a data collect.
+        # NULL labels are excluded: a NULL block key can never equi-join
+        # (NULL != NULL), so it produces no pairs and is not a blowup
+        # hazard — and a None inside the isin() list would poison the
+        # ~isin cold-side filter into NULL for EVERY row, silently
+        # emptying the cold join.
         hot_labels = [
             r[0]
             for r in src.groupBy(label_col)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_block_size)
+            .filter(F.col(label_col).isNotNull())
             .select(label_col)
             .collect()
         ]
@@ -402,8 +408,15 @@ def ivf_assign(
     nrm = F.sqrt(
         F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     )
+    # zip_with against array_repeat(nrm): the norm fold evaluates ONCE
+    # per row to build the repeated array.  `transform(arr, x -> x/nrm)`
+    # re-evaluates the whole O(dim) fold per ELEMENT in interpreted HOF
+    # mode — O(dim²) per row, the conventions-memo antipattern.
     vecs = df.withColumn(
-        "__v", array_to_vector(F.transform(arr, lambda x: x / nrm))
+        "__v",
+        array_to_vector(
+            F.zip_with(arr, F.array_repeat(nrm, F.size(arr)), lambda x, n: x / n)
+        ),
     )
     model = KMeans(
         k=k_cells, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell"
@@ -488,6 +501,7 @@ def ivf_search(
         probe, build, k=k,
         id_type=queries.schema[query_id_col].dataType.simpleString(),
         exclude_self=False,
+        build_id_type=df.schema[id_col].dataType.simpleString(),
     )
     return out.select(
         F.col("d1").alias(query_id_col),
@@ -525,6 +539,7 @@ def _ivf_cogroup_topk(
     k: int,
     id_type: str,
     exclude_self: bool,
+    build_id_type: str | None = None,
 ) -> DataFrame:
     """Cogrouped per-cell BLAS scoring + one global top-k window.  Each
     (probe row, resident) pair meets at most once (one home cell per
@@ -535,10 +550,13 @@ def _ivf_cogroup_topk(
 
     def search(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame) -> pd.DataFrame:
         if probe_pdf.empty or build_pdf.empty:
+            # empty halves arrive correctly typed from Arrow — slice THEM
+            # (the house rule): a hand-built int64 frame crashes the
+            # Arrow conversion whenever ids are strings.
             return pd.DataFrame(
                 {
-                    "d1": pd.Series([], dtype="int64"),
-                    "d2": pd.Series([], dtype="int64"),
+                    "d1": probe_pdf["d1"].iloc[0:0],
+                    "d2": build_pdf["d2"].iloc[0:0],
                     "cosine_sim": pd.Series([], dtype="float64"),
                 }
             )
@@ -574,7 +592,11 @@ def _ivf_cogroup_topk(
         .cogroup(build.groupBy("cell"))
         .applyInPandas(
             lambda p, b: search(p, b),
-            schema=f"d1 {id_type}, d2 {id_type}, cosine_sim double",
+            # d1 carries PROBE ids, d2 carries BUILD/corpus ids — they can
+            # be different types (string-keyed queries over a long-id
+            # corpus); declaring both with the probe type coerces or
+            # crashes the Arrow conversion.
+            schema=f"d1 {id_type}, d2 {build_id_type or id_type}, cosine_sim double",
         )
     )
     w = Window.partitionBy("d1").orderBy(F.desc("cosine_sim"), F.asc("d2"))
@@ -794,6 +816,7 @@ def ivf_search_prebuilt(
         k=k,
         id_type=queries.schema[query_id_col].dataType.simpleString(),
         exclude_self=False,
+        build_id_type=assigned.schema[id_col].dataType.simpleString(),
     )
     return out.select(
         F.col("d1").alias(query_id_col),

@@ -84,8 +84,15 @@ def detect_language(text: Column | str, threshold: float = 0.01) -> Column:
     exact shape of the SQL oracle — NOT a fold that threads best-so-far
     through nested ``when`` trees: that accumulation duplicates every
     earlier score expression inside each later branch, defeating codegen
-    subexpression elimination (measured 2.4x slower at sf0.1)."""
-    toks = tokens(text)
+    subexpression elimination (measured 2.4x slower at sf0.1).
+
+    NULL text coalesces to '' (score 0 everywhere → 'unk'): without the
+    coalesce every score is NULL, every when() condition INCLUDING the
+    unk-threshold check skips, and the otherwise() branch silently tags
+    NULL documents with the last sorted language code."""
+    col = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    text = col
+    toks = tokens(col)
     langs = sorted(set(LANG_MARKERS) | set(CHAR_MARKERS))
     scores = {
         lang: (
@@ -388,7 +395,12 @@ def quality_filter(
     rule in declaration order (NULL when kept).  One scan, no shuffle;
     thresholds are ordinary SQL predicates so the rule table stays
     engine-portable."""
-    toks = F.size(F.split(normalize_ws(text_col), r" ")).cast("long")
+    # NULL text counts as empty: with a NULL n_tokens every rule
+    # predicate is NULL, when() skips them all, and the document is
+    # silently KEPT — the coalesce makes too_short fire instead.
+    toks = F.size(
+        F.split(normalize_ws(F.coalesce(F.col(text_col), F.lit(""))), r" ")
+    ).cast("long")
     base = repetition_signals(
         df, text_col, id_col, extra={"n_tokens": toks}
     )
@@ -570,10 +582,15 @@ def lexicon_score(
         )
     else:
         lex = lexicon
+    # coalesce keeps NULL-text documents in the output (one '' token,
+    # weight 0 → score 0) instead of silently dropping the row at the
+    # explode — the sibling ngram_logprob keeps such docs via its OOV
+    # path, and row coverage must agree for downstream joins.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col),
-        F.size(tokens(text_col)).alias("__n"),
-        F.explode(tokens(text_col)).alias("token"),
+        F.size(tokens(txt)).alias("__n"),
+        F.explode(tokens(txt)).alias("token"),
     )
     joined = toks.join(broadcast(lex), "token", "left")
     w = F.coalesce(F.col("weight"), F.lit(0.0))
@@ -741,16 +758,15 @@ def train_hashed_quality_classifier(
     d = dim
 
     def java_ws_split(text: str) -> list[str]:
-        """Mirror Spark's ``split(text, '\\s+')`` (Java split): runs of
-        whitespace delimit; a leading run yields an empty first token;
-        TRAILING empty tokens are removed.  Training must tokenize
-        exactly like the serving fold or the fitted weights apply to
-        different feature vectors (tabs/double spaces would diverge
-        under a plain ``str.split(' ')``)."""
-        parts = re.split(r"\s+", text)
-        while parts and parts[-1] == "":
-            parts.pop()
-        return parts if parts else [""]
+        """Mirror Spark's ``split(text, '\\s+')`` (Java split with
+        limit=-1, which F.split uses): runs of whitespace delimit, and
+        BOTH a leading and a trailing run yield an empty token —
+        verified empirically ('a b ' -> ['a', 'b', '']).  Python's
+        ``re.split(r'\\s+', ...)`` matches exactly; an earlier revision
+        stripped trailing empties, silently fitting weights to feature
+        vectors the serving fold never produces on text with trailing
+        whitespace."""
+        return re.split(r"\s+", text)
 
     # Arrow cannot carry VectorUDT through mapInPandas — featurize to a
     # plain array<double> and convert to ml vectors JVM-side.

@@ -1189,3 +1189,47 @@ def test_third_review_fixes(spark):
         _java_format("%j")
     with pytest.raises(ValueError, match="mode"):
         wrap_udf(lambda x: x, "string", mode="Pandas")
+
+
+def test_fourth_review_null_policies_and_mixed_id_search(spark):
+    """Pin the fourth self-review's fixes: NULL text -> 'unk' language /
+    too_short drop / retained lexicon row; NULL weights pack as 0; IVF
+    search works with string-keyed queries over a long-id corpus (the
+    cogroup schema previously declared both sides with the query type)."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import pack_shards
+    from metalpipe_spark.operators.similarity import ivf_search
+    from metalpipe_spark.operators.text import (
+        detect_language,
+        lexicon_score,
+        quality_filter,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "the cat and the dog is here now yes ok")],
+        "doc_id long, text string",
+    )
+    assert d.select(detect_language("text")).collect()[0][0] == "unk"
+    qf = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in quality_filter(d).collect()}
+    assert qf[1] == (False, "too_short")
+    assert sorted(
+        r["doc_id"] for r in lexicon_score(d, {"cat": 1.0}).collect()
+    ) == [1, 2]
+
+    p = spark.createDataFrame([(1, None), (2, 10), (3, 10)], "doc_id long, n long")
+    shards = {r["doc_id"]: r["shard_id"] for r in pack_shards(p, "n", "doc_id", 15).collect()}
+    assert shards == {1: 0, 2: 0, 3: 0}  # NULL weight = 0, no INT64_MIN garbage
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.1]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("qa", [1.0, 1.0, 0.5, 0.1]), ("qb", [6.0, 1.0, 0.5, 0.1])],
+        "query_id string, embedding array<double>",
+    )
+    got = ivf_search(corpus, queries, k_cells=4, k=3, n_probe=2).collect()
+    assert len(got) > 0
+    assert {type(r["query_id"]) for r in got} == {str}
+    assert {type(r["vec_id"]) for r in got} == {int}
