@@ -55,7 +55,6 @@ def infer_string_types(df: DataFrame, columns: list[str] | None = None) -> DataF
     for c in cols:
         s = F.col(c).cast("string")
         aggs += [
-            F.count(s).alias(f"{c}__n"),
             F.count(F.when(s.try_cast("bigint").isNull() & s.isNotNull(), 1)).alias(f"{c}__not_int"),
             F.count(F.when(s.try_cast("double").isNull() & s.isNotNull(), 1)).alias(f"{c}__not_float"),
             F.count(F.when(F.try_to_timestamp(s).isNull() & s.isNotNull(), 1)).alias(f"{c}__not_ts"),

@@ -119,9 +119,14 @@ def jaccard_candidate_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    # NO broadcast hint on the sizes table: it is one row per DOCUMENT
+    # (corpus-sized), and a forced broadcast bypasses AQE's size checks
+    # straight into driver OOM at the scale this module targets; the
+    # plain join stays co-partitioned on the pair ids, and AQE still
+    # broadcasts it at runtime when it genuinely fits.
     jac = (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -211,10 +216,21 @@ def minhash_lsh_pairs(
     join side measured faster than persisting it at sf0.1 (cache
     materialization + read beat by the map-side-combined recompute).
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     if cache_signatures:
         sigs = sigs.persist()
+    banded = _banded_signatures(sigs, id_col, num_hashes, bands)
+    return _pairs_from_bands(banded, id_col, num_hashes)
+
+
+def _banded_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, minhash, band_key)`` rows from a signature table — THE band
+    key construction, shared by :func:`minhash_lsh_pairs` and
+    :func:`band_store` (a second hand-written copy of this format would
+    silently break store compatibility the day one of them changed)."""
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -228,8 +244,9 @@ def minhash_lsh_pairs(
         ).alias("band_key")
         for b in range(bands)
     ]
-    banded = sigs.select(id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_key"))
-    return _pairs_from_bands(banded, id_col, num_hashes)
+    return sigs.select(
+        id_col, "minhash", F.explode(F.array(*band_cols)).alias("band_key")
+    )
 
 
 def _pairs_from_bands(banded: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -351,10 +368,23 @@ def connected_components(
     """
     # Keys keep their input type: orderable comparisons (least/greatest,
     # </>) are all the algorithm needs, so string/long ids both work.
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = raw.where(F.col("u") != F.col("v")).distinct()
+    # Nodes appearing ONLY in reflexive pairs (u == v) would vanish with
+    # the filtered edge — they are their own 1-node components and the
+    # contract promises every node in ``pairs`` an output row.  Collect
+    # them as (node, node) rows, minus nodes that also touch a real edge
+    # (those get their true cluster below).
+    self_only = (
+        raw.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
         .distinct()
+        .join(
+            edges.select(F.explode(F.array("u", "v")).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .withColumn("cluster_id", F.col("node"))
     )
     reliable = checkpoint_dir is not None
     spark = pairs.sparkSession
@@ -460,7 +490,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
-    return members.union(roots).distinct()
+    return members.union(roots).union(self_only).distinct()
 
 
 def dedup_corpus(
@@ -1035,24 +1065,8 @@ def band_store(
     ``(band_key, doc_id, minhash)`` row per band per document.  At
     warehouse scale write it bucketed on ``band_key`` so every future
     batch joins co-located."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[
-                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias("band_key")
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col), "minhash", F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    return _banded_signatures(sigs, id_col, num_hashes, bands)
 
 
 def incremental_neardup_dedup(

@@ -44,6 +44,13 @@ def filter_node(
             if isinstance(parent_type, T.MapType):
                 # Open-keyed dicts map to MapType: per-row membership test.
                 pred = F.map_contains_key(parent, F.lit(keys[-1]))
+            elif isinstance(parent_type, T.StructType) and keys[-1] not in parent_type.names:
+                # "key existence is a compile-time fact" must hold at any
+                # depth: a missing struct FIELD is the compile-time False
+                # the reference's message.get() semantics imply —
+                # getField() on it would instead throw an
+                # AnalysisException at plan time.
+                pred = F.lit(False)
             else:
                 pred = parent.getField(keys[-1]).isNotNull()
     elif test == "value_is_not_none":
@@ -54,7 +61,12 @@ def filter_node(
         raise ValueError(f"Unknown test: {test}")
 
     if not value:
-        pred = ~pred
+        # NULL-safe complement: to_bool(NULL) / getField on a NULL struct
+        # evaluate to NULL, and ~NULL is still NULL — a plain inversion
+        # would drop NULL rows under BOTH value=True and value=False.
+        # The reference's value=False keeps them (message.get(key, False)
+        # -> False; False == False passes, node.py Filter).
+        pred = ~F.coalesce(pred, F.lit(False))
     return df.filter(pred)
 
 

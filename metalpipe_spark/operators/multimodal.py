@@ -26,12 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DECODE_SCHEMA = (
-    "id long, media_type string, n_bytes long, width int, height int, sha string"
-)
+# id column type is interpolated per input frame (string/long ids both
+# occur in media tables); these are the payload field lists.
+DECODE_FIELDS = "media_type string, n_bytes long, width int, height int, sha string"
 
 FEATURE_DIM = 16
-FEATURE_SCHEMA = "id long, feature array<float>"  # FEATURE_DIM floats per row
+FEATURE_FIELDS = "feature array<float>"  # FEATURE_DIM floats per row
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
@@ -56,7 +56,11 @@ def _fake_decode_image(content: bytes) -> tuple[int, int]:
 
 def decode_media(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Decode step over Arrow batches: one pandas DataFrame per batch,
-    binary column stays bytes end-to-end (no base64 detours)."""
+    binary column stays bytes end-to-end (no base64 detours).  The id
+    column's TYPE follows the input (string content-hash ids are as
+    common as numeric ones — a hardcoded ``id long`` schema would crash
+    the Arrow conversion for them)."""
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -72,7 +76,7 @@ def decode_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+    return df.mapInPandas(batches, schema=f"id {id_type}, {DECODE_FIELDS}")
 
 
 def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
@@ -84,6 +88,8 @@ def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     compatibility (array<float>, FEATURE_DIM) are the real contract.
     """
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
@@ -92,7 +98,7 @@ def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
                 feats.append([(b - 128) / 128.0 for b in d[:FEATURE_DIM]])
             yield pd.DataFrame({"id": pdf[id_col], "feature": feats})
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(batches, schema=f"id {id_type}, {FEATURE_FIELDS}")
 
 
 def frame_sample(
@@ -112,7 +118,7 @@ def frame_sample(
     return out.filter(F.length("frame") > 0)
 
 
-RESIZE_SCHEMA = "id long, content binary, width int, height int"
+RESIZE_FIELDS = "content binary, width int, height int"
 
 
 def resize_media(
@@ -135,6 +141,7 @@ def resize_media(
     never shuffle."""
     import numpy as np
 
+    id_type = df.schema[id_col].dataType.simpleString()
     tgt_y = np.arange(height)
     tgt_x = np.arange(width)
 
@@ -158,7 +165,7 @@ def resize_media(
                 }
             )
 
-    return df.mapInPandas(batches, RESIZE_SCHEMA)
+    return df.mapInPandas(batches, f"id {id_type}, {RESIZE_FIELDS}")
 
 
 def decode_pcm16(

@@ -15,7 +15,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metalpipe_spark.keypath import get_value, replace_by_path
+from metalpipe_spark.keypath import get_value, replace_by_path, set_value
 
 
 def remapper(df: DataFrame, mapping: Mapping[str, Any]) -> DataFrame:
@@ -62,8 +62,13 @@ def substitute_regex(
     df: DataFrame, key: str, match_regex: str, substitute_string: str
 ) -> DataFrame:
     """SubstituteRegex (node.py:1068-1077) — ``re.sub`` on one column,
-    compiled to the JVM-side ``regexp_replace``."""
-    return df.withColumn(key, F.regexp_replace(get_value(key), match_regex, substitute_string))
+    compiled to the JVM-side ``regexp_replace``.  Writes THROUGH the
+    keypath (``set_value``): a dotted key rewrites the nested field —
+    ``withColumn`` alone would leave the nested field untouched and add
+    a literal top-level column named "a.b"."""
+    return set_value(
+        df, key, F.regexp_replace(get_value(key), match_regex, substitute_string)
+    )
 
 
 def simple_transforms(

@@ -1233,3 +1233,49 @@ def test_fourth_review_null_policies_and_mixed_id_search(spark):
     assert len(got) > 0
     assert {type(r["query_id"]) for r in got} == {str}
     assert {type(r["vec_id"]) for r in got} == {int}
+
+
+def test_fifth_review_reference_semantics(spark):
+    """Pin the operator-file review fixes: self-pair nodes keep a CC
+    row, value=False keeps NULL-valued rows (reference parity), nested
+    keypaths rewrite in place, a missing nested key is compile-time
+    False, and media ops accept string ids."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.dedup import connected_components
+    from metalpipe_spark.operators.filtering import filter_node
+    from metalpipe_spark.operators.multimodal import decode_media, resize_media
+    from metalpipe_spark.operators.transform import substitute_regex
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], ["d1", "d2"])
+    comp = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 5: 5}  # the reflexive-only node survives
+
+    d = spark.createDataFrame(
+        [(1, None), (2, True), (3, False)], "id long, flag boolean"
+    )
+    kept_true = {r["id"] for r in filter_node(d, "value_is_true", "flag").collect()}
+    kept_false = {r["id"] for r in filter_node(d, "value_is_true", "flag", value=False).collect()}
+    assert kept_true == {2}
+    assert kept_false == {1, 3}  # complement includes the NULL row
+
+    nested = spark.createDataFrame(
+        [(1, {"title": "foo bar"})], "id long, meta struct<title:string>"
+    )
+    out = substitute_regex(nested, "meta.title", "foo", "baz").collect()[0]
+    assert out["meta"]["title"] == "baz bar"
+    assert "meta.title" not in substitute_regex(nested, "meta.title", "x", "y").columns
+
+    assert filter_node(nested, "key_exists", "meta.missing").count() == 0
+    assert filter_node(nested, "key_exists", "meta.missing", value=False).count() == 1
+
+    media = spark.createDataFrame(
+        [("sha-a", "image", bytearray(b"xyz" * 20))],
+        "id string, media_type string, content binary",
+    )
+    assert decode_media(media).collect()[0]["id"] == "sha-a"
+    rz = resize_media(
+        media.select("id", "content", F.lit(4).alias("width"), F.lit(5).alias("height")),
+        2, 2,
+    ).collect()[0]
+    assert rz["id"] == "sha-a" and len(rz["content"]) == 2 * 2 * 3
