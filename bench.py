@@ -103,7 +103,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_hll_tokens",
     "q_countmin_tokens",
-    "q_bpe_merges",
+    "q_bpe_pair_counts",
     # multimodal
     "q_multimodal_decode",
     "q_multimodal_features",

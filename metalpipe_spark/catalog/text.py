@@ -745,25 +745,61 @@ def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BPE_PAIR_COUNTS_ORACLE = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS word
+  FROM documents
+),
+w AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM words WHERE word <> '' GROUP BY word
+),
+syms AS (
+  SELECT list_append(
+           list_transform(range(1, length(word) + 1), i -> word[i]),
+           '</w>') AS s,
+         n
+  FROM w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+                               i -> {l: s[i], r: s[i + 1]})) AS p,
+         n
+  FROM syms
+),
+counted AS (
+  SELECT p.l AS left_sym, p.r AS right_sym, sum(n)::BIGINT AS pair_count
+  FROM pairs GROUP BY p.l, p.r
+)
+SELECT row_number() OVER
+         (ORDER BY pair_count DESC, left_sym, right_sym)::INT AS rank,
+       left_sym, right_sym, pair_count
+FROM counted
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 200
+"""
+
+
 @register(
-    "q_bpe_merges",
-    None,  # iterative data-dependent argmax: not SQL-expressible; the
-    # reference-equality unit test (tests/test_bpe.py) is the
-    # correctness evidence, the driver records a rows-only check.
+    "q_bpe_pair_counts",
+    _BPE_PAIR_COUNTS_ORACLE,
     doc=(
-        "Distributed BPE training (Sennrich 2016): ONE corpus-scale "
-        "map-side-combined word count, then vocab-scale merge rounds "
-        "(one shuffle each, 1-row argmax to the driver, lineage "
-        "truncated every 2nd round).  Deterministic tie-break "
-        "(count desc, pair asc) pinned by exact reference-equality "
-        "tests."
+        "The oracle-checkable face of BPE training (Sennrich 2016): the "
+        "round-0 adjacent symbol-pair frequency table under the merge "
+        "loop's exact argmax tie-break order (count desc, pair asc) — "
+        "rank 1 IS the first merge train_bpe picks.  Full iterative "
+        "training (data-dependent argmax, not SQL-expressible) stays "
+        "pinned by reference-equality unit tests (tests/test_bpe.py).  "
+        "Plan: one corpus-scale word count, one vocab-scale pair "
+        "count, distributed partial top-k; the rank window runs on the "
+        "200-row result only."
     ),
 )
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from metalpipe_spark.operators.bpe import train_bpe
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.bpe import bpe_pair_counts
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    return train_bpe(docs, num_merges=32).orderBy("rank")
+    return bpe_pair_counts(docs, top_k=200)
 
 
 def _hll_oracle(p: int = 12) -> str:

@@ -21,6 +21,83 @@ from pyspark.sql import functions as F
 END_OF_WORD = "</w>"
 
 
+def _initial_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The round-0 BPE vocabulary: each unique whitespace word split
+    into character symbols plus the terminal ``</w>`` marker, with its
+    corpus frequency — ``(syms: array<string>, n: long)``.  This is the
+    ONE corpus-scale pass (explode → map-side-combined groupBy); every
+    later merge round works at vocabulary scale."""
+    words = df.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+        ).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+            ).alias("syms"),
+            F.col("n"),
+        )
+    )
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """Explode a symbol-array vocabulary into adjacent symbol pairs
+    ``(p: struct<l,r>, n)`` — shifted-slice zip, evaluated once per row
+    (slices are direct HOF children, not re-evaluated per element)."""
+    return vocab.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
+        F.col("n"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 200
+) -> DataFrame:
+    """The oracle-checkable face of BPE training: the round-0 adjacent
+    symbol-pair frequency table, top ``top_k`` under the SAME
+    deterministic total order the merge loop uses as its argmax
+    tie-break (count desc, then lexicographically smallest pair).
+    Returns ``(rank, left_sym, right_sym, pair_count)``.
+
+    Rank 1 here IS the first merge ``train_bpe`` would pick — the
+    tie-break contract that tests/test_bpe.py pins by reference
+    equality gets a driver-oracle face through this row.  Plan shape:
+    one corpus-scale word count, one vocab-scale pair count, then a
+    distributed partial top-k (TakeOrdered); the row_number window runs
+    on the ``top_k``-row result only, never on the full pair table."""
+    counted = (
+        _adjacent_pairs(_initial_vocab(df, text_col))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    topk = counted.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    ).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -51,36 +128,12 @@ def train_bpe(
     best pair drops under ``min_pair_count`` (merging hapax pairs
     memorizes the corpus)."""
     spark = df.sparkSession
-    words = df.select(
-        F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
-        ).alias("word")
-    ).where(F.col("word") != "")
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.concat(
-                F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
-            ).alias("syms"),
-            F.col("n"),
-        )
-    )
+    vocab = _initial_vocab(df, text_col)
     merges = []
     prev_rdd = None
     for rank in range(num_merges):
-        pairs = vocab.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("p"),
-            F.col("n"),
-        )
         best = (
-            pairs.groupBy("p")
+            _adjacent_pairs(vocab).groupBy("p")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
             .first()

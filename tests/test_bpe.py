@@ -88,3 +88,33 @@ def test_bpe_merge_table_parquet_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["subwords"] for r in bpe_encode(df, merges).collect()}
     b = {r["doc_id"]: r["subwords"] for r in bpe_encode(df, reloaded).collect()}
     assert a == b
+
+
+def test_bpe_pair_counts_rank1_is_first_merge(spark):
+    """The oracle-checkable face (q_bpe_pair_counts) shares the merge
+    loop's argmax contract: rank 1 of the round-0 pair table IS the
+    first merge train_bpe picks, and the counts match the pure-Python
+    reference's round-0 pair counter."""
+    from metalpipe_spark.operators.bpe import bpe_pair_counts, train_bpe
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    rows = bpe_pair_counts(df, top_k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    counts: Counter = Counter(w for t in docs for w in t.split())
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in counts.items()}
+    pairs: Counter = Counter()
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += c
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [((r["left_sym"], r["right_sym"]), r["pair_count"]) for r in rows]
+    assert got == want
+    first_merge = train_bpe(df, num_merges=1).first()
+    assert (first_merge["left"], first_merge["right"]) == got[0][0]
