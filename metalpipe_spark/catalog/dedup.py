@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from metalpipe_spark.catalog import register
 from metalpipe_spark.operators.dedup import (
     connected_components,
-    dedup_corpus,
     exact_dedup,
     jaccard_candidate_pairs,
     minhash_coefficients,
@@ -227,6 +226,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_THRESHOLD = 0.5
 
+# One materialized connected-components stage serves every cluster-shaped
+# catalog row (assignments, size histogram, corpus dedup) — the
+# q_corpus_pipeline persisted-shared-stage pattern lifted across rows.
+# Keyed by (applicationId, sf_dir, params) so each driver session
+# computes the clustering exactly once; the localCheckpoint pins only
+# the per-doc assignment table (O(docs in pairs) rows).  Rows stay
+# independently runnable — any order, any subset — the memo is purely a
+# compute-once optimization, never a correctness dependency.
+_SHARED_CC: dict[tuple, DataFrame] = {}
+
+
+def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in an LSH candidate pair at
+    est_jaccard >= _CLUSTER_THRESHOLD — materialized once per session."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        16,
+        8,
+        _CLUSTER_THRESHOLD,
+    )
+    got = _SHARED_CC.get(key)
+    if got is not None:
+        return got
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
+    comp, _rdd = _truncate_lineage(comp, reliable=False)
+    comp.count()  # materialize so later readers never re-run the rounds
+    _SHARED_CC[key] = comp
+    return comp
+
 
 @register(
     "q_dedup_clusters",
@@ -240,15 +277,7 @@ _CLUSTER_THRESHOLD = 0.5
     ),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
-        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
-    )
-    return (
-        connected_components(pairs)
-        .select(F.col("node").alias("doc_id"), "cluster_id")
-        .orderBy("doc_id")
-    )
+    return _cluster_assignments(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -266,10 +295,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
-        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    # Same rule as dedup_corpus (keep the min-id doc per cluster, pass
+    # isolated docs through), fed from the shared materialized CC stage.
+    losers = _cluster_assignments(spark, sf_dir).where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti").orderBy(
+        "doc_id"
     )
-    return dedup_corpus(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
 _NORM_FP_SQL = (
@@ -586,12 +619,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
-        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
-    )
     return (
-        connected_components(pairs)
+        _cluster_assignments(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("size"))
         .groupBy("size")

@@ -1279,3 +1279,31 @@ def test_fifth_review_reference_semantics(spark):
         2, 2,
     ).collect()[0]
     assert rz["id"] == "sha-a" and len(rz["content"]) == 2 * 2 * 3
+
+
+def test_shared_cluster_stage_memoizes(spark):
+    """The cluster-shaped catalog rows share one materialized CC stage
+    per (session, sf_dir): the second call returns the SAME DataFrame
+    object, and q_cluster_sizes equals aggregating q_dedup_clusters."""
+    from metalpipe_spark.catalog import dedup as cat_dedup
+    from tests.conftest import SF_ORACLE
+
+    cat_dedup._SHARED_CC.clear()
+    a = cat_dedup._cluster_assignments(spark, SF_ORACLE)
+    b = cat_dedup._cluster_assignments(spark, SF_ORACLE)
+    assert a is b
+    sizes = {
+        (r["size"], r["n_clusters"])
+        for r in cat_dedup.q_cluster_sizes(spark, SF_ORACLE).collect()
+    }
+    from pyspark.sql import functions as F
+
+    derived = {
+        (r["size"], r["n_clusters"])
+        for r in a.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    }
+    assert sizes == derived
