@@ -868,6 +868,15 @@ def compile_pipeline(
                 post_keypath = opts.pop("post_process_keypath", None)
                 post_rt = opts.pop("post_process_return_type", "string")
                 break_spec = opts.pop("break_test", None)
+                # max_messages_received (node.py:170,445-450): the node
+                # stops consuming after N messages -> df.limit(n) on the
+                # node's output.  throttle (node.py:142,167,452-453) is a
+                # per-message sleep — meaningless under Spark's pull-based
+                # batch execution, so it is accepted (reference configs
+                # compile unchanged) and ignored; a streaming deployment
+                # controls cadence with trigger intervals instead.
+                max_messages = opts.pop("max_messages_received", None)
+                opts.pop("throttle", None)
                 ups = [built[u] for u in upstreams[name]]
                 if input_mapping:
                     ups = [
@@ -889,6 +898,14 @@ def compile_pipeline(
                     df = set_value(df, post_keypath, fn(get_value(post_keypath)))
                 if break_spec:
                     df = apply_break_test(df, break_spec)
+                if max_messages is not None:
+                    if df.isStreaming:
+                        raise ValueError(
+                            f"node {name!r}: max_messages_received is a "
+                            "batch option (a streaming node bounds work "
+                            "with availableNow/maxFilesPerTrigger)"
+                        )
+                    df = df.limit(int(max_messages))
                 if capture_dir is not None and not df.isStreaming:
                     df.write.mode("overwrite").parquet(
                         os.path.join(capture_dir, name)

@@ -633,3 +633,34 @@ def test_post_process_without_keypath_fails_loudly(spark):
 
     with pytest.raises(ValueError, match="post_process_keypath"):
         compile_pipeline(spark, config)
+
+
+def test_max_messages_received_limits_node_output(spark):
+    """Reference universal node options (node.py:167,170,445-453):
+    max_messages_received bounds the node's output (df.limit), throttle
+    is accepted and ignored (batch Spark has no per-message cadence)."""
+    config = {
+        "nodes": {
+            "read": {
+                "class": "ParquetReader",
+                "options": {
+                    "path": f"{SF_SMOKE}/customer.parquet",
+                    "max_messages_received": 7,
+                    "throttle": 0.5,
+                },
+            },
+            "shape": {
+                "class": "Remapper",
+                "options": {
+                    "mapping": {"id": "c_custkey"},
+                    "max_messages_received": 3,
+                },
+            },
+        },
+        "paths": [["read", "shape"]],
+    }
+    p = compile_pipeline(spark, config)
+    assert p.dataframes["read"].count() == 7
+    assert p.dataframes["shape"].count() == 3
+    # the plan is a real Catalyst limit, not a driver-side truncation
+    assert "GlobalLimit" in p.dataframes["shape"]._jdf.queryExecution().optimizedPlan().toString()
