@@ -304,7 +304,7 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_oracle(
-    centroids: list[list[float]], threshold: float
+    centroids: list[list[float]], threshold: float, where: str = ""
 ) -> str:
     """Pure-SQL replay of semantic_dedup: literal-centroid assignment
     (same argmin + ascending-cell tie-break as the IVF oracle), within-
@@ -321,7 +321,7 @@ def _semdedup_oracle(
     corpus AS (
       SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings
+      FROM embeddings {where}
     ),
     assigned AS (
       SELECT vec_id, embedding, nrm, cell FROM (
@@ -350,7 +350,17 @@ def _semdedup_oracle(
     # Same 0.25 threshold rationale as q_embed_neardup_lsh: the synthetic
     # embeddings are near-orthogonal, so a production 0.9 threshold would
     # drop nothing and the row would be a trivially-passing check.
-    _semdedup_oracle(deterministic_centroids(8, 64), threshold=0.25),
+    # Anchor fixture is the vec_id % 3 = 0 THIRD of the corpus: the
+    # oracle needs exactness, not a large cell population — the B^2
+    # interpreted fold runs on ~9x fewer within-cell pairs, while the
+    # GEMM production twin (q_semdedup_gemm) covers the FULL corpus and
+    # the operator-level survivor-set equality test keeps the two paths
+    # pinned to each other on identical inputs.
+    _semdedup_oracle(
+        deterministic_centroids(8, 64),
+        threshold=0.25,
+        where="WHERE vec_id % 3 = 0",
+    ),
     doc=(
         "SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-"
         "centroid cells bound the candidate space (map-side assignment, "
@@ -367,7 +377,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
     cents = _ivf_cents()
     kept = semantic_dedup(
         emb.select("vec_id", "embedding"), cents, threshold=0.25
