@@ -361,34 +361,21 @@ def stream_semantic_dedup_sink(
     member of the streaming dedup family (exact fingerprints and
     MinHash bands have the same shape, test_streaming.py).
 
-    The store overwrite is not atomic: a crash between the kept append
-    and the store write can admit one batch's near-dups on replay — the
-    same at-least-once caveat as the exact incremental sink; a table
-    format gives the transactional upgrade.  Store reads prune to the
-    batch's cells when the store is written partitioned by ``cell``.
+    A crash between the kept append and the store publish can admit one
+    batch's near-dups on replay — the at-least-once caveat shared by
+    the exact incremental sink; a table format gives the transactional
+    upgrade for the KEPT output too.
 
-    Store absence is decided by an explicit Hadoop-FS existence probe
-    (never by catching read errors: a transient read failure mistaken
-    for "no store yet" would dedup the batch against nothing and then
-    OVERWRITE the accumulated store with one batch — silent loss of all
-    prior state; a real read error must fail the batch so the
-    checkpoint replays it).
-
-    Durability of the swap: the new store is fully written to a durable
-    ``_next`` staging directory BEFORE the old store is touched, then
-    promoted with a filesystem rename (metadata-only on local/HDFS) —
-    at no point is the only complete copy of the accumulated state
-    sitting in executor block storage.  A crash in the tiny window
-    between delete and rename leaves ``_next`` holding the only
-    complete copy — so every batch STARTS by self-healing that state:
-    if the store is absent but ``_next`` exists, ``_next`` is promoted
-    before anything is read or written.  Without that step an automatic
-    streaming restart would see "no store", dedup the replayed batch
-    against nothing, and overwrite ``_next`` — destroying the
-    accumulated state the moment it was needed.  Batch-scale GEMM
+    The store itself publishes through ``_incremental_store_sink``'s
+    versioned-manifest protocol (the same reader-atomicity as
+    ``upsert_parquet(manifest=True)``): each batch writes a complete
+    new store version, flips an immutable manifest, and self-heals any
+    crash debris at the start of the next batch — no crash point leaves
+    zero complete copies, and a reader using ``load_store`` racing the
+    swap sees entirely-old or entirely-new state.  Batch-scale GEMM
     results are materialized once
     (``checkpoint_batch`` in ``incremental_semantic_dedup``) so the
-    kept-append and the staging write don't re-run the dedup kernels;
+    kept-append and the version write don't re-run the dedup kernels;
     the store itself streams scan→parquet exactly once."""
     from metalpipe_spark.operators.similarity import incremental_semantic_dedup
 
@@ -402,53 +389,146 @@ def stream_semantic_dedup_sink(
     return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
 
 
+_STORE_VDIR_RE = r"v-(\d{10})"
+
+
+def load_store(spark, store_path: str) -> DataFrame:
+    """Read an ``_incremental_store_sink`` store at its CURRENT manifest
+    version — the reader-atomic entry point: a scan racing a store swap
+    resolves one published version's exact file set (entirely-old or
+    entirely-new, never a mix).  This is THE reader for store state —
+    data lives under versioned subdirectories, which a plain
+    non-recursive ``spark.read.parquet(store_path)`` cannot see.
+    Delegates to the same ``load_published`` machinery as
+    ``upsert_parquet(manifest=True)``."""
+    from metalpipe_spark.sinks.writers import load_published
+
+    return load_published(spark, store_path)
+
+
 def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, checkpoint: str, step):
     """The shared skeleton of every store-backed incremental dedup sink
-    (semantic cells, image codes): per micro-batch, SELF-HEAL a crashed
-    previous swap (store absent + ``_next`` present → promote ``_next``
-    before anything is read — see ``stream_semantic_dedup_sink``'s
-    docstring for why skipping this destroys the accumulated state on
-    restart), read the store through an explicit existence probe, run
-    ``step(batch_df, store) -> (fresh, updated_store[, cleanup])``,
-    append the fresh rows, stage the updated store durably in
-    ``_next``, then delete + rename; a ``cleanup`` callable (optional
-    third element) runs after the swap so a step that materialized
-    batch-scale intermediates can drop their blocks instead of pinning
-    one set per micro-batch for the stream's lifetime.  One
-    implementation, every sink — a hand-copied swap in a second sink
-    would silently drift from the healed one."""
-    from metalpipe_spark.sinks.writers import _target_exists
+    (semantic cells, image codes): per micro-batch, read the store at
+    its current manifest version, run ``step(batch_df, store) ->
+    (fresh, updated_store[, cleanup])``, append the fresh rows, write
+    the updated store fully into a NEW version directory, then flip the
+    manifest — the same reader-atomic versioned publish as
+    ``upsert_parquet(manifest=True)`` (one immutable
+    ``_manifest-v{N}.json`` per version, flipped by a single rename),
+    so a reader racing the swap sees entirely-old or entirely-new state
+    and NO crash point ever leaves zero complete copies on disk:
+
+    - crash before the manifest flip → the new ``v-{N+1}`` dir is
+      unlisted debris; the next batch reconciles it away and retries.
+    - crash after the flip, before old-version GC → the superseded
+      ``v-{N}`` dir lingers; the next batch GCs it.
+
+    Layout: ``store_path/v-{N:010d}/part-*.parquet`` + manifests.  A
+    pre-manifest flat store (data files at the top level, possibly with
+    a crashed ``_next`` sibling from the old delete-then-rename swap)
+    is adopted in place: ``_next`` promotes first if it holds the only
+    copy, then top-level files move into ``v-0000000001`` and manifest
+    v1 publishes them — idempotent under crashes (file moves are
+    re-runnable; the manifest appears only after every file is in).
+
+    A ``cleanup`` callable (optional third element of ``step``'s
+    return) runs after the swap so a step that materialized batch-scale
+    intermediates can drop their blocks instead of pinning one set per
+    micro-batch for the stream's lifetime.  One implementation, every
+    sink — a hand-copied swap in a second sink would silently drift
+    from the healed one."""
+    import re
+
+    from metalpipe_spark.sinks.writers import (
+        _write_manifest,
+        load_published,
+        read_current_manifest,
+    )
 
     spark = df.sparkSession
     next_path = store_path + "_next"
 
+    def _data_files(fs, dir_path):
+        return sorted(
+            f.getPath().getName()
+            for f in fs.listStatus(dir_path)
+            if not f.isDirectory()
+            and not f.getPath().getName().startswith(("_", "."))
+        )
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        src = jvm.org.apache.hadoop.fs.Path(next_path)
-        dst = jvm.org.apache.hadoop.fs.Path(store_path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        src = hpath(next_path)
+        dst = hpath(store_path)
         fs = dst.getFileSystem(hconf)
+        # Legacy self-heal: the old delete-then-rename swap could crash
+        # with the only complete copy at _next; promote it before
+        # anything is read (skipping this would dedup the replayed
+        # batch against nothing and then bury the recovery copy).
         if not fs.exists(dst) and fs.exists(src):
             if not fs.rename(src, dst):
                 raise IOError(
                     f"store recovery failed: rename {next_path} -> {store_path}"
                 )
-        store = (
-            spark.read.parquet(store_path)
-            if _target_exists(spark, store_path)
-            else None
-        )
+        cur = read_current_manifest(spark, store_path)
+        if cur is None and fs.exists(dst):
+            # Adopt a pre-manifest flat store: move top-level data files
+            # into a version dir, publish manifest v1 over the result.
+            flat = _data_files(fs, dst)
+            if flat:
+                vdir = hpath(dst, "v-0000000001")
+                fs.mkdirs(vdir)
+                for fname in flat:
+                    if not fs.rename(hpath(dst, fname), hpath(vdir, fname)):
+                        raise IOError(
+                            f"store adoption failed: {fname} in {store_path}"
+                        )
+                _write_manifest(
+                    spark, store_path, 1,
+                    {"v-0000000001": _data_files(fs, vdir)},
+                )
+                cur = read_current_manifest(spark, store_path)
+        if cur is not None:
+            version, partitions = cur
+            live_dirs = set(partitions)
+            # Reconcile: version dirs the manifest does not name are
+            # crash debris (a v{N+1} write that never flipped, or a
+            # superseded v{N-1} whose GC was interrupted).
+            for status in fs.listStatus(dst):
+                name = status.getPath().getName()
+                if (
+                    status.isDirectory()
+                    and re.fullmatch(_STORE_VDIR_RE, name)
+                    and name not in live_dirs
+                ):
+                    fs.delete(status.getPath(), True)
+            store = load_published(spark, store_path)
+        else:
+            version, live_dirs, store = 0, set(), None
         out = step(batch_df, store)
         fresh, updated = out[0], out[1]
         cleanup = out[2] if len(out) > 2 else None
         fresh.write.mode("append").parquet(kept_path)
-        updated.write.mode("overwrite").parquet(next_path)
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        if not fs.rename(src, dst):
-            raise IOError(
-                f"store promotion failed: rename {next_path} -> {store_path}"
-            )
+        new_version = version + 1
+        new_dir = f"v-{new_version:010d}"
+        updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")
+        # The atomic flip: readers move to the new store version here.
+        _write_manifest(
+            spark, store_path, new_version,
+            {new_dir: _data_files(fs, hpath(dst, new_dir))},
+        )
+        # GC the superseded version dir and manifests older than N-1
+        # (N-1's manifest stays so a reader that resolved it just before
+        # the flip still parses it — the documented retryable-read
+        # caveat when its files are gone).
+        for name in live_dirs:
+            fs.delete(hpath(dst, name), True)
+        for status in fs.listStatus(dst):
+            m = re.fullmatch(r"_manifest-v(\d+)\.json", status.getPath().getName())
+            if m and int(m.group(1)) < new_version - 1:
+                fs.delete(status.getPath(), False)
         if cleanup is not None:
             cleanup()
 

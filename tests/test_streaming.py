@@ -506,6 +506,89 @@ def test_streaming_image_dedup_foreach_batch(spark, tmp_path):
         stream, kept_path, store_path, str(tmp_path / "ckpt")
     ).awaitTermination()
 
+    from metalpipe_spark.streaming.streams import load_store
+
     kept = sorted(r["id"] for r in spark.read.parquet(kept_path).collect())
-    store = sorted(r["id"] for r in spark.read.parquet(store_path).collect())
+    store = sorted(r["id"] for r in load_store(spark, store_path).collect())
     assert kept == store == [1, 3]
+
+
+def test_store_swap_reader_atomicity_and_debris_heal(spark, tmp_path):
+    """The incremental-store publish is reader-atomic, the
+    upsert_parquet(manifest=True) contract: at every crash point of a
+    swap (new version dir fully written but manifest not flipped;
+    manifest flipped), a load_store reader resolves exactly one
+    complete published version — never a mix — and the next batch
+    reconciles crash debris away without changing reader-visible
+    state.  (A reader that pinned version N-1 immediately before a
+    promotion may find its files GC'd mid-scan — the documented
+    retryable-read caveat, shared with upsert_parquet.)"""
+    import os
+    import shutil
+    import time as _time
+
+    from metalpipe_spark.sinks.writers import (
+        _write_manifest,
+        read_current_manifest,
+    )
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        load_store,
+        stream_semantic_dedup_sink,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "vecs"
+    store_path = str(tmp_path / "store")
+    kept_path = str(tmp_path / "kept")
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.1, -1.0, 0.0, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream_semantic_dedup_sink(
+        file_watchdog(spark, str(src), schema, max_files_per_trigger=4),
+        cents, kept_path, store_path, str(tmp_path / "ckpt1"), threshold=0.9,
+    ).awaitTermination()
+
+    v1 = read_current_manifest(spark, store_path)
+    assert v1 is not None and v1[0] == 1
+    v1_rows = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
+    assert v1_rows == [0, 1]
+
+    # Mid-swap crash point: version-2 dir fully written (different
+    # content, so mixing would be visible), manifest NOT yet flipped.
+    (v1_dir,) = set(v1[1])
+    v2_dir = "v-0000000002"
+    load_store(spark, store_path).limit(1).selectExpr(
+        "7 AS vec_id", "* EXCEPT (vec_id)"
+    ).write.mode("overwrite").parquet(os.path.join(store_path, v2_dir))
+    got = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
+    assert got == v1_rows  # still exactly version 1
+
+    # The flip: one manifest rename moves readers to version 2.
+    _write_manifest(
+        spark, store_path, 2,
+        {v2_dir: sorted(
+            f for f in os.listdir(os.path.join(store_path, v2_dir))
+            if not f.startswith(("_", "."))
+        )},
+    )
+    got2 = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
+    assert got2 == [7]  # exactly version 2
+
+    # Next real batch: reconciles the superseded v1 dir (unlisted by the
+    # current manifest) and publishes v3 on top of the v2 state.
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(4, [0.0, 0.0, 1.0, 0.1])], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream_semantic_dedup_sink(
+        file_watchdog(spark, str(src), schema, max_files_per_trigger=8),
+        cents, kept_path, store_path, str(tmp_path / "ckpt2"), threshold=0.9,
+    ).awaitTermination()
+    assert not os.path.exists(os.path.join(store_path, v1_dir))
+    v3 = read_current_manifest(spark, store_path)
+    assert v3 is not None and v3[0] == 3
+    got3 = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
+    assert 7 in got3 and 4 in got3
