@@ -50,6 +50,7 @@ HEADLINE = [
     # config/language entry paths
     "q_pipeline_yaml",
     "q_mtl_events",
+    "q_mtl_go_up",
     # entity-graph modeling
     "q_entity_customer",
     "q_master_customer",

@@ -66,3 +66,45 @@ def q_mtl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = run_program({"events": ev}, text)["events_k"]
     return out.orderBy("event_id")
+
+
+@register(
+    "q_mtl_go_up",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+    doc=(
+        "MTL multi-chain with GO UP (treehorn_yaccer grammar, reference "
+        "treehorn.py:385-391 ancestors-nearest-first): descend to the "
+        "dict holding user_id, then climb to the nearest ancestor "
+        "holding k — binds the enclosing payload, not the root.  "
+        "Compiled to schema paths: the whole traversal is a select over "
+        "one nested struct column, no explode, no shuffle."
+    ),
+)
+def q_mtl_go_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.modelling.mtl import run_program
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.from_json("props", "k BIGINT")["k"].alias("k"),
+            F.struct(F.col("user_id"), F.col("value")).alias("meta"),
+        ).alias("payload"),
+    )
+    text = """
+    QUERY up_k IS
+    SELECT root.event_id AS event_id,
+           meta.user_id AS user_id,
+           pay.k AS k
+    FROM events
+    START AT TOP AS root
+    GO DOWN UNTIL HAS KEY user_id AS meta
+    GO UP UNTIL HAS KEY k AS pay ;
+    """
+    out = run_program({"events": nested}, text)["up_k"]
+    return out.orderBy("event_id")
