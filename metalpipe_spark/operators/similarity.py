@@ -429,7 +429,7 @@ def ivf_topk(
     df: DataFrame,
     k_cells: int = 16,
     k: int = 3,
-    n_probe: int = 2,
+    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -447,8 +447,11 @@ def ivf_topk(
 
     Each (query, candidate) pair meets at most once (a candidate has one
     home cell), so no dedup shuffle.  Recall grows with ``n_probe`` at
-    linear extra cost — the knob a 100 TB deployment tunes; tested
-    against brute force in tests/test_scale_utils.py.
+    linear extra cost — the knob a 100 TB deployment tunes; the default
+    (4) holds recall@1 >= 0.9 against brute force even on near-random
+    embeddings, the geometry least favorable to an inverted file
+    (pinned in tests/test_scale_utils.py; clustered real-world
+    embeddings reach the same recall with fewer probes).
     """
     assigned, centroids = ivf_assign(df, k_cells=k_cells, vec_col=vec_col, seed=seed)
     assigned = assigned.withColumn("_vd", F.col(vec_col).cast("array<double>"))

@@ -163,14 +163,16 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         }
         return sum(1 for d1, d2 in truth.items() if got.get(d1) == d2) / len(truth), got
 
-    r3, got3 = recall(3)
-    assert r3 >= 0.75, f"recall@1(n_probe=3) {r3:.2f}"
+    # The serving default (n_probe=4) must hold >= 0.9 recall@1 even on
+    # this near-random geometry — the floor a deployment can rely on.
+    r4, got4 = recall(4)
+    assert r4 >= 0.9, f"recall@1(n_probe=4) {r4:.2f}"
     # More probes must not lose recall (the IVF cost/recall knob).
     r1, _ = recall(1)
-    assert r3 >= r1
+    assert r4 >= r1
     # Determinism: same seed -> identical neighbors.
-    _, again = recall(3)
-    assert got3 == again
+    _, again = recall(4)
+    assert got4 == again
 
 
 def test_brute_force_topk_batch_matches_single(spark):
