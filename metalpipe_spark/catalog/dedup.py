@@ -234,7 +234,21 @@ _CLUSTER_THRESHOLD = 0.5
 # the per-doc assignment table (O(docs in pairs) rows).  Rows stay
 # independently runnable — any order, any subset — the memo is purely a
 # compute-once optimization, never a correctness dependency.
-_SHARED_CC: dict[tuple, DataFrame] = {}
+_SHARED_CC: dict[tuple, tuple[DataFrame, object]] = {}
+
+
+def clear_shared_stages() -> None:
+    """Drop every memoized shared stage AND its checkpoint blocks —
+    bench.py calls this before timing the row designated to pay the
+    stage's compute, so repeated timed runs re-materialize instead of
+    silently serving from storage (and the superseded blocks don't pin
+    executor memory across runs)."""
+    for _df, rdd in _SHARED_CC.values():
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass  # context already stopped
+    _SHARED_CC.clear()
 
 
 def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +263,7 @@ def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _SHARED_CC.get(key)
     if got is not None:
-        return got
+        return got[0]
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
         F.col("est_jaccard") >= _CLUSTER_THRESHOLD
@@ -259,9 +273,9 @@ def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from metalpipe_spark.operators.dedup import _truncate_lineage
 
-    comp, _rdd = _truncate_lineage(comp, reliable=False)
+    comp, rdd = _truncate_lineage(comp, reliable=False)
     comp.count()  # materialize so later readers never re-run the rounds
-    _SHARED_CC[key] = comp
+    _SHARED_CC[key] = (comp, rdd)
     return comp
 
 

@@ -1288,7 +1288,7 @@ def test_shared_cluster_stage_memoizes(spark):
     from metalpipe_spark.catalog import dedup as cat_dedup
     from tests.conftest import SF_ORACLE
 
-    cat_dedup._SHARED_CC.clear()
+    cat_dedup.clear_shared_stages()
     a = cat_dedup._cluster_assignments(spark, SF_ORACLE)
     b = cat_dedup._cluster_assignments(spark, SF_ORACLE)
     assert a is b
