@@ -151,3 +151,71 @@ def jdbc_table(
     comes from JDBC metadata (the reference reads information_schema by
     hand); SQL pushdown via a query-in-``table`` string works unchanged."""
     return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def mysql_type_to_spark(type_string: str):
+    """MySQL schema type string → Spark ``DataType`` — the analog of the
+    reference's string-to-class mapping (data_structures.py:76-106:
+    ``int(8)`` → ``MYSQL_INTEGER8``, ``varchar(40)`` → VARCHAR class,
+    unknown → varchar fallback).  JDBC metadata is the normal schema
+    path (``jdbc_table``); this parser serves hand-written MySQL DDL in
+    YAML configs and schema assertions in tests.
+
+    Parenthesized lengths parse but do not change the Spark type where
+    Spark has no narrower one: MySQL's ``int(8)`` is a DISPLAY width
+    (storage is 32-bit regardless), so every ``int(N)`` maps to
+    IntegerType, and ``varchar(N)`` to StringType (Spark treats VARCHAR
+    as STRING outside DDL enforcement).  Unknown types fall back to
+    StringType — the reference's lenient behavior — rather than
+    raising, so a config written against a newer MySQL keeps loading."""
+    from pyspark.sql import types as T
+
+    s = type_string.strip().lower()
+    base = s.split("(", 1)[0].strip()
+    unsigned = base.endswith(" unsigned") or s.endswith(" unsigned")
+    base = base.replace(" unsigned", "").strip()
+    if base == "tinyint":
+        # tinyint(1) is MySQL's boolean convention (BOOL aliases it).
+        return T.BooleanType() if s.startswith("tinyint(1)") else T.ByteType()
+    if base == "smallint":
+        return T.ShortType()
+    if base in ("int", "integer", "mediumint"):
+        # unsigned int exceeds IntegerType's range; widen like JDBC does
+        return T.LongType() if unsigned else T.IntegerType()
+    if base == "bigint":
+        return T.DecimalType(20, 0) if unsigned else T.LongType()
+    if base == "float":
+        return T.FloatType()
+    if base in ("double", "real"):
+        return T.DoubleType()
+    if base in ("decimal", "numeric"):
+        inner = s[s.index("(") + 1 : s.rindex(")")] if "(" in s else "10,0"
+        parts = [p.strip() for p in inner.split(",")]
+        prec = int(parts[0])
+        scale = int(parts[1]) if len(parts) > 1 else 0
+        return T.DecimalType(prec, scale)
+    if base == "date":
+        return T.DateType()
+    if base in ("datetime", "timestamp"):
+        return T.TimestampType()
+    if base in ("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob"):
+        return T.BinaryType()
+    if base in ("bit",):
+        return T.BooleanType() if s in ("bit", "bit(1)") else T.LongType()
+    if base == "year":
+        return T.IntegerType()
+    # char/varchar/text/enum/set/json and anything unrecognized
+    return T.StringType()
+
+
+def mysql_schema_to_struct(columns) -> "T.StructType":
+    """``[(name, mysql_type_string), ...]`` (or a name→type mapping) →
+    a Spark ``StructType`` — the table-level face of
+    :func:`mysql_type_to_spark`, mirroring how the reference built a
+    row schema from information_schema rows (node.py:1346-1384)."""
+    from pyspark.sql import types as T
+
+    items = columns.items() if hasattr(columns, "items") else columns
+    return T.StructType(
+        [T.StructField(name, mysql_type_to_spark(ts), True) for name, ts in items]
+    )

@@ -660,3 +660,42 @@ def test_upsert_parquet_manifest_adoption_heals_preexisting_debris(spark, tmp_pa
     )
     # no duplicated id=1, and part=b's rows survived the stranded stage
     assert rows == [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0)]
+
+
+def test_mysql_type_strings_map_to_spark_types(spark):
+    """The reference's MySQL type-string mapping (data_structures.py:
+    76-106) realized as Spark DataTypes: display widths parse away,
+    tinyint(1) is boolean, unsigned widens, unknown falls back to
+    string (the reference's lenient default), and a schema built from
+    DDL strings round-trips data through createDataFrame."""
+    from pyspark.sql import types as T
+
+    from metalpipe_spark.sources.readers import (
+        mysql_schema_to_struct,
+        mysql_type_to_spark,
+    )
+
+    assert mysql_type_to_spark("int(8)") == T.IntegerType()
+    assert mysql_type_to_spark("INT") == T.IntegerType()
+    assert mysql_type_to_spark("varchar(40)") == T.StringType()
+    assert mysql_type_to_spark("date") == T.DateType()
+    assert mysql_type_to_spark("datetime") == T.TimestampType()
+    assert mysql_type_to_spark("tinyint(1)") == T.BooleanType()
+    assert mysql_type_to_spark("tinyint(4)") == T.ByteType()
+    assert mysql_type_to_spark("bigint") == T.LongType()
+    assert mysql_type_to_spark("bigint unsigned") == T.DecimalType(20, 0)
+    assert mysql_type_to_spark("int unsigned") == T.LongType()
+    assert mysql_type_to_spark("decimal(12,4)") == T.DecimalType(12, 4)
+    assert mysql_type_to_spark("blob") == T.BinaryType()
+    assert mysql_type_to_spark("no_such_type") == T.StringType()
+
+    schema = mysql_schema_to_struct(
+        [("id", "int(11)"), ("name", "varchar(64)"), ("joined", "date")]
+    )
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, "ada", datetime.date(2020, 1, 2))], schema
+    )
+    assert df.schema == schema
+    assert df.head()["name"] == "ada"
