@@ -118,6 +118,7 @@ HEADLINE = [
     "q_chunk_documents",
     "q_curate_top_docs",
     "q_pack_shards",
+    "q_pack_sequences",
     "q_corpus_pipeline",
     "q_mix_pipeline",
     # treehorn / nested-data

@@ -125,6 +125,57 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SEQ_LEN = 512
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prefix
+      FROM t
+    ), e AS (
+      SELECT doc_id, n_tokens, prefix,
+             unnest(range((prefix // {_SEQ_LEN})::BIGINT,
+                          ((prefix + n_tokens - 1) // {_SEQ_LEN} + 1)::BIGINT)) AS seq_id
+      FROM p WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, seq_id,
+           (greatest(prefix, seq_id * {_SEQ_LEN}) - prefix)::BIGINT AS doc_start,
+           (greatest(prefix, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN})::BIGINT AS seq_start,
+           (least(prefix + n_tokens, (seq_id + 1) * {_SEQ_LEN})
+              - greatest(prefix, seq_id * {_SEQ_LEN}))::BIGINT AS piece_len
+    FROM e ORDER BY doc_id, seq_id
+    """,
+    doc=(
+        "GPT-style sequence packing manifest: concatenate all documents "
+        "in doc_id order and chunk into fixed 512-token sequences, one "
+        "row per (document, sequence) overlap with in-doc and in-seq "
+        "offsets — documents split across boundaries (the standard "
+        "pretraining packing, vs q_pack_shards' document-atomic "
+        "shards).  One shuffle (the distributed prefix sum's range "
+        "partition); the per-doc sequence range explodes in codegen."
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, "n_tokens", "doc_id", _SEQ_LEN).orderBy(
+        "doc_id", "seq_id"
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.3, "de": 0.25, "fr": 0.2, "es": 0.15, "zh": 0.1}
 
 _MIX_CASE = "CASE " + " ".join(

@@ -112,13 +112,38 @@ def pack_shards(
     are identical for any partition count (tested).  ``order_col`` must
     be a unique key, otherwise "preceding" is ambiguous.
     """
+    with_prefix = exclusive_prefix_sum(
+        df, weight_col, order_col, num_partitions=num_partitions
+    )
+    # Integer budgets divide in BIGINT (`div`) — exact at any prefix
+    # magnitude; a double floor could flip a shard boundary once
+    # prefixes outgrow the 53-bit mantissa.
+    if float(shard_budget).is_integer():
+        shard = F.expr(f"`__prefix` div {int(shard_budget)}L")
+    else:
+        shard = F.floor(F.col("__prefix") / F.lit(float(shard_budget))).cast("long")
+    return with_prefix.withColumn("shard_id", shard).drop("__prefix")
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "__prefix",
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``weight_col`` in
+    ``order_col`` order, as a new ``out_col`` — the shared engine under
+    every global-order curation op (shard packing, sequence packing,
+    global shuffle).  See :func:`pack_shards` for the two-pass scheme
+    and why the lazy checkpoint is correctness, not caching."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # NULL weights count as 0 (SQL SUM semantics, matching the oracle):
     # a NaN reaching np.cumsum would poison every later prefix in the
-    # partition into INT64_MIN shard ids with no error, and an all-NULL
+    # partition into INT64_MIN values with no error, and an all-NULL
     # partition would make the totals fetch return None and crash the
     # offset loop.
     df = df.withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(0)))
@@ -141,9 +166,8 @@ def pack_shards(
         offsets[pid] = acc
         acc += totals.get(pid, 0)
     schema = StructType(
-        df.schema.fields + [StructField("shard_id", LongType(), False)]
+        df.schema.fields + [StructField(out_col, LongType(), False)]
     )
-    budget = shard_budget
 
     def assign(iterator):
         import numpy as np
@@ -153,14 +177,65 @@ def pack_shards(
         for pdf in iterator:
             w = pdf[weight_col].to_numpy()
             csum = np.cumsum(w)
-            prefix = run + csum - w  # exclusive prefix
             out = pdf.copy()
-            out["shard_id"] = (prefix // budget).astype("int64")
+            out[out_col] = (run + csum - w).astype("int64")  # exclusive
             if len(w):
                 run += csum[-1]
             yield out
 
     return ranged.mapInPandas(assign, schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate every document's
+    tokens in ``order_col`` order and chunk the stream into fixed
+    ``seq_len`` sequences — documents SPLIT across sequence boundaries
+    (the standard pretraining packing, vs :func:`pack_shards`' document-
+    atomic shards).  Emits one row per (document, sequence) overlap::
+
+        (input cols..., seq_id, doc_start, seq_start, piece_len)
+
+    ``doc_start`` = token offset within the document where the piece
+    begins, ``seq_start`` = offset within the sequence, so a writer can
+    slice each document's token array and scatter into sequence
+    buffers with no further coordination.  Zero-token documents emit no
+    rows.
+
+    Plan shape: ONE shuffle (the prefix sum's range partition), then
+    the per-doc sequence range explodes in codegen
+    (``explode(sequence(first_seq, last_seq))`` + min/max arithmetic) —
+    output size is input pieces, never tokens, and the global window
+    trap (one task) is avoided by the distributed prefix sum."""
+    with_prefix = exclusive_prefix_sum(
+        df, weight_col, order_col, num_partitions=num_partitions
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    n = F.col(weight_col).cast("long")
+    prefix = F.col("__prefix")
+    # BIGINT `div`, not double division: exact at any prefix magnitude.
+    first_seq = F.expr(f"`__prefix` div {int(seq_len)}L")
+    last_seq = F.expr(
+        f"(`__prefix` + CAST(`{weight_col}` AS BIGINT) - 1L) div {int(seq_len)}L"
+    )
+    exploded = with_prefix.where(n > 0).withColumn(
+        "seq_id", F.explode(F.sequence(first_seq, last_seq))
+    )
+    s = F.col("seq_id").cast("long")
+    piece_start = F.greatest(prefix, s * L)
+    piece_end = F.least(prefix + n, (s + F.lit(1)) * L)
+    return exploded.select(
+        *[c for c in df.columns],
+        "seq_id",
+        (piece_start - prefix).alias("doc_start"),
+        (piece_start - s * L).alias("seq_start"),
+        (piece_end - piece_start).alias("piece_len"),
+    )
 
 
 def domain_mix_sample(

@@ -1307,3 +1307,53 @@ def test_shared_cluster_stage_memoizes(spark):
         .collect()
     }
     assert sizes == derived
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing must tile the concatenated token stream exactly:
+    per-document pieces reconstruct the document (contiguous from
+    doc_start 0), per-sequence pieces fill every sequence to seq_len
+    (except the last), zero-token docs vanish, and the manifest is
+    identical for any partition count."""
+    from metalpipe_spark.operators.curation import pack_sequences
+
+    rows = [(i, (i * 37) % 23) for i in range(50)]  # includes n=0 docs
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "n", "doc_id", 16, num_partitions=3).collect()
+
+    by_doc: dict[int, list] = {}
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+
+    want = {d: n for d, n in rows if n > 0}
+    assert set(by_doc) == set(want)
+    for d, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["seq_id"])
+        assert pieces[0]["doc_start"] == 0
+        assert sum(p["piece_len"] for p in pieces) == want[d]
+        # contiguous within the doc AND consecutive sequences
+        off = 0
+        for a, b in zip(pieces, pieces[1:]):
+            assert b["seq_id"] == a["seq_id"] + 1
+        for p in pieces:
+            assert p["doc_start"] == off
+            off += p["piece_len"]
+
+    total = sum(want.values())
+    last_seq = max(by_seq)
+    for s, pieces in by_seq.items():
+        filled = sum(p["piece_len"] for p in pieces)
+        assert filled == (16 if s < last_seq else total - 16 * last_seq)
+        # pieces tile the sequence without gaps or overlap
+        spans = sorted((p["seq_start"], p["piece_len"]) for p in pieces)
+        cur = 0
+        for start, ln in spans:
+            assert start == cur
+            cur += ln
+
+    # partition-count independence
+    again = pack_sequences(df, "n", "doc_id", 16, num_partitions=7).collect()
+    key = lambda r: (r["doc_id"], r["seq_id"], r["doc_start"], r["seq_start"], r["piece_len"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
