@@ -66,6 +66,7 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_cluster_sizes",
     "q_decontaminate",
+    "q_bloom_decontaminate",
     "q_dedup_corpus",
     "q_incremental_dedup",
     "q_incremental_neardup",

@@ -619,6 +619,88 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("corpus_id", "benchmark_id")
 
 
+def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
+    from metalpipe_spark.operators.dedup import minhash_coefficients
+
+    # Multiply-shift positions (high bits), matching _bloom_positions.
+    shift = 32 - (m_bits.bit_length() - 1)
+    pos_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, shingle, (({a} * h + {b}) % 4294967296) // {1 << shift} AS pos FROM ch"
+        for a, b in minhash_coefficients(k)
+    )
+    bit_rows = "\n      UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % 4294967296) // {1 << shift} AS pos FROM bh"
+        for a, b in minhash_coefficients(k)
+    )
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    btoks AS (SELECT string_split(text, ' ') AS t FROM bench),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM btoks
+    ),
+    bh AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM bsh),
+    bits AS (SELECT DISTINCT pos FROM (
+      {bit_rows}
+    )),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM ctoks
+    ),
+    ch AS (
+      SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+      FROM csh
+    ),
+    cpos AS (
+      {pos_rows}
+    ),
+    positive AS (
+      SELECT doc_id, shingle
+      FROM cpos JOIN bits USING (pos)
+      GROUP BY doc_id, shingle
+      HAVING COUNT(*) = {k}
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS bloom_hits
+    FROM positive GROUP BY doc_id
+    HAVING COUNT(*) >= {min_hits}
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_bloom_decontaminate",
+    _bloom_oracle(1 << 18, 4, 3),
+    doc=(
+        "Bloom-filter decontamination (the fixed-size-state twin of "
+        "q_decontaminate): the benchmark's distinct 3-gram shingles "
+        "pack into a 2^18-bit mask (32 KiB regardless of benchmark "
+        "size), the corpus probes it with 4 md5-affine bit checks in "
+        "pure codegen — no join for candidate generation — and docs "
+        "with >= 3 positive shingles are flagged.  One-sided error "
+        "(never misses real contamination under the same shingle "
+        "rule); oracle-exact because the DuckDB twin replays the same "
+        "affine positions against the distinct-position set, which "
+        "equals packed-mask membership by construction."
+    ),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    bench = docs.where(F.col("doc_id") % 2 == 1)
+    _, report = bloom_decontaminate(
+        corpus, bench, m_bits=1 << 18, k=4, min_hits=3
+    )
+    return report.orderBy("doc_id")
+
+
 @register(
     "q_cluster_sizes",
     f"""

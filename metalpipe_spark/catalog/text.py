@@ -885,8 +885,10 @@ def _countmin_oracle(depth: int = 4, width: int = 2048, k: int = 20) -> str:
 
     h32 = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
     coeffs = minhash_coefficients(depth)
+    # Multiply-shift buckets (high bits), matching _cm_bucket_structs.
+    shift = 32 - (width.bit_length() - 1)
     hash_rows = "\n      UNION ALL ".join(
-        f"SELECT tok, {j} AS j, (({a} * h + {b}) % 4294967296) % {width} AS bucket FROM hh"
+        f"SELECT tok, {j} AS j, (({a} * h + {b}) % 4294967296) // {1 << shift} AS bucket FROM hh"
         for j, (a, b) in enumerate(coeffs)
     )
     return f"""

@@ -123,14 +123,22 @@ def count_min_sketch(
 
 
 def _cm_bucket_structs(col: str, depth: int, width: int):
+    """Multiply-shift bucket rows (see ``_bloom_positions`` for why the
+    HIGH bits and not MOD: with a power-of-two width, ``(a*h+b) mod
+    width`` is a bijection of ``h mod width`` for every odd ``a``, so
+    all depth rows collide identically and min-over-rows degenerates to
+    one row's estimate)."""
     from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
 
+    if width & (width - 1):
+        raise ValueError(f"width must be a power of two, got {width}")
+    shift = 32 - (width.bit_length() - 1)
     h = _hash32(F.col(col))
     mod = F.lit(1 << 32).cast("long")
     rows = [
         F.struct(
             F.lit(j).alias("row"),
-            (((F.lit(a) * h + F.lit(b)) % mod) % F.lit(width)).alias("bucket"),
+            F.shiftright((F.lit(a) * h + F.lit(b)) % mod, shift).alias("bucket"),
         )
         for j, (a, b) in enumerate(minhash_coefficients(depth))
     ]
@@ -162,3 +170,161 @@ def count_min_lookup(
         F.broadcast(sketch.select("row", "bucket", "c")), ["row", "bucket"], "left"
     ).select(col, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     return joined.groupBy(col).agg(F.min("c").alias("cm_estimate"))
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """The ``k`` deterministic bit positions of a value: multiply-shift
+    hashing (Dietzfelbinger et al. 1997) over the portable 32-bit md5
+    hash — ``((a_i*h + b_i) mod 2^32) >> (32 - log2(m))``, the HIGH
+    bits of each affine transform.  The high bits matter: with a
+    power-of-two ``m``, taking the affine value MOD m keeps only the
+    low bits, and ``(a*h + b) mod m`` with odd ``a`` is a BIJECTION of
+    ``h mod m`` — every "independent" hash row degenerates into the
+    same function and k rows give the false-positive rate of one
+    (measured: ~n/m instead of (n_set/m)^k).  Shifted high bits mix
+    ``a_i``'s full product, so the rows are genuinely distinct.
+    Duplicate positions across the ``k`` rows remain fine (membership =
+    "every position set" holds regardless)."""
+    from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
+
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    shift = 32 - (m_bits.bit_length() - 1)
+    h = _hash32(col if not isinstance(col, str) else F.col(col))
+    mod = F.lit(1 << 32).cast("long")
+    return [
+        F.shiftright((F.lit(a) * h + F.lit(b)) % mod, shift)
+        for a, b in minhash_coefficients(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a column as ONE row ``(mask:
+    array<long>, m, k)`` — ``m_bits / 64`` packed 64-bit words (Bloom
+    1970).  Same determinism contract as the HLL / count-min sketches:
+    md5-affine bit positions and integer bit-ors, so the DuckDB oracle
+    reproduces membership exactly (it keeps the distinct position SET;
+    the packed mask is the same set by construction).
+
+    Plan shape: positions explode in codegen, then ONE map-side-
+    combined shuffle whose key space is at most ``m_bits / 64`` words
+    (bounded regardless of input size), then a single-row assembly.
+    The mask is ``m_bits / 8`` bytes (32 KiB at the 2^18 default) —
+    broadcastable state for a probe over any corpus size, the point of
+    a Bloom filter at 100 TB: the benchmark's shingle set rides to
+    every executor as a fixed-size bitmask instead of a string index.
+    Geometry (``m``, ``k``) rides in the row so :func:`bloom_probe`
+    always hashes with the filter's own parameters (count-min's
+    mismatch-proofing)."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(col, m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    packed = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("bits")))
+        ).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("mp"), i), F.lit(0).cast("long")),
+        ).alias("mask"),
+        F.lit(m_bits).alias("m"),
+        F.lit(k).alias("k"),
+    )
+    return packed
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership test of ``df[col]`` against a :func:`bloom_build`
+    filter: appends boolean ``out_col`` (true = possibly in the set,
+    false = DEFINITELY not — the one-sided Bloom contract the tests
+    pin).  Geometry is read from the filter row itself.
+
+    Plan shape: the one-row mask crossJoins in (broadcast by size), and
+    the k position checks are codegen bit arithmetic
+    (``element_at(mask, pos div 64 + 1) & (1 << pos % 64)``) — no
+    shuffle, no Python, scan-shaped over any corpus size."""
+    meta = bloom.select("m", "k").first()
+    m_bits, k = int(meta["m"]), int(meta["k"])
+    probed = df.crossJoin(F.broadcast(bloom.select("mask")))
+    positions = _bloom_positions(col, m_bits, k)
+    tmp = [f"__bloom_pos_{j}" for j in range(k)]
+    probed = probed.withColumns(dict(zip(tmp, positions)))
+    member = None
+    for name in tmp:
+        check = F.expr(
+            f"(element_at(mask, CAST(`{name}` div 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(`{name}` % 64 AS INT))) != 0"
+        )
+        member = check if member is None else member & check
+    return probed.withColumn(out_col, member).drop("mask", *tmp)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    min_hits: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Bloom-filter benchmark decontamination: flag corpus documents
+    whose distinct word ``n``-grams get at least ``min_hits`` POSITIVE
+    Bloom probes against the benchmark's shingle filter, and return
+    ``(clean_corpus, report)`` — ``report`` is ``(id_col, bloom_hits)``
+    for every flagged document.
+
+    The scale story vs :func:`~metalpipe_spark.operators.dedup.
+    decontaminate` (the exact broadcast-shingle-index form): the state
+    shipped to executors is a FIXED ``m_bits/8``-byte mask instead of
+    the benchmark's full shingle strings — at 100 TB the exact index for
+    a large benchmark suite is gigabytes of broadcast, the Bloom mask
+    is kilobytes, and the probe stays scan-shaped codegen with no join
+    at all.  The price is one-sided false POSITIVES (a clean doc may be
+    flagged; a contaminated doc is never missed relative to the same
+    shingle rule) — the right side to err on for decontamination.
+    Rate ~ (1 - e^(-kn/m))^k; size ``m_bits`` for the benchmark's
+    distinct shingle count.  Oracle-exact: the DuckDB twin replays the
+    same md5-affine positions against the distinct position set, which
+    equals packed-mask membership by construction."""
+    from metalpipe_spark.operators.dedup import word_shingles
+
+    b_sh = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k)
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    probed = bloom_probe(c_sh, "shingle", bloom, out_col="__hit")
+    report = (
+        probed.where(F.col("__hit"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+        .where(F.col("bloom_hits") >= min_hits)
+    )
+    clean = corpus.join(report.select(id_col), id_col, "left_anti")
+    return clean, report

@@ -1357,3 +1357,70 @@ def test_pack_sequences_invariants(spark):
     again = pack_sequences(df, "n", "doc_id", 16, num_partitions=7).collect()
     key = lambda r: (r["doc_id"], r["seq_id"], r["doc_start"], r["seq_start"], r["piece_len"])
     assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_bloom_filter_one_sided_membership(spark):
+    """Bloom contract: every inserted value probes positive (NO false
+    negatives, ever), definite negatives exist at a sane load factor,
+    and the mask is geometry-stamped so probes hash with the filter's
+    own parameters.  Also pins packing: mask length = m/64 and the
+    membership decision is identical across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(500).select(
+        F.concat(F.lit("in"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v", m_bits=1 << 14, k=4)
+    row = bloom.collect()[0]
+    assert (len(row["mask"]), row["m"], row["k"]) == (256, 1 << 14, 4)
+
+    got = bloom_probe(members, "v", bloom).collect()
+    assert all(r["maybe_member"] for r in got)  # no false negatives
+
+    probes = spark.range(500).select(
+        F.concat(F.lit("out"), F.col("id")).alias("v")
+    )
+    neg = bloom_probe(probes, "v", bloom).where(~F.col("maybe_member")).count()
+    # 500 members in 2^14 bits, k=4: per-probe fp ~ (1-e^-0.12)^4 ~ 2e-4
+    assert neg >= 490
+
+    bloom2 = bloom_build(members.repartition(7), "v", m_bits=1 << 14, k=4)
+    assert bloom2.collect()[0]["mask"] == row["mask"]
+
+
+def test_bloom_decontaminate_never_misses_exact_contamination(spark):
+    """bloom_decontaminate's one-sided guarantee vs the exact operator:
+    every document the exact shingle-join flags is also Bloom-flagged
+    (false positives allowed, misses never), with hit counts >= the
+    exact shared-shingle counts."""
+    from metalpipe_spark.operators.dedup import decontaminate
+    from metalpipe_spark.operators.sketches import bloom_decontaminate
+
+    bench_rows = [(100 + i, f"secret eval item {i} held out answer {i}") for i in range(5)]
+    corpus_rows = [
+        # contaminated: embeds a full benchmark doc
+        (0, "prefix words secret eval item 2 held out answer 2 suffix"),
+        # clean
+        (1, "completely unrelated training text about other things entirely"),
+        (2, "more clean text with no overlap whatsoever in these tokens"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+
+    _, exact = decontaminate(corpus, bench, min_shared=3)
+    clean, bloom = bloom_decontaminate(
+        corpus, bench, m_bits=1 << 14, k=4, min_hits=3
+    )
+    exact_ids = {r["corpus_id"] for r in exact.collect()}
+    bloom_rows = {r["doc_id"]: r["bloom_hits"] for r in bloom.collect()}
+    assert exact_ids == {0}
+    assert exact_ids <= set(bloom_rows)  # never misses
+    exact_counts = {
+        r["corpus_id"]: r["shared_shingles"] for r in exact.collect()
+    }
+    for d, n in exact_counts.items():
+        assert bloom_rows[d] >= n  # hits only inflate
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert 0 not in kept and kept <= {1, 2}
