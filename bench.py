@@ -81,6 +81,7 @@ HEADLINE = [
     "q_ann_blocked_knn",
     "q_ann_blocked_knn_gemm",
     "q_ann_ivf_topk",
+    "q_ann_pq_topk",
     "q_embed_neardup_lsh",
     "q_mean_pool",
     "q_semdedup",

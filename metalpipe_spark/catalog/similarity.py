@@ -552,3 +552,99 @@ def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ],
     ).orderBy("label")
+
+
+def _pq_oracle(
+    codebooks: list[list[list[float]]], k: int, n_queries: int
+) -> str:
+    """Pure-SQL replay of the PQ encode → ADC → top-k path: literal
+    codebooks, per-(vector, subspace) argmin with ascending-code
+    tie-break, per-query ADC lookup tables, and the ADC distance as a
+    ``list_reduce`` over the subspace terms IN SUB ORDER — the same
+    left-associated fold Spark's ``F.aggregate`` runs, so every
+    distance is bit-identical before the round(…, 6) rank."""
+    d_sub = len(codebooks[0][0])
+    cb_rows = ", ".join(
+        f"({s}, {code}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for s, book in enumerate(codebooks)
+        for code, c in enumerate(book)
+    )
+    fold = _DOT_D.format(
+        a=f"list_slice(embedding, t.sub * {d_sub} + 1, t.sub * {d_sub} + {d_sub})",
+        b="t.cv",
+    )
+    return f"""
+    WITH cb(sub, code, cn2, cv) AS (VALUES {cb_rows}),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT c.vec_id, t.sub, t.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id, t.sub
+                 ORDER BY t.cn2 - 2.0 * ({fold.replace('embedding', 'c.embedding')}), t.code
+               ) AS rn
+        FROM embeddings c CROSS JOIN cb t
+      ) WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, t.sub, t.code,
+             t.cn2 - 2.0 * ({fold.replace('embedding', 'q.embedding')}) AS d2
+      FROM embeddings q CROSS JOIN cb t
+      WHERE q.vec_id < {n_queries}
+    ),
+    dist AS (
+      SELECT l.query_id, e.vec_id,
+             list_reduce(list(l.d2 ORDER BY l.sub), (acc, x) -> acc + x) AS d
+      FROM enc e JOIN qlut l ON e.sub = l.sub AND e.code = l.code
+      GROUP BY l.query_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY round(d, 6), vec_id
+             ) AS rnk
+      FROM dist
+    )
+    SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+_PQ_BOOKS = None
+
+
+def _pq_books() -> list[list[list[float]]]:
+    global _PQ_BOOKS
+    if _PQ_BOOKS is None:
+        from metalpipe_spark.operators.pq import deterministic_pq_codebooks
+
+        _PQ_BOOKS = deterministic_pq_codebooks(8, 16, 64)
+    return _PQ_BOOKS
+
+
+@register(
+    "q_ann_pq_topk",
+    _pq_oracle(_pq_books(), k=5, n_queries=10),
+    doc=(
+        "Product-quantization ADC top-k (Jegou et al. 2011): vectors "
+        "compress to 8 subspace codes (8 bytes instead of 256), queries "
+        "precompute per-subspace lookup tables, and each (query, "
+        "vector) distance is 8 table lookups — never a 64-wide dot.  "
+        "Corpus side streams codes through a broadcast of the query "
+        "LUTs; one window for the top-k.  The deterministic literal "
+        "codebooks make the whole encode -> ADC -> rank path replay in "
+        "DuckDB (a learned codebook would train per-subspace k-means on "
+        "a sample and keep this serving path unchanged).  The BLAS "
+        "encode twin (pq_encode_gemm) is equality-tested in units."
+    ),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(enc, qs, books, k=5).orderBy("query_id", "rnk")
+

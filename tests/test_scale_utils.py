@@ -535,3 +535,73 @@ def test_incremental_semantic_dedup_string_ids_one_sided_cells(spark):
     assert sorted(r["vec_id"] for r in updated.select("vec_id").collect()) == [
         "b1", "s1",
     ]
+
+
+def test_pq_encode_reconstruction_and_gemm_twin(spark):
+    """PQ contract: (1) a vector assembled FROM codebook entries encodes
+    to exactly those codes (the quantizer is idempotent on its own
+    codewords); (2) the BLAS encode twin produces identical codes to
+    the fold-form encoder on the real embeddings fixture; (3) encoding
+    is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.pq import (
+        deterministic_pq_codebooks,
+        pq_encode,
+        pq_encode_gemm,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    books = deterministic_pq_codebooks(8, 16, 64)
+
+    chosen = [3, 0, 15, 7, 9, 1, 12, 4]
+    assembled = [x for s, c in enumerate(chosen) for x in books[s][c]]
+    df = spark.createDataFrame(
+        [(0, assembled)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    got = pq_encode(df, books).collect()[0]["codes"]
+    assert got == chosen
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    fold = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    gemm = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_gemm(emb, books).collect()
+    }
+    assert fold == gemm
+
+    repart = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert fold == repart
+
+
+def test_pq_adc_ranks_own_codeword_first(spark):
+    """ADC sanity: querying with a vector assembled from codebook
+    entries ranks its exact codeword twin at rnk 1 (its ADC distance is
+    the minimum possible: the per-subspace optimum everywhere), ahead
+    of corpus vectors quantizing to other codes."""
+    from metalpipe_spark.operators.pq import (
+        deterministic_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    books = deterministic_pq_codebooks(4, 8, 16)
+    twin = [x for s in range(4) for x in books[s][s]]
+    far = [x for s in range(4) for x in books[s][7 - s]]
+    corpus = spark.createDataFrame(
+        [(0, twin), (1, far)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    enc = pq_encode(corpus, books)
+    import pyspark.sql.functions as F
+
+    qs = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(enc, qs, books, k=2).collect()
+    by_rank = {r["rnk"]: r["vec_id"] for r in got}
+    assert by_rank[1] == 0 and by_rank[2] == 1
