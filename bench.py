@@ -82,12 +82,14 @@ HEADLINE = [
     "q_ann_blocked_knn_gemm",
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
+    "q_ann_ivfadc",
     "q_embed_neardup_lsh",
     "q_mean_pool",
     "q_semdedup",
     "q_semdedup_gemm",
     "q_incremental_semdedup",
     "q_domain_mix",
+    "q_temperature_resample",
     "q_global_shuffle",
     "q_corpus_split",
     # text analysis
@@ -106,6 +108,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_hll_tokens",
     "q_countmin_tokens",
+    "q_bm25_topk",
     "q_bpe_pair_counts",
     # multimodal
     "q_multimodal_decode",

@@ -228,6 +228,59 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_resample",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(pow(n::DOUBLE, '0.5'::DOUBLE)) AS sum_alpha,
+             sum(n) AS total
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang,
+             round(least('1.0'::DOUBLE,
+                   (('0.5'::DOUBLE * total)
+                      * (pow(n::DOUBLE, '0.5'::DOUBLE) / sum_alpha)) / n),
+                   12) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Temperature-based domain rebalancing (mT5/XLM-R sampling rule): "
+        "target shares w_d proportional to n_d^alpha derived FROM the "
+        "corpus counts (alpha=0.5 here) flatten the domain distribution "
+        "- low-resource domains upsample with no hand-written weights. "
+        "Same scan shape as q_domain_mix: few-row count agg broadcast "
+        "onto the scan, pure md5-uniform filter, no data-scale shuffle; "
+        "rates quantize to 12 decimals so the one engine-varying scalar "
+        "(pow) can never flip a selection."
+    ),
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_resample(
+            docs.select("doc_id", "lang"),
+            "lang",
+            "doc_id",
+            alpha=0.5,
+            budget_frac=0.5,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_global_shuffle",
     """
     WITH k AS (

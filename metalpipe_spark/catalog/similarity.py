@@ -648,3 +648,135 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_adc_topk(enc, qs, books, k=5).orderBy("query_id", "rnk")
 
+
+
+def _ivfadc_oracle(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+    k: int,
+    n_queries: int,
+) -> str:
+    """Pure-SQL replay of IVFADC: the _ivf_oracle's literal-centroid
+    assignment + multi-probe CTEs bound the candidate pairs, the
+    _pq_oracle's encode + LUT CTEs price them, and the ADC distance is
+    the same sub-ordered list_reduce fold Spark runs."""
+    d_sub = len(codebooks[0][0])
+    cent_rows = ", ".join(
+        f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for j, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {code}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for s, book in enumerate(codebooks)
+        for code, c in enumerate(book)
+    )
+    dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
+    dot_qcv = _DOT_D.format(a="a.embedding", b="t.cv")
+    pq_fold = _DOT_D.format(
+        a=f"list_slice(embedding, t.sub * {d_sub} + 1, t.sub * {d_sub} + {d_sub})",
+        b="t.cv",
+    )
+    return f"""
+    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    cb(sub, code, scn2, cv) AS (VALUES {cb_rows}),
+    corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_cv}) / c.nrm, t.cell
+               ) AS arnk
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE arnk = 1
+    ),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT a.vec_id AS query_id, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_qcv}) / a.nrm, t.cell
+               ) AS prnk
+        FROM corpus a CROSS JOIN cent t
+        WHERE a.vec_id < {n_queries}
+      ) WHERE prnk <= {n_probe}
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT c.vec_id, t.sub, t.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id, t.sub
+                 ORDER BY t.scn2 - 2.0 * ({pq_fold.replace('embedding', 'c.embedding')}), t.code
+               ) AS rn
+        FROM embeddings c CROSS JOIN cb t
+      ) WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, t.sub, t.code,
+             t.scn2 - 2.0 * ({pq_fold.replace('embedding', 'q.embedding')}) AS d2
+      FROM embeddings q CROSS JOIN cb t
+      WHERE q.vec_id < {n_queries}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id
+      FROM qprobe p JOIN assigned a ON p.cell = a.cell
+    ),
+    dist AS (
+      SELECT pr.query_id, pr.vec_id,
+             list_reduce(list(l.d2 ORDER BY l.sub), (acc, x) -> acc + x) AS d
+      FROM pairs pr
+      JOIN enc e ON pr.vec_id = e.vec_id
+      JOIN qlut l ON l.query_id = pr.query_id
+                 AND l.sub = e.sub AND l.code = e.code
+      GROUP BY pr.query_id, pr.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY round(d, 6), vec_id
+             ) AS rnk
+      FROM dist
+    )
+    SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "q_ann_ivfadc",
+    _ivfadc_oracle(
+        deterministic_centroids(8, 64), _pq_books(), n_probe=2, k=5, n_queries=10
+    ),
+    doc=(
+        "IVFADC - the production ANN serving stack (Jegou et al. 2011 "
+        "SIV): IVF cells bound WHICH candidates a query meets (multi-"
+        "probe over literal centroids, map-side), PQ codes bound what "
+        "each meeting COSTS (8 LUT lookups, never a 64-wide dot).  The "
+        "stored index is (cell, vec_id, codes) - raw vectors untouched "
+        "at serve time; queries broadcast with their LUTs and the only "
+        "shuffle is the final per-query top-k window.  Both stages' "
+        "literal artifacts make the whole path DuckDB-replayable."
+    ),
+)
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.pq import ivfadc_topk, pq_encode
+    from metalpipe_spark.operators.similarity import ivf_assign_literal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents()
+    books = _pq_books()
+    index = pq_encode(
+        ivf_assign_literal(emb, cents).select("cell", "vec_id", "embedding"),
+        books,
+    )
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfadc_topk(index, qs, cents, books, k=5, n_probe=2).orderBy(
+        "query_id", "rnk"
+    )

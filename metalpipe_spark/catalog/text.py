@@ -951,3 +951,72 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "tok").select(
         "tok", "n_exact", "cm_estimate"
     ).orderBy(F.desc("n_exact"), F.asc("tok"))
+
+
+_BM25_TERMS = ("hash", "join", "spark", "vector")
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    """Replay of bm25_topk with repr-exact literals (k1+1 is
+    2.2000000000000002 in binary — the string the oracle must parse,
+    not '2.2') and the same tok-ordered left fold per document."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1 = repr(k1 + 1.0)
+    omb = repr(1.0 - b)
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df_docs FROM tf GROUP BY tok),
+    per AS (
+      SELECT t.doc_id, t.tok,
+             ln('1.0'::DOUBLE
+                + (s.n_docs::DOUBLE - f.df_docs::DOUBLE + '0.5'::DOUBLE)
+                  / (f.df_docs::DOUBLE + '0.5'::DOUBLE))
+             * ((t.tf::DOUBLE * '{k1p1}'::DOUBLE)
+                / (t.tf::DOUBLE
+                   + '{k1!r}'::DOUBLE
+                     * ('{omb}'::DOUBLE
+                        + '{b!r}'::DOUBLE
+                          * (d.dl::DOUBLE
+                             / (s.total_dl::DOUBLE / s.n_docs::DOUBLE))))) AS c
+      FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    folded AS (
+      SELECT doc_id,
+             round(list_reduce(list(c ORDER BY tok), (acc, x) -> acc + x), 6)
+               AS bm25
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rnk
+    FROM folded ORDER BY bm25 DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "q_bm25_topk",
+    _bm25_oracle(),
+    doc=(
+        "BM25 keyword retrieval (Lucene's non-negative idf variant): "
+        "top-10 documents for a 4-term query.  Corpus-scale work is one "
+        "scan (tokens filter to the query set BEFORE any aggregation), "
+        "per-(doc,term) tf and per-term df are map-side-combined aggs, "
+        "stats broadcast, and the per-doc score is a tok-ordered left "
+        "fold (never a shuffle-order double SUM) ranked over round(x,6) "
+        "with a distributed partial top-k - no global window task."
+    ),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10).orderBy("rnk")

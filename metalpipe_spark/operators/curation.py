@@ -297,6 +297,63 @@ def domain_mix_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    budget_frac: float | None = None,
+    budget_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the multilingual-sampling
+    rule of mT5/XLM-R (arXiv:1910.10683 §3.4.2, arXiv:1911.02116):
+    target shares ``w_d ∝ n_d^alpha`` flatten the corpus distribution
+    (``alpha = 1`` keeps natural proportions, ``alpha = 0`` gives every
+    domain an equal share), so low-resource domains are upsampled
+    RELATIVE to their size without hand-written weights —
+    :func:`domain_mix_sample` with its ``weights`` dict DERIVED from
+    the corpus itself.
+
+    Keep rates are ``min(1, budget * w_d / n_d)`` with ``w_d = n_d^α /
+    Σ n^α``, selected on the same portable md5 uniform as every sampler
+    here, so the sample is reproducible under any partitioning.  Rates
+    quantize to 12 decimals before the uniform compare: ``pow`` is the
+    one scalar where engines may differ in the last ulp, and the
+    quantization makes the oracle decision identical without touching
+    any realistic selection boundary.  Same honest-cap semantics as
+    ``domain_mix_sample``: a domain too small for its allocation keeps
+    everything and the result undershoots.
+
+    Scale shape: one few-row count aggregate, broadcast back onto the
+    scan, then a pure filter — no data-scale shuffle."""
+    if (budget_frac is None) == (budget_rows is None):
+        raise ValueError("give exactly one of budget_frac / budget_rows")
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    pow_n = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(
+        F.sum(pow_n).alias("__sum_alpha"), F.sum("__n").alias("__total")
+    )
+    counts = counts.crossJoin(broadcast(tot))
+    if budget_rows is not None:
+        budget: Column = F.lit(float(budget_rows))
+    else:
+        budget = F.lit(float(budget_frac)) * F.col("__total")
+    share = pow_n / F.col("__sum_alpha")
+    rates = counts.select(
+        F.col(domain_col),
+        F.round(
+            F.least(F.lit(1.0), budget * share / F.col("__n")), 12
+        ).alias("__rate"),
+    )
+    return (
+        df.join(broadcast(rates), domain_col)
+        .where(deterministic_uniform(key_col) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     key_col: str,

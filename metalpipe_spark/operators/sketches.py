@@ -191,6 +191,12 @@ def _bloom_positions(col, m_bits: int, k: int):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     shift = 32 - (m_bits.bit_length() - 1)
     h = _hash32(col if not isinstance(col, str) else F.col(col))
+    return _positions_from_hash(h, shift, k)
+
+
+def _positions_from_hash(h, shift: int, k: int):
+    from metalpipe_spark.operators.dedup import minhash_coefficients
+
     mod = F.lit(1 << 32).cast("long")
     return [
         F.shiftright((F.lit(a) * h + F.lit(b)) % mod, shift)
@@ -223,9 +229,19 @@ def bloom_build(
     mismatch-proofing)."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    from metalpipe_spark.operators.dedup import _hash32
+
     n_words = m_bits // 64
-    pos = df.select(
-        F.explode(F.array(*_bloom_positions(col, m_bits, k))).alias("pos")
+    pos = df.withColumn("__bh", _hash32(F.col(col))).select(
+        F.explode(
+            F.array(
+                *_positions_from_hash(
+                    F.col("__bh"), 32 - (m_bits.bit_length() - 1), k
+                )
+            )
+        ).alias("pos")
     )
     words = (
         pos.select(
@@ -255,30 +271,44 @@ def bloom_probe(
     col: str,
     bloom: DataFrame,
     out_col: str = "maybe_member",
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Membership test of ``df[col]`` against a :func:`bloom_build`
     filter: appends boolean ``out_col`` (true = possibly in the set,
     false = DEFINITELY not — the one-sided Bloom contract the tests
-    pin).  Geometry is read from the filter row itself.
+    pin).  ``m_bits``/``k`` are accepted for signature stability but
+    the geometry is always taken from the filter row.
 
-    Plan shape: the one-row mask crossJoins in (broadcast by size), and
-    the k position checks are codegen bit arithmetic
-    (``element_at(mask, pos div 64 + 1) & (1 << pos % 64)``) — no
-    shuffle, no Python, scan-shaped over any corpus size."""
-    meta = bloom.select("m", "k").first()
-    m_bits, k = int(meta["m"]), int(meta["k"])
-    probed = df.crossJoin(F.broadcast(bloom.select("mask")))
-    positions = _bloom_positions(col, m_bits, k)
+    Plan shape: the mask row is fetched ONCE (a bounded ``m_bits / 8``
+    byte driver fetch — 32 KiB at the default) and inlined as a plan
+    LITERAL, so the probe is a pure scan: one md5 per value, k codegen
+    bit checks against the shared constant array, no join, no shuffle.
+    A broadcast-join formulation measured ~4x slower — the joined rows
+    each COPY the 4096-long mask into their UnsafeRow, gigabytes of
+    memcpy for a constant."""
+    from metalpipe_spark.operators.dedup import _hash32
+
+    row = bloom.select("mask", "m", "k").first()
+    m_bits, k = int(row["m"]), int(row["k"])
+    mask_lit = F.lit(list(row["mask"]))
+    # Hash ONCE per value: the k position expressions would each
+    # recompute the md5 otherwise (k-fold scan CPU for no reason).
+    probed = df.withColumn("__bloom_h", _hash32(F.col(col)))
+    shift = 32 - (m_bits.bit_length() - 1)
+    positions = _positions_from_hash(F.col("__bloom_h"), shift, k)
     tmp = [f"__bloom_pos_{j}" for j in range(k)]
     probed = probed.withColumns(dict(zip(tmp, positions)))
     member = None
     for name in tmp:
-        check = F.expr(
-            f"(element_at(mask, CAST(`{name}` div 64 AS INT) + 1)"
-            f" & shiftleft(1L, CAST(`{name}` % 64 AS INT))) != 0"
+        check = (
+            F.element_at(
+                mask_lit, F.expr(f"CAST(`{name}` div 64 AS INT) + 1")
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(`{name}` % 64 AS INT))"))
+            != 0
         )
         member = check if member is None else member & check
-    return probed.withColumn(out_col, member).drop("mask", *tmp)
+    return probed.withColumn(out_col, member).drop("__bloom_h", *tmp)
 
 
 def bloom_decontaminate(
@@ -312,14 +342,19 @@ def bloom_decontaminate(
     equals packed-mask membership by construction."""
     from metalpipe_spark.operators.dedup import word_shingles
 
+    # No distinct(): the mask's bit-ors absorb duplicate shingles for
+    # free, and a pre-dedup would add a corpus-scale string shuffle to
+    # save nothing.
     b_sh = benchmark.select(
         F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).distinct()
+    )
     bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k)
     c_sh = corpus.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    probed = bloom_probe(c_sh, "shingle", bloom, out_col="__hit")
+    probed = bloom_probe(
+        c_sh, "shingle", bloom, out_col="__hit", m_bits=m_bits, k=k
+    )
     report = (
         probed.where(F.col("__hit"))
         .groupBy(id_col)

@@ -798,3 +798,95 @@ def train_hashed_quality_classifier(
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)
     model = lr.fit(train)
     return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson-Walker-Jones; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf): top ``k``
+    documents for a bag of query terms, returned as ``(id_col, bm25,
+    rnk)`` with ``bm25`` rounded to 6 decimals.
+
+    Deterministic to the oracle's hash: the per-term contributions are
+    double arithmetic with a pinned parenthesization, and the per-doc
+    SUM is a LEFT FOLD over the term list sorted by token (never a
+    shuffle-order SUM of doubles) — the one ``ln`` per term is computed
+    on identical inputs in both engines, then the fold result ranks
+    over ``round(x, 6)``.
+
+    Scale shape: doc length and term matches come out of ONE scan
+    (tokens explode, filter to the broadcast-size query set before any
+    aggregation — corpus-scale work never touches non-query tokens);
+    per-(doc, term) tf and per-term df are map-side-combined aggs; the
+    corpus stats (N, total length) ride in as a broadcast one-row agg;
+    top-k is a WindowGroupLimit-eligible row_number."""
+    from pyspark.sql.window import Window
+
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r" ")).alias("tok"),
+    )
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r" ")).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df_docs").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df_docs").cast("double") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf").cast("double") * F.lit(float(k1 + 1.0)))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(float(k1))
+            * (
+                F.lit(float(1.0 - b))
+                + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("tok"), contrib.alias("c"))
+    )
+    folded = per_term.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("c")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        ).alias("score")
+    )
+    # Distributed partial top-k (TakeOrdered), never a global window's
+    # single task; the row_number ranks only the k-row result.
+    quant = folded.select(
+        F.col(id_col), F.round(F.col("score"), 6).alias("bm25")
+    )
+    topk = quant.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -1424,3 +1424,71 @@ def test_bloom_decontaminate_never_misses_exact_contamination(spark):
         assert bloom_rows[d] >= n  # hits only inflate
     kept = {r["doc_id"] for r in clean.collect()}
     assert 0 not in kept and kept <= {1, 2}
+
+
+def test_temperature_resample_flattens_domains(spark):
+    """mT5-sampling contract: alpha < 1 upsamples low-resource domains
+    RELATIVE to natural proportions — the small domain's share of the
+    output exceeds its share of the input — while alpha = 1 reproduces
+    domain_mix-with-natural-weights (rates equal across domains);
+    results are partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import temperature_resample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+
+    out = temperature_resample(
+        df, "domain", "doc_id", alpha=0.3, budget_frac=0.5
+    )
+    got = {r["domain"]: r["cnt"] for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    small_share = got["small"] / (got["small"] + got["big"])
+    assert small_share > 100 / 1000  # upsampled vs natural 10%
+
+    flat = temperature_resample(
+        df, "domain", "doc_id", alpha=1.0, budget_frac=0.5
+    )
+    # alpha=1: w_d = n_d / total, so every domain gets the SAME rate
+    # (budget_frac) and composition stays natural in expectation.
+    n = {r["domain"]: r["cnt"] for r in flat.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert abs(n["big"] / 900 - n["small"] / 100) < 0.15
+
+    again = temperature_resample(
+        df.repartition(7), "domain", "doc_id", alpha=0.3, budget_frac=0.5
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_bm25_ranks_matching_docs_and_rewards_rare_terms(spark):
+    """BM25 contract: docs containing query terms outrank docs with
+    none (which never appear); a doc matching the RARE term outranks an
+    equal-length doc matching the COMMON term (idf ordering); scores
+    are stable under repartitioning (the fold is tok-ordered, not
+    shuffle-ordered)."""
+    from metalpipe_spark.operators.text import bm25_topk
+
+    rows = (
+        [(0, "rare filler filler filler")]
+        + [(1, "common filler filler filler")]
+        + [(i + 10, "common pad pad pad") for i in range(8)]
+        + [(100, "nothing matches here at all")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["rare", "common"], k=20)
+    out = got.collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert 100 not in ids  # no query term -> no row
+    assert ids[0] == 0  # the rare-term doc wins on idf
+    assert set(ids) == {0, 1} | {i + 10 for i in range(8)}
+
+    again = bm25_topk(df.repartition(5), ["rare", "common"], k=20).collect()
+    assert sorted((r["doc_id"], r["bm25"]) for r in again) == sorted(
+        (r["doc_id"], r["bm25"]) for r in out
+    )

@@ -605,3 +605,67 @@ def test_pq_adc_ranks_own_codeword_first(spark):
     got = pq_adc_topk(enc, qs, books, k=2).collect()
     by_rank = {r["rnk"]: r["vec_id"] for r in got}
     assert by_rank[1] == 0 and by_rank[2] == 1
+
+
+def test_ivfadc_prunes_to_probed_cells_and_matches_pq_order(spark):
+    """IVFADC contract: (1) every returned candidate lives in one of
+    the query's n_probe probed cells (the pruning actually prunes);
+    (2) on the candidates it DOES score, ranking matches brute ADC
+    (pq_adc_topk restricted to the same candidate set) — the
+    composition changes recall, never the distance arithmetic."""
+    import pyspark.sql.functions as F
+
+    from metalpipe_spark.operators.pq import (
+        deterministic_pq_codebooks,
+        ivfadc_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign_literal,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    cents = deterministic_centroids(8, 64)
+    books = deterministic_pq_codebooks(8, 16, 64)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = pq_encode(
+        ivf_assign_literal(emb, cents).select("cell", "vec_id", "embedding"),
+        books,
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfadc_topk(index, qs, cents, books, k=5, n_probe=2).collect()
+
+    cells = {r["vec_id"]: r["cell"] for r in index.select("vec_id", "cell").collect()}
+    from metalpipe_spark.operators.similarity import _probe_cells
+
+    probed = {
+        r["query_id"]: set(r["pc"])
+        for r in qs.withColumn("_vd", F.col("embedding").cast("array<double>"))
+        .select("query_id", _probe_cells(cents, 2).alias("pc"))
+        .collect()
+    }
+    assert got  # non-empty at this fixture size
+    for r in got:
+        assert cells[r["vec_id"]] in probed[r["query_id"]]
+
+    # Brute ADC over ONLY the probed candidates must agree rank-for-rank.
+    cand_ids = {
+        (r["query_id"], v)
+        for r in qs.collect()
+        for v, c in cells.items()
+        if c in probed[r["query_id"]]
+    }
+    enc_all = pq_encode(emb.select("vec_id", "embedding"), books)
+    brute = pq_adc_topk(enc_all, qs, books, k=len(cells)).collect()
+    expected = {}
+    for qid in probed:
+        scored = [r for r in brute if r["query_id"] == qid and (qid, r["vec_id"]) in cand_ids]
+        scored.sort(key=lambda r: r["rnk"])
+        for i, r in enumerate(scored[:5], 1):
+            expected[(qid, i)] = r["vec_id"]
+    for r in got:
+        assert expected[(r["query_id"], r["rnk"])] == r["vec_id"]
