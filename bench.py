@@ -119,6 +119,7 @@ HEADLINE = [
     "q_multimodal_pipeline",
     # curation / packing
     "q_stratified_sample",
+    "q_weighted_sample",
     "q_pii_scrub",
     "q_chunk_documents",
     "q_curate_top_docs",

@@ -281,6 +281,53 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             round(ln(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                        / 1152921504606846976.0) / w::DOUBLE, 12) AS k
+      FROM t WHERE w > 0
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+               AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, lang, rnk::BIGINT AS rnk FROM r WHERE rnk <= 20
+    ORDER BY lang, doc_id
+    """,
+    doc=(
+        "Deterministic weighted sampling without replacement per "
+        "language (Efraimidis-Spirakis A-Res keys over the portable md5 "
+        "uniform, log form, quantized to 12 decimals): longer documents "
+        "are proportionally likelier to be kept, the sample is "
+        "bit-reproducible under any partitioning, and the per-group "
+        "top-k rides WindowGroupLimit's map-side partial top-k."
+    ),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    return (
+        weighted_sample_per_group(sized, "w", "doc_id", k=20, group_col="lang")
+        .select("doc_id", "lang", "rnk")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
     "q_global_shuffle",
     """
     WITH k AS (

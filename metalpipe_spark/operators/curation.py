@@ -354,6 +354,56 @@ def temperature_resample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — top ``k``
+    rows (per ``group_col``, or globally) under the Efraimidis-Spirakis
+    A-Res key ``u^(1/w)`` (Inf. Proc. Letters 97(5), 2006): each row
+    draws its uniform from the portable md5 hash of ``key_col``, so
+    inclusion probabilities follow the weights while the sample stays
+    reproducible across engines, re-runs, and partitionings (the
+    property ``df.sample``/``rand()`` cannot give).  Rows with NULL or
+    non-positive weight never qualify (their key is NULL).
+
+    The comparison key is the equivalent log form ``ln(u)/w`` (monotone
+    in u^(1/w); avoids pow entirely — ln on identical doubles is the
+    same one-scalar exposure every sketch here accepts), quantized to
+    12 decimals with ``key_col`` as the total-order tie-break.
+
+    Scale shape: keys are scan-stage codegen; per-group top-k is
+    ``row_number() <= k`` (WindowGroupLimit partial top-k map-side —
+    at most k rows per group per map task cross the wire); the global
+    form uses sort+limit (TakeOrdered), never a one-task window."""
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    u = deterministic_uniform(key_col)
+    # ln(u)/w: maximal <=> maximal u^(1/w); u in [0,1) makes ln(u) < 0,
+    # so bigger weight -> key closer to 0 -> sorts DESC like the paper's.
+    key = F.when(w > 0, F.round(F.log(u) / w, 12)).otherwise(F.lit(None))
+    keyed = df.withColumn("__wkey", key).where(F.col("__wkey").isNotNull())
+    order = [F.desc("__wkey"), F.asc(key_col)]
+    if group_col is not None:
+        win = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            keyed.withColumn("rnk", F.row_number().over(win))
+            .where(F.col("rnk") <= k)
+            .drop("__wkey")
+            .withColumn("rnk", F.col("rnk").cast("long"))
+        )
+    topk = keyed.orderBy(*order).limit(k)
+    win = Window.orderBy(*order)
+    return (
+        topk.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .drop("__wkey")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     key_col: str,

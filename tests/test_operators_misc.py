@@ -1492,3 +1492,44 @@ def test_bm25_ranks_matching_docs_and_rewards_rare_terms(spark):
     assert sorted((r["doc_id"], r["bm25"]) for r in again) == sorted(
         (r["doc_id"], r["bm25"]) for r in out
     )
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_reproducible(spark):
+    """A-Res contract: (1) heavily-weighted rows are sampled far more
+    often than light ones (weight 100 vs 1 over many disjoint draws);
+    (2) the sample is identical under repartitioning; (3) NULL and
+    non-positive weights never qualify; (4) global (ungrouped) form
+    returns exactly k ranked rows."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import weighted_sample_per_group
+
+    # 50 groups of 20 rows each: one heavy row per group, rest light.
+    rows = []
+    for g in range(50):
+        for i in range(20):
+            rows.append((g * 100 + i, g, 100 if i == 0 else 1))
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    got = weighted_sample_per_group(df, "w", "doc_id", k=1, group_col="grp")
+    picked = [r["doc_id"] % 100 == 0 for r in got.collect()]
+    assert len(picked) == 50
+    # heavy row has ~100/119 chance per group; binomial(50, .84) under
+    # 30 is astronomically unlikely
+    assert sum(picked) >= 30
+
+    again = weighted_sample_per_group(
+        df.repartition(7), "w", "doc_id", k=1, group_col="grp"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in got.collect()
+    )
+
+    with_bad = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, None)], "doc_id INT, w INT"
+    )
+    kept = weighted_sample_per_group(with_bad, "w", "doc_id", k=10)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    top = weighted_sample_per_group(df, "w", "doc_id", k=7)
+    out = top.collect()
+    assert len(out) == 7 and sorted(r["rnk"] for r in out) == list(range(1, 8))
