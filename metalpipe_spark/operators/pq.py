@@ -329,3 +329,66 @@ def ivfadc_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "rnk")
     )
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_gemm: bool = True,
+) -> None:
+    """Materialize the IVFADC index on storage: ``(id, codes)`` written
+    ``partitionBy(cell)`` — a probe touches only its cells' files and
+    reads 8-byte codes, never raw vectors — plus the centroid and
+    codebook tables.  Build once (bulk encode via the BLAS twin by
+    default), serve many; the artifact is the entire serving state, so
+    a fresh session needs no k-means fit and no re-encode."""
+    from metalpipe_spark.operators.similarity import ivf_assign_literal
+
+    spark = df.sparkSession
+    assigned = ivf_assign_literal(df, centroids, vec_col=vec_col)
+    encode = pq_encode_gemm if use_gemm else pq_encode
+    enc = encode(
+        assigned.select("cell", id_col, vec_col), codebooks, vec_col=vec_col
+    )
+    (
+        enc.select(F.col(id_col), F.col("codes"), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, code, vec)
+            for s, book in enumerate(codebooks)
+            for code, vec in enumerate(book)
+        ],
+        "sub int, code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Reload a :func:`build_pq_index` artifact: (encoded corpus,
+    centroids, codebooks).  The centroid/codebook tables are tiny
+    (k + n_sub*n_codes rows) — the one driver-side fetch a serving
+    session pays once; the codes table stays distributed."""
+    enc = spark.read.parquet(f"{path}/codes")
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    n_sub = max(r["sub"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in rows:
+        books[r["sub"]].append([float(x) for x in r["cv"]])
+    return enc, cents, books

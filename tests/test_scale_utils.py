@@ -669,3 +669,67 @@ def test_ivfadc_prunes_to_probed_cells_and_matches_pq_order(spark):
             expected[(qid, i)] = r["vec_id"]
     for r in got:
         assert expected[(r["query_id"], r["rnk"])] == r["vec_id"]
+
+
+def test_pq_index_roundtrip_and_adc_equals_reconstruction(spark, tmp_path):
+    """(1) build_pq_index -> load_pq_index roundtrips codes, centroids,
+    and codebooks exactly, and serving IVFADC from the loaded artifact
+    matches serving from the in-memory index.  (2) The ADC identity:
+    ranking by ADC distance equals ranking by exact L2 to the
+    RECONSTRUCTED vectors (ADC(q,v) = |v_hat|^2 - 2 q.v_hat =
+    ||q - v_hat||^2 - |q|^2 — same order), pinned on the fixture."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from metalpipe_spark.operators.pq import (
+        build_pq_index,
+        deterministic_pq_codebooks,
+        ivfadc_topk,
+        load_pq_index,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from metalpipe_spark.operators.similarity import deterministic_centroids
+    from metalpipe_spark.sources.readers import load_table
+
+    cents = deterministic_centroids(8, 64)
+    books = deterministic_pq_codebooks(8, 16, 64)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "pqidx")
+    build_pq_index(emb, path, cents, books)
+    enc2, cents2, books2 = load_pq_index(spark, path)
+    assert cents2 == cents and books2 == books
+
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivfadc_topk(enc2, qs, cents2, books2, k=5, n_probe=2).collect()
+    from metalpipe_spark.operators.similarity import ivf_assign_literal
+
+    mem_index = pq_encode(
+        ivf_assign_literal(emb, cents).select("cell", "vec_id", "embedding"),
+        books,
+    )
+    mem = ivfadc_topk(mem_index, qs, cents, books, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, mem))
+
+    # ADC == reconstruction-distance ranking (numpy replay).
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc2.collect()}
+    mats = [np.asarray(b) for b in books]
+    recon = {
+        v: np.concatenate([mats[s][c] for s, c in enumerate(cs)])
+        for v, cs in codes.items()
+    }
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = pq_adc_topk(pq_encode(emb, books), qs, books, k=5).collect()
+    for qid in range(5):
+        q = vecs[qid]
+        exact = sorted(
+            recon, key=lambda v: (round(float(((q - recon[v]) ** 2).sum()), 6), v)
+        )[:5]
+        adc = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rnk"])]
+        assert adc == exact
