@@ -640,7 +640,7 @@ def _pq_books() -> list[list[list[float]]]:
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.pq import pq_adc_topk, pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)  # encode is scan-stage CPU
     books = _pq_books()
     enc = pq_encode(emb.select("vec_id", "embedding"), books)
     qs = emb.where(F.col("vec_id") < 10).select(
@@ -767,7 +767,7 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.pq import ivfadc_topk, pq_encode
     from metalpipe_spark.operators.similarity import ivf_assign_literal
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)  # assign+encode are scan-stage CPU
     cents = _ivf_cents()
     books = _pq_books()
     index = pq_encode(
