@@ -64,10 +64,6 @@ def _sub_slice(vec_col: str, sub: int, d_sub: int) -> Column:
     return F.slice(F.col(vec_col), sub * d_sub + 1, d_sub)
 
 
-def _lit_array(vec: list[float]) -> Column:
-    return F.expr(_array_lit(vec))
-
-
 def _fold_dot(sub_vec: Column, lit_vec: Column) -> Column:
     """House left-associated double fold of slice · literal — the exact
     order DuckDB's ``list_reduce`` replays."""
@@ -220,6 +216,36 @@ def pq_query_luts(
     return pre.withColumn(out_col, luts).drop(*slices)
 
 
+def _adc_topk_tail(
+    pairs: DataFrame, codes_col: str, id_col: str, query_id_col: str, k: int
+) -> DataFrame:
+    """The shared ADC pricing + ranking tail of every PQ serving path
+    (brute ADC and IVFADC): subspace-ordered left fold of LUT lookups
+    over the codes, one per-query top-k window over ``round(d, 6)``
+    with ascending-id tie-break — ONE implementation so the quantized
+    rank contract the DuckDB oracles replay can never desynchronize
+    between the two paths."""
+    from pyspark.sql.window import Window
+
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("lut"),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(dist, 6).asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "rnk")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -243,29 +269,11 @@ def pq_adc_topk(
     window, which partitions by query.  The fold is left-associated in
     subspace order, so the DuckDB oracle (grouped ``list(d2 ORDER BY
     sub)`` + ``list_reduce``) reproduces every distance bit-for-bit."""
-    from pyspark.sql.window import Window
-
     luts = pq_query_luts(queries, codebooks, vec_col=vec_col).select(
         query_id_col, "lut"
     )
     pairs = encoded.select(id_col, codes_col).crossJoin(F.broadcast(luts))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.col("lut"),
-            lambda code, row: F.element_at(row, code.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.round(dist, 6).asc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "rnk")
-    )
+    return _adc_topk_tail(pairs, codes_col, id_col, query_id_col, k)
 
 
 def ivfadc_topk(
@@ -297,8 +305,6 @@ def ivfadc_topk(
     left-associated subspace fold as :func:`pq_adc_topk`, ranked over
     ``round(d, 6)`` with ascending-id tie-break, so the whole path
     replays in SQL (catalog ``q_ann_ivfadc``)."""
-    from pyspark.sql.window import Window
-
     from metalpipe_spark.operators.similarity import _probe_cells
 
     luts = pq_query_luts(queries, codebooks, vec_col=vec_col)
@@ -312,23 +318,7 @@ def ivfadc_topk(
     pairs = encoded.select(cell_col, id_col, codes_col).join(
         F.broadcast(qprobe), cell_col
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.col("lut"),
-            lambda code, row: F.element_at(row, code.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.round(dist, 6).asc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "rnk")
-    )
+    return _adc_topk_tail(pairs, codes_col, id_col, query_id_col, k)
 
 
 def build_pq_index(

@@ -102,7 +102,11 @@ def count_min_sketch(
     same deterministic coefficients MinHash uses) into ``width``
     buckets and counts collisions.  ONE map-side-combined shuffle whose
     key space is depth x width; the sketch is mergeable by summing
-    counters (grouped on row/bucket/depth/width).  The GEOMETRY rides
+    counters (grouped on row/bucket/depth/width).  ``width`` must be a
+    power of two (the multiply-shift bucket hash takes the high
+    ``log2(width)`` bits — a MOD of the affine value would collapse all
+    depth rows into bijections of the same low bits, see
+    ``_bloom_positions``).  The GEOMETRY rides
     along as constant ``depth``/``width`` columns, so
     :func:`count_min_lookup` always hashes with the sketch's own
     parameters — a caller-supplied mismatch would silently produce
@@ -172,6 +176,17 @@ def count_min_lookup(
     return joined.groupBy(col).agg(F.min("c").alias("cm_estimate"))
 
 
+def _bloom_shift(m_bits: int) -> int:
+    """The ONE authority for Bloom geometry: validates the power-of-two
+    bit count and returns the multiply-shift amount ``32 - log2(m)``.
+    Every build/probe site derives its shift here — a second inline
+    derivation could silently diverge from the positions the stored
+    masks were built with."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return 32 - (m_bits.bit_length() - 1)
+
+
 def _bloom_positions(col, m_bits: int, k: int):
     """The ``k`` deterministic bit positions of a value: multiply-shift
     hashing (Dietzfelbinger et al. 1997) over the portable 32-bit md5
@@ -185,13 +200,10 @@ def _bloom_positions(col, m_bits: int, k: int):
     ``a_i``'s full product, so the rows are genuinely distinct.
     Duplicate positions across the ``k`` rows remain fine (membership =
     "every position set" holds regardless)."""
-    from metalpipe_spark.operators.dedup import _hash32, minhash_coefficients
+    from metalpipe_spark.operators.dedup import _hash32
 
-    if m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
-    shift = 32 - (m_bits.bit_length() - 1)
     h = _hash32(col if not isinstance(col, str) else F.col(col))
-    return _positions_from_hash(h, shift, k)
+    return _positions_from_hash(h, _bloom_shift(m_bits), k)
 
 
 def _positions_from_hash(h, shift: int, k: int):
@@ -229,18 +241,13 @@ def bloom_build(
     mismatch-proofing)."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    if m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     from metalpipe_spark.operators.dedup import _hash32
 
+    shift = _bloom_shift(m_bits)
     n_words = m_bits // 64
     pos = df.withColumn("__bh", _hash32(F.col(col))).select(
         F.explode(
-            F.array(
-                *_positions_from_hash(
-                    F.col("__bh"), 32 - (m_bits.bit_length() - 1), k
-                )
-            )
+            F.array(*_positions_from_hash(F.col("__bh"), shift, k))
         ).alias("pos")
     )
     words = (
@@ -295,8 +302,7 @@ def bloom_probe(
     # Hash ONCE per value: the k position expressions would each
     # recompute the md5 otherwise (k-fold scan CPU for no reason).
     probed = df.withColumn("__bloom_h", _hash32(F.col(col)))
-    shift = 32 - (m_bits.bit_length() - 1)
-    positions = _positions_from_hash(F.col("__bloom_h"), shift, k)
+    positions = _positions_from_hash(F.col("__bloom_h"), _bloom_shift(m_bits), k)
     tmp = [f"__bloom_pos_{j}" for j in range(k)]
     probed = probed.withColumns(dict(zip(tmp, positions)))
     member = None

@@ -821,30 +821,34 @@ def bm25_topk(
     on identical inputs in both engines, then the fold result ranks
     over ``round(x, 6)``.
 
-    Scale shape: doc length and term matches come out of ONE scan
-    (tokens explode, filter to the broadcast-size query set before any
-    aggregation — corpus-scale work never touches non-query tokens);
-    per-(doc, term) tf and per-term df are map-side-combined aggs; the
-    corpus stats (N, total length) ride in as a broadcast one-row agg;
-    top-k is a WindowGroupLimit-eligible row_number."""
+    Scale shape: the doc length rides WITH each matched token out of
+    one scan (tokenize once, keep only query-set tokens, carry ``dl``
+    through the explode), so the per-(doc, term) tf agg is the ONLY
+    corpus-keyed shuffle and it carries matching tokens only — there
+    is no corpus-scale (id, dl) join.  The corpus stats (N, total
+    length) are a second column-pruned scan folded to one broadcast
+    row; per-term df is an agg of the tiny tf table; the final top-k
+    is a distributed sort+limit (TakeOrdered) whose row_number runs on
+    the k-row result — no global window task, and WindowGroupLimit
+    never applies (there is no partitioned window here)."""
     from pyspark.sql.window import Window
 
     terms = sorted(set(query_terms))
-    toks = df.select(
+    toks_arr = F.split(F.col(text_col), r" ")
+    base = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), r" ")).alias("tok"),
+        F.size(toks_arr).cast("long").alias("dl"),
+        F.filter(toks_arr, lambda t: t.isin(terms)).alias("__hits"),
     )
-    dl = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), r" ")).cast("long").alias("dl"),
-    )
-    stats = dl.agg(
+    stats = df.select(
+        F.size(F.split(F.col(text_col), r" ")).cast("long").alias("dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
     tf = (
-        toks.where(F.col("tok").isin(terms))
-        .groupBy(id_col, "tok")
+        base.select(id_col, "dl", F.explode("__hits").alias("tok"))
+        .groupBy(id_col, "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -871,7 +875,6 @@ def bm25_topk(
     )
     per_term = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), F.col("tok"), contrib.alias("c"))
     )
