@@ -112,13 +112,20 @@ def pack_shards(
     are identical for any partition count (tested).  ``order_col`` must
     be a unique key, otherwise "preceding" is ambiguous.
     """
+    from pyspark.sql.types import LongType
+
     with_prefix = exclusive_prefix_sum(
         df, weight_col, order_col, num_partitions=num_partitions
     )
-    # Integer budgets divide in BIGINT (`div`) — exact at any prefix
-    # magnitude; a double floor could flip a shard boundary once
-    # prefixes outgrow the 53-bit mantissa.
-    if float(shard_budget).is_integer():
+    # Integer budgets over integral prefixes divide in BIGINT (`div`) —
+    # exact at any prefix magnitude; a double floor could flip a shard
+    # boundary once prefixes outgrow the 53-bit mantissa.  Fractional
+    # weights make the prefix DOUBLE (exclusive_prefix_sum), so they
+    # take the floor path regardless of the budget's type.
+    prefix_is_long = isinstance(
+        with_prefix.schema["__prefix"].dataType, LongType
+    )
+    if prefix_is_long and float(shard_budget).is_integer():
         shard = F.expr(f"`__prefix` div {int(shard_budget)}L")
     else:
         shard = F.floor(F.col("__prefix") / F.lit(float(shard_budget))).cast("long")
@@ -136,10 +143,31 @@ def exclusive_prefix_sum(
     ``order_col`` order, as a new ``out_col`` — the shared engine under
     every global-order curation op (shard packing, sequence packing,
     global shuffle).  See :func:`pack_shards` for the two-pass scheme
-    and why the lazy checkpoint is correctness, not caching."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    and why the lazy checkpoint is correctness, not caching.
+
+    ``out_col`` is BIGINT for integral weights (exact at any prefix
+    magnitude) and DOUBLE for fractional ones — truncating a fractional
+    cumsum to int64 would silently move every shard/sequence boundary
+    (weights 0.6 with budget 0.5 pack as 0,1,2,3; an int64 prefix packs
+    them 0,0,2,2)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     spark = df.sparkSession
+    integral = isinstance(
+        df.schema[weight_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    out_type, np_type = (
+        (LongType(), "int64") if integral else (DoubleType(), "float64")
+    )
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # NULL weights count as 0 (SQL SUM semantics, matching the oracle):
     # a NaN reaching np.cumsum would poison every later prefix in the
@@ -166,7 +194,7 @@ def exclusive_prefix_sum(
         offsets[pid] = acc
         acc += totals.get(pid, 0)
     schema = StructType(
-        df.schema.fields + [StructField(out_col, LongType(), False)]
+        df.schema.fields + [StructField(out_col, out_type, False)]
     )
 
     def assign(iterator):
@@ -178,7 +206,7 @@ def exclusive_prefix_sum(
             w = pdf[weight_col].to_numpy()
             csum = np.cumsum(w)
             out = pdf.copy()
-            out[out_col] = (run + csum - w).astype("int64")  # exclusive
+            out[out_col] = (run + csum - w).astype(np_type)  # exclusive
             if len(w):
                 run += csum[-1]
             yield out
@@ -211,7 +239,20 @@ def pack_sequences(
     the per-doc sequence range explodes in codegen
     (``explode(sequence(first_seq, last_seq))`` + min/max arithmetic) —
     output size is input pieces, never tokens, and the global window
-    trap (one task) is avoided by the distributed prefix sum."""
+    trap (one task) is avoided by the distributed prefix sum.
+
+    ``weight_col`` must be integral (token COUNTS — the BIGINT ``div``
+    boundary arithmetic has no meaning for fractional weights)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[weight_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise ValueError(
+            f"pack_sequences needs an integral token count; "
+            f"{weight_col!r} is {df.schema[weight_col].dataType.simpleString()}"
+        )
     with_prefix = exclusive_prefix_sum(
         df, weight_col, order_col, num_partitions=num_partitions
     )

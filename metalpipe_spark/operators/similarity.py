@@ -474,7 +474,7 @@ def ivf_search(
     queries: DataFrame,
     k_cells: int = 16,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "embedding",
@@ -788,7 +788,7 @@ def ivf_search_prebuilt(
     index: tuple[DataFrame, list[list[float]]],
     queries: DataFrame,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "embedding",

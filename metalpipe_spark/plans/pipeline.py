@@ -869,15 +869,32 @@ def compile_pipeline(
                 post_rt = opts.pop("post_process_return_type", "string")
                 break_spec = opts.pop("break_test", None)
                 # max_messages_received (node.py:170,445-450): the node
-                # stops consuming after N messages -> df.limit(n) on the
-                # node's output.  throttle (node.py:142,167,452-453) is a
-                # per-message sleep — meaningless under Spark's pull-based
-                # batch execution, so it is accepted (reference configs
-                # compile unchanged) and ignored; a streaming deployment
-                # controls cadence with trigger intervals instead.
+                # stops CONSUMING after N messages — an INPUT bound, so
+                # it limits each upstream BEFORE the node runs (limiting
+                # the output instead silently changes aggregating nodes:
+                # a collect_list over ALL rows limited to N output rows
+                # is not an aggregate over the first N inputs).  With
+                # several upstreams the reference counts total arrivals
+                # in interleaved order; batch has no arrival order, so
+                # each upstream is bounded to N — a documented, stricter
+                # reading.  Source nodes (no upstreams) bound their own
+                # emission.  throttle (node.py:142,167,452-453) is a
+                # per-message sleep — meaningless under Spark's
+                # pull-based batch execution, so it is accepted
+                # (reference configs compile unchanged) and ignored; a
+                # streaming deployment controls cadence with trigger
+                # intervals instead.
                 max_messages = opts.pop("max_messages_received", None)
                 opts.pop("throttle", None)
                 ups = [built[u] for u in upstreams[name]]
+                if max_messages is not None and ups:
+                    if any(u.isStreaming for u in ups):
+                        raise ValueError(
+                            f"node {name!r}: max_messages_received is a "
+                            "batch option (a streaming node bounds work "
+                            "with availableNow/maxFilesPerTrigger)"
+                        )
+                    ups = [u.limit(int(max_messages)) for u in ups]
                 if input_mapping:
                     ups = [
                         _rename_all(u, input_mapping) for u in ups
@@ -898,7 +915,8 @@ def compile_pipeline(
                     df = set_value(df, post_keypath, fn(get_value(post_keypath)))
                 if break_spec:
                     df = apply_break_test(df, break_spec)
-                if max_messages is not None:
+                if max_messages is not None and not upstreams[name]:
+                    # Source node: its "messages" are what it emits.
                     if df.isStreaming:
                         raise ValueError(
                             f"node {name!r}: max_messages_received is a "

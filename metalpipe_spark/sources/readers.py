@@ -175,10 +175,14 @@ def mysql_type_to_spark(type_string: str):
     unsigned = base.endswith(" unsigned") or s.endswith(" unsigned")
     base = base.replace(" unsigned", "").strip()
     if base == "tinyint":
-        # tinyint(1) is MySQL's boolean convention (BOOL aliases it).
-        return T.BooleanType() if s.startswith("tinyint(1)") else T.ByteType()
+        # tinyint(1) is MySQL's boolean convention (BOOL aliases it;
+        # the unsigned variant is a real 0-255 number, not a flag).
+        if s.startswith("tinyint(1)") and not unsigned:
+            return T.BooleanType()
+        # unsigned exceeds the signed range -> widen, like JDBC does
+        return T.ShortType() if unsigned else T.ByteType()
     if base == "smallint":
-        return T.ShortType()
+        return T.IntegerType() if unsigned else T.ShortType()
     if base in ("int", "integer", "mediumint"):
         # unsigned int exceeds IntegerType's range; widen like JDBC does
         return T.LongType() if unsigned else T.IntegerType()

@@ -476,12 +476,43 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
         if cur is None and fs.exists(dst):
             # Adopt a pre-manifest flat store: move top-level data files
             # into a version dir, publish manifest v1 over the result.
+            # A durable MARKER makes every crash point resumable — the
+            # unmarked version of this sequence had a window (all files
+            # moved, manifest not yet written) where the next batch saw
+            # "no manifest, no flat files", treated the store as empty,
+            # and overwrite-destroyed v1, the only complete copy.
+            import json as _json
+
+            marker = hpath(dst, "_adopting-v1.json")
             flat = _data_files(fs, dst)
-            if flat:
+            if flat and not fs.exists(marker):
+                tmp = hpath(dst, "._adopting-v1.json.tmp")
+                out = fs.create(tmp, True)
+                try:
+                    out.write(bytearray(_json.dumps(sorted(flat)).encode()))
+                finally:
+                    out.close()
+                if not fs.rename(tmp, marker):
+                    raise IOError(f"adoption marker failed at {store_path}")
+            if fs.exists(marker):
                 vdir = hpath(dst, "v-0000000001")
                 fs.mkdirs(vdir)
-                for fname in flat:
-                    if not fs.rename(hpath(dst, fname), hpath(vdir, fname)):
+                stream = fs.open(marker)
+                try:
+                    names = _json.loads(
+                        bytes(
+                            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                        ).decode("utf-8")
+                    )
+                finally:
+                    stream.close()
+                for fname in names:
+                    src_f = hpath(dst, fname)
+                    # Idempotent resume: a file already moved by a
+                    # crashed predecessor is simply absent here.
+                    if fs.exists(src_f) and not fs.rename(
+                        src_f, hpath(vdir, fname)
+                    ):
                         raise IOError(
                             f"store adoption failed: {fname} in {store_path}"
                         )
@@ -489,7 +520,14 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
                     spark, store_path, 1,
                     {"v-0000000001": _data_files(fs, vdir)},
                 )
+                fs.delete(marker, False)
                 cur = read_current_manifest(spark, store_path)
+        elif cur is not None:
+            # A marker surviving past its manifest (crash between the
+            # v1 flip and the marker delete) is spent — drop it.
+            stale = hpath(dst, "_adopting-v1.json")
+            if fs.exists(stale):
+                fs.delete(stale, False)
         if cur is not None:
             version, partitions = cur
             live_dirs = set(partitions)

@@ -685,6 +685,12 @@ def test_mysql_type_strings_map_to_spark_types(spark):
     assert mysql_type_to_spark("bigint") == T.LongType()
     assert mysql_type_to_spark("bigint unsigned") == T.DecimalType(20, 0)
     assert mysql_type_to_spark("int unsigned") == T.LongType()
+    # review fix: the two smallest unsigned types widen too (their
+    # signed Spark types cannot hold the MySQL unsigned domain)
+    assert mysql_type_to_spark("tinyint unsigned") == T.ShortType()
+    assert mysql_type_to_spark("tinyint(3) unsigned") == T.ShortType()
+    assert mysql_type_to_spark("smallint unsigned") == T.IntegerType()
+    assert mysql_type_to_spark("smallint(5) unsigned") == T.IntegerType()
     assert mysql_type_to_spark("decimal(12,4)") == T.DecimalType(12, 4)
     assert mysql_type_to_spark("blob") == T.BinaryType()
     assert mysql_type_to_spark("no_such_type") == T.StringType()

@@ -1533,3 +1533,36 @@ def test_weighted_sample_favors_heavy_rows_and_is_reproducible(spark):
     top = weighted_sample_per_group(df, "w", "doc_id", k=7)
     out = top.collect()
     assert len(out) == 7 and sorted(r["rnk"] for r in out) == list(range(1, 8))
+
+
+def test_pack_shards_fractional_weights_keep_exact_boundaries(spark):
+    """Review fix (r9): exclusive_prefix_sum keeps a DOUBLE prefix for
+    fractional weights — the int64 truncation packed weights 0.6 with
+    budget 0.5 as shards (0, 0, 2, 2) instead of (0, 1, 2, 3)."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 0.6) for i in range(4)], "doc_id INT, w DOUBLE"
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, "w", "doc_id", 0.5).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # fractional weights with an INTEGER budget take the floor path too
+    got2 = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, "w", "doc_id", 1).collect()
+    }
+    assert got2 == {0: 0, 1: 0, 2: 1, 3: 1}  # prefixes 0,.6,1.2,1.8
+
+    # pack_sequences refuses fractional weights loudly
+    import pytest
+
+    from metalpipe_spark.operators.curation import pack_sequences
+
+    with pytest.raises(ValueError, match="integral"):
+        pack_sequences(df, "w", "doc_id", 8)

@@ -637,8 +637,10 @@ def test_post_process_without_keypath_fails_loudly(spark):
 
 def test_max_messages_received_limits_node_output(spark):
     """Reference universal node options (node.py:167,170,445-453):
-    max_messages_received bounds the node's output (df.limit), throttle
-    is accepted and ignored (batch Spark has no per-message cadence)."""
+    max_messages_received bounds what the node CONSUMES — each upstream
+    is limited before the node runs (a source node bounds its own
+    emission) — and throttle is accepted and ignored (batch Spark has
+    no per-message cadence)."""
     config = {
         "nodes": {
             "read": {
@@ -664,3 +666,33 @@ def test_max_messages_received_limits_node_output(spark):
     assert p.dataframes["shape"].count() == 3
     # the plan is a real Catalyst limit, not a driver-side truncation
     assert "GlobalLimit" in p.dataframes["shape"]._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_max_messages_received_bounds_input_of_aggregating_nodes(spark):
+    """Review fix (r9): the option is an INPUT bound (reference
+    node.py:445-450 stops consuming).  An aggregating node with
+    max_messages_received: 3 must aggregate the first 3 consumed
+    messages — limiting its OUTPUT instead would return one row
+    aggregating ALL inputs, a silently different result."""
+    config = {
+        "nodes": {
+            "read": {
+                "class": "ParquetReader",
+                "options": {"path": f"{SF_SMOKE}/nation.parquet"},
+            },
+            "batch": {
+                "class": "BatchMessages",
+                "options": {
+                    "batch_size": 100,
+                    "key": "n_nationkey",
+                    "max_messages_received": 3,
+                },
+            },
+        },
+        "paths": [["read", "batch"]],
+    }
+    p = compile_pipeline(spark, config)
+    out = p.dataframes["batch"].collect()
+    assert len(out) == 1  # still ONE batch message...
+    assert out[0]["batch_size"] == 3  # ...holding only the 3 consumed rows
+    assert len(out[0]["items"]) == 3

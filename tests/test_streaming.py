@@ -592,3 +592,78 @@ def test_store_swap_reader_atomicity_and_debris_heal(spark, tmp_path):
     assert v3 is not None and v3[0] == 3
     got3 = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
     assert 7 in got3 and 4 in got3
+
+
+def test_adoption_survives_crash_after_moves_before_manifest(spark, tmp_path):
+    """Review fix (r9): flat-store adoption had a crash window — all
+    top-level files renamed into v-0000000001 but the manifest never
+    written — where the next batch saw "no manifest, no flat files",
+    treated the store as empty, and OVERWROTE the only complete copy.
+    The durable _adopting-v1.json marker (written before any move)
+    makes every crash point resumable.  This test constructs the exact
+    window (files moved, marker present, no manifest) and runs a batch:
+    the accumulated state must survive and dedup the replayed batch."""
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    from metalpipe_spark.streaming.streams import (
+        load_store,
+        stream_semantic_dedup_sink,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    first = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.1, -1.0, 0.0, 0.0])], schema
+    )
+    src = tmp_path / "vecs"
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    store_path = str(tmp_path / "store")
+    kept_path = str(tmp_path / "kept")
+
+    stream = file_watchdog(spark, str(src), first.schema, max_files_per_trigger=1)
+    stream_semantic_dedup_sink(
+        stream, cents, kept_path, store_path, str(tmp_path / "ckpt1"),
+        threshold=0.9,
+    ).awaitTermination()
+
+    # Rewind the store to pre-manifest FLAT layout (legacy on-disk
+    # state): hoist v1's data files to the top level, drop manifests.
+    v1 = os.path.join(store_path, "v-0000000001")
+    flat_files = []
+    for f in os.listdir(v1):
+        if not f.startswith(("_", ".")):
+            shutil.move(os.path.join(v1, f), os.path.join(store_path, f))
+            flat_files.append(f)
+    shutil.rmtree(v1)
+    for f in list(os.listdir(store_path)):
+        if f.startswith("_manifest"):
+            os.remove(os.path.join(store_path, f))
+
+    # Now construct the CRASH WINDOW: marker written, every flat file
+    # already moved into v-0000000001, manifest NOT yet written.
+    with open(os.path.join(store_path, "_adopting-v1.json"), "w") as fh:
+        json.dump(sorted(flat_files), fh)
+    os.makedirs(v1)
+    for f in flat_files:
+        shutil.move(os.path.join(store_path, f), os.path.join(v1, f))
+
+    _time.sleep(1.1)
+    second = spark.createDataFrame(
+        [(2, [2.0, 0.2, 0.0, 0.0]), (3, [-1.0, 0.0, 0.3, 0.0])], schema
+    )  # vec 2 duplicates vec 0, which lives only in the adopted store
+    second.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = file_watchdog(spark, str(src), first.schema, max_files_per_trigger=4)
+    stream_semantic_dedup_sink(
+        stream, cents, kept_path, store_path, str(tmp_path / "ckpt2"),
+        threshold=0.9,
+    ).awaitTermination()
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(kept_path).collect())
+    assert kept == [0, 1, 3]  # 2 deduped against the RECOVERED state
+    store = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
+    assert 0 in store and 1 in store  # accumulated state never lost
+    assert not os.path.exists(os.path.join(store_path, "_adopting-v1.json"))
