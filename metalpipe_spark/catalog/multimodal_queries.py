@@ -420,3 +420,98 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+_VID_FRAMES = 4
+_VID_SHIFT = 17  # frame f windows the repeated text at offset 1 + 17f
+
+
+def _frame_sql(src: str, f: int) -> str:
+    """Frame ``f`` of the synthetic video: a shifted window into the
+    repeated document text, padded to one raw-RGB image buffer."""
+    need = _IMG_BYTES + _VID_SHIFT * f
+    return (
+        f"rpad(substring(repeat({src}, CAST(ceil({need}.0 / "
+        f"greatest(length({src}), 1)) AS INT)), {1 + _VID_SHIFT * f}, "
+        f"{_IMG_BYTES}), {_IMG_BYTES}, ' ')"
+    )
+
+
+_VID_SQL = " || ".join(_frame_sql("text", f) for f in range(_VID_FRAMES))
+# Variant: frame 0 replaced wholesale (reverse-text window) — a
+# re-edited opening; frames 1..3 identical to the original.
+_VID_VARIANT_SQL = " || ".join(
+    [_frame_sql("reverse(text)", 0)]
+    + [_frame_sql("text", f) for f in range(1, _VID_FRAMES)]
+)
+
+
+def _video_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    originals = docs.select(
+        (F.col("doc_id") * 2).alias("id"),
+        F.expr(_VID_SQL).cast("binary").alias("content"),
+    )
+    variants = docs.where(F.col("doc_id") % _VARIANT_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.expr(_VID_VARIANT_SQL).cast("binary").alias("content"),
+    )
+    return originals.unionByName(variants)
+
+
+def _video_neardup_oracle() -> str:
+    dhash = _dhash_expr_sql()
+    keys = _dhash_keys_sql()
+    fs = ", ".join(str(f) for f in range(_VID_FRAMES))
+    return f"""
+    WITH m AS (
+      SELECT doc_id * 2 AS id, ({_VID_SQL}) AS vid FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id, ({_VID_VARIANT_SQL}) AS vid
+      FROM documents WHERE doc_id % {_VARIANT_MOD} = 0
+    ),
+    frames AS (
+      SELECT id * {_VID_FRAMES} + f AS fid,
+             substring(vid, 1 + f * {_IMG_BYTES}, {_IMG_BYTES}) AS img
+      FROM m CROSS JOIN (SELECT unnest([{fs}]) AS f)
+    ),
+    s AS (SELECT fid, ({dhash}) AS dhash FROM frames),
+    banded AS (SELECT fid, dhash, unnest([{keys}]) AS bk FROM s),
+    cand AS (
+      SELECT DISTINCT a.fid AS f1, b.fid AS f2, a.dhash AS s1, b.dhash AS s2
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.fid < b.fid
+    ),
+    fp AS (
+      SELECT f1 // {_VID_FRAMES} AS v1, f2 // {_VID_FRAMES} AS v2
+      FROM cand WHERE bit_count(xor(s1, s2)) <= {_DHASH_MAX_HAMMING}
+    )
+    SELECT v1, v2, count(*)::BIGINT AS matching_frames
+    FROM fp WHERE v1 <> v2
+    GROUP BY v1, v2 HAVING count(*) >= 2
+    ORDER BY v1, v2
+    """
+
+
+@register(
+    "q_video_neardup",
+    _video_neardup_oracle(),
+    doc=(
+        "Video near-dup by frame-signature agreement: JVM byte-sliced "
+        "frame sampling -> per-frame raw-RGB dHash (8 bytes/frame) -> "
+        "Manku block banding at FRAME level -> one aggregate counting "
+        "matching frame pairs per video pair (>= 2 survives).  The "
+        "variant fixture re-edits frame 0 (reverse-text window), so "
+        "original/variant pairs match on the 3 untouched frames.  "
+        "Payload bytes never shuffle; the banding join and pair count "
+        "are sized by frames and matches, not video bytes."
+    ),
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.multimodal import video_neardup_pairs
+
+    vids = _video_fixture(spark, sf_dir)
+    return video_neardup_pairs(
+        vids, _VID_FRAMES, _IMG_W, _IMG_H,
+        max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+        min_matching_frames=2,
+    ).orderBy("v1", "v2")

@@ -418,3 +418,68 @@ def audio_window_features(
     return df.mapInPandas(
         batches, f"{id_col} {id_type}, window_id long, rms double, zcr double"
     )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    n_frames: int,
+    frame_width: int,
+    frame_height: int,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    min_matching_frames: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Video near-duplicate pairs by frame-signature agreement — the
+    video member of the perceptual-dedup family (text SimHash, image
+    dHash, audio RMS hash all feed the same Manku banding):
+
+    1. :func:`frame_sample` slices ``n_frames`` fixed windows out of
+       each payload (pure JVM byte slicing; a real sampler substitutes
+       keyframe offsets — the frame GEOMETRY, not the pipeline, is the
+       stub);
+    2. every frame dHashes as a raw ``frame_width x frame_height`` RGB
+       buffer (:func:`image_dhash` — 8 bytes of state per frame);
+    3. frame-level near-matches meet through
+       ``hamming_neardup_pairs``'s block buckets (never all pairs);
+    4. one aggregate counts matching frame pairs per video pair; pairs
+       with at least ``min_matching_frames`` survive.
+
+    Returns ``(v1, v2, matching_frames)`` with ``v1 < v2``.
+    ``matching_frames`` counts frame-level matches (frame i of A vs
+    frame j of B), so re-ordered or shifted near-copies still match;
+    it can exceed ``n_frames`` when several frame combinations agree.
+    Requires an integral ``id_col`` (frame ids pack as
+    ``id * n_frames + frame_id``).
+
+    Scale shape: payload bytes never shuffle (frames explode map-side
+    and reduce to 8-byte codes in the same stage); the only data-scale
+    shuffles are the banding bucket join and the final pair count —
+    both sized by frames and matches, not video bytes."""
+    from metalpipe_spark.operators.dedup import hamming_neardup_pairs
+
+    frame_size = frame_width * frame_height * 3
+    frames = frame_sample(df, n_frames, frame_size, id_col=id_col)
+    fdf = frames.select(
+        (F.col("id") * n_frames + F.col("frame_id")).alias("fid"),
+        F.col("frame").alias("content"),
+        F.lit(frame_width).alias("width"),
+        F.lit(frame_height).alias("height"),
+    )
+    codes = image_dhash(fdf, id_col="fid")
+    pairs = hamming_neardup_pairs(
+        codes, code_col="dhash", id_col="fid",
+        bits=64, max_hamming=max_hamming, blocks=blocks,
+    )
+    # fid order preserves video order, so v1 <= v2 already holds; the
+    # strict filter drops within-video frame matches.
+    return (
+        pairs.select(
+            F.expr(f"`d1` div {n_frames}L").alias("v1"),
+            F.expr(f"`d2` div {n_frames}L").alias("v2"),
+        )
+        .where(F.col("v1") != F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("matching_frames"))
+        .where(F.col("matching_frames") >= min_matching_frames)
+    )

@@ -369,3 +369,62 @@ def bloom_decontaminate(
     )
     clean = corpus.join(report.select(id_col), id_col, "left_anti")
     return clean, report
+
+
+def bloom_member_expr(value, bloom_row, m_bits: int, k: int):
+    """Membership COLUMN for ``value`` (any string expression, usable
+    inside higher-order lambdas) against a collected :func:`bloom_build`
+    row — the expression form of :func:`bloom_probe` for places a
+    pre-projected hash column cannot exist (e.g. per-element checks
+    inside ``F.filter`` over a shingle array).  Bit tests go through
+    ``getbit`` (which takes a COLUMN position — the shiftleft wrappers
+    only take literals, and lambdas cannot reference named columns).
+    Hashes ``k`` times per evaluation; the column-level probe path
+    stays the cheaper choice for exploded data."""
+    from metalpipe_spark.operators.dedup import _hash32
+
+    mask_lit = F.lit(list(bloom_row["mask"]))
+    h = _hash32(value)
+    member = None
+    for p in _positions_from_hash(h, _bloom_shift(m_bits), k):
+        word = F.element_at(mask_lit, (p / 64).cast("int") + 1)
+        check = F.getbit(word, p % F.lit(64)) == 1
+        member = check if member is None else member & check
+    return member
+
+
+def bloom_decontaminate_filter(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    min_hits: int = 3,
+) -> DataFrame:
+    """STATELESS decontamination filter — keep documents with fewer
+    than ``min_hits`` Bloom-positive shingles against the benchmark's
+    mask.  Works identically on batch AND STREAMING DataFrames: the
+    mask is built and collected ONCE at definition time (the benchmark
+    is batch by definition), inlined as a plan literal, and each row's
+    shingle array is checked with a higher-order ``F.filter`` — no
+    explode, no aggregation, therefore no streaming state or
+    watermark.  The per-micro-batch cost is scan-shaped, which is what
+    a 100 TB ingest filter has to be.
+
+    Same one-sided contract as :func:`bloom_decontaminate` (never
+    misses real contamination under the same shingle rule; false
+    positives drop clean docs at the documented rate)."""
+    from metalpipe_spark.operators.dedup import word_shingles
+
+    b_sh = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    row = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k).first()
+    hits = F.size(
+        F.filter(
+            word_shingles(text_col, n),
+            lambda s: bloom_member_expr(s, row, m_bits, k),
+        )
+    )
+    return df.where(hits < min_hits)

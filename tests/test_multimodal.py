@@ -316,3 +316,37 @@ def test_audio_fingerprint_physics(spark):
     got = sorted((r["d1"], r["d2"]) for r in pairs)
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_video_neardup_matches_reedited_copy_not_distinct(spark):
+    """Video near-dup physics: a copy with one re-edited frame matches
+    its original on the 3 untouched frames; an unrelated video matches
+    nothing; within-video frame pairs never surface."""
+    import numpy as np
+
+    from metalpipe_spark.operators.multimodal import video_neardup_pairs
+
+    w, h, nf = 18, 16, 4
+    fsize = w * h * 3
+
+    def frame(seed: int) -> bytes:
+        # seeded random pixels: unrelated frames sit ~32 hamming apart
+        # (smooth gradient patterns all hash alike and would collide)
+        return np.random.RandomState(seed).randint(
+            0, 256, fsize, dtype=np.uint8
+        ).tobytes()
+
+    a_frames = [frame(100 + f) for f in range(nf)]
+    vid_a = b"".join(a_frames)
+    # re-edit frame 0 entirely, keep 1..3
+    vid_b = frame(999) + b"".join(a_frames[1:])
+    vid_c = b"".join(frame(500 + f) for f in range(nf))
+    df = spark.createDataFrame(
+        [(0, bytearray(vid_a)), (1, bytearray(vid_b)), (2, bytearray(vid_c))],
+        "id long, content binary",
+    )
+    got = video_neardup_pairs(
+        df, nf, w, h, max_hamming=3, min_matching_frames=2
+    ).collect()
+    assert [(r["v1"], r["v2"]) for r in got] == [(0, 1)]
+    assert got[0]["matching_frames"] == 3

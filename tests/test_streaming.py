@@ -667,3 +667,56 @@ def test_adoption_survives_crash_after_moves_before_manifest(spark, tmp_path):
     store = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
     assert 0 in store and 1 in store  # accumulated state never lost
     assert not os.path.exists(os.path.join(store_path, "_adopting-v1.json"))
+
+
+def test_bloom_decontaminate_filter_streaming_matches_batch(spark, tmp_path):
+    """The stateless Bloom decontamination filter runs identically on a
+    STREAM and on the same data as a batch (no aggregation, no state,
+    no watermark — definition-time mask, scan-side higher-order probe),
+    and the contaminated document is dropped in both."""
+    import time as _time
+
+    from metalpipe_spark.operators.sketches import bloom_decontaminate_filter
+
+    bench_rows = [
+        (100 + i, f"secret eval item {i} held out answer {i}")
+        for i in range(5)
+    ]
+    doc_rows = [
+        (0, "prefix words secret eval item 2 held out answer 2 suffix"),
+        (1, "completely unrelated training text about other things entirely"),
+        (2, "more clean text with no overlap whatsoever in these tokens"),
+    ]
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(bench_rows, schema)
+    docs = spark.createDataFrame(doc_rows, schema)
+
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in bloom_decontaminate_filter(docs, bench, min_hits=3).collect()
+    )
+    assert batch_kept == [1, 2]
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(doc_rows[:1], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(doc_rows[1:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = file_watchdog(spark, str(src), docs.schema, max_files_per_trigger=1)
+    filtered = bloom_decontaminate_filter(stream, bench, min_hits=3)
+    assert filtered.isStreaming
+    out = str(tmp_path / "kept")
+    (
+        filtered.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream_kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert stream_kept == batch_kept
