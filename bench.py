@@ -105,6 +105,7 @@ HEADLINE = [
     "q_distinctive_terms",
     "q_length_quantiles",
     "q_tokenize_regex",
+    "q_char_entropy",
     "q_fingerprint",
     "q_hll_tokens",
     "q_countmin_tokens",

@@ -1020,3 +1020,45 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=10).orderBy("rnk")
+
+
+@register(
+    "q_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    c2 AS (SELECT doc_id, ch FROM ch WHERE ch <> ''),
+    counts AS (
+      SELECT doc_id, ch, count(*)::BIGINT AS n FROM c2 GROUP BY doc_id, ch
+    ),
+    per AS (
+      SELECT doc_id, sum(n)::BIGINT AS n_chars,
+             list(n ORDER BY ch) AS cs
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars,
+           round(list_reduce(
+             list_prepend(
+               0.0::DOUBLE,
+               list_transform(cs, c ->
+                 -(c::DOUBLE / n_chars::DOUBLE)
+                  * log2(c::DOUBLE / n_chars::DOUBLE))),
+             (acc, x) -> acc + x), 6) AS char_entropy
+    FROM per
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Character-distribution Shannon entropy (Gopher/CCNet-style "
+        "gibberish signal): exact integer char counts, char-sorted "
+        "left-fold of p*log2(p) (never a shuffle-order double SUM), "
+        "rounded to 6.  Two count-carrying shuffles keyed by doc; text "
+        "never moves past the scan."
+    ),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return char_entropy(docs).orderBy("doc_id")

@@ -893,3 +893,50 @@ def bm25_topk(
     topk = quant.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits) — the
+    classic cheap gibberish/boilerplate signal in the Gopher/CCNet
+    filter family: near-random text saturates toward log2(alphabet),
+    template spam and repeated filler sit far below prose.
+
+    Returns ``(id_col, n_chars, char_entropy)`` with entropy rounded to
+    6 decimals.  Deterministic to the oracle's hash: per-char counts
+    are exact integers and the ``Σ p·log2(p)`` fold runs over the
+    char-sorted count list (left-associated, never a shuffle-order
+    double SUM — the BM25 rule).
+
+    Plan shape: one char explode (codegen split) feeding a map-side-
+    combined (doc, char) count, one per-doc list aggregate — two
+    shuffles keyed by doc, both carrying counts, never text."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("n").alias("n_chars"),
+        # chars are unique per doc, so sorting (ch, n) structs orders by
+        # ch alone; project down to the count list the fold consumes.
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("ch"), F.col("n")))),
+            lambda s: s["n"],
+        ).alias("__cs"),
+    )
+    total = F.col("n_chars").cast("double")
+    ent = F.aggregate(
+        F.col("__cs"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c.cast("double") / total) * F.log2(c.cast("double") / total),
+    )
+    return per_doc.select(
+        id_col,
+        "n_chars",
+        F.round(ent, 6).alias("char_entropy"),
+    )

@@ -1566,3 +1566,28 @@ def test_pack_shards_fractional_weights_keep_exact_boundaries(spark):
 
     with pytest.raises(ValueError, match="integral"):
         pack_sequences(df, "w", "doc_id", 8)
+
+
+def test_char_entropy_orders_gibberish_above_repetition(spark):
+    """Entropy physics: random-looking text scores high, single-char
+    filler scores 0, and a two-symbol alternation scores exactly 1 bit;
+    results are partitioning-independent (char-sorted fold)."""
+    from metalpipe_spark.operators.text import char_entropy
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaa"),
+        (1, "abababababababab"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[0]["char_entropy"] == 0.0
+    assert got[1]["char_entropy"] == 1.0
+    assert got[2]["char_entropy"] > 3.0
+    assert got[2]["n_chars"] == len(rows[2][1])
+
+    again = {
+        r["doc_id"]: r["char_entropy"]
+        for r in char_entropy(df.repartition(5)).collect()
+    }
+    assert again == {k: v["char_entropy"] for k, v in got.items()}
