@@ -111,6 +111,7 @@ HEADLINE = [
     "q_countmin_tokens",
     "q_bm25_topk",
     "q_bpe_pair_counts",
+    "q_bpe_encode",
     # multimodal
     "q_multimodal_decode",
     "q_multimodal_features",

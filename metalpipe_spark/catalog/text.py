@@ -1062,3 +1062,68 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return char_entropy(docs).orderBy("doc_id")
+
+
+# Fixed, corpus-independent merge table for the ENCODE row — a VALID
+# BPE table (every compound component is produced by an earlier rule),
+# which is the property that makes "replay rules in rank order" equal
+# to bpe_encode's rank-greedy loop; includes two compound rules so the
+# chain exercises real merge depth.  No rule has left='</w>' (word-
+# final symbol), so the oracle's whole-document replay cannot merge
+# across word boundaries.
+_BPE_ENC_MERGES = [
+    ("e", "</w>"), ("t", "h"), ("s", "</w>"), ("a", "n"), ("i", "n"),
+    ("r", "e"), ("t", "</w>"), ("o", "r"), ("d", "</w>"), ("a", "r"),
+    ("e", "r"), ("l", "e"), ("th", "e"), ("the", "</w>"), ("an", "</w>"),
+    ("in", "</w>"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    # one word -> '(c)(h)...(</w>)'; words concatenate directly (the
+    # trailing (</w>) is the separator), then each rule replays as a
+    # global regexp_replace of '\(l\)\(r\)' -> '(lr)'.
+    s = (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        "w -> '(' || array_to_string(string_split(w, ''), ')(') "
+        "|| ')(</w>)'), '')"
+    )
+    for l, r in _BPE_ENC_MERGES:
+        pl = l.replace("/", "/")  # no regex specials in this alphabet
+        s = f"regexp_replace({s}, '\\({pl}\\)\\({r}\\)', '({l}{r})', 'g')"
+    return f"""
+    WITH enc AS (SELECT doc_id, {s} AS s FROM documents)
+    SELECT doc_id,
+           (length(s) - length(replace(s, '(', '')))::BIGINT AS n_subwords,
+           md5(s) AS enc_md5
+    FROM enc ORDER BY doc_id
+    """
+
+
+@register(
+    "q_bpe_encode",
+    _bpe_encode_oracle(),
+    doc=(
+        "BPE ENCODING with a fixed valid merge table: the rank-greedy "
+        "loop (always merge the lowest-rank pair present, first "
+        "occurrence first) over every document, fingerprinted as the "
+        "parenthesized subword stream.  The DuckDB twin replays the "
+        "rules in rank order as chained global regex replaces - equal "
+        "to rank-greedy exactly because the table is VALID (components "
+        "precede their uses), the property a trained table has by "
+        "construction.  Encoding is one Arrow-batched scan with a "
+        "per-batch word memo; no shuffle."
+    ),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    enc = bpe_encode(docs, _BPE_ENC_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_subwords",
+        F.md5(
+            F.concat(F.lit("("), F.concat_ws(")(", "subwords"), F.lit(")"))
+        ).alias("enc_md5"),
+    ).orderBy("doc_id")

@@ -118,3 +118,26 @@ def test_bpe_pair_counts_rank1_is_first_merge(spark):
     assert got == want
     first_merge = train_bpe(df, num_merges=1).first()
     assert (first_merge["left"], first_merge["right"]) == got[0][0]
+
+
+def test_bpe_encode_compound_chain(spark):
+    """The fixed encode table's semantics: the LOWEST-rank applicable
+    pair always fires first (so 'the' becomes th + e</w>, not the
+    compound chain), compound rules chain when lower ranks don't
+    preempt ('then' -> the n </w>), and unknown words fall through to
+    chars."""
+    from metalpipe_spark.catalog.text import _BPE_ENC_MERGES
+    from metalpipe_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "the"), (1, "then"), (2, "xq")], "doc_id INT, text STRING"
+    )
+    got = {r["doc_id"]: list(r["subwords"]) for r in
+           bpe_encode(df, _BPE_ENC_MERGES).collect()}
+    # 'the' = t h e </w>: rank 0 (e,</w>) fires FIRST (lowest rank
+    # wins, not longest chain), then (t,h); no rule joins th + e</w>.
+    assert got[0] == ["th", "e</w>"]
+    # 'then' = t h e n </w>: (e,</w>) not adjacent, so (t,h) then
+    # (th,e) chain; nothing merges n or </w>.
+    assert got[1] == ["the", "n", "</w>"]
+    assert got[2] == ["x", "q", "</w>"]
