@@ -428,3 +428,45 @@ def bloom_decontaminate_filter(
         )
     )
     return df.where(hits < min_hits)
+
+
+def bloom_merge(blooms: DataFrame) -> DataFrame:
+    """Merge :func:`bloom_build` filters: the union of Bloom sets is
+    the elementwise OR of their masks — the same mergeability story as
+    the other sketches here (HLL merges by register max, count-min by
+    counter sum, Bloom by bit OR), which is what makes per-shard /
+    per-day filters composable into one without touching the raw data.
+    All input rows must share (m, k); mixed geometries raise (an OR of
+    differently-hashed masks would be a silently wrong filter).
+
+    Plan shape: one ``n_words``-row explode + group-wise bit_or —
+    bounded by the mask size times the filter count, never data."""
+    geoms = blooms.select("m", "k").distinct().collect()
+    if len(geoms) != 1:
+        raise ValueError(
+            "bloom_merge needs one geometry, got "
+            + ", ".join(f"(m={r['m']}, k={r['k']})" for r in geoms)
+        )
+    m_bits, k = int(geoms[0]["m"]), int(geoms[0]["k"])
+    n_words = m_bits // 64
+    merged = (
+        blooms.select(F.posexplode("mask").alias("i", "w"))
+        .groupBy("i")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("i"), F.col("w")))
+            ).alias("mp")
+        )
+        .select(
+            # posexplode positions are 0-based; element_at on a MAP is
+            # a key lookup, so the sequence must be 0-based too.
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.element_at(F.col("mp"), i),
+            ).alias("mask"),
+            F.lit(m_bits).alias("m"),
+            F.lit(k).alias("k"),
+        )
+    )
+    return merged

@@ -1591,3 +1591,28 @@ def test_char_entropy_orders_gibberish_above_repetition(spark):
         for r in char_entropy(df.repartition(5)).collect()
     }
     assert again == {k: v["char_entropy"] for k, v in got.items()}
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Bloom mergeability: OR-merging per-shard filters equals building
+    one filter over the union (bit-identical mask), and mixed
+    geometries are rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.range(300).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(300, 600).select(
+        F.concat(F.lit("a"), F.col("id")).alias("v")
+    )
+    ba = bloom_build(a, "v", m_bits=1 << 14, k=4)
+    bb = bloom_build(b, "v", m_bits=1 << 14, k=4)
+    merged = bloom_merge(ba.unionByName(bb)).collect()[0]
+    direct = bloom_build(a.unionByName(b), "v", m_bits=1 << 14, k=4).collect()[0]
+    assert merged["mask"] == direct["mask"]
+    assert (merged["m"], merged["k"]) == (1 << 14, 4)
+
+    other = bloom_build(a, "v", m_bits=1 << 13, k=4)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_merge(ba.unionByName(other))
