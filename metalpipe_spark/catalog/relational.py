@@ -40,7 +40,7 @@ def dsum(c: Column | str) -> Column:
 
 def davg(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
-    return F.sum(dec(col)).cast("double") / F.count(col)
+    return dsum(col) / F.count(col)
 
 
 # SQL fragments mirroring dec/dsum/davg.
@@ -84,8 +84,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

@@ -27,8 +27,15 @@ def batch_messages(
     """
     col = F.col(key) if isinstance(key, str) else key
     payload = payload or [c for c in df.columns]
+    # Pure BIGINT floor-division (never `/`, which promotes to DOUBLE
+    # and mis-batches 64-bit keys above 2^53 — the `ts div 1000` rule):
+    # subtracting the non-negative pmod makes the numerator an exact
+    # multiple, so `div` equals floor division for negative keys too.
+    n = int(batch_size)
+    df = df.withColumn("__bm_key", col.cast("long"))
+    bid = F.expr(f"(__bm_key - pmod(__bm_key, {n}L)) div {n}L")
     return (
-        df.groupBy(F.floor(col / batch_size).alias("batch_id"))
+        df.groupBy(bid.alias("batch_id"))
         .agg(
             F.count(F.lit(1)).alias("batch_size"),
             F.sort_array(F.collect_list(F.struct(*payload))).alias("items"),
@@ -202,7 +209,6 @@ def time_rollup(
     derives coarser levels FROM finer ones (sum of sums) — the operator
     keeps per-level aggregation self-contained so either wiring works.
     """
-    from pyspark.sql import functions as F
 
     groups = list(group_cols or [])
     # DECIMAL accumulation (the engine's money-aggregation rule): a raw

@@ -36,9 +36,27 @@ def enrich_join(
     clashes = [c for c in dim.columns if c in fact.columns and c not in join_keys]
     if prefer_existing_value:
         dim_side = dim_side.drop(*clashes)
-    else:
+        return fact.join(dim_side, on=join_keys, how=how)
+    if how == "inner" or not clashes:
         fact = fact.drop(*clashes)
-    return fact.join(dim_side, on=join_keys, how=how)
+        return fact.join(dim_side, on=join_keys, how=how)
+    # Non-inner joins must RETAIN the fact's value when no dim row
+    # matches (the reference's merge only overrides when a new value
+    # arrives) — dropping the fact column pre-join would NULL it for
+    # every unmatched row.  coalesce(dim, fact) per clash instead.
+    fact_a, dim_a = fact.alias("__f"), dim_side.alias("__d")
+    joined = fact_a.join(dim_a, on=join_keys, how=how)
+    merged = [
+        F.coalesce(F.col(f"__d.{c}"), F.col(f"__f.{c}")).alias(c)
+        if c in clashes
+        else F.col(f"__f.{c}")
+        for c in fact.columns
+    ] + [
+        F.col(f"__d.{c}")
+        for c in dim.columns
+        if c not in clashes and c not in join_keys
+    ]
+    return joined.select(*merged)
 
 
 def as_of_join(
@@ -63,31 +81,52 @@ def as_of_join(
     either side.  Ties (equal ts on both sides) match, as in DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts``: the right row sorts first.
     """
+    from pyspark.sql.types import StructField, StructType
+
     value_cols = list(value_cols or [c for c in right.columns if c not in (on, right_ts)])
     # The matched right timestamp is part of the result (callers need to
     # know *when* the as-of match happened), so it rides along as a value.
     carried = [right_ts] + value_cols
     tagged_vals = [f"{prefix}{c}" for c in carried]
 
-    lhs = left.withColumn("__side", F.lit(1))
-    for c, t in zip(carried, tagged_vals):
-        lhs = lhs.withColumn(t, F.lit(None).cast(right.schema[c].dataType))
-    rhs = right.select(
-        F.col(on),
-        F.col(right_ts).alias(left_ts),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(t) for c, t in zip(carried, tagged_vals)],
+    # The carried columns travel as ONE struct, so the window picks the
+    # most recent right ROW atomically.  Per-column last(ignorenulls)
+    # would mix rows: a NULL value in the true as-of match gets silently
+    # replaced by an OLDER row's value, pairing (ts, value) that never
+    # co-occurred.  The struct is non-null exactly when a right row
+    # exists (a struct with NULL fields is still non-null), which is the
+    # only "was there a match" signal ignorenulls should see.
+    row_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in carried]
     )
-    merged = lhs.select(*lhs.columns).unionByName(rhs, allowMissingColumns=True)
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__asof", F.lit(None).cast(row_type)
+    )
+    # ASOF semantics: right_ts <= left_ts is never true for NULL ts, and
+    # NULL keys never equal anything — both classes of right rows must
+    # not contribute (a NULL ts would sort FIRST and leak into every
+    # left row; NULL keys would pair with NULL-key left rows).
+    rhs = (
+        right.where(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias(left_ts),
+            F.lit(0).alias("__side"),
+            F.struct(*[F.col(c) for c in carried]).alias("__asof"),
+        )
+    )
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for t in tagged_vals:
-        merged = merged.withColumn(t, F.last(t, ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__side")
+    merged = merged.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    out = merged.filter(F.col("__side") == 1)
+    for c, t in zip(carried, tagged_vals):
+        out = out.withColumn(t, F.col("__asof")[c])
+    return out.drop("__side", "__asof")
 
 
 def range_join(

@@ -1616,3 +1616,73 @@ def test_bloom_merge_equals_union_build(spark):
     other = bloom_build(a, "v", m_bits=1 << 13, k=4)
     with pytest.raises(ValueError, match="geometry"):
         bloom_merge(ba.unionByName(other))
+
+
+def test_asof_join_null_semantics_and_row_atomicity(spark):
+    """Review fixes (r9): (1) the as-of match is ROW-atomic — a NULL
+    value in the true match is returned as NULL, never replaced by an
+    older row's value; (2) right rows with NULL ts never match (ts <=
+    anything is never true for NULL); (3) NULL join keys never pair."""
+    from metalpipe_spark.operators.joins import as_of_join
+
+    right = spark.createDataFrame(
+        [
+            ("u", 100, 5),     # older row with a value
+            ("u", 130, None),  # the true as-of match, value NULL
+            ("w", None, 7),    # NULL ts: must never match
+            (None, 50, 9),     # NULL key: must never match
+        ],
+        "user_id string, ts long, v int",
+    )
+    left = spark.createDataFrame(
+        [("u", 145), ("w", 200), (None, 200)],
+        "user_id string, ts long",
+    )
+    got = {
+        r["user_id"]: (r["asof_ts"], r["asof_v"])
+        for r in as_of_join(left, right, "user_id").collect()
+    }
+    assert got["u"] == (130, None)  # atomic: NOT (130, 5)
+    assert got["w"] == (None, None)
+    assert got[None] == (None, None)
+
+
+def test_enrich_left_join_retains_unmatched_fact_values(spark):
+    """Review fix (r9): under how='left' an unmatched fact row KEEPS its
+    clashing column's value (the reference merge only overrides when a
+    new value arrives); matched rows still take the dim value."""
+    from metalpipe_spark.operators.joins import enrich_join
+
+    fact = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], "id int, status string"
+    )
+    dim = spark.createDataFrame([(1, "new1")], "id int, status string")
+    got = {
+        r["id"]: r["status"]
+        for r in enrich_join(fact, dim, "id", how="left").collect()
+    }
+    assert got == {1: "new1", 2: "old2"}
+
+
+def test_batch_messages_exact_above_double_precision(spark):
+    """Review fix (r9): batch ids come from BIGINT floor-division — keys
+    above 2^53 (snowflake-id class) batch exactly, where the old DOUBLE
+    division rounded neighbors into the wrong batch."""
+    from metalpipe_spark.operators.aggregate import batch_messages
+
+    k = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(k - 1,), (k,), (k + 99,)], "id long"
+    )
+    got = {
+        r["batch_id"]: r["batch_size"]
+        for r in batch_messages(df, 100, "id").collect()
+    }
+    # floor((2^53)/100) boundaries computed exactly
+    b_lo = (k - 1 - (k - 1) % 100) // 100
+    b_hi = (k - k % 100) // 100
+    expect = {}
+    for v in (k - 1, k, k + 99):
+        b = (v - v % 100) // 100
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
