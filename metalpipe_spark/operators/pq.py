@@ -382,3 +382,50 @@ def load_pq_index(
     for r in rows:
         books[r["sub"]].append([float(x) for x in r["cv"]])
     return enc, cents, books
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_sub: int,
+    n_codes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """LEARNED PQ codebooks: per-subspace distributed k-means
+    (pyspark.ml) over the corpus — the training-time complement of
+    :func:`deterministic_pq_codebooks`, the same learned/literal split
+    as ``ivf_assign`` vs ``ivf_assign_literal``.  Returns the
+    ``[sub][code][d_sub]`` matrix the unchanged serving path
+    (:func:`pq_encode` / :func:`pq_adc_topk` / :func:`ivfadc_topk`)
+    inlines as literals; like every learned artifact it is
+    deterministic for a fixed seed + data but not SQL-replayable, so
+    its correctness evidence is the quantization-error test (learned
+    books must beat the deterministic ones on the corpus they were fit
+    to), not an oracle row.
+
+    At 100 TB: fit on a SAMPLE (``sample_fraction``), broadcast the
+    codebook literals, encode the full corpus with the BLAS twin — the
+    k-means never sees the whole corpus, the encoder never shuffles."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    src = df
+    if sample_fraction is not None:
+        src = df.sample(fraction=sample_fraction, seed=seed)
+    arr = F.col(vec_col).cast("array<double>")
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        sub = src.select(
+            array_to_vector(F.slice(arr, s * d_sub + 1, d_sub)).alias("__v")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + s, maxIter=max_iter, featuresCol="__v"
+        ).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
