@@ -23,15 +23,26 @@ from metalpipe_spark.operators.dedup import (
 from metalpipe_spark.operators.text import fingerprint
 from metalpipe_spark.sources.readers import load_table
 
+# THE word-3-gram production (the SQL twin of operators.dedup.
+# word_shingles): one authority — every oracle CTE interpolates this
+# string, so the shingle rule can never desynchronize between rows.
+# coalesce(text, '') matches the operators' NULL contract (a NULL text
+# behaves as empty — without it the SQL side DROPS the document while
+# Spark keeps it, a gate failure waiting on the first NULL-text row).
+_TOKS_EXPR = "string_split(coalesce(text, ''), ' ')"
+_SHINGLE_UNNEST = (
+    "unnest(list_transform(range(1, greatest(len(t) - 1, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle"
+)
+
 # Shared SQL fragment: distinct word-3-gram shingles per document.
-_SHINGLES_CTE = """
+_SHINGLES_CTE = f"""
     toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, {_TOKS_EXPR} AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM toks
     )
 """
@@ -202,7 +213,7 @@ def _simhash_oracle(bits: int = 32) -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, list_distinct(string_split(coalesce(text, ''), ' ')) AS t FROM documents
     ),
     h AS (
       SELECT doc_id, list_transform(t, x -> {_HASH64_SQL.format(expr='x')}) AS hs
@@ -377,12 +388,11 @@ def _subset_band_ctes(tag: str, pred: str, num_hashes: int = 16, bands: int = 8)
     )
     return f"""
     toks_{tag} AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE {pred}
+      SELECT doc_id, {_TOKS_EXPR} AS t FROM documents WHERE {pred}
     ),
     sh_{tag} AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM toks_{tag}
     ),
     hsh_{tag} AS (SELECT doc_id, {_HASH32_SQL} AS h FROM sh_{tag}),
@@ -489,7 +499,7 @@ def _simhash_neardup_oracle(
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+      SELECT doc_id, list_distinct(string_split(coalesce(text, ''), ' ')) AS t FROM documents
     ),
     h AS (
       SELECT doc_id, list_transform(t, x -> {_HASH64_SQL.format(expr='x')}) AS hs
@@ -538,8 +548,8 @@ _PCHUNK = 32
     "q_paragraph_dedup",
     f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks,
-             len(string_split(text, ' ')) AS n
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+             len(string_split(coalesce(text, ''), ' ')) AS n
       FROM documents
     ),
     st AS (
@@ -583,18 +593,16 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
     bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    ctoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM corpus),
     csh AS (
       SELECT DISTINCT doc_id AS corpus_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM ctoks
     ),
-    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM bench),
+    btoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM bench),
     bsh AS (
       SELECT DISTINCT doc_id AS benchmark_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM btoks
     )
     SELECT corpus_id, benchmark_id, COUNT(*) AS shared_shingles
@@ -622,8 +630,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
     from metalpipe_spark.operators.dedup import minhash_coefficients
 
-    # Multiply-shift positions (high bits), matching _bloom_positions.
-    shift = 32 - (m_bits.bit_length() - 1)
+    from metalpipe_spark.operators.sketches import _bloom_shift
+
+    # Multiply-shift positions from THE geometry authority — a second
+    # inline derivation could silently diverge from the masks.
+    shift = _bloom_shift(m_bits)
     pos_rows = "\n      UNION ALL ".join(
         f"SELECT doc_id, shingle, (({a} * h + {b}) % 4294967296) // {1 << shift} AS pos FROM ch"
         for a, b in minhash_coefficients(k)
@@ -635,22 +646,20 @@ def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
     return f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
     bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-    btoks AS (SELECT string_split(text, ' ') AS t FROM bench),
+    btoks AS (SELECT string_split(coalesce(text, ''), ' ') AS t FROM bench),
     bsh AS (
       SELECT DISTINCT
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM btoks
     ),
     bh AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM bsh),
     bits AS (SELECT DISTINCT pos FROM (
       {bit_rows}
     )),
-    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    ctoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM corpus),
     csh AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             {_SHINGLE_UNNEST}
       FROM ctoks
     ),
     ch AS (
@@ -765,7 +774,7 @@ _SPAN_W, _SPAN_S = 32, 8
 @register(
     "q_span_dedup",
     f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
     w AS (
       SELECT doc_id, i - 1 AS s,
              md5(array_to_string(tk[i : i + {_SPAN_W} - 1], ' ')) AS h

@@ -230,6 +230,12 @@ def _banded_signatures(
     key construction, shared by :func:`minhash_lsh_pairs` and
     :func:`band_store` (a second hand-written copy of this format would
     silently break store compatibility the day one of them changed)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): trailing signature components would silently "
+            "never key any band, changing the LSH S-curve"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -366,30 +372,34 @@ def connected_components(
     one job on one-row aggregates — no edge data ever reaches the
     driver, and the saved round is a full LS+SS pass at any scale.
     """
-    # Keys keep their input type: orderable comparisons (least/greatest,
-    # </>) are all the algorithm needs, so string/long ids both work.
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = raw.where(F.col("u") != F.col("v")).distinct()
-    # Nodes appearing ONLY in reflexive pairs (u == v) would vanish with
-    # the filtered edge — they are their own 1-node components and the
-    # contract promises every node in ``pairs`` an output row.  Collect
-    # them as (node, node) rows, minus nodes that also touch a real edge
-    # (those get their true cluster below).
-    self_only = (
-        raw.where(F.col("u") == F.col("v"))
-        .select(F.col("u").alias("node"))
-        .distinct()
-        .join(
-            edges.select(F.explode(F.array("u", "v")).alias("node")).distinct(),
-            "node",
-            "left_anti",
-        )
-        .withColumn("cluster_id", F.col("node"))
-    )
     reliable = checkpoint_dir is not None
     spark = pairs.sparkSession
     if reliable:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    # Keys keep their input type: orderable comparisons (least/greatest,
+    # </>) are all the algorithm needs, so string/long ids both work.
+    # The raw pair list is lazily checkpointed ONCE: round 1's
+    # materializing action runs through it (persisting its blocks), so
+    # the self-only branch below reads those blocks at output time
+    # instead of re-executing the entire pair-generation pipeline — the
+    # un-checkpointed form measured one full extra LSH pass per action
+    # on the result.  Storage cost is one edge-sized block set, the
+    # same magnitude as a round's checkpoint.
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    raw, _raw_rdd = _truncate_lineage(raw, reliable)
+    edges = raw.where(F.col("u") != F.col("v")).distinct()
+    # Nodes appearing ONLY in reflexive pairs (u == v) would vanish with
+    # the filtered edge — they are their own 1-node components and the
+    # contract promises every node in ``pairs`` an output row.  The
+    # anti-join runs against the FINAL star forest's node set (appended
+    # after the loop): CC preserves the non-isolated node set, so it
+    # equals the initial edge node set, and the final edges are already
+    # checkpointed — the initial plan would re-execute.
+    self_only_nodes = (
+        raw.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
     prev_rdd = None
     # Shuffle partitions sized to the EDGE SET, not the session default:
     # each round's cost at small edge counts is task scheduling, not
@@ -490,6 +500,11 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    self_only = self_only_nodes.join(
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).withColumn("cluster_id", F.col("node"))
     return members.union(roots).union(self_only).distinct()
 
 
@@ -519,7 +534,11 @@ def dedup_corpus(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
-    majority vote of token-hash bit j.
+    majority vote of token-hash bit j.  ``bits`` is capped at 60 — the
+    portable md5 hash is 60-bit, so bits 61-63 would be constant zero
+    (silently weakening every Manku block keyed on the top bits) and
+    bit 64 overflows the long literal; wider fingerprints need a second
+    hash column, not a wider slice of this one.
 
     Plan shape: explode distinct tokens → ONE md5 per token → pack the
     per-bit indicator values into 21-bit counter lanes (3 per long)
@@ -541,6 +560,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     null-text doc fingerprints identically to an empty-text doc, the
     same contract the pre-reshape per-row expression had).
     """
+    if bits > 60:
+        raise ValueError(
+            f"simhash bits must be <= 60 (portable hash width), got {bits}"
+        )
     toks = F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), r" "))
     hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _hash64(F.col("__t")).alias("__h")
