@@ -423,6 +423,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VID_FRAMES = 4
+_VID_MIN_MATCH = 2
 _VID_SHIFT = 17  # frame f windows the repeated text at offset 1 + 17f
 
 
@@ -437,6 +438,11 @@ def _frame_sql(src: str, f: int) -> str:
     )
 
 
+# Frame 0 IS the image fixture's buffer — pinned at import so the two
+# expressions can never drift apart (an edit to either padding/cycling
+# rule trips this immediately, not at the next oracle sweep).
+assert _frame_sql("text", 0) == _IMG_SQL
+
 _VID_SQL = " || ".join(_frame_sql("text", f) for f in range(_VID_FRAMES))
 # Variant: frame 0 replaced wholesale (reverse-text window) — a
 # re-edited opening; frames 1..3 identical to the original.
@@ -447,7 +453,7 @@ _VID_VARIANT_SQL = " || ".join(
 
 
 def _video_fixture(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # per-frame dHash is scan-stage CPU
     originals = docs.select(
         (F.col("doc_id") * 2).alias("id"),
         F.expr(_VID_SQL).cast("binary").alias("content"),
@@ -487,7 +493,7 @@ def _video_neardup_oracle() -> str:
     )
     SELECT v1, v2, count(*)::BIGINT AS matching_frames
     FROM fp WHERE v1 <> v2
-    GROUP BY v1, v2 HAVING count(*) >= 2
+    GROUP BY v1, v2 HAVING count(*) >= {_VID_MIN_MATCH}
     ORDER BY v1, v2
     """
 
@@ -513,5 +519,5 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup_pairs(
         vids, _VID_FRAMES, _IMG_W, _IMG_H,
         max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
-        min_matching_frames=2,
+        min_matching_frames=_VID_MIN_MATCH,
     ).orderBy("v1", "v2")

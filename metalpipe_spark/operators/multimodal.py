@@ -460,8 +460,20 @@ def video_neardup_pairs(
 
     frame_size = frame_width * frame_height * 3
     frames = frame_sample(df, n_frames, frame_size, id_col=id_col)
+    # Only complete frames hash: a payload that is not an exact
+    # multiple of frame_size yields a partial trailing window, and the
+    # dHash kernel's reshape needs exactly width*height*3 bytes (real
+    # byte streams are never exact multiples).  The fid packing needs
+    # NON-NEGATIVE ids (truncating `div` would misattribute a negative
+    # id's frames to the neighboring video); assert_true folds into the
+    # fid expression so a bad id fails the job loudly instead of
+    # silently producing wrong pairs.
+    frames = frames.where(F.length("frame") == frame_size)
+    fid = (F.col("id") * n_frames + F.col("frame_id")) + F.coalesce(
+        F.assert_true(F.col("id") >= 0).cast("long"), F.lit(0)
+    )
     fdf = frames.select(
-        (F.col("id") * n_frames + F.col("frame_id")).alias("fid"),
+        fid.alias("fid"),
         F.col("frame").alias("content"),
         F.lit(frame_width).alias("width"),
         F.lit(frame_height).alias("height"),

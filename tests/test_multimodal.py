@@ -350,3 +350,41 @@ def test_video_neardup_matches_reedited_copy_not_distinct(spark):
     ).collect()
     assert [(r["v1"], r["v2"]) for r in got] == [(0, 1)]
     assert got[0]["matching_frames"] == 3
+
+
+def test_video_neardup_partial_trailing_frame_and_negative_id(spark):
+    """Review fixes (r9): a payload that is not an exact multiple of
+    frame_size must not crash (the partial trailing window is skipped,
+    complete frames still match); a negative video id fails LOUDLY
+    instead of silently misattributing frames to the neighboring id."""
+    import numpy as np
+    import pytest
+
+    from metalpipe_spark.operators.multimodal import video_neardup_pairs
+
+    w, h, nf = 18, 16, 4
+    fsize = w * h * 3
+
+    def frame(seed):
+        return np.random.RandomState(seed).randint(
+            0, 256, fsize, dtype=np.uint8
+        ).tobytes()
+
+    frames = [frame(i) for i in range(nf)]
+    full = b"".join(frames)
+    ragged = full + frame(99)[: fsize // 2]  # partial trailing window
+    df = spark.createDataFrame(
+        [(0, bytearray(full)), (1, bytearray(ragged))],
+        "id long, content binary",
+    )
+    got = video_neardup_pairs(
+        df, nf + 1, w, h, max_hamming=3, min_matching_frames=2
+    ).collect()
+    assert [(r["v1"], r["v2"], r["matching_frames"]) for r in got] == [(0, 1, 4)]
+
+    bad = spark.createDataFrame(
+        [(-1, bytearray(full)), (2, bytearray(full))],
+        "id long, content binary",
+    )
+    with pytest.raises(Exception):
+        video_neardup_pairs(bad, nf, w, h).collect()
