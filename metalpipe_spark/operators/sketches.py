@@ -49,23 +49,64 @@ def hll_count_distinct(
     classic ~1.04/sqrt(m) (≈1.6% at p=12).  For a mergeable persisted
     sketch, store the (group, bucket, max_rank) register table and
     re-aggregate with ``max`` — register max is the HLL merge."""
+    regs = hll_registers(df, col, group_cols=group_cols, p=p)
+    return hll_estimate_from_registers(regs, group_cols=group_cols, p=p)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """The HLL REGISTER TABLE per group — ``(group..., __b, __m)`` with
+    at most ``2^p`` rows per group — the mergeable half of
+    :func:`hll_count_distinct`: register max IS the HLL merge, so
+    per-shard / per-window register tables re-aggregate with ``max``
+    into one sketch (``hll_merge_registers``).  This is also the shape
+    a STREAMING aggregation can maintain (one watermarked max-agg);
+    estimates come later, in batch, from the stored registers."""
     from metalpipe_spark.operators.dedup import _hash64
 
     groups = list(group_cols or [])
-    m = 1 << p
     w = 60 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    h = _hash64(F.col(col))
+    # Canonical string cast before hashing: a no-op for string columns
+    # (every oracle row), and the defined portable behavior for numeric
+    # ones (md5 itself rejects BIGINT) — the deterministic_uniform rule.
+    h = _hash64(F.col(col).cast("string"))
     bucket = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
     rank = F.when(rem == 0, F.lit(w + 1)).otherwise(
         F.lit(w) - F.length(F.bin(rem)) + F.lit(1)
     )
-    regs = (
+    return (
         df.select(*groups, bucket.alias("__b"), rank.alias("__r"))
         .groupBy(*groups, "__b")
         .agg(F.max("__r").alias("__m"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge register tables (from different shards, days, or
+    micro-batches) into one per group: register max — the HLL merge."""
+    groups = list(group_cols or [])
+    return regs.groupBy(*groups, "__b").agg(F.max("__m").alias("__m"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Estimate from a register table (same arithmetic contract as
+    :func:`hll_count_distinct`: integer-exact harmonic sum, one double
+    division, small-range linear counting)."""
+    groups = list(group_cols or [])
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
     # Integer-exact Σ 2^-M: term = 2^(w+1-M) summed as BIGINT, plus
     # 2^(w+1) per absent register; one double division at the end.
     scale = 1 << (w + 1)

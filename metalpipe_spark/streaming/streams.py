@@ -618,3 +618,33 @@ def stream_image_dedup_sink(
         return fresh, updated, lambda: rdd.unpersist(False)
 
     return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 12,
+):
+    """Streaming cardinality monitor: maintain per-window HLL REGISTER
+    tables over a stream — ``(window, __b, __m)`` — with ONE watermarked
+    max-aggregation (Structured Streaming's single-stateful-agg sweet
+    spot; the estimate's second aggregate runs in BATCH over the stored
+    registers via ``hll_estimate_from_registers``).  State per window is
+    capped at ``2^p`` rows regardless of stream volume — the reason a
+    distinct-count monitor over an unbounded stream needs a sketch and
+    not ``approx_count_distinct`` (whose estimate no other engine could
+    reproduce) or exact distinct (whose state is unbounded).
+
+    Register tables from any number of micro-batches, days, or shards
+    re-merge by register max (``hll_merge_registers``), so the persisted
+    output composes into coarser windows for free."""
+    from metalpipe_spark.operators.sketches import hll_registers
+
+    windowed = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window_duration).alias("window"),
+        F.col(value_col),
+    )
+    return hll_registers(windowed, value_col, group_cols=["window"], p=p)

@@ -720,3 +720,56 @@ def test_bloom_decontaminate_filter_streaming_matches_batch(spark, tmp_path):
     )
     stream_kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert stream_kept == batch_kept
+
+
+def test_stream_hll_registers_match_batch_estimates(spark, events_dir):
+    """Streaming HLL monitor: the registers maintained by the
+    watermarked streaming max-agg merge + estimate to EXACTLY the
+    batch pipeline's estimates on the same data (the mergeability
+    contract: register max is the HLL merge)."""
+    from metalpipe_spark.operators.sketches import (
+        hll_count_distinct,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+    )
+    from metalpipe_spark.streaming.streams import stream_hll_registers
+
+    path, schema, batch = events_dir
+    stream = file_watchdog(spark, path, schema, max_files_per_trigger=1)
+    # Wide watermark: the fixture's files are round-robin partitions
+    # (each spans the full time range), so a short watermark would
+    # legitimately DROP early-window rows arriving in later
+    # micro-batches — correct streaming semantics, but this test pins
+    # lossless stream==batch parity of the register arithmetic.
+    regs = stream_hll_registers(
+        stream, "user_id", ts_col="ts", window_duration="1 day",
+        watermark="3650 days", p=8,
+    )
+    # Complete mode: append would only emit windows the watermark has
+    # closed, and the lossless wide watermark above never closes one.
+    out = regs.writeStream.format("memory").queryName("hllregs").outputMode(
+        "complete"
+    ).trigger(availableNow=True).start()
+    out.awaitTermination()
+    streamed = spark.table("hllregs")
+
+    merged = hll_merge_registers(streamed, group_cols=["window"])
+    got = {
+        str(r["window"]["start"]): r["hll_estimate"]
+        for r in hll_estimate_from_registers(
+            merged, group_cols=["window"], p=8
+        ).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    want_src = batch.select(
+        F.window(F.col("ts"), "1 day").alias("window"), "user_id"
+    )
+    want = {
+        str(r["window"]["start"]): r["hll_estimate"]
+        for r in hll_count_distinct(
+            want_src, "user_id", group_cols=["window"], p=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
