@@ -27,13 +27,22 @@ def batch_messages(
     """
     col = F.col(key) if isinstance(key, str) else key
     payload = payload or [c for c in df.columns]
-    # Pure BIGINT floor-division (never `/`, which promotes to DOUBLE
-    # and mis-batches 64-bit keys above 2^53 — the `ts div 1000` rule):
-    # subtracting the non-negative pmod makes the numerator an exact
-    # multiple, so `div` equals floor division for negative keys too.
     n = int(batch_size)
-    df = df.withColumn("__bm_key", col.cast("long"))
-    bid = F.expr(f"(__bm_key - pmod(__bm_key, {n}L)) div {n}L")
+    df = df.withColumn("__bm_key", col)
+    ktype = df.schema["__bm_key"].dataType.simpleString()
+    if ktype in ("tinyint", "smallint", "int", "bigint"):
+        # Pure BIGINT floor-division (never `/`, which promotes to DOUBLE
+        # and mis-batches 64-bit keys above 2^53 — the `ts div 1000`
+        # rule): subtracting the non-negative pmod makes the numerator an
+        # exact multiple, so `div` equals floor division for negative
+        # keys too.
+        df = df.withColumn("__bm_key", F.col("__bm_key").cast("long"))
+        bid = F.expr(f"(__bm_key - pmod(__bm_key, {n}L)) div {n}L")
+    else:
+        # Fractional / other keys keep true floor(key / n) semantics — a
+        # DOUBLE key of -0.5 belongs to batch -1, which a cast-to-long
+        # path would truncate into batch 0.
+        bid = F.floor(F.col("__bm_key") / F.lit(n))
     return (
         df.groupBy(bid.alias("batch_id"))
         .agg(

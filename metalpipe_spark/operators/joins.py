@@ -37,19 +37,36 @@ def enrich_join(
     if prefer_existing_value:
         dim_side = dim_side.drop(*clashes)
         return fact.join(dim_side, on=join_keys, how=how)
+    norm = how.lower().replace("_", "")
+    if norm in ("leftsemi", "semi", "leftanti", "anti"):
+        # Semi/anti output carries ONLY fact columns — the dim contributes
+        # nothing, so there is no clash to merge and nothing to drop.
+        return fact.join(dim_side, on=join_keys, how=how)
     if how == "inner" or not clashes:
         fact = fact.drop(*clashes)
         return fact.join(dim_side, on=join_keys, how=how)
     # Non-inner joins must RETAIN the fact's value when no dim row
     # matches (the reference's merge only overrides when a new value
     # arrives) — dropping the fact column pre-join would NULL it for
-    # every unmatched row.  coalesce(dim, fact) per clash instead.
-    fact_a, dim_a = fact.alias("__f"), dim_side.alias("__d")
+    # every unmatched row.  The merge keys on a non-null dim-side match
+    # MARKER, not per-column coalesce: a matched dim row with a NULL
+    # clash value still overrides (the reference's dict-update — an
+    # arriving None wins, node.py:205-207), so one output row never
+    # pairs fields from two different source rows.
+    fact_a = fact.alias("__f")
+    dim_a = dim_side.withColumn("__dim_matched", F.lit(True)).alias("__d")
+    matched = F.col("__d.__dim_matched").isNotNull()
     joined = fact_a.join(dim_a, on=join_keys, how=how)
     merged = [
-        F.coalesce(F.col(f"__d.{c}"), F.col(f"__f.{c}")).alias(c)
-        if c in clashes
-        else F.col(f"__f.{c}")
+        # USING-join keys come out pre-coalesced across sides, so
+        # dim-only rows of a right/full join keep the dim's key.
+        F.col(c)
+        if c in join_keys
+        else (
+            F.when(matched, F.col(f"__d.{c}")).otherwise(F.col(f"__f.{c}")).alias(c)
+            if c in clashes
+            else F.col(f"__f.{c}")
+        )
         for c in fact.columns
     ] + [
         F.col(f"__d.{c}")

@@ -874,10 +874,12 @@ def compile_pipeline(
                 # the output instead silently changes aggregating nodes:
                 # a collect_list over ALL rows limited to N output rows
                 # is not an aggregate over the first N inputs).  With
-                # several upstreams the reference counts total arrivals
-                # in interleaved order; batch has no arrival order, so
-                # each upstream is bounded to N — a documented, stricter
-                # reading.  Source nodes (no upstreams) bound their own
+                # several upstreams the reference counts N TOTAL arrivals
+                # in interleaved order (node.py:445-450); batch has no
+                # arrival order, so the sequential-exhaustion
+                # interleaving (a valid arrival order: drain upstream 0,
+                # then 1, ... until N consumed) is realized — never more
+                # than N rows total.  Source nodes (no upstreams) bound their own
                 # emission.  throttle (node.py:142,167,452-453) is a
                 # per-message sleep — meaningless under Spark's
                 # pull-based batch execution, so it is accepted
@@ -894,7 +896,17 @@ def compile_pipeline(
                             "batch option (a streaming node bounds work "
                             "with availableNow/maxFilesPerTrigger)"
                         )
-                    ups = [u.limit(int(max_messages)) for u in ups]
+                    if len(ups) == 1:
+                        ups = [ups[0].limit(int(max_messages))]
+                    else:
+                        budget = int(max_messages)
+                        limited = []
+                        for u in ups:
+                            u = u.limit(budget)
+                            if budget > 0:
+                                budget -= u.count()
+                            limited.append(u)
+                        ups = limited
                 if input_mapping:
                     ups = [
                         _rename_all(u, input_mapping) for u in ups

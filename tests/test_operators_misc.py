@@ -1689,3 +1689,65 @@ def test_batch_messages_exact_above_double_precision(spark):
         b = (v - v % 100) // 100
         expect[b] = expect.get(b, 0) + 1
     assert got == expect
+
+
+def test_enrich_join_right_full_keep_dim_keys(spark):
+    """Review fix (r10): how='right'/'full' dim-only rows keep the DIM's
+    join key and dim clash value (previously NULL key + NULL fact cols
+    selected off the fact alias)."""
+    from metalpipe_spark.operators.joins import enrich_join
+
+    fact = spark.createDataFrame([(1, "old1")], "id int, status string")
+    dim = spark.createDataFrame(
+        [(1, "new1"), (9, "dim9")], "id int, status string"
+    )
+    for how in ("right", "full"):
+        got = {
+            r["id"]: r["status"]
+            for r in enrich_join(fact, dim, "id", how=how).collect()
+        }
+        assert got[1] == "new1"
+        assert got[9] == "dim9", how  # dim-only row keeps its key+value
+
+
+def test_enrich_join_semi_anti_with_clashes(spark):
+    """Review fix (r10): semi/anti joins output only fact columns; the
+    clash-merge branch previously selected nonexistent dim columns and
+    raised AnalysisException."""
+    from metalpipe_spark.operators.joins import enrich_join
+
+    fact = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], "id int, status string"
+    )
+    dim = spark.createDataFrame([(1, "new1")], "id int, status string")
+    semi = enrich_join(fact, dim, "id", how="left_semi")
+    anti = enrich_join(fact, dim, "id", how="left_anti")
+    assert semi.columns == ["id", "status"]
+    assert [r["id"] for r in semi.collect()] == [1]
+    assert [(r["id"], r["status"]) for r in anti.collect()] == [(2, "old2")]
+
+
+def test_enrich_join_matched_null_dim_value_overrides(spark):
+    """Review fix (r10): the merge is row-atomic — a dim row that matched
+    but carries a NULL clash value still overrides the fact's value
+    (reference dict-update: an arriving None wins), instead of coalesce
+    silently keeping the fact's stale value."""
+    from metalpipe_spark.operators.joins import enrich_join
+
+    fact = spark.createDataFrame([(1, "old1")], "id int, status string")
+    dim = spark.createDataFrame([(1, None)], "id int, status string")
+    [row] = enrich_join(fact, dim, "id", how="left").collect()
+    assert row["status"] is None
+
+
+def test_batch_messages_fractional_keys_floor(spark):
+    """Review fix (r10): fractional keys keep true floor(key/n) — a
+    DOUBLE key of -0.5 lands in batch -1, not truncated into batch 0."""
+    from metalpipe_spark.operators.aggregate import batch_messages
+
+    df = spark.createDataFrame([(-0.5,), (0.5,), (1.5,)], "k double")
+    got = {
+        r["batch_id"]: r["batch_size"]
+        for r in batch_messages(df, 1, "k").collect()
+    }
+    assert got == {-1: 1, 0: 1, 1: 1}

@@ -696,3 +696,30 @@ def test_max_messages_received_bounds_input_of_aggregating_nodes(spark):
     assert len(out) == 1  # still ONE batch message...
     assert out[0]["batch_size"] == 3  # ...holding only the 3 consumed rows
     assert len(out[0]["items"]) == 3
+
+
+def test_max_messages_received_total_bound_multi_upstream(spark):
+    """Review fix (r10): with several upstreams the reference stops after
+    N TOTAL arrivals (node.py:445-450).  The batch realization is the
+    sequential-exhaustion interleaving — never more than N rows total
+    reach the node (previously each upstream was allowed N)."""
+    config = {
+        "nodes": {
+            "a": {
+                "class": "ParquetReader",
+                "options": {"path": f"{SF_SMOKE}/nation.parquet"},
+            },
+            "b": {
+                "class": "ParquetReader",
+                "options": {"path": f"{SF_SMOKE}/nation.parquet"},
+            },
+            "sink": {
+                "class": "PrinterOfThings",
+                "options": {"max_messages_received": 30},
+            },
+        },
+        "paths": [["a", "sink"], ["b", "sink"]],
+    }
+    p = compile_pipeline(spark, config)
+    # nation has 25 rows: upstream a contributes all 25, b only 5.
+    assert p.dataframes["sink"].count() == 30
