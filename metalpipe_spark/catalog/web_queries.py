@@ -1,0 +1,215 @@
+"""URL / host-level curation catalog rows (operators/web.py).
+
+The test corpus has no URL column, so each row synthesizes a
+deterministic *dirty* URL per document — mixed-case scheme/host,
+``www.`` aliases, default and explicit ports, trailing slashes,
+shuffled query params, tracking params, fragments — identically in
+Spark and DuckDB, then exercises the operator.  The dirt is chosen so
+every normalization rule fires on some rows and collisions exist for
+the dedup row (docs sharing ``source`` and ``doc_id mod 20`` map to one
+canonical URL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.web import (
+    HOST_RE,
+    PATH_RE,
+    PORT_RE,
+    QUERY_RE,
+    SCHEME_RE,
+    TRACKING_RE,
+    domain_stats,
+    extract_host,
+    host_filter,
+    url_dedup,
+    url_normalize,
+)
+from metalpipe_spark.sources.readers import load_table
+
+_BLOCKED = ["src0.example.com", "src13.example.com"]
+
+
+def _synth_url() -> F.Column:
+    """Deterministic dirty URL for a document row (Spark side)."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 1, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    dom = F.when(d % 2 == 0, F.lit(".Example.COM")).otherwise(
+        F.lit(".example.com")
+    )
+    port = (
+        F.when(d % 11 == 0, F.lit(":8080"))
+        .when(d % 7 == 0, F.when(d % 3 == 1, F.lit(":80")).otherwise(F.lit(":443")))
+        .otherwise(F.lit(""))
+    )
+    slash = F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit(""))
+    idp = (d % 4).cast("string")
+    query = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("?id="), idp, F.lit("&v=1&utm_campaign=x")),
+    ).otherwise(F.concat(F.lit("?utm_campaign=x&v=1&id="), idp))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        www,
+        F.col("source"),
+        dom,
+        port,
+        F.lit("/docs/"),
+        (d % 10).cast("string"),
+        slash,
+        query,
+        F.lit("#s"),
+        d.cast("string"),
+    )
+
+
+_URL_SQL = """
+  (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'https' END) || '://' ||
+  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+  source ||
+  (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END) ||
+  (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+        WHEN doc_id % 7 = 0 THEN
+          (CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE ':443' END)
+        ELSE '' END) ||
+  '/docs/' || (doc_id % 10)::VARCHAR ||
+  (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+  (CASE WHEN doc_id % 2 = 0
+        THEN '?id=' || (doc_id % 4)::VARCHAR || '&v=1&utm_campaign=x'
+        ELSE '?utm_campaign=x&v=1&id=' || (doc_id % 4)::VARCHAR END) ||
+  '#s' || doc_id::VARCHAR
+"""
+
+# The oracle replays url_normalize with the SAME regexes (RE2-safe by
+# construction — no lookaround).  The `n` CTE exposes doc_id, n_chars,
+# host (www-stripped, lower) and url_norm.
+_NORM_CTE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+), p AS (
+  SELECT doc_id, n_chars, url,
+         lower(regexp_extract(url, '{SCHEME_RE}', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(url, '{HOST_RE}', 1)), '^www\\.', ''
+         ) AS host,
+         regexp_extract(url, '{PORT_RE}', 1) AS port,
+         regexp_replace(
+           regexp_extract(url, '{PATH_RE}', 1), '/+$', ''
+         ) AS path0,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(url, '{QUERY_RE}', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_RE}')
+           )), '&'
+         ) AS qn
+  FROM u
+), n AS (
+  SELECT doc_id, n_chars, host,
+         CASE WHEN host <> '' THEN
+           scheme || '://' || host ||
+           (CASE WHEN port <> '' AND NOT (
+                   (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END) ||
+           (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+           (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END)
+         ELSE url END AS url_norm
+  FROM p
+)
+"""
+
+
+def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars", _synth_url().alias("url"))
+
+
+@register(
+    "q_url_normalize",
+    _NORM_CTE + "SELECT doc_id, url_norm FROM n ORDER BY doc_id",
+    doc=(
+        "URL canonicalization: scheme/host case, www folding, default "
+        "ports, trailing slashes, sorted non-tracking query params, "
+        "dropped fragments — one codegen expression, no UDF, rides the "
+        "scan at any corpus size."
+    ),
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = _with_url(spark, sf_dir)
+    return wu.select(
+        "doc_id", url_normalize("url").alias("url_norm")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_domain_stats",
+    _NORM_CTE
+    + """
+    SELECT host,
+           count(*) AS n_docs,
+           count(DISTINCT url_norm) AS n_urls,
+           sum(n_chars)::BIGINT AS total_size
+    FROM n GROUP BY host ORDER BY host
+    """,
+    doc=(
+        "Per-domain aggregates over canonical URLs (n_urls counts "
+        "distinct normalized pages, so tracking noise never inflates a "
+        "domain).  Host cardinality is broadcast-class at any corpus "
+        "size — the join input for domain_mix_sample."
+    ),
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = _with_url(spark, sf_dir)
+    return domain_stats(wu, "url", size_col="n_chars").orderBy("host")
+
+
+@register(
+    "q_host_filter",
+    _NORM_CTE
+    + f"""
+    SELECT host, count(*) AS n_docs
+    FROM n
+    WHERE host NOT IN ({", ".join(f"'{h}'" for h in _BLOCKED)})
+    GROUP BY host ORDER BY host
+    """,
+    doc=(
+        "Blacklist host filtering: the list rides as plan literals "
+        "(isin), pure scan-side codegen — no join, no shuffle.  The "
+        "table/Bloom variants (host_filter_table) cover list sizes "
+        "beyond literal inlining."
+    ),
+)
+def q_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = _with_url(spark, sf_dir)
+    kept = host_filter(wu, "url", blacklist=_BLOCKED)
+    return (
+        kept.groupBy(extract_host("url").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("host")
+    )
+
+
+@register(
+    "q_url_dedup",
+    _NORM_CTE
+    + """
+    SELECT min(doc_id) AS doc_id, url_norm
+    FROM n GROUP BY url_norm ORDER BY url_norm
+    """,
+    doc=(
+        "URL-normalized exact dedup (min-id per canonical URL): the "
+        "cheapest duplicate to drop is the one never tokenized — this "
+        "runs before any content-level dedup in a web pipeline.  One "
+        "map-side-combined shuffle on the canonical URL."
+    ),
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = _with_url(spark, sf_dir)
+    out = url_dedup(wu, "url", id_col="doc_id")
+    return out.select("doc_id", "url_norm").orderBy("url_norm")

@@ -1,0 +1,197 @@
+"""URL / host-level curation operators (web-scale corpus staple).
+
+The reference streams JSON/web data (reference network_nodes.py:172-241)
+but ships no domain tooling; a CCNet/RefinedWeb-style pipeline needs
+host extraction, URL canonicalization, per-domain aggregates, and
+blacklist/allowlist filtering *before* any content-level dedup, because
+the cheapest duplicate to drop is the one you never tokenize.
+
+Everything here is pure codegen column expressions — Java-regex
+extracts, HOF filter/sort over the query string, string reassembly — no
+UDFs and no shuffle beyond the aggregate's own, so at 100 TB the whole
+family rides the scan.  The regexes avoid lookaround so the DuckDB
+oracle can run the *same* patterns under RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One regex family, shared with the SQL oracles (catalog/web_queries.py).
+SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+# Tracking parameters dropped by normalization (the CCNet/RefinedWeb
+# staple set): utm_*, click ids, mail-merge ids.
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)(=.*)?$"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def extract_host(url: Column | str, strip_www: bool = True) -> Column:
+    """Lower-cased host of a URL ('' when the value is not URL-shaped;
+    NULL propagates).  ``strip_www`` folds the ``www.`` alias into the
+    registered host — per-domain statistics should not split a site in
+    two because half its links carry the prefix."""
+    host = F.lower(F.regexp_extract(_col(url), HOST_RE, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def url_normalize(url: Column | str, strip_www: bool = True) -> Column:
+    """Canonical form of a URL, as a pure codegen expression:
+
+    * scheme and host lower-cased; ``www.`` folded (``strip_www``);
+    * userinfo (``user:pass@``) stripped;
+    * default ports dropped (``http:80`` / ``https:443``), others kept;
+    * path: empty → ``/``; trailing slashes trimmed (``/a/`` == ``/a``);
+    * query: tracking params removed (:data:`TRACKING_RE`), remaining
+      params sorted bytewise so param order never splits a URL, empty
+      query dropped;
+    * fragment dropped.
+
+    Values that are not URL-shaped (no ``scheme://host``) pass through
+    unchanged, so the expression is total over dirty corpora.
+    """
+    u = _col(url)
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    host = extract_host(u, strip_www=strip_www)
+    port = F.regexp_extract(u, PORT_RE, 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    raw_path = F.regexp_extract(u, PATH_RE, 1)
+    trimmed = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    q = F.regexp_extract(u, QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+        )
+    )
+    qn = F.array_join(kept, "&")
+    q_part = F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit(""))
+    assembled = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when(host != "", assembled).otherwise(u)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    size_col: str | None = None,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Per-domain aggregates: ``host, n_docs, n_urls, [total_size]`` —
+    ``n_urls`` counts distinct *canonical* URLs (post-normalization), so
+    tracking-param noise never inflates a domain's page count.
+
+    One map-side-combined shuffle on the host; the host cardinality of a
+    web corpus (~10^7) is tiny next to its row count, so the aggregate
+    output is always broadcast-class — exactly what
+    ``domain_mix_sample`` joins against (operators/curation.py)."""
+    u = _col(url_col)
+    out = (
+        df.select(
+            extract_host(u, strip_www=strip_www).alias("host"),
+            url_normalize(u, strip_www=strip_www).alias("__url_norm"),
+            *([F.col(size_col)] if size_col else []),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__url_norm").alias("n_urls"),
+            *(
+                [F.sum(size_col).alias("total_size")]
+                if size_col
+                else []
+            ),
+        )
+    )
+    return out
+
+
+def host_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    allowlist: list[str] | None = None,
+    blacklist: list[str] | None = None,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Keep rows whose host passes the allow/block lists (both optional;
+    allow applied first).  List membership is an ``isin`` against plan
+    literals — pure scan-side codegen, no join — which is right for the
+    hand-curated list sizes (10^2..10^5) this form targets.  For
+    million-host block lists use :func:`host_filter_table`."""
+    host = extract_host(_col(url_col), strip_www=strip_www)
+    out = df
+    if allowlist is not None:
+        out = out.where(host.isin([h.lower() for h in allowlist]))
+    if blacklist is not None:
+        out = out.where(~host.isin([h.lower() for h in blacklist]))
+    return out
+
+
+def host_filter_table(
+    df: DataFrame,
+    hosts: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    mode: str = "block",
+    use_bloom: bool = False,
+    strip_www: bool = True,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Filter against a host *table* (e.g. a crawled blocklist too large
+    to inline).  ``mode='block'`` drops listed hosts, ``'allow'`` keeps
+    only listed hosts.
+
+    Exact path: broadcast ``left_anti``/``left_semi`` join — the host
+    table is aggregate-output-class, so the fact scan never shuffles.
+    ``use_bloom=True`` replaces the join with a fixed-size packed-mask
+    probe (sketches.bloom_build — 32 KiB of state at the default
+    geometry regardless of list size).  The Bloom form is one-sided:
+    false positives make ``block`` drop extra rows and ``allow`` keep
+    extra rows — safe for contamination-style blocking (never admits a
+    listed host), wrong where under-dropping must be impossible."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    out = df.withColumn("__host", extract_host(_col(url_col), strip_www=strip_www))
+    listed = hosts.select(F.lower(F.col(host_col)).alias("__host"))
+    if use_bloom:
+        from metalpipe_spark.operators.sketches import bloom_build, bloom_probe
+
+        bloom = bloom_build(listed, "__host", m_bits=m_bits, k=k)
+        probed = bloom_probe(out, "__host", bloom, out_col="__listed")
+        cond = F.col("__listed") if mode == "allow" else ~F.col("__listed")
+        return probed.where(cond).drop("__host", "__listed")
+    how = "left_semi" if mode == "allow" else "left_anti"
+    return out.join(F.broadcast(listed), on="__host", how=how).drop("__host")
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """URL-normalized exact dedup: keep the lowest-id row per canonical
+    URL — the same min-id contract as ``exact_dedup``
+    (operators/dedup.py:23), keyed on :func:`url_normalize` instead of
+    the content fingerprint.  One map-side-combined shuffle on the
+    canonical URL."""
+    return (
+        df.withColumn("__url_norm", url_normalize(_col(url_col), strip_www=strip_www))
+        .groupBy("__url_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .withColumnRenamed("__url_norm", "url_norm")
+    )

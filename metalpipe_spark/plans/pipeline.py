@@ -597,6 +597,73 @@ def _normalized_dedup_node(spark, upstreams, opts):
     )
 
 
+@node_class("ExtractHost")
+def _extract_host_node(spark, upstreams, opts):
+    """Append the lower-cased (www-folded) host of a URL column."""
+    from metalpipe_spark.operators.web import extract_host
+
+    df = _one(upstreams, "ExtractHost")
+    return df.withColumn(
+        opts.get("output_key", "host"),
+        extract_host(
+            opts.get("url_key", "url"), strip_www=opts.get("strip_www", True)
+        ),
+    )
+
+
+@node_class("URLNormalize")
+def _url_normalize_node(spark, upstreams, opts):
+    """Append (or replace with) the canonical form of a URL column."""
+    from metalpipe_spark.operators.web import url_normalize
+
+    df = _one(upstreams, "URLNormalize")
+    url_key = opts.get("url_key", "url")
+    return df.withColumn(
+        opts.get("output_key", "url_norm"),
+        url_normalize(url_key, strip_www=opts.get("strip_www", True)),
+    )
+
+
+@node_class("DomainStats")
+def _domain_stats_node(spark, upstreams, opts):
+    """Per-domain aggregates (host, n_docs, n_urls[, total_size])."""
+    from metalpipe_spark.operators.web import domain_stats
+
+    return domain_stats(
+        _one(upstreams, "DomainStats"),
+        url_col=opts.get("url_key", "url"),
+        size_col=opts.get("size_key"),
+        strip_www=opts.get("strip_www", True),
+    )
+
+
+@node_class("HostFilter")
+def _host_filter_node(spark, upstreams, opts):
+    """Allow/block-list host filtering (lists inline as plan literals)."""
+    from metalpipe_spark.operators.web import host_filter
+
+    return host_filter(
+        _one(upstreams, "HostFilter"),
+        url_col=opts.get("url_key", "url"),
+        allowlist=opts.get("allowlist"),
+        blacklist=opts.get("blacklist"),
+        strip_www=opts.get("strip_www", True),
+    )
+
+
+@node_class("URLDedup")
+def _url_dedup_node(spark, upstreams, opts):
+    """Min-id survivor per canonical URL (url_normalize key)."""
+    from metalpipe_spark.operators.web import url_dedup
+
+    return url_dedup(
+        _one(upstreams, "URLDedup"),
+        url_col=opts.get("url_key", "url"),
+        id_col=opts.get("id_key", "doc_id"),
+        strip_www=opts.get("strip_www", True),
+    )
+
+
 @node_class("ModelQualityFilter")
 def _model_quality_filter_node(spark, upstreams, opts):
     """Hashed-feature linear classifier filter; ``keep_only=True``

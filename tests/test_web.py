@@ -1,0 +1,188 @@
+"""URL / host-level curation operators (operators/web.py).
+
+The family is the web-corpus staple the reference lacks (it streams
+JSON/web data — reference network_nodes.py:172-241 — with no domain
+tooling): host extraction, URL canonicalization, per-domain aggregates,
+allow/block filtering, URL-normalized dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.web import (
+    domain_stats,
+    extract_host,
+    host_filter,
+    host_filter_table,
+    url_dedup,
+    url_normalize,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(url_normalize("url").alias("n")).first()["n"]
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # case + www + default port + fragment
+        (
+            "HTTP://WWW.Example.COM:80/A/b#frag",
+            "http://example.com/A/b",
+        ),
+        ("https://site.org:443/x", "https://site.org/x"),
+        # non-default port kept; userinfo stripped
+        ("https://u:p@site.org:8443/x", "https://site.org:8443/x"),
+        # empty path -> /; trailing slashes trimmed
+        ("https://site.org", "https://site.org/"),
+        ("https://site.org/a/b///", "https://site.org/a/b"),
+        # tracking params out, survivors sorted, empty query dropped
+        (
+            "https://site.org/p?utm_source=f&b=2&a=1&fbclid=XY",
+            "https://site.org/p?a=1&b=2",
+        ),
+        ("https://site.org/p?utm_campaign=x", "https://site.org/p"),
+        # not URL-shaped: pass through untouched
+        ("not a url", "not a url"),
+    ],
+)
+def test_url_normalize_cases(spark, raw, want):
+    assert _norm_one(spark, raw) == want
+
+
+def test_url_normalize_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(url_normalize("url").alias("n")).first()["n"] is None
+
+
+def test_url_normalize_is_codegen(spark):
+    """The whole family must ride the scan — no Python eval in the plan."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h.com/x?id="), F.col("id")).alias("url")
+    )
+    plan = (
+        df.select(url_normalize("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_host_strip_www(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.A.com/x",), ("http://b.org:8080/",), ("junk",)],
+        "url string",
+    )
+    got = [r["h"] for r in df.select(extract_host("url").alias("h")).collect()]
+    assert got == ["a.com", "b.org", ""]
+
+
+def test_domain_stats_counts_canonical_urls(spark):
+    # two dirty spellings of ONE page + one other page on a.com
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/p?utm_source=x", 10),
+            ("HTTPS://WWW.A.com/p", 20),
+            ("https://a.com/q", 30),
+            ("https://b.org/", 40),
+        ],
+        "url string, n int",
+    )
+    got = {
+        r["host"]: (r["n_docs"], r["n_urls"], r["total_size"])
+        for r in domain_stats(df, "url", size_col="n").collect()
+    }
+    assert got == {"a.com": (3, 2, 60), "b.org": (1, 1, 40)}
+
+
+def test_host_filter_allow_then_block(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/1",), ("https://b.org/2",), ("https://c.net/3",)],
+        "url string",
+    )
+    kept = host_filter(df, "url", allowlist=["A.com", "b.org"], blacklist=["b.org"])
+    assert [r["url"] for r in kept.collect()] == ["https://a.com/1"]
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_host_filter_table_block_never_admits_listed(spark, use_bloom):
+    df = spark.createDataFrame(
+        [(i, f"https://host{i}.com/x") for i in range(50)], "id int, url string"
+    )
+    blocked = spark.createDataFrame(
+        [(f"host{i}.com",) for i in range(0, 50, 5)], "host string"
+    )
+    out = host_filter_table(df, blocked, "url", mode="block", use_bloom=use_bloom)
+    ids = {r["id"] for r in out.collect()}
+    # one-sided contract: a listed host NEVER survives (Bloom FPs may
+    # only drop extra rows)
+    assert ids.isdisjoint(set(range(0, 50, 5)))
+    if not use_bloom:  # exact path keeps everything unlisted
+        assert ids == set(range(50)) - set(range(0, 50, 5))
+    assert out.columns == ["id", "url"]
+
+
+def test_host_filter_table_allow_keeps_listed(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://b.org/y")], "id int, url string"
+    )
+    allowed = spark.createDataFrame([("a.com",)], "host string")
+    out = host_filter_table(df, allowed, "url", mode="allow")
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_url_dedup_min_id_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "https://a.com/p?utm_source=x&k=1"),
+            (3, "HTTPS://WWW.A.com:443/p/?k=1"),
+            (5, "https://a.com/other"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {
+        r["url_norm"]: r["doc_id"] for r in url_dedup(df, "url").collect()
+    }
+    assert got == {"https://a.com/p?k=1": 3, "https://a.com/other": 5}
+
+
+def test_yaml_web_nodes_compile(spark, tmp_path):
+    """Each web operator has a YAML node class (pipeline surface)."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    src = spark.createDataFrame(
+        [(1, "https://a.com/p?utm_source=x"), (2, "HTTPS://WWW.A.com/p"),
+         (3, "https://bad.com/q")],
+        "doc_id long, url string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    src.write.parquet(path)
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": path}},
+            "clean": {
+                "class": "HostFilter",
+                "options": {"blacklist": ["bad.com"]},
+            },
+            "norm": {"class": "URLNormalize", "options": {}},
+            "hosts": {"class": "ExtractHost", "options": {}},
+            "stats": {"class": "DomainStats", "options": {}},
+            "dedup": {"class": "URLDedup", "options": {}},
+        },
+        "paths": [
+            ["read", "clean", "norm", "hosts"],
+            ["clean", "stats"],
+            ["clean", "dedup"],
+        ],
+    }
+    p = compile_pipeline(spark, config)
+    assert p.dataframes["hosts"].select("host").distinct().count() == 1
+    [stat] = p.dataframes["stats"].collect()
+    assert (stat["host"], stat["n_docs"], stat["n_urls"]) == ("a.com", 2, 1)
+    assert p.dataframes["dedup"].count() == 1
+    [d] = p.dataframes["dedup"].collect()
+    assert d["doc_id"] == 1  # min-id survivor of the two spellings
