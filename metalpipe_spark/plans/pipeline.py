@@ -439,6 +439,24 @@ def _detect_language(spark, upstreams, opts):
     )
 
 
+@node_class("DetectLanguageModel")
+def _detect_language_model_node(spark, upstreams, opts):
+    """Trained hashed-softmax language ID (pinned weights by default;
+    pass classes/weights/biases to serve a custom model)."""
+    from metalpipe_spark.operators.langid import detect_language_model
+
+    df = _one(upstreams, "DetectLanguageModel")
+    return df.withColumn(
+        opts.get("output_key", "lang_pred"),
+        detect_language_model(
+            opts.get("text_key", "text"),
+            classes=opts.get("classes"),
+            weights=opts.get("weights"),
+            biases=opts.get("biases"),
+        ),
+    )
+
+
 @node_class("QualityScore")
 def _quality_score(spark, upstreams, opts):
     from metalpipe_spark.operators.text import quality_score
