@@ -75,6 +75,11 @@ HEADLINE = [
     "q_span_dedup",
     "q_source_overlap",
     "q_normalized_dedup",
+    # URL / host curation (r10)
+    "q_url_normalize",
+    "q_domain_stats",
+    "q_host_filter",
+    "q_url_dedup",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",
@@ -94,6 +99,7 @@ HEADLINE = [
     "q_corpus_split",
     # text analysis
     "q_langid",
+    "q_langid_model",
     "q_quality_tokens",
     "q_text_profile_by_lang",
     "q_token_commonness",
@@ -209,18 +215,30 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # The cluster-shaped rows share one materialized CC stage
-    # (catalog/dedup._cluster_assignments).  For honest accounting ONE
-    # row is designated to pay the stage's compute: its memo is cleared
-    # before every timed run, so its median carries the full clustering
-    # cost while the other family rows report their true marginal cost
-    # (serve from the shared stage) — summing the medians then equals
-    # what one session computing the family actually does.
+    # Families share materialized stages (catalog/dedup.shared_stage):
+    # the minhash signature table, the CC assignment table, the image
+    # dHash codes.  For honest accounting ONE row is designated to pay
+    # each stage's compute: that stage's memo (and only that stage's) is
+    # cleared before every timed run of its payer, so the payer's median
+    # carries the stage cost exactly once while the other family rows
+    # report their true marginal cost — summing the medians then equals
+    # what one session computing the whole catalog actually does.
     from metalpipe_spark.catalog.dedup import clear_shared_stages
 
-    PAYS_SHARED_STAGE = {"q_dedup_clusters"}
+    PAYS_SHARED_STAGE = {
+        "q_minhash_signatures": {"minhash_sigs"},
+        "q_dedup_clusters": {"cc"},
+        "q_image_neardup": {"image_dhash"},
+    }
 
-    for name in HEADLINE:
+    # Local-iteration subset (comma-separated names); the driver never
+    # sets it, so driver artifacts always carry the full catalog.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
+
+    for name in headline:
         q = registry[name]
         samples: list[float] = []
         for _ in range(runs):
@@ -228,7 +246,7 @@ def main() -> None:
             # queries/runs so no plan silently reuses another's cache.
             spark.catalog.clearCache()
             if name in PAYS_SHARED_STAGE:
-                clear_shared_stages()
+                clear_shared_stages(PAYS_SHARED_STAGE[name])
             t0 = time.perf_counter()
             # One broken query must never zero the whole bench signal:
             # record the error and keep timing the rest.

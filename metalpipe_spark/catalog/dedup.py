@@ -132,8 +132,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's GROUP BY over the shingle set). The operator keeps its
     # array-valued form for the LSH path; the catalog surface flattens to
     # scalar columns so results stay hashable in any downstream engine.
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
-    sigs = minhash_signatures(docs, num_hashes=16)
+    sigs = _shared_minhash_sigs(spark, sf_dir)
     return sigs.select(
         "doc_id", *[F.col("minhash")[i].alias(f"m{i}") for i in range(16)]
     ).orderBy("doc_id")
@@ -202,7 +201,12 @@ def _component_ctes(num_hashes: int, bands: int, threshold: float) -> str:
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
-    return minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("d1", "d2")
+    return minhash_lsh_pairs(
+        docs,
+        num_hashes=16,
+        bands=8,
+        signatures=_shared_minhash_sigs(spark, sf_dir),
+    ).orderBy("d1", "d2")
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -237,57 +241,97 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_THRESHOLD = 0.5
 
-# One materialized connected-components stage serves every cluster-shaped
-# catalog row (assignments, size histogram, corpus dedup) — the
-# q_corpus_pipeline persisted-shared-stage pattern lifted across rows.
-# Keyed by (applicationId, sf_dir, params) so each driver session
-# computes the clustering exactly once; the localCheckpoint pins only
-# the per-doc assignment table (O(docs in pairs) rows).  Rows stay
-# independently runnable — any order, any subset — the memo is purely a
-# compute-once optimization, never a correctness dependency.
-_SHARED_CC: dict[tuple, tuple[DataFrame, object]] = {}
+# Materialized shared stages serve every row of a family — the
+# q_corpus_pipeline persisted-shared-stage pattern lifted across rows:
+# the minhash SIGNATURE table feeds the LSH-pair, cluster, incremental
+# and cross-source rows; the CC assignment table feeds the three
+# cluster-shaped rows; the image dHash codes feed the image-dedup rows
+# (catalog/multimodal_queries.py).  Keyed by (applicationId, kind,
+# sf_dir, params) so each driver session computes a stage exactly once;
+# the localCheckpoint pins only the small derived table (signatures /
+# assignments / codes — never payloads).  Rows stay independently
+# runnable — any order, any subset — the memo is purely a compute-once
+# optimization, never a correctness dependency.
+_SHARED_STAGES: dict[tuple, tuple[DataFrame, object]] = {}
 
 
-def clear_shared_stages() -> None:
-    """Drop every memoized shared stage AND its checkpoint blocks —
-    bench.py calls this before timing the row designated to pay the
+def clear_shared_stages(kinds: set[str] | None = None) -> None:
+    """Drop memoized shared stages AND their checkpoint blocks —
+    bench.py calls this before timing the row designated to pay a
     stage's compute, so repeated timed runs re-materialize instead of
     silently serving from storage (and the superseded blocks don't pin
-    executor memory across runs)."""
-    for _df, rdd in _SHARED_CC.values():
+    executor memory across runs).  ``kinds`` restricts the clear to
+    specific stage kinds (key[1]) so each designated payer re-pays ITS
+    stage without also re-paying upstream stages another row is
+    designated to pay (the summed medians then equal one session's
+    actual cost, each stage counted once)."""
+    doomed = [
+        k for k in _SHARED_STAGES if kinds is None or k[1] in kinds
+    ]
+    for k in doomed:
+        _df, rdd = _SHARED_STAGES.pop(k)
         try:
             rdd.unpersist(False)
         except Exception:
             pass  # context already stopped
-    _SHARED_CC.clear()
+
+
+def shared_stage(spark: SparkSession, key_parts: tuple, builder) -> DataFrame:
+    """Memoize-and-materialize a family-shared DataFrame stage:
+    lazy-localCheckpoint, single-subtree ``count()`` materialization
+    (the house rule — multi-subtree first actions RACE to materialize),
+    keyed under ``(applicationId, *key_parts)``."""
+    key = (spark.sparkContext.applicationId, *key_parts)
+    got = _SHARED_STAGES.get(key)
+    if got is not None:
+        return got[0]
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
+    df, rdd = _truncate_lineage(builder(), reliable=False)
+    df.count()  # materialize so later readers never re-run the stage
+    _SHARED_STAGES[key] = (df, rdd)
+    return df
+
+
+def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide MinHash signature table ``(doc_id, minhash[16])``
+    — ONE shingle→md5→16-min pipeline per session, serving the pair /
+    cluster / incremental / cross-source rows.  16 longs per doc, so the
+    checkpoint is corpus-row-count sized, never corpus-byte sized."""
+    return shared_stage(
+        spark,
+        ("minhash_sigs", sf_dir, 3, 16),
+        lambda: minhash_signatures(
+            load_table(spark, sf_dir, "documents", rebalance=True),
+            num_hashes=16,
+        ),
+    )
 
 
 def _cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every doc in an LSH candidate pair at
-    est_jaccard >= _CLUSTER_THRESHOLD — materialized once per session."""
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        16,
-        8,
-        _CLUSTER_THRESHOLD,
+    est_jaccard >= _CLUSTER_THRESHOLD — materialized once per session,
+    derived from the shared signature stage (band keys and the bucket
+    join are recomputed from the materialized signatures; only the
+    shingle pipeline is shared upstream)."""
+    from metalpipe_spark.operators.dedup import (
+        _banded_signatures,
+        _pairs_from_bands,
     )
-    got = _SHARED_CC.get(key)
-    if got is not None:
-        return got[0]
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
-        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
-    )
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-    from metalpipe_spark.operators.dedup import _truncate_lineage
 
-    comp, rdd = _truncate_lineage(comp, reliable=False)
-    comp.count()  # materialize so later readers never re-run the rounds
-    _SHARED_CC[key] = (comp, rdd)
-    return comp
+    def build() -> DataFrame:
+        sigs = _shared_minhash_sigs(spark, sf_dir)
+        banded = _banded_signatures(sigs, "doc_id", 16, 8)
+        pairs = _pairs_from_bands(banded, "doc_id", 16).where(
+            F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+        )
+        return connected_components(pairs).select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
+
+    return shared_stage(
+        spark, ("cc", sf_dir, 16, 8, _CLUSTER_THRESHOLD), build
+    )
 
 
 @register(
@@ -463,15 +507,28 @@ def _incremental_neardup_oracle(num_hashes: int = 16, threshold: float = 0.5) ->
     ),
 )
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from metalpipe_spark.operators.dedup import band_store, incremental_neardup_dedup
+    from metalpipe_spark.operators.dedup import (
+        band_store,
+        incremental_neardup_dedup,
+    )
 
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
-    store = band_store(docs.where(F.col("doc_id") % 2 == 0))
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # Both sides derive from the session's shared materialized signature
+    # stage (one shingle→minhash pipeline for the whole dedup family);
+    # banding from materialized signatures is cheap md5 concat, so the
+    # r8 cache_bands measurement (persist loses to recompute) still
+    # holds — only the expensive upstream is shared.
+    sigs = _shared_minhash_sigs(spark, sf_dir)
+    store = band_store(
+        docs, signatures=sigs.where(F.col("doc_id") % 2 == 0)
+    )
     batch = docs.where(F.col("doc_id") % 2 == 1)
-    # cache_bands stays OFF: measured at sf0.1, persisting the band table
-    # (6.1 s) loses to the map-side-combined recompute (5.4 s) — the
-    # house cache_shingles/cache_signatures result again.
-    fresh, _ = incremental_neardup_dedup(batch, store, threshold=_CLUSTER_THRESHOLD)
+    fresh, _ = incremental_neardup_dedup(
+        batch,
+        store,
+        threshold=_CLUSTER_THRESHOLD,
+        signatures=sigs.where(F.col("doc_id") % 2 == 1),
+    )
     return fresh.select("doc_id").orderBy("doc_id")
 
 
@@ -764,7 +821,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return cross_source_overlap(
-        docs, bands=8, threshold=_CLUSTER_THRESHOLD
+        docs,
+        bands=8,
+        threshold=_CLUSTER_THRESHOLD,
+        signatures=_shared_minhash_sigs(spark, sf_dir),
     ).orderBy("source_a", "source_b")
 
 

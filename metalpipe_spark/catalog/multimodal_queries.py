@@ -227,6 +227,20 @@ def _image_neardup_oracle() -> str:
     """
 
 
+def _shared_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash code table ``(id, dhash)`` for the image fixture —
+    materialized once per session (catalog/dedup.shared_stage) and
+    served to the near-dup, incremental and composed-pipeline rows: 8
+    bytes of state per image, so the checkpoint never holds payloads."""
+    from metalpipe_spark.catalog.dedup import shared_stage
+
+    return shared_stage(
+        spark,
+        ("image_dhash", sf_dir),
+        lambda: image_dhash(_image_fixture(spark, sf_dir)),
+    )
+
+
 def _image_fixture(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.expr(_IMG_SQL).alias("img"))
@@ -257,7 +271,7 @@ def _image_fixture(spark, sf_dir):
     ),
 )
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = image_dhash(_image_fixture(spark, sf_dir))
+    codes = _shared_image_codes(spark, sf_dir)
     return hamming_neardup_pairs(
         codes, code_col="dhash", id_col="id",
         bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
@@ -329,7 +343,7 @@ def _incremental_imagedup_oracle() -> str:
 def q_incremental_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.dedup import incremental_hamming_dedup
 
-    codes = image_dhash(_image_fixture(spark, sf_dir))
+    codes = _shared_image_codes(spark, sf_dir)
     store = codes.where(F.col("id") % 4 == 0)
     batch = codes.where(F.col("id") % 4 != 0)
     fresh, _ = incremental_hamming_dedup(
@@ -400,7 +414,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.dedup import dedup_corpus
 
     fixture = _image_fixture(spark, sf_dir)
-    codes = image_dhash(fixture)
+    codes = _shared_image_codes(spark, sf_dir)
     pairs = hamming_neardup_pairs(
         codes, code_col="dhash", id_col="id",
         bits=64, max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,

@@ -204,6 +204,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     cache_signatures: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: documents sharing any band signature become
     candidate pairs; estimated similarity = fraction of matching minhash
@@ -215,8 +216,16 @@ def minhash_lsh_pairs(
     OFF by default: recomputing the signature pipeline for the second
     join side measured faster than persisting it at sf0.1 (cache
     materialization + read beat by the map-side-combined recompute).
+    ``signatures`` accepts a prebuilt/materialized signature table
+    (``(id, minhash)`` with ``num_hashes`` components — e.g. the
+    catalog's shared signature stage) so several consumers in one
+    session plan the shingle→minhash pipeline exactly once.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n, num_hashes)
+    )
     if cache_signatures:
         sigs = sigs.persist()
     banded = _banded_signatures(sigs, id_col, num_hashes, bands)
@@ -332,12 +341,56 @@ def _truncate_lineage(df: DataFrame, reliable: bool):
     return out, jdf.queryExecution().analyzed().rdd()
 
 
+def _driver_components(spark, raw: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED edge list — the small-graph fast path
+    of :func:`connected_components`.  Pairs with a NULL endpoint
+    contribute nothing (matching the distributed path, where ``u != v``
+    and ``u == v`` are both NULL-false); self-pairs register their node
+    as a 1-node component."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in raw.collect():
+        u, v = row[0], row[1]
+        if u is None or v is None:
+            continue
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    mins: dict = {}
+    for x in parent:
+        r = find(x)
+        m = mins.get(r)
+        if m is None or x < m:
+            mins[r] = x
+    data = [(x, mins[find(x)]) for x in parent]
+    ut = raw.schema[0].dataType
+    schema = StructType(
+        [StructField("node", ut), StructField("cluster_id", ut)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components of a pair list → ``(node, cluster_id)`` rows,
     ``cluster_id`` = the minimum node id in the component.  Every node that
@@ -371,6 +424,19 @@ def connected_components(
     ``distinct u + distinct v == distinct nodes``).  Both checks run as
     one job on one-row aggregates — no edge data ever reaches the
     driver, and the saved round is a full LS+SS pass at any scale.
+
+    **Adaptive small-graph path**: when the pair list has at most
+    ``driver_max_edges`` rows (one count on the checkpointed pairs — a
+    job the first round would have paid anyway), the edges are a
+    BOUNDED driver fetch (16 bytes/edge → ≤ ~8 MB at the default) and
+    components resolve by union-find in microseconds, skipping the
+    iterative rounds whose cost at small edge counts is pure job
+    scheduling (measured ~4 s for under 100 edges).  Near-dup pair
+    graphs are pair-THRESHOLDED, so even 100 TB corpora commonly yield
+    edge sets within this bound per batch; above it, the distributed
+    loop runs unchanged — the shape that survives billions of edges.
+    ``driver_max_edges=0`` disables the fast path (tests pin the loop
+    with it).
     """
     reliable = checkpoint_dir is not None
     spark = pairs.sparkSession
@@ -387,6 +453,16 @@ def connected_components(
     # same magnitude as a round's checkpoint.
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     raw, _raw_rdd = _truncate_lineage(raw, reliable)
+    if driver_max_edges:
+        # Single-subtree count materializes the checkpoint blocks (the
+        # round-1 action would have paid this job regardless); the
+        # collect below then reads blocks, never re-running the pair
+        # pipeline.
+        if raw.count() <= driver_max_edges:
+            out = _driver_components(spark, raw)
+            if not reliable:
+                _raw_rdd.unpersist(False)  # nothing downstream reads raw
+            return out
     edges = raw.where(F.col("u") != F.col("v")).distinct()
     # Nodes appearing ONLY in reflexive pairs (u == v) would vanish with
     # the filtered edge — they are their own 1-node components and the
@@ -1083,12 +1159,19 @@ def band_store(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 8,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH state for incremental near-dup dedup: one
     ``(band_key, doc_id, minhash)`` row per band per document.  At
     warehouse scale write it bucketed on ``band_key`` so every future
-    batch joins co-located."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    batch joins co-located.  ``signatures`` skips the shingle→minhash
+    pipeline when a prebuilt signature table exists (shared-stage
+    consumers)."""
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n, num_hashes)
+    )
     return _banded_signatures(sigs, id_col, num_hashes, bands)
 
 
@@ -1102,6 +1185,7 @@ def incremental_neardup_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     cache_bands: bool = False,
+    signatures: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a NEW batch against the accumulated corpus —
     the incremental twin of :func:`minhash_lsh_pairs`: batch signatures
@@ -1130,8 +1214,16 @@ def incremental_neardup_dedup(
     A≉C — keeps {A, C} here (C only meets the surviving A), while a
     full-corpus connected-components pass keeps {A} alone.  The
     incremental answer is the one production systems ship: membership
-    is decided against surviving canonicals at arrival time."""
-    batch_bands = band_store(new_docs, text_col, id_col, n, num_hashes, bands)
+    is decided against surviving canonicals at arrival time.
+
+    ``signatures`` (a prebuilt ``(id, minhash)`` table for the NEW batch
+    only) skips the batch's shingle→minhash pipeline — when the session
+    already materialized corpus-wide signatures, filtering them to the
+    batch ids and passing them here plans the signature work zero
+    additional times."""
+    batch_bands = band_store(
+        new_docs, text_col, id_col, n, num_hashes, bands, signatures=signatures
+    )
     if cache_bands:
         batch_bands = batch_bands.persist()
     # in-batch near-dups -> keep component minimum; pairs derive from the
@@ -1170,6 +1262,7 @@ def cross_source_overlap(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate overlap BETWEEN corpus sources — the curation
     diagnostic behind "how much of crawl B re-scrapes corpus A":
@@ -1192,6 +1285,7 @@ def cross_source_overlap(
         n,
         num_hashes,
         bands,
+        signatures=signatures,
     ).where(F.col("est_jaccard") >= threshold)
     labels = df.select(F.col(id_col), F.col(group_col))
     l1 = labels.select(

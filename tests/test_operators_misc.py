@@ -303,7 +303,7 @@ def test_connected_components_long_chain_converges_fast(spark):
 
     chain = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(chain, ["d1", "d2"])
-    got = connected_components(df, max_iterations=12).collect()
+    got = connected_components(df, max_iterations=12, driver_max_edges=0).collect()
     assert len(got) == 64
     assert {r["cluster_id"] for r in got} == {0}
 
@@ -327,7 +327,9 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     df = spark.createDataFrame(chain, ["d1", "d2"])
     got = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            df, checkpoint_dir=ckdir, driver_max_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(64)}
     # at least one round actually hit the reliable dir
@@ -353,7 +355,7 @@ def test_connected_components_frees_prior_round_blocks(spark):
     before = set(sc._jsc.getPersistentRDDs().keySet())
     chain = [(i, i + 1) for i in range(63)]  # needs several rounds
     df = spark.createDataFrame(chain, ["d1", "d2"])
-    connected_components(df).collect()
+    connected_components(df, driver_max_edges=0).collect()
     after = set(sc._jsc.getPersistentRDDs().keySet())
     assert len(after - before) <= 2
 
@@ -489,7 +491,7 @@ def test_connected_components_iteration_guard(spark):
     chain = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(chain, ["d1", "d2"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iterations=1)
+        connected_components(df, max_iterations=1, driver_max_edges=0)
 
 
 def test_simhash_preserves_null_text_rows(spark):
@@ -1751,3 +1753,61 @@ def test_batch_messages_fractional_keys_floor(spark):
         for r in batch_messages(df, 1, "k").collect()
     }
     assert got == {-1: 1, 0: 1, 1: 1}
+
+
+def test_clear_shared_stages_is_kind_selective(spark):
+    """Bench accounting (r10): each designated payer clears ITS stage
+    kind only, so paying the CC stage never re-pays the signature
+    stage another row is designated to pay."""
+    from metalpipe_spark.catalog import dedup as cat_dedup
+    from tests.conftest import SF_ORACLE
+
+    cat_dedup.clear_shared_stages()
+    sigs = cat_dedup._shared_minhash_sigs(spark, SF_ORACLE)
+    cc = cat_dedup._cluster_assignments(spark, SF_ORACLE)
+    cat_dedup.clear_shared_stages({"cc"})
+    # signature memo survived; CC memo dropped
+    assert cat_dedup._shared_minhash_sigs(spark, SF_ORACLE) is sigs
+    assert cat_dedup._cluster_assignments(spark, SF_ORACLE) is not cc
+    cat_dedup.clear_shared_stages()
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """Adaptive small-graph path (r10): below driver_max_edges the
+    components resolve by driver union-find; the assignments must be
+    IDENTICAL to the distributed large-star/small-star loop, including
+    self-pairs (1-node components) and NULL endpoints (contribute
+    nothing on either path)."""
+    import random
+
+    from metalpipe_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(60)})
+    edges += [(7, 7), (39, 39)]  # self pairs
+    df = spark.createDataFrame(edges, "d1 long, d2 long").unionByName(
+        spark.createDataFrame([(3, None)], "d1 long, d2 long")
+    )
+    fast = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    slow = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == slow and fast
+
+
+def test_connected_components_driver_path_threshold(spark):
+    """Above the bound the distributed loop runs (no edge collect): pin
+    by setting the bound below the edge count and checking the result
+    still matches — the two paths swap purely on size."""
+    from metalpipe_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=5).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
