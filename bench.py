@@ -143,6 +143,7 @@ HEADLINE = [
     # regressions in the stateful paths show up)
     "q_stream_dedup",
     "q_stream_join",
+    "q_stream_corpus",
     "q_stream_stats",
     "q_stream_window_daily",
     "q_session_windows",

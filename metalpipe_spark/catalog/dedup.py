@@ -684,9 +684,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("corpus_id", "benchmark_id")
 
 
-def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
+def _bloom_probe_ctes(m_bits: int, k: int) -> str:
+    """CTE chain replaying the Bloom membership probe over upstream CTEs
+    ``corpus(doc_id, text)`` and ``bench(text)``, ending in
+    ``positive(doc_id, shingle)`` — shared by the decontamination row
+    and the composed streaming-pipeline row (a second hand-inlined copy
+    would silently diverge from the mask geometry)."""
     from metalpipe_spark.operators.dedup import minhash_coefficients
-
     from metalpipe_spark.operators.sketches import _bloom_shift
 
     # Multiply-shift positions from THE geometry authority — a second
@@ -701,8 +705,6 @@ def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
         for a, b in minhash_coefficients(k)
     )
     return f"""
-    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-    bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
     btoks AS (SELECT string_split(coalesce(text, ''), ' ') AS t FROM bench),
     bsh AS (
       SELECT DISTINCT
@@ -731,7 +733,14 @@ def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
       FROM cpos JOIN bits USING (pos)
       GROUP BY doc_id, shingle
       HAVING COUNT(*) = {k}
-    )
+    )"""
+
+
+def _bloom_oracle(m_bits: int, k: int, min_hits: int) -> str:
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    {_bloom_probe_ctes(m_bits, k)}
     SELECT doc_id, COUNT(*)::BIGINT AS bloom_hits
     FROM positive GROUP BY doc_id
     HAVING COUNT(*) >= {min_hits}

@@ -292,3 +292,95 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+def _stream_corpus_oracle() -> str:
+    """Batch replay of the composed streaming curation pipeline over the
+    even-id half of the corpus (bench = the doc_id % 50 == 1 slice —
+    a SMALL benchmark, so decontamination drops real hits without
+    flagging the whole synthetic corpus, whose documents share 3-grams
+    heavily): quality keep-set → Bloom decontamination drop-set →
+    min-id-per-fingerprint dedup.
+
+    The PII-scrub stage replays as IDENTITY: the corpus charset is
+    [a-z ] (no digit, '@', or '.' for any email/phone/SSN/IP pattern to
+    match — asserted by tests/test_streaming.py, and scrub behavior on
+    PII-bearing text is pinned there by the stream==batch parity test
+    and by q_pii_scrub's own oracle row)."""
+    from metalpipe_spark.catalog.dedup import _NORM_FP_SQL, _bloom_probe_ctes
+    from metalpipe_spark.catalog.text import (
+        quality_reason_case,
+        quality_signal_ctes,
+    )
+
+    case = quality_reason_case()
+    return f"""
+    WITH src AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    {quality_signal_ctes("src")},
+    qk AS (
+      SELECT src.* FROM src JOIN s USING (doc_id)
+      WHERE ({case}) IS NULL
+    ),
+    corpus AS (SELECT doc_id, text FROM qk),
+    bench AS (SELECT text FROM documents WHERE doc_id % 50 = 1),
+    {_bloom_probe_ctes(1 << 18, 4)},
+    dropped AS (
+      SELECT doc_id FROM positive GROUP BY doc_id HAVING COUNT(*) >= 5
+    ),
+    surv AS (
+      SELECT * FROM corpus
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    f AS (SELECT doc_id, {_NORM_FP_SQL} AS fingerprint FROM surv)
+    SELECT min(doc_id) AS doc_id, fingerprint
+    FROM f GROUP BY fingerprint ORDER BY doc_id
+    """
+
+
+@register(
+    "q_stream_corpus",
+    _stream_corpus_oracle(),
+    doc=(
+        "The composed STREAMING curation pipeline (streams."
+        "stream_corpus_pipeline) drained with availableNow: PII scrub "
+        "-> Gopher quality filter -> Bloom decontamination (all "
+        "stateless scan-shaped micro-batch stages) -> incremental "
+        "exact dedup against the manifest-atomic fingerprint store.  "
+        "The oracle is the batch replay of the same stages; state "
+        "equals one md5 row per surviving doc, in storage, not "
+        "executor memory."
+    ),
+)
+def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.sources.readers import load_table
+    from metalpipe_spark.streaming.streams import stream_corpus_pipeline
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).where(F.col("doc_id") % 2 == 0)
+    bench = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 1
+    )
+    tmp = tempfile.mkdtemp(prefix="mps_stream_corpus_")
+    try:
+        stream_corpus_pipeline(
+            stream,
+            bench,
+            f"{tmp}/kept",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            min_hits=5,
+        ).awaitTermination()
+        out = spark.read.parquet(f"{tmp}/kept").select("doc_id", "fingerprint")
+        # The drained result must outlive the temp dir (lazy plans read
+        # at collect time, which for the driver's comparator is later).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

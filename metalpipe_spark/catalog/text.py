@@ -417,19 +417,16 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs).orderBy("doc_id")
 
 
-def _quality_filter_oracle() -> str:
-    """Generated from QUALITY_RULES so SQL and Spark share one rule
-    table (predicates are engine-portable SQL)."""
-    from metalpipe_spark.operators.text import QUALITY_RULES
-
-    whens = " ".join(
-        f"WHEN {pred} THEN '{name}'" for name, pred in QUALITY_RULES
-    )
-    return f"""
-    WITH t AS (
+def quality_signal_ctes(source: str = "documents") -> str:
+    """CTE chain computing the Gopher quality signals over ``source``
+    (ending in ``s(doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac,
+    mean_word_len, symbol_ratio)``) — shared by the quality-filter row
+    and the composed streaming-pipeline row so both replay ONE signal
+    definition."""
+    return f"""t AS (
       SELECT doc_id, text, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
-      FROM documents
+      FROM {source}
     ), g AS (
       SELECT doc_id, n::BIGINT AS n_tokens,
              greatest(n - 1, 0) AS bi_all,
@@ -454,10 +451,27 @@ def _quality_filter_oracle() -> str:
                   THEN (n_chars - n_alnum - (n_tokens - 1))::DOUBLE / n_chars::DOUBLE
                   ELSE 0.0 END AS symbol_ratio
       FROM g
+    )"""
+
+
+def quality_reason_case() -> str:
+    """The first-violated-rule CASE, generated from QUALITY_RULES so SQL
+    and Spark share one rule table."""
+    from metalpipe_spark.operators.text import QUALITY_RULES
+
+    whens = " ".join(
+        f"WHEN {pred} THEN '{name}'" for name, pred in QUALITY_RULES
     )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _quality_filter_oracle() -> str:
+    case = quality_reason_case()
+    return f"""
+    WITH {quality_signal_ctes()}
     SELECT doc_id,
-           (CASE {whens} ELSE NULL END) IS NULL AS keep,
-           CASE {whens} ELSE NULL END AS drop_reason
+           ({case}) IS NULL AS keep,
+           {case} AS drop_reason
     FROM s ORDER BY doc_id
     """
 

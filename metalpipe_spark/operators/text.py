@@ -323,6 +323,7 @@ def repetition_signals(
     text_col: str = "text",
     id_col: str = "doc_id",
     extra: dict | None = None,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Gopher-style within-document repetition/quality signals (Rae et
     al. 2021's filter family): duplicate bigram/trigram fractions, mean
@@ -351,8 +352,14 @@ def repetition_signals(
     n_alnum = F.length(F.regexp_replace(norm, r"[^A-Za-z0-9]", ""))
     n_spaces = n_toks - 1
     extra_cols = [c.alias(n) for n, c in (extra or {}).items()]
+    # keep_input carries every input column through (streaming filters
+    # need the row back, and a stream-stream keep-list join would be
+    # stateful); signal names must not clash with input columns then.
+    lead = (
+        [F.col(c) for c in df.columns] if keep_input else [F.col(id_col)]
+    )
     return df.select(
-        F.col(id_col),
+        *lead,
         *extra_cols,
         F.when(bi_all > 0, (bi_all - bi_dist).cast("double") / bi_all.cast("double"))
         .otherwise(F.lit(0.0))
@@ -387,7 +394,10 @@ QUALITY_RULES = (
 
 
 def quality_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Composite pretraining quality filter: compute the repetition
     signals plus token count, apply QUALITY_RULES, and emit
@@ -402,13 +412,14 @@ def quality_filter(
         F.split(normalize_ws(F.coalesce(F.col(text_col), F.lit(""))), r" ")
     ).cast("long")
     base = repetition_signals(
-        df, text_col, id_col, extra={"n_tokens": toks}
+        df, text_col, id_col, extra={"n_tokens": toks}, keep_input=keep_columns
     )
     reason = F.lit(None).cast("string")
     for name, pred in reversed(QUALITY_RULES):
         reason = F.when(F.expr(pred), F.lit(name)).otherwise(reason)
+    lead = [F.col(c) for c in df.columns] if keep_columns else [F.col(id_col)]
     return base.select(
-        F.col(id_col),
+        *lead,
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )

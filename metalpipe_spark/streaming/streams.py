@@ -648,3 +648,60 @@ def stream_hll_registers(
         F.col(value_col),
     )
     return hll_registers(windowed, value_col, group_cols=["window"], p=p)
+
+
+def stream_corpus_pipeline(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 3,
+):
+    """The CURATION pipeline as one continuously-ingesting stream —
+    the streaming twin of q_corpus_pipeline's scrub → quality → dedup
+    stages plus decontamination, composed from pieces that each carry
+    their own correctness row:
+
+    1. PII scrub (``redact_pii``) — stateless codegen regex chain;
+    2. Gopher quality filter (``quality_filter(keep_columns=True)``) —
+       stateless, the keep decision rides inline (a stream-stream
+       keep-list join would be stateful for no reason);
+    3. benchmark decontamination (``bloom_decontaminate_filter``) —
+       stateless probe of a fixed 32 KiB mask literal, built once at
+       definition time from the batch-side benchmark;
+    4. incremental EXACT dedup against a persisted fingerprint store
+       (``incremental_exact_dedup`` inside the shared manifest-atomic
+       ``_incremental_store_sink`` skeleton): survivors append to
+       ``kept_path``, the store grows by their fingerprints, readers
+       see whole versions only, every crash point self-heals.
+
+    Stages 1-3 are pure scan-shaped micro-batch work (no watermark, no
+    streaming state); ALL durable state is the fingerprint store — one
+    md5 row per unique surviving doc, exactly what the batch pipeline
+    would persist.  Drain with an availableNow trigger for backfills;
+    the running stream is the same plan."""
+    from metalpipe_spark.operators.sketches import bloom_decontaminate_filter
+    from metalpipe_spark.operators.text import quality_filter, redact_pii
+
+    scrubbed = stream.withColumn(text_col, redact_pii(text_col))
+    kept = (
+        quality_filter(scrubbed, text_col=text_col, id_col=id_col, keep_columns=True)
+        .where(F.col("keep"))
+        .select(*stream.columns)
+    )
+    clean = bloom_decontaminate_filter(
+        kept, benchmark, text_col=text_col, min_hits=min_hits
+    )
+
+    def step(batch_df: DataFrame, store):
+        from metalpipe_spark.operators.dedup import incremental_exact_dedup
+
+        fresh, updated = incremental_exact_dedup(
+            batch_df, store, text_col=text_col, id_col=id_col
+        )
+        return fresh, updated.distinct()
+
+    return _incremental_store_sink(clean, kept_path, store_path, checkpoint, step)

@@ -773,3 +773,64 @@ def test_stream_hll_registers_match_batch_estimates(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_corpus_pipeline_multibatch_parity(spark, tmp_path):
+    """Composed streaming curation pipeline (r10): two micro-batches
+    through scrub -> quality -> decontaminate -> incremental dedup.
+    PII is scrubbed in the kept output, a too-short doc drops at
+    quality, a benchmark copy drops at decontamination, and an exact
+    duplicate arriving in a LATER batch dedups against the persisted
+    fingerprint store — the incremental semantics a single batch cannot
+    show.  Stage-by-stage the surviving set equals the batch operators'
+    (the q_stream_corpus oracle pins single-batch equality; this pins
+    the cross-batch store)."""
+    import time as _time
+
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        stream_corpus_pipeline,
+    )
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pii = (
+        "contact person at someone@example.com about alpha beta gamma "
+        "delta epsilon zeta eta theta iota kappa lamda mu nu xi omicron"
+    )
+    bench_text = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, good), (2, pii), (3, "a b"), (4, bench_text)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(11, good), (12, "one two three four five six seven eight")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    kept_path = str(tmp_path / "kept")
+    stream = file_watchdog(spark, str(src), schema, max_files_per_trigger=1)
+    stream_corpus_pipeline(
+        stream,
+        bench,
+        kept_path,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        min_hits=3,
+    ).awaitTermination()
+
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(kept_path).collect()}
+    # 3 fails quality (too_short), 4 is benchmark-contaminated, 11 is a
+    # cross-batch duplicate of 1 caught by the store.
+    assert sorted(kept) == [1, 2, 12]
+    assert "<EMAIL>" in kept[2] and "someone@example.com" not in kept[2]
+
+    from metalpipe_spark.streaming.streams import load_store
+
+    fps = [r["fingerprint"] for r in load_store(spark, str(tmp_path / "store")).collect()]
+    assert len(fps) == len(set(fps)) == 3  # one md5 row per surviving doc
