@@ -150,8 +150,117 @@ HEADLINE = [
 ]
 
 
+def _env_fingerprint() -> dict:
+    """Host-state stamp recorded into every bench artifact (VERDICT r9
+    task 1): rounds r8/r9 saw identical-plan rows drift 1.3-1.7x from
+    background load, which made cross-round regression math
+    unanswerable from the JSON alone.  loadavg before/after bounds the
+    contention during THIS run; cpu/mem pin the hardware the numbers
+    belong to."""
+    import platform
+
+    fp: dict = {
+        "cpus": os.cpu_count(),
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "python": platform.python_version(),
+        "loadavg": list(os.getloadavg()),
+    }
+    try:
+        import pyspark
+
+        fp["pyspark"] = pyspark.__version__
+    except Exception:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    fp["mem_available_gb"] = round(
+                        int(line.split()[1]) / 1048576, 1
+                    )
+                    break
+    except OSError:
+        pass
+    return fp
+
+
+def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
+    """Fresh-JVM-per-query protocol (SPARK_GRAFT_BENCH_COLD=1): each
+    query is timed in its own subprocess session, so JIT/codegen-cache
+    state from earlier queries can neither help nor hurt it — the
+    cold-session measurement BENCH_NOTES.md r9 ran ad hoc for the drift
+    rows, codified.  Expensive (one JVM start per query per run); meant
+    for SPARK_GRAFT_BENCH_ONLY subsets when arbitrating whether a
+    cross-round delta is code or environment."""
+    import subprocess
+
+    fp0 = _env_fingerprint()
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for name in headline:
+        per: list[float] = []
+        for _ in range(runs):
+            env = dict(os.environ)
+            env.update(
+                SPARK_GRAFT_BENCH_ONLY=name,
+                SPARK_GRAFT_BENCH_RUNS="1",
+                SPARK_GRAFT_BENCH_COLD="",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            try:
+                row = json.loads(out.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                errors[name] = f"subprocess rc={out.returncode}: {out.stderr[-200:]}"
+                break
+            if name in row.get("errors", {}):
+                errors[name] = row["errors"][name]
+                break
+            per.append(row["queries"][name])
+        if per and name not in errors:
+            per.sort()
+            samples[name] = per
+            timings[name] = per[len(per) // 2]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "samples": samples,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "stat": "median",
+                "protocol": "cold-jvm-per-query",
+                "drain": "xxhash64-checksum",
+                "env": {"before": fp0, "after": _env_fingerprint()},
+                **({"errors": errors} if errors else {}),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fp0 = _env_fingerprint()
+    # Local-iteration subset (comma-separated names); the driver never
+    # sets it, so driver artifacts always carry the full catalog.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+        _run_cold(headline, sf_dir, runs)
+        return
+
     from metalpipe_spark.session import get_spark
     from metalpipe_spark.catalog import load_all
 
@@ -213,8 +322,8 @@ def main() -> None:
     # from noise.  Each query is timed `runs` times back-to-back and the
     # median reported; cross-round deltas below the noise floor stop
     # reading as regressions.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     # Families share materialized stages (catalog/dedup.shared_stage):
     # the minhash signature table, the CC assignment table, the image
@@ -231,13 +340,6 @@ def main() -> None:
         "q_dedup_clusters": {"cc"},
         "q_image_neardup": {"image_dhash"},
     }
-
-    # Local-iteration subset (comma-separated names); the driver never
-    # sets it, so driver artifacts always carry the full catalog.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
-    )
 
     for name in headline:
         q = registry[name]
@@ -269,7 +371,12 @@ def main() -> None:
         # would let a broken query masquerade as a valid timing in
         # round-over-round comparisons.
         if samples and name not in errors:
-            samples.sort()
+            # In-session run order is the cold/warm split: samples[0] ran
+            # first (pays any residual codegen-cache misses), later runs
+            # are warm.  Kept unsorted in the artifact so the split stays
+            # reconstructible; the median is order-free anyway.
+            all_samples[name] = [round(s, 4) for s in samples]
+            samples = sorted(samples)
             timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
@@ -281,9 +388,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": all_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
                 "stat": "median",
+                "env": {"before": fp0, "after": _env_fingerprint()},
                 # Methodology marker: rounds <= r01 drained via count()
                 # (column-pruned); r02+ checksum every output column, so
                 # cross-round diffs must compare like with like.
