@@ -87,6 +87,7 @@ HEADLINE = [
     "q_ann_blocked_knn_gemm",
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
+    "q_ann_pq_rerank",
     "q_ann_ivfadc",
     "q_embed_neardup_lsh",
     "q_mean_pool",

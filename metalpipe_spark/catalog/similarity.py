@@ -554,15 +554,13 @@ def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-def _pq_oracle(
-    codebooks: list[list[list[float]]], k: int, n_queries: int
+def _pq_adc_ctes(
+    codebooks: list[list[list[float]]], n_queries: int
 ) -> str:
-    """Pure-SQL replay of the PQ encode → ADC → top-k path: literal
-    codebooks, per-(vector, subspace) argmin with ascending-code
-    tie-break, per-query ADC lookup tables, and the ADC distance as a
-    ``list_reduce`` over the subspace terms IN SUB ORDER — the same
-    left-associated fold Spark's ``F.aggregate`` runs, so every
-    distance is bit-identical before the round(…, 6) rank."""
+    """CTE chain replaying PQ encode → ADC distance → quantized rank,
+    ending in ``ranked(query_id, vec_id, rnk)`` — shared by the ADC
+    top-k row and the exact-rerank row so the shortlist both rank can
+    never drift from the codebook literals or the fold order."""
     d_sub = len(codebooks[0][0])
     cb_rows = ", ".join(
         f"({s}, {code}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
@@ -573,8 +571,7 @@ def _pq_oracle(
         a=f"list_slice(embedding, t.sub * {d_sub} + 1, t.sub * {d_sub} + {d_sub})",
         b="t.cv",
     )
-    return f"""
-    WITH cb(sub, code, cn2, cv) AS (VALUES {cb_rows}),
+    return f"""cb(sub, code, cn2, cv) AS (VALUES {cb_rows}),
     enc AS (
       SELECT vec_id, sub, code FROM (
         SELECT c.vec_id, t.sub, t.code,
@@ -603,8 +600,55 @@ def _pq_oracle(
                PARTITION BY query_id ORDER BY round(d, 6), vec_id
              ) AS rnk
       FROM dist
-    )
+    )"""
+
+
+def _pq_oracle(
+    codebooks: list[list[list[float]]], k: int, n_queries: int
+) -> str:
+    """Pure-SQL replay of the PQ encode → ADC → top-k path: literal
+    codebooks, per-(vector, subspace) argmin with ascending-code
+    tie-break, per-query ADC lookup tables, and the ADC distance as a
+    ``list_reduce`` over the subspace terms IN SUB ORDER — the same
+    left-associated fold Spark's ``F.aggregate`` runs, so every
+    distance is bit-identical before the round(…, 6) rank."""
+    return f"""
+    WITH {_pq_adc_ctes(codebooks, n_queries)}
     SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+def _pq_rerank_oracle(
+    codebooks: list[list[list[float]]], shortlist: int, k: int, n_queries: int
+) -> str:
+    """The two-stage serving replay: the shared ADC CTEs produce the
+    quantized shortlist (rnk <= shortlist), then raw vectors re-rank it
+    by exact squared L2 — a squared-diff fold elementwise-identical to
+    Spark's ``(x-y)*(x-y)`` aggregate, same round(…, 6)/id rank
+    contract as every ANN row."""
+    sqd = (
+        "list_reduce(list_transform(list_zip(c.embedding, q.embedding),"
+        " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH {_pq_adc_ctes(codebooks, n_queries)},
+    short AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= {shortlist}),
+    ex AS (
+      SELECT s.query_id, s.vec_id, {sqd} AS d2
+      FROM short s
+      JOIN embeddings c ON c.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    rr AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY round(d2, 6), vec_id
+             ) AS rnk
+      FROM ex
+    )
+    SELECT query_id, vec_id, rnk FROM rr WHERE rnk <= {k}
     ORDER BY query_id, rnk
     """
 
@@ -648,6 +692,32 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_adc_topk(enc, qs, books, k=5).orderBy("query_id", "rnk")
 
+
+@register(
+    "q_ann_pq_rerank",
+    _pq_rerank_oracle(_pq_books(), shortlist=50, k=5, n_queries=10),
+    doc=(
+        "Two-stage PQ serving (Jegou et al. 2011 SV.C): the 8-byte ADC "
+        "codes SHORTLIST 50 candidates per query, then raw vectors are "
+        "fetched for those rows only (broadcast-probe, never a corpus "
+        "shuffle) and re-ranked by exact squared L2.  Measured at sf1: "
+        "raw ADC holds recall@10 but not recall@1 (quantization cannot "
+        "separate near-clone families); the exact re-rank recovers "
+        "recall@1 >= 0.9 for queries x shortlist extra folds "
+        "(scripts/sf1_ann_recall.py, SCALING.md r10)."
+    ),
+)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.pq import adc_rerank, pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    books = _pq_books()
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = pq_adc_topk(enc, qs, books, k=50)
+    return adc_rerank(short, emb, qs, k=5).orderBy("query_id", "rnk")
 
 
 def _ivfadc_oracle(

@@ -321,6 +321,61 @@ def ivfadc_topk(
     return _adc_topk_tail(pairs, codes_col, id_col, query_id_col, k)
 
 
+def adc_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist — the second stage of the
+    standard IVFADC serving recipe (Jégou et al. 2011 §V.C: quantized
+    codes SHORTLIST, raw vectors re-rank).  Takes the ``(query_id, id)``
+    pairs a :func:`pq_adc_topk` / :func:`ivfadc_topk` pass kept, fetches
+    raw vectors for those rows ONLY, and ranks by exact squared L2
+    distance (``round(d2, 6)`` asc, id asc — the same rank contract as
+    the ADC stage, so the whole two-stage path replays in SQL).
+
+    Why it exists, measured: at sf1 the 8-byte codes hold recall@10 ≥
+    0.92 but recall@1 ≈ 0.3 — quantization cannot separate a clone
+    family's members, but it reliably puts the true neighbor IN the
+    shortlist; the exact re-rank recovers recall@1 ≥ 0.9 for the cost
+    of ``queries × shortlist`` distance folds (scripts/sf1_ann_recall.py,
+    SCALING.md r10).
+
+    Plan shape at 100 TB: the shortlist is queries × R rows — tiny by
+    construction — so it BROADCASTS into the corpus scan (the raw-vector
+    fetch is a broadcast-semi-shaped probe, never a corpus shuffle); the
+    query vectors broadcast too, and the only shuffle is the final
+    per-query top-k window."""
+    from pyspark.sql.window import Window
+
+    cand = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__c")
+    ).join(F.broadcast(shortlist.select(query_id_col, id_col).distinct()), id_col)
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__q")
+    )
+    # Squared-diff left fold — elementwise (x-y)*(x-y), acc starts 0.0:
+    # IEEE-identical to the DuckDB oracle's list_reduce replay.
+    d2 = F.aggregate(
+        F.zip_with(F.col("__c"), F.col("__q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(d2, 6).asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.join(F.broadcast(qv), query_id_col)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "rnk")
+    )
+
+
 def build_pq_index(
     df: DataFrame,
     path: str,

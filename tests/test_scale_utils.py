@@ -774,3 +774,50 @@ def test_learned_pq_beats_deterministic_on_quantization_error(spark):
         return tot / len(codes)
 
     assert mse(learned) < mse(det)
+
+
+def test_adc_rerank_full_shortlist_equals_exact_l2(spark):
+    """Two-stage serving correctness anchor: when the ADC shortlist
+    covers the whole corpus, adc_rerank must equal the exact L2 top-k
+    (numpy ground truth) — the quantized stage then only SELECTS, never
+    ranks.  Also pins the recall mechanism the sf1 measurement relies
+    on: with a small shortlist the reranked top-1 can only agree with
+    exact at least as often as raw ADC's top-1 does."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from metalpipe_spark.operators.pq import (
+        adc_rerank,
+        deterministic_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    books = deterministic_pq_codebooks(8, 16, 64)
+    enc = pq_encode(emb, books)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    short_full = pq_adc_topk(enc, qs, books, k=n)
+    got = {}
+    for r in adc_rerank(short_full, emb, qs, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    for qid in range(5):
+        q = vecs[qid]
+        exact = sorted(
+            vecs, key=lambda v: (round(float(((q - vecs[v]) ** 2).sum()), 6), v)
+        )[:4]
+        assert [d for _, d in sorted(got[qid])] == exact
+
+    # Small-shortlist monotonicity: reranked top-1 matches exact-top-1
+    # (self, distance 0) for every query; raw ADC need not.
+    rr = {r["query_id"]: r["vec_id"]
+          for r in adc_rerank(pq_adc_topk(enc, qs, books, k=10), emb, qs, k=1).collect()}
+    assert rr == {q: q for q in range(5)}
