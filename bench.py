@@ -117,6 +117,7 @@ HEADLINE = [
     "q_hll_tokens",
     "q_countmin_tokens",
     "q_bm25_topk",
+    "q_hybrid_retrieval",
     "q_bpe_pair_counts",
     "q_bpe_encode",
     # multimodal

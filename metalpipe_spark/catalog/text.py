@@ -970,22 +970,24 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "spark", "vector")
 
 
-def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
-    """Replay of bm25_topk with repr-exact literals (k1+1 is
+def _bm25_score_ctes(term_filter: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """CTE chain replaying the shared BM25 scoring core
+    (``bm25_per_term_scores``) with repr-exact literals (k1+1 is
     2.2000000000000002 in binary — the string the oracle must parse,
-    not '2.2') and the same tok-ordered left fold per document."""
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    not '2.2'), ending in ``per(doc_id, tok, c)`` — shared by the
+    single-query row and the hybrid-retrieval row so the contribution
+    arithmetic cannot drift between them.  ``term_filter`` is the SQL
+    predicate selecting query-set tokens."""
     k1p1 = repr(k1 + 1.0)
     omb = repr(1.0 - b)
-    return f"""
-    WITH dl AS (
+    return f"""dl AS (
       SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
     ),
     stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl),
     tf AS (
       SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      ) WHERE tok IN ({terms})
+      ) WHERE {term_filter}
       GROUP BY doc_id, tok
     ),
     dfreq AS (SELECT tok, count(*)::BIGINT AS df_docs FROM tf GROUP BY tok),
@@ -1003,7 +1005,15 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
                              / (s.total_dl::DOUBLE / s.n_docs::DOUBLE))))) AS c
       FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id)
       CROSS JOIN stats s
-    ),
+    )"""
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    """Replay of bm25_topk: the shared scoring CTEs + the same
+    tok-ordered left fold per document."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH {_bm25_score_ctes(f"tok IN ({terms})", k1, b)},
     folded AS (
       SELECT doc_id,
              round(list_reduce(list(c ORDER BY tok), (acc, x) -> acc + x), 6)
@@ -1034,6 +1044,113 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=10).orderBy("rnk")
+
+
+def _hybrid_retrieval_oracle(
+    n_queries: int = 3, n_terms: int = 6, shortlist: int = 20, k: int = 10
+) -> str:
+    """Replay of the full hybrid stack: per-query BM25 over the shared
+    scoring CTEs, exact cosine rank over embeddings (vec_id keys
+    doc_id — one embedding per document in the synthetic corpus), and
+    RRF with the source-ordered left fold Spark's rrf_fuse runs."""
+    from metalpipe_spark.catalog.similarity import _cos
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id AS query_id,
+             list_slice(string_split(text, ' '), 1, {n_terms}) AS terms
+      FROM documents WHERE doc_id < {n_queries}
+    ),
+    qterms AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+    {_bm25_score_ctes("tok IN (SELECT tok FROM qterms)")},
+    bfold AS (
+      SELECT qt.query_id, p.doc_id,
+             round(list_reduce(list(p.c ORDER BY p.tok), (acc, x) -> acc + x), 6)
+               AS bm25
+      FROM per p JOIN qterms qt USING (tok)
+      GROUP BY qt.query_id, p.doc_id
+    ),
+    brank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM bfold
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {n_queries}
+    ),
+    dsc AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             round({_cos('e.embedding', 'qv.embedding')}, 6) AS cs
+      FROM embeddings e CROSS JOIN qv
+    ),
+    drank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rnk
+      FROM dsc
+    ),
+    u AS (
+      SELECT query_id, doc_id, 'bm25' AS src,
+             '1.0'::DOUBLE / ('60.0'::DOUBLE + rnk::DOUBLE) AS v
+      FROM brank WHERE rnk <= {shortlist}
+      UNION ALL
+      SELECT query_id, doc_id, 'dense' AS src,
+             '1.0'::DOUBLE / ('60.0'::DOUBLE + rnk::DOUBLE) AS v
+      FROM drank WHERE rnk <= {shortlist}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list(v ORDER BY src), (acc, x) -> acc + x), 9)
+               AS rrf
+      FROM u GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rrf,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id)::BIGINT AS rnk
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "q_hybrid_retrieval",
+    _hybrid_retrieval_oracle(),
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+        "2009): a sparse ranker (batched BM25, sharing the single-query "
+        "row's scoring core) and a dense ranker (exact cosine over the "
+        "documents' embeddings) each shortlist 20 per query; RRF "
+        "combines RANKS only (1/(60+rnk), source-ordered left fold), "
+        "so the incomparable score scales never meet.  Corpus-scale "
+        "work is one scan per retriever; query artifacts broadcast; "
+        "fusion input is queries x 40 rows."
+    ),
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.retrieval import bm25_topk_batch, rrf_fuse
+    from metalpipe_spark.operators.similarity import brute_force_topk_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdocs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.col("text"), r" "), 1, 6).alias("terms"),
+    )
+    sparse = bm25_topk_batch(docs, qdocs, k=20)
+    qvecs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk_batch(emb, qvecs, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse({"bm25": sparse, "dense": dense}, k=10).orderBy(
+        "query_id", "rnk"
+    )
 
 
 @register(

@@ -844,7 +844,40 @@ def bm25_topk(
     never applies (there is no partitioned window here)."""
     from pyspark.sql.window import Window
 
-    terms = sorted(set(query_terms))
+    per_term = bm25_per_term_scores(
+        df, sorted(set(query_terms)), text_col, id_col, k1=k1, b=b
+    )
+    folded = per_term.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("c")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        ).alias("score")
+    )
+    # Distributed partial top-k (TakeOrdered), never a global window's
+    # single task; the row_number ranks only the k-row result.
+    quant = folded.select(
+        F.col(id_col), F.round(F.col("score"), 6).alias("bm25")
+    )
+    topk = quant.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def bm25_per_term_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The shared BM25 scoring core — per-(doc, matched term)
+    contribution rows ``(id_col, tok, c)`` with the exact
+    parenthesization the DuckDB oracles replay; :func:`bm25_topk`
+    (single query, TakeOrdered tail) and the batched
+    ``retrieval.bm25_topk_batch`` (per-query window tail) both fold
+    THESE rows, so the two paths cannot drift."""
     toks_arr = F.split(F.col(text_col), r" ")
     base = df.select(
         F.col(id_col),
@@ -884,26 +917,11 @@ def bm25_topk(
             )
         )
     )
-    per_term = (
+    return (
         tf.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), F.col("tok"), contrib.alias("c"))
     )
-    folded = per_term.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("c")))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["c"],
-        ).alias("score")
-    )
-    # Distributed partial top-k (TakeOrdered), never a global window's
-    # single task; the row_number ranks only the k-row result.
-    quant = folded.select(
-        F.col(id_col), F.round(F.col("score"), 6).alias("bm25")
-    )
-    topk = quant.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
-    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def char_entropy(

@@ -1811,3 +1811,55 @@ def test_connected_components_driver_path_threshold(spark):
         for r in connected_components(df, driver_max_edges=5).collect()
     }
     assert got == {i: 0 for i in range(31)}
+
+
+def test_bm25_batch_matches_single_query_and_rrf_fuses_ranks(spark):
+    """bm25_topk_batch per query == bm25_topk run with that query's
+    terms (shared scoring core, different tails), and rrf_fuse
+    implements 1/(c+rank) with absent-doc zero-contribution: a doc
+    ranked by BOTH sources outranks one ranked by a single source at
+    equal rank."""
+    from metalpipe_spark.operators.retrieval import bm25_topk_batch, rrf_fuse
+    from metalpipe_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common alpha beta"),
+            (1, "common alpha beta gamma delta"),
+            (2, "rare rare common"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, ["rare", "common"]), (200, ["alpha", "gamma"])],
+        "query_id long, terms array<string>",
+    )
+    batch = {}
+    for r in bm25_topk_batch(docs, queries, k=10).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["doc_id"], r["bm25"])
+        )
+    for qid, terms in ((100, ["rare", "common"]), (200, ["alpha", "gamma"])):
+        single = [
+            (r["rnk"], r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        assert sorted(batch[qid]) == sorted(single)
+
+    # RRF: doc 1 is rank-1 in both lists; docs 2/3 are rank-2 in one
+    # list each.  1 must fuse first; 2 beats 3 only by the id tiebreak
+    # (identical scores), and both must carry 1/(60+2) exactly.
+    a = spark.createDataFrame(
+        [(9, 1, 1), (9, 2, 2)], "query_id long, doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(9, 1, 1), (9, 3, 2)], "query_id long, doc_id long, rnk long"
+    )
+    fused = {
+        r["doc_id"]: (r["rnk"], r["rrf"])
+        for r in rrf_fuse({"a": a, "b": b}, k=10).collect()
+    }
+    assert fused[1][0] == 1 and fused[2][0] == 2 and fused[3][0] == 3
+    assert fused[1][1] == round(2.0 / 61.0, 9)
+    assert fused[2][1] == fused[3][1] == round(1.0 / 62.0, 9)
