@@ -151,6 +151,19 @@ def _local_file_reader(spark, upstreams, opts):
     return local_file_reader(spark, opts["path"], serialize=opts.get("serialize", False))
 
 
+@node_class("JSONLReader")
+def _jsonl_reader(spark, upstreams, opts):
+    from metalpipe_spark.sources.readers import jsonl_reader
+
+    return jsonl_reader(
+        spark,
+        opts["path"],
+        schema=opts.get("schema"),
+        multiline=opts.get("multiline", False),
+        corrupt_col=opts.get("corrupt_col"),
+    )
+
+
 @node_class("ConstantEmitter")
 def _constant_emitter(spark, upstreams, opts):
     return constant_emitter(spark, opts.get("thing"), max_loops=opts.get("max_loops", 5))

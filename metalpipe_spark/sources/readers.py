@@ -134,6 +134,46 @@ def csv_reader(
     return spark.read.csv(path, header=header, inferSchema=infer_schema)
 
 
+def jsonl_reader(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType | str | None" = None,
+    multiline: bool = False,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader — the batch face of the reference's JSON
+    streaming intake (network_nodes.py:172-241 parses HTTP/socket JSON
+    bodies row-by-row); web-scale corpora arrive as JSONL shards, so
+    this is the documents-table on-ramp.
+
+    ``schema`` should be EXPLICIT in production: schema inference is a
+    second full pass over the data — at corpus scale that doubles the
+    scan bill before any real work (None is accepted for exploration
+    and small fixtures).  ``corrupt_col`` opts into PERMISSIVE
+    dead-lettering: malformed lines land whole in that column instead
+    of killing the job (the 100 TB default — one bad shard must not
+    fail a day's ingest), and the column is appended to the schema
+    automatically.  With ``corrupt_col=None`` malformed lines become
+    all-NULL rows (Spark's PERMISSIVE default)."""
+    from pyspark.sql import types as T
+
+    reader = spark.read
+    if schema is not None:
+        if corrupt_col is not None:
+            # The corrupt-record column must exist in the schema for
+            # PERMISSIVE mode to populate it.
+            if isinstance(schema, str):
+                schema = f"{schema}, {corrupt_col} string"
+            else:
+                schema = schema.add(corrupt_col, T.StringType())
+        reader = reader.schema(schema)
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.option("multiLine", multiline).json(path)
+
+
 def local_file_reader(
     spark: SparkSession, path: str, serialize: bool = False
 ) -> DataFrame:

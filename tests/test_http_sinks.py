@@ -705,3 +705,50 @@ def test_mysql_type_strings_map_to_spark_types(spark):
     )
     assert df.schema == schema
     assert df.head()["name"] == "ada"
+
+
+def test_jsonl_reader_explicit_schema_and_dead_letter(spark, tmp_path):
+    """jsonl_reader: explicit DDL schema (no inference pass), malformed
+    lines dead-letter whole into the corrupt column instead of failing
+    the job, and well-formed rows parse typed."""
+    from metalpipe_spark.sources.readers import jsonl_reader
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "gamma"}\n'
+    )
+    df = jsonl_reader(
+        spark, str(p), schema="doc_id long, text string", corrupt_col="_bad"
+    )
+    rows = {r["doc_id"]: (r["text"], r["_bad"]) for r in df.collect()}
+    assert rows[1] == ("alpha beta", None)
+    assert rows[2] == ("gamma", None)
+    assert rows[None][1] == "this is not json"
+
+    # Without a corrupt column: malformed lines -> all-NULL rows, good
+    # lines unaffected (the PERMISSIVE default, still never a job kill).
+    plain = jsonl_reader(spark, str(p), schema="doc_id long, text string")
+    got = {(r["doc_id"], r["text"]) for r in plain.collect()}
+    assert got == {(1, "alpha beta"), (2, "gamma"), (None, None)}
+
+
+def test_jsonl_reader_yaml_node(spark, tmp_path):
+    """The JSONLReader node class wires the reader into YAML pipelines."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"k": "a", "v": 1}\n{"k": "b", "v": 2}\n')
+    cfg = {
+        "pipeline_name": "jsonl_test",
+        "nodes": {
+            "src": {
+                "class": "JSONLReader",
+                "options": {"path": str(p), "schema": "k string, v long"},
+            },
+        },
+    }
+    out = compile_pipeline(spark, cfg)
+    rows = sorted((r["k"], r["v"]) for r in out.dataframes["src"].collect())
+    assert rows == [("a", 1), ("b", 2)]
