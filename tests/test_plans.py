@@ -491,3 +491,24 @@ def test_range_join_is_bucketized_equi_join(spark):
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert _nodes(plan, "CartesianProduct") == 0, plan
     assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin") >= 1, plan
+
+
+def test_adc_rerank_broadcast_probe_no_corpus_shuffle(spark):
+    """Two-stage PQ serving: the shortlist and the query vectors must
+    BROADCAST into the corpus scan — a SortMergeJoin here would shuffle
+    the whole corpus to fetch queries x R raw vectors."""
+    df = REGISTRY["q_ann_pq_rerank"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist probe + query vecs
+
+
+def test_hybrid_retrieval_broadcast_query_side(spark):
+    """Hybrid retrieval: every query-side artifact (terms, LUT-free
+    dense queries, rank lists) broadcasts; corpus rows never shuffle to
+    meet queries.  The only exchanges are the tf agg and the per-query
+    top-k windows."""
+    df = REGISTRY["q_hybrid_retrieval"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
