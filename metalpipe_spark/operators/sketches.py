@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -257,6 +257,17 @@ def _positions_from_hash(h, shift: int, k: int):
     ]
 
 
+def _mask_literal(mask) -> Column:
+    """The packed mask as ONE plan literal via a single SQL array
+    expression.  ``F.lit(list(mask))`` builds the same constant but
+    through one py4j round-trip PER WORD — 4096 JVM calls ≈ 2-3 s of
+    pure driver time at the default geometry, paid every time a probe
+    expression is constructed (measured on stream_corpus_pipeline,
+    round 10).  Parsing one ~90 KB ``array(…L)`` string JVM-side is
+    milliseconds, and Catalyst folds it to the identical Literal."""
+    return F.expr("array(" + ",".join(f"{int(w)}L" for w in mask) + ")")
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -339,7 +350,7 @@ def bloom_probe(
 
     row = bloom.select("mask", "m", "k").first()
     m_bits, k = int(row["m"]), int(row["k"])
-    mask_lit = F.lit(list(row["mask"]))
+    mask_lit = _mask_literal(row["mask"])
     # Hash ONCE per value: the k position expressions would each
     # recompute the md5 otherwise (k-fold scan CPU for no reason).
     probed = df.withColumn("__bloom_h", _hash32(F.col(col)))
@@ -424,7 +435,7 @@ def bloom_member_expr(value, bloom_row, m_bits: int, k: int):
     stays the cheaper choice for exploded data."""
     from metalpipe_spark.operators.dedup import _hash32
 
-    mask_lit = F.lit(list(bloom_row["mask"]))
+    mask_lit = _mask_literal(bloom_row["mask"])
     h = _hash32(value)
     member = None
     for p in _positions_from_hash(h, _bloom_shift(m_bits), k):
