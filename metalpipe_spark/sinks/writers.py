@@ -230,13 +230,11 @@ def _fs_for(spark, path: str):
     return jvm, jpath.getFileSystem(hconf), jpath
 
 
-def read_current_manifest(spark, path: str):
-    """Highest-version ``_manifest-v{N}.json`` at ``path`` as
-    ``(version, {partition_dir: [file, ...]})``, or ``None`` when the
-    table has never been published with ``upsert_parquet(...,
-    manifest=True)``.  Each manifest is immutable once renamed into
-    place, so a racing reader resolves either version N-1 or N — both
-    complete, internally consistent file sets — never a mix."""
+def read_manifest_body(spark, path: str):
+    """Highest-version manifest at ``path`` as ``(version, body_dict)``,
+    or ``None`` — the full-body form for callers that need the extra
+    commit metadata (``batch_id`` from the streaming store sinks);
+    :func:`read_current_manifest` is the partitions-only view."""
     import json
     import re
 
@@ -259,13 +257,31 @@ def read_current_manifest(spark, path: str):
         )
     finally:
         stream.close()
-    return best, body["partitions"]
+    return best, body
 
 
-def _write_manifest(spark, path: str, version: int, partitions: dict) -> None:
+def read_current_manifest(spark, path: str):
+    """Highest-version ``_manifest-v{N}.json`` at ``path`` as
+    ``(version, {partition_dir: [file, ...]})``, or ``None`` when the
+    table has never been published with ``upsert_parquet(...,
+    manifest=True)``.  Each manifest is immutable once renamed into
+    place, so a racing reader resolves either version N-1 or N — both
+    complete, internally consistent file sets — never a mix."""
+    got = read_manifest_body(spark, path)
+    if got is None:
+        return None
+    version, body = got
+    return version, body["partitions"]
+
+
+def _write_manifest(
+    spark, path: str, version: int, partitions: dict, extra: dict | None = None
+) -> None:
     """Durably publish a manifest: full write to a dot-tmp name (hidden
     from readers and ``_target_exists``), then one rename — the atomic
-    flip that moves readers from version N-1 to N."""
+    flip that moves readers from version N-1 to N.  ``extra`` keys ride
+    in the JSON body (e.g. the streaming sinks' ``batch_id`` commit
+    marker); readers that only want partitions ignore them."""
     import json
 
     jvm, fs, target_p = _fs_for(spark, path)
@@ -273,7 +289,11 @@ def _write_manifest(spark, path: str, version: int, partitions: dict) -> None:
     tmp = jvm.org.apache.hadoop.fs.Path(target_p, f".{name}.tmp")
     final = jvm.org.apache.hadoop.fs.Path(target_p, name)
     data = json.dumps(
-        {"version": version, "partitions": {k: sorted(v) for k, v in partitions.items()}},
+        {
+            "version": version,
+            "partitions": {k: sorted(v) for k, v in partitions.items()},
+            **(extra or {}),
+        },
         sort_keys=True,
     ).encode("utf-8")
     out = fs.create(tmp, True)

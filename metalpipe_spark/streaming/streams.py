@@ -442,11 +442,18 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
     from metalpipe_spark.sinks.writers import (
         _write_manifest,
         load_published,
-        read_current_manifest,
+        read_manifest_body,
     )
+
+    import hashlib
 
     spark = df.sparkSession
     next_path = store_path + "_next"
+    # Kept-output batch directories are namespaced by checkpoint
+    # lineage: batch ids restart at 0 for every new query over the same
+    # store, and two lineages overwriting each other's batch=0 would
+    # silently drop committed rows.
+    ckpt_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     def _data_files(fs, dir_path):
         return sorted(
@@ -472,7 +479,7 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
                 raise IOError(
                     f"store recovery failed: rename {next_path} -> {store_path}"
                 )
-        cur = read_current_manifest(spark, store_path)
+        cur = read_manifest_body(spark, store_path)
         if cur is None and fs.exists(dst):
             # Adopt a pre-manifest flat store: move top-level data files
             # into a version dir, publish manifest v1 over the result.
@@ -521,7 +528,7 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
                     {"v-0000000001": _data_files(fs, vdir)},
                 )
                 fs.delete(marker, False)
-                cur = read_current_manifest(spark, store_path)
+                cur = read_manifest_body(spark, store_path)
         elif cur is not None:
             # A marker surviving past its manifest (crash between the
             # v1 flip and the marker delete) is spent — drop it.
@@ -529,8 +536,25 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
             if fs.exists(stale):
                 fs.delete(stale, False)
         if cur is not None:
-            version, partitions = cur
-            live_dirs = set(partitions)
+            version, body = cur
+            # Exactly-once replay guard: the manifest records the LAST
+            # COMMITTED micro-batch OF THIS CHECKPOINT LINEAGE.  A
+            # post-crash replay of an already-flipped batch must be a
+            # no-op — its kept rows were written before the flip, and
+            # re-running the step against the post-flip store would
+            # recompute an EMPTY fresh set and overwrite those rows
+            # away.  Batch ids only mean anything within one checkpoint
+            # (a NEW query over the same store restarts at 0 and must
+            # NOT be skipped), so the marker is keyed by the checkpoint
+            # path.
+            done = body.get("batch_id")
+            if (
+                done is not None
+                and body.get("ckpt") == checkpoint
+                and batch_id <= done
+            ):
+                return
+            live_dirs = set(body["partitions"])
             # Reconcile: version dirs the manifest does not name are
             # crash debris (a v{N+1} write that never flipped, or a
             # superseded v{N-1} whose GC was interrupted).
@@ -548,14 +572,28 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
         out = step(batch_df, store)
         fresh, updated = out[0], out[1]
         cleanup = out[2] if len(out) > 2 else None
-        fresh.write.mode("append").parquet(kept_path)
+        # Idempotent kept write: one batch=N directory per micro-batch,
+        # OVERWRITTEN (not appended) on replay — re-running the same
+        # batch against the same store version produces the same rows,
+        # so the pre-crash partial write is simply replaced.  Replays of
+        # COMMITTED batches never reach here (the manifest guard above),
+        # which closes the duplicate-on-replay window the append form
+        # had.  Readers see an extra `batch` partition column — the
+        # micro-batch provenance of each kept row.
+        fresh.write.mode("overwrite").parquet(
+            f"{kept_path}/batch={ckpt_tag}-{batch_id}"
+        )
         new_version = version + 1
         new_dir = f"v-{new_version:010d}"
         updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")
-        # The atomic flip: readers move to the new store version here.
+        # The atomic flip: readers move to the new store version here —
+        # and, carrying batch_id, it is also the kept output's COMMIT
+        # record (kept rows land before the flip; the flip makes the
+        # batch immune to replay).
         _write_manifest(
             spark, store_path, new_version,
             {new_dir: _data_files(fs, hpath(dst, new_dir))},
+            extra={"batch_id": batch_id, "ckpt": checkpoint},
         )
         # GC the superseded version dir and manifests older than N-1
         # (N-1's manifest stays so a reader that resolved it just before

@@ -834,3 +834,70 @@ def test_stream_corpus_pipeline_multibatch_parity(spark, tmp_path):
 
     fps = [r["fingerprint"] for r in load_store(spark, str(tmp_path / "store")).collect()]
     assert len(fps) == len(set(fps)) == 3  # one md5 row per surviving doc
+
+
+def test_incremental_sink_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Exactly-once (r10): a micro-batch whose store manifest already
+    committed must REPLAY as a no-op.  Simulated by deleting the
+    checkpoint's commit record after a successful drain — on restart
+    Spark re-runs batch 0 with the same batch_id; without the manifest
+    guard the replay would recompute fresh against the POST-flip store
+    (everything a dup) and overwrite the batch's kept rows away."""
+    from metalpipe_spark.sinks.writers import read_manifest_body
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        stream_corpus_pipeline,
+    )
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    spark.createDataFrame([(1, good), (2, other)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    bench = spark.createDataFrame([("unrelated words here",)], "text string")
+    kept_path = str(tmp_path / "kept")
+    store_path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        import time as _time
+
+        q = stream_corpus_pipeline(
+            file_watchdog(spark, str(src), schema),
+            bench,
+            kept_path,
+            store_path,
+            ckpt,
+            min_hits=3,
+        )
+        q.awaitTermination()
+        q.stop()
+        # The manager releases the checkpoint lock asynchronously after
+        # stop; a restart racing it trips SparkConcurrentModification.
+        for _ in range(50):
+            if not any(a.id == q.id for a in spark.streams.active):
+                break
+            _time.sleep(0.2)
+
+    run()
+    before = sorted(r["doc_id"] for r in spark.read.parquet(kept_path).collect())
+    assert before == [1, 2]
+    v_before, body = read_manifest_body(spark, store_path)
+    assert body["batch_id"] == 0
+
+    # Crash window: sink committed, checkpoint commit record lost (the
+    # .crc sidecar goes too — local-FS rename refuses a stale one).
+    import os
+
+    for f in ("0", ".0.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+    run()  # Spark replays batch 0 with the same batch_id
+
+    after = sorted(r["doc_id"] for r in spark.read.parquet(kept_path).collect())
+    assert after == before  # no duplicates, no lost rows
+    v_after, body2 = read_manifest_body(spark, store_path)
+    assert (v_after, body2["batch_id"]) == (v_before, 0)  # store untouched
