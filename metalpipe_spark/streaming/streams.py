@@ -361,10 +361,11 @@ def stream_semantic_dedup_sink(
     member of the streaming dedup family (exact fingerprints and
     MinHash bands have the same shape, test_streaming.py).
 
-    A crash between the kept append and the store publish can admit one
-    batch's near-dups on replay — the at-least-once caveat shared by
-    the exact incremental sink; a table format gives the transactional
-    upgrade for the KEPT output too.
+    Output is EXACTLY-ONCE across micro-batch replays (the shared
+    ``_incremental_store_sink`` contract): kept rows write to one
+    idempotent batch directory before the store's manifest flips, the
+    manifest carries the batch's commit record, and a replayed
+    committed batch is a no-op — no duplicate survivors, no lost rows.
 
     The store itself publishes through ``_incremental_store_sink``'s
     versioned-manifest protocol (the same reader-atomicity as
