@@ -307,6 +307,62 @@ def _join(spark, upstreams, opts):
                        broadcast_dim=opts.get("broadcast", False))
 
 
+@node_class("BM25TopK")
+def _bm25_topk_node(spark, upstreams, opts):
+    """BM25 keyword retrieval over the upstream corpus (operators/
+    text.py:bm25_topk); ``terms`` is the query bag."""
+    from metalpipe_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _one(upstreams, "BM25TopK"),
+        list(opts["terms"]),
+        k=int(opts.get("k", 10)),
+        text_col=opts.get("text_column", "text"),
+        id_col=opts.get("id_column", "doc_id"),
+    )
+
+
+@node_class("BM25Batch")
+def _bm25_batch_node(spark, upstreams, opts):
+    """Batched BM25 (operators/retrieval.py): upstream order is
+    (corpus, queries); queries carry (query_id, terms array<string>)."""
+    from metalpipe_spark.operators.retrieval import bm25_topk_batch
+
+    if len(upstreams) != 2:
+        raise ValueError("BM25Batch requires exactly (corpus, queries) upstreams")
+    corpus, queries = upstreams
+    return bm25_topk_batch(
+        corpus,
+        queries,
+        k=int(opts.get("k", 10)),
+        text_col=opts.get("text_column", "text"),
+        id_col=opts.get("id_column", "doc_id"),
+    )
+
+
+@node_class("RRFFuse")
+def _rrf_fuse_node(spark, upstreams, opts):
+    """Reciprocal-rank fusion of two or more upstream rank lists
+    (operators/retrieval.py:rrf_fuse).  ``sources`` names the upstreams
+    in edge order (the fold order is by sorted name — fix the names to
+    fix the arithmetic); defaults to src0, src1, …"""
+    from metalpipe_spark.operators.retrieval import rrf_fuse
+
+    if len(upstreams) < 2:
+        raise ValueError("RRFFuse requires at least two upstream rank lists")
+    names = opts.get("sources") or [f"src{i}" for i in range(len(upstreams))]
+    if len(names) != len(upstreams):
+        raise ValueError(
+            f"RRFFuse: {len(upstreams)} upstream(s) but {len(names)} source name(s)"
+        )
+    return rrf_fuse(
+        dict(zip(names, upstreams)),
+        k=int(opts.get("k", 10)),
+        c=int(opts.get("c", 60)),
+        id_col=opts.get("id_column", "doc_id"),
+    )
+
+
 @node_class("SQLExecute")
 def _sql_execute(spark, upstreams, opts):
     """CivisSQLExecute / CivisToCSV (civis_nodes.py:374-482) — "run SQL,

@@ -723,3 +723,60 @@ def test_max_messages_received_total_bound_multi_upstream(spark):
     p = compile_pipeline(spark, config)
     # nation has 25 rows: upstream a contributes all 25, b only 5.
     assert p.dataframes["sink"].count() == 30
+
+
+def test_retrieval_nodes_yaml_end_to_end(spark, tmp_path):
+    """BM25Batch + RRFFuse as YAML nodes: a two-retriever fusion DAG
+    compiles and fuses ranks with the operator's arithmetic."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "rare common alpha beta"),
+            (1, "common alpha beta gamma delta"),
+            (2, "rare rare common"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(9, ["rare", "common"])], "query_id long, terms array<string>"
+    )
+    other = spark.createDataFrame(
+        [(9, 1, 1), (9, 0, 2)], "query_id long, doc_id long, rnk long"
+    )
+    corpus.createOrReplaceTempView("corpus_v")
+    queries.createOrReplaceTempView("queries_v")
+    other.createOrReplaceTempView("other_v")
+    cfg = {
+        "pipeline_name": "retrieval_test",
+        "nodes": {
+            "corpus": {"class": "SQLExecute", "options": {"views": [], "sql": "SELECT * FROM corpus_v"}},
+            "queries": {"class": "SQLExecute", "options": {"views": [], "sql": "SELECT * FROM queries_v"}},
+            "other": {"class": "SQLExecute", "options": {"views": [], "sql": "SELECT * FROM other_v"}},
+            "bm25": {"class": "BM25Batch", "options": {"k": 5}},
+            "fused": {
+                "class": "RRFFuse",
+                "options": {"k": 3, "sources": ["bm25", "other"]},
+            },
+        },
+        "paths": [
+            ["corpus", "bm25"],
+            ["queries", "bm25"],
+            ["bm25", "fused"],
+            ["other", "fused"],
+        ],
+    }
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    p = compile_pipeline(spark, cfg)
+    got = [(r["doc_id"], r["rnk"]) for r in p.dataframes["fused"].orderBy("rnk").collect()]
+    assert len(got) == 3 and got[0][1] == 1
+
+    from metalpipe_spark.operators.retrieval import bm25_topk_batch, rrf_fuse
+
+    direct = [
+        (r["doc_id"], r["rnk"])
+        for r in rrf_fuse(
+            {"bm25": bm25_topk_batch(corpus, queries, k=5), "other": other},
+            k=3,
+        ).orderBy("rnk").collect()
+    ]
+    assert got == direct
