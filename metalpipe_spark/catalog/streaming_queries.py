@@ -376,6 +376,9 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/store",
             f"{tmp}/ckpt",
             min_hits=5,
+            # the test corpus is ONE parquet file; without this the
+            # whole regex/shingle chain runs on one task
+            rebalance_partitions=spark.sparkContext.defaultParallelism,
         ).awaitTermination()
         out = spark.read.parquet(f"{tmp}/kept").select("doc_id", "fingerprint")
         # The drained result must outlive the temp dir (lazy plans read

@@ -348,7 +348,11 @@ def bloom_probe(
     memcpy for a constant."""
     from metalpipe_spark.operators.dedup import _hash32
 
-    row = bloom.select("mask", "m", "k").first()
+    row = (
+        bloom.select("mask", "m", "k").first()
+        if isinstance(bloom, DataFrame)
+        else bloom  # pre-collected Row: repeated probes skip the job
+    )
     m_bits, k = int(row["m"]), int(row["k"])
     mask_lit = _mask_literal(row["mask"])
     # Hash ONCE per value: the k position expressions would each
@@ -407,20 +411,43 @@ def bloom_decontaminate(
         F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k)
+    report = bloom_hit_report(
+        corpus, bloom, text_col=text_col, id_col=id_col, n=n, min_hits=min_hits
+    )
+    clean = corpus.join(report.select(id_col), id_col, "left_anti")
+    return clean, report
+
+
+def bloom_hit_report(
+    corpus: DataFrame,
+    bloom,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 3,
+) -> DataFrame:
+    """The codegen probe kernel of :func:`bloom_decontaminate` —
+    ``(id_col, bloom_hits)`` for every document with at least
+    ``min_hits`` Bloom-positive shingles.  ``bloom`` is a
+    :func:`bloom_build` DataFrame or its pre-collected Row (pass the
+    Row when probing repeatedly, e.g. per micro-batch inside a
+    foreachBatch sink — a DataFrame re-runs the mask-build job every
+    call).  Explode + pre-projected hash + a map-side-combined count:
+    ~10× the per-byte throughput of the higher-order
+    :func:`bloom_decontaminate_filter` form, which exists for TRUE
+    stream transformations where aggregation is off-limits."""
+    from metalpipe_spark.operators.dedup import word_shingles
+
     c_sh = corpus.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    probed = bloom_probe(
-        c_sh, "shingle", bloom, out_col="__hit", m_bits=m_bits, k=k
-    )
-    report = (
+    probed = bloom_probe(c_sh, "shingle", bloom, out_col="__hit")
+    return (
         probed.where(F.col("__hit"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("bloom_hits"))
         .where(F.col("bloom_hits") >= min_hits)
     )
-    clean = corpus.join(report.select(id_col), id_col, "left_anti")
-    return clean, report
 
 
 def bloom_member_expr(value, bloom_row, m_bits: int, k: int):

@@ -712,49 +712,82 @@ def stream_corpus_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 3,
+    rebalance_partitions: int | None = None,
 ):
     """The CURATION pipeline as one continuously-ingesting stream —
     the streaming twin of q_corpus_pipeline's scrub → quality → dedup
     stages plus decontamination, composed from pieces that each carry
     their own correctness row:
 
-    1. PII scrub (``redact_pii``) — stateless codegen regex chain;
+    1. PII scrub (``redact_pii``) — stateless codegen regex chain, the
+       one stage that runs as a STREAM transformation;
     2. Gopher quality filter (``quality_filter(keep_columns=True)``) —
-       stateless, the keep decision rides inline (a stream-stream
-       keep-list join would be stateful for no reason);
-    3. benchmark decontamination (``bloom_decontaminate_filter``) —
-       stateless probe of a fixed 32 KiB mask literal, built once at
-       definition time from the batch-side benchmark;
+       runs inside the foreachBatch step, ABOVE the sink's batch cache:
+       as a stream-side ``.where(keep)`` the predicate (carrying every
+       repetition-signal HOF tree, duplicated by pushdown substitution)
+       pushed below the rebalance into the source's few-task scan —
+       measured 10× the stage cost at 10× corpus; the cache is the
+       pushdown barrier that keeps the signals evaluated once, 32-way;
+    3. benchmark decontamination — the Bloom mask is built ONCE at
+       definition time from the batch-side benchmark and pre-collected;
+       the per-batch probe uses the codegen explode + map-side-combined
+       count kernel (``bloom_hit_report``, the q_bloom_decontaminate
+       path) instead of the interpreted higher-order form
+       (``bloom_decontaminate_filter`` remains the tool for true stream
+       transformations where aggregation is off-limits);
     4. incremental EXACT dedup against a persisted fingerprint store
-       (``incremental_exact_dedup`` inside the shared manifest-atomic
-       ``_incremental_store_sink`` skeleton): survivors append to
-       ``kept_path``, the store grows by their fingerprints, readers
-       see whole versions only, every crash point self-heals.
+       (``incremental_exact_dedup`` inside the shared manifest-atomic,
+       exactly-once ``_incremental_store_sink`` skeleton): survivors
+       land under ``kept_path``, the store grows by their fingerprints,
+       readers see whole versions only, every crash point self-heals
+       and committed batches replay as no-ops.
 
-    Stages 1-3 are pure scan-shaped micro-batch work (no watermark, no
-    streaming state); ALL durable state is the fingerprint store — one
-    md5 row per unique surviving doc, exactly what the batch pipeline
-    would persist.  Drain with an availableNow trigger for backfills;
-    the running stream is the same plan."""
-    from metalpipe_spark.operators.sketches import bloom_decontaminate_filter
+    No watermark, no streaming state anywhere; the only per-batch
+    shuffles are the hit count over MATCHING shingles and the dedup
+    agg; ALL durable state is the fingerprint store — one md5 row per
+    unique surviving doc, exactly what the batch pipeline would
+    persist.  Drain with an availableNow trigger for backfills; the
+    running stream is the same plan."""
+    from metalpipe_spark.operators.dedup import word_shingles
+    from metalpipe_spark.operators.sketches import bloom_build, bloom_hit_report
     from metalpipe_spark.operators.text import quality_filter, redact_pii
 
+    if rebalance_partitions:
+        # Micro-batch parallelism is inherited from the SOURCE's file
+        # layout: a backfill over a few large files runs the whole
+        # regex/shingle chain on a few tasks regardless of cores.  An
+        # explicit repartition of the raw rows (stateless) unlocks the
+        # scan-stage CPU — the streaming face of load_table's
+        # rebalance.  Leave None when the source's file count already
+        # matches the cluster (the usual 100 TB case: thousands of
+        # arriving shards); the repartition is a full batch shuffle.
+        stream = stream.repartition(rebalance_partitions)
     scrubbed = stream.withColumn(text_col, redact_pii(text_col))
-    kept = (
-        quality_filter(scrubbed, text_col=text_col, id_col=id_col, keep_columns=True)
-        .where(F.col("keep"))
-        .select(*stream.columns)
-    )
-    clean = bloom_decontaminate_filter(
-        kept, benchmark, text_col=text_col, min_hits=min_hits
-    )
+    b_sh = benchmark.select(F.explode(word_shingles(text_col, 3)).alias("shingle"))
+    mask_row = bloom_build(b_sh, "shingle").first()
 
     def step(batch_df: DataFrame, store):
         from metalpipe_spark.operators.dedup import incremental_exact_dedup
 
-        fresh, updated = incremental_exact_dedup(
-            batch_df, store, text_col=text_col, id_col=id_col
+        kept = (
+            quality_filter(
+                batch_df, text_col=text_col, id_col=id_col, keep_columns=True
+            )
+            .where(F.col("keep"))
+            .select(*batch_df.columns)
         )
-        return fresh, updated.distinct()
+        flagged = bloom_hit_report(
+            kept, mask_row, text_col=text_col, id_col=id_col,
+            min_hits=min_hits,
+        )
+        # The quality/probe work lives BELOW the sink's batch cache, so
+        # without its own persist the kept append and the store write
+        # would each re-run it (the same double-pricing the sink's
+        # outer persist exists to prevent).
+        clean = kept.join(flagged.select(id_col), id_col, "left_anti").persist()
+        fresh, updated = incremental_exact_dedup(
+            clean, store, text_col=text_col, id_col=id_col
+        )
+        return fresh, updated.distinct(), lambda: clean.unpersist()
 
-    return _incremental_store_sink(clean, kept_path, store_path, checkpoint, step)
+    return _incremental_store_sink(scrubbed, kept_path, store_path, checkpoint, step)
