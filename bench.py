@@ -103,6 +103,7 @@ HEADLINE = [
     "q_langid_model",
     "q_quality_tokens",
     "q_text_profile_by_lang",
+    "q_corpus_report",
     "q_token_commonness",
     "q_repetition_signals",
     "q_quality_filter",

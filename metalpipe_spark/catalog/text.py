@@ -1046,6 +1046,38 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, list(_BM25_TERMS), k=10).orderBy("rnk")
 
 
+@register(
+    "q_corpus_report",
+    """
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(len(string_split(coalesce(text, ''), ' ')))::BIGINT
+             AS total_tokens,
+           count(DISTINCT md5(coalesce(text, '')))::BIGINT AS n_unique_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           round(sum(len(string_split(coalesce(text, ''), ' ')))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS mean_doc_tokens,
+           round('1.0'::DOUBLE
+                 - count(DISTINCT md5(coalesce(text, '')))::DOUBLE
+                   / count(*)::DOUBLE, 6) AS dup_rate
+    FROM documents
+    """,
+    doc=(
+        "One-row dataset-card summary (doc/token volume, language/"
+        "source diversity, exact duplication rate) in ONE scan: the "
+        "multi-distinct aggregate runs through Expand into a single "
+        "map-side-combined shuffle -- never one pass per dimension.  "
+        "exact_distinct=False swaps the distincts for HLL "
+        "approx_count_distinct, the 100 TB default."
+    ),
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
 def _hybrid_retrieval_oracle(
     n_queries: int = 3, n_terms: int = 6, shortlist: int = 20, k: int = 10
 ) -> str:

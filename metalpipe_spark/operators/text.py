@@ -924,6 +924,56 @@ def bm25_per_term_scores(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-row corpus summary — the dataset-card numbers every corpus
+    release ships (doc/token volume, language/source diversity, exact
+    duplication rate): ``(n_docs, total_tokens, mean_doc_tokens,
+    n_langs, n_sources, n_unique_docs, dup_rate)``.
+
+    Plan shape: ONE scan; the multi-distinct aggregate runs through
+    Spark's Expand (each input row fans to one row per distinct
+    aggregate before the partial agg), so the whole report is a single
+    map-side-combined shuffle whose key space is the aggregate count —
+    never a per-dimension pass over the corpus.  ``exact_distinct=False``
+    swaps the fingerprint/lang/source distincts for
+    ``approx_count_distinct`` (HLL, no Expand) — the 100 TB default
+    when ±2% on diversity numbers is acceptable; exact stays the oracle
+    form."""
+    toks = F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("long")
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    cnt = (
+        F.count_distinct if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        cnt(fp).alias("n_unique_docs"),
+    ]
+    if lang_col:
+        aggs.append(cnt(F.col(lang_col)).alias("n_langs"))
+    if source_col:
+        aggs.append(cnt(F.col(source_col)).alias("n_sources"))
+    out = df.agg(*aggs)
+    n = F.col("n_docs").cast("double")
+    return out.select(
+        "*",
+        F.round(F.col("total_tokens").cast("double") / n, 6).alias(
+            "mean_doc_tokens"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_unique_docs").cast("double") / n, 6
+        ).alias("dup_rate"),
+    )
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",

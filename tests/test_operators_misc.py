@@ -1863,3 +1863,29 @@ def test_bm25_batch_matches_single_query_and_rrf_fuses_ranks(spark):
     assert fused[1][0] == 1 and fused[2][0] == 2 and fused[3][0] == 3
     assert fused[1][1] == round(2.0 / 61.0, 9)
     assert fused[2][1] == fused[3][1] == round(1.0 / 62.0, 9)
+
+
+def test_corpus_report_dup_rate_and_approx_mode(spark):
+    """corpus_report: dup_rate counts exact text duplicates; the approx
+    twin keeps the same schema/derived columns and lands within HLL
+    error on this tiny input (identity here)."""
+    from metalpipe_spark.operators.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1"),
+            (1, "a b c", "en", "s2"),
+            (2, "d e", "de", "s1"),
+            (3, None, "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = corpus_report(df).collect()[0]
+    assert row["n_docs"] == 4 and row["total_tokens"] == 3 + 3 + 2 + 1
+    assert row["n_unique_docs"] == 3  # dup pair + empty-coalesced NULL
+    assert row["n_langs"] == 2 and row["n_sources"] == 2
+    assert row["dup_rate"] == 0.25 and row["mean_doc_tokens"] == 2.25
+
+    approx = corpus_report(df, exact_distinct=False).collect()[0]
+    assert approx.asDict().keys() == row.asDict().keys()
+    assert approx["n_docs"] == 4 and approx["n_langs"] == 2
