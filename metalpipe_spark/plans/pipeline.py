@@ -307,6 +307,22 @@ def _join(spark, upstreams, opts):
                        broadcast_dim=opts.get("broadcast", False))
 
 
+@node_class("CorpusReport")
+def _corpus_report_node(spark, upstreams, opts):
+    """One-row dataset-card summary of the upstream corpus
+    (operators/text.py:corpus_report)."""
+    from metalpipe_spark.operators.text import corpus_report
+
+    return corpus_report(
+        _one(upstreams, "CorpusReport"),
+        text_col=opts.get("text_column", "text"),
+        id_col=opts.get("id_column", "doc_id"),
+        lang_col=opts.get("lang_column", "lang"),
+        source_col=opts.get("source_column", "source"),
+        exact_distinct=opts.get("exact_distinct", True),
+    )
+
+
 @node_class("BM25TopK")
 def _bm25_topk_node(spark, upstreams, opts):
     """BM25 keyword retrieval over the upstream corpus (operators/
