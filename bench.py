@@ -96,6 +96,7 @@ HEADLINE = [
     "q_incremental_semdedup",
     "q_domain_mix",
     "q_temperature_resample",
+    "q_temperature_epochs",
     "q_global_shuffle",
     "q_corpus_split",
     # text analysis

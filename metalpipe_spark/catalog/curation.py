@@ -281,6 +281,63 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_epochs",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(pow(n::DOUBLE, '0.3'::DOUBLE)) AS sum_alpha,
+             sum(n) AS total
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang,
+             round((('1.0'::DOUBLE * total)
+                      * (pow(n::DOUBLE, '0.3'::DOUBLE) / sum_alpha)) / n,
+                   12) AS rate
+      FROM counts CROSS JOIN tot
+    ),
+    c AS (
+      SELECT d.doc_id, d.lang,
+             (floor(r.rate)::BIGINT
+              + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':epoch'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < r.rate - floor(r.rate)
+                     THEN 1 ELSE 0 END) AS copies
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, unnest(range(copies))::BIGINT AS epoch
+    FROM c WHERE copies > 0
+    ORDER BY doc_id, epoch
+    """,
+    doc=(
+        "UPSAMPLING temperature rebalance (the mT5 low-resource recipe "
+        "without the capped filter's undershoot): true rates w_d*budget/"
+        "n_d with no min(1,.) - each row emits floor(r) copies plus one "
+        "more on a salted md5 uniform (stochastic rounding), tagged with "
+        "an epoch column so shuffle/packing interleave the repeats.  One "
+        "few-row agg broadcast onto the scan, codegen sequence-explode, "
+        "output-sized; rates quantized to 12 decimals (the pow rule)."
+    ),
+)
+def q_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import temperature_resample_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_resample_epochs(
+            docs.select("doc_id", "lang"),
+            "lang",
+            "doc_id",
+            alpha=0.3,
+            budget_frac=1.0,
+        )
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+@register(
     "q_weighted_sample",
     """
     WITH t AS (

@@ -395,6 +395,74 @@ def temperature_resample(
     )
 
 
+def temperature_resample_epochs(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    budget_frac: float | None = None,
+    budget_rows: int | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The UPSAMPLING twin of :func:`temperature_resample` — true
+    mT5-style rates with no ``min(1, …)`` cap: a domain whose
+    temperature share exceeds its size REPEATS (the standard
+    low-resource-language recipe, arXiv:1910.10683 §3.4.2; repeat
+    factors per source as in modern pretraining data recipes), instead
+    of the capped filter's silent undershoot.
+
+    Each row emits ``floor(r_d)`` copies plus one more with probability
+    ``frac(r_d)`` — stochastic rounding on the portable md5 uniform,
+    SALTED (``key || ':epoch'``) so the fractional pick is independent
+    of every other sampler's decision on the same key — tagged
+    ``epoch_col`` = 0..copies-1 so downstream global shuffle / packing
+    can interleave epochs instead of emitting k adjacent duplicates.
+    Expected output size is the full budget (Σ n_d·r_d), not the capped
+    filter's under-count.  Rates quantize to 12 decimals before both
+    the floor and the uniform compare (the pow rule).
+
+    Scale shape: one few-row count aggregate broadcast onto the scan,
+    then a codegen sequence-explode — output-sized, no data shuffle."""
+    if (budget_frac is None) == (budget_rows is None):
+        raise ValueError("give exactly one of budget_frac / budget_rows")
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    pow_n = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(
+        F.sum(pow_n).alias("__sum_alpha"), F.sum("__n").alias("__total")
+    )
+    counts = counts.crossJoin(broadcast(tot))
+    if budget_rows is not None:
+        budget: Column = F.lit(float(budget_rows))
+    else:
+        budget = F.lit(float(budget_frac)) * F.col("__total")
+    share = pow_n / F.col("__sum_alpha")
+    rates = counts.select(
+        F.col(domain_col),
+        F.round(budget * share / F.col("__n"), 12).alias("__rate"),
+    )
+    u = deterministic_uniform(
+        F.concat(F.col(key_col).cast("string"), F.lit(":epoch"))
+    )
+    copies = (
+        F.floor(F.col("__rate"))
+        + F.when(u < F.col("__rate") - F.floor(F.col("__rate")), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(broadcast(rates), domain_col)
+        .withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.col("__copies") - 1).cast("long"))
+            ),
+        )
+        .drop("__rate", "__copies")
+    )
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     weight_col: str,

@@ -786,6 +786,23 @@ def _model_quality_filter_node(spark, upstreams, opts):
     return out
 
 
+@node_class("TemperatureEpochs")
+def _temperature_epochs_node(spark, upstreams, opts):
+    """Uncapped temperature rebalance with epoch repeats
+    (operators/curation.py:temperature_resample_epochs)."""
+    from metalpipe_spark.operators.curation import temperature_resample_epochs
+
+    return temperature_resample_epochs(
+        _one(upstreams, "TemperatureEpochs"),
+        domain_col=opts["domain_col"],
+        key_col=opts["key_col"],
+        alpha=float(opts.get("alpha", 0.3)),
+        budget_frac=opts.get("budget_frac"),
+        budget_rows=opts.get("budget_rows"),
+        epoch_col=opts.get("epoch_col", "epoch"),
+    )
+
+
 @node_class("DomainMixSample")
 def _domain_mix_sample_node(spark, upstreams, opts):
     from metalpipe_spark.operators.curation import domain_mix_sample

@@ -1889,3 +1889,42 @@ def test_corpus_report_dup_rate_and_approx_mode(spark):
     approx = corpus_report(df, exact_distinct=False).collect()[0]
     assert approx.asDict().keys() == row.asDict().keys()
     assert approx["n_docs"] == 4 and approx["n_langs"] == 2
+
+
+def test_temperature_epochs_upsamples_small_domains_deterministically(spark):
+    """temperature_resample_epochs: with a heavy/light domain imbalance
+    and full budget, the light domain's rate exceeds 1 so EVERY light
+    row appears floor(rate)+ times (epochs 0..k-1 contiguous) — the
+    upsampling the capped filter cannot express; total output is within
+    stochastic-rounding distance of the budget; identical under
+    repartitioning."""
+    import math
+
+    from metalpipe_spark.operators.curation import temperature_resample_epochs
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample_epochs(df, "lang", "doc_id", alpha=0.3, budget_frac=1.0)
+    got = out.groupBy("doc_id", "lang").count().collect()
+
+    # rate_small = total * share / n = 1000*(100^.3/(900^.3+100^.3))/100
+    s, b = 100 ** 0.3, 900 ** 0.3
+    r_small = 1000 * (s / (s + b)) / 100
+    r_big = 1000 * (b / (s + b)) / 900
+    assert r_small > 1 > r_big
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+        # epochs are contiguous 0..k-1 per key
+    small_counts = by_lang["small"]
+    assert len(small_counts) == 100  # every small row survives
+    assert all(c in (math.floor(r_small), math.floor(r_small) + 1) for c in small_counts)
+    total = sum(c for cs in by_lang.values() for c in cs)
+    assert abs(total - 1000) < 100  # stochastic rounding, not the capped undershoot
+
+    again = temperature_resample_epochs(
+        df.repartition(7), "lang", "doc_id", alpha=0.3, budget_frac=1.0
+    )
+    assert sorted((r["doc_id"], r["epoch"]) for r in again.collect()) == sorted(
+        (r["doc_id"], r["epoch"]) for r in out.collect()
+    )
