@@ -98,6 +98,7 @@ HEADLINE = [
     "q_temperature_resample",
     "q_temperature_epochs",
     "q_global_shuffle",
+    "q_curriculum_order",
     "q_corpus_split",
     # text analysis
     "q_langid",

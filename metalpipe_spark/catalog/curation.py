@@ -338,6 +338,47 @@ def q_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curriculum_order",
+    """
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rnk
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, n_chars, (rnk * 4) // total AS bucket
+      FROM r CROSS JOIN n
+    )
+    SELECT doc_id, lang, n_chars, bucket::BIGINT AS bucket,
+           row_number() OVER (
+             ORDER BY bucket,
+                      md5(doc_id::VARCHAR || ':7') || '|' || doc_id::VARCHAR
+           ) - 1 AS train_pos
+    FROM b
+    ORDER BY train_pos
+    """,
+    doc=(
+        "Curriculum training order (short->long documents here): exact "
+        "global score rank cut into 4 equal bands, md5-shuffled within "
+        "each band, emitting (bucket, train_pos).  Two passes of the "
+        "shared distributed prefix-sum engine over STRUCT order keys + "
+        "one few-row count broadcast -- never a single-task global "
+        "window; fully replayed by two row_number windows in DuckDB."
+    ),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return curriculum_order(
+        docs, "n_chars", "doc_id", n_buckets=4, seed=7
+    ).orderBy("train_pos")
+
+
+@register(
     "q_weighted_sample",
     """
     WITH t AS (

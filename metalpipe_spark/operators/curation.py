@@ -553,6 +553,63 @@ def global_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_buckets: int = 4,
+    seed: int = 0,
+    ascending: bool = True,
+    bucket_col: str = "bucket",
+    pos_col: str = "train_pos",
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009 applied to corpus
+    export): rows are ranked by ``score_col`` (easy→hard when
+    ``ascending``), cut into ``n_buckets`` equal rank bands, and
+    shuffled WITHIN each band — the training run reads bucket 0's
+    examples (in reproducible pseudo-random order) before bucket 1's,
+    and so on.  Adds ``bucket_col`` (0-based band) and ``pos_col``
+    (0-based global read position).
+
+    Determinism contract: the score rank is exact and total (ties break
+    on ``key_col``), the band is pure integer arithmetic
+    ``(rank * n_buckets) div n``, and the within-band order is the same
+    md5 permutation key as :func:`global_shuffle` — reproducible across
+    re-runs, cluster sizes, partitionings, and engines (the DuckDB
+    oracle replays it with two row_number windows).
+
+    Scale shape: two passes of the shared distributed prefix-sum engine
+    (range partition + per-partition offsets + Arrow cumsum) plus one
+    few-row count broadcast — never a single-task global window.  Both
+    prefix sums order by a STRUCT key, which range-partitions
+    lexicographically."""
+    from pyspark.sql.functions import broadcast
+
+    sc = F.col(score_col)
+    order1 = F.struct(
+        (sc if ascending else -sc).alias("s"), F.col(key_col).alias("k")
+    )
+    t = df.withColumn("__one", F.lit(1)).withColumn("__ok1", order1)
+    ranked = exclusive_prefix_sum(t, "__one", "__ok1", out_col="__rank")
+    total = df.agg(F.count(F.lit(1)).alias("__n_total"))
+    b = ranked.crossJoin(broadcast(total)).withColumn(
+        bucket_col,
+        F.expr(f"(__rank * {int(n_buckets)}) div __n_total"),
+    )
+    order2 = F.struct(
+        F.col(bucket_col).alias("b"),
+        F.concat(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+            F.lit("|"),
+            F.col(key_col).cast("string"),
+        ).alias("k"),
+    )
+    out = exclusive_prefix_sum(
+        b.withColumn("__ok2", order2), "__one", "__ok2", out_col=pos_col
+    )
+    return out.drop("__one", "__ok1", "__ok2", "__rank", "__n_total")
+
+
 def split_corpus(
     df: DataFrame,
     key_col: str,

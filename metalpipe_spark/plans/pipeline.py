@@ -786,6 +786,22 @@ def _model_quality_filter_node(spark, upstreams, opts):
     return out
 
 
+@node_class("CurriculumOrder")
+def _curriculum_order_node(spark, upstreams, opts):
+    """Quality/difficulty-banded training order
+    (operators/curation.py:curriculum_order)."""
+    from metalpipe_spark.operators.curation import curriculum_order
+
+    return curriculum_order(
+        _one(upstreams, "CurriculumOrder"),
+        score_col=opts["score_col"],
+        key_col=opts["key_col"],
+        n_buckets=int(opts.get("n_buckets", 4)),
+        seed=int(opts.get("seed", 0)),
+        ascending=opts.get("ascending", True),
+    )
+
+
 @node_class("TemperatureEpochs")
 def _temperature_epochs_node(spark, upstreams, opts):
     """Uncapped temperature rebalance with epoch repeats

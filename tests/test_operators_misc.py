@@ -1928,3 +1928,37 @@ def test_temperature_epochs_upsamples_small_domains_deterministically(spark):
     assert sorted((r["doc_id"], r["epoch"]) for r in again.collect()) == sorted(
         (r["doc_id"], r["epoch"]) for r in out.collect()
     )
+
+
+def test_curriculum_order_bands_and_partition_invariance(spark):
+    """curriculum_order: bands are contiguous in train_pos (all of
+    bucket b reads before any of b+1), equal-sized (+-1), genuinely
+    shuffled within a band (not score order), and the whole assignment
+    is invariant under input partitioning."""
+    from metalpipe_spark.operators.curation import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(200)], "doc_id long, score long"
+    )
+    out = curriculum_order(df, "score", "doc_id", n_buckets=4, seed=1)
+    rows = sorted(
+        (r["train_pos"], r["bucket"], r["score"], r["doc_id"])
+        for r in out.collect()
+    )
+    assert len(rows) == 200 and [p for p, *_ in rows] == list(range(200))
+    buckets = [b for _, b, _, _ in rows]
+    assert buckets == sorted(buckets)  # bands contiguous in read order
+    from collections import Counter
+
+    assert set(Counter(buckets).values()) == {50}  # equal bands
+    # every bucket-0 score is below every bucket-3 score (rank cut)
+    s0 = [s for _, b, s, _ in rows if b == 0]
+    s3 = [s for _, b, s, _ in rows if b == 3]
+    assert max(s0) < min(s3)
+    assert s0 != sorted(s0)  # shuffled within the band, not score order
+
+    again = curriculum_order(df.repartition(7), "score", "doc_id", n_buckets=4, seed=1)
+    assert sorted(
+        (r["train_pos"], r["bucket"], r["score"], r["doc_id"])
+        for r in again.collect()
+    ) == rows
