@@ -374,6 +374,45 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_component_ctes(16, 8, _CLUSTER_THRESHOLD)},
+    scored AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    winners AS (
+      SELECT doc_id FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+      ) = 1
+    ),
+    losers AS (
+      SELECT doc_id FROM comp
+      WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Quality-aware near-dup removal: per LSH cluster keep the member "
+        "with the most characters (ties -> lowest doc_id) instead of the "
+        "minimum id; isolated docs pass through.  One MAX_BY per cluster, "
+        "never a window sort."
+    ),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_corpus_keep_best(
+        docs, _cluster_assignments(spark, sf_dir), score_col="n_chars"
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 _NORM_FP_SQL = (
     "md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))"
 )
@@ -643,6 +682,54 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_level_dedup(docs, chunk_tokens=_PCHUNK).orderBy("doc_id")
+
+
+_BP_MIN_DF = 2
+
+
+@register(
+    "q_boilerplate_removal",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+             len(string_split(coalesce(text, ''), ' ')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, greatest(n, 1) + 1, {_PCHUNK})) AS s
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, ((s - 1) // {_PCHUNK})::BIGINT AS chunk_id,
+             array_to_string(toks[s : s + {_PCHUNK - 1}], ' ') AS chunk_text
+      FROM st
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp FROM chunks
+    ),
+    rare AS (
+      SELECT fp FROM keyed GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) < {_BP_MIN_DF}
+    ),
+    kept AS (SELECT k.* FROM keyed k JOIN rare r ON k.fp = r.fp)
+    SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Boilerplate stripping (CCNet-style): drop EVERY occurrence of a "
+        "32-token window whose exact content appears in >= 2 distinct "
+        "documents (headers/footers/banners); reassemble survivors.  "
+        "Unlike q_paragraph_dedup, the first occurrence goes too."
+    ),
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import boilerplate_chunk_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_chunk_removal(
+        docs, chunk_tokens=_PCHUNK, min_df=_BP_MIN_DF
+    ).orderBy("doc_id")
 
 
 @register(

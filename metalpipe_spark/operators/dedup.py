@@ -608,6 +608,57 @@ def dedup_corpus(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_corpus_keep_best(
+    docs: DataFrame,
+    assignments: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware near-dup removal: given ``assignments`` of
+    ``(id, cluster)`` (e.g. from :func:`connected_components`), keep per
+    cluster the member with the HIGHEST ``score_col`` (ties broken by
+    minimum id — a total order, so the survivor is deterministic), and
+    pass documents in no cluster through untouched.
+
+    :func:`dedup_corpus` keeps the minimum-id member; for a training
+    corpus you usually want to keep the best-quality copy instead (the
+    longest, the highest classifier score, the least-boilerplate one) —
+    the survivor choice is policy, so the score is any numeric column
+    already on ``docs``.
+
+    Scale shape: one broadcast-or-shuffle join of docs to the (small,
+    id+cluster only) assignment table, then a per-cluster MAX_BY — a
+    single map-side-combined aggregate on the cluster key, never a
+    window sort.  Unclustered docs pass through with a left_anti join
+    (losers can be arbitrarily large, so no broadcast/IN)."""
+    a = assignments.select(
+        F.col(id_col), F.col(cluster_col).alias("__cl")
+    )
+    members = docs.join(a, id_col)  # only clustered docs carry scores
+    # survivor = argmax over (score non-null, score, -id): one MAX_BY on
+    # a lexicographic struct gives "highest score, then lowest id", with
+    # the leading isNotNull flag pinning NULL scores below every real
+    # one (struct comparison would otherwise leave their rank to engine
+    # NULL-ordering convention).
+    winners = (
+        members.groupBy("__cl")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col(score_col).isNotNull(),
+                    F.col(score_col),
+                    -F.col(id_col),
+                ),
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    losers = a.select(id_col).join(winners, id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
     majority vote of token-hash bit j.  ``bits`` is capped at 60 — the
@@ -1091,6 +1142,14 @@ def chunk_level_dedup(
     )
     first = keyed.groupBy("__fp").agg(F.min("__arg").alias("__keep"))
     kept = keyed.join(first, "__fp").where(F.col("__arg") == F.col("__keep"))
+    return _reassemble_chunks(kept, id_col, text_col)
+
+
+def _reassemble_chunks(kept: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rebuild ``(id, text)`` documents from surviving ``(id, chunk_id,
+    chunk_text)`` rows — one groupBy(doc) whose state is bounded by
+    document size; chunk order restored by an in-memory array_sort, so
+    no per-document window/sort shuffle."""
     return (
         kept.groupBy(id_col)
         .agg(
@@ -1105,6 +1164,48 @@ def chunk_level_dedup(
             ).alias(text_col)
         )
     )
+
+
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-frequency boilerplate stripping (the CCNet/RefinedWeb
+    cleanup stage): split documents into non-overlapping token windows,
+    drop EVERY occurrence of any window whose exact content appears in
+    at least ``min_df`` distinct documents (headers, footers, cookie
+    banners, licence blurbs), and reassemble the survivors in order.
+    Documents reduced to nothing disappear.
+
+    Differs from :func:`chunk_level_dedup` in the removal rule: there
+    the first corpus occurrence survives (dedup); here no occurrence
+    does (boilerplate is noise wherever it appears), and windows below
+    the document-frequency bar are kept even when duplicated.
+
+    Scale shape: chunking is the no-shuffle explode; document frequency
+    is ``count(DISTINCT id)`` per chunk md5 — Catalyst expands it to a
+    two-stage aggregate (distinct pairs, then count) with map-side
+    partials on an even md5 key; the verdict joins back fp-co-located
+    (one shuffle reused); reassembly state is bounded by document size.
+    No step holds more than (fp, id) pairs — payload bytes shuffle only
+    in the final reassembly of surviving text.
+    """
+    from metalpipe_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        chunk_tokens=chunk_tokens, overlap=0,
+    ).select(
+        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("__fp")
+    )
+    freq = chunks.groupBy("__fp").agg(
+        F.countDistinct(id_col).alias("__df")
+    ).where(F.col("__df") < min_df).select("__fp")
+    kept = chunks.join(freq, "__fp")
+    return _reassemble_chunks(kept, id_col, text_col)
 
 
 def decontaminate(

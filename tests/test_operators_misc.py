@@ -557,6 +557,53 @@ def test_chunk_level_dedup_planted_passages(spark):
     assert 3 not in out              # reduced to nothing -> dropped
 
 
+def test_boilerplate_removal_planted_banner(spark):
+    from metalpipe_spark.operators.dedup import boilerplate_chunk_removal
+
+    BANNER = " ".join(f"cookie{i}" for i in range(32))  # in 3 docs
+    DUP = " ".join(f"dup{i}" for i in range(32))        # in 2 docs
+    U1 = " ".join(f"u{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{BANNER} {U1}"),
+            (2, f"{BANNER} {DUP}"),
+            (3, f"{DUP} {BANNER}"),
+            (4, BANNER),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_chunk_removal(docs, chunk_tokens=32, min_df=3).collect()
+    }
+    # banner (df=3) stripped EVERYWHERE, incl. its first occurrence;
+    # DUP (df=2) kept in both docs — below the bar, dedup's job not ours
+    assert out[1] == U1
+    assert out[2] == DUP
+    assert out[3] == DUP
+    assert 4 not in out  # banner-only doc reduced to nothing -> dropped
+
+
+def test_dedup_keep_best_score_and_ties(spark):
+    from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, None), (5, 7.0), (9, 1.0)],
+        ["doc_id", "score"],
+    )
+    assignments = spark.createDataFrame(
+        # cluster A = {1,2,3}: max score ties 2/3 -> lowest id 2 wins
+        # cluster B = {4,5}: NULL score loses to any real score -> 5 wins
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        ["doc_id", "cluster_id"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_keep_best(docs, assignments, "score").collect()
+    )
+    assert kept == [2, 5, 9]  # 9 unclustered -> passes through
+
+
 def test_repetition_signals_planted_values(spark):
     from metalpipe_spark.operators.text import repetition_signals
 
