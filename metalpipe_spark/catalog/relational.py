@@ -498,6 +498,84 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pivot_orders",
+    f"""
+    SELECT o_orderpriority,
+           {_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sum_price_f,
+           {_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS sum_price_o,
+           {_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS sum_price_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Pivot (engine surface; Catalyst-native): order revenue by "
+        "priority x status, statuses spread to columns.  Explicit pivot "
+        "values skip the extra distinct-scan job and keep the plan a "
+        "single hash aggregate."
+    ),
+)
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        # values pinned -> no eager distinct job; one shuffle total
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F").alias("sum_price_f"),
+        F.col("O").alias("sum_price_o"),
+        F.col("P").alias("sum_price_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q_unpivot_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS v FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS k, COUNT(*) AS v FROM supplier GROUP BY 1)
+    SELECT n_name, 'n_customers' AS metric, coalesce(c.v, 0) AS value
+    FROM nation LEFT JOIN c ON n_nationkey = c.k
+    UNION ALL
+    SELECT n_name, 'n_suppliers' AS metric, coalesce(s.v, 0) AS value
+    FROM nation LEFT JOIN s ON n_nationkey = s.k
+    ORDER BY n_name, metric
+    """,
+    doc=(
+        "Unpivot / melt (engine surface; Catalyst Expand — one scan of "
+        "the wide table, no per-metric union re-scan): per-nation entity "
+        "counts to long (nation, metric, value) form."
+    ),
+)
+def q_unpivot_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    wide = (
+        nation.join(F.broadcast(cust), "n_nationkey", "left")
+        .join(F.broadcast(supp), "n_nationkey", "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_customers", "n_suppliers"], "metric", "value"
+    ).orderBy("n_name", "metric")
+
+
+@register(
     "q_except_customers",
     """
     SELECT c_custkey FROM customer
