@@ -1357,3 +1357,42 @@ def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.select(
         "doc_id", "lang", detect_language_model("text").alias("pred_lang")
     ).orderBy("doc_id")
+
+
+_VOCAB_K = 16
+
+
+@register(
+    "q_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM toks GROUP BY token
+      ORDER BY COUNT(*) DESC, token ASC LIMIT {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    doc=(
+        "Tokenizer-coverage report: top-16 corpus vocabulary by "
+        "frequency (ties -> token asc, so the vocab is deterministic), "
+        "then per-document OOV rate against it.  Vocab top-k plans as "
+        "TakeOrderedAndProject; the probe broadcasts the vocab - the "
+        "corpus never shuffles."
+    ),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import build_vocabulary, oov_rate
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    vocab = build_vocabulary(docs, vocab_size=_VOCAB_K)
+    return oov_rate(docs, vocab).orderBy("doc_id")

@@ -1019,3 +1019,59 @@ def char_entropy(
         "n_chars",
         F.round(ent, 6).alias("char_entropy"),
     )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Corpus top-``vocab_size`` token vocabulary ``(token, freq, rank)``
+    by descending frequency, ties broken by token (a total order, so the
+    vocabulary is deterministic across engines and runs).
+
+    Scale shape: the explode is scan-stage; the count is one shuffle on
+    an even token key with map-side partials; the top-k plans as
+    TakeOrderedAndProject (per-partition partial top-k, never a global
+    sort of the full type table).  The result is vocabulary-sized —
+    small enough to broadcast downstream.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # row_number over the ALREADY-limited vocab table (vocab_size rows,
+    # single partition is fine at this size) — never over the full counts
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocabulary: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats against ``vocabulary`` (any
+    DataFrame with a ``token`` column, e.g. :func:`build_vocabulary`):
+    ``(id, n_tokens, oov_tokens, oov_rate)`` — the tokenizer-coverage
+    report run before committing to a vocab/tokenizer at corpus scale.
+
+    The vocabulary broadcasts (it is vocab-sized by construction), so the
+    probe is a map-side hash lookup on the token explode — no shuffle of
+    the corpus; the per-doc rollup is one aggregate on the doc key.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    probe = toks.join(
+        F.broadcast(vocabulary.select("token", F.lit(True).alias("__in_vocab"))),
+        "token",
+        "left",
+    )
+    n = F.count(F.lit(1))
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return probe.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        oov.alias("oov_tokens"),
+        (oov.cast("double") / n).alias("oov_rate"),
+    )
