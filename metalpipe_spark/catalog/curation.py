@@ -496,3 +496,101 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split")
         .orderBy("doc_id")
     )
+
+
+_TOKEN_BUDGET = 1_200
+
+
+@register(
+    "q_token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens FROM c
+    WHERE cum <= {_TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Token-budget cut: md5-shuffled corpus order, keep documents "
+        "while they fit entirely inside a 1200-token budget (document-"
+        "atomic inclusive-cumsum rule).  Distributed two-pass prefix "
+        "sum — never one global window task."
+    ),
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import token_budget_sample
+    from metalpipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_tokens"),
+    )
+    ordered = docs.withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+    return (
+        token_budget_sample(ordered, "n_tokens", "__ord", _TOKEN_BUDGET)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _rep_split_oracle(fractions: dict[str, float]) -> str:
+    """Split-CASE over the cluster representative's md5 uniform — the
+    leakage-free twin of _split_oracle (same cumulative-boundary float
+    accumulation, key = coalesce(cluster_id, doc_id))."""
+    from metalpipe_spark.catalog.dedup import _CLUSTER_THRESHOLD, _component_ctes
+
+    uniform = (
+        "('0x' || substr(md5(rep::VARCHAR), 1, 15))::BIGINT"
+        " / 1152921504606846976.0"
+    )
+    items = sorted(fractions.items())
+    cum = 0.0
+    whens = []
+    for name, frac in items[:-1]:
+        cum += frac
+        whens.append(f"WHEN {uniform} < '{cum!r}'::DOUBLE THEN '{name}'")
+    return f"""
+    WITH RECURSIVE {_component_ctes(16, 8, _CLUSTER_THRESHOLD)},
+    reps AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
+    FROM reps
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_leakage_free_split",
+    _rep_split_oracle(_SPLITS),
+    doc=(
+        "Leakage-free train/validation/test split: the md5 split key is "
+        "the near-dup CLUSTER representative (own id when unclustered), "
+        "so no near-duplicate pair ever straddles a split boundary.  "
+        "One join to the shared CC stage, then the same pure map-side "
+        "projection as q_corpus_split."
+    ),
+)
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.catalog.dedup import _cluster_assignments
+    from metalpipe_spark.operators.curation import leakage_free_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        leakage_free_split(docs, _cluster_assignments(spark, sf_dir), _SPLITS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )

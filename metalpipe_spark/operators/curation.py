@@ -650,3 +650,63 @@ def split_corpus(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def leakage_free_split(
+    df: DataFrame,
+    assignments: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Near-dup-aware train/validation/test split: the split key is the
+    document's CLUSTER representative (its ``cluster_col`` from e.g.
+    :func:`~metalpipe_spark.operators.dedup.connected_components`; its
+    own id when unclustered), so every member of a near-duplicate
+    cluster lands in the SAME split.  A plain per-document split leaks
+    evaluation answers into training whenever a near-copy straddles the
+    boundary — this is the split you actually want after running dedup
+    candidate generation anyway.
+
+    Scale shape: one join of docs to the (id, cluster) assignment table
+    on the id key, then :func:`split_corpus`'s pure map-side md5
+    projection — membership is reproducible across runs, engines, and
+    partitionings.
+    """
+    a = assignments.select(
+        F.col(id_col), F.col(cluster_col).alias("__rep")
+    )
+    keyed = df.join(a, id_col, "left").withColumn(
+        "__rep", F.coalesce(F.col("__rep"), F.col(id_col))
+    )
+    return split_corpus(keyed, "__rep", fractions, split_col, salt).drop("__rep")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    budget: int | float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic token-budget subsample: walk the corpus in
+    ``order_col`` order and keep each document while it still fits
+    ENTIRELY inside ``budget`` total ``weight_col`` (document-atomic —
+    the first document that would overflow the budget is dropped, as is
+    everything after it).  The standard "give me exactly ~N tokens of
+    the best/shuffled data" curation cut.
+
+    Built on :func:`exclusive_prefix_sum` (the shared two-pass global
+    prefix engine): a doc survives iff ``prefix + weight <= budget``,
+    which equals the inclusive-cumsum rule ``cum <= budget`` — exact
+    BIGINT arithmetic for integral weights at any corpus size, never a
+    single global window task.
+    """
+    pref = exclusive_prefix_sum(
+        df, weight_col, order_col, num_partitions=num_partitions
+    )
+    return pref.where(
+        F.col("__prefix") + F.col(weight_col) <= F.lit(budget)
+    ).drop("__prefix")

@@ -604,6 +604,38 @@ def test_dedup_keep_best_score_and_ties(spark):
     assert kept == [2, 5, 9]  # 9 unclustered -> passes through
 
 
+def test_leakage_free_split_cluster_colocated(spark):
+    from metalpipe_spark.operators.curation import leakage_free_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    assignments = spark.createDataFrame(
+        [(i, (i // 4) * 4) for i in range(120)],  # 30 clusters of 4
+        ["doc_id", "cluster_id"],
+    )
+    out = leakage_free_split(
+        docs, assignments, {"train": 0.8, "validation": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert len(by_id) == 200 and set(by_id.values()) <= {"train", "validation", "test"}
+    for i in range(120):
+        assert by_id[i] == by_id[(i // 4) * 4]  # whole cluster, one split
+    # and the split actually uses more than one bucket overall
+    assert len(set(by_id.values())) > 1
+
+
+def test_token_budget_sample_document_atomic(spark):
+    from metalpipe_spark.operators.curation import token_budget_sample
+
+    rows = [(i, f"{i:04d}", 10) for i in range(10)]  # ordered 0..9, 10 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "ord", "w"])
+    kept = sorted(
+        r["doc_id"] for r in token_budget_sample(df, "w", "ord", 35).collect()
+    )
+    assert kept == [0, 1, 2]  # 30 fits; doc 3 would overflow 35 -> cut
+    none = token_budget_sample(df, "w", "ord", 9).collect()
+    assert none == []  # first doc already overflows
+
+
 def test_repetition_signals_planted_values(spark):
     from metalpipe_spark.operators.text import repetition_signals
 
