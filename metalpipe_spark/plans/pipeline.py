@@ -687,6 +687,100 @@ def _pack_shards_node(spark, upstreams, opts):
     )
 
 
+@node_class("BoilerplateRemoval")
+def _boilerplate_removal_node(spark, upstreams, opts):
+    """Strip every occurrence of a chunk appearing in >= min_df distinct
+    docs (catalog row q_boilerplate_removal)."""
+    from metalpipe_spark.operators.dedup import boilerplate_chunk_removal
+
+    return boilerplate_chunk_removal(
+        _one(upstreams, "BoilerplateRemoval"),
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        chunk_tokens=opts.get("chunk_tokens", 32),
+        min_df=opts.get("min_df", 3),
+    )
+
+
+@node_class("KeepBestDedup")
+def _keep_best_dedup_node(spark, upstreams, opts):
+    """Two ordered upstreams: [docs, cluster assignments].  Keeps the
+    highest-``score_col`` member per cluster (q_dedup_keep_best)."""
+    from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
+
+    if len(upstreams) != 2:
+        raise ValueError("KeepBestDedup requires [docs, assignments] upstreams")
+    docs, assignments = upstreams
+    return dedup_corpus_keep_best(
+        docs,
+        assignments,
+        score_col=opts["score_col"],
+        id_col=opts.get("id_col", "doc_id"),
+        cluster_col=opts.get("cluster_col", "cluster_id"),
+    )
+
+
+@node_class("VocabCoverage")
+def _vocab_coverage_node(spark, upstreams, opts):
+    """Per-document OOV stats against the corpus top-k vocabulary
+    (q_vocab_coverage); one upstream = self-vocabulary, two = probe the
+    first against a vocabulary built from the second."""
+    from metalpipe_spark.operators.text import build_vocabulary, oov_rate
+
+    if len(upstreams) == 1:
+        docs = vocab_src = upstreams[0]
+    elif len(upstreams) == 2:
+        docs, vocab_src = upstreams
+    else:
+        raise ValueError("VocabCoverage takes [docs] or [docs, vocab_corpus]")
+    vocab = build_vocabulary(
+        vocab_src,
+        text_col=opts.get("text_col", "text"),
+        vocab_size=int(opts.get("vocab_size", 50_000)),
+    )
+    return oov_rate(
+        docs,
+        vocab,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+    )
+
+
+@node_class("LeakageFreeSplit")
+def _leakage_free_split_node(spark, upstreams, opts):
+    """Two ordered upstreams: [docs, cluster assignments] — split on the
+    cluster representative so near-dups never straddle a boundary
+    (q_leakage_free_split)."""
+    from metalpipe_spark.operators.curation import leakage_free_split
+
+    if len(upstreams) != 2:
+        raise ValueError("LeakageFreeSplit requires [docs, assignments] upstreams")
+    docs, assignments = upstreams
+    return leakage_free_split(
+        docs,
+        assignments,
+        fractions=opts["fractions"],
+        id_col=opts.get("id_col", "doc_id"),
+        cluster_col=opts.get("cluster_col", "cluster_id"),
+        split_col=opts.get("split_col", "split"),
+        salt=opts.get("salt", ""),
+    )
+
+
+@node_class("TokenBudgetSample")
+def _token_budget_sample_node(spark, upstreams, opts):
+    """Document-atomic token-budget cut in order_col order
+    (q_token_budget_sample)."""
+    from metalpipe_spark.operators.curation import token_budget_sample
+
+    return token_budget_sample(
+        _one(upstreams, "TokenBudgetSample"),
+        weight_col=opts["weight_col"],
+        order_col=opts["order_col"],
+        budget=opts["budget"],
+    )
+
+
 @node_class("NormalizedDedup")
 def _normalized_dedup_node(spark, upstreams, opts):
     """Exact dedup over CCNet-normalized text: min-id survivor per

@@ -780,3 +780,65 @@ def test_retrieval_nodes_yaml_end_to_end(spark, tmp_path):
         ).orderBy("rnk").collect()
     ]
     assert got == direct
+
+
+def test_round10_curation_nodes_yaml_end_to_end(spark, tmp_path):
+    """BoilerplateRemoval / VocabCoverage / KeepBestDedup /
+    LeakageFreeSplit / TokenBudgetSample wired through YAML configs."""
+    BANNER = " ".join(f"c{i}" for i in range(32))
+    docs = [
+        (1, f"{BANNER} alpha beta gamma delta"),
+        (2, f"{BANNER} alpha beta other words"),
+        (3, f"{BANNER} something else entirely here"),
+    ]
+    assigns = [(1, 1), (2, 1)]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(f"{tmp_path}/d")
+    spark.createDataFrame(assigns, ["doc_id", "cluster_id"]).write.parquet(
+        f"{tmp_path}/a"
+    )
+    config = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/d"}},
+            "assigns": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/a"}},
+            "bp": {"class": "BoilerplateRemoval", "options": {"min_df": 3}},
+            "vocab": {"class": "VocabCoverage", "options": {"vocab_size": 4}},
+            "keep": {"class": "KeepBestDedup", "options": {"score_col": "doc_id"}},
+            "split": {
+                "class": "LeakageFreeSplit",
+                "options": {"fractions": {"train": 0.5, "test": 0.5}},
+            },
+        },
+        "paths": [
+            ["docs", "bp", "vocab"],
+            ["docs", "keep"], ["assigns", "keep"],
+            ["docs", "split"], ["assigns", "split"],
+        ],
+    }
+    p = compile_pipeline(spark, config)
+    bp = {r["doc_id"]: r["text"] for r in p.dataframes["bp"].collect()}
+    assert all(BANNER not in t for t in bp.values())  # banner stripped everywhere
+    cov = {r["doc_id"]: r for r in p.dataframes["vocab"].collect()}
+    assert set(cov) == {1, 2, 3} and all(0 <= r["oov_rate"] <= 1 for r in cov.values())
+    kept = sorted(r["doc_id"] for r in p.dataframes["keep"].collect())
+    assert kept == [2, 3]  # cluster {1,2}: score=doc_id -> 2 wins; 3 isolated
+    split = {r["doc_id"]: r["split"] for r in p.dataframes["split"].collect()}
+    assert split[1] == split[2]  # same cluster, same split
+
+
+def test_token_budget_sample_node_yaml(spark, tmp_path):
+    rows = [(i, f"{i:03d}", 10) for i in range(6)]
+    spark.createDataFrame(rows, ["doc_id", "ord", "w"]).write.parquet(
+        f"{tmp_path}/t"
+    )
+    config = {
+        "nodes": {
+            "src": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/t"}},
+            "cut": {
+                "class": "TokenBudgetSample",
+                "options": {"weight_col": "w", "order_col": "ord", "budget": 25},
+            },
+        },
+        "paths": [["src", "cut"]],
+    }
+    p = compile_pipeline(spark, config)
+    assert sorted(r["doc_id"] for r in p.dataframes["cut"].collect()) == [0, 1]
