@@ -37,6 +37,8 @@ HEADLINE = [
     "q_union_parties",
     "q_except_customers",
     "q_intersect_nations",
+    "q_pivot_orders",
+    "q_unpivot_nation_counts",
     # reference-node surface (sub-second rows; in HEADLINE so every
     # registered query gets at least one driver-visible signal per round)
     "q_batch_orders",
@@ -68,10 +70,12 @@ HEADLINE = [
     "q_decontaminate",
     "q_bloom_decontaminate",
     "q_dedup_corpus",
+    "q_dedup_keep_best",
     "q_incremental_dedup",
     "q_incremental_neardup",
     "q_simhash_neardup",
     "q_paragraph_dedup",
+    "q_boilerplate_removal",
     "q_span_dedup",
     "q_source_overlap",
     "q_normalized_dedup",
@@ -100,6 +104,8 @@ HEADLINE = [
     "q_global_shuffle",
     "q_curriculum_order",
     "q_corpus_split",
+    "q_leakage_free_split",
+    "q_token_budget_sample",
     # text analysis
     "q_langid",
     "q_langid_model",
@@ -107,6 +113,7 @@ HEADLINE = [
     "q_text_profile_by_lang",
     "q_corpus_report",
     "q_token_commonness",
+    "q_vocab_coverage",
     "q_repetition_signals",
     "q_quality_filter",
     "q_model_quality",
