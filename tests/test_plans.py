@@ -512,3 +512,78 @@ def test_hybrid_retrieval_broadcast_query_side(spark):
     plan = _formatted(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregate_no_expand(spark):
+    """Pinned pivot values -> no eager distinct-values job and ONE hash
+    aggregate pair (partial+final) on the groupBy key; pivot must not
+    plan an Expand or a second shuffle."""
+    df = REGISTRY["q_pivot_orders"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "Expand") == 0
+    # one shuffle for the aggregate, one for the final orderBy
+    assert _nodes(plan, "Exchange") <= 2
+
+
+def test_unpivot_is_expand_one_scan(spark):
+    """Melt must plan as Catalyst Expand over ONE scan of the wide
+    aggregate — never a per-metric union of re-scans."""
+    df = REGISTRY["q_unpivot_nation_counts"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "Expand") == 1
+    assert _nodes(plan, "Union") == 0
+
+
+def test_vocab_probe_broadcasts_corpus_never_shuffles(spark):
+    """oov_rate: the vocabulary broadcasts; the corpus token explode is
+    probed map-side.  Exchanges are allowed only on the vocab build
+    (token counts / top-k) and the per-doc rollup — the probe join must
+    be a BroadcastHashJoin, never a SortMergeJoin."""
+    from metalpipe_spark.operators.text import build_vocabulary, oov_rate
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    vocab = build_vocabulary(docs, vocab_size=16)
+    plan = _formatted(oov_rate(docs, vocab))
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_vocab_topk_partial_not_global_sort(spark):
+    """build_vocabulary's top-k must plan as TakeOrderedAndProject
+    (per-partition partial top-k) — a global Sort of the token-type
+    table is the shape that dies at 100 TB."""
+    from metalpipe_spark.operators.text import build_vocabulary
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _simple(build_vocabulary(docs, vocab_size=16))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keep_best_max_by_no_window(spark):
+    """dedup_corpus_keep_best: survivor selection is one map-side-
+    combined MAX_BY aggregate per cluster — pin the absence of the
+    Window/sort formulation."""
+    from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    assigns = docs.select("doc_id", (F.col("doc_id") % 10).alias("cluster_id"))
+    plan = _formatted(dedup_corpus_keep_best(docs, assigns, "n_chars"))
+    assert _nodes(plan, "Window") == 0
+    assert "max_by" in plan or "partial_max_by" in plan
+
+
+def test_token_budget_filter_after_prefix_no_global_sort(spark):
+    """token_budget_sample rides the two-pass distributed prefix sum —
+    no single-partition global Sort/Window may appear."""
+    from metalpipe_spark.operators.curation import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        F.lit(10).cast("long").alias("w"),
+    )
+    plan = _simple(token_budget_sample(docs, "w", "ord", 1000))
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()  # the two-pass skeleton
