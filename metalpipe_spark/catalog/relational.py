@@ -509,26 +509,27 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
     doc=(
-        "Pivot (engine surface; Catalyst-native): order revenue by "
-        "priority x status, statuses spread to columns.  Explicit pivot "
-        "values skip the extra distinct-scan job and keep the plan a "
-        "single hash aggregate."
+        "Pivot (engine surface): order revenue by priority x status, "
+        "statuses spread to columns via pivot_pinned — conditional "
+        "aggregation, ONE aggregate pair / one shuffle (DataFrame "
+        ".pivot() would plan a double aggregate with an extra "
+        "exchange)."
     ),
 )
 def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.aggregate import pivot_pinned
+
     orders = load_table(spark, sf_dir, "orders")
-    wide = (
-        orders.groupBy("o_orderpriority")
-        # values pinned -> no eager distinct job; one shuffle total
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(dsum("o_totalprice"))
-    )
-    return wide.select(
+    wide = pivot_pinned(
+        orders,
         "o_orderpriority",
-        F.col("F").alias("sum_price_f"),
-        F.col("O").alias("sum_price_o"),
-        F.col("P").alias("sum_price_p"),
-    ).orderBy("o_orderpriority")
+        "o_orderstatus",
+        ["F", "O", "P"],
+        "o_totalprice",
+        agg=dsum,
+        out_names=["sum_price_f", "sum_price_o", "sum_price_p"],
+    )
+    return wide.orderBy("o_orderpriority")
 
 
 @register(

@@ -198,6 +198,65 @@ def retention_cohorts(
     )
 
 
+def pivot_pinned(
+    df: DataFrame,
+    group_cols: str | list[str],
+    pivot_col: str,
+    values: list,
+    agg_col: str | Column,
+    agg="sum",
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """Pivot with PINNED values, planned as conditional aggregation.
+
+    ``df.groupBy(k).pivot(p, values).agg(...)`` looks cheap but Catalyst
+    plans it as TWO hash aggregates — a first ``groupBy(k, p)`` partial
+    with its own shuffle, then a ``pivotfirst`` aggregate on ``k`` —
+    3 Exchanges end to end.  Because the pivot values are pinned, the
+    plan you actually want is one aggregate over CASE branches::
+
+        groupBy(k).agg(agg(when(p == v0, x)), agg(when(p == v1, x)), ...)
+
+    — ONE aggregate pair (partial + final), one shuffle on ``k``, and
+    every branch map-side combined.  At 100 TB that is the difference
+    between one data-scale exchange and two.
+
+    ``agg`` is either a builtin name (sum/count/min/max/avg/first) or a
+    callable ``Column -> Column`` (e.g. an exact-decimal sum) so money
+    columns can keep the engine's bit-stable accumulation rule.
+    ``out_names`` (default ``{pivot_col}_{value}``) names the wide
+    columns — pass the same aliases the oracle SQL uses.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    col = F.col(agg_col) if isinstance(agg_col, str) else agg_col
+    if callable(agg):
+        agg_fn = agg
+    else:
+        builtin = {
+            "sum": F.sum,
+            "count": F.count,
+            "min": F.min,
+            "max": F.max,
+            "avg": F.avg,
+            "first": lambda c: F.first(c, ignorenulls=True),
+        }
+        try:
+            agg_fn = builtin[agg]
+        except KeyError:
+            raise ValueError(
+                f"pivot_pinned: unknown agg {agg!r}; "
+                f"use one of {sorted(builtin)} or pass a callable"
+            ) from None
+    names = out_names or [f"{pivot_col}_{v}" for v in values]
+    if len(names) != len(values):
+        raise ValueError("pivot_pinned: out_names must match values 1:1")
+    exprs = [
+        agg_fn(F.when(F.col(pivot_col) == F.lit(v), col)).alias(n)
+        for v, n in zip(values, names)
+    ]
+    return df.groupBy(*groups).agg(*exprs)
+
+
 def time_rollup(
     df,
     ts_col: str,

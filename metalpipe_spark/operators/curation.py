@@ -132,6 +132,21 @@ def pack_shards(
     return with_prefix.withColumn("shard_id", shard).drop("__prefix")
 
 
+def prefix_sum_range_stage(
+    df: DataFrame, order_col: str, num_partitions: int
+) -> DataFrame:
+    """The pre-checkpoint stage of the two-pass prefix sum: range-
+    partition on the global order key, then sort within partitions —
+    every partition holds a contiguous, locally-sorted slice of the
+    global order, and NO single-partition sort or Window ever runs.
+    Split out so plan tests can pin the RangePartitioning skeleton
+    (the lazy checkpoint in :func:`exclusive_prefix_sum` hides it from
+    the final explain)."""
+    return df.repartitionByRange(
+        num_partitions, F.col(order_col)
+    ).sortWithinPartitions(order_col)
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     weight_col: str,
@@ -175,10 +190,12 @@ def exclusive_prefix_sum(
     # partition would make the totals fetch return None and crash the
     # offset loop.
     df = df.withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(0)))
-    ranged = (
-        df.repartitionByRange(p, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .localCheckpoint(eager=False)
+    # The lazy checkpoint truncates lineage (so the mapPartitions pass
+    # and the totals pass share ONE materialization) — which also hides
+    # the RangePartitioning exchange from the final explain; plan pins
+    # for the skeleton go against prefix_sum_range_stage directly.
+    ranged = prefix_sum_range_stage(df, order_col, p).localCheckpoint(
+        eager=False
     )
     totals = {
         r["__pid"]: r["__w"]

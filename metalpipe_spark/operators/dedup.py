@@ -632,24 +632,34 @@ def dedup_corpus_keep_best(
     single map-side-combined aggregate on the cluster key, never a
     window sort.  Unclustered docs pass through with a left_anti join
     (losers can be arbitrarily large, so no broadcast/IN)."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[score_col].dataType, NumericType):
+        raise ValueError(
+            f"dedup_corpus_keep_best: score_col {score_col!r} must be "
+            f"numeric, got {docs.schema[score_col].dataType.simpleString()}"
+        )
     a = assignments.select(
         F.col(id_col), F.col(cluster_col).alias("__cl")
     )
     members = docs.join(a, id_col)  # only clustered docs carry scores
-    # survivor = argmax over (score non-null, score, -id): one MAX_BY on
-    # a lexicographic struct gives "highest score, then lowest id", with
-    # the leading isNotNull flag pinning NULL scores below every real
-    # one (struct comparison would otherwise leave their rank to engine
-    # NULL-ordering convention).
+    # survivor = argmin over (score IS NULL, -score, id): one MIN_BY on
+    # a lexicographic struct gives "highest score, then lowest id".
+    # Only the score is negated (numeric by contract, validated above);
+    # the id rides un-negated, so ANY orderable id type — string UUIDs
+    # included — keeps the deterministic lowest-id tie-break (negating a
+    # string id would cast to double -> NULL under non-ANSI, randomizing
+    # ties, and error under ANSI).  The leading isNull flag pins NULL
+    # scores below every real one regardless of engine NULL-ordering.
     winners = (
         members.groupBy("__cl")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_col),
                 F.struct(
-                    F.col(score_col).isNotNull(),
-                    F.col(score_col),
-                    -F.col(id_col),
+                    F.col(score_col).isNull(),
+                    -F.col(score_col),
+                    F.col(id_col),
                 ),
             ).alias(id_col)
         )
@@ -1195,6 +1205,11 @@ def boilerplate_chunk_removal(
     """
     from metalpipe_spark.operators.text import chunk_documents
 
+    # NULL text behaves as empty (the repo's NULL-text contract,
+    # catalog/dedup.py): without the coalesce, chunk_documents emits a
+    # NULL chunk_text/NULL md5 and the inner join on __fp silently
+    # DROPS the document, diverging from the oracle's coalesce-keep.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     chunks = chunk_documents(
         df, text_col=text_col, id_col=id_col,
         chunk_tokens=chunk_tokens, overlap=0,

@@ -1038,7 +1038,12 @@ def build_vocabulary(
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    # NULL text behaves as empty (repo contract): split(NULL) explodes
+    # to ZERO rows and the doc would silently vanish from the counts,
+    # while the oracle's coalesce emits one '' token.
+    toks = df.select(
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token")
+    )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
@@ -1061,10 +1066,21 @@ def oov_rate(
     The vocabulary broadcasts (it is vocab-sized by construction), so the
     probe is a map-side hash lookup on the token explode — no shuffle of
     the corpus; the per-doc rollup is one aggregate on the doc key.
+
+    The vocabulary side is de-duplicated on ``token`` before the join
+    (cheap at vocab size): duplicate token rows in a hand-built
+    vocabulary would otherwise silently MULTIPLY corpus rows through
+    the left join, inflating ``n_tokens`` and corrupting ``oov_rate``
+    with no error.  NULL text behaves as empty (one ``''`` token), so
+    every document appears in the report.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token"),
+    )
+    vocab = vocabulary.select("token").dropDuplicates(["token"])
     probe = toks.join(
-        F.broadcast(vocabulary.select("token", F.lit(True).alias("__in_vocab"))),
+        F.broadcast(vocab.select("token", F.lit(True).alias("__in_vocab"))),
         "token",
         "left",
     )

@@ -781,6 +781,23 @@ def _token_budget_sample_node(spark, upstreams, opts):
     )
 
 
+@node_class("PivotPinned")
+def _pivot_pinned_node(spark, upstreams, opts):
+    """Pivot with pinned values as ONE conditional aggregate — never
+    the double-aggregate .pivot() plan (q_pivot_orders)."""
+    from metalpipe_spark.operators.aggregate import pivot_pinned
+
+    return pivot_pinned(
+        _one(upstreams, "PivotPinned"),
+        group_cols=opts["group_cols"],
+        pivot_col=opts["pivot_col"],
+        values=opts["values"],
+        agg_col=opts["agg_col"],
+        agg=opts.get("agg", "sum"),
+        out_names=opts.get("out_names"),
+    )
+
+
 @node_class("NormalizedDedup")
 def _normalized_dedup_node(spark, upstreams, opts):
     """Exact dedup over CCNet-normalized text: min-id survivor per

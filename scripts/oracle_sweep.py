@@ -2,7 +2,7 @@
 plan vs its DuckDB oracle at a chosen scale factor (default sf0.01, the
 driver's setting; the pytest suite gates at sf0.001).
 
-Usage:  python scripts/oracle_sweep.py [sf_dir]
+Usage:  python scripts/oracle_sweep.py [sf_dir] [--only q_a,q_b,...]
 
 Prints one PASS/FAIL line per row using the same comparator as
 tests/oracle_utils (sorted columns, order-insensitive row compare,
@@ -19,7 +19,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -40,6 +46,8 @@ def main() -> int:
     con = duckdb_con(sf_dir)
     bad = []
     for name in sorted(reg):
+        if only is not None and name not in only:
+            continue
         q = reg[name]
         if not q.oracle:
             print(f"SKIP {name} (no oracle)")
@@ -54,7 +62,8 @@ def main() -> int:
         if not ok:
             bad.append(name)
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(got)} rows)")
-    print(f"---- {len(reg) - len(bad)}/{len(reg)} green")
+    total = len(only) if only is not None else len(reg)
+    print(f"---- {total - len(bad)}/{total} green")
     return 1 if bad else 0
 
 

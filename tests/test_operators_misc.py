@@ -584,6 +584,27 @@ def test_boilerplate_removal_planted_banner(spark):
     assert 4 not in out  # banner-only doc reduced to nothing -> dropped
 
 
+def test_boilerplate_removal_null_text_behaves_as_empty(spark):
+    """NULL text follows the repo's NULL-text contract (behaves as
+    empty): the doc survives as an empty-token chunk instead of being
+    silently dropped by a NULL-md5 inner join — mirroring the oracle's
+    coalesce."""
+    from metalpipe_spark.operators.dedup import boilerplate_chunk_removal
+
+    U1 = " ".join(f"u{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [(1, U1), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_chunk_removal(docs, chunk_tokens=32, min_df=3).collect()
+    }
+    assert out[1] == U1
+    assert out[2] == ""  # NULL text kept, as empty
+    assert out[3] == ""
+
+
 def test_dedup_keep_best_score_and_ties(spark):
     from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
 
@@ -602,6 +623,40 @@ def test_dedup_keep_best_score_and_ties(spark):
         for r in dedup_corpus_keep_best(docs, assignments, "score").collect()
     )
     assert kept == [2, 5, 9]  # 9 unclustered -> passes through
+
+
+def test_dedup_keep_best_string_ids_deterministic_ties(spark):
+    """String ids (UUID-style) keep the documented lowest-id tie-break:
+    the survivor struct never negates the id, so no silent
+    cast-to-double NULL (non-ANSI) or runtime error (ANSI)."""
+    import pytest
+
+    from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
+
+    docs = spark.createDataFrame(
+        [("doc-b", 5.0), ("doc-a", 5.0), ("doc-c", 5.0),
+         ("doc-z", None), ("doc-y", None), ("solo", 0.1)],
+        ["doc_id", "score"],
+    )
+    assignments = spark.createDataFrame(
+        # all-tied scores -> lexicographically lowest id survives;
+        # all-NULL cluster -> still deterministic lowest id
+        [("doc-a", "c1"), ("doc-b", "c1"), ("doc-c", "c1"),
+         ("doc-z", "c2"), ("doc-y", "c2")],
+        ["doc_id", "cluster_id"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_keep_best(docs, assignments, "score").collect()
+    )
+    assert kept == ["doc-a", "doc-y", "solo"]
+
+    with pytest.raises(ValueError, match="must be numeric"):
+        dedup_corpus_keep_best(
+            docs.withColumn("score", F.col("score").cast("string")),
+            assignments,
+            "score",
+        )
 
 
 def test_leakage_free_split_cluster_colocated(spark):
@@ -2041,3 +2096,67 @@ def test_curriculum_order_bands_and_partition_invariance(spark):
         (r["train_pos"], r["bucket"], r["score"], r["doc_id"])
         for r in again.collect()
     ) == rows
+
+
+def test_pivot_pinned_matches_groupby_pivot_and_plans_one_aggregate(spark):
+    """pivot_pinned must equal DataFrame .pivot() on pinned values while
+    planning ONE hash-aggregate pair (2 HashAggregate nodes, 1
+    Exchange) instead of pivot's double aggregate."""
+    from metalpipe_spark.operators.aggregate import pivot_pinned
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+         ("b", "x", 4.0), ("c", "z", 5.0), ("a", None, 9.0)],
+        "k string, p string, v double",
+    )
+    got = pivot_pinned(df, "k", "p", ["x", "y"], "v")
+    want = (
+        df.groupBy("k").pivot("p", ["x", "y"]).agg(F.sum("v"))
+        .withColumnsRenamed({"x": "p_x", "y": "p_y"})
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+    # count agg: NULL pivot values match no branch; rows counted per value
+    cnt = pivot_pinned(df, "k", "p", ["x", "y", "z"], "v", agg="count")
+    row = {r["k"]: (r["p_x"], r["p_y"], r["p_z"]) for r in cnt.collect()}
+    assert row == {"a": (1, 1, 0), "b": (2, 0, 0), "c": (0, 0, 1)}
+
+    # callable agg + custom names
+    named = pivot_pinned(
+        df, ["k"], "p", ["x"], "v",
+        agg=lambda c: F.max(c), out_names=["max_x"],
+    )
+    assert named.columns == ["k", "max_x"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown agg"):
+        pivot_pinned(df, "k", "p", ["x"], "v", agg="median_ish")
+    with pytest.raises(ValueError, match="out_names"):
+        pivot_pinned(df, "k", "p", ["x", "y"], "v", out_names=["only_one"])
+
+
+def test_oov_rate_null_text_and_duplicate_vocab_rows(spark):
+    """NULL text behaves as empty (doc appears with one '' token, never
+    vanishes); duplicate vocabulary rows must NOT multiply corpus rows
+    through the broadcast join."""
+    from metalpipe_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha zzz")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        # 'alpha' listed TWICE — a hand-built vocab with dup rows
+        [("alpha",), ("alpha",), ("beta",)], "token string"
+    )
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert set(out) == {1, 2, 3}  # NULL-text doc 2 present
+    assert (out[1]["n_tokens"], out[1]["oov_tokens"]) == (3, 1)  # dup NOT doubled
+    assert (out[2]["n_tokens"], out[2]["oov_tokens"]) == (1, 1)  # one '' token
+    assert (out[3]["n_tokens"], out[3]["oov_tokens"]) == (2, 1)
+    assert abs(out[3]["oov_rate"] - 0.5) < 1e-12

@@ -561,8 +561,9 @@ def test_vocab_topk_partial_not_global_sort(spark):
 
 def test_keep_best_max_by_no_window(spark):
     """dedup_corpus_keep_best: survivor selection is one map-side-
-    combined MAX_BY aggregate per cluster — pin the absence of the
-    Window/sort formulation."""
+    combined MIN_BY aggregate per cluster (argmin over the
+    (isNull, -score, id) struct — id un-negated so string ids keep the
+    tie-break) — pin the absence of the Window/sort formulation."""
     from metalpipe_spark.operators.dedup import dedup_corpus_keep_best
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
@@ -571,13 +572,20 @@ def test_keep_best_max_by_no_window(spark):
     assigns = docs.select("doc_id", (F.col("doc_id") % 10).alias("cluster_id"))
     plan = _formatted(dedup_corpus_keep_best(docs, assigns, "n_chars"))
     assert _nodes(plan, "Window") == 0
-    assert "max_by" in plan or "partial_max_by" in plan
+    assert "min_by" in plan or "partial_min_by" in plan
 
 
 def test_token_budget_filter_after_prefix_no_global_sort(spark):
     """token_budget_sample rides the two-pass distributed prefix sum —
-    no single-partition global Sort/Window may appear."""
-    from metalpipe_spark.operators.curation import token_budget_sample
+    no single-partition global Sort/Window may appear.  The
+    RangePartitioning exchange itself is hidden from the final explain
+    by the prefix sum's lazy checkpoint (lineage truncates to a
+    ``Scan ExistingRDD``), so the skeleton is pinned on the
+    pre-checkpoint stage the operator actually builds."""
+    from metalpipe_spark.operators.curation import (
+        prefix_sum_range_stage,
+        token_budget_sample,
+    )
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
         "doc_id",
@@ -586,4 +594,7 @@ def test_token_budget_filter_after_prefix_no_global_sort(spark):
     )
     plan = _simple(token_budget_sample(docs, "w", "ord", 1000))
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()  # the two-pass skeleton
+    assert "Exchange SinglePartition" not in plan
+    stage = _simple(prefix_sum_range_stage(docs, "ord", 32))
+    assert "rangepartitioning" in stage.lower()  # the two-pass skeleton
+    assert "Exchange SinglePartition" not in stage
