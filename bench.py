@@ -136,6 +136,7 @@ HEADLINE = [
     "q_frame_sample",
     "q_image_neardup",
     "q_video_neardup",
+    "q_audio_neardup",
     "q_incremental_imagedup",
     "q_multimodal_pipeline",
     # curation / packing

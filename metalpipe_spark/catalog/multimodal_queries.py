@@ -535,3 +535,147 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_DHASH_MAX_HAMMING, blocks=_DHASH_BLOCKS,
         min_matching_frames=_VID_MIN_MATCH,
     ).orderBy("v1", "v2")
+
+
+# ---- audio near-dup fixture (VERDICT r10 task 4) --------------------
+# Synthetic PCM built from 65 constant-amplitude frames so the RMS
+# envelope is the amplitude sequence itself (sqrt(mean(a^2)) == |a| to
+# <1 ulp) — the fingerprint becomes SQL-replayable as 64 amplitude
+# comparisons, the same deterministic-synthesis trick as _IMG_SQL.
+# Amplitude levels sit on a 0.05 grid and the variant's edit offset
+# (0.513) is never a multiple of a level gap, so no comparison ever
+# rides within float error of a tie.  The level index is a QUADRATIC
+# hash of the combined key x = doc_id*65 + j + 1 (square, fold mod the
+# prime 8191, Knuth-multiply, fold again, mod 13): any formula LINEAR
+# in j makes every doc's level sequence an arithmetic progression with
+# the same step, so the comparison bits collapse into a handful of
+# (start-level, wrap-phase) classes — verified: a linear fixture
+# produced 65 distinct fingerprints over 500 docs and 13.5k accidental
+# pairs at sf0.01, quadratic blowup at scale.  The square makes the
+# j-step (2x+1) vary per doc AND per frame, so fingerprints are
+# per-doc unique and the output is the planted variant pairs plus
+# rare hash coincidences.  The variant is gain-scaled 2x
+# (RMS envelope hashing is gain-invariant — zero flips) plus one
+# amplitude edit at frame 40, flipping at most the two adjacent
+# comparison bits (39, 40) — both inside Manku block 2 of 4, so
+# blocks 0/1/3 stay exact matches and recall is guaranteed.
+_AFP_FRAME = 32
+_AFP_MAX_HAMMING = 3
+# x*x stays < 2^63 for doc_id up to ~1.1e8 (x = doc_id*65 + j + 1),
+# far above any SF's id range; the mod-8191 fold before the Knuth
+# multiply keeps the product in range too.
+_AFP_X = "(doc_id * 65 + j + 1)"
+_AFP_AMP = (
+    f"(1 + (((({_AFP_X} * {_AFP_X}) % 8191) * 2654435761) % 8191) % 13)"
+    " * 0.05D"
+)
+_AFP_AMP_VAR = (
+    f"{_AFP_AMP} * 2.0D + (CASE WHEN j = 40 THEN 0.513D ELSE 0.0D END)"
+)
+
+
+def _afp_wave_sql(amp: str) -> str:
+    """65 frames x _AFP_FRAME constant samples as one array<double> —
+    codegen sequence/transform/flatten, no UDF in the fixture."""
+    return (
+        f"flatten(transform(transform(sequence(0, 64), j -> {amp}), "
+        f"a -> array_repeat(a, {_AFP_FRAME})))"
+    )
+
+
+def _afp_expr_sql(doc: str, gain: float, bump: bool) -> str:
+    """The 64-bit fingerprint as pure SQL: bit i = amp(i+1) > amp(i)
+    (the envelope IS the amplitude sequence by construction)."""
+
+    def amp(j: int) -> str:
+        x = f"({doc} * 65 + {j + 1})"
+        base = (
+            f"((1 + (((({x} * {x}) % 8191) * 2654435761) % 8191) % 13)"
+            f" * 0.05"
+        )
+        if gain != 1.0:
+            base += f" * {gain!r}"
+        base += ")"
+        if bump and j == 40:
+            base = f"({base} + 0.513)"
+        return base
+
+    terms = []
+    for i in range(64):
+        val = "(-9223372036854775807 - 1)" if i == 63 else f"({1 << i}::BIGINT)"
+        terms.append(
+            f"(CASE WHEN {amp(i + 1)} > {amp(i)} THEN {val} ELSE 0::BIGINT END)"
+        )
+    return " | ".join(terms)
+
+
+def _afp_keys_sql() -> str:
+    width = 64 // _DHASH_BLOCKS
+    mask = (1 << width) - 1
+    return ", ".join(
+        f"((afp >> {i * width}) & {mask}) + {i * (mask + 1)}"
+        for i in range(_DHASH_BLOCKS)
+    )
+
+
+def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    originals = docs.select(
+        (F.col("doc_id") * 2).alias("id"),
+        F.expr(_afp_wave_sql(_AFP_AMP)).alias("waveform"),
+    )
+    variants = docs.where(F.col("doc_id") % _VARIANT_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.expr(_afp_wave_sql(_AFP_AMP_VAR)).alias("waveform"),
+    )
+    return originals.unionByName(variants)
+
+
+def _audio_neardup_oracle() -> str:
+    keys = _afp_keys_sql()
+    return f"""
+    WITH s AS (
+      SELECT doc_id * 2 AS id, ({_afp_expr_sql('doc_id', 1.0, False)}) AS afp
+      FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1, ({_afp_expr_sql('doc_id', 2.0, True)})
+      FROM documents WHERE doc_id % {_VARIANT_MOD} = 0
+    ),
+    banded AS (SELECT id, afp, unnest([{keys}]) AS bk FROM s),
+    cand AS (
+      SELECT DISTINCT a.id AS d1, b.id AS d2, a.afp AS s1, b.afp AS s2
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+    )
+    SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {_AFP_MAX_HAMMING}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "q_audio_neardup",
+    _audio_neardup_oracle(),
+    doc=(
+        "Audio fingerprint near-dup: REAL RMS-envelope kernel "
+        "(multimodal.audio_fingerprint — windowed RMS, 65-point "
+        "resample, rising-energy bits, Arrow-batched numpy) over "
+        "deterministic synthetic PCM -> 64-bit code -> the SAME Manku "
+        "banding engine as text/image/video (hamming_neardup_pairs) -> "
+        "exact bit_count(xor) verify.  Variants are gain-scaled 2x "
+        "(envelope hashing is gain-invariant) with one amplitude edit; "
+        "waveform samples never shuffle — 8 bytes of dedup state per "
+        "clip cross the wire."
+    ),
+)
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.multimodal import audio_fingerprint
+
+    codes = audio_fingerprint(
+        _audio_fixture(spark, sf_dir),
+        frame=_AFP_FRAME,
+        hop=_AFP_FRAME,
+    )
+    return hamming_neardup_pairs(
+        codes, code_col="afp", id_col="id",
+        bits=64, max_hamming=_AFP_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+    ).orderBy("d1", "d2")

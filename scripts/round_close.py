@@ -1,0 +1,93 @@
+"""Mechanical round-close gate (VERDICT r10 task 2): a round may not
+end on a red board.  Runs, in order,
+
+  1. the FULL pytest suite,
+  2. the full oracle sweep (every registered catalog row vs DuckDB at
+     sf0.01 — the driver's correctness gate, run locally),
+  3. bench.py at the driver's setting (sf0.1, median-of-N), writing
+     BENCH_LOCAL_r{N}.json,
+
+and exits non-zero the moment any step is red.  The round-close
+snapshot commit should cite the three green artifacts this script
+prints.  Both of round 10's red tests were committed in the final
+session hours and never executed — this makes "green at round close"
+mechanical, not assumed.
+
+Usage:  python scripts/round_close.py <round-number> [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(step: str, cmd: list[str], env: dict | None = None) -> str:
+    print(f"==== {step}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd,
+        cwd=REPO,
+        env={**os.environ, **(env or {})},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    dt = time.time() - t0
+    tail = "\n".join(proc.stdout.strip().splitlines()[-6:])
+    print(tail)
+    print(f"==== {step}: rc={proc.returncode} ({dt:.0f}s)", flush=True)
+    if proc.returncode != 0:
+        print(f"ROUND-CLOSE RED at step {step!r} — fix before closing.")
+        raise SystemExit(1)
+    return proc.stdout
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    skip_bench = "--skip-bench" in argv
+    argv = [a for a in argv if a != "--skip-bench"]
+    if not argv:
+        print(__doc__)
+        return 2
+    rnd = int(argv[0])
+
+    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    run("oracle_sweep", [sys.executable, "scripts/oracle_sweep.py"])
+
+    if not skip_bench:
+        out = run(
+            "bench",
+            [sys.executable, "bench.py"],
+            env={
+                "SPARK_GRAFT_SF_DIR": os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ),
+                "SPARK_GRAFT_BENCH_RUNS": os.environ.get(
+                    "SPARK_GRAFT_BENCH_RUNS", "3"
+                ),
+            },
+        )
+        line = next(
+            ln for ln in reversed(out.strip().splitlines())
+            if ln.startswith("{")
+        )
+        payload = json.loads(line)  # validates the one-JSON-line contract
+        art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+        with open(art, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {art}: {len(payload['queries'])} queries, "
+              f"{payload['value']}s total")
+
+    print(f"ROUND {rnd} CLOSE: ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
