@@ -164,6 +164,44 @@ def _jsonl_reader(spark, upstreams, opts):
     )
 
 
+@node_class("ArpaReader")
+def _arpa_reader(spark, upstreams, opts):
+    """KenLM .arpa LM -> (ngram, order, logprob, backoff) table; feed
+    the order-filtered slice to NgramLogprob for CCNet-style
+    perplexity filtering."""
+    from metalpipe_spark.sources.readers import load_arpa
+
+    return load_arpa(spark, opts["path"], order=opts.get("order"))
+
+
+@node_class("NgramLogprob")
+def _ngram_logprob_node(spark, upstreams, opts):
+    """Mean n-gram log-probability per document (the CCNet perplexity
+    cut).  One upstream = corpus scored against an inline ``lm`` dict;
+    two upstreams = [corpus, lm table] — wire an ArpaReader here."""
+    from metalpipe_spark.operators.text import ngram_logprob
+
+    if len(upstreams) == 2:
+        corpus, lm = upstreams
+        if opts.get("order") is not None:  # slice a multi-order ARPA table
+            lm = lm.where(F.col("order") == int(opts["order"]))
+        lm = lm.select("ngram", "logprob")
+    elif len(upstreams) == 1 and "lm" in opts:
+        corpus, lm = upstreams[0], dict(opts["lm"])
+    else:
+        raise ValueError(
+            "NgramLogprob requires [corpus, lm] upstreams or an lm option"
+        )
+    return ngram_logprob(
+        corpus,
+        lm,
+        n=opts.get("n", 2),
+        oov_logprob=opts.get("oov_logprob", -8.0),
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+    )
+
+
 @node_class("ConstantEmitter")
 def _constant_emitter(spark, upstreams, opts):
     return constant_emitter(spark, opts.get("thing"), max_loops=opts.get("max_loops", 5))

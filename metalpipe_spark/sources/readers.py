@@ -263,3 +263,115 @@ def mysql_schema_to_struct(columns) -> "T.StructType":
     return T.StructType(
         [T.StructField(name, mysql_type_to_spark(ts), True) for name, ts in items]
     )
+
+
+def load_arpa(
+    spark: SparkSession,
+    path: str,
+    order: int | None = None,
+    batch_rows: int = 500_000,
+):
+    """Load a KenLM-style ``.arpa`` language model into the
+    ``(ngram, order, logprob, backoff)`` table :func:`operators.text.
+    ngram_logprob` consumes — real CCNet-style perplexity filtering
+    starts from a KenLM export, and this makes the operator drop-in:
+
+        lm = load_arpa(spark, "wiki.arpa", order=2).select("ngram", "logprob")
+        scored = ngram_logprob(docs, lm, n=2)
+
+    ARPA entries are ``logprob \\t w1 .. wN [\\t backoff]`` under a
+    ``\\N-grams:`` section header; the token count per line is
+    AMBIGUOUS without the section (a numeric word is indistinguishable
+    from a backoff weight), so parsing is positional and streams the
+    file ONCE driver-side, emitting Arrow-sized row batches that union
+    into one DataFrame — an LM is vocabulary-scale (MBs-GBs), not
+    corpus-scale, and loads once per job; convert offline to parquet if
+    a model outgrows the driver.  Logprobs stay in ARPA's log10 — the
+    scorer treats them opaquely, so base only needs to match the
+    ``oov_logprob`` you pass it.  Declared ``ngram N=count`` headers
+    are validated against parsed rows (a truncated download fails
+    loudly, not as a silently weaker model).  ``order`` filters to one
+    section (pushed into the parse, so unneeded sections never
+    materialize).
+
+    Reference parity: the reference has no LM loader; this extends the
+    engine's quality-filter family (SURVEY.md LLM-pipeline surface).
+    """
+    declared: dict[int, int] = {}
+    parsed: dict[int, int] = {}
+    schema = "ngram string, order int, logprob double, backoff double"
+
+    def batches():
+        # Plain tuple rows, NOT a pandas frame: a missing backoff must
+        # reach Spark as NULL on ANY session, and the pandas float path
+        # folds None to NaN whose NULL-coercion then depends on the
+        # session's Arrow setting (reproduced: NULL under the test
+        # session, NaN under a vanilla driver session).
+        cur: int | None = None
+        rows: list[tuple] = []
+
+        def flush():
+            nonlocal rows
+            if rows:
+                yield rows
+                rows = []
+
+        with open(path, encoding="utf-8") as f:
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line.startswith("\\"):
+                    if line == "\\end\\":
+                        break
+                    if line.endswith("-grams:"):
+                        cur = int(line[1:].split("-", 1)[0])
+                    else:  # \data\ or an extension section
+                        cur = None
+                    continue
+                if cur is None:
+                    if line.startswith("ngram "):
+                        k, v = line[6:].split("=", 1)
+                        declared[int(k)] = int(v)
+                    continue
+                if order is not None and cur != order:
+                    parsed[cur] = parsed.get(cur, 0) + 1
+                    continue
+                fields = line.split()
+                if len(fields) == cur + 2:
+                    backoff = float(fields[-1])
+                    words = fields[1:-1]
+                elif len(fields) == cur + 1:
+                    backoff = None
+                    words = fields[1:]
+                else:
+                    raise ValueError(
+                        f"load_arpa: malformed {cur}-gram line "
+                        f"({len(fields)} fields): {line[:120]!r}"
+                    )
+                parsed[cur] = parsed.get(cur, 0) + 1
+                rows.append(
+                    (" ".join(words), cur, float(fields[0]), backoff)
+                )
+                if len(rows) >= batch_rows:
+                    yield from flush()
+        yield from flush()
+
+    parts = [spark.createDataFrame(batch, schema) for batch in batches()]
+    for o, want in declared.items():
+        got = parsed.get(o, 0)
+        if got != want:
+            raise ValueError(
+                f"load_arpa: header declares ngram {o}={want} but file "
+                f"carries {got} — truncated or corrupt model"
+            )
+    if order is not None and declared and order not in declared:
+        raise ValueError(
+            f"load_arpa: order={order} not in model (has {sorted(declared)})"
+        )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -752,3 +752,66 @@ def test_jsonl_reader_yaml_node(spark, tmp_path):
     out = compile_pipeline(spark, cfg)
     rows = sorted((r["k"], r["v"]) for r in out.dataframes["src"].collect())
     assert rows == [("a", 1), ("b", 2)]
+
+
+def test_load_arpa_roundtrip_and_ngram_logprob_dropin(spark, tmp_path):
+    """load_arpa: tiny synthetic KenLM .arpa -> (ngram, order, logprob,
+    backoff) table; order filter; header-count validation; and the
+    loaded bigram slice drops into ngram_logprob identically to the
+    dict form."""
+    import pytest
+
+    from metalpipe_spark.operators.text import ngram_logprob
+    from metalpipe_spark.sources.readers import load_arpa
+
+    arpa = tmp_path / "tiny.arpa"
+    arpa.write_text(
+        "\n\\data\\\n"
+        "ngram 1=4\n"
+        "ngram 2=3\n"
+        "\n\\1-grams:\n"
+        "-1.25\t<unk>\n"
+        "-0.5\thello\t-0.30103\n"
+        "-0.75\tworld\t-0.2\n"
+        "-2.0\t42\n"          # numeric WORD, no backoff — the ambiguity case
+        "\n\\2-grams:\n"
+        "-0.25\thello world\n"
+        "-1.5\tworld hello\t-0.1\n"
+        "-0.9\thello 42\n"
+        "\n\\end\\\n"
+    )
+
+    full = load_arpa(spark, str(arpa))
+    rows = {(r["ngram"], r["order"]): r for r in full.collect()}
+    assert len(rows) == 7
+    assert rows[("hello", 1)]["logprob"] == -0.5
+    assert rows[("hello", 1)]["backoff"] == -0.30103
+    assert rows[("42", 1)]["backoff"] is None      # numeric word != backoff
+    assert rows[("hello world", 2)]["backoff"] is None
+    assert rows[("world hello", 2)]["backoff"] == -0.1
+
+    bi = load_arpa(spark, str(arpa), order=2)
+    assert {r["ngram"] for r in bi.collect()} == {
+        "hello world", "world hello", "hello 42"
+    }
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "zzz zzz")], ["doc_id", "text"]
+    )
+    via_table = ngram_logprob(docs, bi.select("ngram", "logprob"), n=2)
+    via_dict = ngram_logprob(
+        docs, {"hello world": -0.25, "world hello": -1.5, "hello 42": -0.9}, n=2
+    )
+    assert sorted(map(tuple, via_table.collect())) == sorted(
+        map(tuple, via_dict.collect())
+    )
+
+    with pytest.raises(ValueError, match="order=3 not in model"):
+        load_arpa(spark, str(arpa), order=3)
+
+    truncated = tmp_path / "trunc.arpa"
+    truncated.write_text(
+        "\\data\\\nngram 1=2\n\n\\1-grams:\n-1.0\thello\n\n\\end\\\n"
+    )
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        load_arpa(spark, str(truncated))

@@ -842,3 +842,30 @@ def test_token_budget_sample_node_yaml(spark, tmp_path):
     }
     p = compile_pipeline(spark, config)
     assert sorted(r["doc_id"] for r in p.dataframes["cut"].collect()) == [0, 1]
+
+
+def test_arpa_reader_ngram_logprob_yaml(spark, tmp_path):
+    """ArpaReader -> NgramLogprob wired through YAML: KenLM .arpa drops
+    into the perplexity filter as a second upstream."""
+    arpa = tmp_path / "m.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=2\nngram 2=1\n\n"
+        "\\1-grams:\n-1.0\thello\t-0.3\n-1.2\tworld\n\n"
+        "\\2-grams:\n-0.25\thello world\n\n\\end\\\n"
+    )
+    spark.createDataFrame(
+        [(1, "hello world hello world"), (2, "xx yy")], ["doc_id", "text"]
+    ).write.parquet(f"{tmp_path}/d")
+    config = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/d"}},
+            "lm": {"class": "ArpaReader", "options": {"path": str(arpa)}},
+            "ppl": {"class": "NgramLogprob", "options": {"n": 2, "order": 2}},
+        },
+        "paths": [["docs", "ppl"], ["lm", "ppl"]],
+    }
+    p = compile_pipeline(spark, config)
+    got = {r["doc_id"]: r["mean_logprob"] for r in p.dataframes["ppl"].collect()}
+    # doc 1: grams [hw, wh, hw] -> (-0.25 + -8.0 + -0.25)/3; doc 2: 1 OOV gram
+    assert abs(got[1] - (-8.5 / 3)) < 1e-9
+    assert abs(got[2] - (-8.0)) < 1e-9
