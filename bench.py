@@ -99,6 +99,8 @@ HEADLINE = [
     "q_semdedup_gemm",
     "q_incremental_semdedup",
     "q_domain_mix",
+    "q_dsir_weights",
+    "q_dsir_sample",
     "q_temperature_resample",
     "q_temperature_epochs",
     "q_global_shuffle",
@@ -352,6 +354,7 @@ def main() -> None:
         "q_minhash_signatures": {"minhash_sigs"},
         "q_dedup_clusters": {"cc"},
         "q_image_neardup": {"image_dhash"},
+        "q_dsir_weights": {"dsir_weights"},
     }
 
     for name in headline:

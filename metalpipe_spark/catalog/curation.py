@@ -594,3 +594,129 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split")
         .orderBy("doc_id")
     )
+
+
+_DSIR_BUCKETS = 1024
+
+
+def _dsir_grams_cte() -> str:
+    """Hashed unigram+bigram rows per doc — the DuckDB twin of
+    operators.curation._hashed_grams (same split, same 60-bit md5
+    bucket)."""
+    return f"""
+    t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               tk,
+               CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                 ELSE []::VARCHAR[] END)) AS gram
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_DSIR_BUCKETS}
+               AS bucket
+      FROM g
+    ),
+    tc AS (
+      SELECT bucket, count(*)::BIGINT AS ct FROM h
+      WHERE lang = 'en' GROUP BY bucket
+    ),
+    rc AS (SELECT bucket, count(*)::BIGINT AS cr FROM h GROUP BY bucket),
+    ratio AS (
+      SELECT rc.bucket,
+             round(
+               ln((coalesce(tc.ct, 0) + 1.0)
+                  / ((SELECT sum(ct) FROM tc) + {_DSIR_BUCKETS}.0))
+               - ln((rc.cr + 1.0)
+                    / ((SELECT sum(cr) FROM rc) + {_DSIR_BUCKETS}.0)),
+               6) AS lr
+      FROM rc LEFT JOIN tc USING (bucket)
+    ),
+    w AS (
+      SELECT h.doc_id, count(*)::BIGINT AS n_grams,
+             sum(lr::DECIMAL(18,6))::DOUBLE AS log_weight
+      FROM h JOIN ratio USING (bucket)
+      GROUP BY h.doc_id
+    )
+    """
+
+
+@register(
+    "q_dsir_weights",
+    f"""
+    WITH {_dsir_grams_cte()}
+    SELECT doc_id, n_grams, log_weight FROM w ORDER BY doc_id
+    """,
+    doc=(
+        "DSIR importance weights (Xie et al., NeurIPS 2023): hashed "
+        "unigram+bigram bucket counts for the raw corpus vs the "
+        "English-target slice, per-doc log importance = sum of bucket "
+        "log-ratios.  The <=1024-row ratio table broadcasts; one "
+        "data-scale shuffle (the per-doc rollup).  DECIMAL "
+        "accumulation of 6-dp ratios keeps the hash engine-stable."
+    ),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_dsir_weights(spark, sf_dir).orderBy("doc_id")
+
+
+def _shared_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DSIR weight table ``(doc_id, n_grams, log_weight)``
+    — one gram-hash + ratio + rollup pipeline per session serving both
+    the weights and the selection rows (3 small columns per doc, so the
+    checkpoint is doc-count sized, never corpus-byte sized)."""
+    from metalpipe_spark.catalog.dedup import shared_stage
+    from metalpipe_spark.operators.curation import dsir_importance_weights
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return dsir_importance_weights(
+            docs,
+            docs.where(F.col("lang") == "en"),
+            buckets=_DSIR_BUCKETS,
+            exact=True,
+        )
+
+    return shared_stage(spark, ("dsir_weights", sf_dir, _DSIR_BUCKETS), build)
+
+
+@register(
+    "q_dsir_sample",
+    f"""
+    WITH {_dsir_grams_cte()},
+    picked AS (
+      SELECT doc_id, log_weight AS dsir_log_weight FROM w
+      ORDER BY log_weight DESC, doc_id LIMIT 50
+    )
+    SELECT d.doc_id, d.lang, d.source, p.dsir_log_weight
+    FROM documents d JOIN picked p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "DSIR selection: the 50 highest-importance documents (ties by "
+        "minimum id), joined back to the corpus.  Plans as "
+        "TakeOrderedAndProject over the weight table — per-partition "
+        "partial top-k, never a global sort; the 50-row pick "
+        "broadcast-joins the corpus."
+    ),
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import dsir_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = _shared_dsir_weights(spark, sf_dir)
+    return (
+        dsir_topk_sample(
+            docs.select("doc_id", "lang", "source"), weights, 50
+        )
+        .select("doc_id", "lang", "source", "dsir_log_weight")
+        .orderBy("doc_id")
+    )

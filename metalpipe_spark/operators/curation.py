@@ -727,3 +727,137 @@ def token_budget_sample(
     return pref.where(
         F.col("__prefix") + F.col(weight_col) <= F.lit(budget)
     ).drop("__prefix")
+
+
+def _hashed_grams(
+    df: DataFrame, text_col: str, buckets: int, id_cols: list[str]
+) -> DataFrame:
+    """Hashed unigram+bigram feature rows ``(*id_cols, bucket)`` — one
+    row per gram OCCURRENCE, so a plain count per bucket is the
+    feature-count vector.  Bigrams are built by zipping two shifted
+    slices of the token array (the :func:`operators.text.ngram_logprob`
+    trick — direct-child slices evaluate once per row, never per
+    element); the single explode multiplies rows ~2x tokens but
+    shuffles nothing.  NULL text behaves as empty (one ``''`` unigram),
+    so every document stays visible downstream."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+    n = F.size(toks)
+    safe = F.greatest(n - F.lit(1), F.lit(1))
+    bi = F.zip_with(
+        F.slice(toks, 1, safe),
+        F.slice(toks, 2, safe),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(
+        toks, F.when(n >= 2, bi).otherwise(F.array().cast("array<string>"))
+    )
+    return df.select(
+        *id_cols, F.explode(grams).alias("__g")
+    ).select(
+        *id_cols, F.pmod(_hash64(F.col("__g")), F.lit(buckets)).alias("bucket")
+    )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    exact: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): per-document importance ``log w(x) = sum_b c_b(x) *
+    (log p_target(b) - log p_raw(b))`` over hashed unigram+bigram
+    buckets — the standard public method for tilting a raw web corpus
+    toward a target domain without training a classifier.  Returns
+    ``(id, n_grams, log_weight)``; resample with
+    :func:`dsir_topk_sample` or any weighted sampler.
+
+    Both bucket distributions are add-``smoothing`` estimates over
+    ``buckets`` cells.  The log-ratio table is at most ``buckets`` rows
+    — it BROADCASTS; the corpus never shuffles to meet it.
+
+    Scale shape: two map-side-combined bucket-count aggregates (target
+    is small by definition; the raw-corpus count keys on an even
+    60-bit-hash bucket, immune to hot tokens since every occurrence of
+    a gram lands in one bucket CELL whose partial count combines
+    map-side), one broadcast probe join, one per-doc rollup = one
+    data-scale shuffle on the doc key.  At 100 TB: persist the ratio
+    table once per target and reuse it across corpus shards.
+
+    ``exact=True`` rounds each gram's log-ratio to 6 dp and accumulates
+    in DECIMAL — order-independent sums, so the value hash is stable
+    across partitionings and engines (raw double log sums vary in the
+    low bits with combine order).
+    """
+    t_counts = _hashed_grams(target, text_col, buckets, []).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("__ct"))
+    r_counts = _hashed_grams(corpus, text_col, buckets, []).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("__cr"))
+    t_total = t_counts.agg(F.sum("__ct").alias("__tt"))
+    r_total = r_counts.agg(F.sum("__cr").alias("__rt"))
+    s = float(smoothing)
+    # Only buckets PRESENT in the corpus can ever be probed, so the
+    # ratio table is a left join from the corpus side; absent target
+    # buckets take the smoothed-zero estimate.
+    ratio = (
+        r_counts.join(t_counts, "bucket", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(s))
+                    / (F.coalesce(F.col("__tt"), F.lit(0)) + F.lit(s * buckets))
+                )
+                - F.log(
+                    (F.col("__cr") + F.lit(s))
+                    / (F.col("__rt") + F.lit(s * buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    if exact:
+        ratio = ratio.select(
+            "bucket", F.round(F.col("__lr"), 6).alias("__lr")
+        )
+        acc = F.sum(F.col("__lr").cast("decimal(18,6)")).cast("double")
+    else:
+        acc = F.sum("__lr")
+    probe = _hashed_grams(corpus, text_col, buckets, [id_col])
+    return (
+        probe.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            acc.alias("log_weight"),
+        )
+    )
+
+
+def dsir_topk_sample(
+    corpus: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` highest-importance
+    documents (ties broken by minimum id — a total order).  The paper
+    resamples with Gumbel noise; the deterministic top-k is the
+    reproducible variant a data pipeline actually ships, and plans as
+    TakeOrderedAndProject (per-partition partial top-k, never a global
+    sort)."""
+    picked = (
+        weights.select(id_col, weight_col)
+        .orderBy(F.desc(weight_col), F.asc(id_col))
+        .limit(k)
+    )
+    return corpus.join(picked, id_col).withColumnRenamed(
+        weight_col, "dsir_log_weight"
+    )

@@ -935,6 +935,44 @@ def _model_quality_filter_node(spark, upstreams, opts):
     return out
 
 
+@node_class("DSIRWeights")
+def _dsir_weights_node(spark, upstreams, opts):
+    """DSIR importance weights (q_dsir_weights): two ordered upstreams
+    [corpus, target]; per-doc hashed-ngram log importance."""
+    from metalpipe_spark.operators.curation import dsir_importance_weights
+
+    if len(upstreams) != 2:
+        raise ValueError("DSIRWeights requires [corpus, target] upstreams")
+    corpus, target = upstreams
+    return dsir_importance_weights(
+        corpus,
+        target,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        buckets=opts.get("buckets", 8192),
+        smoothing=opts.get("smoothing", 1.0),
+        exact=opts.get("exact", False),
+    )
+
+
+@node_class("DSIRSample")
+def _dsir_sample_node(spark, upstreams, opts):
+    """Deterministic DSIR top-k selection (q_dsir_sample): two ordered
+    upstreams [corpus, weights]."""
+    from metalpipe_spark.operators.curation import dsir_topk_sample
+
+    if len(upstreams) != 2:
+        raise ValueError("DSIRSample requires [corpus, weights] upstreams")
+    corpus, weights = upstreams
+    return dsir_topk_sample(
+        corpus,
+        weights,
+        k=opts["k"],
+        id_col=opts.get("id_col", "doc_id"),
+        weight_col=opts.get("weight_col", "log_weight"),
+    )
+
+
 @node_class("CurriculumOrder")
 def _curriculum_order_node(spark, upstreams, opts):
     """Quality/difficulty-banded training order

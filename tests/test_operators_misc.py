@@ -2160,3 +2160,72 @@ def test_oov_rate_null_text_and_duplicate_vocab_rows(spark):
     assert (out[2]["n_tokens"], out[2]["oov_tokens"]) == (1, 1)  # one '' token
     assert (out[3]["n_tokens"], out[3]["oov_tokens"]) == (2, 1)
     assert abs(out[3]["oov_rate"] - 0.5) < 1e-12
+
+
+def test_dsir_weights_tilt_toward_target_distribution(spark):
+    """DSIR semantics on a planted corpus: docs made of target-heavy
+    tokens must outweigh docs of raw-only tokens; weights are additive
+    in gram counts; every doc (NULL text included) gets a row; and the
+    YAML nodes wire end to end."""
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_topk_sample,
+    )
+
+    # target speaks 'sci' words; raw background speaks 'web' words
+    corpus = spark.createDataFrame(
+        [
+            (1, "sci sci sci sci"),
+            (2, "sci sci web web"),
+            (3, "web web web web"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "sci sci sci sci sci sci")], "doc_id long, text string"
+    )
+    w = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            corpus, target, buckets=64, exact=True
+        ).collect()
+    }
+    assert set(w) == {1, 2, 3, 4}                      # NULL-text doc present
+    assert w[1]["log_weight"] > w[2]["log_weight"] > w[3]["log_weight"]
+    assert w[1]["n_grams"] == 7                        # 4 unigrams + 3 bigrams
+    assert w[4]["n_grams"] == 1                        # one '' unigram
+
+    # NOTE: the NULL-text doc (one near-neutral '' gram) can outrank a
+    # doc full of strongly-raw grams — the importance is a SUM over
+    # gram occurrences (the paper's likelihood ratio), not a mean, so
+    # short docs have small |weight|.  Select among the real-text docs.
+    top = dsir_topk_sample(corpus, spark.createDataFrame(
+        [(i, r["log_weight"]) for i, r in w.items() if i != 4],
+        "doc_id long, log_weight double",
+    ), 2)
+    assert sorted(r["doc_id"] for r in top.collect()) == [1, 2]
+    assert "dsir_log_weight" in top.columns
+
+
+def test_dsir_nodes_yaml(spark, tmp_path):
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    spark.createDataFrame(
+        [(1, "aa aa"), (2, "bb bb")], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/c")
+    spark.createDataFrame(
+        [(9, "aa aa aa")], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/t")
+    config = {
+        "nodes": {
+            "c": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/c"}},
+            "t": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/t"}},
+            "w": {"class": "DSIRWeights", "options": {"buckets": 32}},
+            "pick": {"class": "DSIRSample", "options": {"k": 1}},
+        },
+        "paths": [["c", "w"], ["t", "w"], ["c", "pick"], ["w", "pick"]],
+    }
+    p = compile_pipeline(spark, config)
+    picked = p.dataframes["pick"].collect()
+    assert [r["doc_id"] for r in picked] == [1]  # the target-like doc

@@ -598,3 +598,32 @@ def test_token_budget_filter_after_prefix_no_global_sort(spark):
     stage = _simple(prefix_sum_range_stage(docs, "ord", 32))
     assert "rangepartitioning" in stage.lower()  # the two-pass skeleton
     assert "Exchange SinglePartition" not in stage
+
+
+def test_dsir_ratio_broadcasts_corpus_never_shuffles_to_meet_it(spark):
+    """DSIR: the <=buckets-row log-ratio table and the one-row totals
+    broadcast; the corpus gram stream is probed map-side (no
+    SortMergeJoin anywhere), so the only data-scale exchanges are the
+    bucket-count aggregates and the per-doc rollup."""
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_topk_sample,
+    )
+    from metalpipe_spark.sources.readers import load_table
+
+    # Pin the OPERATOR plan, not the catalog row — the catalog memoizes
+    # the weight table through a shared_stage checkpoint whose lineage
+    # truncation hides the join skeleton behind a Scan ExistingRDD.
+    docs = load_table(spark, SF_ORACLE, "documents")
+    weights = dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), buckets=1024
+    )
+    plan = _formatted(weights)
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastHashJoin") >= 1  # bucket probe
+
+    splan = _formatted(dsir_topk_sample(docs, weights, 50))
+    assert _nodes(splan, "SortMergeJoin") == 0
+    # the 50-row pick is a partial top-k, never a global sort of weights
+    assert "TakeOrderedAndProject" in splan
