@@ -795,9 +795,19 @@ def dsir_importance_weights(
     t_counts = _hashed_grams(target, text_col, buckets, []).groupBy(
         "bucket"
     ).agg(F.count(F.lit(1)).alias("__ct"))
-    r_counts = _hashed_grams(corpus, text_col, buckets, []).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("__cr"))
+    # One corpus gram-hash pass, not two: the per-(doc, bucket) count
+    # table serves BOTH the raw bucket distribution (re-aggregate) and
+    # the per-doc probe (join) — without the lazy checkpoint each
+    # consumer would re-run the full explode+md5 scan.  The table is at
+    # most docs x min(grams, buckets) rows of three small columns, so
+    # the materialization is doc-count-shaped, never corpus-byte-shaped.
+    dc = (
+        _hashed_grams(corpus, text_col, buckets, [id_col])
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    r_counts = dc.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
     t_total = t_counts.agg(F.sum("__ct").alias("__tt"))
     r_total = r_counts.agg(F.sum("__cr").alias("__rt"))
     s = float(smoothing)
@@ -822,19 +832,23 @@ def dsir_importance_weights(
             ).alias("__lr"),
         )
     )
+    # Weights accumulate count * log-ratio per (doc, bucket) cell —
+    # identical to the sum over gram occurrences (decimal x integer is
+    # exact, so the oracle's per-occurrence sum matches bit-for-bit).
     if exact:
         ratio = ratio.select(
             "bucket", F.round(F.col("__lr"), 6).alias("__lr")
         )
-        acc = F.sum(F.col("__lr").cast("decimal(18,6)")).cast("double")
+        acc = F.sum(
+            F.col("__lr").cast("decimal(18,6)") * F.col("__c")
+        ).cast("double")
     else:
-        acc = F.sum("__lr")
-    probe = _hashed_grams(corpus, text_col, buckets, [id_col])
+        acc = F.sum(F.col("__lr") * F.col("__c"))
     return (
-        probe.join(F.broadcast(ratio), "bucket")
+        dc.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__c").alias("n_grams"),
             acc.alias("log_weight"),
         )
     )
