@@ -704,7 +704,9 @@ _BIGRAM_LM = {
 _OOV_LP = -8.0
 
 
-def _ngram_lm_oracle(lm: dict[str, float], oov: float) -> str:
+def _ngram_lm_oracle(
+    lm: dict[str, float], oov: float, order: bool = True
+) -> str:
     rows = ", ".join(
         f"('{g}', '{float(lp)!r}'::DOUBLE)" for g, lp in sorted(lm.items())
     )
@@ -731,7 +733,7 @@ def _ngram_lm_oracle(lm: dict[str, float], oov: float) -> str:
     UNION ALL
     SELECT doc_id, '{float(oov)!r}'::DOUBLE AS mean_logprob
     FROM t WHERE len(tk) < 2
-    ORDER BY doc_id
+    {"ORDER BY doc_id" if order else ""}
     """
 
 
@@ -1396,3 +1398,41 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     vocab = build_vocabulary(docs, vocab_size=_VOCAB_K)
     return oov_rate(docs, vocab).orderBy("doc_id")
+
+
+@register(
+    "q_ccnet_buckets",
+    f"""
+    WITH allscored AS (
+      {_ngram_lm_oracle(_BIGRAM_LM, _OOV_LP, order=False)}
+    ),
+    th AS (
+      SELECT quantile_disc(mean_logprob, 0.3333333333) AS t1,
+             quantile_disc(mean_logprob, 0.6666666667) AS t2
+      FROM allscored
+    )
+    SELECT doc_id, mean_logprob,
+           CASE WHEN mean_logprob > t2 THEN 'head'
+                WHEN mean_logprob > t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM allscored, th
+    ORDER BY doc_id
+    """,
+    doc=(
+        "CCNet head/middle/tail perplexity split (Wenzek et al., LREC "
+        "2020): bigram-LM scoring -> corpus percentile_disc terciles "
+        "(ANSI semantics, verified identical to DuckDB quantile_disc) "
+        "-> one-row threshold aggregate broadcast back over the scored "
+        "table.  No second scoring pass, no global sort; the exact "
+        "percentile's O(n)-state final aggregate has an "
+        "approx_percentile twin for full corpus-scale (approx=True)."
+    ),
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        docs.select("doc_id", "text"), _BIGRAM_LM, n=2,
+        oov_logprob=_OOV_LP, exact=True,
+    ).orderBy("doc_id")

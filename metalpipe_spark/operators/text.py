@@ -1091,3 +1091,75 @@ def oov_rate(
         oov.alias("oov_tokens"),
         (oov.cast("double") / n).alias("oov_rate"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: dict[str, float] | DataFrame,
+    n: int = 2,
+    oov_logprob: float = -8.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): score
+    every document with the n-gram LM (:func:`ngram_logprob`), then
+    bucket by corpus-wide perplexity terciles — ``head`` = most natural
+    (highest mean log-prob), ``tail`` = least.  CCNet trains on head,
+    holds middle, drops tail; the bucket column makes that a filter.
+
+    Thresholds are PERCENTILE_DISC values (ANSI: smallest score with
+    cume_dist >= p) of the score distribution — actual data values, so
+    the split is reproducible and engine-portable; with ``exact=True``
+    scores round to 6 dp first, making threshold comparisons
+    bit-stable.  The one-row threshold aggregate broadcasts back over
+    the scored table (no second scoring pass, no global sort).
+
+    Scale note: exact percentile_disc buffers the score column in the
+    final aggregate task — fine to ~1e8 docs (8 bytes/score), but at
+    full 100 TB corpus row counts pass ``approx=True`` to use
+    t-digest ``approx_percentile`` (bounded state, map-side combined);
+    the bucket semantics are unchanged, boundaries move by the sketch
+    tolerance.  This is the same oracle-exact/production-twin split as
+    the blocked-kNN family.
+    """
+    scored = ngram_logprob(
+        df, lm, n=n, oov_logprob=oov_logprob,
+        text_col=text_col, id_col=id_col, exact=exact,
+    )
+    if exact:
+        scored = scored.withColumn(
+            "mean_logprob", F.round("mean_logprob", 6)
+        )
+    # The score table feeds BOTH the threshold aggregate and the final
+    # bucket projection — without the lazy checkpoint each consumer
+    # re-runs the whole LM scoring pipeline (explode + broadcast join +
+    # doc rollup).  The table is (id, score): doc-count-shaped, never
+    # corpus-byte-shaped.  Measured 3.7 -> ~2 s at sf0.1.
+    scored = scored.localCheckpoint(eager=False)
+    p1, p2 = (repr(float(p)) for p in fractions)
+    if approx:
+        th = scored.agg(
+            F.expr(f"approx_percentile(mean_logprob, {p1})").alias("__t1"),
+            F.expr(f"approx_percentile(mean_logprob, {p2})").alias("__t2"),
+        )
+    else:
+        th = scored.selectExpr(
+            f"percentile_disc({p1}) WITHIN GROUP (ORDER BY mean_logprob)"
+            " AS __t1",
+            f"percentile_disc({p2}) WITHIN GROUP (ORDER BY mean_logprob)"
+            " AS __t2",
+        )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            id_col,
+            "mean_logprob",
+            F.when(F.col("mean_logprob") > F.col("__t2"), F.lit("head"))
+            .when(F.col("mean_logprob") > F.col("__t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

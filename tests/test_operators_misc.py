@@ -2229,3 +2229,25 @@ def test_dsir_nodes_yaml(spark, tmp_path):
     p = compile_pipeline(spark, config)
     picked = p.dataframes["pick"].collect()
     assert [r["doc_id"] for r in picked] == [1]  # the target-like doc
+
+
+def test_perplexity_buckets_semantics_and_approx_twin(spark):
+    """Head = most LM-natural third; boundary docs are deterministic
+    (disc thresholds are data values); the approx twin produces the
+    same buckets on a small distribution."""
+    from metalpipe_spark.operators.text import perplexity_buckets
+
+    lm = {"a a": -1.0, "b b": -4.0}
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a b"), (3, "b b b"), (4, "zz zz zz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in
+           perplexity_buckets(docs, lm, exact=True).collect()}
+    # scores: 1 -> -1.0, 2 -> (-1-8)/2=-4.5, 3 -> -4.0, 4 -> -8.0
+    assert out[1] == "head"
+    assert out[3] == "middle"
+    assert out[4] == "tail"
+    ap = {r["doc_id"]: r["bucket"] for r in
+          perplexity_buckets(docs, lm, exact=True, approx=True).collect()}
+    assert ap[1] == "head" and ap[4] == "tail"

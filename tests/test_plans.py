@@ -627,3 +627,15 @@ def test_dsir_ratio_broadcasts_corpus_never_shuffles_to_meet_it(spark):
     assert _nodes(splan, "SortMergeJoin") == 0
     # the 50-row pick is a partial top-k, never a global sort of weights
     assert "TakeOrderedAndProject" in splan
+
+
+def test_ccnet_buckets_threshold_broadcasts_no_global_sort(spark):
+    """q_ccnet_buckets: the one-row tercile aggregate broadcasts back
+    over the scored table (BroadcastNestedLoopJoin on a 1-row side is
+    the cheap cross join) — never a global Sort/Window over the corpus
+    to rank scores."""
+    df = REGISTRY["q_ccnet_buckets"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "Window") == 0
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
