@@ -101,6 +101,7 @@ HEADLINE = [
     "q_domain_mix",
     "q_dsir_weights",
     "q_dsir_sample",
+    "q_dsir_gumbel",
     "q_temperature_resample",
     "q_temperature_epochs",
     "q_global_shuffle",

@@ -720,3 +720,48 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "dsir_log_weight")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dsir_gumbel",
+    f"""
+    WITH {_dsir_grams_cte()},
+    keyed AS (
+      SELECT doc_id, log_weight,
+             round(log_weight / 2.0
+                   + (-ln(-ln(
+                       ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))
+                         ::BIGINT / 1152921504606846976.0))),
+                   12) AS gkey
+      FROM w
+    ),
+    picked AS (
+      SELECT doc_id, log_weight AS dsir_log_weight
+      FROM keyed ORDER BY gkey DESC, doc_id LIMIT 50
+    )
+    SELECT d.doc_id, d.lang, d.source, p.dsir_log_weight
+    FROM documents d JOIN picked p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "DSIR Gumbel-top-k resampling (Kool et al., ICML 2019): "
+        "inclusion follows softmax(log_weight / T), T=2 — the paper's "
+        "importance resampling, made reproducible by drawing each "
+        "Gumbel from the portable md5 uniform of (id, seed) and "
+        "quantizing keys to 12 dp.  Same partial-top-k plan as the "
+        "hard selection."
+    ),
+)
+def q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import dsir_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = _shared_dsir_weights(spark, sf_dir)
+    return (
+        dsir_topk_sample(
+            docs.select("doc_id", "lang", "source"), weights, 50,
+            temperature=2.0, seed=0,
+        )
+        .select("doc_id", "lang", "source", "dsir_log_weight")
+        .orderBy("doc_id")
+    )

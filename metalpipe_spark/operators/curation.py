@@ -860,18 +860,41 @@ def dsir_topk_sample(
     k: int,
     id_col: str = "doc_id",
     weight_col: str = "log_weight",
+    temperature: float | None = None,
+    seed: int = 0,
 ) -> DataFrame:
-    """Deterministic DSIR selection: the ``k`` highest-importance
-    documents (ties broken by minimum id — a total order).  The paper
-    resamples with Gumbel noise; the deterministic top-k is the
-    reproducible variant a data pipeline actually ships, and plans as
+    """DSIR selection: the ``k`` highest-importance documents (ties
+    broken by minimum id — a total order), planned as
     TakeOrderedAndProject (per-partition partial top-k, never a global
-    sort)."""
-    picked = (
-        weights.select(id_col, weight_col)
-        .orderBy(F.desc(weight_col), F.asc(id_col))
-        .limit(k)
-    )
+    sort).
+
+    With ``temperature`` set, selection is Gumbel-top-k sampling
+    WITHOUT replacement (Kool et al., ICML 2019) — exactly the paper's
+    importance RESAMPLING, with inclusion following
+    ``softmax(log_weight / temperature)`` instead of the hard argmax:
+    each row's key is ``log_weight/T + Gumbel(u)`` where ``u`` is the
+    portable md5 uniform of ``(id, seed)``, so the draw is reproducible
+    across engines, re-runs, and partitionings (the
+    weighted_sample_per_group contract).  Keys quantize to 12 decimals
+    with the id as tie-break; a row whose uniform lands exactly on 0
+    (probability 2^-60) keys to -inf and is simply never selected —
+    deterministic on both engines."""
+    keyed = weights.select(id_col, weight_col)
+    if temperature is not None:
+        u = deterministic_uniform(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"|{int(seed)}"))
+        )
+        gumbel = -F.log(-F.log(u))
+        key = F.round(
+            F.col(weight_col) / F.lit(float(temperature)) + gumbel, 12
+        )
+        keyed = keyed.withColumn("__gkey", key)
+        order = [F.desc("__gkey"), F.asc(id_col)]
+    else:
+        order = [F.desc(weight_col), F.asc(id_col)]
+    picked = keyed.orderBy(*order).limit(k)
+    if temperature is not None:
+        picked = picked.drop("__gkey")
     return corpus.join(picked, id_col).withColumnRenamed(
         weight_col, "dsir_log_weight"
     )

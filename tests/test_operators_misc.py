@@ -2251,3 +2251,30 @@ def test_perplexity_buckets_semantics_and_approx_twin(spark):
     ap = {r["doc_id"]: r["bucket"] for r in
           perplexity_buckets(docs, lm, exact=True, approx=True).collect()}
     assert ap[1] == "head" and ap[4] == "tail"
+
+
+def test_dsir_gumbel_resampling_reproducible_and_weight_tilted(spark):
+    """Gumbel-top-k: same seed reproduces the sample exactly (any
+    partitioning); different seeds vary it; heavier weights are
+    included more often across seeds."""
+    from metalpipe_spark.operators.curation import dsir_topk_sample
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    # docs 0-9 heavy (+3 log-weight), rest light
+    weights = spark.createDataFrame(
+        [(i, 3.0 if i < 10 else 0.0) for i in range(100)],
+        "doc_id long, log_weight double",
+    )
+    pick = lambda seed, d=docs: sorted(
+        r["doc_id"]
+        for r in dsir_topk_sample(d, weights, 20, temperature=1.0, seed=seed).collect()
+    )
+    s0, s0b, s1 = pick(0), pick(0, docs.repartition(7)), pick(1)
+    assert s0 == s0b and len(s0) == 20       # reproducible, k respected
+    assert s0 != s1                          # seed actually perturbs
+    heavy0 = sum(1 for i in s0 if i < 10)
+    heavy1 = sum(1 for i in s1 if i < 10)
+    # e^3 ~ 20x tilt: expect nearly all heavy docs in every draw
+    assert heavy0 >= 8 and heavy1 >= 8
