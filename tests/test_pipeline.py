@@ -869,3 +869,29 @@ def test_arpa_reader_ngram_logprob_yaml(spark, tmp_path):
     # doc 1: grams [hw, wh, hw] -> (-0.25 + -8.0 + -0.25)/3; doc 2: 1 OOV gram
     assert abs(got[1] - (-8.5 / 3)) < 1e-9
     assert abs(got[2] - (-8.0)) < 1e-9
+
+
+def test_pivot_pinned_node_yaml(spark, tmp_path):
+    spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        ["k", "p", "v"],
+    ).write.parquet(f"{tmp_path}/t")
+    config = {
+        "nodes": {
+            "src": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/t"}},
+            "wide": {
+                "class": "PivotPinned",
+                "options": {
+                    "group_cols": "k",
+                    "pivot_col": "p",
+                    "values": ["x", "y"],
+                    "agg_col": "v",
+                    "out_names": ["sum_x", "sum_y"],
+                },
+            },
+        },
+        "paths": [["src", "wide"]],
+    }
+    p = compile_pipeline(spark, config)
+    got = {r["k"]: (r["sum_x"], r["sum_y"]) for r in p.dataframes["wide"].collect()}
+    assert got == {"a": (1.0, 2.0), "b": (3.0, None)}
