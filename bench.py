@@ -95,6 +95,7 @@ HEADLINE = [
     "q_ann_ivfadc",
     "q_embed_neardup_lsh",
     "q_mean_pool",
+    "q_target_similarity",
     "q_semdedup",
     "q_semdedup_gemm",
     "q_incremental_semdedup",

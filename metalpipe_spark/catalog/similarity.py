@@ -850,3 +850,43 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(index, qs, cents, books, k=5, n_probe=2).orderBy(
         "query_id", "rnk"
     )
+
+
+def _target_centroid_oracle(dim: int) -> str:
+    cent = ", ".join(
+        f"round(sum(embedding[{i + 1}]::DECIMAL(28,12))::DOUBLE / count(*), 6)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH c AS (
+      SELECT [{cent}] AS cent FROM embeddings WHERE label = 0
+    )
+    SELECT vec_id, round({_cos('embedding', 'cent')}, 6) AS target_cosine
+    FROM embeddings, c
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "q_target_similarity",
+    _target_centroid_oracle(64),
+    doc=(
+        "Embedding-based domain scoring (nearest-centroid proxy for "
+        "classifier filtering): the label-0 seed set mean-pools into "
+        "ONE centroid row (map-side-combined per-dim sums, decimal-"
+        "exact, 6-dp rounded) that broadcasts over the corpus; each "
+        "vector scores with a codegen HOF cosine fold — no corpus "
+        "shuffle, parquet-scan speed at 100 TB."
+    ),
+)
+def q_target_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import target_centroid_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        target_centroid_scores(
+            emb, emb.where(F.col("label") == 0), dim=64, exact=True
+        )
+        .select("vec_id", F.round("target_cosine", 6).alias("target_cosine"))
+        .orderBy("vec_id")
+    )

@@ -1191,3 +1191,59 @@ def mean_pool_embeddings(
         ]
     )
     return agg.select(F.col(group_col), mean.alias("mean_embedding"))
+
+
+def target_centroid_scores(
+    df: DataFrame,
+    target: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-based domain/quality scoring: cosine of every vector
+    to the TARGET CENTROID (the mean of the target set's vectors) —
+    the lightweight proxy for classifier-based filtering (score a web
+    corpus by similarity to a curated seed set, then threshold or
+    top-k; the shape behind fineweb-edu-style selection when the
+    "classifier" is a nearest-centroid model).
+
+    Plan shape: the centroid is ONE map-side-combined aggregate
+    (:func:`mean_pool_embeddings` with a constant group) that
+    broadcasts as a single row; the corpus side is a codegen HOF
+    dot/norm fold per row — NO shuffle of the corpus, parquet-scan
+    speed at 100 TB.  ``exact=True`` takes the decimal-accumulated
+    centroid rounded to 6 dp, so scores are engine-reproducible.
+
+    Returns ``(id, target_cosine)``; feed to a threshold filter,
+    :func:`operators.curation.topk_per_group`, or a weighted sampler.
+    """
+    pooled = mean_pool_embeddings(
+        target.select(F.lit(1).alias("__g"), F.col(vec_col)),
+        "__g",
+        vec_col=vec_col,
+        dim=dim,
+        exact=exact,
+    )
+    cent = pooled.select(
+        (
+            F.array(
+                *[
+                    F.round(F.col("mean_embedding")[i], 6)
+                    for i in range(dim)
+                ]
+            )
+            if exact
+            else F.col("mean_embedding")
+        ).alias("__cent")
+    )
+    sim = F.expr(
+        f"({dot_sql(vec_col, '__cent')})"
+        f" / ((SQRT({dot_sql(vec_col, vec_col)}))"
+        f" * (SQRT({dot_sql('__cent', '__cent', cast=False)})))"
+    )
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), sim.alias("target_cosine"))
+    )

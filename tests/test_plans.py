@@ -639,3 +639,14 @@ def test_ccnet_buckets_threshold_broadcasts_no_global_sort(spark):
     assert _nodes(plan, "Window") == 0
     assert _nodes(plan, "SortMergeJoin") == 0
     assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_target_similarity_centroid_broadcasts_no_corpus_shuffle(spark):
+    """q_target_similarity: the one-row centroid broadcasts; the corpus
+    side is a scan-stage cosine fold — the only exchanges are the
+    centroid's own aggregate and the final orderBy."""
+    df = REGISTRY["q_target_similarity"].build(spark, SF_ORACLE)
+    plan = _formatted(df)
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Window") == 0
