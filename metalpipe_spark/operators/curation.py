@@ -791,6 +791,11 @@ def dsir_importance_weights(
     in DECIMAL — order-independent sums, so the value hash is stable
     across partitionings and engines (raw double log sums vary in the
     low bits with combine order).
+
+    An EMPTY target degrades to the smoothed-uniform estimate (every
+    bucket gets probability ``1/buckets``), so weights reduce to a
+    corpus-frequency penalty rather than erroring — but that is rarely
+    what you want; check the target selection upstream.
     """
     t_counts = _hashed_grams(target, text_col, buckets, []).groupBy(
         "bucket"

@@ -385,3 +385,38 @@ def test_range_join_matches_brute_force_property(
         if eu == iu and a <= et < b
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.sampled_from(["x", "y", "z", None]),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    agg=st.sampled_from(["sum", "count", "min", "max", "avg"]),
+)
+def test_pivot_pinned_equals_dataframe_pivot_property(spark, rows, agg):
+    """pivot_pinned (one conditional aggregate) must equal DataFrame
+    .pivot() with pinned values for every builtin agg, including NULL
+    pivot values and NULL measures."""
+    from metalpipe_spark.operators.aggregate import pivot_pinned
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k string, p string, v double")
+    values = ["x", "y"]
+    got = pivot_pinned(df, "k", "p", values, "v", agg=agg)
+    fn = {"sum": F.sum, "count": F.count, "min": F.min,
+          "max": F.max, "avg": F.avg}[agg]
+    want = (
+        df.groupBy("k").pivot("p", values).agg(fn("v"))
+        .withColumnsRenamed({v: f"p_{v}" for v in values})
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
