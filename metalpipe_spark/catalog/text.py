@@ -712,7 +712,9 @@ def _ngram_lm_oracle(
     )
     return f"""
     WITH lm(ngram, logprob) AS (VALUES {rows}),
-    t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+    t AS (SELECT doc_id,
+                 regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+          FROM documents),
     g AS (
       SELECT doc_id, (len(tk) - 1)::BIGINT AS n,
              unnest(list_transform(range(1, len(tk)),
@@ -1400,6 +1402,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(docs, vocab).orderBy("doc_id")
 
 
+# The tercile fractions MUST be the same double literal on both
+# sides: disc percentiles are step functions, so the Spark default
+# repr(1/3) and a 10-digit SQL literal pick DIFFERENT elements whenever
+# p*n lands between the two (first bites at n % 3 == 0).
+_CCNET_P = (0.3333333333, 0.6666666667)
+
+
 @register(
     "q_ccnet_buckets",
     f"""
@@ -1407,8 +1416,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_ngram_lm_oracle(_BIGRAM_LM, _OOV_LP, order=False)}
     ),
     th AS (
-      SELECT quantile_disc(mean_logprob, 0.3333333333) AS t1,
-             quantile_disc(mean_logprob, 0.6666666667) AS t2
+      SELECT quantile_disc(mean_logprob, {_CCNET_P[0]!r}) AS t1,
+             quantile_disc(mean_logprob, {_CCNET_P[1]!r}) AS t2
       FROM allscored
     )
     SELECT doc_id, mean_logprob,
@@ -1421,7 +1430,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "CCNet head/middle/tail perplexity split (Wenzek et al., LREC "
         "2020): bigram-LM scoring -> corpus percentile_disc terciles "
-        "(ANSI semantics, verified identical to DuckDB quantile_disc) "
+        "(ANSI semantics; fraction literals shared verbatim with the "
+        "oracle — disc percentiles are step functions, so a differing "
+        "literal picks a different element at n % 3 == 0) "
         "-> one-row threshold aggregate broadcast back over the scored "
         "table.  No second scoring pass, no global sort; the exact "
         "percentile's O(n)-state final aggregate has an "
@@ -1434,5 +1445,5 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(
         docs.select("doc_id", "text"), _BIGRAM_LM, n=2,
-        oov_logprob=_OOV_LP, exact=True,
+        oov_logprob=_OOV_LP, fractions=_CCNET_P, exact=True,
     ).orderBy("doc_id")

@@ -226,6 +226,13 @@ def pivot_pinned(
     columns can keep the engine's bit-stable accumulation rule.
     ``out_names`` (default ``{pivot_col}_{value}``) names the wide
     columns — pass the same aliases the oracle SQL uses.
+
+    Semantics are EXACTLY conditional aggregation's (the SQL ``CASE
+    WHEN`` form): a (group, value) combination with no matching rows
+    yields what the aggregate yields over zero rows — 0 for ``count``,
+    NULL for the rest.  ``.pivot().agg(count(...))`` instead yields
+    NULL there (its outer pivotfirst sees no row at all); this operator
+    deliberately follows the SQL convention, matching its oracle form.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     col = F.col(agg_col) if isinstance(agg_col, str) else agg_col

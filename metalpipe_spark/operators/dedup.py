@@ -651,6 +651,11 @@ def dedup_corpus_keep_best(
     # string id would cast to double -> NULL under non-ANSI, randomizing
     # ties, and error under ANSI).  The leading isNull flag pins NULL
     # scores below every real one regardless of engine NULL-ordering.
+    # The negation happens in DOUBLE: -(Long.MIN_VALUE) overflows int64
+    # (wrapping to itself under non-ANSI — the WORST-scored doc would
+    # win — and erroring under ANSI); the double cast is total.  Integer
+    # scores beyond 2^53 may tie in the cast, falling to the id
+    # tie-break — still deterministic.
     winners = (
         members.groupBy("__cl")
         .agg(
@@ -658,7 +663,7 @@ def dedup_corpus_keep_best(
                 F.col(id_col),
                 F.struct(
                     F.col(score_col).isNull(),
-                    -F.col(score_col),
+                    -F.col(score_col).cast("double"),
                     F.col(id_col),
                 ),
             ).alias(id_col)

@@ -1217,6 +1217,11 @@ def target_centroid_scores(
 
     Returns ``(id, target_cosine)``; feed to a threshold filter,
     :func:`operators.curation.topk_per_group`, or a weighted sampler.
+
+    An EMPTY target set produces an EMPTY result (the centroid
+    aggregate has no groups, so the cross join annihilates the corpus)
+    — a downstream selection would silently pick nothing, so validate
+    the seed-set filter upstream if emptiness is possible.
     """
     pooled = mean_pool_embeddings(
         target.select(F.lit(1).alias("__g"), F.col(vec_col)),

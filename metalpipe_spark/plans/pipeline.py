@@ -970,6 +970,8 @@ def _dsir_sample_node(spark, upstreams, opts):
         k=opts["k"],
         id_col=opts.get("id_col", "doc_id"),
         weight_col=opts.get("weight_col", "log_weight"),
+        temperature=opts.get("temperature"),
+        seed=opts.get("seed", 0),
     )
 
 

@@ -47,13 +47,19 @@ def main() -> None:
     docs = pd.read_parquet(os.path.join(SRC, "documents.parquet"))
     n = len(docs)
 
-    # Zipf-ish host mass: 40% / 20% / 8% to three hot sources, the rest
-    # spread over the original source values.
+    # Zipf-ish host mass: 40% / 20% / 8% to three hot sources, the
+    # remaining 32% spread over the tail — which requires a tail to
+    # exist: with <= 3 distinct sources the hot fractions would be
+    # silently renormalized (40% -> 59%) and the SCALING.md protocol
+    # would measure a different fixture than it documents.
     sources = sorted(docs["source"].unique())
-    hot = sources[:3]
-    probs = np.full(len(sources), 0.32 / max(len(sources) - 3, 1))
+    if len(sources) <= 3:
+        raise SystemExit(
+            f"skew fixture needs > 3 distinct sources, got {len(sources)}"
+        )
+    probs = np.full(len(sources), 0.32 / (len(sources) - 3))
     probs[:3] = [0.40, 0.20, 0.08]
-    probs /= probs.sum()
+    probs /= probs.sum()  # exact 1.0 modulo float error
     docs = docs.copy()
     docs["source"] = rng.choice(sources, size=n, p=probs)
 

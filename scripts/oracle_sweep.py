@@ -43,6 +43,13 @@ def main() -> int:
     from tests.oracle_utils import compare_with_oracle, duckdb_con
 
     reg = load_all()
+    if only is not None:
+        unknown = sorted(only - set(reg))
+        if unknown:
+            # A typo'd name must never report a green sweep for a row
+            # that was never checked.
+            print(f"ERROR: --only names not in the registry: {unknown}")
+            return 2
     con = duckdb_con(sf_dir)
     bad = []
     for name in sorted(reg):

@@ -2278,3 +2278,39 @@ def test_dsir_gumbel_resampling_reproducible_and_weight_tilted(spark):
     heavy1 = sum(1 for i in s1 if i < 10)
     # e^3 ~ 20x tilt: expect nearly all heavy docs in every draw
     assert heavy0 >= 8 and heavy1 >= 8
+
+
+def test_perplexity_buckets_null_text_and_tercile_boundary(spark):
+    """NULL-text docs score at the OOV floor and appear (the repo's
+    NULL-text contract — the LM oracle coalesces identically); a corpus
+    size divisible by 3 exercises the disc-percentile step boundary the
+    shared fraction literals pin."""
+    import duckdb
+
+    from metalpipe_spark.catalog import load_all
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'batch part spark line'), (2, NULL), (3, 'order small sort'), "
+        "(4, 'group fast batch'), (5, 'value filter'), (6, 'spark agg')"
+        ") AS t(doc_id, text)"
+    )
+    q = load_all()["q_ccnet_buckets"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "batch part spark line"), (2, None), (3, "order small sort"),
+             (4, "group fast batch"), (5, "value filter"), (6, "spark agg")],
+            "doc_id long, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = sorted(
+            (r["doc_id"], r["mean_logprob"], r["bucket"])
+            for r in q.build(spark, d).collect()
+        )
+    want = sorted(
+        (int(r[0]), float(r[1]), r[2]) for r in con.execute(q.oracle).fetchall()
+    )
+    assert len(got) == 6  # NULL-text doc present on BOTH sides
+    assert got == want
