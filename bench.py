@@ -103,6 +103,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_dsir_sample",
     "q_dsir_gumbel",
+    "q_incremental_dsir",
     "q_temperature_resample",
     "q_temperature_epochs",
     "q_global_shuffle",

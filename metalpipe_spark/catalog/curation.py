@@ -765,3 +765,42 @@ def q_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "dsir_log_weight")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_incremental_dsir",
+    f"""
+    WITH {_dsir_grams_cte()}
+    SELECT doc_id, n_grams, log_weight FROM w
+    WHERE doc_id % 2 = 1
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Incremental DSIR (the incremental-dedup shape): even-doc_id "
+        "batch builds the raw bucket-count store, odd-doc_id batch "
+        "folds in and scores against the accumulated distribution — "
+        "fold-before-score makes the result EQUAL the full-corpus "
+        "q_dsir_weights restricted to the batch (the oracle is exactly "
+        "that restriction).  Store state is one mergeable count row "
+        "per bucket: <= 1024 rows regardless of corpus size."
+    ),
+)
+def q_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import (
+        dsir_incremental_weights,
+        dsir_target_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = dsir_target_counts(
+        docs.where(F.col("lang") == "en"), buckets=_DSIR_BUCKETS
+    )
+    _, store = dsir_incremental_weights(
+        docs.where(F.col("doc_id") % 2 == 0), None, tc,
+        buckets=_DSIR_BUCKETS, exact=True,
+    )
+    weights, _ = dsir_incremental_weights(
+        docs.where(F.col("doc_id") % 2 == 1), store, tc,
+        buckets=_DSIR_BUCKETS, exact=True,
+    )
+    return weights.orderBy("doc_id")

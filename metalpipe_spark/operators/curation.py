@@ -813,12 +813,28 @@ def dsir_importance_weights(
         .localCheckpoint(eager=False)
     )
     r_counts = dc.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
+    return _dsir_probe(
+        dc,
+        _dsir_ratio(r_counts, t_counts, buckets, smoothing, exact),
+        id_col,
+        exact,
+    )
+
+
+def _dsir_ratio(
+    r_counts: DataFrame,
+    t_counts: DataFrame,
+    buckets: int,
+    smoothing: float,
+    exact: bool,
+) -> DataFrame:
+    """The <=buckets-row log-ratio table from raw/target bucket counts
+    (``(bucket, __cr)`` / ``(bucket, __ct)``).  Only buckets PRESENT in
+    the raw corpus can ever be probed, so it left-joins from the raw
+    side; absent target buckets take the smoothed-zero estimate."""
+    s = float(smoothing)
     t_total = t_counts.agg(F.sum("__ct").alias("__tt"))
     r_total = r_counts.agg(F.sum("__cr").alias("__rt"))
-    s = float(smoothing)
-    # Only buckets PRESENT in the corpus can ever be probed, so the
-    # ratio table is a left join from the corpus side; absent target
-    # buckets take the smoothed-zero estimate.
     ratio = (
         r_counts.join(t_counts, "bucket", "left")
         .crossJoin(F.broadcast(t_total))
@@ -837,13 +853,20 @@ def dsir_importance_weights(
             ).alias("__lr"),
         )
     )
-    # Weights accumulate count * log-ratio per (doc, bucket) cell —
-    # identical to the sum over gram occurrences (decimal x integer is
-    # exact, so the oracle's per-occurrence sum matches bit-for-bit).
     if exact:
-        ratio = ratio.select(
-            "bucket", F.round(F.col("__lr"), 6).alias("__lr")
-        )
+        ratio = ratio.select("bucket", F.round(F.col("__lr"), 6).alias("__lr"))
+    return ratio
+
+
+def _dsir_probe(
+    dc: DataFrame, ratio: DataFrame, id_col: str, exact: bool
+) -> DataFrame:
+    """Per-doc rollup of the broadcast ratio probe over the
+    ``(id, bucket, __c)`` count table.  Weights accumulate count x
+    log-ratio per cell — identical to the sum over gram occurrences
+    (decimal x integer is exact, so a per-occurrence oracle matches
+    bit-for-bit)."""
+    if exact:
         acc = F.sum(
             F.col("__lr").cast("decimal(18,6)") * F.col("__c")
         ).cast("double")
@@ -857,6 +880,67 @@ def dsir_importance_weights(
             acc.alias("log_weight"),
         )
     )
+
+
+def dsir_target_counts(
+    target: DataFrame, text_col: str = "text", buckets: int = 8192
+) -> DataFrame:
+    """The fixed target-side bucket distribution ``(bucket, __ct)`` —
+    compute ONCE per target and persist; it is what
+    :func:`dsir_incremental_weights` takes instead of re-scanning the
+    target per batch."""
+    return _hashed_grams(target, text_col, buckets, []).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("__ct"))
+
+
+def dsir_incremental_weights(
+    new_docs: DataFrame,
+    raw_bucket_counts: DataFrame | None,
+    target_bucket_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    exact: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """DSIR for a continuously-ingesting corpus: score a NEW batch
+    against the raw-corpus bucket distribution seen SO FAR (the
+    incremental-dedup shape — re-scanning the whole corpus per batch is
+    a non-starter at 100 TB).  Returns ``(weights, updated_counts)``:
+    the batch is folded into the store BEFORE scoring, so a single
+    batch over the whole corpus reproduces
+    :func:`dsir_importance_weights` exactly (tested), and the store is
+    one mergeable count row per bucket — at most ``buckets`` rows of
+    fixed size, regardless of corpus size.
+
+    ``raw_bucket_counts`` is ``(bucket, __cr)`` from a previous call
+    (None for the first batch); ``target_bucket_counts`` is
+    :func:`dsir_target_counts` output, fixed across batches.  Persist
+    ``updated_counts`` (it is bucket-count sized) before the next
+    batch — e.g. through the same manifest-atomic store the
+    incremental dedup family uses."""
+    dc = (
+        _hashed_grams(new_docs, text_col, buckets, [id_col])
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    batch_counts = dc.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
+    if raw_bucket_counts is None:
+        updated = batch_counts
+    else:
+        updated = (
+            raw_bucket_counts.unionByName(batch_counts)
+            .groupBy("bucket")
+            .agg(F.sum("__cr").alias("__cr"))
+        )
+    # The ratio table derives from `updated`, which is consumed once
+    # here and returned to the caller — it is <= buckets rows, so the
+    # caller's persist/write is cheap and the double evaluation of a
+    # few-row aggregate is noise.
+    ratio = _dsir_ratio(updated, target_bucket_counts, buckets, smoothing, exact)
+    return _dsir_probe(dc, ratio, id_col, exact), updated
 
 
 def dsir_topk_sample(

@@ -2314,3 +2314,43 @@ def test_perplexity_buckets_null_text_and_tercile_boundary(spark):
     )
     assert len(got) == 6  # NULL-text doc present on BOTH sides
     assert got == want
+
+
+def test_dsir_incremental_matches_full_and_folds_batches(spark):
+    """Single-batch incremental DSIR == the full-corpus computation
+    (the store folds BEFORE scoring); two batches produce the same
+    final store as one; the store stays <= buckets rows."""
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_incremental_weights,
+        dsir_target_counts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 5} common token{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "w1 w1 common common")], "doc_id long, text string"
+    )
+    tc = dsir_target_counts(target, buckets=64)
+
+    full = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_importance_weights(
+            corpus, target, buckets=64, exact=True
+        ).collect()
+    }
+    w1, store1 = dsir_incremental_weights(corpus, None, tc, buckets=64, exact=True)
+    got = {r["doc_id"]: (r["n_grams"], r["log_weight"]) for r in w1.collect()}
+    assert got == full
+
+    # two batches fold to the same store as one
+    b1 = corpus.where("doc_id < 20")
+    b2 = corpus.where("doc_id >= 20")
+    _, s_a = dsir_incremental_weights(b1, None, tc, buckets=64, exact=True)
+    _, s_b = dsir_incremental_weights(b2, s_a, tc, buckets=64, exact=True)
+    one = sorted(map(tuple, store1.collect()))
+    two = sorted(map(tuple, s_b.collect()))
+    assert one == two
+    assert len(one) <= 64
