@@ -1425,3 +1425,52 @@ def cross_source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def tune_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for :func:`minhash_lsh_pairs`
+    targeting a Jaccard ``threshold`` — the standard S-curve
+    optimization (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4; the same procedure datasketch ships): the
+    probability a pair of similarity ``s`` collides in some band is
+    ``P(s) = 1 - (1 - s^r)^b``; choose the divisor pair (b, r) with
+    ``b*r = num_hashes`` minimizing the weighted false-positive area
+    (integral of P below the threshold) plus false-negative area
+    (integral of 1-P above it).
+
+    Pure driver-side arithmetic over the O(divisors) candidates —
+    call once when configuring a dedup job, pass the result to the
+    operator.  Raising ``fp_weight`` biases toward fewer, wider bands
+    (fewer spurious candidates to verify); raising ``fn_weight``
+    toward more, narrower bands (recall)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+
+    def areas(b: int, r: int, steps: int = 1000) -> tuple[float, float]:
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return fp / steps, fn / steps
+
+    best, best_err = None, None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp, fn = areas(b, r)
+        err = fp_weight * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best

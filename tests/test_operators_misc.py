@@ -2354,3 +2354,34 @@ def test_dsir_incremental_matches_full_and_folds_batches(spark):
     two = sorted(map(tuple, s_b.collect()))
     assert one == two
     assert len(one) <= 64
+
+
+def test_tune_lsh_bands_scurve_properties():
+    """The tuner returns a valid divisor pair whose S-curve transitions
+    near the threshold, and the fp/fn weights steer band width the
+    documented way."""
+    import pytest
+
+    from metalpipe_spark.operators.dedup import tune_lsh_bands
+
+    b, r = tune_lsh_bands(0.5, 16)
+    assert b * r == 16 and b >= 1 and r >= 1
+    p = lambda s, b=b, r=r: 1 - (1 - s**r) ** b
+    assert p(0.2) < 0.35 and p(0.8) > 0.65    # transitions around 0.5
+
+    # recall-heavy weighting never yields WIDER bands (r can only drop)
+    b_recall, r_recall = tune_lsh_bands(0.5, 16, fp_weight=0.05, fn_weight=0.95)
+    assert r_recall <= r
+    # precision-heavy weighting never yields NARROWER bands
+    b_prec, r_prec = tune_lsh_bands(0.5, 16, fp_weight=0.95, fn_weight=0.05)
+    assert r_prec >= r
+
+    # higher threshold -> wider bands (more rows per band)
+    _, r_hi = tune_lsh_bands(0.9, 16)
+    _, r_lo = tune_lsh_bands(0.1, 16)
+    assert r_hi > r_lo
+
+    with pytest.raises(ValueError):
+        tune_lsh_bands(1.5, 16)
+    with pytest.raises(ValueError):
+        tune_lsh_bands(0.5, 1)
