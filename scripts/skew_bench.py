@@ -31,6 +31,10 @@ QUERIES = [
     "q_url_dedup",
     "q_paragraph_dedup",
     "q_boilerplate_removal",
+    # round-11 rows whose shuffles key on gram-hash buckets / scores —
+    # the banner makes a handful of gram buckets hot
+    "q_dsir_weights",
+    "q_ccnet_buckets",
 ]
 
 
@@ -60,10 +64,13 @@ def main() -> int:
 
     reg = load_all()
 
+    from metalpipe_spark.catalog.dedup import clear_shared_stages
+
     def median_time(name: str, sf_dir: str) -> float:
         samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
+            clear_shared_stages()  # memoized family stages must re-pay
             t0 = time.perf_counter()
             df = reg[name].build(spark, sf_dir)
             df.agg(
