@@ -220,8 +220,9 @@ def chunk_documents(
         raise ValueError("require 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), r" ")
-    base = df.select(
-        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    # size() reads the projected array attribute, not a second split.
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        id_col, "__t", F.size("__t").alias("__n")
     )
     s = F.col("__s")
     return (
@@ -598,10 +599,13 @@ def lexicon_score(
     # explode — the sibling ngram_logprob keeps such docs via its OOV
     # path, and row coverage must agree for downstream joins.
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = df.select(
+    # Tokenize ONCE into an attribute: codegen does not CSE the regex
+    # split between the size expression and the explode generator (the
+    # ngram_logprob lesson — measured ~3.5x there).
+    toks = df.withColumn("__tk", tokens(txt)).select(
         F.col(id_col),
-        F.size(tokens(txt)).alias("__n"),
-        F.explode(tokens(txt)).alias("token"),
+        F.size("__tk").alias("__n"),
+        F.explode("__tk").alias("token"),
     )
     joined = toks.join(broadcast(lex), "token", "left")
     w = F.coalesce(F.col("weight"), F.lit(0.0))
@@ -655,16 +659,21 @@ def ngram_logprob(
         )
     else:
         lm_df = lm
-    toks = tokens(text_col)
+    # The token array is PROJECTED once and every downstream expression
+    # references the attribute: codegen does not common-subexpression-
+    # eliminate the regex split across the size/slice/when trees feeding
+    # a generator, so the inline form re-tokenized every row ~5x
+    # (measured 3.4 s -> 0.95 s at sf0.1 for this one projection).
+    df = df.withColumn("__tk", tokens(text_col))
+    toks = F.col("__tk")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     # Gram construction by zipping n SHIFTED slices of the token array —
     # NOT transform() over an index sequence with slice(toks, i, n)
     # inside the lambda: a non-lambda expression referenced in a HOF
-    # body re-evaluates per element in interpreted mode, so the regex
-    # split would run once per gram = O(tokens²) splits per document
-    # (measured 5.2 s -> 3.4 s at sf0.1; the remainder is the genuine
-    # explode+join+aggregate work).  Slices here are direct children,
-    # evaluated once per row.
+    # body re-evaluates per element in interpreted mode, so the slice
+    # would run once per gram = O(tokens²) work per document
+    # (measured 5.2 s -> 3.4 s at sf0.1).  Slices here are direct
+    # children, evaluated once per row.
     safe = F.greatest(count, F.lit(1))
     grams = F.slice(toks, 1, safe)
     for k in range(1, n):
