@@ -1062,9 +1062,14 @@ def duplicate_span_dedup(
     ``groupBy(hash).min`` joined back hash-co-located; removal shuffles
     are bounded by DUPLICATED-span volume; reassembly state is bounded
     by document size.  Output: ``(id, clean_text, n_kept)``."""
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r" ")
+    # Tokenize ONCE into an attribute: codegen does not CSE the split
+    # between the size expression and the posexplode generator.
     tokpos = df.select(
-        F.col(id_col), F.size(toks).alias("__n"), F.posexplode(toks).alias("pos", "tok")
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
+    ).select(
+        id_col, F.size("__tk").alias("__n"),
+        F.posexplode("__tk").alias("pos", "tok"),
     )
     anchors = tokpos.where(
         (F.pmod(_hash64(F.col("tok")), F.lit(anchor_stride)) == 0)
