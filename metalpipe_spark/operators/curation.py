@@ -730,7 +730,11 @@ def token_budget_sample(
 
 
 def _hashed_grams(
-    df: DataFrame, text_col: str, buckets: int, id_cols: list[str]
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    id_cols: list[str],
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """Hashed unigram+bigram feature rows ``(*id_cols, bucket)`` — one
     row per gram OCCURRENCE, so a plain count per bucket is the
@@ -757,10 +761,21 @@ def _hashed_grams(
     grams = F.concat(
         toks, F.when(n >= 2, bi).otherwise(F.array().cast("array<string>"))
     )
+    if bucket_hash == "md5":
+        h = _hash64(F.col("__g"))  # portable: DuckDB-replayable oracles
+    elif bucket_hash == "xxhash64":
+        # Production path: JVM-native, ~4x the md5 throughput, same
+        # uniformity for bucket folding — NOT oracle-replayable, so the
+        # catalog rows stay on md5.
+        h = F.abs(F.xxhash64(F.col("__g")))
+    else:
+        raise ValueError(
+            f"bucket_hash must be 'md5' or 'xxhash64', got {bucket_hash!r}"
+        )
     return df.select(
         *id_cols, F.explode(grams).alias("__g")
     ).select(
-        *id_cols, F.pmod(_hash64(F.col("__g")), F.lit(buckets)).alias("bucket")
+        *id_cols, F.pmod(h, F.lit(buckets)).alias("bucket")
     )
 
 
@@ -772,6 +787,7 @@ def dsir_importance_weights(
     buckets: int = 8192,
     smoothing: float = 1.0,
     exact: bool = False,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.,
     NeurIPS 2023): per-document importance ``log w(x) = sum_b c_b(x) *
@@ -803,9 +819,9 @@ def dsir_importance_weights(
     corpus-frequency penalty rather than erroring — but that is rarely
     what you want; check the target selection upstream.
     """
-    t_counts = _hashed_grams(target, text_col, buckets, []).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("__ct"))
+    t_counts = _hashed_grams(
+        target, text_col, buckets, [], bucket_hash
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
     # One corpus gram-hash pass, not two: the per-(doc, bucket) count
     # table serves BOTH the raw bucket distribution (re-aggregate) and
     # the per-doc probe (join) — without the lazy checkpoint each
@@ -813,7 +829,7 @@ def dsir_importance_weights(
     # most docs x min(grams, buckets) rows of three small columns, so
     # the materialization is doc-count-shaped, never corpus-byte-shaped.
     dc = (
-        _hashed_grams(corpus, text_col, buckets, [id_col])
+        _hashed_grams(corpus, text_col, buckets, [id_col], bucket_hash)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=False)
@@ -889,15 +905,18 @@ def _dsir_probe(
 
 
 def dsir_target_counts(
-    target: DataFrame, text_col: str = "text", buckets: int = 8192
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 8192,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """The fixed target-side bucket distribution ``(bucket, __ct)`` —
     compute ONCE per target and persist; it is what
     :func:`dsir_incremental_weights` takes instead of re-scanning the
     target per batch."""
-    return _hashed_grams(target, text_col, buckets, []).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("__ct"))
+    return _hashed_grams(
+        target, text_col, buckets, [], bucket_hash
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
 
 
 def dsir_incremental_weights(
@@ -909,6 +928,7 @@ def dsir_incremental_weights(
     buckets: int = 8192,
     smoothing: float = 1.0,
     exact: bool = False,
+    bucket_hash: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """DSIR for a continuously-ingesting corpus: score a NEW batch
     against the raw-corpus bucket distribution seen SO FAR (the
@@ -927,7 +947,7 @@ def dsir_incremental_weights(
     batch — e.g. through the same manifest-atomic store the
     incremental dedup family uses."""
     dc = (
-        _hashed_grams(new_docs, text_col, buckets, [id_col])
+        _hashed_grams(new_docs, text_col, buckets, [id_col], bucket_hash)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=False)

@@ -2385,3 +2385,41 @@ def test_tune_lsh_bands_scurve_properties():
         tune_lsh_bands(1.5, 16)
     with pytest.raises(ValueError):
         tune_lsh_bands(0.5, 1)
+
+
+def test_dsir_xxhash_production_path(spark):
+    """bucket_hash='xxhash64' (the JVM-speed production path) keeps the
+    DSIR semantics: every doc weighted, weights tilt toward the target,
+    incremental fold still equals the full computation."""
+    import pytest
+
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_incremental_weights,
+        dsir_target_counts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "sci sci sci sci"), (2, "sci sci web web"), (3, "web web web web")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(9, "sci sci sci")], "doc_id long, text string"
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            corpus, target, buckets=64, bucket_hash="xxhash64"
+        ).collect()
+    }
+    assert set(w) == {1, 2, 3} and w[1] > w[2] > w[3]
+
+    tc = dsir_target_counts(target, buckets=64, bucket_hash="xxhash64")
+    inc, _ = dsir_incremental_weights(
+        corpus, None, tc, buckets=64, bucket_hash="xxhash64"
+    )
+    got = {r["doc_id"]: r["log_weight"] for r in inc.collect()}
+    assert all(abs(got[i] - w[i]) < 1e-9 for i in (1, 2, 3))
+
+    with pytest.raises(ValueError, match="bucket_hash"):
+        dsir_importance_weights(corpus, target, buckets=64, bucket_hash="sha1")
