@@ -429,3 +429,54 @@ def test_pivot_pinned_equals_dataframe_pivot_property(spark, rows, agg):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    n_docs=st.integers(6, 24),
+    cut=st.integers(1, 5),
+    seed=st.integers(0, 10_000),
+)
+def test_dsir_incremental_batch_split_invariance(spark, n_docs, cut, seed):
+    """Scoring a corpus through ANY batch split must equal the
+    single-pass computation for the docs of the LAST batch (the store
+    folds batch counts before scoring), and the final store must equal
+    the full corpus distribution."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_incremental_weights,
+        dsir_target_counts,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 8))))
+        for i in range(n_docs)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    tc = dsir_target_counts(target, buckets=32)
+
+    full = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_importance_weights(
+            corpus, target, buckets=32, exact=True
+        ).collect()
+    }
+    b1 = corpus.where(F.col("doc_id") < cut)
+    b2 = corpus.where(F.col("doc_id") >= cut)
+    _, store = dsir_incremental_weights(b1, None, tc, buckets=32, exact=True)
+    w2, final_store = dsir_incremental_weights(
+        b2, store, tc, buckets=32, exact=True
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["log_weight"]) for r in w2.collect()}
+    assert got == {k: v for k, v in full.items() if k >= cut}
+
+    one_store = dsir_incremental_weights(corpus, None, tc, buckets=32, exact=True)[1]
+    assert sorted(map(tuple, final_store.collect())) == sorted(
+        map(tuple, one_store.collect())
+    )
