@@ -163,6 +163,7 @@ HEADLINE = [
     "q_stream_dedup",
     "q_stream_join",
     "q_stream_corpus",
+    "q_stream_dsir",
     "q_stream_stats",
     "q_stream_window_daily",
     "q_session_windows",

@@ -387,3 +387,62 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_dsir_oracle() -> str:
+    from metalpipe_spark.catalog.curation import _dsir_grams_cte
+
+    return f"""
+    WITH {_dsir_grams_cte()}
+    SELECT doc_id, n_grams, log_weight FROM w ORDER BY doc_id
+    """
+
+
+@register(
+    "q_stream_dsir",
+    _stream_dsir_oracle(),
+    doc=(
+        "STREAMING DSIR (streams.stream_dsir_sink) drained with "
+        "availableNow: each micro-batch folds its hashed-ngram bucket "
+        "counts into the persisted raw-distribution store "
+        "(manifest-atomic, exactly-once) and scores itself against the "
+        "updated distribution.  One source file = one batch here, so "
+        "the drained weights equal the batch q_dsir_weights — the "
+        "oracle is exactly that computation.  Durable state: <= 1024 "
+        "mergeable count rows, regardless of streamed volume."
+    ),
+)
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.sources.readers import load_table
+    from metalpipe_spark.streaming.streams import stream_dsir_sink
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    )
+    target = load_table(spark, sf_dir, "documents").where(
+        F.col("lang") == "en"
+    )
+    tmp = tempfile.mkdtemp(prefix="mps_stream_dsir_")
+    try:
+        stream_dsir_sink(
+            stream,
+            target,
+            f"{tmp}/kept",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            buckets=1024,
+            exact=True,
+        ).awaitTermination()
+        out = spark.read.parquet(f"{tmp}/kept").select(
+            "doc_id", "n_grams", "log_weight"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

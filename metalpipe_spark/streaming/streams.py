@@ -791,3 +791,65 @@ def stream_corpus_pipeline(
         return fresh, updated.distinct(), lambda: clean.unpersist()
 
     return _incremental_store_sink(scrubbed, kept_path, store_path, checkpoint, step)
+
+
+def stream_dsir_sink(
+    df: DataFrame,
+    target: DataFrame,
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    bucket_hash: str = "md5",
+    exact: bool = False,
+):
+    """Continuously-ingesting DSIR: each micro-batch folds its hashed
+    n-gram bucket counts into the persisted raw-corpus distribution,
+    then scores itself against the UPDATED distribution
+    (``curation.dsir_incremental_weights`` — fold-before-score, so a
+    one-batch stream equals the batch computation); per-doc
+    ``(id, n_grams, log_weight)`` rows append to ``kept_path`` and the
+    store advances to the new counts.  The importance stream feeds a
+    downstream threshold/top-k selection exactly like the batch
+    weights table.
+
+    The target-side distribution is computed ONCE at definition time
+    (eval/seed sets are batch data, not a stream) and lineage-truncated
+    so per-batch re-use never re-scans the target.  Durable state is
+    the bucket-count table — AT MOST ``buckets`` mergeable rows of
+    fixed size regardless of how much corpus has streamed past — and
+    the swap durability / crash self-heal / exactly-once replay are the
+    shared ``_incremental_store_sink`` contract (the same store family
+    as the exact/semantic/image dedup sinks)."""
+    from metalpipe_spark.operators.curation import (
+        dsir_incremental_weights,
+        dsir_target_counts,
+    )
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
+    tc, tc_rdd = _truncate_lineage(
+        dsir_target_counts(
+            target, text_col=text_col, buckets=buckets, bucket_hash=bucket_hash
+        ),
+        reliable=False,
+    )
+    tc.count()  # materialize once; every micro-batch broadcasts from here
+
+    def step(batch_df: DataFrame, store: DataFrame | None):
+        weights, updated = dsir_incremental_weights(
+            batch_df,
+            store,
+            tc,
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+            smoothing=smoothing,
+            bucket_hash=bucket_hash,
+            exact=exact,
+        )
+        return weights, updated
+
+    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)

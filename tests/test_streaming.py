@@ -901,3 +901,68 @@ def test_incremental_sink_replay_of_committed_batch_is_noop(spark, tmp_path):
     assert after == before  # no duplicates, no lost rows
     v_after, body2 = read_manifest_body(spark, store_path)
     assert (v_after, body2["batch_id"]) == (v_before, 0)  # store untouched
+
+
+def test_stream_dsir_sink_matches_batch_incremental(spark, tmp_path):
+    """Streaming DSIR over two micro-batches: per-doc importance rows
+    equal the batch incremental computation over the same splits (and
+    therefore, fold-before-score, the full-corpus weights restricted to
+    each batch's docs); the persisted store ends at the full corpus
+    distribution with <= buckets rows."""
+    import time as _time
+
+    from metalpipe_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_target_counts,
+    )
+    from metalpipe_spark.streaming.streams import load_store, stream_dsir_sink
+
+    rows = [(i, f"w{i % 5} w{i % 3} common tok{i % 7}") for i in range(30)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows[:12], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(rows[12:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    corpus = spark.createDataFrame(rows, schema)
+    target = spark.createDataFrame(rows[:4], schema)
+
+    stream = file_watchdog(spark, str(src), schema, max_files_per_trigger=1)
+    stream_dsir_sink(
+        stream,
+        target,
+        str(tmp_path / "kept"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        buckets=64,
+    ).awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["log_weight"], 9))
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    }
+    assert set(got) == set(range(30))  # every doc scored exactly once
+
+    # batch 2 saw the full distribution -> equals the one-shot weights
+    full = {
+        r["doc_id"]: (r["n_grams"], round(r["log_weight"], 9))
+        for r in dsir_importance_weights(
+            corpus, target, buckets=64
+        ).collect()
+    }
+    assert all(got[i] == full[i] for i in range(12, 30))
+
+    # final store == full-corpus bucket distribution, <= buckets rows
+    store = {r["bucket"]: r["__cr"] for r in load_store(spark, str(tmp_path / "store")).collect()}
+    from metalpipe_spark.operators.curation import _hashed_grams
+
+    want = {
+        r["bucket"]: r["n"]
+        for r in _hashed_grams(corpus, "text", 64, [])
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert store == want and len(store) <= 64
