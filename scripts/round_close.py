@@ -79,8 +79,10 @@ def main() -> int:
         )
         payload = json.loads(line)  # validates the one-JSON-line contract
         art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+        # ONE JSON line — the format every prior BENCH_LOCAL artifact
+        # uses and bench_compare's line-oriented loader expects.
         with open(art, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
+            json.dump(payload, f, sort_keys=True)
             f.write("\n")
         print(f"wrote {art}: {len(payload['queries'])} queries, "
               f"{payload['value']}s total")
