@@ -791,10 +791,19 @@ def q_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_target_counts,
     )
 
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
     docs = load_table(spark, sf_dir, "documents")
-    tc = dsir_target_counts(
-        docs.where(F.col("lang") == "en"), buckets=_DSIR_BUCKETS
+    # Materialize the fixed target distribution ONCE (its own contract):
+    # both incremental calls consume it twice inside _dsir_ratio, so an
+    # un-truncated tc would re-run the en-slice gram-hash scan 4x.
+    tc, _tc_rdd = _truncate_lineage(
+        dsir_target_counts(
+            docs.where(F.col("lang") == "en"), buckets=_DSIR_BUCKETS
+        ),
+        reliable=False,
     )
+    tc.count()
     _, store = dsir_incremental_weights(
         docs.where(F.col("doc_id") % 2 == 0), None, tc,
         buckets=_DSIR_BUCKETS, exact=True,

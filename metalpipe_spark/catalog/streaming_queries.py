@@ -438,6 +438,8 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/ckpt",
             buckets=1024,
             exact=True,
+            # one parquet file per batch otherwise = one task
+            rebalance_partitions=spark.sparkContext.defaultParallelism,
         ).awaitTermination()
         out = spark.read.parquet(f"{tmp}/kept").select(
             "doc_id", "n_grams", "log_weight"

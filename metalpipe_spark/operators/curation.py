@@ -766,8 +766,10 @@ def _hashed_grams(
     elif bucket_hash == "xxhash64":
         # Production path: JVM-native, ~4x the md5 throughput, same
         # uniformity for bucket folding — NOT oracle-replayable, so the
-        # catalog rows stay on md5.
-        h = F.abs(F.xxhash64(F.col("__g")))
+        # catalog rows stay on md5.  No abs(): pmod already maps
+        # negative hashes into [0, buckets), and abs(Long.MIN_VALUE)
+        # would throw under ANSI where pmod is total.
+        h = F.xxhash64(F.col("__g"))
     else:
         raise ValueError(
             f"bucket_hash must be 'md5' or 'xxhash64', got {bucket_hash!r}"
@@ -819,28 +821,23 @@ def dsir_importance_weights(
     corpus-frequency penalty rather than erroring — but that is rarely
     what you want; check the target selection upstream.
     """
-    t_counts = _hashed_grams(
-        target, text_col, buckets, [], bucket_hash
-    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
-    # One corpus gram-hash pass, not two: the per-(doc, bucket) count
-    # table serves BOTH the raw bucket distribution (re-aggregate) and
-    # the per-doc probe (join) — without the lazy checkpoint each
-    # consumer would re-run the full explode+md5 scan.  The table is at
-    # most docs x min(grams, buckets) rows of three small columns, so
-    # the materialization is doc-count-shaped, never corpus-byte-shaped.
-    dc = (
-        _hashed_grams(corpus, text_col, buckets, [id_col], bucket_hash)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
+    # One implementation, not three: the full-corpus computation IS the
+    # incremental one with an empty store (fold-before-score makes them
+    # equal by construction — property-tested), so a tweak to the
+    # gram/ratio/probe pipeline can never drift between the batch,
+    # incremental, and streaming faces.
+    weights, _ = dsir_incremental_weights(
+        corpus,
+        None,
+        dsir_target_counts(target, text_col, buckets, bucket_hash),
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        smoothing=smoothing,
+        exact=exact,
+        bucket_hash=bucket_hash,
     )
-    r_counts = dc.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
-    return _dsir_probe(
-        dc,
-        _dsir_ratio(r_counts, t_counts, buckets, smoothing, exact),
-        id_col,
-        exact,
-    )
+    return weights
 
 
 def _dsir_ratio(

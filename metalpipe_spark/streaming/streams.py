@@ -805,6 +805,7 @@ def stream_dsir_sink(
     smoothing: float = 1.0,
     bucket_hash: str = "md5",
     exact: bool = False,
+    rebalance_partitions: int | None = None,
 ):
     """Continuously-ingesting DSIR: each micro-batch folds its hashed
     n-gram bucket counts into the persisted raw-corpus distribution,
@@ -830,6 +831,11 @@ def stream_dsir_sink(
     )
     from metalpipe_spark.operators.dedup import _truncate_lineage
 
+    if rebalance_partitions:
+        # Micro-batch parallelism is inherited from the source's file
+        # layout (the stream_corpus_pipeline rationale): one large file
+        # per batch would run the whole explode+hash chain on one task.
+        df = df.repartition(rebalance_partitions)
     tc, tc_rdd = _truncate_lineage(
         dsir_target_counts(
             target, text_col=text_col, buckets=buckets, bucket_hash=bucket_hash

@@ -939,19 +939,23 @@ def test_stream_dsir_sink_matches_batch_incremental(spark, tmp_path):
         str(tmp_path / "store"),
         str(tmp_path / "ckpt"),
         buckets=64,
+        # exact: decimal sums are order-independent, so the streaming
+        # plan's partial-sum order cannot flip a comparison bit vs the
+        # batch plan (the default double path is ~1 ulp plan-dependent)
+        exact=True,
     ).awaitTermination()
 
-    got = {
-        r["doc_id"]: (r["n_grams"], round(r["log_weight"], 9))
-        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
-    }
-    assert set(got) == set(range(30))  # every doc scored exactly once
+    kept_rows = spark.read.parquet(str(tmp_path / "kept")).collect()
+    # duplicate-safe exactly-once check: a doc scored in two batches
+    # would collapse in a dict — count the raw rows
+    assert sorted(r["doc_id"] for r in kept_rows) == list(range(30))
+    got = {r["doc_id"]: (r["n_grams"], r["log_weight"]) for r in kept_rows}
 
     # batch 2 saw the full distribution -> equals the one-shot weights
     full = {
-        r["doc_id"]: (r["n_grams"], round(r["log_weight"], 9))
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
         for r in dsir_importance_weights(
-            corpus, target, buckets=64
+            corpus, target, buckets=64, exact=True
         ).collect()
     }
     assert all(got[i] == full[i] for i in range(12, 30))
