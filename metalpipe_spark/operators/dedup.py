@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     cache_signatures: bool = False,
     signatures: DataFrame | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: documents sharing any band signature become
     candidate pairs; estimated similarity = fraction of matching minhash
@@ -220,7 +221,14 @@ def minhash_lsh_pairs(
     (``(id, minhash)`` with ``num_hashes`` components — e.g. the
     catalog's shared signature stage) so several consumers in one
     session plan the shingle→minhash pipeline exactly once.
+
+    ``threshold`` overrides ``bands`` with the S-curve-optimal band
+    count for that Jaccard target (:func:`tune_lsh_bands`) — say what
+    similarity you mean and let the divisor arithmetic pick the
+    banding.
     """
+    if threshold is not None:
+        bands, _ = tune_lsh_bands(threshold, num_hashes)
     sigs = (
         signatures
         if signatures is not None

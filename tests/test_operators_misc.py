@@ -2423,3 +2423,19 @@ def test_dsir_xxhash_production_path(spark):
 
     with pytest.raises(ValueError, match="bucket_hash"):
         dsir_importance_weights(corpus, target, buckets=64, bucket_hash="sha1")
+
+
+def test_minhash_lsh_threshold_autotunes_bands(spark):
+    """threshold= picks the tuner's banding and still finds the planted
+    near-dup pair."""
+    from metalpipe_spark.operators.dedup import minhash_lsh_pairs, tune_lsh_bands
+
+    A = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, A), (2, A + " tail extra"), (3, "completely different words here")],
+        ["doc_id", "text"],
+    )
+    out = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert any((r["d1"], r["d2"]) == (1, 2) for r in out)
+    b, r = tune_lsh_bands(0.5, 16)
+    assert b * r == 16  # the override really routed through the tuner
