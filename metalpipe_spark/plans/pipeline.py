@@ -608,13 +608,17 @@ def _near_dup_dedup_node(spark, upstreams, opts):
     from metalpipe_spark.operators.dedup import dedup_corpus, minhash_lsh_pairs
 
     df = _one(upstreams, "NearDupDedup")
+    threshold = opts.get("threshold", 0.5)
     pairs = minhash_lsh_pairs(
         df,
         text_col=opts.get("text_col", "text"),
         id_col=opts.get("id_col", "doc_id"),
         num_hashes=opts.get("num_hashes", 16),
         bands=opts.get("bands", 8),
-    ).where(F.col("est_jaccard") >= opts.get("threshold", 0.5))
+        # auto_bands: let the S-curve tuner size the banding for the
+        # SAME threshold the est_jaccard cut uses (tune_lsh_bands)
+        threshold=threshold if opts.get("auto_bands") else None,
+    ).where(F.col("est_jaccard") >= threshold)
     return dedup_corpus(
         df,
         pairs,
