@@ -25,36 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q05_region_revenue"].build(spark, "/root/testdata/sf0.001")
 
 
-def _sample_counts() -> dict[str, int]:
-    """How often each catalog row has appeared in a driver CORRECTNESS
-    sample, from the CORRECTNESS_r*.json artifacts beside this file."""
-    import glob
-    import json
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    counts: dict[str, int] = {}
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        try:
-            with open(p) as f:
-                for name in json.load(f):
-                    counts[name] = counts.get(name, 0) + 1
-        except Exception:
-            continue  # a malformed artifact must not break the contract
-    return counts
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family (SURVEY.md §2).
 
-    Ordered least-driver-sampled first (ties by name): the driver
-    samples a subset of the catalog per round, and if it honors dict
-    order this rotates never-confirmed rows into the sample instead of
-    re-checking the same ones; if it samples randomly the order is
-    harmless."""
-    counts = _sample_counts()
+    Deterministic name order: sample selection / rotation is the
+    driver's job, and the contract surface must behave identically on
+    every checkout (no dependence on local artifacts)."""
     reg = load_all()
-    ordered = sorted(reg, key=lambda n: (counts.get(n, 0), n))
-    return {name: reg[name].build for name in ordered}
+    return {name: reg[name].build for name in sorted(reg)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -545,8 +545,8 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Amplitude levels sit on a 0.05 grid and the variant's edit offset
 # (0.513) is never a multiple of a level gap, so no comparison ever
 # rides within float error of a tie.  The level index is a QUADRATIC
-# hash of the combined key x = doc_id*65 + j + 1 (square, fold mod the
-# prime 8191, Knuth-multiply, fold again, mod 13): any formula LINEAR
+# hash of the combined key x = doc_id*65 + j + 1 (fold mod the prime
+# 8191, square, fold, Knuth-multiply, fold again, mod 13): any formula LINEAR
 # in j makes every doc's level sequence an arithmetic progression with
 # the same step, so the comparison bits collapse into a handful of
 # (start-level, wrap-phase) classes — verified: a linear fixture
@@ -561,10 +561,13 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocks 0/1/3 stay exact matches and recall is guaranteed.
 _AFP_FRAME = 32
 _AFP_MAX_HAMMING = 3
-# x*x stays < 2^63 for doc_id up to ~1.1e8 (x = doc_id*65 + j + 1),
-# far above any SF's id range; the mod-8191 fold before the Knuth
-# multiply keeps the product in range too.
-_AFP_X = "(doc_id * 65 + j + 1)"
+# x is folded mod 8191 BEFORE squaring ((x mod m)^2 mod m == x^2 mod m,
+# so fixture values are unchanged): the residue square tops out at
+# 8190^2 * 2654435761 < 1.8e17 << 2^63, overflow-free at ANY id range.
+# Squaring x directly would wrap past 2^63 at doc_id ~ 4.7e7
+# (x = doc_id*65 + j + 1 < ~3.04e9) — silently under Spark non-ANSI,
+# as an error in the DuckDB oracle, diverging the two engines.
+_AFP_X = "((doc_id * 65 + j + 1) % 8191)"
 _AFP_AMP = (
     f"(1 + (((({_AFP_X} * {_AFP_X}) % 8191) * 2654435761) % 8191) % 13)"
     " * 0.05D"
@@ -588,7 +591,7 @@ def _afp_expr_sql(doc: str, gain: float, bump: bool) -> str:
     (the envelope IS the amplitude sequence by construction)."""
 
     def amp(j: int) -> str:
-        x = f"({doc} * 65 + {j + 1})"
+        x = f"(({doc} * 65 + {j + 1}) % 8191)"
         base = (
             f"((1 + (((({x} * {x}) % 8191) * 2654435761) % 8191) % 13)"
             f" * 0.05"

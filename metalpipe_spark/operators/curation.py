@@ -926,7 +926,8 @@ def dsir_incremental_weights(
     smoothing: float = 1.0,
     exact: bool = False,
     bucket_hash: str = "md5",
-) -> tuple[DataFrame, DataFrame]:
+    with_cleanup: bool = False,
+):
     """DSIR for a continuously-ingesting corpus: score a NEW batch
     against the raw-corpus bucket distribution seen SO FAR (the
     incremental-dedup shape — re-scanning the whole corpus per batch is
@@ -942,12 +943,23 @@ def dsir_incremental_weights(
     :func:`dsir_target_counts` output, fixed across batches.  Persist
     ``updated_counts`` (it is bucket-count sized) before the next
     batch — e.g. through the same manifest-atomic store the
-    incremental dedup family uses."""
-    dc = (
+    incremental dedup family uses.
+
+    With ``with_cleanup=True`` a third element is returned: a callable
+    that frees the per-batch ``(id, bucket, count)`` localCheckpoint's
+    MEMORY_AND_DISK blocks.  A long-running caller (``stream_dsir_sink``)
+    MUST invoke it once both returned frames are consumed, or the
+    stream pins one doc-count-scale block set per micro-batch for its
+    lifetime — the exact leak ``_truncate_lineage``'s handle exists to
+    prevent.  Batch callers can ignore it (session teardown frees the
+    single block set)."""
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
+    dc, dc_rdd = _truncate_lineage(
         _hashed_grams(new_docs, text_col, buckets, [id_col], bucket_hash)
         .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
+        .agg(F.count(F.lit(1)).alias("__c")),
+        reliable=False,
     )
     batch_counts = dc.groupBy("bucket").agg(F.sum("__c").alias("__cr"))
     if raw_bucket_counts is None:
@@ -963,7 +975,10 @@ def dsir_incremental_weights(
     # caller's persist/write is cheap and the double evaluation of a
     # few-row aggregate is noise.
     ratio = _dsir_ratio(updated, target_bucket_counts, buckets, smoothing, exact)
-    return _dsir_probe(dc, ratio, id_col, exact), updated
+    weights = _dsir_probe(dc, ratio, id_col, exact)
+    if with_cleanup:
+        return weights, updated, lambda: dc_rdd.unpersist(False)
+    return weights, updated
 
 
 def dsir_topk_sample(

@@ -369,6 +369,15 @@ def load_arpa(
         raise ValueError(
             f"load_arpa: order={order} not in model (has {sorted(declared)})"
         )
+    if order is not None and not declared and parsed.get(order, 0) == 0:
+        # Header-less ARPA (no \data\ section): the declared-count check
+        # above can't fire, so a missing order= section must still fail
+        # loudly instead of returning an empty DataFrame — a silently
+        # weaker LM downstream is the failure mode this guard exists for.
+        raise ValueError(
+            f"load_arpa: order={order} has no n-grams in header-less model "
+            f"(sections present: {sorted(parsed)})"
+        )
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]

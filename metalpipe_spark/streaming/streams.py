@@ -845,7 +845,12 @@ def stream_dsir_sink(
     tc.count()  # materialize once; every micro-batch broadcasts from here
 
     def step(batch_df: DataFrame, store: DataFrame | None):
-        weights, updated = dsir_incremental_weights(
+        # with_cleanup routes the per-batch (id, bucket, count)
+        # localCheckpoint through _truncate_lineage and hands back the
+        # block-release callable; the skeleton runs it after the
+        # manifest swap so micro-batches don't accumulate pinned blocks
+        # (the image-dedup sink's contract).
+        weights, updated, cleanup = dsir_incremental_weights(
             batch_df,
             store,
             tc,
@@ -855,7 +860,8 @@ def stream_dsir_sink(
             smoothing=smoothing,
             bucket_hash=bucket_hash,
             exact=exact,
+            with_cleanup=True,
         )
-        return weights, updated
+        return weights, updated, cleanup
 
     return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)

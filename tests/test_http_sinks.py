@@ -815,3 +815,14 @@ def test_load_arpa_roundtrip_and_ngram_logprob_dropin(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="truncated or corrupt"):
         load_arpa(spark, str(truncated))
+
+    # Header-less ARPA: no \data\ section means the declared-count check
+    # can't fire — order= pointing at a missing section must still raise
+    # instead of silently returning an empty (weaker) model.
+    headerless = tmp_path / "noheader.arpa"
+    headerless.write_text(
+        "\\1-grams:\n-1.0\thello\n-0.5\tworld\n\n\\end\\\n"
+    )
+    assert load_arpa(spark, str(headerless), order=1).count() == 2
+    with pytest.raises(ValueError, match="header-less"):
+        load_arpa(spark, str(headerless), order=2)
