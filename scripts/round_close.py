@@ -1,11 +1,15 @@
 """Mechanical round-close gate (VERDICT r10 task 2): a round may not
 end on a red board.  Runs, in order,
 
-  1. the FULL pytest suite,
-  2. the full oracle sweep (every registered catalog row vs DuckDB at
+  1. bench.py at the driver's setting (sf0.1, median-of-N), writing
+     BENCH_LOCAL_r{N}.json — FIRST, gated on an idle machine
+     (1-min loadavg < 2.0), so the committed numbers measure the
+     engine and not the test suite's thermal/cache wake (VERDICT r11
+     "What's wrong" #1: r11's artifact ran at loadavg 3.8→12.1 right
+     after the 14-minute pytest stage and six rows read 4-8x slow),
+  2. the FULL pytest suite,
+  3. the full oracle sweep (every registered catalog row vs DuckDB at
      sf0.01 — the driver's correctness gate, run locally),
-  3. bench.py at the driver's setting (sf0.1, median-of-N), writing
-     BENCH_LOCAL_r{N}.json,
 
 and exits non-zero the moment any step is red.  The round-close
 snapshot commit should cite the three green artifacts this script
@@ -57,10 +61,19 @@ def main() -> int:
         return 2
     rnd = int(argv[0])
 
-    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
-    run("oracle_sweep", [sys.executable, "scripts/oracle_sweep.py"])
-
     if not skip_bench:
+        # Idle gate: wait (up to 10 min) for the 1-min loadavg to drop
+        # below 2.0 before benching, so the artifact's env fingerprint
+        # proves the run measured an unloaded machine.
+        deadline = time.time() + 600
+        while (load := os.getloadavg()[0]) >= 2.0:
+            if time.time() > deadline:
+                print(f"bench idle-gate: loadavg still {load:.1f} after "
+                      "10 min — benching anyway (fingerprint will show it)")
+                break
+            print(f"bench idle-gate: loadavg {load:.1f} >= 2.0, waiting 30s",
+                  flush=True)
+            time.sleep(30)
         out = run(
             "bench",
             [sys.executable, "bench.py"],
@@ -86,6 +99,9 @@ def main() -> int:
             f.write("\n")
         print(f"wrote {art}: {len(payload['queries'])} queries, "
               f"{payload['value']}s total")
+
+    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    run("oracle_sweep", [sys.executable, "scripts/oracle_sweep.py"])
 
     print(f"ROUND {rnd} CLOSE: ALL GREEN")
     return 0
