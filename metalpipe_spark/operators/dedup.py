@@ -137,16 +137,38 @@ def jaccard_candidate_pairs(
     return jac.select("d1", "d2", "inter", "jaccard")
 
 
-def _hash64(col: Column) -> Column:
-    """Portable 60-bit integer hash: md5 hex → first 15 nibbles → bigint.
-    Identical in Spark (conv) and ANSI engines ('0x…'::bigint)."""
+def _check_hash(hash: str) -> None:
+    """The shared validator for the production-hash knob: ``"md5"`` is
+    the portable default (DuckDB-replayable — every oracle row stays on
+    it), ``"xxhash64"`` the JVM-native production path (~4x the md5
+    throughput, same uniformity, NOT replayable by the oracle).  The
+    DSIR family's ``bucket_hash`` (curation.py) set the pattern; this
+    generalizes it to minhash/simhash/bloom/HLL/count-min, whose md5
+    sits on the 100 TB hot path (one hash per shingle/token/gram)."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+
+
+def _hash64(col: Column, hash: str = "md5") -> Column:
+    """60-bit nonneg integer hash.  md5: hex → first 15 nibbles →
+    bigint, identical in Spark (conv) and ANSI engines ('0x…'::bigint).
+    xxhash64: pmod into the SAME [0, 2^60) range (pmod, never abs —
+    abs(Long.MIN) throws under ANSI; pmod is total), so width-dependent
+    consumers (simhash bit slices, HLL register/rank split) keep their
+    geometry unchanged."""
+    _check_hash(hash)
+    if hash == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 60).cast("long"))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _hash32(col: Column) -> Column:
-    """Portable 32-bit hash (first 8 md5 nibbles).  Small enough that
-    ``a*h + b`` stays inside int64 for 31-bit coefficients — the basis of
-    the affine minhash family below."""
+def _hash32(col: Column, hash: str = "md5") -> Column:
+    """32-bit nonneg hash (md5: first 8 nibbles; xxhash64: pmod 2^32).
+    Small enough that ``a*h + b`` stays inside int64 for 31-bit
+    coefficients — the basis of the affine minhash family below."""
+    _check_hash(hash)
+    if hash == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 32).cast("long"))
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
@@ -168,6 +190,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    hash: str = "md5",
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of h_i(shingle)
     with the affine family h_i(x) = (a_i*hash32(x) + b_i) mod 2^32 —
@@ -184,7 +207,7 @@ def minhash_signatures(
     mod = F.lit(1 << 32).cast("long")
     hashed = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__sh")
-    ).select(F.col(id_col), _hash32(F.col("__sh")).alias("__h"))
+    ).select(F.col(id_col), _hash32(F.col("__sh"), hash).alias("__h"))
     mins = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % mod).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
@@ -206,6 +229,7 @@ def minhash_lsh_pairs(
     cache_signatures: bool = False,
     signatures: DataFrame | None = None,
     threshold: float | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH banding: documents sharing any band signature become
     candidate pairs; estimated similarity = fraction of matching minhash
@@ -232,7 +256,7 @@ def minhash_lsh_pairs(
     sigs = (
         signatures
         if signatures is not None
-        else minhash_signatures(df, text_col, id_col, n, num_hashes)
+        else minhash_signatures(df, text_col, id_col, n, num_hashes, hash)
     )
     if cache_signatures:
         sigs = sigs.persist()
@@ -682,7 +706,7 @@ def dedup_corpus_keep_best(
     return docs.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, hash: str = "md5") -> DataFrame:
     """SimHash fingerprint over tokens: bit j of the fingerprint is the
     majority vote of token-hash bit j.  ``bits`` is capped at 60 — the
     portable md5 hash is 60-bit, so bits 61-63 would be constant zero
@@ -716,7 +740,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         )
     toks = F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), r" "))
     hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
-        F.col(id_col), _hash64(F.col("__t")).alias("__h")
+        F.col(id_col), _hash64(F.col("__t"), hash).alias("__h")
     )
     # Per-bit votes PACKED into 21-bit counter lanes, 3 lanes per long,
     # computed in a pre-aggregate projection so the groupBy carries only
@@ -824,6 +848,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     blocks: int | None = None,
     combo: int = 1,
+    hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via block banding (Manku et al., WWW'07): split the
@@ -850,7 +875,7 @@ def simhash_neardup_pairs(
     catalog row's configuration).  For 10^9-doc corpora, also raise
     ``bits`` (e.g. 64 via a second hash) so the combined key keeps
     clearing log2(n)."""
-    fp = simhash(df, text_col, id_col, bits)
+    fp = simhash(df, text_col, id_col, bits, hash)
     return hamming_neardup_pairs(
         fp, code_col="simhash", id_col=id_col,
         bits=bits, max_hamming=max_hamming, blocks=blocks, combo=combo,
@@ -1294,6 +1319,7 @@ def band_store(
     num_hashes: int = 16,
     bands: int = 8,
     signatures: DataFrame | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """The persistable LSH state for incremental near-dup dedup: one
     ``(band_key, doc_id, minhash)`` row per band per document.  At
@@ -1304,7 +1330,7 @@ def band_store(
     sigs = (
         signatures
         if signatures is not None
-        else minhash_signatures(df, text_col, id_col, n, num_hashes)
+        else minhash_signatures(df, text_col, id_col, n, num_hashes, hash)
     )
     return _banded_signatures(sigs, id_col, num_hashes, bands)
 
@@ -1320,6 +1346,7 @@ def incremental_neardup_dedup(
     threshold: float = 0.5,
     cache_bands: bool = False,
     signatures: DataFrame | None = None,
+    hash: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a NEW batch against the accumulated corpus —
     the incremental twin of :func:`minhash_lsh_pairs`: batch signatures
@@ -1356,7 +1383,8 @@ def incremental_neardup_dedup(
     batch ids and passing them here plans the signature work zero
     additional times."""
     batch_bands = band_store(
-        new_docs, text_col, id_col, n, num_hashes, bands, signatures=signatures
+        new_docs, text_col, id_col, n, num_hashes, bands,
+        signatures=signatures, hash=hash,
     )
     if cache_bands:
         batch_bands = batch_bands.persist()

@@ -23,6 +23,7 @@ def hll_count_distinct(
     col: str,
     group_cols: list[str] | None = None,
     p: int = 12,
+    hash: str = "md5",
 ) -> DataFrame:
     """HyperLogLog distinct-count estimate per group —
     ``(group..., hll_estimate)`` — deterministic and exactly replayable
@@ -49,7 +50,7 @@ def hll_count_distinct(
     classic ~1.04/sqrt(m) (≈1.6% at p=12).  For a mergeable persisted
     sketch, store the (group, bucket, max_rank) register table and
     re-aggregate with ``max`` — register max is the HLL merge."""
-    regs = hll_registers(df, col, group_cols=group_cols, p=p)
+    regs = hll_registers(df, col, group_cols=group_cols, p=p, hash=hash)
     return hll_estimate_from_registers(regs, group_cols=group_cols, p=p)
 
 
@@ -58,6 +59,7 @@ def hll_registers(
     col: str,
     group_cols: list[str] | None = None,
     p: int = 12,
+    hash: str = "md5",
 ) -> DataFrame:
     """The HLL REGISTER TABLE per group — ``(group..., __b, __m)`` with
     at most ``2^p`` rows per group — the mergeable half of
@@ -65,7 +67,14 @@ def hll_registers(
     per-shard / per-window register tables re-aggregate with ``max``
     into one sketch (``hll_merge_registers``).  This is also the shape
     a STREAMING aggregation can maintain (one watermarked max-agg);
-    estimates come later, in batch, from the stored registers."""
+    estimates come later, in batch, from the stored registers.
+
+    ``hash="xxhash64"`` is the production knob (same [0, 2^60) range,
+    so the p/w register geometry is unchanged; estimates stay within
+    the same ~1.04/sqrt(m) error but are NOT oracle-replayable).
+    Register tables only merge with tables built under the SAME hash —
+    a mixed-merge is a silently wrong sketch, same rule as mixed Bloom
+    geometries."""
     from metalpipe_spark.operators.dedup import _hash64
 
     groups = list(group_cols or [])
@@ -73,7 +82,7 @@ def hll_registers(
     # Canonical string cast before hashing: a no-op for string columns
     # (every oracle row), and the defined portable behavior for numeric
     # ones (md5 itself rejects BIGINT) — the deterministic_uniform rule.
-    h = _hash64(F.col(col).cast("string"))
+    h = _hash64(F.col(col).cast("string"), hash)
     bucket = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
     rank = F.when(rem == 0, F.lit(w + 1)).otherwise(
@@ -135,6 +144,7 @@ def count_min_sketch(
     col: str,
     depth: int = 4,
     width: int = 2048,
+    hash: str = "md5",
 ) -> DataFrame:
     """Build a count-min sketch TABLE over a column — ``(row, bucket,
     c)`` with ``depth * width`` rows total regardless of input size
@@ -155,7 +165,7 @@ def count_min_sketch(
     determinism contract as :func:`hll_count_distinct`: md5-derived
     hashing and integer counters, so the DuckDB oracle reproduces
     every counter exactly."""
-    h, rows = _cm_bucket_structs(col, depth, width)
+    h, rows = _cm_bucket_structs(col, depth, width, hash)
     return (
         df.select(F.explode(F.array(*rows)).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
@@ -163,11 +173,15 @@ def count_min_sketch(
         .select(
             "row", "bucket", "c",
             F.lit(depth).alias("depth"), F.lit(width).alias("width"),
+            # The hash fn rides with the geometry for the same
+            # mismatch-proofing reason depth/width do: the lookup always
+            # re-hashes with the sketch's own function.
+            F.lit(hash).alias("h"),
         )
     )
 
 
-def _cm_bucket_structs(col: str, depth: int, width: int):
+def _cm_bucket_structs(col: str, depth: int, width: int, hash: str = "md5"):
     """Multiply-shift bucket rows (see ``_bloom_positions`` for why the
     HIGH bits and not MOD: with a power-of-two width, ``(a*h+b) mod
     width`` is a bijection of ``h mod width`` for every odd ``a``, so
@@ -178,7 +192,7 @@ def _cm_bucket_structs(col: str, depth: int, width: int):
     if width & (width - 1):
         raise ValueError(f"width must be a power of two, got {width}")
     shift = 32 - (width.bit_length() - 1)
-    h = _hash32(F.col(col))
+    h = _hash32(F.col(col), hash)
     mod = F.lit(1 << 32).cast("long")
     rows = [
         F.struct(
@@ -205,9 +219,11 @@ def count_min_lookup(
     count`` always, the property the tests pin.  Query set stays
     distributed (a heavy-hitter candidate list can be millions of
     rows)."""
-    meta = sketch.select("depth", "width").first()
+    meta = sketch.first()
     depth, width = int(meta["depth"]), int(meta["width"])
-    _, rows = _cm_bucket_structs(col, depth, width)
+    # Pre-knob sketches carry no `h` column and were md5 by definition.
+    hash = str(meta["h"]) if "h" in meta.__fields__ else "md5"
+    _, rows = _cm_bucket_structs(col, depth, width, hash)
     exploded = queries.select(F.col(col), F.explode(F.array(*rows)).alias("rb")).select(
         col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     )
@@ -228,7 +244,7 @@ def _bloom_shift(m_bits: int) -> int:
     return 32 - (m_bits.bit_length() - 1)
 
 
-def _bloom_positions(col, m_bits: int, k: int):
+def _bloom_positions(col, m_bits: int, k: int, hash: str = "md5"):
     """The ``k`` deterministic bit positions of a value: multiply-shift
     hashing (Dietzfelbinger et al. 1997) over the portable 32-bit md5
     hash — ``((a_i*h + b_i) mod 2^32) >> (32 - log2(m))``, the HIGH
@@ -243,7 +259,7 @@ def _bloom_positions(col, m_bits: int, k: int):
     "every position set" holds regardless)."""
     from metalpipe_spark.operators.dedup import _hash32
 
-    h = _hash32(col if not isinstance(col, str) else F.col(col))
+    h = _hash32(col if not isinstance(col, str) else F.col(col), hash)
     return _positions_from_hash(h, _bloom_shift(m_bits), k)
 
 
@@ -273,6 +289,7 @@ def bloom_build(
     col: str,
     m_bits: int = 1 << 18,
     k: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """Build a Bloom filter over a column as ONE row ``(mask:
     array<long>, m, k)`` — ``m_bits / 64`` packed 64-bit words (Bloom
@@ -297,7 +314,7 @@ def bloom_build(
 
     shift = _bloom_shift(m_bits)
     n_words = m_bits // 64
-    pos = df.withColumn("__bh", _hash32(F.col(col))).select(
+    pos = df.withColumn("__bh", _hash32(F.col(col), hash)).select(
         F.explode(
             F.array(*_positions_from_hash(F.col("__bh"), shift, k))
         ).alias("pos")
@@ -321,6 +338,7 @@ def bloom_build(
         ).alias("mask"),
         F.lit(m_bits).alias("m"),
         F.lit(k).alias("k"),
+        F.lit(hash).alias("h"),
     )
     return packed
 
@@ -349,15 +367,18 @@ def bloom_probe(
     from metalpipe_spark.operators.dedup import _hash32
 
     row = (
-        bloom.select("mask", "m", "k").first()
+        bloom.first()
         if isinstance(bloom, DataFrame)
         else bloom  # pre-collected Row: repeated probes skip the job
     )
     m_bits, k = int(row["m"]), int(row["k"])
+    # The filter's own hash fn (count-min's mismatch-proofing); pre-knob
+    # rows carry no `h` field and were md5 by definition.
+    hash = str(row["h"]) if "h" in row.__fields__ else "md5"
     mask_lit = _mask_literal(row["mask"])
     # Hash ONCE per value: the k position expressions would each
-    # recompute the md5 otherwise (k-fold scan CPU for no reason).
-    probed = df.withColumn("__bloom_h", _hash32(F.col(col)))
+    # recompute the hash otherwise (k-fold scan CPU for no reason).
+    probed = df.withColumn("__bloom_h", _hash32(F.col(col), hash))
     positions = _positions_from_hash(F.col("__bloom_h"), _bloom_shift(m_bits), k)
     tmp = [f"__bloom_pos_{j}" for j in range(k)]
     probed = probed.withColumns(dict(zip(tmp, positions)))
@@ -382,6 +403,7 @@ def bloom_decontaminate(
     m_bits: int = 1 << 18,
     k: int = 4,
     min_hits: int = 3,
+    hash: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Bloom-filter benchmark decontamination: flag corpus documents
     whose distinct word ``n``-grams get at least ``min_hits`` POSITIVE
@@ -410,7 +432,7 @@ def bloom_decontaminate(
     b_sh = benchmark.select(
         F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k)
+    bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k, hash=hash)
     report = bloom_hit_report(
         corpus, bloom, text_col=text_col, id_col=id_col, n=n, min_hits=min_hits
     )
@@ -463,7 +485,8 @@ def bloom_member_expr(value, bloom_row, m_bits: int, k: int):
     from metalpipe_spark.operators.dedup import _hash32
 
     mask_lit = _mask_literal(bloom_row["mask"])
-    h = _hash32(value)
+    hash = str(bloom_row["h"]) if "h" in bloom_row.__fields__ else "md5"
+    h = _hash32(value, hash)
     member = None
     for p in _positions_from_hash(h, _bloom_shift(m_bits), k):
         word = F.element_at(mask_lit, (p / 64).cast("int") + 1)
@@ -480,6 +503,7 @@ def bloom_decontaminate_filter(
     m_bits: int = 1 << 18,
     k: int = 4,
     min_hits: int = 3,
+    hash: str = "md5",
 ) -> DataFrame:
     """STATELESS decontamination filter — keep documents with fewer
     than ``min_hits`` Bloom-positive shingles against the benchmark's
@@ -499,7 +523,7 @@ def bloom_decontaminate_filter(
     b_sh = benchmark.select(
         F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    row = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k).first()
+    row = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k, hash=hash).first()
     hits = F.size(
         F.filter(
             word_shingles(text_col, n),
@@ -520,13 +544,19 @@ def bloom_merge(blooms: DataFrame) -> DataFrame:
 
     Plan shape: one ``n_words``-row explode + group-wise bit_or —
     bounded by the mask size times the filter count, never data."""
-    geoms = blooms.select("m", "k").distinct().collect()
+    has_h = "h" in blooms.columns
+    geoms = blooms.select("m", "k", *(["h"] if has_h else [])).distinct().collect()
     if len(geoms) != 1:
         raise ValueError(
             "bloom_merge needs one geometry, got "
-            + ", ".join(f"(m={r['m']}, k={r['k']})" for r in geoms)
+            + ", ".join(
+                f"(m={r['m']}, k={r['k']}"
+                + (f", h={r['h']})" if has_h else ")")
+                for r in geoms
+            )
         )
     m_bits, k = int(geoms[0]["m"]), int(geoms[0]["k"])
+    hash = str(geoms[0]["h"]) if has_h else "md5"  # pre-knob masks were md5
     n_words = m_bits // 64
     merged = (
         blooms.select(F.posexplode("mask").alias("i", "w"))
@@ -546,6 +576,7 @@ def bloom_merge(blooms: DataFrame) -> DataFrame:
             ).alias("mask"),
             F.lit(m_bits).alias("m"),
             F.lit(k).alias("k"),
+            F.lit(hash).alias("h"),
         )
     )
     return merged

@@ -680,6 +680,7 @@ def stream_hll_registers(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     p: int = 12,
+    hash: str = "md5",
 ):
     """Streaming cardinality monitor: maintain per-window HLL REGISTER
     tables over a stream — ``(window, __b, __m)`` — with ONE watermarked
@@ -700,7 +701,7 @@ def stream_hll_registers(
         F.window(F.col(ts_col), window_duration).alias("window"),
         F.col(value_col),
     )
-    return hll_registers(windowed, value_col, group_cols=["window"], p=p)
+    return hll_registers(windowed, value_col, group_cols=["window"], p=p, hash=hash)
 
 
 def stream_corpus_pipeline(
