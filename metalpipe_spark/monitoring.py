@@ -92,6 +92,13 @@ def attach_streaming_progress(spark: SparkSession, sink: list[dict]) -> None:
                         "batchId": p.batchId,
                         "numInputRows": p.numInputRows,
                         "processedRowsPerSecond": p.processedRowsPerSecond,
+                        # Per-batch phase timings (addBatch = the actual
+                        # plan execution; the rest is micro-batch
+                        # lifecycle: offset tracking, planning, WAL and
+                        # state commits) — what a lifecycle-vs-work
+                        # regression arbitration needs (VERDICT r11
+                        # task 3).
+                        "durationMs": dict(p.durationMs or {}),
                     }
                 )
             except Exception:
