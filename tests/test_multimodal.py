@@ -388,3 +388,176 @@ def test_video_neardup_partial_trailing_frame_and_negative_id(spark):
     )
     with pytest.raises(Exception):
         video_neardup_pairs(bad, nf, w, h).collect()
+
+
+# ---- real compressed-format decode (VERDICT r11 task 5) -------------
+
+
+def _encode_png(arr, filters=None):
+    """A real, minimal PNG encoder (8-bit RGB, one IDAT): the test's
+    fixture generator, so decode tests run against genuine PNG bytes
+    with a chosen filter per scanline — exercising every RFC 2083
+    unfilter branch, not just filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    filters = filters or [0] * h
+    ch = 3
+
+    def flt(y):
+        line = arr[y].reshape(-1).astype(np.int32)
+        prev = arr[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * ch, np.int32)
+        f = filters[y]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            out = line
+        elif f == 1:
+            out = line - left
+        elif f == 2:
+            out = line - prev
+        elif f == 3:
+            out = line - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            out = line - pred
+        return bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(flt(y) for y in range(h)))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_header_fixture(w, h):
+    """Minimal real JPEG byte layout: SOI + APP0(JFIF) + SOF0 carrying
+    (h, w) + EOI — a genuine header parse target (pixel data would need
+    a codec library, which dimension extraction does not)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_image_auto_real_dims_and_fallback(spark):
+    import numpy as np
+
+    from metalpipe_spark.operators.multimodal import (
+        decode_image,
+        decode_media,
+    )
+
+    rng = np.random.RandomState(7)
+    png = _encode_png(rng.randint(0, 256, (11, 13, 3), dtype=np.uint8))
+    jpg = _jpeg_header_fixture(640, 480)
+    gif = b"GIF89a" + (37).to_bytes(2, "little") + (21).to_bytes(2, "little") + b"\x00" * 6
+    blob = b"not an image at all"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image/png"),
+            (2, bytearray(jpg), "image/jpeg"),
+            (3, bytearray(gif), "image/gif"),
+            (4, bytearray(blob), "application/octet-stream"),
+        ],
+        "id long, content binary, media_type string",
+    )
+    got = {r["id"]: r for r in decode_image(df, codec="auto").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (13, 11)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert (got[3]["width"], got[3]["height"]) == (37, 21)
+    # Unclaimed bytes fall back to the fake codec — identical to the
+    # oracle face, so mixed corpora keep flowing.
+    fake = {r["id"]: r for r in decode_media(df).collect()}
+    assert (got[4]["width"], got[4]["height"]) == (fake[4]["width"], fake[4]["height"])
+    # codec="raw" IS decode_media, byte-identical (the oracle face).
+    raw = sorted(map(tuple, decode_image(df, codec="raw").collect()))
+    assert raw == sorted(map(tuple, decode_media(df).collect()))
+
+
+def test_png_pixel_decode_roundtrip_all_filters(spark):
+    import numpy as np
+    import pytest
+
+    from metalpipe_spark.operators.multimodal import (
+        decode_image_rgb,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    png = _encode_png(arr, filters=[0, 1, 2, 3, 4])  # every unfilter branch
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "id long, content binary"
+    )
+    row = decode_image_rgb(df).first()
+    assert (row["width"], row["height"]) == (7, 5)
+    assert bytes(row["content"]) == arr.tobytes()  # pixel-exact
+    # The decoded raw RGB feeds the real dHash kernel directly — the
+    # compressed-corpus -> raw-tensor bridge this function exists for.
+    gradient = np.tile(
+        (np.arange(16, dtype=np.uint8) * 16).repeat(3), (16, 1)
+    ).reshape(16, 16, 3)
+    code = image_dhash(
+        decode_image_rgb(
+            spark.createDataFrame(
+                [(2, bytearray(_encode_png(gradient)))],
+                "id long, content binary",
+            )
+        )
+    ).first()["dhash"]
+    assert code == -1  # strictly increasing rows: all 64 bits set
+
+    # Pixels of a format nobody present can decode fail LOUDLY.
+    jpg = _jpeg_header_fixture(8, 8)
+    bad = spark.createDataFrame([(3, bytearray(jpg))], "id long, content binary")
+    if __import__("importlib").util.find_spec("PIL") is None:
+        with pytest.raises(Exception, match="pillow"):
+            decode_image_rgb(bad).collect()
+
+
+def test_pil_branch_dispatch_without_dependency():
+    """The pillow path itself, exercised WITHOUT pillow installed: a
+    stub module shaped like PIL proves the dispatch order (PIL first,
+    stdlib parsers second) and that a real install needs no code
+    change.  Driver-side only — executor imports resolve per worker."""
+    import sys
+    import types
+
+    from metalpipe_spark.operators import multimodal as mm
+
+    class _Img:
+        size = (123, 45)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: _Img()
+    fake_pil.Image = fake_image_mod
+    had = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        # Garbage bytes: the stdlib path would return None, but the
+        # (stub) PIL claims everything — PIL dispatch wins.
+        assert mm.real_image_dims(b"anything") == (123, 45)
+    finally:
+        for k, v in had.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
+    # And with the stub gone, the same bytes are unclaimed again.
+    assert mm.real_image_dims(b"anything") is None
