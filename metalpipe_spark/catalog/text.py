@@ -1304,20 +1304,22 @@ def _langid_model_oracle() -> str:
     )
     from metalpipe_spark.operators.langid_weights import (
         LANGID_BIASES,
+        LANGID_SCRIPT_WEIGHTS,
         LANGID_TRAINED_CLASSES,
         LANGID_WEIGHTS,
     )
 
     synth = synthetic_multilingual_sql("lang", "doc_id", salt="v1")
     logits = langid_logits_sql(
-        "toks", LANGID_TRAINED_CLASSES, LANGID_WEIGHTS, LANGID_BIASES
+        "toks", LANGID_TRAINED_CLASSES, LANGID_WEIGHTS, LANGID_BIASES,
+        script_weights=LANGID_SCRIPT_WEIGHTS, text_expr="text",
     )
     pred = langid_pred_sql("logits", LANGID_TRAINED_CLASSES)
     return f"""
     WITH s AS (
       SELECT doc_id, lang, {synth} AS text FROM documents
     ), t AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              regexp_split_to_array(text, '\\s+') AS toks
       FROM s
     ), l AS (

@@ -576,6 +576,7 @@ def _detect_language_model_node(spark, upstreams, opts):
             classes=opts.get("classes"),
             weights=opts.get("weights"),
             biases=opts.get("biases"),
+            script_weights=opts.get("script_weights"),
         ),
     )
 

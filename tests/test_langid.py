@@ -59,13 +59,16 @@ def test_train_then_serve_roundtrip(spark):
     """A freshly trained model's exported floats drop into the codegen
     serving fold and classify their own training distribution."""
     tr = _fixture(spark, 300, "roundtrip")
-    classes, weights, biases = train_hashed_langid(
+    classes, weights, biases, script_weights = train_hashed_langid(
         tr, dim=64, max_iter=60, reg_param=1e-3
     )
     assert classes == LANGID_CLASSES
     acc = _accuracy(
         tr.withColumn(
-            "p", detect_language_model("text", classes, weights, biases)
+            "p",
+            detect_language_model(
+                "text", classes, weights, biases, script_weights
+            ),
         ),
         "p",
     )
@@ -106,3 +109,82 @@ def test_null_text_is_total(spark):
         df.select(detect_language_model("text").alias("p")).first()["p"]
         in LANGID_CLASSES
     )
+
+
+def test_script_fractions_match_trainer_and_sql(spark):
+    """The three computations of the script-block fractions — the Spark
+    codegen serving regexps, the trainer's Python ``re`` featurizer,
+    and the DuckDB oracle — agree exactly on multi-script text."""
+    import re
+
+    import duckdb
+
+    from metalpipe_spark.operators.langid import (
+        SCRIPT_BLOCKS,
+        script_fractions,
+        script_fractions_sql,
+    )
+
+    samples = [
+        "hello мир العالم दुनिया こんにちは 세계 世界",
+        "just latin text",
+        "   ",  # all-whitespace: denominator floor
+        "mixé Ångström Ωmega",  # extended Latin + a Greek char (no block)
+    ]
+    df = spark.createDataFrame([(t,) for t in samples], "text string")
+    spark_rows = df.select(
+        "text", F.array(*script_fractions(F.col("text"))).alias("fr")
+    ).collect()
+    sql_exprs = ", ".join(
+        f"{e} AS f{i}" for i, e in enumerate(script_fractions_sql("text"))
+    )
+    con = duckdb.connect()
+    for row in spark_rows:
+        t = row["text"]
+        duck = con.execute(
+            f"SELECT {sql_exprs} FROM (SELECT ? AS text)", [t]
+        ).fetchone()
+        nonws = re.sub(r"\s", "", t)
+        denom = max(len(nonws), 1)
+        py = [
+            len(re.sub(f"[^{chars}]", "", nonws)) / denom
+            for _, chars in SCRIPT_BLOCKS
+        ]
+        assert list(row["fr"]) == list(duck) == py, t
+
+
+def test_new_scripts_classified_and_oov_falls_back_to_script(spark):
+    """The round-12 widening: every non-Latin-script language in the
+    fixture classifies correctly, and a text of PURELY out-of-vocabulary
+    tokens in a script owned by one trained language still lands on that
+    language — the hashed-token sum is ~0, so the script-block features
+    decide (the robustness they were added for)."""
+    ev = _fixture(spark, 660, "v2")
+    per = {
+        r["lang"]: r["acc"]
+        for r in ev.withColumn("p", detect_language_model("text"))
+        .groupBy("lang")
+        .agg(F.avg((F.col("p") == F.col("lang")).cast("double")).alias("acc"))
+        .collect()
+    }
+    for lang in ("ru", "ar", "hi", "ja", "ko", "zh"):
+        assert per[lang] >= 0.95, (lang, per[lang])
+    # Tokens chosen to hash into ALL-ZERO weight buckets (109 of 256
+    # buckets are untouched by training; verified at test-authoring
+    # time against the pinned weights), so the hashed-token sum is
+    # exactly 0 and the script-block term alone must decide — the
+    # designed fallback.  Tokens that COLLIDE with trained buckets get
+    # no such guarantee (inherent to the hashing trick; the collision
+    # rate is the dim knob's tradeoff).
+    oov = spark.createDataFrame(
+        [
+            ("дерево река гора хлеб земля",),  # OOV Cyrillic, zero buckets
+            ("火车 手机 桌子 医院 天气",),         # OOV Han, zero buckets
+            ("ماء جبل مدينة سماء",),           # OOV Arabic, zero buckets
+            ("かわ うみ そら はな",),             # OOV kana, zero buckets
+        ],
+        "text string",
+    )
+    got = [r["p"] for r in oov.withColumn(
+        "p", detect_language_model("text")).collect()]
+    assert got == ["ru", "zh", "ar", "ja"]
