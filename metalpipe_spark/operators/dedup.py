@@ -1060,6 +1060,7 @@ def duplicate_span_dedup(
     id_col: str = "doc_id",
     window: int = 32,
     anchor_stride: int = 8,
+    guaranteed_gap: int | None = None,
 ) -> DataFrame:
     """Duplicate-SPAN removal — a content-defined-anchor approximation
     of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
@@ -1086,6 +1087,23 @@ def duplicate_span_dedup(
     to contain no anchor (probability ~(1 - 1/stride)^(L - window + 1));
     ``anchor_stride=1`` anchors every token (exhaustive sliding window).
 
+    ``guaranteed_gap=w`` escalates the anchors with WINNOWING
+    (Schleimer et al., SIGMOD'03): in every window of ``w`` consecutive
+    token positions, the rightmost-argmin of the token hashes is also
+    an anchor.  That bounds the anchor gap at ``w`` BY CONSTRUCTION —
+    no token vocabulary can dodge it (the mod-stride anchors are a
+    content PREDICATE an adversary can simply avoid; an argmin always
+    exists) — and stays offset-robust: fully-interior windows of a
+    duplicated run see only run content, and the rightmost tie-break
+    is positional only among EQUAL hashes, where relative and absolute
+    order agree across copies.  Guarantee: every duplicated run of
+    length ``>= window + 2*guaranteed_gap`` is caught regardless of
+    content (first fully-interior window ends within ``2w`` of the run
+    start).  Price: one extra per-document sort (the window function's
+    partition), worth paying when the corpus may contain adversarial
+    or systematically anchor-free text; the probabilistic default
+    keeps the catalog row's plan unchanged.
+
     Scale shape: anchor detection is scan-side (one hash per token);
     window content is gathered by a (doc, pos) co-located equi-join of
     the anchor×window coverage rows (~``window/anchor_stride`` per
@@ -1104,10 +1122,34 @@ def duplicate_span_dedup(
         id_col, F.size("__tk").alias("__n"),
         F.posexplode("__tk").alias("pos", "tok"),
     )
-    anchors = tokpos.where(
-        (F.pmod(_hash64(F.col("tok")), F.lit(anchor_stride)) == 0)
-        & (F.col("pos") + window <= F.col("__n"))
+    # One hash per token as an attribute: the anchor predicate and the
+    # winnowing argmin both read it (tokenize-once rule, applied to the
+    # hash tree).
+    tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
+    fits = F.col("pos") + window <= F.col("__n")
+    anchors = tokh.where(
+        (F.pmod(F.col("__th"), F.lit(anchor_stride)) == 0) & fits
     ).select(F.col(id_col), F.col("pos").alias("__s"))
+    if guaranteed_gap is not None:
+        from pyspark.sql.window import Window
+
+        wspec = (
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(-(guaranteed_gap - 1), 0)
+        )
+        # Rightmost argmin of the trailing w hashes: min over
+        # (hash asc, -pos asc) — smallest hash first, then largest pos.
+        picked = F.min(
+            F.struct(F.col("__th").alias("h"), (-F.col("pos")).alias("np"))
+        ).over(wspec)
+        winnow = (
+            tokh.select(id_col, "__n", (-picked["np"]).alias("__s"))
+            .where(F.col("__s") + window <= F.col("__n"))
+            .select(id_col, "__s")
+            .distinct()
+        )
+        anchors = anchors.unionByName(winnow).distinct()
     wcover = anchors.select(
         F.col(id_col),
         F.col("__s"),

@@ -1176,6 +1176,98 @@ def test_duplicate_span_dedup_anchor_offset_independence(spark):
     assert len(removed) >= window             # a full window was removed
 
 
+def test_duplicate_span_dedup_winnowing_catches_adversarial_runs(spark):
+    """The guaranteed-gap escalation (VERDICT r11 task 7): a duplicated
+    run built ENTIRELY of non-anchor tokens dodges the mod-stride
+    content-defined anchors at any length — the adversarial gap of the
+    probabilistic design — but winnowing anchors (rightmost-argmin per
+    w-window) cannot be dodged: every run of length >= window + 2w is
+    caught at ANY offset."""
+    import hashlib
+
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    stride, window, gap = 4, 8, 4
+
+    def is_anchor(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % stride == 0
+
+    # Adversarial vocabulary: only tokens the mod-stride predicate
+    # never selects (an adversary controls content, so it can always
+    # build such a run — the reason a predicate family alone cannot
+    # give a guarantee).
+    evil = [t for t in (f"e{i}" for i in range(400)) if not is_anchor(t)]
+    run = evil[: window + 2 * gap]  # the guarantee threshold
+    fillers = [t for t in (f"f{i}" for i in range(100)) if not is_anchor(t)]
+
+    for offset in (0, 1, 3, 7):  # pasted at incommensurate offsets
+        rows = [
+            (1, " ".join(fillers[:2] + run + ["tailA"])),
+            (2, " ".join(fillers[10 : 10 + offset] + run + ["tailB"])),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        base = {
+            r["doc_id"]: r["clean_text"]
+            for r in duplicate_span_dedup(
+                docs, window=window, anchor_stride=stride
+            ).collect()
+        }
+        # Probabilistic design: the anchor-free run escapes wholesale.
+        assert base[2] == rows[1][1], offset
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in duplicate_span_dedup(
+                docs, window=window, anchor_stride=stride,
+                guaranteed_gap=gap,
+            ).collect()
+        }
+        assert got[1] == rows[0][1], offset  # first occurrence intact
+        removed = [t for t in run if t not in got[2].split()]
+        assert len(removed) >= window, (offset, removed)
+
+
+def test_duplicate_span_dedup_winnowing_unique_docs_untouched(spark):
+    """Winnowing anchors add DETECTION, never false removal: corpora
+    with no duplicated window reassemble byte-identical, and the
+    escalated run agrees with anchor_stride=1 (exhaustive) on what the
+    duplicated content is."""
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_dedup(
+            docs, window=8, anchor_stride=4, guaranteed_gap=4
+        ).collect()
+    }
+    assert got == dict(rows)
+
+    dup_rows = [
+        (1, " ".join([f"c{i}" for i in range(4)] + [f"d{i}" for i in range(12)])),
+        (2, " ".join([f"e{i}" for i in range(7)] + [f"d{i}" for i in range(12)])),
+    ]
+    ddocs = spark.createDataFrame(dup_rows, ["doc_id", "text"])
+    exhaustive = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_dedup(
+            ddocs, window=8, anchor_stride=1
+        ).collect()
+    }
+    winnowed = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_dedup(
+            ddocs, window=8, anchor_stride=4, guaranteed_gap=1
+        ).collect()
+    }
+    # guaranteed_gap=1 selects every position (each window of one is
+    # its own argmin) == the exhaustive sliding window.
+    assert winnowed == exhaustive
+
+
 def test_incremental_hamming_dedup_first_batch_and_geometry_guard(spark):
     """store=None seeds the code store with the batch's survivors, and
     an unsatisfiable banding geometry fails loudly instead of silently
