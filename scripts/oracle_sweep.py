@@ -2,7 +2,12 @@
 plan vs its DuckDB oracle at a chosen scale factor (default sf0.01, the
 driver's setting; the pytest suite gates at sf0.001).
 
-Usage:  python scripts/oracle_sweep.py [sf_dir] [--only q_a,q_b,...]
+Usage:  python scripts/oracle_sweep.py [sf_dir] [--only q_a,q_b,...] [--ansi]
+
+--ansi runs the Spark side with spark.sql.ansi.enabled=true (Spark 4's
+default posture): same oracles, strict overflow/cast semantics — a
+query that relies on silent wrapping or lenient casts fails loudly
+here instead of diverging from the oracle at scale.
 
 Prints one PASS/FAIL line per row using the same comparator as
 tests/oracle_utils (sorted columns, order-insensitive row compare,
@@ -25,6 +30,8 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
+    ansi = "--ansi" in argv
+    argv = [a for a in argv if a != "--ansi"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
@@ -36,8 +43,11 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         .getOrCreate()
     )
+    if ansi:
+        print("(ANSI mode: spark.sql.ansi.enabled=true)")
     spark.sparkContext.setLogLevel("ERROR")
     from metalpipe_spark.catalog import load_all
     from tests.oracle_utils import compare_with_oracle, duckdb_con
