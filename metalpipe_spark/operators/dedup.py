@@ -1104,32 +1104,43 @@ def duplicate_span_dedup(
     or systematically anchor-free text; the probabilistic default
     keeps the catalog row's plan unchanged.
 
-    Scale shape: anchor detection is scan-side (one hash per token);
-    window content is gathered by a (doc, pos) co-located equi-join of
-    the anchor×window coverage rows (~``window/anchor_stride`` per
-    token) against the token table — never a range join, never a
-    carried array; span hashing is a map-side-combined groupBy whose
-    state is one window per group; first-occurrence is one
-    ``groupBy(hash).min`` joined back hash-co-located; removal shuffles
-    are bounded by DUPLICATED-span volume; reassembly state is bounded
-    by document size.  Output: ``(id, clean_text, n_kept)``."""
+    Scale shape (reworked round 12 — the span-hash stage previously
+    exploded ``window`` coverage rows per anchor into a corpus-scale
+    (doc, pos) join plus a collect_list/sort per anchor, three
+    token-scale shuffles before the first real aggregation): anchor
+    detection AND span hashing now happen in ONE per-document
+    projection over the token array (``filter`` the anchor positions,
+    ``slice`` + ``concat_ws`` + ``md5`` per anchor — all array-local,
+    zero shuffle; per-doc state bounded by document size, exactly the
+    reassembly bound this operator already carries).  Only
+    ANCHOR-scale ``(id, start, hash)`` rows ever shuffle:
+    first-occurrence is one ``groupBy(hash).min`` joined back
+    hash-co-located; removal shuffles are bounded by DUPLICATED-span
+    volume; reassembly state is bounded by document size.  Measured:
+    equal at sf0.1, 2.1x at sf1 (7.0 → 3.3 s) — the eliminated
+    shuffles are what grew super-linearly (BENCH_NOTES r12).  Output:
+    ``(id, clean_text, n_kept)``."""
     # Tokenize ONCE into an attribute: codegen does not CSE the split
     # between the size expression and the posexplode generator.
-    tokpos = df.select(
+    docs = df.select(
         F.col(id_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
-    ).select(
-        id_col, F.size("__tk").alias("__n"),
-        F.posexplode("__tk").alias("pos", "tok"),
+    ).withColumn("__n", F.size("__tk"))
+    tokpos = docs.select(
+        id_col, "__n", F.posexplode("__tk").alias("pos", "tok")
     )
-    # One hash per token as an attribute: the anchor predicate and the
-    # winnowing argmin both read it (tokenize-once rule, applied to the
-    # hash tree).
-    tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
-    fits = F.col("pos") + window <= F.col("__n")
-    anchors = tokh.where(
-        (F.pmod(F.col("__th"), F.lit(anchor_stride)) == 0) & fits
-    ).select(F.col(id_col), F.col("pos").alias("__s"))
+    last = F.col("__n") - window  # last valid span start (0-based)
+    pred_anchors = F.when(
+        last >= 0,
+        F.filter(
+            F.sequence(F.lit(0), last),
+            lambda i: F.pmod(
+                _hash64(F.element_at(F.col("__tk"), i + 1)),
+                F.lit(anchor_stride),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     if guaranteed_gap is not None:
         from pyspark.sql.window import Window
 
@@ -1140,31 +1151,53 @@ def duplicate_span_dedup(
         )
         # Rightmost argmin of the trailing w hashes: min over
         # (hash asc, -pos asc) — smallest hash first, then largest pos.
+        tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
         picked = F.min(
             F.struct(F.col("__th").alias("h"), (-F.col("pos")).alias("np"))
         ).over(wspec)
         winnow = (
             tokh.select(id_col, "__n", (-picked["np"]).alias("__s"))
             .where(F.col("__s") + window <= F.col("__n"))
-            .select(id_col, "__s")
+            .select(id_col, F.col("__s").cast("int").alias("__s"))
             .distinct()
+            .groupBy(id_col)
+            .agg(F.collect_list("__s").alias("__wa"))
         )
-        anchors = anchors.unionByName(winnow).distinct()
-    wcover = anchors.select(
-        F.col(id_col),
-        F.col("__s"),
-        F.explode(F.sequence(F.col("__s"), F.col("__s") + window - 1)).alias("pos"),
+        # One bounded array of winnowing positions per DOC joins back —
+        # doc-count-scale rows, never an anchor-per-row copy of the
+        # token array.
+        docs = docs.join(winnow, id_col, "left")
+        anchors = F.array_sort(
+            F.array_union(
+                pred_anchors,
+                F.coalesce(F.col("__wa"), F.array().cast("array<int>")),
+            )
+        )
+    else:
+        anchors = pred_anchors
+    # Anchor positions into an attribute first (the CSE rule), then one
+    # interpreted-HOF projection computes every span hash array-locally.
+    w = (
+        docs.withColumn("__anch", anchors)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.col("__anch"),
+                    lambda i: F.struct(
+                        i.alias("__s"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(F.col("__tk"), i + 1, window)
+                            )
+                        ).alias("__h"),
+                    ),
+                )
+            ).alias("__sp"),
+        )
+        .select(id_col, F.col("__sp.__s").alias("__s"), F.col("__sp.__h").alias("__h"))
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
-    w = (
-        wcover.join(tokpos.select(id_col, "pos", "tok"), [id_col, "pos"])
-        .groupBy(id_col, "__s")
-        .agg(
-            F.md5(
-                F.concat_ws(" ", F.transform(ordered, lambda s: s["tok"]))
-            ).alias("__h")
-        )
-    )
     first = w.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))).alias("__f")
     )
