@@ -387,6 +387,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF cell assignment with LEARNED centroids: distributed k-means
     (pyspark.ml) over L2-normalized embeddings (Euclidean k-means on unit
@@ -395,11 +396,13 @@ def ivf_assign(
     matrix for multi-probe search.
 
     This upgrades the label-block stand-in to a real inverted-file index:
-    at 100 TB you fit centroids on a sample, broadcast them (assignment
-    is a map-side nearest-centroid argmin — no shuffle), and write the
-    corpus partitioned by cell.  Deterministic for a fixed ``seed`` +
-    data, but an iterative learned artifact — not replayable in SQL, so
-    IVF query surfaces are rows-only + recall-tested.
+    at 100 TB you fit centroids on a sample (``fit_fraction`` — the
+    k-means pass then scans fraction×corpus instead of every iteration
+    touching 100 TB), broadcast them (assignment is a map-side
+    nearest-centroid argmin — no shuffle), and write the corpus
+    partitioned by cell.  Deterministic for a fixed ``seed`` + data,
+    but an iterative learned artifact — not replayable in SQL, so IVF
+    query surfaces are rows-only + recall-tested.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -418,9 +421,12 @@ def ivf_assign(
             F.zip_with(arr, F.array_repeat(nrm, F.size(arr)), lambda x, n: x / n)
         ),
     )
+    fit_on = (
+        vecs if fit_fraction is None else vecs.sample(fit_fraction, seed=seed)
+    )
     model = KMeans(
         k=k_cells, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="cell"
-    ).fit(vecs)
+    ).fit(fit_on)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return model.transform(vecs).drop("__v"), centroids
 
@@ -1113,11 +1119,29 @@ def semantic_dedup_gemm(
     ``pairwise_topk_per_label_gemm``, equality-tested on real data in
     tests).  ``max_cell_size`` guards the Arrow-batch hazard — size the
     centroid set so cells fit; oversized cells raise."""
-    import numpy as np
-    import pandas as pd
-
     id_type = df.schema[id_col].dataType.simpleString()
     sigs = cell_store(df, centroids, vec_col, id_col)
+    losers = _gemm_cell_losers(
+        sigs, id_col, id_type, threshold, chunk, max_cell_size
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def _gemm_cell_losers(
+    sigs: DataFrame,
+    id_col: str,
+    id_type: str,
+    threshold: float,
+    chunk: int,
+    max_cell_size: int,
+) -> DataFrame:
+    """The per-cell BLAS loser kernel shared by :func:`semantic_dedup_gemm`
+    (literal-centroid cells) and :func:`semantic_dedup_scaled` (learned
+    cells): ``sigs`` is ``(id, cell, vec, nrm)``; output is the loser id
+    set (any strictly-lower-id row in the cell clears the threshold on
+    the 6-decimal-quantized cosine)."""
+    import numpy as np
+    import pandas as pd
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         b = len(pdf)
@@ -1141,8 +1165,60 @@ def semantic_dedup_gemm(
         losers = np.concatenate(out) if out else np.array([], dtype=ids.dtype)
         return pd.DataFrame({id_col: losers})
 
-    losers = sigs.groupBy("cell").applyInPandas(
+    return sigs.groupBy("cell").applyInPandas(
         per_cell, schema=f"{id_col} {id_type}"
+    )
+
+
+def semantic_dedup_scaled(
+    df: DataFrame,
+    threshold: float = 0.9,
+    target_cell_size: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 1024,
+    max_cell_size: int = 65_536,
+    fit_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup with the cell count SCALED TO THE CORPUS — the
+    100 TB entry point the fixed-centroid twins are not.
+
+    The per-cell pairwise comparison is quadratic in CELL SIZE, so any
+    fixed centroid set turns 10× data into ~100× work (measured: the
+    8-cell catalog fixture grew 38× on a 10× corpus).  SemDeDup's own
+    recipe (Abbas et al. 2023) holds cell size roughly constant by
+    growing k with the corpus: here ``k = clamp(n / target_cell_size,
+    8, 1_048_576)``, spherical k-means fits on ``fit_fraction`` of the
+    data (pass ~1e-3 at warehouse scale so the iterative fit never
+    re-scans the corpus), every vector assigns map-side through the
+    model, and the shared BLAS kernel prices each cell at
+    O(target_cell_size²) — total work linear in ``n`` at constant
+    duplicate density.  One ``count()`` action sizes k (bounded
+    metadata, the centroids/codebook rule).
+
+    Same keep-min-id greedy contract as :func:`semantic_dedup`; learned
+    centroids make this rows-only for the correctness gate (iterative
+    artifact, not SQL-replayable — the ``ivf_assign`` caveat)."""
+    n = df.count()
+    k = max(8, min(1_048_576, (n + target_cell_size - 1) // target_cell_size))
+    assigned, _ = ivf_assign(
+        df, k_cells=int(k), vec_col=vec_col, seed=seed,
+        max_iter=max_iter, fit_fraction=fit_fraction,
+    )
+    arr = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    sigs = assigned.select(
+        F.col(id_col), F.col("cell"), arr.alias("vec"), nrm.alias("nrm")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    losers = _gemm_cell_losers(
+        sigs, id_col, id_type, threshold, chunk, max_cell_size
     )
     return df.join(losers, id_col, "left_anti")
 

@@ -821,3 +821,48 @@ def test_adc_rerank_full_shortlist_equals_exact_l2(spark):
     rr = {r["query_id"]: r["vec_id"]
           for r in adc_rerank(pq_adc_topk(enc, qs, books, k=10), emb, qs, k=1).collect()}
     assert rr == {q: q for q in range(5)}
+
+
+def test_semantic_dedup_scaled_cells_track_corpus(spark):
+    """The 100 TB SemDeDup entry point (round 12): k grows with the
+    corpus (n / target_cell_size, floor 8), the fit can run on a
+    sample, and the keep-min-id contract matches the fixed-centroid
+    twins.  A fixed centroid set turns 10x data into ~100x per-cell
+    work — this is the knob that keeps cells bounded instead."""
+    import math
+
+    from metalpipe_spark.operators.similarity import semantic_dedup_scaled
+
+    # 400 golden-angle directions on a circle (three-distance theorem:
+    # min pairwise angle ~2pi/1000 -> cosine <= ~0.99998, safely under
+    # the threshold after 6-decimal quantization) + one planted
+    # parallel duplicate (scaled copy, cosine exactly 1.0 and the SAME
+    # normalized doubles, hence the same learned cell) for every 4th.
+    rows = []
+    for i in range(400):
+        theta = (i * 2.399963) % (2 * math.pi)
+        v = [math.cos(theta), math.sin(theta), 0.0, 0.0]
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((1000 + i, [2.0 * x for x in v]))  # cosine 1.0
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    kept = semantic_dedup_scaled(
+        df, threshold=0.999999, target_cell_size=50, seed=7
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    # Every planted duplicate loses to its lower-id original (parallel
+    # vectors share a cell: identical direction => identical nearest
+    # centroid), every original survives.
+    assert all(i in kept_ids for i in range(400))
+    assert all(1000 + i not in kept_ids for i in range(0, 400, 4))
+
+    # Sampled fit reproduces the same survivor structure (fit on half
+    # the data, assign everything).
+    kept_s = semantic_dedup_scaled(
+        df, threshold=0.999999, target_cell_size=50, seed=7,
+        fit_fraction=0.5,
+    )
+    ids_s = {r["vec_id"] for r in kept_s.collect()}
+    assert all(i in ids_s for i in range(400))
+    assert all(1000 + i not in ids_s for i in range(0, 400, 4))
