@@ -1342,8 +1342,10 @@ def _langid_model_oracle() -> str:
         "model_quality_filter.  The corpus text carries no language "
         "signal, so the row synthesizes a deterministic multilingual "
         "fixture (md5-driven word picks, bit-identical in both "
-        "engines) and predicts over it; held-out accuracy 1.00 vs the "
-        "marker heuristic's 0.95 (pinned in tests/test_langid.py).  "
+        "engines) and predicts over it; 11 languages incl. script-block "
+        "character-fraction features; held-out accuracy 1.0000 vs the "
+        "5-language marker heuristic's 0.43 (pinned in "
+        "tests/test_langid.py).  "
         "The marker detect_language stays the zero-dependency fallback "
         "for unsegmented scripts."
     ),

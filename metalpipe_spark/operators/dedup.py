@@ -1130,17 +1130,6 @@ def duplicate_span_dedup(
         id_col, "__n", F.posexplode("__tk").alias("pos", "tok")
     )
     last = F.col("__n") - window  # last valid span start (0-based)
-    pred_anchors = F.when(
-        last >= 0,
-        F.filter(
-            F.sequence(F.lit(0), last),
-            lambda i: F.pmod(
-                _hash64(F.element_at(F.col("__tk"), i + 1)),
-                F.lit(anchor_stride),
-            )
-            == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
     if guaranteed_gap is not None:
         from pyspark.sql.window import Window
 
@@ -1149,32 +1138,47 @@ def duplicate_span_dedup(
             .orderBy("pos")
             .rowsBetween(-(guaranteed_gap - 1), 0)
         )
+        # One hash per token, shared by BOTH anchor families (the
+        # predicate filter and the winnowing argmin) — the escalated
+        # path already pays the per-doc sort; it must not also pay the
+        # token hash twice.
+        tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
         # Rightmost argmin of the trailing w hashes: min over
         # (hash asc, -pos asc) — smallest hash first, then largest pos.
-        tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
         picked = F.min(
             F.struct(F.col("__th").alias("h"), (-F.col("pos")).alias("np"))
         ).over(wspec)
-        winnow = (
-            tokh.select(id_col, "__n", (-picked["np"]).alias("__s"))
+        winnow = tokh.select(
+            id_col, "__n", (-picked["np"]).cast("int").alias("__s")
+        )
+        pred = tokh.where(
+            F.pmod(F.col("__th"), F.lit(anchor_stride)) == 0
+        ).select(id_col, "__n", F.col("pos").alias("__s"))
+        merged = (
+            winnow.unionByName(pred)
             .where(F.col("__s") + window <= F.col("__n"))
-            .select(id_col, F.col("__s").cast("int").alias("__s"))
+            .select(id_col, "__s")
             .distinct()
             .groupBy(id_col)
-            .agg(F.collect_list("__s").alias("__wa"))
+            .agg(F.array_sort(F.collect_list("__s")).alias("__wa"))
         )
-        # One bounded array of winnowing positions per DOC joins back —
+        # One bounded array of anchor positions per DOC joins back —
         # doc-count-scale rows, never an anchor-per-row copy of the
         # token array.
-        docs = docs.join(winnow, id_col, "left")
-        anchors = F.array_sort(
-            F.array_union(
-                pred_anchors,
-                F.coalesce(F.col("__wa"), F.array().cast("array<int>")),
-            )
-        )
+        docs = docs.join(merged, id_col, "left")
+        anchors = F.coalesce(F.col("__wa"), F.array().cast("array<int>"))
     else:
-        anchors = pred_anchors
+        anchors = F.when(
+            last >= 0,
+            F.filter(
+                F.sequence(F.lit(0), last),
+                lambda i: F.pmod(
+                    _hash64(F.element_at(F.col("__tk"), i + 1)),
+                    F.lit(anchor_stride),
+                )
+                == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
     # Anchor positions into an attribute first (the CSE rule), then one
     # interpreted-HOF projection computes every span hash array-locally.
     w = (
@@ -1397,17 +1401,23 @@ def band_store(
     hash: str = "md5",
 ) -> DataFrame:
     """The persistable LSH state for incremental near-dup dedup: one
-    ``(band_key, doc_id, minhash)`` row per band per document.  At
-    warehouse scale write it bucketed on ``band_key`` so every future
-    batch joins co-located.  ``signatures`` skips the shingle→minhash
-    pipeline when a prebuilt signature table exists (shared-stage
-    consumers)."""
+    ``(band_key, doc_id, minhash, h)`` row per band per document — ``h``
+    is the hash fn the signatures were built with (the bloom/count-min
+    mismatch-proofing: a store hashed one way must never silently join
+    a batch hashed the other).  At warehouse scale write it bucketed on
+    ``band_key`` so every future batch joins co-located.  ``signatures``
+    skips the shingle→minhash pipeline when a prebuilt signature table
+    exists (shared-stage consumers) — then ``hash`` must NAME the fn
+    those signatures used, because the marker is stamped from it."""
+    _check_hash(hash)
     sigs = (
         signatures
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, n, num_hashes, hash)
     )
-    return _banded_signatures(sigs, id_col, num_hashes, bands)
+    return _banded_signatures(sigs, id_col, num_hashes, bands).withColumn(
+        "h", F.lit(hash)
+    )
 
 
 def incremental_neardup_dedup(
@@ -1461,6 +1471,28 @@ def incremental_neardup_dedup(
         new_docs, text_col, id_col, n, num_hashes, bands,
         signatures=signatures, hash=hash,
     )
+    if store is not None:
+        # Hash-provenance guard (the bloom/count-min rule, enforced for
+        # the PERSISTED store): a batch hashed differently from the
+        # store produces disjoint band keys and silently dedups against
+        # nothing.  Pre-knob stores carry no marker and were md5 by
+        # definition; the limit-1 read is bounded.
+        if "h" in store.columns:
+            row = store.select("h").first()
+            if row is not None and row["h"] != hash:
+                raise ValueError(
+                    f"incremental_neardup_dedup: store was built with "
+                    f"hash={row['h']!r} but the batch uses {hash!r} — "
+                    "band keys would never match; rebuild one side"
+                )
+        else:
+            if hash != "md5":
+                raise ValueError(
+                    "incremental_neardup_dedup: pre-knob store (no `h` "
+                    f"column) was built with md5 but the batch uses "
+                    f"{hash!r}; rebuild the store or drop the knob"
+                )
+            batch_bands = batch_bands.drop("h")  # keep the old schema
     if cache_bands:
         batch_bands = batch_bands.persist()
     # in-batch near-dups -> keep component minimum; pairs derive from the

@@ -100,6 +100,9 @@ def _jpeg_dims(content: bytes) -> tuple[int, int]:
             i += 1
             continue
         marker = content[i + 1]
+        if marker == 0xFF:  # legal fill-byte padding before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -133,18 +136,27 @@ def _pil_open(content: bytes):
 
 def real_image_dims(content: bytes) -> tuple[int, int] | None:
     """(width, height) of a recognized compressed payload, or None for
-    bytes no decoder claims (the caller decides the fallback)."""
-    img = _pil_open(content)
-    if img is not None:
-        return img.size
-    fmt = sniff_image_format(content)
-    if fmt == "png":
-        w, h, _, _ = _png_ihdr(content)
-        return w, h
-    if fmt == "jpeg":
-        return _jpeg_dims(content)
-    if fmt == "gif":
-        return _gif_dims(content)
+    bytes NO decoder claims — including corrupt/truncated payloads that
+    pass the magic sniff but fail the parse (a truncated download is
+    routine at corpus scale and must fall back, not abort the job), and
+    bytes an installed pillow rejects (UnidentifiedImageError)."""
+    try:
+        img = _pil_open(content)
+        if img is not None:
+            return img.size
+    except Exception:
+        pass  # pillow present but refuses the bytes: fall through
+    try:
+        fmt = sniff_image_format(content)
+        if fmt == "png":
+            w, h, _, _ = _png_ihdr(content)
+            return w, h
+        if fmt == "jpeg":
+            return _jpeg_dims(content)
+        if fmt == "gif":
+            return _gif_dims(content)
+    except Exception:
+        return None  # sniffed but truncated/corrupt: unclaimed
     return None
 
 
@@ -274,12 +286,15 @@ def decode_image_rgb(df: DataFrame, id_col: str = "id") -> DataFrame:
     id_type = df.schema[id_col].dataType.simpleString()
 
     def decode_one(content: bytes):
-        img = _pil_open(content)
-        if img is not None:
-            rgb = img.convert("RGB")
-            w, h = rgb.size
-            arr = np.asarray(rgb, dtype=np.uint8)
-            return arr.tobytes(), w, h
+        try:
+            img = _pil_open(content)
+            if img is not None:
+                rgb = img.convert("RGB")
+                w, h = rgb.size
+                arr = np.asarray(rgb, dtype=np.uint8)
+                return arr.tobytes(), w, h
+        except Exception:
+            pass  # pillow refused the bytes: the stdlib PNG path may still work
         if sniff_image_format(content) == "png":
             arr = _png_decode_rgb(content)
             return arr.tobytes(), arr.shape[1], arr.shape[0]

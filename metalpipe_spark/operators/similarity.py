@@ -1203,6 +1203,14 @@ def semantic_dedup_scaled(
     artifact, not SQL-replayable — the ``ivf_assign`` caveat)."""
     n = df.count()
     k = max(8, min(1_048_576, (n + target_cell_size - 1) // target_cell_size))
+    if fit_fraction is not None and int(n * fit_fraction) < k:
+        raise ValueError(
+            f"semantic_dedup_scaled: fit_fraction={fit_fraction} samples "
+            f"~{int(n * fit_fraction)} rows but k={k} centroids need at "
+            "least that many distinct points — raise fit_fraction or "
+            "target_cell_size (fail-fast here beats a mid-job k-means "
+            "crash after the corpus-scale count already ran)"
+        )
     assigned, _ = ivf_assign(
         df, k_cells=int(k), vec_col=vec_col, seed=seed,
         max_iter=max_iter, fit_fraction=fit_fraction,

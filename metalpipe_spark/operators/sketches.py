@@ -92,6 +92,11 @@ def hll_registers(
         df.select(*groups, bucket.alias("__b"), rank.alias("__r"))
         .groupBy(*groups, "__b")
         .agg(F.max("__r").alias("__m"))
+        # The hash fn rides with the persisted registers (bloom/count-min
+        # mismatch-proofing): hll_merge_registers refuses a mixed-fn
+        # merge mechanically instead of by docstring.  Constant column,
+        # added after the agg so the streaming single-agg shape holds.
+        .withColumn("__hf", F.lit(hash))
     )
 
 
@@ -99,9 +104,23 @@ def hll_merge_registers(
     regs: DataFrame, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Merge register tables (from different shards, days, or
-    micro-batches) into one per group: register max — the HLL merge."""
+    micro-batches) into one per group: register max — the HLL merge.
+    Tables built under different hash fns REFUSE to merge (buckets and
+    ranks come from different functions — the merged sketch would be
+    silently wrong); the distinct scan is bounded by register-table
+    size.  Pre-knob tables carry no ``__hf`` and merge as md5."""
     groups = list(group_cols or [])
-    return regs.groupBy(*groups, "__b").agg(F.max("__m").alias("__m"))
+    out = regs.groupBy(*groups, "__b").agg(F.max("__m").alias("__m"))
+    if "__hf" in regs.columns:
+        fns = [r["__hf"] for r in regs.select("__hf").distinct().collect()]
+        if len(fns) > 1:
+            raise ValueError(
+                f"hll_merge_registers: register tables built under mixed "
+                f"hash fns {sorted(fns)} cannot merge; re-sketch one side"
+            )
+        if fns:
+            out = out.withColumn("__hf", F.lit(fns[0]))
+    return out
 
 
 def hll_estimate_from_registers(

@@ -63,7 +63,7 @@ def main() -> int:
     attach_streaming_progress(spark, sink)
 
     print(f"{'row':24} {'wall_s':>7} {'work_s':>7} {'life_s':>7} "
-          f"{'outside_s':>9} {'batches':>7} {'life%':>6}")
+          f"{'outside_s':>9} {'batches':>7} {'nonwork%':>8}")
     rows_md = []
     for name in STREAM_ROWS:
         q = registry[name]
@@ -84,10 +84,10 @@ def main() -> int:
         outside = max(0.0, wall - trig / 1000.0)
         pct = 100.0 * (life + outside) / wall if wall else 0.0
         print(f"{name:24} {wall:7.2f} {work_s:7.2f} {life:7.2f} "
-              f"{outside:9.2f} {len(sink):7d} {100 - 100 * work_s / wall:5.0f}%")
+              f"{outside:9.2f} {len(sink):7d} {pct:5.0f}%")
         rows_md.append(
             f"| {name} | {wall:.2f} | {work_s:.2f} | {life:.2f} | "
-            f"{outside:.2f} | {len(sink)} | {100 - 100 * work_s / wall:.0f}% |"
+            f"{outside:.2f} | {len(sink)} | {pct:.0f}% |"
         )
     print()
     print("| row | wall s | work s (addBatch) | lifecycle s | "

@@ -120,6 +120,7 @@ def test_script_fractions_match_trainer_and_sql(spark):
     import duckdb
 
     from metalpipe_spark.operators.langid import (
+        _WS_CLASS,
         SCRIPT_BLOCKS,
         script_fractions,
         script_fractions_sql,
@@ -130,6 +131,9 @@ def test_script_fractions_match_trainer_and_sql(spark):
         "just latin text",
         "   ",  # all-whitespace: denominator floor
         "mixé Ångström Ωmega",  # extended Latin + a Greek char (no block)
+        "a\tb\x0bc\r\nмир",  # every _WS_CLASS char incl \x0B (the
+        # character Java \s strips but RE2 \s keeps — the divergence
+        # the explicit class exists to remove)
     ]
     df = spark.createDataFrame([(t,) for t in samples], "text string")
     spark_rows = df.select(
@@ -144,7 +148,7 @@ def test_script_fractions_match_trainer_and_sql(spark):
         duck = con.execute(
             f"SELECT {sql_exprs} FROM (SELECT ? AS text)", [t]
         ).fetchone()
-        nonws = re.sub(r"\s", "", t)
+        nonws = re.sub(_WS_CLASS, "", t)  # the trainer's exact class
         denom = max(len(nonws), 1)
         py = [
             len(re.sub(f"[^{chars}]", "", nonws)) / denom

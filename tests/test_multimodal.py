@@ -561,3 +561,64 @@ def test_pil_branch_dispatch_without_dependency():
                 sys.modules[k] = v
     # And with the stub gone, the same bytes are unclaimed again.
     assert mm.real_image_dims(b"anything") is None
+
+
+def test_real_image_dims_corrupt_payloads_fall_back(spark):
+    """Review-pass hardening: payloads that pass the magic sniff but
+    fail the parse (truncated downloads — routine at corpus scale) are
+    UNCLAIMED (None -> fake-codec fallback in decode_image), never a
+    job-aborting exception; JPEG 0xFF fill-byte padding before markers
+    parses correctly; a pillow that REJECTS bytes falls through to the
+    stdlib parsers instead of propagating."""
+    import struct
+    import sys
+    import types
+
+    from metalpipe_spark.operators import multimodal as mm
+    from metalpipe_spark.operators.multimodal import decode_image, decode_media
+
+    truncated_png = b"\x89PNG\r\n\x1a\n" + b"garbage"
+    bare_gif = b"GIF89a"
+    sofless_jpeg = b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"xx\xff\xd9"
+    assert mm.real_image_dims(truncated_png) is None
+    assert mm.real_image_dims(bare_gif) is None
+    assert mm.real_image_dims(sofless_jpeg) is None
+
+    # Fill-byte padding: FF FF FF C0 is one SOF0 marker after padding.
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    sof0 = b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44) + b"\x01\x11\x00"
+    padded = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert mm.real_image_dims(padded) == (44, 33)
+
+    # Corrupt-but-sniffable rows flow through codec="auto" as fake dims.
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated_png), "image/png")],
+        "id long, content binary, media_type string",
+    )
+    got = decode_image(df, codec="auto").first()
+    fake = decode_media(df).first()
+    assert (got["width"], got["height"]) == (fake["width"], fake["height"])
+
+    # A pillow that raises on open (UnidentifiedImageError-shaped) must
+    # not propagate: stdlib parsers take over.
+    class _Boom(Exception):
+        pass
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    def _raise(buf):
+        raise _Boom("cannot identify image file")
+    fake_image_mod.open = _raise
+    fake_pil.Image = fake_image_mod
+    had = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        assert mm.real_image_dims(b"junk") is None
+        assert mm.real_image_dims(padded) == (44, 33)  # stdlib took over
+    finally:
+        for k, v in had.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
