@@ -215,7 +215,17 @@ def minhash_signatures(
     agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash"),
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias(
+            # Provenance stamp: the signature table CARRIES the hash fn
+            # it was built with (column metadata travels with the
+            # attribute through select/filter/join), so downstream
+            # persisted stores (band_store) read the truth from the
+            # table instead of trusting a caller-supplied parameter —
+            # a prebuilt-xxhash64 table passed with the default
+            # hash='md5' must not poison a store's marker.
+            "minhash",
+            metadata={"mp.hash": hash},
+        ),
     )
 
 
@@ -1120,6 +1130,20 @@ def duplicate_span_dedup(
     equal at sf0.1, 2.1x at sf1 (7.0 → 3.3 s) — the eliminated
     shuffles are what grew super-linearly (BENCH_NOTES r12).  Output:
     ``(id, clean_text, n_kept)``."""
+    if window < 1 or anchor_stride < 1:
+        raise ValueError(
+            f"duplicate_span_dedup: window ({window}) and anchor_stride "
+            f"({anchor_stride}) must be >= 1"
+        )
+    if guaranteed_gap is not None and guaranteed_gap < 1:
+        # gap=0 would build Window.rowsBetween(1, 0) — an inverted frame
+        # whose analysis error names nothing the caller typed; fail here
+        # with the parameter's own contract instead.
+        raise ValueError(
+            f"duplicate_span_dedup: guaranteed_gap must be >= 1 (got "
+            f"{guaranteed_gap}); it is the winnowing window width — "
+            "every run of length >= window + 2*guaranteed_gap is caught"
+        )
     # Tokenize ONCE into an attribute: codegen does not CSE the split
     # between the size expression and the posexplode generator.
     docs = df.select(
@@ -1407,16 +1431,23 @@ def band_store(
     a batch hashed the other).  At warehouse scale write it bucketed on
     ``band_key`` so every future batch joins co-located.  ``signatures``
     skips the shingle→minhash pipeline when a prebuilt signature table
-    exists (shared-stage consumers) — then ``hash`` must NAME the fn
-    those signatures used, because the marker is stamped from it."""
+    exists (shared-stage consumers) — its stamped provenance (the
+    ``mp.hash`` column metadata :func:`minhash_signatures` writes) is
+    what the marker records, NOT the ``hash`` parameter: a caller who
+    built signatures with xxhash64 but left ``hash='md5'`` would
+    otherwise poison the persisted store's marker and defeat the
+    mismatch-proofing downstream.  A signature table without the stamp
+    (externally built) falls back to the parameter, which then must
+    name the fn truthfully."""
     _check_hash(hash)
-    sigs = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(df, text_col, id_col, n, num_hashes, hash)
-    )
+    if signatures is not None:
+        stamped = signatures.schema["minhash"].metadata.get("mp.hash")
+        sigs, marker = signatures, (stamped or hash)
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash)
+        marker = hash
     return _banded_signatures(sigs, id_col, num_hashes, bands).withColumn(
-        "h", F.lit(hash)
+        "h", F.lit(marker)
     )
 
 
@@ -1471,26 +1502,43 @@ def incremental_neardup_dedup(
         new_docs, text_col, id_col, n, num_hashes, bands,
         signatures=signatures, hash=hash,
     )
+    # The batch's EFFECTIVE hash: stamped signature provenance wins over
+    # the parameter (band_store's rule) — the guard below must compare
+    # the store against what the batch actually hashed with.
+    batch_hash = hash
+    if signatures is not None:
+        batch_hash = signatures.schema["minhash"].metadata.get(
+            "mp.hash", hash
+        )
     if store is not None:
         # Hash-provenance guard (the bloom/count-min rule, enforced for
         # the PERSISTED store): a batch hashed differently from the
         # store produces disjoint band keys and silently dedups against
         # nothing.  Pre-knob stores carry no marker and were md5 by
-        # definition; the limit-1 read is bounded.
+        # definition.  DISTINCT markers (the hll_merge_registers
+        # pattern), not first(): a store holding mixed h values (two
+        # stores hand-unioned) must fail for the mismatched fraction,
+        # not pass on whichever row first() happened to read; the
+        # distinct on a ≤2-value column is map-side-combined and
+        # bounded.
         if "h" in store.columns:
-            row = store.select("h").first()
-            if row is not None and row["h"] != hash:
+            markers = sorted(
+                r["h"] if r["h"] is not None else "<null>"
+                for r in store.select("h").distinct().collect()
+            )
+            if any(m != batch_hash for m in markers):
                 raise ValueError(
-                    f"incremental_neardup_dedup: store was built with "
-                    f"hash={row['h']!r} but the batch uses {hash!r} — "
-                    "band keys would never match; rebuild one side"
+                    f"incremental_neardup_dedup: store carries hash "
+                    f"markers {markers} but the batch uses "
+                    f"{batch_hash!r} — band keys would never match for "
+                    "the mismatched fraction; rebuild one side"
                 )
         else:
-            if hash != "md5":
+            if batch_hash != "md5":
                 raise ValueError(
                     "incremental_neardup_dedup: pre-knob store (no `h` "
                     f"column) was built with md5 but the batch uses "
-                    f"{hash!r}; rebuild the store or drop the knob"
+                    f"{batch_hash!r}; rebuild the store or drop the knob"
                 )
             batch_bands = batch_bands.drop("h")  # keep the old schema
     if cache_bands:

@@ -122,30 +122,69 @@ def _gif_dims(content: bytes) -> tuple[int, int]:
     return w, h
 
 
-def _pil_open(content: bytes):
+def _pillow_on_driver() -> bool:
+    """Probe pillow ONCE where the plan is built.  The decision is
+    captured into the mapInPandas closures so every executor follows the
+    SAME decode path: per-executor import probing on a cluster with
+    heterogeneous installs would make output a function of which node
+    ran the row (pillow nodes return real webp/bmp/tiff dims,
+    pillow-less nodes the fake-codec dims) — a silent split-brain.
+    Driver says pillow → an executor missing it raises ImportError
+    (loud config error); driver says no → executors that happen to
+    carry pillow still run stdlib-only (deterministic)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _pil_open(content: bytes, required: bool = False):
     """The optional-dependency hook: a PIL Image when pillow is
-    importable, else None (the stdlib parsers take over)."""
+    importable, else None (the stdlib parsers take over).
+    ``required=True`` — the driver decided on the pillow path — turns a
+    missing executor install into a loud ImportError instead of a
+    silent fallback."""
     try:
         import io
 
         from PIL import Image
     except ImportError:
+        if required:
+            raise ImportError(
+                "pillow was importable on the driver (the plan chose the "
+                "pillow decode path) but is missing on this executor — "
+                "install pillow cluster-wide or nowhere"
+            )
         return None
     return Image.open(io.BytesIO(content))
 
 
-def real_image_dims(content: bytes) -> tuple[int, int] | None:
+def real_image_dims(
+    content: bytes, use_pillow: bool | None = None
+) -> tuple[int, int] | None:
     """(width, height) of a recognized compressed payload, or None for
     bytes NO decoder claims — including corrupt/truncated payloads that
     pass the magic sniff but fail the parse (a truncated download is
     routine at corpus scale and must fall back, not abort the job), and
-    bytes an installed pillow rejects (UnidentifiedImageError)."""
-    try:
-        img = _pil_open(content)
-        if img is not None:
-            return img.size
-    except Exception:
-        pass  # pillow present but refuses the bytes: fall through
+    bytes an installed pillow rejects (UnidentifiedImageError).
+
+    ``use_pillow`` is the DRIVER's decision (:func:`_pillow_on_driver`)
+    when called from a plan closure; ``None`` (direct single-process
+    callers) probes locally.  When the driver chose pillow, a missing
+    executor install raises (ImportError is re-raised, never swallowed
+    into the corrupt-bytes fallback)."""
+    if use_pillow is None:
+        use_pillow = _pillow_on_driver()
+    if use_pillow:
+        try:
+            img = _pil_open(content, required=True)
+            if img is not None:
+                return img.size
+        except ImportError:
+            raise  # heterogeneous install: loud, not a silent fallback
+        except Exception:
+            pass  # pillow present but refuses the bytes: fall through
     try:
         fmt = sniff_image_format(content)
         if fmt == "png":
@@ -241,21 +280,25 @@ def decode_image(df: DataFrame, id_col: str = "id", codec: str = "raw") -> DataF
       back to the fake codec, so mixed corpora (and the synthetic
       fixtures) keep flowing instead of dying on the first opaque blob.
 
-    Executor-side and Arrow-batched either way — the dependency check
-    happens per batch inside the worker, so a cluster where only some
-    nodes carry pillow is a config error that fails loudly rather than
-    a silent split-brain (import resolution is per-executor,
-    deterministic per node)."""
+    The pillow-vs-stdlib decision is made ONCE on the DRIVER
+    (:func:`_pillow_on_driver`) and shipped inside the closure, so
+    every executor decodes the same way regardless of its local
+    installs: a pillow-less executor under a pillow-driver plan raises
+    ImportError (loud config error), and a pillow-carrying executor
+    under a stdlib-driver plan stays stdlib (deterministic output,
+    never a per-node split-brain)."""
     if codec == "raw":
         return decode_media(df, id_col)
     if codec != "auto":
         raise ValueError(f"codec must be 'raw' or 'auto', got {codec!r}")
     id_type = df.schema[id_col].dataType.simpleString()
+    use_pillow = _pillow_on_driver()  # plan-build-time, not per executor
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             dims = [
-                real_image_dims(bytes(c)) or _fake_decode_image(bytes(c))
+                real_image_dims(bytes(c), use_pillow=use_pillow)
+                or _fake_decode_image(bytes(c))
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(
@@ -280,21 +323,26 @@ def decode_image_rgb(df: DataFrame, id_col: str = "id") -> DataFrame:
     stdlib PNG pixel decoder.  A format nobody present can decode
     raises ``NotImplementedError`` executor-side with the dependency
     named — loud, never a silently-fake pixel buffer (the fake codec
-    exists for *dimensions*, not pixels)."""
+    exists for *dimensions*, not pixels).  The pillow decision is the
+    DRIVER's (:func:`_pillow_on_driver`), shipped in the closure — same
+    heterogeneous-install posture as :func:`decode_image`."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
+    use_pillow = _pillow_on_driver()  # plan-build-time, not per executor
 
     def decode_one(content: bytes):
-        try:
-            img = _pil_open(content)
-            if img is not None:
+        if use_pillow:
+            try:
+                img = _pil_open(content, required=True)
                 rgb = img.convert("RGB")
                 w, h = rgb.size
                 arr = np.asarray(rgb, dtype=np.uint8)
                 return arr.tobytes(), w, h
-        except Exception:
-            pass  # pillow refused the bytes: the stdlib PNG path may still work
+            except ImportError:
+                raise  # executor missing pillow under a pillow plan
+            except Exception:
+                pass  # pillow refused the bytes: the stdlib PNG path may still work
         if sniff_image_format(content) == "png":
             arr = _png_decode_rgb(content)
             return arr.tobytes(), arr.shape[1], arr.shape[0]

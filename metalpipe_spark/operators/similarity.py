@@ -1202,15 +1202,43 @@ def semantic_dedup_scaled(
     centroids make this rows-only for the correctness gate (iterative
     artifact, not SQL-replayable — the ``ivf_assign`` caveat)."""
     n = df.count()
-    k = max(8, min(1_048_576, (n + target_cell_size - 1) // target_cell_size))
-    if fit_fraction is not None and int(n * fit_fraction) < k:
+    if n == 0:
         raise ValueError(
-            f"semantic_dedup_scaled: fit_fraction={fit_fraction} samples "
-            f"~{int(n * fit_fraction)} rows but k={k} centroids need at "
-            "least that many distinct points — raise fit_fraction or "
-            "target_cell_size (fail-fast here beats a mid-job k-means "
-            "crash after the corpus-scale count already ran)"
+            "semantic_dedup_scaled: empty corpus (n=0) — nothing to fit; "
+            "failing here beats an opaque KMeans error"
         )
+    if n == 1:
+        return df  # a single vector has no pair to lose to
+    # Clamp k into [2, n]: a sub-target_cell_size corpus must not ask
+    # KMeans for more centroids than it has points (and pyspark.ml's
+    # KMeans requires k > 1).
+    k = max(8, min(1_048_576, (n + target_cell_size - 1) // target_cell_size))
+    k = max(2, min(k, n))
+    if fit_fraction is not None:
+        expected = int(n * fit_fraction)
+        if expected < k:
+            raise ValueError(
+                f"semantic_dedup_scaled: fit_fraction={fit_fraction} "
+                f"samples ~{expected} rows but k={k} centroids need at "
+                "least that many distinct points — raise fit_fraction or "
+                "target_cell_size (fail-fast here beats a mid-job k-means "
+                "crash after the corpus-scale count already ran)"
+            )
+        if expected < 2 * k:
+            # Thin margin: Bernoulli sampling can return FEWER rows than
+            # its expectation and still crash mid-fit.  Count the actual
+            # draw (same fraction+seed ivf_assign will use — Bernoulli
+            # is a per-row deterministic function of (seed, position),
+            # so the counted sample IS the fitted sample).  At 2x margin
+            # or better the shortfall probability is Chernoff-negligible
+            # and the extra pass is skipped.
+            actual = df.sample(fit_fraction, seed=seed).count()
+            if actual < k:
+                raise ValueError(
+                    f"semantic_dedup_scaled: fit sample drew {actual} "
+                    f"rows (expected ~{expected}) but k={k} centroids "
+                    "need at least k points — raise fit_fraction"
+                )
     assigned, _ = ivf_assign(
         df, k_cells=int(k), vec_col=vec_col, seed=seed,
         max_iter=max_iter, fit_fraction=fit_fraction,

@@ -188,3 +188,62 @@ def test_count_min_one_sided_and_self_describing(spark):
     assert all(r["cm_estimate"] >= true[r["v"]] for r in est)
     hot = {r["v"]: r["cm_estimate"] for r in est if r["v"].startswith("hot")}
     assert all(v >= 100 for v in hot.values())
+
+
+def test_band_store_reads_signature_provenance(spark):
+    """ADVICE r12: a prebuilt xxhash64 signature table passed with the
+    DEFAULT hash='md5' must not poison the persisted store's marker —
+    band_store reads the ``mp.hash`` column-metadata stamp
+    minhash_signatures writes, and only falls back to the parameter for
+    unstamped (externally built) tables."""
+    from metalpipe_spark.operators.dedup import band_store, minhash_signatures
+
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, hash="xxhash64")
+    assert sigs.schema["minhash"].metadata["mp.hash"] == "xxhash64"
+    # The stamp survives projection/filter (it travels with the attribute).
+    sigs = sigs.where(F.col("doc_id") >= 0).select("doc_id", "minhash")
+    store = band_store(docs, signatures=sigs)  # hash param left at md5
+    markers = {r["h"] for r in store.select("h").distinct().collect()}
+    assert markers == {"xxhash64"}
+    # Unstamped external signatures: the parameter is the only truth.
+    # (A plain re-alias PRESERVES metadata; stripping takes an explicit
+    # empty metadata dict — i.e. only genuinely external tables lack it.)
+    bare = sigs.select(
+        "doc_id", F.col("minhash").alias("minhash", metadata={})
+    )
+    assert not bare.schema["minhash"].metadata
+    store2 = band_store(docs, signatures=bare, hash="xxhash64")
+    assert {r["h"] for r in store2.select("h").distinct().collect()} == {
+        "xxhash64"
+    }
+
+
+def test_incremental_neardup_mixed_store_markers_raise(spark):
+    """ADVICE r12: a store holding MIXED h markers (two stores
+    hand-unioned) must fail the provenance guard for the mismatched
+    fraction, not pass on whichever row first() happened to read."""
+    import pytest
+
+    from metalpipe_spark.operators.dedup import (
+        band_store,
+        incremental_neardup_dedup,
+    )
+
+    docs = _docs(spark)
+    mixed = band_store(docs, hash="md5").unionByName(
+        band_store(docs, hash="xxhash64")
+    )
+    with pytest.raises(ValueError, match="markers"):
+        incremental_neardup_dedup(docs, mixed, hash="md5")
+    # And the stamped-signature path drives the guard from the BATCH's
+    # effective hash (xxhash64 signatures + default md5 param must
+    # compare as xxhash64, not md5).
+    from metalpipe_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, hash="xxhash64")
+    store_xx = band_store(docs, hash="xxhash64")
+    fresh, _ = incremental_neardup_dedup(
+        docs, store_xx, signatures=sigs
+    )  # no raise: effective batch hash == store hash
+    assert fresh.count() >= 0

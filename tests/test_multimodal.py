@@ -622,3 +622,63 @@ def test_real_image_dims_corrupt_payloads_fall_back(spark):
                 del sys.modules[k]
             else:
                 sys.modules[k] = v
+
+
+def test_decode_auto_pillow_decision_is_drivers(spark):
+    """ADVICE r12 (medium): the pillow-vs-stdlib choice is made ONCE on
+    the driver and shipped in the closure — executor-local installs
+    cannot flip a row's output.  Three contracts:
+
+    1. ``use_pillow=False`` ignores a locally importable PIL (a
+       pillow-carrying executor under a stdlib plan stays stdlib);
+    2. ``use_pillow=True`` without pillow raises ImportError (a
+       pillow-less executor under a pillow plan is a LOUD config
+       error, not a silent fake-dims fallback);
+    3. end-to-end: a plan built while the driver could import (stub)
+       PIL dies loudly on workers that cannot — the split-brain the
+       old per-executor probe silently absorbed.
+    """
+    import sys
+    import types
+
+    import pytest
+
+    from metalpipe_spark.operators import multimodal as mm
+
+    class _Img:
+        size = (123, 45)
+
+    # Probe BEFORE stubbing: find_spec raises on a stub whose
+    # __spec__ is None.
+    pil_missing = __import__("importlib").util.find_spec("PIL") is None
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: _Img()
+    fake_pil.Image = fake_image_mod
+    had = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        # (1) stdlib decision wins over a locally importable PIL.
+        assert mm.real_image_dims(b"anything", use_pillow=False) is None
+        # (3) plan built under a PIL-importing driver: local-mode
+        # Python workers are separate processes with no stub, so the
+        # heterogeneous-install posture fires end-to-end.
+        df = spark.createDataFrame(
+            [(1, bytearray(b"opaque-bytes"), "image/png")],
+            "id long, content binary, media_type string",
+        )
+        plan = mm.decode_image(df, codec="auto")
+        if pil_missing:
+            with pytest.raises(Exception, match="pillow"):
+                plan.collect()
+    finally:
+        for k, v in had.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
+    # (2) pillow decision without pillow: loud ImportError.
+    if pil_missing:
+        with pytest.raises(ImportError, match="driver"):
+            mm.real_image_dims(b"anything", use_pillow=True)

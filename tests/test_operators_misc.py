@@ -2531,3 +2531,21 @@ def test_minhash_lsh_threshold_autotunes_bands(spark):
     assert any((r["d1"], r["d2"]) == (1, 2) for r in out)
     b, r = tune_lsh_bands(0.5, 16)
     assert b * r == 16  # the override really routed through the tuner
+
+
+def test_duplicate_span_dedup_validates_parameters(spark):
+    """ADVICE r12: guaranteed_gap=0 used to build an inverted window
+    frame (rowsBetween(1, 0)) whose analysis error names nothing the
+    caller typed — the contract check must fire first, and the other
+    size parameters get the same treatment."""
+    from metalpipe_spark.operators.dedup import duplicate_span_dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="guaranteed_gap"):
+        duplicate_span_dedup(docs, guaranteed_gap=0)
+    with pytest.raises(ValueError, match="guaranteed_gap"):
+        duplicate_span_dedup(docs, guaranteed_gap=-3)
+    with pytest.raises(ValueError, match="window"):
+        duplicate_span_dedup(docs, window=0)
+    with pytest.raises(ValueError, match="anchor_stride"):
+        duplicate_span_dedup(docs, anchor_stride=0)

@@ -866,3 +866,55 @@ def test_semantic_dedup_scaled_cells_track_corpus(spark):
     ids_s = {r["vec_id"] for r in kept_s.collect()}
     assert all(i in ids_s for i in range(400))
     assert all(1000 + i not in ids_s for i in range(0, 400, 4))
+
+
+def test_semantic_dedup_scaled_tiny_corpus_edges(spark):
+    """ADVICE r12: corpora smaller than the k floor must clamp k to n
+    (not hand KMeans k > n), a single vector passes through, and an
+    empty corpus fails with the operator's own message instead of an
+    opaque ML error after the corpus-scale count already ran."""
+    import pytest
+
+    from metalpipe_spark.operators.similarity import semantic_dedup_scaled
+
+    schema = "vec_id int, embedding array<double>"
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0]) for i in range(5)]
+        + [(100, [2.0, 2.0, 0.0])],  # parallel to vec_id=0's direction? no
+        schema,
+    )
+    kept = semantic_dedup_scaled(tiny, threshold=0.999999, target_cell_size=1024)
+    assert kept.count() >= 1  # k clamped to [2, 6]; no KMeans crash
+
+    one = spark.createDataFrame([(7, [1.0, 0.0])], schema)
+    assert [r["vec_id"] for r in semantic_dedup_scaled(one).collect()] == [7]
+
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="empty corpus"):
+        semantic_dedup_scaled(empty)
+
+
+def test_semantic_dedup_scaled_thin_sample_fails_fast(spark):
+    """The fit_fraction guard counts the ACTUAL Bernoulli draw when the
+    expected margin is thin (<2k), so a short draw raises the
+    operator's error, never a mid-fit KMeans crash."""
+    import pytest
+
+    from metalpipe_spark.operators.similarity import semantic_dedup_scaled
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 5 + 1)]) for i in range(40)],
+        "vec_id int, embedding array<double>",
+    )
+    # k = ceil(40/5) = 8; expected sample 40*0.2 = 8 -> not < k, but
+    # thin (< 2k): the actual-draw count path runs.  Either it drew
+    # >= 8 rows and fits, or it raises the operator's message.
+    try:
+        semantic_dedup_scaled(
+            df, target_cell_size=5, fit_fraction=0.2, seed=3
+        ).count()
+    except ValueError as e:
+        assert "fit sample drew" in str(e)
+    # expected < k fails before any sampling pass
+    with pytest.raises(ValueError, match="fit_fraction"):
+        semantic_dedup_scaled(df, target_cell_size=5, fit_fraction=0.05)
