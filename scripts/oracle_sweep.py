@@ -3,6 +3,13 @@ plan vs its DuckDB oracle at a chosen scale factor (default sf0.01, the
 driver's setting; the pytest suite gates at sf0.001).
 
 Usage:  python scripts/oracle_sweep.py [sf_dir] [--only q_a,q_b,...] [--ansi]
+                                       [--json PATH]
+
+--json PATH additionally writes a machine-readable per-row record
+(status + rows compared) — round_close.py merges the normal and --ansi
+runs into the committed SWEEP_r{N}.json artifact, so full-catalog
+correctness is auditable from the repo without re-running the sweep
+(the driver's own sample covers the alphabetical head-50 only).
 
 --ansi runs the Spark side with spark.sql.ansi.enabled=true (Spark 4's
 default posture): same oracles, strict overflow/cast semantics — a
@@ -29,6 +36,11 @@ def main() -> int:
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    json_path: str | None = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     ansi = "--ansi" in argv
     argv = [a for a in argv if a != "--ansi"]
@@ -62,12 +74,14 @@ def main() -> int:
             return 2
     con = duckdb_con(sf_dir)
     bad = []
+    rows: dict[str, dict] = {}
     for name in sorted(reg):
         if only is not None and name not in only:
             continue
         q = reg[name]
         if not q.oracle:
             print(f"SKIP {name} (no oracle)")
+            rows[name] = {"status": "SKIP"}
             continue
         try:
             got, want = compare_with_oracle(q.build(spark, sf_dir), con, q.oracle)
@@ -75,12 +89,33 @@ def main() -> int:
         except Exception as ex:  # comparator/strictness/run error
             bad.append(name)
             print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:140]}")
+            rows[name] = {
+                "status": "ERR",
+                "err": f"{type(ex).__name__}: {str(ex)[:140]}",
+            }
             continue
         if not ok:
             bad.append(name)
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(got)} rows)")
+        rows[name] = {"status": "PASS" if ok else "FAIL", "rows": len(got)}
     total = len(only) if only is not None else len(reg)
     print(f"---- {total - len(bad)}/{total} green")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "ansi": ansi,
+                    "green": total - len(bad),
+                    "total": total,
+                    "rows": rows,
+                },
+                f,
+                sort_keys=True,
+            )
+            f.write("\n")
     return 1 if bad else 0
 
 

@@ -9,7 +9,12 @@ end on a red board.  Runs, in order,
      after the 14-minute pytest stage and six rows read 4-8x slow),
   2. the FULL pytest suite,
   3. the full oracle sweep (every registered catalog row vs DuckDB at
-     sf0.01 — the driver's correctness gate, run locally),
+     sf0.01 — the driver's correctness gate, run locally), normal AND
+     --ansi, writing the merged per-row SWEEP_r{N}.json artifact
+     (VERDICT r12 task 2: the driver samples the alphabetical head-50
+     of a deterministically sorted catalog, so rows past the head are
+     never driver-resampled — the committed sweep artifact makes
+     full-catalog correctness auditable without re-running),
 
 and exits non-zero the moment any step is red.  The round-close
 snapshot commit should cite the three green artifacts this script
@@ -84,6 +89,10 @@ def main() -> int:
                 "SPARK_GRAFT_BENCH_RUNS": os.environ.get(
                     "SPARK_GRAFT_BENCH_RUNS", "3"
                 ),
+                # Per-run samples for the LOCAL artifact only — the
+                # driver's run stays compact (its capture truncated the
+                # r12 samples-bearing line mid-stream).
+                "SPARK_GRAFT_BENCH_SAMPLES": "1",
             },
         )
         line = next(
@@ -101,7 +110,48 @@ def main() -> int:
               f"{payload['value']}s total")
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
-    run("oracle_sweep", [sys.executable, "scripts/oracle_sweep.py"])
+    normal_json = os.path.join(REPO, f".sweep_r{rnd}_normal.json")
+    ansi_json = os.path.join(REPO, f".sweep_r{rnd}_ansi.json")
+    run(
+        "oracle_sweep",
+        [sys.executable, "scripts/oracle_sweep.py", "--json", normal_json],
+    )
+    run(
+        "oracle_sweep_ansi",
+        [
+            sys.executable, "scripts/oracle_sweep.py", "--ansi",
+            "--json", ansi_json,
+        ],
+    )
+    with open(normal_json) as f:
+        normal = json.load(f)
+    with open(ansi_json) as f:
+        ansi = json.load(f)
+    os.unlink(normal_json)
+    os.unlink(ansi_json)
+    sweep_art = os.path.join(REPO, f"SWEEP_r{rnd}.json")
+    with open(sweep_art, "w") as f:
+        json.dump(
+            {
+                "sf_dir": normal["sf_dir"],
+                "green": normal["green"],
+                "total": normal["total"],
+                "ansi_green": ansi["green"],
+                "ansi_total": ansi["total"],
+                "rows": {
+                    name: {**rec, "ansi": ansi["rows"][name]["status"]}
+                    for name, rec in normal["rows"].items()
+                },
+            },
+            f,
+            sort_keys=True,
+            indent=1,
+        )
+        f.write("\n")
+    print(
+        f"wrote {sweep_art}: {normal['green']}/{normal['total']} green, "
+        f"{ansi['green']}/{ansi['total']} green under ANSI"
+    )
 
     print(f"ROUND {rnd} CLOSE: ALL GREEN")
     return 0
