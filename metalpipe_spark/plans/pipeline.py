@@ -619,6 +619,9 @@ def _near_dup_dedup_node(spark, upstreams, opts):
         # auto_bands: let the S-curve tuner size the banding for the
         # SAME threshold the est_jaccard cut uses (tune_lsh_bands)
         threshold=threshold if opts.get("auto_bands") else None,
+        # hash: xxhash64 is the production knob (1.3-1.4x measured on
+        # the minhash family); md5 stays the portable default.
+        hash=opts.get("hash", "md5"),
     ).where(F.col("est_jaccard") >= threshold)
     return dedup_corpus(
         df,
@@ -699,20 +702,55 @@ def _paragraph_dedup_node(spark, upstreams, opts):
 def _decontaminate_node(spark, upstreams, opts):
     """Two ordered upstreams: [corpus, benchmark].  Emits the clean
     corpus; the report is exposed via ``report_view`` (a temp view) for
-    a downstream SQLExecute node."""
-    from metalpipe_spark.operators.dedup import decontaminate
+    a downstream SQLExecute node.
 
+    ``method: bloom`` swaps the exact broadcast-shingle-index for the
+    Bloom-mask probe (operators/sketches.bloom_decontaminate) — fixed
+    kilobyte broadcast instead of the benchmark's full shingle strings,
+    one-sided false positives; knobs ``m_bits``/``k``/``min_hits`` and
+    the production ``hash: xxhash64`` (probes measured 1.93x at sf1)
+    apply to it.  The exact method hashes nothing (raw shingle join),
+    so ``hash`` with ``method: exact`` is rejected rather than
+    ignored."""
+    method = opts.get("method", "exact")
     if len(upstreams) != 2:
         raise ValueError("Decontaminate requires [corpus, benchmark] upstreams")
     corpus, benchmark = upstreams
-    clean, report = decontaminate(
-        corpus,
-        benchmark,
-        text_col=opts.get("text_col", "text"),
-        id_col=opts.get("id_col", "doc_id"),
-        n=opts.get("n", 3),
-        min_shared=opts.get("min_shared", 3),
-    )
+    if method == "bloom":
+        from metalpipe_spark.operators.sketches import bloom_decontaminate
+
+        clean, report = bloom_decontaminate(
+            corpus,
+            benchmark,
+            text_col=opts.get("text_col", "text"),
+            id_col=opts.get("id_col", "doc_id"),
+            n=opts.get("n", 3),
+            m_bits=opts.get("m_bits", 1 << 18),
+            k=opts.get("k", 4),
+            min_hits=opts.get("min_hits", 3),
+            hash=opts.get("hash", "md5"),
+        )
+    elif method == "exact":
+        from metalpipe_spark.operators.dedup import decontaminate
+
+        if "hash" in opts:
+            raise ValueError(
+                "Decontaminate(method=exact) joins raw shingles and "
+                "hashes nothing — the hash option only applies to "
+                "method: bloom"
+            )
+        clean, report = decontaminate(
+            corpus,
+            benchmark,
+            text_col=opts.get("text_col", "text"),
+            id_col=opts.get("id_col", "doc_id"),
+            n=opts.get("n", 3),
+            min_shared=opts.get("min_shared", 3),
+        )
+    else:
+        raise ValueError(
+            f"Decontaminate method must be 'exact' or 'bloom', got {method!r}"
+        )
     if opts.get("report_view"):
         report.createOrReplaceTempView(opts["report_view"])
     return clean
@@ -1053,16 +1091,46 @@ def _global_shuffle_node(spark, upstreams, opts):
 
 @node_class("SemanticDedup")
 def _semantic_dedup_node(spark, upstreams, opts):
-    """SemDeDup over an embedding column (GEMM path by default);
-    ``centroids`` inline, or ``num_centroids``/``dim`` for the
-    deterministic fixed set."""
+    """SemDeDup over an embedding column.
+
+    CORPUS-SCALE USERS: set ``scaled: true`` (optionally with
+    ``target_cell_size`` / ``fit_fraction`` / ``seed``) — that routes to
+    :func:`semantic_dedup_scaled`, which sizes the cell count to the
+    corpus (k = n / target_cell_size, sampled k-means fit, map-side
+    assignment) so total work stays LINEAR in the input.  The
+    fixed-centroid paths below are the SQL-replayable oracle faces: the
+    per-cell comparison is quadratic in cell size, so a fixed centroid
+    set turns 10x data into ~100x work (measured 38x growth on a 10x
+    corpus, SCALING.md) — never point them at a real corpus.
+
+    Fixed-centroid knobs: ``centroids`` inline, or
+    ``num_centroids``/``dim`` for the deterministic set; ``use_gemm``
+    (default true) picks the BLAS kernel."""
     from metalpipe_spark.operators.similarity import (
         deterministic_centroids,
         semantic_dedup,
         semantic_dedup_gemm,
+        semantic_dedup_scaled,
     )
 
     df = _one(upstreams, "SemanticDedup")
+    scaled = opts.get("scaled", False) or "target_cell_size" in opts
+    if scaled and (opts.get("centroids") or opts.get("num_centroids")):
+        raise ValueError(
+            "SemanticDedup: scaled mode sizes its own centroid count "
+            "(k = n / target_cell_size) — drop centroids/num_centroids "
+            "or drop scaled/target_cell_size"
+        )
+    if scaled:
+        return semantic_dedup_scaled(
+            df,
+            threshold=opts.get("threshold", 0.9),
+            target_cell_size=opts.get("target_cell_size", 1024),
+            vec_col=opts.get("vec_col", "embedding"),
+            id_col=opts.get("id_col", "vec_id"),
+            fit_fraction=opts.get("fit_fraction"),
+            seed=opts.get("seed", 42),
+        )
     cents = opts.get("centroids") or deterministic_centroids(
         opts.get("num_centroids", 8), opts.get("dim", 64)
     )

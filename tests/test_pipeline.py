@@ -895,3 +895,108 @@ def test_pivot_pinned_node_yaml(spark, tmp_path):
     p = compile_pipeline(spark, config)
     got = {r["k"]: (r["sum_x"], r["sum_y"]) for r in p.dataframes["wide"].collect()}
     assert got == {"a": (1.0, 2.0), "b": (3.0, None)}
+
+
+def test_semantic_dedup_node_scaled_path(spark, tmp_path):
+    """VERDICT r12 task 1: the YAML SemanticDedup node reaches the
+    corpus-scale linear plan (semantic_dedup_scaled) via ``scaled:
+    true`` / ``target_cell_size`` — a config-surface user no longer
+    falls into the measured-38x fixed-centroid path.  Rows-only pin
+    (learned centroids): planted parallel duplicates lose to their
+    lower-id originals, originals all survive."""
+    import math
+
+    rows = []
+    for i in range(120):
+        theta = (i * 2.399963) % (2 * math.pi)
+        v = [math.cos(theta), math.sin(theta), 0.0, 0.0]
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((1000 + i, [2.0 * x for x in v]))  # cosine 1.0
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).write.parquet(path)
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": path}},
+            "dedup": {
+                "class": "SemanticDedup",
+                "options": {
+                    "scaled": True,
+                    "target_cell_size": 30,
+                    "threshold": 0.999999,
+                    "seed": 7,
+                },
+            },
+        },
+        "paths": [["read", "dedup"]],
+    }
+    kept = {
+        r["vec_id"]
+        for r in compile_pipeline(spark, config).dataframes["dedup"].collect()
+    }
+    assert all(i in kept for i in range(120))
+    assert all(1000 + i not in kept for i in range(0, 120, 4))
+    # target_cell_size alone also routes to the scaled path; mixing the
+    # scaled knobs with fixed centroids is a config contradiction.
+    config["nodes"]["dedup"]["options"] = {
+        "target_cell_size": 30,
+        "num_centroids": 8,
+    }
+    with pytest.raises(ValueError, match="scaled"):
+        compile_pipeline(spark, config)
+
+
+def test_neardup_and_decontaminate_nodes_hash_knob(spark, tmp_path):
+    """VERDICT r12 task 6: the production-hash knob is reachable from
+    the YAML surface — NearDupDedup threads it to minhash_lsh_pairs,
+    Decontaminate(method=bloom) to the Bloom mask; the exact method
+    hashes nothing and REJECTS the option instead of ignoring it."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = [(0, base), (1, base.replace("today", "tonight")),
+              (2, "completely different content about spark shuffles and joins")]
+    cpath, bpath = str(tmp_path / "c"), str(tmp_path / "b")
+    spark.createDataFrame(corpus, ["doc_id", "text"]).write.parquet(cpath)
+    spark.createDataFrame([(100, base)], ["doc_id", "text"]).write.parquet(bpath)
+
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": cpath}},
+            "dedup": {
+                "class": "NearDupDedup",
+                "options": {"threshold": 0.5, "hash": "xxhash64"},
+            },
+        },
+        "paths": [["read", "dedup"]],
+    }
+    kept = {
+        r["doc_id"]
+        for r in compile_pipeline(spark, config).dataframes["dedup"].collect()
+    }
+    assert kept == {0, 2}  # near-dup 1 loses to 0 under xxhash64 too
+
+    config = {
+        "nodes": {
+            "corpus": {"class": "ParquetReader", "options": {"path": cpath}},
+            "bench": {"class": "ParquetReader", "options": {"path": bpath}},
+            "decon": {
+                "class": "Decontaminate",
+                "options": {"method": "bloom", "hash": "xxhash64",
+                            "min_hits": 3},
+            },
+        },
+        "paths": [["corpus", "decon"], ["bench", "decon"]],
+    }
+    clean = {
+        r["doc_id"]
+        for r in compile_pipeline(spark, config).dataframes["decon"].collect()
+    }
+    assert 0 not in clean and 2 in clean  # the leaked doc is flagged
+
+    config["nodes"]["decon"]["options"] = {"method": "exact", "hash": "xxhash64"}
+    with pytest.raises(ValueError, match="hash option only applies"):
+        compile_pipeline(spark, config)
+    config["nodes"]["decon"]["options"] = {"method": "nope"}
+    with pytest.raises(ValueError, match="exact.*bloom"):
+        compile_pipeline(spark, config)
