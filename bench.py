@@ -77,6 +77,7 @@ HEADLINE = [
     "q_paragraph_dedup",
     "q_boilerplate_removal",
     "q_span_dedup",
+    "q_span_dedup_winnow",
     "q_source_overlap",
     "q_normalized_dedup",
     # URL / host curation (r10)

@@ -1109,10 +1109,13 @@ def duplicate_span_dedup(
     order agree across copies.  Guarantee: every duplicated run of
     length ``>= window + 2*guaranteed_gap`` is caught regardless of
     content (first fully-interior window ends within ``2w`` of the run
-    start).  Price: one extra per-document sort (the window function's
-    partition), worth paying when the corpus may contain adversarial
-    or systematically anchor-free text; the probabilistic default
-    keeps the catalog row's plan unchanged.
+    start).  Price: an O(``guaranteed_gap``) array-local fold per token
+    inside the same per-document projection the probabilistic path
+    already runs — no extra shuffle, no per-document sort (the round-13
+    rework; the original window-function formulation shuffled
+    token-scale rows and measured 1.9x slower) — worth paying when the
+    corpus may contain adversarial or systematically anchor-free text;
+    the probabilistic default keeps the catalog row's plan unchanged.
 
     Scale shape (reworked round 12 — the span-hash stage previously
     exploded ``window`` coverage rows per anchor into a corpus-scale
@@ -1155,42 +1158,56 @@ def duplicate_span_dedup(
     )
     last = F.col("__n") - window  # last valid span start (0-based)
     if guaranteed_gap is not None:
-        from pyspark.sql.window import Window
+        # Array-native winnowing (round 13): anchor detection happens in
+        # the SAME per-document projection as the probabilistic path —
+        # ZERO token-scale shuffles.  The previous formulation ran a
+        # window function over posexploded tokens (token-scale shuffle +
+        # per-doc sort) and a second token→doc shuffle to collect anchor
+        # positions; measured 1.9x slower at sf0.1 than this shape.
+        # Hash every token ONCE into an attribute (the CSE rule: the
+        # fold below reads each hash up to `gap` times, and interpreted
+        # HOF trees re-evaluate repeated subexpressions per reference).
+        docs = docs.withColumn(
+            "__th", F.transform(F.col("__tk"), lambda t: _hash64(t))
+        )
+        th = F.col("__th")
+        # Sentinel above every real hash (hashes are < 2^60), so the
+        # fold's first step always replaces the zero element.
+        zero = F.struct(
+            F.lit(1 << 62).cast("long").alias("h"), F.lit(0).alias("p")
+        )
 
-        wspec = (
-            Window.partitionBy(id_col)
-            .orderBy("pos")
-            .rowsBetween(-(guaranteed_gap - 1), 0)
+        def argmin_pos(i):
+            # Rightmost argmin of th[lo..i]: fold left-to-right keeping
+            # the LATEST element whose hash <= the running minimum —
+            # ties resolve to the larger position by iteration order,
+            # exactly min(struct(h, -p)) without building the negation.
+            lo = F.greatest(i - (guaranteed_gap - 1), F.lit(0))
+            pairs = F.transform(
+                F.sequence(lo, i),
+                lambda j: F.struct(
+                    F.element_at(th, j + 1).alias("h"), j.alias("p")
+                ),
+            )
+            folded = F.aggregate(
+                pairs,
+                zero,
+                lambda acc, s: F.when(s["h"] <= acc["h"], s).otherwise(acc),
+            )
+            return folded["p"].cast("int")
+
+        wn = F.transform(F.sequence(F.lit(0), F.col("__n") - 1), argmin_pos)
+        pred_arr = F.filter(
+            F.sequence(F.lit(0), F.col("__n") - 1),
+            lambda i: F.pmod(
+                F.element_at(th, i + 1), F.lit(anchor_stride)
+            )
+            == 0,
+        ).cast("array<int>")
+        anchors = F.filter(
+            F.array_union(wn, pred_arr),  # distinct union, array-local
+            lambda s: s + window <= F.col("__n"),
         )
-        # One hash per token, shared by BOTH anchor families (the
-        # predicate filter and the winnowing argmin) — the escalated
-        # path already pays the per-doc sort; it must not also pay the
-        # token hash twice.
-        tokh = tokpos.withColumn("__th", _hash64(F.col("tok")))
-        # Rightmost argmin of the trailing w hashes: min over
-        # (hash asc, -pos asc) — smallest hash first, then largest pos.
-        picked = F.min(
-            F.struct(F.col("__th").alias("h"), (-F.col("pos")).alias("np"))
-        ).over(wspec)
-        winnow = tokh.select(
-            id_col, "__n", (-picked["np"]).cast("int").alias("__s")
-        )
-        pred = tokh.where(
-            F.pmod(F.col("__th"), F.lit(anchor_stride)) == 0
-        ).select(id_col, "__n", F.col("pos").alias("__s"))
-        merged = (
-            winnow.unionByName(pred)
-            .where(F.col("__s") + window <= F.col("__n"))
-            .select(id_col, "__s")
-            .distinct()
-            .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list("__s")).alias("__wa"))
-        )
-        # One bounded array of anchor positions per DOC joins back —
-        # doc-count-scale rows, never an anchor-per-row copy of the
-        # token array.
-        docs = docs.join(merged, id_col, "left")
-        anchors = F.coalesce(F.col("__wa"), F.array().cast("array<int>"))
     else:
         anchors = F.when(
             last >= 0,
