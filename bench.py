@@ -115,6 +115,7 @@ HEADLINE = [
     # text analysis
     "q_langid",
     "q_langid_model",
+    "q_langid_cjk",
     "q_quality_tokens",
     "q_text_profile_by_lang",
     "q_corpus_report",

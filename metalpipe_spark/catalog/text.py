@@ -1367,6 +1367,120 @@ def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_LANGID_MIX = ["zh", "ja", "ko", "en", "ru"]
+
+
+def _langid_cjk_oracle() -> str:
+    from metalpipe_spark.operators.langid import (
+        _WS_CLASS,
+        ROUTE_THRESHOLD,
+        cjk_fraction_sql,
+        cjk_logits_sql,
+        langid_logits_sql,
+        langid_pred_sql,
+        synthetic_cjk_sql,
+        synthetic_multilingual_sql,
+    )
+    from metalpipe_spark.operators.langid_weights import (
+        CJK_BIASES,
+        CJK_SCRIPT_WEIGHTS,
+        CJK_TRAINED_CLASSES,
+        CJK_WEIGHTS,
+        LANGID_BIASES,
+        LANGID_SCRIPT_WEIGHTS,
+        LANGID_TRAINED_CLASSES,
+        LANGID_WEIGHTS,
+    )
+
+    mix = "[" + ", ".join(f"'{c}'" for c in _LANGID_MIX) + "]"
+    synth_cjk = synthetic_cjk_sql("lang", "doc_id", salt="v1c")
+    synth_tok = synthetic_multilingual_sql("lang", "doc_id", salt="v1c")
+    cjk_logits = cjk_logits_sql(
+        CJK_TRAINED_CLASSES, CJK_WEIGHTS, CJK_BIASES, CJK_SCRIPT_WEIGHTS,
+        stripped_expr="s", text_expr="text",
+    )
+    tok_logits = langid_logits_sql(
+        "toks", LANGID_TRAINED_CLASSES, LANGID_WEIGHTS, LANGID_BIASES,
+        script_weights=LANGID_SCRIPT_WEIGHTS, text_expr="text",
+    )
+    cjk_pred = langid_pred_sql("cjk_logits", CJK_TRAINED_CLASSES)
+    tok_pred = langid_pred_sql("tok_logits", LANGID_TRAINED_CLASSES)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({mix})[(doc_id % 5)::INT + 1] AS lang FROM documents
+    ), s0 AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang IN ('zh', 'ja', 'ko') THEN {synth_cjk}
+                  ELSE {synth_tok} END AS text
+      FROM base
+    ), s1 AS (
+      SELECT doc_id, lang, text,
+             regexp_replace(text, '{_WS_CLASS}', '', 'g') AS s,
+             regexp_split_to_array(text, '\\s+') AS toks
+      FROM s0
+    ), l AS (
+      SELECT doc_id, lang, text,
+             {cjk_logits} AS cjk_logits,
+             {tok_logits} AS tok_logits
+      FROM s1
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {cjk_fraction_sql("text")} >= {ROUTE_THRESHOLD!r}
+                THEN {cjk_pred} ELSE {tok_pred} END AS pred_lang
+    FROM l ORDER BY doc_id
+    """
+
+
+@register(
+    "q_langid_cjk",
+    _langid_cjk_oracle(),
+    doc=(
+        "UNSEGMENTED-CJK language ID (VERDICT r12 task 4): real "
+        "Chinese/Japanese prose has no spaces, so the whitespace-token "
+        "model sees one OOV token per document - this row routes by "
+        "kana/hangul/han character fraction (>= 0.3) to a trained "
+        "char-BIGRAM hashed softmax (no tokenizer: substr grams over "
+        "the whitespace-stripped text, md5-fold serving, script "
+        "fractions appended), falling through to the token model for "
+        "segmented scripts.  Fixture mixes unsegmented zh/ja/ko "
+        "(zh and ja share Han characters, so bigram distributions - "
+        "not script fractions alone - separate them) with segmented "
+        "en/ru; held-out accuracy 1.0000 on all three unsegmented "
+        "languages vs the marker heuristic's 0.333 "
+        "(langid_weights.py).  Both branches are pure JVM folds; the "
+        "CASE evaluates only the taken branch per row."
+    ),
+)
+def q_langid_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.langid import (
+        detect_language_routed,
+        synthetic_cjk_text,
+        synthetic_multilingual_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = F.array(*[F.lit(c) for c in _LANGID_MIX])
+    base = docs.select(
+        "doc_id",
+        F.element_at(
+            mix, F.pmod(F.col("doc_id"), F.lit(5)).cast("int") + 1
+        ).alias("lang"),
+    )
+    synth = base.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("lang").isin("zh", "ja", "ko"),
+            synthetic_cjk_text("lang", "doc_id", salt="v1c"),
+        )
+        .otherwise(synthetic_multilingual_text("lang", "doc_id", salt="v1c"))
+        .alias("text"),
+    )
+    return synth.select(
+        "doc_id", "lang", detect_language_routed("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
 _VOCAB_K = 16
 
 

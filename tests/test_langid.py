@@ -192,3 +192,101 @@ def test_new_scripts_classified_and_oov_falls_back_to_script(spark):
     got = [r["p"] for r in oov.withColumn(
         "p", detect_language_model("text")).collect()]
     assert got == ["ru", "zh", "ar", "ja"]
+
+
+def _cjk_fixture(spark, n: int, salt: str):
+    from metalpipe_spark.operators.langid import CJK_CLASSES, synthetic_cjk_text
+
+    carr = F.array(*[F.lit(c) for c in CJK_CLASSES])
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                carr, (F.col("id") % len(CJK_CLASSES)).cast("int") + 1
+            ).alias("lang"),
+        )
+        .withColumn("text", synthetic_cjk_text("lang", "doc_id", salt))
+    )
+
+
+def test_cjk_pinned_model_on_unsegmented_text(spark):
+    """VERDICT r12 task 4 'done' bar: the pinned char-bigram model
+    classifies UNSEGMENTED zh/ja/ko (no whitespace anywhere — the text
+    the token model sees as one OOV token) at >= 0.98 held-out, where
+    the marker heuristic scores ~1/3 (zh and ja share Han characters in
+    the fixture, as real Japanese mixes kanji into kana)."""
+    from metalpipe_spark.operators.langid import detect_language_cjk
+    from metalpipe_spark.operators.text import detect_language
+
+    ev = _cjk_fixture(spark, 600, "v1").cache()
+    try:
+        # fixture sanity: genuinely unsegmented
+        assert ev.where(F.col("text").contains(" ")).count() == 0
+        model_acc = _accuracy(
+            ev.withColumn("p", detect_language_cjk("text")), "p"
+        )
+        marker_acc = _accuracy(ev.withColumn("p", detect_language("text")), "p")
+    finally:
+        ev.unpersist()
+    assert model_acc >= 0.98
+    assert marker_acc <= 0.75  # the gap the char-bigram model closes
+
+
+def test_cjk_train_then_serve_roundtrip(spark):
+    from metalpipe_spark.operators.langid import (
+        CJK_CLASSES,
+        detect_language_cjk,
+        train_hashed_cjk_langid,
+    )
+
+    tr = _cjk_fixture(spark, 240, "roundtrip")
+    classes, w, b, sw = train_hashed_cjk_langid(
+        tr, dim=64, max_iter=60, reg_param=1e-3
+    )
+    assert classes == CJK_CLASSES
+    acc = _accuracy(
+        tr.withColumn("p", detect_language_cjk("text", classes, w, b, sw)),
+        "p",
+    )
+    assert acc >= 0.95
+
+
+def test_routed_detector_dispatches_by_script(spark):
+    """The routing contract: segmented Latin/Cyrillic text gets the
+    token model's answer verbatim; unsegmented CJK text gets the char
+    model's; NULL stays total.  Both branches are pure JVM plans."""
+    from metalpipe_spark.operators.langid import (
+        detect_language_cjk,
+        detect_language_routed,
+    )
+
+    seg = _fixture(spark, 120, "route").where(
+        ~F.col("lang").isin("zh", "ja", "ko")
+    )
+    both = seg.select(
+        "lang",
+        detect_language_routed("text").alias("routed"),
+        detect_language_model("text").alias("tok"),
+    ).collect()
+    assert all(r["routed"] == r["tok"] for r in both)
+
+    cjk = _cjk_fixture(spark, 90, "route")
+    both = cjk.select(
+        "lang",
+        detect_language_routed("text").alias("routed"),
+        detect_language_cjk("text").alias("chr"),
+    ).collect()
+    assert all(r["routed"] == r["chr"] for r in both)
+    assert sum(r["routed"] == r["lang"] for r in both) >= 0.95 * len(both)
+
+    nul = spark.createDataFrame([(None,)], "text string")
+    assert nul.select(detect_language_routed("text").alias("p")).first()["p"]
+
+    plan = (
+        cjk.select(detect_language_routed("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
