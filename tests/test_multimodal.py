@@ -682,3 +682,60 @@ def test_decode_auto_pillow_decision_is_drivers(spark):
     if pil_missing:
         with pytest.raises(ImportError, match="driver"):
             mm.real_image_dims(b"anything", use_pillow=True)
+
+
+def test_mixed_corpus_e2e_pillow_posture(spark):
+    """VERDICT r12 task 8: one mixed corpus (PNG with real pixels, JPEG
+    header-only, GIF header, opaque blob) driven end-to-end through the
+    decode surfaces, green WITH and WITHOUT pillow:
+
+    - decode_image(codec='auto') processes every row (real dims for
+      sniffable formats, fake-codec dims for the blob) regardless of
+      installs;
+    - decode_image_rgb over the stdlib-decodable subset (sniffed PNG)
+      feeds the raw-tensor kernel (image_dhash) — the documented
+      pillow-less pattern from README's multimodal section;
+    - decode_image_rgb over the FULL mixed corpus is LOUD without
+      pillow: NotImplementedError naming the dependency, never a faked
+      pixel buffer.
+    """
+    import numpy as np
+
+    from metalpipe_spark.operators.multimodal import (
+        decode_image,
+        decode_image_rgb,
+        image_dhash,
+        sniff_image_format,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [
+        (1, bytearray(_encode_png(rng.randint(0, 256, (9, 9, 3), dtype=np.uint8), filters=[0, 1, 2, 3, 4, 0, 1, 2, 3])), "image/png"),
+        (2, bytearray(_jpeg_header_fixture(320, 200)), "image/jpeg"),
+        (3, bytearray(b"GIF89a" + (17).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x00" * 6), "image/gif"),
+        (4, bytearray(b"\x00\x01opaque-binary-payload"), "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, media_type string")
+
+    # Dimensions flow for EVERY row, pillow or not.
+    dims = {r["id"]: (r["width"], r["height"]) for r in decode_image(df, codec="auto").collect()}
+    assert dims[1] == (9, 9) and dims[2] == (320, 200) and dims[3] == (17, 5)
+    assert len(dims) == 4  # the blob fell back, did not kill the job
+
+    # Pillow-less pixel pattern: sniff-filter to stdlib formats first.
+    # (Executor-side sniff via the same function, driver-side here since
+    # the corpus is 4 rows.)
+    png_ids = [i for i, c, _ in rows if sniff_image_format(bytes(c)) == "png"]
+    subset = df.where(F.col("id").isin(png_ids))
+    rgb = decode_image_rgb(subset)
+    hashed = image_dhash(rgb.withColumn("media_type", F.lit("image/raw")))
+    got = hashed.collect()
+    assert len(got) == len(png_ids) == 1
+    assert got[0]["dhash"] is not None
+
+    # Full mixed corpus through the pixel path: loud without pillow
+    # (JPEG pixels need a codec); with pillow the header-only JPEG
+    # still fails inside pillow, so the loud path is pillow-less-only.
+    if __import__("importlib").util.find_spec("PIL") is None:
+        with pytest.raises(Exception, match="pillow"):
+            decode_image_rgb(df).collect()
