@@ -383,6 +383,11 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{tmp}/kept").select("doc_id", "fingerprint")
         # The drained result must outlive the temp dir (lazy plans read
         # at collect time, which for the driver's comparator is later).
+        # SIZE GUARD: this collect is the CATALOG ROW's drain — bounded
+        # by the sf0.01/sf0.1 fixture (<= corpus doc count, two narrow
+        # columns).  The production entry point is run_corpus_stream
+        # itself, which sinks to parquet and never collects; never copy
+        # this localize-for-the-comparator pattern into operator code.
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
@@ -444,6 +449,8 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{tmp}/kept").select(
             "doc_id", "n_grams", "log_weight"
         )
+        # SIZE GUARD: bounded catalog-fixture drain (same rationale as
+        # q_stream_corpus above) — the production path sinks to parquet.
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
