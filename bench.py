@@ -100,6 +100,7 @@ HEADLINE = [
     "q_semdedup",
     "q_semdedup_gemm",
     "q_incremental_semdedup",
+    "q_incremental_semdedup_scaled",
     "q_domain_mix",
     "q_dsir_weights",
     "q_dsir_sample",

@@ -482,6 +482,49 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_semdedup_scaled",
+    None,  # learned centroid table: rows-only (the ivf_assign caveat)
+    doc=(
+        "Incremental semantic dedup with CORPUS-SCALED learned cells — "
+        "the 100 TB incremental entry point (round 13): "
+        "fit_semantic_cells sizes k to the expected corpus and persists "
+        "the centroid TABLE next to the store; each batch assigns "
+        "map-side against the broadcast matrix, dedups in-batch per "
+        "cell (shared BLAS keep-min-id kernel), and drops rows the "
+        "accumulated store matches (cogrouped GEMM) — per-batch cost "
+        "stays O(batch x target_cell_size) as the store grows, where "
+        "the fixed-centroid twin grows with corpus history.  Store and "
+        "batch carry the geometry fingerprint (cgen); mismatched "
+        "geometries are refused mechanically.  Deterministic for the "
+        "pinned seed; structure pinned by "
+        "test_incremental_semantic_dedup_scaled_batches."
+    ),
+)
+def q_incremental_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        fit_semantic_cells,
+        incremental_semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = fit_semantic_cells(
+        emb, target_cell_size=256, fit_fraction=0.5, seed=42, max_iter=2
+    )
+    store = None
+    fresh_parts = []
+    # Two arrival waves (even ids, then odd) — the accumulate-and-dedup
+    # lifecycle, not a one-shot split.
+    for parity in (0, 1):
+        batch = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == parity)
+        fresh, store = incremental_semantic_dedup_scaled(
+            batch, store, cells, threshold=0.25, checkpoint_batch=True
+        )
+        fresh_parts.append(fresh.select("vec_id"))
+        store = store.localCheckpoint(eager=True)
+    return fresh_parts[0].unionByName(fresh_parts[1]).orderBy("vec_id")
+
+
+@register(
     "q_semdedup_gemm",
     # Same oracle as q_semdedup: the GEMM twin's survivor set matches the
     # exact fold everywhere except pairs whose raw cosine sits within an

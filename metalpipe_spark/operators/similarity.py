@@ -400,9 +400,16 @@ def ivf_assign(
     k-means pass then scans fraction×corpus instead of every iteration
     touching 100 TB), broadcast them (assignment is a map-side
     nearest-centroid argmin — no shuffle), and write the corpus
-    partitioned by cell.  Deterministic for a fixed ``seed`` + data,
-    but an iterative learned artifact — not replayable in SQL, so IVF
-    query surfaces are rows-only + recall-tested.
+    partitioned by cell.  An iterative learned artifact — not
+    replayable in SQL, so IVF query surfaces are rows-only +
+    recall-tested.  NOT bit-deterministic run to run: pyspark.ml's
+    per-iteration cluster sums are double treeAggregates whose
+    accumulation order follows task scheduling (measured: three
+    same-seed fits, three distinct centroid sets — fine for top-k
+    serving, where recall is insensitive to centroid jitter).  When
+    the geometry itself must be reproducible/stamped (the incremental
+    semantic store), use :func:`fit_semantic_cells`, whose
+    DECIMAL-aggregated Lloyd iterations are order-independent.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1257,6 +1264,331 @@ def semantic_dedup_scaled(
         sigs, id_col, id_type, threshold, chunk, max_cell_size
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---- incremental SemDeDup at corpus scale (round 13) ----------------
+# incremental_semantic_dedup takes LITERAL centroids — fixed forever,
+# because the persisted store's cell assignment must never change.
+# At 100 TB that is the same trap semantic_dedup_scaled closed for the
+# batch path, but structural: with a fixed cell count the accumulated
+# store's cells grow without bound, so EVERY future batch's
+# cross-store GEMM costs O(batch x store/k) — per-batch cost grows
+# linearly with corpus history.  The fix is the same (cells sized to
+# the EXPECTED corpus), with the centroids persisted as a TABLE next
+# to the store so every batch assigns against the identical geometry:
+# per-batch cost becomes O(batch x target_cell_size) — constant.
+
+_MAX_FITTED_CELLS = 65_536  # broadcast-matrix bound (k x dim doubles)
+
+
+def _kmeans_fit_deterministic(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_fraction: float | None = None,
+) -> list[list[float]]:
+    """Spherical k-means whose result is BIT-DETERMINISTIC for fixed
+    (data, seed) — pyspark.ml's KMeans is not: its per-iteration
+    cluster sums are double `treeAggregate`s whose accumulation order
+    follows task scheduling, so the same fit drifts run to run
+    (measured: three same-seed fits, three centroid fingerprints).
+    For a centroid table that STAMPS provenance and must be
+    re-derivable, that is unacceptable.
+
+    Determinism here comes from the repo's own aggregation rule:
+
+    - init: the k sample rows with the smallest ``xxhash64(vec, seed)``
+      (a deterministic uniform draw; orderBy is total via the hash +
+      vector-string tiebreak);
+    - assign: broadcast-matrix GEMM argmax (numpy, first-max
+      tie-break) over UNIT-normalized vectors;
+    - update: per-cell per-dimension means accumulated in
+      DECIMAL(28,12) — exact, ORDER-INDEPENDENT — then one bounded
+      collect of k x dim means (the centroids/codebook rule).
+
+    Empty cells keep their previous centroid.  ``fit_fraction``
+    subsamples by content hash (deterministic, no RNG state)."""
+    import numpy as np
+
+    arr = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    unit = F.zip_with(
+        arr,
+        F.array_repeat(F.greatest(nrm, F.lit(1e-300)), F.size(arr)),
+        lambda x, n: x / n,
+    )
+    pts = df.select(unit.alias("_u"))
+    h = F.xxhash64(F.col("_u").cast("string"), F.lit(seed))
+    if fit_fraction is not None:
+        pts = pts.where(
+            F.pmod(h, F.lit(1_000_000)) < int(fit_fraction * 1_000_000)
+        )
+    pts = pts.persist()
+    try:
+        init_rows = (
+            pts.select("_u", h.alias("_h"))
+            .orderBy("_h", F.col("_u").cast("string"))
+            .limit(k)
+            .collect()
+        )
+        if not init_rows:
+            raise ValueError(
+                "deterministic k-means: the fit sample is empty — raise "
+                "fit_fraction"
+            )
+        mat = np.array([r["_u"] for r in init_rows], dtype=np.float64)
+        k_eff, dim = mat.shape
+        dec = "DECIMAL(28,12)"
+        sums = [
+            F.sum(F.round(F.element_at("_u", i + 1), 9).cast(dec)).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        for _ in range(max_iter):
+            half_c2 = 0.5 * (mat * mat).sum(axis=1)
+            bmat, bh = mat, half_c2
+
+            def cell_of(it, _m=bmat, _h=bh):
+                import pandas as pd
+
+                for pdf in it:
+                    V = np.array(pdf["_u"].tolist(), dtype=np.float64)
+                    yield pd.DataFrame(
+                        {
+                            "_u": pdf["_u"],
+                            "cell": (V @ _m.T - _h[None, :]).argmax(axis=1).astype("int32"),
+                        }
+                    )
+
+            assigned = pts.mapInPandas(
+                cell_of, schema="_u array<double>, cell int"
+            )
+            stats = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"), *sums
+            ).collect()
+            new = mat.copy()
+            for r in stats:
+                c = r["cell"]
+                n = r["n"]
+                new[c] = [float(r[f"s{i}"]) / n for i in range(dim)]
+            if np.array_equal(new, mat):
+                break
+            mat = new
+        return [[float(x) for x in c] for c in mat]
+    finally:
+        pts.unpersist()
+
+
+def fit_semantic_cells(
+    df: DataFrame,
+    target_cell_size: int = 1024,
+    expected_corpus_rows: int | None = None,
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fit the persistable centroid TABLE ``(cell, cvec, cgen)`` for
+    :func:`incremental_semantic_dedup_scaled` — spherical k-means with
+    ``k = clamp(expected_corpus_rows / target_cell_size, 2, 65536)``.
+
+    ``expected_corpus_rows`` is the honest 100 TB knob: the centroid
+    geometry is immutable once a store exists, so size k to the corpus
+    you intend to ACCUMULATE, not to the first batch (defaults to
+    ``df.count()`` for single-corpus use).  ``cgen`` stamps every row
+    with the table's content fingerprint — the provenance marker the
+    dedup step checks against the store (the band_store/bloom rule:
+    state assigned under one geometry must never silently join a batch
+    assigned under another).
+
+    k is capped at 65 536: assignment broadcasts the k x dim centroid
+    matrix to executors (metadata-scale by the centroids/codebook
+    rule — 32 MiB at dim 64).  Beyond that an inverted-file hierarchy
+    (coarse cells, then fine) is the standard route; this operator
+    refuses rather than silently degrading."""
+    n_fit = df.count()
+    n = expected_corpus_rows if expected_corpus_rows is not None else n_fit
+    if n <= 0 or n_fit <= 0:
+        raise ValueError(
+            "fit_semantic_cells: fit data and expected corpus size must "
+            "be non-empty"
+        )
+    k = max(2, (n + target_cell_size - 1) // target_cell_size)
+    if k > _MAX_FITTED_CELLS:
+        raise ValueError(
+            f"fit_semantic_cells: k={k} centroids exceed the "
+            f"{_MAX_FITTED_CELLS} broadcast bound — raise "
+            "target_cell_size or build a coarse/fine hierarchy"
+        )
+    k = min(k, max(n_fit, 2))  # never ask k-means for more cells than points
+    centroids = _kmeans_fit_deterministic(
+        df, int(k), vec_col=vec_col, seed=seed,
+        max_iter=max_iter, fit_fraction=fit_fraction,
+    )
+    spark = df.sparkSession
+    gen = _cells_fingerprint(centroids)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c], gen) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>, cgen string",
+    )
+
+
+def _cells_fingerprint(centroids: list[list[float]]) -> str:
+    """Deterministic content hash of a centroid matrix (6-decimal
+    rounding absorbs nothing real: two independently fitted tables
+    never collide, and a re-read of the same persisted table always
+    matches)."""
+    import hashlib
+
+    payload = ";".join(
+        ",".join(f"{round(float(x), 6):.6f}" for x in c) for c in centroids
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _collect_cells(centroid_table: DataFrame):
+    """(matrix, fingerprint) from a centroid table — bounded by the
+    _MAX_FITTED_CELLS cap (metadata-scale collect)."""
+    import numpy as np
+
+    rows = centroid_table.select("cell", "cvec", "cgen").collect()
+    if not rows:
+        raise ValueError("empty centroid table")
+    gens = {r["cgen"] for r in rows}
+    if len(gens) > 1:
+        raise ValueError(
+            f"centroid table carries mixed cgen fingerprints {sorted(gens)} "
+            "— two fitted tables were unioned; refit instead"
+        )
+    mat = np.zeros((max(r["cell"] for r in rows) + 1, len(rows[0]["cvec"])))
+    for r in rows:
+        mat[r["cell"]] = r["cvec"]
+    return mat, gens.pop()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroid_table: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`cell_store` against a FITTED centroid table: one
+    Arrow-batched GEMM per partition assigns every vector to its
+    nearest centroid (unit-normalized query q, so
+    ``argmin ||q - c||² == argmax (q·c - |c|²/2)``; ascending-cell
+    tie-break, numpy argmax's first-max rule).  Output
+    ``(id, cell, vec, nrm, cgen)`` — the incremental store schema plus
+    the geometry fingerprint.  The centroid matrix ships in the closure
+    (driver-collected once, metadata-scale); no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mat, gen = _collect_cells(centroid_table)
+    half_c2 = 0.5 * (mat * mat).sum(axis=1)  # |c|^2 / 2 per cell
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            safe = np.where(nrm == 0.0, 1.0, nrm)
+            scores = (V / safe[:, None]) @ mat.T - half_c2[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": scores.argmax(axis=1).astype("int32"),
+                    "vec": list(V),
+                    "nrm": nrm,
+                    "cgen": gen,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} {id_type}, cell int, vec array<double>, "
+            "nrm double, cgen string"
+        ),
+    )
+
+
+def incremental_semantic_dedup_scaled(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    centroid_table: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 1024,
+    max_cell_size: int = 65_536,
+    checkpoint_batch: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_semantic_dedup` with CORPUS-SCALED learned
+    cells — the 100 TB incremental entry point.  Fit the centroid
+    table once (:func:`fit_semantic_cells`, sized to the corpus you
+    will accumulate), persist it next to the store, and every batch:
+
+    1. assigns map-side against the broadcast centroid matrix
+       (:func:`assign_cells` — no shuffle);
+    2. resolves in-batch dups per cell (the shared BLAS loser kernel,
+       keep-min-id);
+    3. drops batch rows any stored doc in the same cell matches
+       (cogrouped batch x store GEMM).
+
+    With cells held near ``target_cell_size`` by construction, step 3
+    costs O(batch x target_cell_size x dim) per batch — CONSTANT as
+    the store grows, where the fixed-centroid twin's per-batch cost
+    grows linearly with corpus history.
+
+    Provenance: batch assignments and the store both carry the
+    centroid table's ``cgen`` fingerprint; a store assigned under a
+    different geometry (refit table, hand-unioned stores) is refused
+    mechanically — DISTINCT markers, the round-13
+    incremental_neardup_dedup rule.  Returns ``(fresh,
+    updated_store)``; same arrival-time chain semantics as the other
+    incremental ops."""
+    sigs = assign_cells(new_docs, centroid_table, vec_col, id_col)
+    if checkpoint_batch:
+        sigs = sigs.localCheckpoint(eager=True)
+    if store is not None:
+        marks = sorted(
+            r["cgen"] if r["cgen"] is not None else "<null>"
+            for r in store.select("cgen").distinct().collect()
+        )
+        batch_gen = _collect_cells(centroid_table)[1]
+        if any(m != batch_gen for m in marks):
+            raise ValueError(
+                f"incremental_semantic_dedup_scaled: store carries cell "
+                f"geometry {marks} but the centroid table is "
+                f"{batch_gen!r} — cells would never align; refit the "
+                "store or use its original table"
+            )
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    losers = _gemm_cell_losers(
+        sigs.select(id_col, "cell", "vec", "nrm"),
+        id_col, id_type, threshold, chunk, max_cell_size,
+    )
+    batch_survivors = new_docs.join(losers, id_col, "left_anti")
+    surv_sigs = sigs.join(losers, id_col, "left_anti")
+    if checkpoint_batch:
+        batch_survivors = batch_survivors.localCheckpoint(eager=True)
+        surv_sigs = surv_sigs.localCheckpoint(eager=True)
+    if store is not None:
+        hits = _cross_hits_gemm(
+            surv_sigs.select(id_col, "cell", "vec", "nrm"),
+            store.select(id_col, "cell", "vec", "nrm"),
+            threshold,
+            id_col,
+        )
+        if checkpoint_batch:
+            hits = hits.localCheckpoint(eager=True)
+        batch_survivors = batch_survivors.join(hits, id_col, "left_anti")
+        surv_sigs = surv_sigs.join(hits, id_col, "left_anti")
+        return batch_survivors, store.unionByName(surv_sigs)
+    return batch_survivors, surv_sigs
 
 
 def mean_pool_embeddings(

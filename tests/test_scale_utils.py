@@ -918,3 +918,110 @@ def test_semantic_dedup_scaled_thin_sample_fails_fast(spark):
     # expected < k fails before any sampling pass
     with pytest.raises(ValueError, match="fit_fraction"):
         semantic_dedup_scaled(df, target_cell_size=5, fit_fraction=0.05)
+
+
+def _golden_corpus(spark, n, dup_every=4, dup_offset=1000):
+    import math
+
+    rows = []
+    for i in range(n):
+        theta = (i * 2.399963) % (2 * math.pi)
+        v = [math.cos(theta), math.sin(theta), 0.0, 0.0]
+        rows.append((i, v))
+        if i % dup_every == 0:
+            rows.append((dup_offset + i, [2.0 * x for x in v]))  # cosine 1.0
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_incremental_semantic_dedup_scaled_batches(spark):
+    """The 100 TB INCREMENTAL SemDeDup (round 13): cells fitted once to
+    the expected corpus, every batch assigns against the broadcast
+    centroid matrix and dedups per cell — in-batch dups resolve
+    keep-min-id, cross-batch dups lose to the accumulated store, the
+    store grows only by survivors.  Per-batch cost is
+    O(batch x target_cell_size), constant as the store grows — the
+    fixed-centroid twin's per-batch cost grows with corpus history."""
+    from metalpipe_spark.operators.similarity import (
+        fit_semantic_cells,
+        incremental_semantic_dedup_scaled,
+    )
+
+    df = _golden_corpus(spark, 120)
+    cells = fit_semantic_cells(
+        df, target_cell_size=20, expected_corpus_rows=150, seed=7
+    ).cache()
+    # batches: originals 0-59 | originals 60-119 + dups of 0-56 | dups of 60-116
+    b1 = df.where("vec_id < 60")
+    b2 = df.where("(vec_id >= 60 AND vec_id < 1000) OR (vec_id >= 1000 AND vec_id < 1060)")
+    b3 = df.where("vec_id >= 1060")
+    store = None
+    fresh_all = []
+    for b in (b1, b2, b3):
+        fresh, store = incremental_semantic_dedup_scaled(
+            b, store, cells, threshold=0.999999
+        )
+        store = store.localCheckpoint(eager=True)
+        fresh_all += [r["vec_id"] for r in fresh.collect()]
+    # Every original survives exactly once; every planted duplicate
+    # (same direction, higher id, later or same arrival) is dropped —
+    # in-batch (1000+i arrives with i in b1/b2) and cross-batch
+    # (1060+ arrives after its original's batch).
+    assert sorted(fresh_all) == list(range(120))
+    assert store.count() == 120  # survivors only
+
+
+def test_incremental_semantic_dedup_scaled_geometry_guard(spark):
+    """Provenance: a store assigned under one centroid geometry refuses
+    a differently fitted table (DISTINCT cgen markers — the round-13
+    incremental_neardup rule); a hand-unioned centroid table refuses
+    outright."""
+    import pytest
+
+    from metalpipe_spark.operators.similarity import (
+        assign_cells,
+        fit_semantic_cells,
+        incremental_semantic_dedup_scaled,
+    )
+
+    df = _golden_corpus(spark, 40)
+    cells_a = fit_semantic_cells(df, target_cell_size=10, seed=7).cache()
+    cells_b = fit_semantic_cells(df, target_cell_size=10, seed=99).cache()
+    _, store = incremental_semantic_dedup_scaled(
+        df, None, cells_a, threshold=0.999999
+    )
+    store = store.localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="geometry"):
+        incremental_semantic_dedup_scaled(df, store, cells_b)
+    with pytest.raises(ValueError, match="mixed cgen"):
+        assign_cells(df, cells_a.unionByName(cells_b))
+
+
+def test_fit_semantic_cells_sizing_contracts(spark):
+    """k sizes to expected_corpus_rows/target_cell_size, clamps to the
+    fit data, and refuses past the broadcast bound."""
+    import pytest
+
+    from metalpipe_spark.operators.similarity import (
+        _MAX_FITTED_CELLS,
+        fit_semantic_cells,
+    )
+
+    df = _golden_corpus(spark, 32, dup_every=1 << 30)  # 33 rows (i=0 dup)
+    cells = fit_semantic_cells(
+        df, target_cell_size=100, expected_corpus_rows=1000
+    )
+    assert cells.count() == 10  # ceil(1000/100)
+    # expected huge but fit data tiny: clamp to n_fit
+    small = fit_semantic_cells(
+        df, target_cell_size=1, expected_corpus_rows=100
+    )
+    assert small.count() == df.count()
+    with pytest.raises(ValueError, match="broadcast bound"):
+        fit_semantic_cells(
+            df, target_cell_size=1,
+            expected_corpus_rows=_MAX_FITTED_CELLS * 2,
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        fit_semantic_cells(
+            spark.createDataFrame([], "vec_id int, embedding array<double>")
+        )
