@@ -346,13 +346,14 @@ def stream_upsert_sink(
 
 def stream_semantic_dedup_sink(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     kept_path: str,
     store_path: str,
     checkpoint: str,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroid_table: DataFrame | None = None,
 ):
     """Continuously-ingesting semantic dedup: each micro-batch dedups
     against the cell store persisted so far
@@ -377,10 +378,33 @@ def stream_semantic_dedup_sink(
     results are materialized once
     (``checkpoint_batch`` in ``incremental_semantic_dedup``) so the
     kept-append and the version write don't re-run the dedup kernels;
-    the store itself streams scan→parquet exactly once."""
-    from metalpipe_spark.operators.similarity import incremental_semantic_dedup
+    the store itself streams scan→parquet exactly once.
+
+    ``centroid_table`` (a ``fit_semantic_cells`` table, mutually
+    exclusive with literal ``centroids``) routes every micro-batch
+    through :func:`~metalpipe_spark.operators.similarity.
+    incremental_semantic_dedup_scaled` — the corpus-scaled geometry
+    whose per-batch cost stays constant as the store accumulates; the
+    store's ``cgen`` stamps make a geometry swap mid-stream fail
+    mechanically instead of silently mis-bucketing."""
+    if (centroids is None) == (centroid_table is None):
+        raise ValueError(
+            "stream_semantic_dedup_sink: pass exactly one of centroids "
+            "(literal, fixed cells) or centroid_table (fitted, "
+            "corpus-scaled cells)"
+        )
+    from metalpipe_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_scaled,
+    )
 
     def step(batch_df: DataFrame, store: DataFrame | None):
+        if centroid_table is not None:
+            return incremental_semantic_dedup_scaled(
+                batch_df, store, centroid_table,
+                threshold=threshold, vec_col=vec_col, id_col=id_col,
+                checkpoint_batch=True,
+            )
         return incremental_semantic_dedup(
             batch_df, store, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,

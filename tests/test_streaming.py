@@ -970,3 +970,71 @@ def test_stream_dsir_sink_matches_batch_incremental(spark, tmp_path):
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert store == want and len(store) <= 64
+
+
+def test_streaming_semantic_dedup_scaled_cells(spark, tmp_path):
+    """The streaming face of the corpus-scaled incremental SemDeDup
+    (round 13): micro-batches dedup through a FITTED centroid table
+    (fit_semantic_cells), so the 100 TB geometry is reachable from the
+    streaming entry point too — per-batch cost stays constant as the
+    persisted store accumulates.  Kept set equals the one-shot scaled
+    dedup over everything (id-ordered arrival)."""
+    import time as _time
+
+    from metalpipe_spark.operators.similarity import (
+        fit_semantic_cells,
+        semantic_dedup_scaled,
+    )
+    from metalpipe_spark.streaming.streams import stream_semantic_dedup_sink
+
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [0.1, -1.0, 0.0, 0.0]),
+        (2, [2.0, 0.2, 0.0, 0.0]),   # dup of 0
+        (3, [-1.0, 0.0, 0.3, 0.0]),
+        (4, [-3.0, 0.0, 0.9, 0.0]),  # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = fit_semantic_cells(vecs, target_cell_size=3, seed=5).cache()
+
+    src = tmp_path / "vecs"
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        vecs.where(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    kept_path = str(tmp_path / "kept")
+
+    stream = file_watchdog(spark, str(src), vecs.schema, max_files_per_trigger=1)
+    stream_semantic_dedup_sink(
+        stream, None, kept_path, str(tmp_path / "store"),
+        str(tmp_path / "ckpt"), threshold=0.9, centroid_table=cells,
+    ).awaitTermination()
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(kept_path).collect())
+    want = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_scaled(
+            vecs, threshold=0.9, target_cell_size=3, seed=5
+        ).collect()
+    )
+    # semantic_dedup_scaled fits its own k-means (MLlib) so centroid
+    # GEOMETRY may differ from the fitted table — but on this fixture
+    # every duplicate is PARALLEL to its original (identical unit
+    # vector, same cell under any geometry), so both answers are the
+    # content contract: dups 2 and 4 lose, everything else survives.
+    assert kept == want == [0, 1, 3, 5]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        stream_semantic_dedup_sink(
+            stream, [[1.0, 0.0, 0.0, 0.0]], kept_path,
+            str(tmp_path / "s2"), str(tmp_path / "c2"),
+            centroid_table=cells,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        stream_semantic_dedup_sink(
+            stream, None, kept_path, str(tmp_path / "s3"), str(tmp_path / "c3"),
+        )
