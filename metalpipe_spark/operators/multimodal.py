@@ -131,9 +131,15 @@ def _pillow_on_driver() -> bool:
     pillow-less nodes the fake-codec dims) — a silent split-brain.
     Driver says pillow → an executor missing it raises ImportError
     (loud config error); driver says no → executors that happen to
-    carry pillow still run stdlib-only (deterministic)."""
+    carry pillow still run stdlib-only (deterministic).
+
+    Probes ``PIL.Image`` — what the decode path actually imports — not
+    just the ``PIL`` package: a broken install whose package imports
+    but whose Image module doesn't would otherwise select the pillow
+    path and fail everywhere with a misleading heterogeneous-install
+    message."""
     try:
-        import PIL  # noqa: F401
+        import PIL.Image  # noqa: F401
     except ImportError:
         return False
     return True

@@ -1335,10 +1335,17 @@ def _kmeans_fit_deterministic(
             .limit(k)
             .collect()
         )
-        if not init_rows:
+        if len(init_rows) < k:
+            # Fail-fast, not silent shrink: returning fewer cells than
+            # the corpus sizing computed would let accumulated cells
+            # grow past target_cell_size forever (the geometry is
+            # immutable once a store stamps it) — the same thin-sample
+            # posture as semantic_dedup_scaled.
             raise ValueError(
-                "deterministic k-means: the fit sample is empty — raise "
-                "fit_fraction"
+                f"deterministic k-means: the fit sample has "
+                f"{len(init_rows)} rows but k={k} centroids need at "
+                "least that many points — raise fit_fraction or "
+                "target_cell_size"
             )
         mat = np.array([r["_u"] for r in init_rows], dtype=np.float64)
         k_eff, dim = mat.shape
@@ -1483,10 +1490,24 @@ def assign_cells(
     ``(id, cell, vec, nrm, cgen)`` — the incremental store schema plus
     the geometry fingerprint.  The centroid matrix ships in the closure
     (driver-collected once, metadata-scale); no shuffle."""
+    mat, gen = _collect_cells(centroid_table)
+    return _assign_with_matrix(df, mat, gen, vec_col, id_col)
+
+
+def _assign_with_matrix(
+    df: DataFrame,
+    mat,
+    gen: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`assign_cells` against an ALREADY-collected matrix — the
+    internal face incremental callers use so the centroid table is
+    driver-collected exactly once per batch (guard + assignment share
+    the same collect)."""
     import numpy as np
     import pandas as pd
 
-    mat, gen = _collect_cells(centroid_table)
     half_c2 = 0.5 * (mat * mat).sum(axis=1)  # |c|^2 / 2 per cell
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -1525,6 +1546,7 @@ def incremental_semantic_dedup_scaled(
     chunk: int = 1024,
     max_cell_size: int = 65_536,
     checkpoint_batch: bool = False,
+    check_geometry: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_semantic_dedup` with CORPUS-SCALED learned
     cells — the 100 TB incremental entry point.  Fit the centroid
@@ -1550,15 +1572,19 @@ def incremental_semantic_dedup_scaled(
     incremental_neardup_dedup rule.  Returns ``(fresh,
     updated_store)``; same arrival-time chain semantics as the other
     incremental ops."""
-    sigs = assign_cells(new_docs, centroid_table, vec_col, id_col)
-    if checkpoint_batch:
-        sigs = sigs.localCheckpoint(eager=True)
-    if store is not None:
+    # ONE driver collect per batch: guard and assignment share it.
+    mat, batch_gen = _collect_cells(centroid_table)
+    if store is not None and check_geometry:
+        # Guard BEFORE any batch work: a mismatched-geometry batch must
+        # not pay the full assignment GEMM before failing.  DISTINCT
+        # markers (the mixed-union rule); one dictionary-encoded column
+        # scan of the store — callers that WROTE every store version
+        # themselves (the streaming sink after its first batch) pass
+        # check_geometry=False to skip it.
         marks = sorted(
             r["cgen"] if r["cgen"] is not None else "<null>"
             for r in store.select("cgen").distinct().collect()
         )
-        batch_gen = _collect_cells(centroid_table)[1]
         if any(m != batch_gen for m in marks):
             raise ValueError(
                 f"incremental_semantic_dedup_scaled: store carries cell "
@@ -1566,6 +1592,9 @@ def incremental_semantic_dedup_scaled(
                 f"{batch_gen!r} — cells would never align; refit the "
                 "store or use its original table"
             )
+    sigs = _assign_with_matrix(new_docs, mat, batch_gen, vec_col, id_col)
+    if checkpoint_batch:
+        sigs = sigs.localCheckpoint(eager=True)
     id_type = new_docs.schema[id_col].dataType.simpleString()
     losers = _gemm_cell_losers(
         sigs.select(id_col, "cell", "vec", "nrm"),
@@ -1577,9 +1606,21 @@ def incremental_semantic_dedup_scaled(
         batch_survivors = batch_survivors.localCheckpoint(eager=True)
         surv_sigs = surv_sigs.localCheckpoint(eager=True)
     if store is not None:
+        # Only store cells the BATCH touches enter the cross GEMM: a
+        # batch of B rows names <= B distinct cells, so the semi-join
+        # (broadcast — cell ids are batch-bounded metadata) keeps
+        # <= B x target_cell_size store rows.  This is what makes the
+        # per-batch cost CONSTANT as the store accumulates; cogrouping
+        # the unfiltered store would shuffle the whole history every
+        # batch (and with cell-partitioned storage the semi-join prunes
+        # at the scan).
+        touched = surv_sigs.select("cell").distinct()
+        store_touched = store.select(id_col, "cell", "vec", "nrm").join(
+            F.broadcast(touched), "cell", "left_semi"
+        )
         hits = _cross_hits_gemm(
             surv_sigs.select(id_col, "cell", "vec", "nrm"),
-            store.select(id_col, "cell", "vec", "nrm"),
+            store_touched,
             threshold,
             id_col,
         )

@@ -1114,6 +1114,14 @@ def _semantic_dedup_node(spark, upstreams, opts):
     )
 
     df = _one(upstreams, "SemanticDedup")
+    if opts.get("scaled") is False and "target_cell_size" in opts:
+        # An EXPLICIT scaled: false alongside a scaled-only knob is a
+        # contradiction — reject it like the centroid conflict below
+        # rather than silently overriding what the user wrote.
+        raise ValueError(
+            "SemanticDedup: scaled: false contradicts target_cell_size "
+            "(a scaled-path knob) — drop one"
+        )
     scaled = opts.get("scaled", False) or "target_cell_size" in opts
     if scaled and (opts.get("centroids") or opts.get("num_centroids")):
         raise ValueError(

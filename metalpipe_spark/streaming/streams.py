@@ -398,13 +398,23 @@ def stream_semantic_dedup_sink(
         incremental_semantic_dedup_scaled,
     )
 
+    geometry_checked = {"done": False}
+
     def step(batch_df: DataFrame, store: DataFrame | None):
         if centroid_table is not None:
-            return incremental_semantic_dedup_scaled(
+            fresh_pair = incremental_semantic_dedup_scaled(
                 batch_df, store, centroid_table,
                 threshold=threshold, vec_col=vec_col, id_col=id_col,
                 checkpoint_batch=True,
+                # The guard's store scan is O(store) per call; after the
+                # first batch every store version was written by THIS
+                # sink under the same table, so re-verifying each
+                # trigger would re-pay the scan for a geometry that
+                # cannot have changed.
+                check_geometry=not geometry_checked["done"],
             )
+            geometry_checked["done"] = True
+            return fresh_pair
         return incremental_semantic_dedup(
             batch_df, store, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,

@@ -40,6 +40,10 @@ def main() -> int:
     json_path: str | None = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("ERROR: --json requires a path argument")
+            print(__doc__)
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     ansi = "--ansi" in argv

@@ -110,8 +110,14 @@ def main() -> int:
               f"{payload['value']}s total")
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
-    normal_json = os.path.join(REPO, f".sweep_r{rnd}_normal.json")
-    ansi_json = os.path.join(REPO, f".sweep_r{rnd}_ansi.json")
+    # Temp sweep outputs live OUTSIDE the repo: a red step exits before
+    # any unlink, and stale dotfiles in the repo root would sit next to
+    # the committed SWEEP artifacts where a `git add .` picks them up.
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix=f"sweep_r{rnd}_")
+    normal_json = os.path.join(tmpdir, "normal.json")
+    ansi_json = os.path.join(tmpdir, "ansi.json")
     run(
         "oracle_sweep",
         [sys.executable, "scripts/oracle_sweep.py", "--json", normal_json],
@@ -127,8 +133,6 @@ def main() -> int:
         normal = json.load(f)
     with open(ansi_json) as f:
         ansi = json.load(f)
-    os.unlink(normal_json)
-    os.unlink(ansi_json)
     sweep_art = os.path.join(REPO, f"SWEEP_r{rnd}.json")
     with open(sweep_art, "w") as f:
         json.dump(

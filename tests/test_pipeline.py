@@ -946,6 +946,14 @@ def test_semantic_dedup_node_scaled_path(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="scaled"):
         compile_pipeline(spark, config)
+    # An EXPLICIT scaled: false next to a scaled-only knob is rejected,
+    # never silently overridden.
+    config["nodes"]["dedup"]["options"] = {
+        "scaled": False,
+        "target_cell_size": 30,
+    }
+    with pytest.raises(ValueError, match="contradicts"):
+        compile_pipeline(spark, config)
 
 
 def test_neardup_and_decontaminate_nodes_hash_knob(spark, tmp_path):
