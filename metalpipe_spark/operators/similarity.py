@@ -1207,58 +1207,34 @@ def semantic_dedup_scaled(
 
     Same keep-min-id greedy contract as :func:`semantic_dedup`; learned
     centroids make this rows-only for the correctness gate (iterative
-    artifact, not SQL-replayable — the ``ivf_assign`` caveat)."""
+    artifact, not SQL-replayable).  The fit is
+    :func:`_kmeans_fit_deterministic` (round 13 — previously pyspark.ml,
+    whose task-scheduling float accumulation made same-seed survivor
+    sets drift run to run): the whole scaled family is now
+    bit-reproducible for fixed (data, seed), and a fit sample smaller
+    than k fails fast inside the fitter with the raise-fit_fraction
+    message."""
     n = df.count()
     if n == 0:
         raise ValueError(
             "semantic_dedup_scaled: empty corpus (n=0) — nothing to fit; "
-            "failing here beats an opaque KMeans error"
+            "failing here beats an opaque k-means error"
         )
     if n == 1:
         return df  # a single vector has no pair to lose to
     # Clamp k into [2, n]: a sub-target_cell_size corpus must not ask
-    # KMeans for more centroids than it has points (and pyspark.ml's
-    # KMeans requires k > 1).
+    # k-means for more centroids than it has points.
     k = max(8, min(1_048_576, (n + target_cell_size - 1) // target_cell_size))
     k = max(2, min(k, n))
-    if fit_fraction is not None:
-        expected = int(n * fit_fraction)
-        if expected < k:
-            raise ValueError(
-                f"semantic_dedup_scaled: fit_fraction={fit_fraction} "
-                f"samples ~{expected} rows but k={k} centroids need at "
-                "least that many distinct points — raise fit_fraction or "
-                "target_cell_size (fail-fast here beats a mid-job k-means "
-                "crash after the corpus-scale count already ran)"
-            )
-        if expected < 2 * k:
-            # Thin margin: Bernoulli sampling can return FEWER rows than
-            # its expectation and still crash mid-fit.  Count the actual
-            # draw (same fraction+seed ivf_assign will use — Bernoulli
-            # is a per-row deterministic function of (seed, position),
-            # so the counted sample IS the fitted sample).  At 2x margin
-            # or better the shortfall probability is Chernoff-negligible
-            # and the extra pass is skipped.
-            actual = df.sample(fit_fraction, seed=seed).count()
-            if actual < k:
-                raise ValueError(
-                    f"semantic_dedup_scaled: fit sample drew {actual} "
-                    f"rows (expected ~{expected}) but k={k} centroids "
-                    "need at least k points — raise fit_fraction"
-                )
-    assigned, _ = ivf_assign(
-        df, k_cells=int(k), vec_col=vec_col, seed=seed,
+    import numpy as np
+
+    centroids = _kmeans_fit_deterministic(
+        df, int(k), vec_col=vec_col, seed=seed,
         max_iter=max_iter, fit_fraction=fit_fraction,
     )
-    arr = F.col(vec_col).cast("array<double>")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-        )
-    )
-    sigs = assigned.select(
-        F.col(id_col), F.col("cell"), arr.alias("vec"), nrm.alias("nrm")
-    )
+    sigs = _assign_with_matrix(
+        df, np.array(centroids, dtype=np.float64), "", vec_col, id_col
+    ).select(id_col, "cell", "vec", "nrm")
     id_type = df.schema[id_col].dataType.simpleString()
     losers = _gemm_cell_losers(
         sigs, id_col, id_type, threshold, chunk, max_cell_size

@@ -906,15 +906,15 @@ def test_semantic_dedup_scaled_thin_sample_fails_fast(spark):
         [(i, [float(i % 7 + 1), float(i % 5 + 1)]) for i in range(40)],
         "vec_id int, embedding array<double>",
     )
-    # k = ceil(40/5) = 8; expected sample 40*0.2 = 8 -> not < k, but
-    # thin (< 2k): the actual-draw count path runs.  Either it drew
-    # >= 8 rows and fits, or it raises the operator's message.
+    # k = ceil(40/5) = 8; the deterministic fitter's hash sample at
+    # fraction 0.2 draws ~8 rows: either it drew >= 8 and fits, or the
+    # fitter raises its thin-sample message on the ACTUAL draw.
     try:
         semantic_dedup_scaled(
             df, target_cell_size=5, fit_fraction=0.2, seed=3
         ).count()
     except ValueError as e:
-        assert "fit sample drew" in str(e)
+        assert "fit sample" in str(e)
     # expected < k fails before any sampling pass
     with pytest.raises(ValueError, match="fit_fraction"):
         semantic_dedup_scaled(df, target_cell_size=5, fit_fraction=0.05)
