@@ -290,3 +290,20 @@ def test_routed_detector_dispatches_by_script(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_text_literals_escape_and_roundtrip(spark):
+    """The SQL-text literal builders (_sarray_lit/_dmatrix_lit — the
+    py4j-economics fix) must round-trip hostile strings (quotes,
+    backslashes, non-ASCII) and repr-exact doubles bit-for-bit; a
+    future word list containing l'eau must not break the parser."""
+    from metalpipe_spark.operators.langid import _dmatrix_lit, _sarray_lit
+
+    hostile = ["l'eau", "back\\slash", "both\\'mixed", "日本語", "a  b"]
+    df = spark.range(1)
+    got = df.select(_sarray_lit(hostile).alias("a")).first()["a"]
+    assert list(got) == hostile
+
+    w = [[0.1 + 0.2, -1.5e-7, 123456.789012345, float(2**53 - 1)], [0.0, -0.0, 1e300, 5e-324]]
+    got = df.select(_dmatrix_lit(w).alias("m")).first()["m"]
+    assert [list(r) for r in got] == w  # exact doubles, not approximations
