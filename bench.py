@@ -85,6 +85,9 @@ HEADLINE = [
     "q_domain_stats",
     "q_host_filter",
     "q_url_dedup",
+    # WARC / WET ingestion (r13)
+    "q_wet_roundtrip",
+    "q_html_extract",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

@@ -56,6 +56,7 @@ def load_all() -> dict[str, CatalogQuery]:
         streaming_queries,
         text,
         treehorn_queries,
+        warc_queries,
         web_queries,
     )
 

@@ -1,0 +1,188 @@
+"""WARC / WET ingestion catalog rows (sources/warc.py, operators/web.py).
+
+DuckDB cannot read WET files, so ``q_wet_roundtrip`` closes the loop
+the other way: the documents table is EXPORTED as spec-framed
+``.wet.gz`` shards (``write_wet``), read back through BOTH parse modes
+(JVM delimiter split and the Content-Length exact walk), and the oracle
+is the identity the round trip must preserve — every header field and
+the payload md5 reconstructed straight from ``documents``.  A framing
+bug, header-parse bug, compression bug, or mode divergence all surface
+as a hash mismatch.
+
+``q_html_extract`` replays :func:`html_extract_text`'s regex chain in
+DuckDB (same patterns, RE2-safe by construction, same entity-decode
+order) over deterministically synthesized HTML — the established
+oracle style of catalog/web_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.web import (
+    HTML_BLOCK_RE,
+    HTML_COMMENT_RE,
+    HTML_ENTITIES,
+    HTML_SCRIPT_RE,
+    HTML_STYLE_RE,
+    HTML_TAG_RE,
+    html_extract_text,
+)
+from metalpipe_spark.sources.readers import load_table
+from metalpipe_spark.sources.warc import read_wet, write_wet
+
+_WET_ORACLE = """
+SELECT m.mode, d.doc_id,
+       'https://corpus.example/' || d.source || '/' || d.doc_id AS url,
+       'conversion' AS warc_type,
+       'text/plain' AS content_type,
+       strlen(d.text) AS content_length,
+       md5(d.text) AS text_md5,
+       TRUE AS length_ok
+FROM documents d
+CROSS JOIN (VALUES ('delimiter'), ('exact')) AS m(mode)
+ORDER BY m.mode, d.doc_id
+"""
+
+
+@register(
+    "q_wet_roundtrip",
+    _WET_ORACLE,
+    doc=(
+        "documents -> write_wet (gzip WET shards, one per task) -> "
+        "read_wet under BOTH modes (delimiter lineSep split / exact "
+        "Content-Length walk), unioned with a mode column.  The oracle "
+        "rebuilds every field from the source table, so the row pins "
+        "the full export+parse round trip of the Common Crawl format "
+        "AND the two modes' agreement in one hash."
+    ),
+)
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://corpus.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    tmp = tempfile.mkdtemp(prefix="mps_wet_")
+    try:
+        write_wet(docs, f"{tmp}/wet")
+        parts = []
+        for mode in ("delimiter", "exact"):
+            r = read_wet(spark, f"{tmp}/wet", mode=mode)
+            parts.append(
+                r.select(
+                    F.lit(mode).alias("mode"),
+                    F.regexp_extract("url", r"/([0-9]+)$", 1)
+                    .cast("long")
+                    .alias("doc_id"),
+                    "url",
+                    "warc_type",
+                    "content_type",
+                    "content_length",
+                    F.md5("text").alias("text_md5"),
+                    "length_ok",
+                )
+            )
+        out = parts[0].unionByName(parts[1])
+        # SIZE GUARD: catalog-fixture drain (2 x documents rows, narrow
+        # projection, payload reduced to md5) — the result must outlive
+        # the temp dir because the comparator collects lazily.  The
+        # production path is read_wet feeding the corpus pipeline
+        # directly; never copy this localize pattern into operator code.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("mode", "doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _entity_sql(expr: str) -> str:
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent.replace(chr(39), chr(39) * 2)}', '{rep_sql}')"
+    return expr
+
+
+def _html_extract_sql(expr: str) -> str:
+    """DuckDB replay of html_extract_text's exact chain (RE2 runs the
+    same patterns; 'g' restores Java's replace-all default)."""
+    for pat in (HTML_COMMENT_RE, HTML_SCRIPT_RE, HTML_STYLE_RE):
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{HTML_BLOCK_RE}', e'\\n', 'g')"
+    expr = f"regexp_replace({expr}, '{HTML_TAG_RE}', ' ', 'g')"
+    expr = _entity_sql(expr)
+    expr = f"regexp_replace({expr}, '[ \\t\\r\\f]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n ?', e'\\n', 'g')"
+    expr = f"regexp_replace({expr}, '\\n+', e'\\n', 'g')"
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
+# The synthetic page: title + style in head, comment + script noise,
+# an h1, the document text in a paragraph (every 7th document spells
+# its spaces as &nbsp;), and a conditional trailing block — chosen so
+# every stage of the extractor fires on some rows.
+_HTML_SQL = """
+  '<html><head><title>Doc ' || doc_id || '</title><style>p {margin:0}</style>'
+  || '</head><body><!-- id ' || doc_id || ' -->'
+  || '<script>var x = "<p>not text</p>";</script>'
+  || '<h1>Doc ' || doc_id || '</h1><p>'
+  || (CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', '&nbsp;') ELSE text END)
+  || '</p>'
+  || (CASE WHEN doc_id % 3 = 0 THEN '<div>extra &amp; block</div>' ELSE '' END)
+  || '</body></html>'
+"""
+
+_HTML_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_HTML_SQL} AS html FROM documents
+)
+SELECT doc_id, {_html_extract_sql('html')} AS extracted
+FROM h ORDER BY doc_id
+"""
+
+
+@register(
+    "q_html_extract",
+    _HTML_ORACLE,
+    doc=(
+        "html_extract_text over deterministically synthesized pages "
+        "(title/style/comment/script noise, &nbsp;-spelled spaces, "
+        "conditional trailing blocks); the oracle replays the same "
+        "regex chain under RE2 — comments/script/style dropped, block "
+        "boundaries to newlines, tags to spaces, entities decoded, "
+        "whitespace collapsed."
+    ),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
+    ).otherwise(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p {margin:0}</style>"),
+        F.lit("</head><body><!-- id "), did, F.lit(" -->"),
+        F.lit('<script>var x = "<p>not text</p>";</script>'),
+        F.lit("<h1>Doc "), did, F.lit("</h1><p>"),
+        body,
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<div>extra &amp; block</div>"))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return (
+        docs.select("doc_id", html.alias("html"))
+        .select("doc_id", html_extract_text("html").alias("extracted"))
+        .orderBy("doc_id")
+    )

@@ -195,3 +195,64 @@ def url_dedup(
         .agg(F.min(id_col).alias(id_col))
         .withColumnRenamed("__url_norm", "url_norm")
     )
+
+
+# -- HTML -> text extraction (the WARC response path's first stage) ----------
+#
+# One regex family, shared verbatim with the DuckDB oracle
+# (catalog/warc_queries.py): inline (?is) flags only — no lookaround,
+# no backreferences — so Java regex and RE2 agree byte-for-byte.
+HTML_COMMENT_RE = r"(?is)<!--.*?-->"
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script[^>]*>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style[^>]*>"
+# Tags that end a visual block: their boundary becomes a newline so
+# downstream paragraph-level ops (paragraph dedup, boilerplate removal)
+# still see document structure after the strip.
+HTML_BLOCK_RE = (
+    r"(?is)<(?:br|hr|/?p|/?div|/?li|/?ul|/?ol|/?h[1-6]|/?tr|/?table|"
+    r"/?blockquote|/?section|/?article|/?header|/?footer|/?nav)\b[^>]*>"
+)
+HTML_TAG_RE = r"(?s)<[^>]*>"
+# Minimal entity set (the ones that matter for token statistics);
+# &amp; decodes LAST so "&amp;lt;" round-trips as the literal "&lt;".
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract_text(html: Column | str) -> Column:
+    """Visible text of an HTML document, as one codegen expression —
+    the first stage of a WARC ``response`` -> training-text pipeline
+    (sources/warc.py:read_warc feeds this; WET files arrive already
+    extracted).
+
+    Comments and ``script``/``style`` subtrees are dropped, block-tag
+    boundaries become newlines, remaining tags become spaces, the
+    core entities decode, and whitespace collapses (single spaces,
+    single newlines, trimmed).  Pure ``regexp_replace``/``replace``
+    chain: no UDF, rides the scan at any corpus size, and the DuckDB
+    oracle replays the same patterns under RE2.  This is a regex
+    extractor, not an HTML5 parser — malformed markup degrades to
+    extra whitespace, never to an error, which is the right trade for
+    corpus work (trafilatura-grade extraction plugs in behind the same
+    column contract via the UDF registry when fidelity matters more
+    than throughput).
+    """
+    c = _col(html)
+    for pat in (HTML_COMMENT_RE, HTML_SCRIPT_RE, HTML_STYLE_RE):
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, HTML_BLOCK_RE, "\n")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    # trim() strips spaces only; the edges may hold newlines too.
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

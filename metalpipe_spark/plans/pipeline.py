@@ -164,6 +164,54 @@ def _jsonl_reader(spark, upstreams, opts):
     )
 
 
+@node_class("WETReader")
+def _wet_reader(spark, upstreams, opts):
+    """Common Crawl WET (text-conversion) archives -> one row per
+    record (sources/warc.py:read_wet).  ``mode: exact`` opts into the
+    Content-Length byte walk for payloads that may contain the record
+    framing; the default delimiter split is pure JVM scan."""
+    from metalpipe_spark.sources.warc import read_wet
+
+    types = opts.get("record_types", ["conversion"])
+    return read_wet(
+        spark,
+        opts["path"],
+        mode=opts.get("mode", "delimiter"),
+        warc_version=str(opts.get("warc_version", "1.0")),
+        record_types=tuple(types) if types is not None else None,
+    )
+
+
+@node_class("WARCReader")
+def _warc_reader(spark, upstreams, opts):
+    """Raw WARC response captures -> header columns + http_status /
+    http_content_type / binary payload (sources/warc.py:read_warc);
+    chain HtmlExtract to turn text/html payloads into training text."""
+    from metalpipe_spark.sources.warc import read_warc
+
+    types = opts.get("record_types", ["response"])
+    return read_warc(
+        spark,
+        opts["path"],
+        record_types=tuple(types) if types is not None else None,
+    )
+
+
+@node_class("HtmlExtract")
+def _html_extract(spark, upstreams, opts):
+    """Visible text of an HTML column (operators/web.py:
+    html_extract_text) — binary payloads (WARCReader's) cast to UTF-8
+    first.  Pure regexp codegen; no UDF."""
+    from metalpipe_spark.operators.web import html_extract_text
+
+    df = _one(upstreams, "HtmlExtract")
+    col = opts.get("column", "payload")
+    src = F.col(col)
+    if dict(df.dtypes).get(col) == "binary":
+        src = src.cast("string")
+    return df.withColumn(opts.get("output_key", "text"), html_extract_text(src))
+
+
 @node_class("ArpaReader")
 def _arpa_reader(spark, upstreams, opts):
     """KenLM .arpa LM -> (ngram, order, logprob, backoff) table; feed
@@ -1175,6 +1223,26 @@ def _parquet_writer(spark, upstreams, opts):
     if "partition_by" in opts:
         writer = writer.partitionBy(*opts["partition_by"])
     writer.parquet(opts["path"])
+    return df
+
+
+@node_class("WETWriter")
+def _wet_writer(spark, upstreams, opts):
+    """Export (url, text) rows as spec-framed .wet.gz shards
+    (sources/warc.py:write_wet) — the interchange format every other
+    Common Crawl consumer reads."""
+    from metalpipe_spark.sources.warc import write_wet
+
+    df = _one(upstreams, "WETWriter")
+    write_wet(
+        df,
+        opts["path"],
+        url=opts.get("url", "url"),
+        text=opts.get("text", "text"),
+        date=opts.get("date", "2026-01-01T00:00:00Z"),
+        warc_version=str(opts.get("warc_version", "1.0")),
+        compression=opts.get("compression", "gzip"),
+    )
     return df
 
 

@@ -1,0 +1,307 @@
+"""WARC / WET ingestion and export — Common Crawl's on-disk formats.
+
+A 100 TB training-data pipeline usually STARTS from Common Crawl, whose
+unit of storage is the WARC family (ISO 28500): raw ``*.warc.gz``
+response captures and the text-extracted ``*.wet.gz`` "conversion"
+records.  The reference ingests web data row-by-row over HTTP
+(reference network_nodes.py:172-241, ``HttpGetRequest``) and ships no
+archive-format reader, so this module is brief-driven: it gives the
+engine a native, distributed entry point into the format the web-scale
+corpus actually lives in, feeding the existing chain
+(``html_extract_text`` -> langid -> quality -> dedup -> curation).
+
+Two parse strategies, same output schema, chosen per workload:
+
+* ``mode="delimiter"`` (default, the scan-shaped fast path): the file
+  is split into records JVM-SIDE by ``spark.read.text`` with a
+  multi-byte ``lineSep`` of ``"\\r\\n\\r\\nWARC/1.0\\r\\n"`` — the
+  inter-record framing bytes the WARC spec mandates (each record is
+  followed by exactly two CRLFs).  Header fields then parse with
+  codegen ``regexp_extract``; no Python executes anywhere.  Hadoop's
+  codec layer decompresses ``.gz`` transparently; a gzip member is not
+  splittable, so parallelism is per FILE — exactly Common Crawl's
+  layout (a crawl is ~70k ~1 GB segment files; 100 TB = tens of
+  thousands of independent tasks).  Caveat: a payload that itself
+  contains the framing bytes splits early.  That record (and the
+  spurious tail record) surface with ``length_ok = false`` — the
+  ``Content-Length`` header no longer matches the payload's
+  ``octet_length`` — so corruption is detectable row-by-row and the
+  affected files can be re-read under ``mode="exact"``.
+
+* ``mode="exact"``: ``binaryFile`` scan + a ``Content-Length``-driven
+  record walk inside ``mapInPandas`` (Arrow-batched, one file per
+  row).  Byte-exact per the spec — payloads may contain anything,
+  including the framing bytes or binary data.  Costs a Python hop and
+  holds one decompressed file per task (~400 MB for a standard
+  Common Crawl WET segment; size ``spark.sql.files.maxPartitionBytes``
+  accordingly), which is why it is the repair path, not the default.
+
+``write_wet`` is the inverse — it exports a corpus DataFrame as
+spec-framed ``.wet.gz`` shards (one gzip member per task, the same
+layout Common Crawl ships), which also makes the reader pair
+round-trip-testable without network fixtures.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Output schema shared by both modes (and by read_warc, which appends
+# the HTTP-response columns).  ``length_ok`` is the delimiter-mode
+# corruption flag; exact mode emits literal true (the walk is
+# Content-Length-driven, a mismatch is impossible by construction).
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("length_ok", T.BooleanType()),
+    ]
+)
+
+WARC_SCHEMA = T.StructType(
+    list(WET_SCHEMA.fields[:6])
+    + [
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("length_ok", T.BooleanType()),
+    ]
+)
+
+
+def _header(headers: Column, name: str) -> Column:
+    """Value of one WARC/HTTP header out of a CRLF-joined header block.
+
+    WARC headers are case-insensitive per ISO 28500 §5.1; ``(?im)``
+    anchors each line and folds case in Java regex, RE2, and Python
+    identically (no lookaround, no backreferences).
+    """
+    return F.regexp_extract(headers, rf"(?im)^{name}:[ \t]*([^\r\n]*?)[ \t]*$", 1)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    mode: str = "delimiter",
+    warc_version: str = "1.0",
+    record_types: tuple[str, ...] | None = ("conversion",),
+) -> DataFrame:
+    """Read WET (WARC conversion) files into (url, date, record_id,
+    warc_type, content_type, content_length, text, length_ok).
+
+    ``record_types`` filters on ``WARC-Type`` (default keeps the text
+    ``conversion`` records and drops the per-file ``warcinfo``
+    preamble); pass ``None`` to keep every record.  See the module
+    docstring for the delimiter/exact trade-off.
+    """
+    if mode == "delimiter":
+        out = _read_wet_delimiter(spark, path, warc_version)
+    elif mode == "exact":
+        out = _read_records_exact(spark, path, WET_SCHEMA, http=False)
+    else:
+        raise ValueError(f"read_wet mode must be 'delimiter' or 'exact', got {mode!r}")
+    if record_types is not None:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
+def _read_wet_delimiter(spark: SparkSession, path: str, version: str) -> DataFrame:
+    # One row per record: the framing bytes between records are exactly
+    # CRLF CRLF "WARC/<v>" CRLF (record block, two CRLFs, next header).
+    delim = f"\r\n\r\nWARC/{version}\r\n"
+    raw = spark.read.option("lineSep", delim).text(path)
+    # First record of each file keeps its version line; later records
+    # lost it to the delimiter.  The LAST record keeps the file's
+    # trailing two CRLFs.  Both normalizations are anchored regexes.
+    rec = F.regexp_replace(F.col("value"), r"^WARC/[0-9.]+\r\n", "")
+    rec = F.regexp_replace(rec, r"\r\n\r\n$", "")
+    # Header block / payload split on the FIRST blank line (limit=2
+    # keeps any further blank lines inside the payload).
+    parts = F.split(rec, r"\r\n\r\n", 2)
+    headers = parts.getItem(0)
+    text = F.coalesce(parts.getItem(1), F.lit(""))
+    return (
+        raw.select(headers.alias("_h"), text.alias("text"))
+        .select(
+            _header(F.col("_h"), "WARC-Target-URI").alias("url"),
+            _header(F.col("_h"), "WARC-Date").alias("date"),
+            _header(F.col("_h"), "WARC-Record-ID").alias("record_id"),
+            _header(F.col("_h"), "WARC-Type").alias("warc_type"),
+            _header(F.col("_h"), "Content-Type").alias("content_type"),
+            F.nullif(_header(F.col("_h"), "Content-Length"), F.lit(""))
+            .cast("long")
+            .alias("content_length"),
+            F.col("text"),
+        )
+        .withColumn(
+            "length_ok",
+            F.col("content_length").isNotNull()
+            & (F.octet_length("text") == F.col("content_length")),
+        )
+    )
+
+
+# -- exact (Content-Length walk) mode ---------------------------------------
+
+_CLEN_RE = re.compile(rb"(?im)^Content-Length:[ \t]*([0-9]+)[ \t]*$")
+_STATUS_RE = re.compile(rb"^HTTP/[0-9.]+[ \t]+([0-9]{3})")
+
+
+def _hval(headers: str, name: str) -> str:
+    # The explicit \r? matters: Python's MULTILINE $ matches only
+    # before \n, while the header block's lines end \r\n (Java regex,
+    # which serves the delimiter path, treats \r\n as a terminator).
+    m = re.search(rf"(?im)^{name}:[ \t]*([^\r\n]*?)[ \t]*\r?$", headers)
+    return m.group(1) if m else ""
+
+
+def _iter_records(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """Yield (header_block, payload_bytes) per the spec's framing:
+    header block, blank line, exactly Content-Length payload bytes,
+    two CRLFs.  Tolerates extra inter-record CRLFs and a missing final
+    terminator; raises on a record without Content-Length (the walk
+    cannot continue safely past it)."""
+    i, n = 0, len(blob)
+    while i < n:
+        while blob.startswith(b"\r\n", i):
+            i += 2
+        if i >= n:
+            return
+        end = blob.find(b"\r\n\r\n", i)
+        if end < 0:
+            raise ValueError("WARC record without a header/payload blank line")
+        head = blob[i:end]
+        m = _CLEN_RE.search(head)
+        if m is None:
+            raise ValueError("WARC record without Content-Length")
+        clen = int(m.group(1))
+        start = end + 4
+        if start + clen > n:
+            raise ValueError("WARC Content-Length overruns the file")
+        yield head.decode("utf-8", "replace"), blob[start : start + clen]
+        i = start + clen
+
+
+def _gunzip_all(blob: bytes) -> bytes:
+    """Decompress a possibly multi-member gzip stream (Common Crawl
+    writes ONE MEMBER PER RECORD so readers can range-seek; stdlib
+    ``gzip.decompress`` walks all members and tolerates trailing zero
+    padding); plain bytes pass through."""
+    if not blob.startswith(b"\x1f\x8b"):
+        return blob
+    return gzip.decompress(blob)
+
+
+def _read_records_exact(
+    spark: SparkSession, path: str, schema: T.StructType, http: bool
+) -> DataFrame:
+    bin_df = spark.read.format("binaryFile").load(path).select("content")
+    names = [f.name for f in schema.fields]
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for head, payload in _iter_records(_gunzip_all(bytes(blob))):
+                    base = [
+                        _hval(head, "WARC-Target-URI"),
+                        _hval(head, "WARC-Date"),
+                        _hval(head, "WARC-Record-ID"),
+                        _hval(head, "WARC-Type"),
+                        _hval(head, "Content-Type"),
+                        len(payload),
+                    ]
+                    if http:
+                        status, ctype, body = _split_http(payload)
+                        rows.append(base + [status, ctype, body, True])
+                    else:
+                        rows.append(base + [payload.decode("utf-8", "replace"), True])
+            yield pd.DataFrame(rows, columns=names)
+
+    return bin_df.mapInPandas(parse, schema)
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str, bytes]:
+    """(status, content-type, body) of an HTTP response payload; a
+    payload that is not HTTP-shaped comes back (None, '', payload)."""
+    m = _STATUS_RE.match(payload)
+    if m is None:
+        return None, "", payload
+    end = payload.find(b"\r\n\r\n")
+    if end < 0:
+        head, body = payload, b""
+    else:
+        head, body = payload[:end], payload[end + 4 :]
+    ctype = _hval(head.decode("utf-8", "replace"), "Content-Type")
+    return int(m.group(1)), ctype, body
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """Read raw WARC files into WET_SCHEMA's header columns plus
+    (http_status, http_content_type, payload binary).
+
+    Always the exact walk: response payloads are binary (images, pdfs,
+    gzip bodies) and may legally contain the inter-record framing
+    bytes, so the delimiter fast path is WET-only by design.
+    """
+    out = _read_records_exact(spark, path, WARC_SCHEMA, http=True)
+    if record_types is not None:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url: Column | str = "url",
+    text: Column | str = "text",
+    date: str = "2026-01-01T00:00:00Z",
+    warc_version: str = "1.0",
+    compression: str | None = "gzip",
+) -> None:
+    """Export (url, text) rows as spec-framed WET shards — one file per
+    task, the Common Crawl layout.
+
+    Each row renders as a full conversion record (version line, header
+    block, ``Content-Length`` = payload OCTET length, payload); the
+    text sink's row separator is set to CRLF so consecutive records are
+    joined by exactly the framing bytes ``read_wet`` splits on, and the
+    final record keeps its two trailing CRLFs.  ``WARC-Record-ID`` is a
+    deterministic function of the URL (sha2), so export is
+    bit-reproducible run-to-run.
+    """
+    url_c = F.col(url) if isinstance(url, str) else url
+    text_c = F.col(text) if isinstance(text, str) else text
+    record = F.concat(
+        F.lit(f"WARC/{warc_version}\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: "), url_c, F.lit("\r\n"),
+        F.lit(f"WARC-Date: {date}\r\n"),
+        F.lit("WARC-Record-ID: <urn:sha2:"), F.sha2(url_c, 256), F.lit(">\r\n"),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("Content-Length: "), F.octet_length(text_c).cast("string"),
+        F.lit("\r\n\r\n"),
+        text_c,
+        F.lit("\r\n"),
+    )
+    writer = df.select(record.alias("value")).write.option("lineSep", "\r\n")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.mode("overwrite").text(path)

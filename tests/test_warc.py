@@ -1,0 +1,259 @@
+"""WARC / WET ingestion tests (sources/warc.py) and the HTML extractor
+(operators/web.py:html_extract_text).
+
+Fixtures are hand-framed per ISO 28500 (version line, CRLF header
+block, blank line, Content-Length payload bytes, two CRLFs) so the
+readers are tested against the SPEC, not against write_wet; a separate
+round-trip test then closes the write_wet <-> read_wet loop."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.web import html_extract_text
+from metalpipe_spark.sources.warc import (
+    _iter_records,
+    read_warc,
+    read_wet,
+    write_wet,
+)
+
+
+def _record(warc_type: str, uri: str, payload: bytes, version="1.0") -> bytes:
+    head = (
+        f"WARC/{version}\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: <urn:test:{uri}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+MULTIBYTE = "héllo wörld — ünïcode ✓"
+# A payload that CONTAINS the inter-record framing bytes: legal per the
+# spec (Content-Length governs), poison for the delimiter fast path.
+ADVERSARIAL = b"evil\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\npayload continues"
+
+
+def _wet_fixture(tmp_path, name="f0.wet.gz", per_record_gzip=False) -> str:
+    recs = [
+        _record("warcinfo", "", b"software: test-harness"),
+        _record("conversion", "http://ex.com/1", MULTIBYTE.encode()),
+        _record("conversion", "http://ex.com/2", b"plain ascii text"),
+    ]
+    path = str(tmp_path / name)
+    if per_record_gzip:
+        # Common Crawl's actual layout: one gzip MEMBER per record.
+        blob = b"".join(gzip.compress(r) for r in recs)
+        with open(path, "wb") as f:
+            f.write(blob)
+    else:
+        with gzip.open(path, "wb") as f:
+            f.write(b"".join(recs))
+    return path
+
+
+@pytest.mark.parametrize("mode", ["delimiter", "exact"])
+def test_read_wet_modes_agree_on_wellformed(spark, tmp_path, mode):
+    path = _wet_fixture(tmp_path)
+    rows = {r.url: r for r in read_wet(spark, path, mode=mode).collect()}
+    assert set(rows) == {"http://ex.com/1", "http://ex.com/2"}  # warcinfo dropped
+    r1 = rows["http://ex.com/1"]
+    assert r1.text == MULTIBYTE
+    assert r1.content_length == len(MULTIBYTE.encode())  # octets, not chars
+    assert r1.length_ok is True
+    assert r1.warc_type == "conversion"
+    assert r1.content_type == "text/plain"
+    assert r1.date == "2026-01-01T00:00:00Z"
+    assert r1.record_id == "<urn:test:http://ex.com/1>"
+
+
+def test_read_wet_keeps_warcinfo_when_unfiltered(spark, tmp_path):
+    path = _wet_fixture(tmp_path)
+    types = {
+        r.warc_type
+        for r in read_wet(spark, path, record_types=None).collect()
+        if r.warc_type
+    }
+    assert "warcinfo" in types
+
+
+def test_exact_mode_handles_per_record_gzip_members(spark, tmp_path):
+    path = _wet_fixture(tmp_path, per_record_gzip=True)
+    out = read_wet(spark, path, mode="exact").orderBy("url").collect()
+    assert [r.text for r in out] == [MULTIBYTE, "plain ascii text"]
+
+
+def test_adversarial_payload_exact_parses_delimiter_flags(spark, tmp_path):
+    data = _record("conversion", "http://ex.com/a", ADVERSARIAL) + _record(
+        "conversion", "http://ex.com/b", b"after"
+    )
+    path = str(tmp_path / "adv.wet.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(data)
+    exact = {r.url: r for r in read_wet(spark, path, mode="exact").collect()}
+    assert exact["http://ex.com/a"].text == ADVERSARIAL.decode()
+    assert exact["http://ex.com/a"].length_ok is True
+    # Delimiter mode splits inside the poisoned payload: the record
+    # surfaces with length_ok=false (the repair signal), and the
+    # well-formed neighbor is unaffected.
+    delim = {r.url: r for r in read_wet(spark, path).collect()}
+    assert delim["http://ex.com/a"].length_ok is False
+    assert delim["http://ex.com/b"].text == "after"
+    assert delim["http://ex.com/b"].length_ok is True
+
+
+def test_wet_roundtrip_write_then_both_modes(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"https://x.example/{i}", f"body {i} — ünïcode") for i in range(25)],
+        "doc_id long, url string, text string",
+    )
+    out_dir = str(tmp_path / "wet_out")
+    write_wet(docs, out_dir)
+    a = read_wet(spark, out_dir).orderBy("url").collect()
+    b = read_wet(spark, out_dir, mode="exact").orderBy("url").collect()
+    assert len(a) == len(b) == 25
+    assert all(r.length_ok for r in a)
+    for ra, rb in zip(a, b):
+        assert (ra.url, ra.text, ra.content_length) == (
+            rb.url,
+            rb.text,
+            rb.content_length,
+        )
+    # export is deterministic: record ids derive from the URL (sha2)
+    assert a[0].record_id.startswith("<urn:sha2:")
+
+
+def test_write_wet_uncompressed(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"https://x/{i}", "t") for i in range(3)], "url string, text string"
+    )
+    out_dir = str(tmp_path / "plain")
+    write_wet(docs, out_dir, compression=None)
+    assert read_wet(spark, out_dir, mode="exact").count() == 3
+
+
+def test_read_warc_response_with_binary_body(spark, tmp_path):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html><body><p>Hi &amp; bye</p>\x00\xff\r\n\r\nWARC/1.0\r\n</body></html>"
+    )
+    data = _record("warcinfo", "", b"x: y") + _record(
+        "response", "http://b.example/1", http
+    )
+    path = str(tmp_path / "f.warc.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(data)
+    rows = read_warc(spark, path).collect()
+    assert len(rows) == 1  # warcinfo filtered by default
+    r = rows[0]
+    assert r.http_status == 200
+    assert r.http_content_type == "text/html; charset=utf-8"
+    assert bytes(r.payload).startswith(b"<html>")
+    assert b"\x00\xff" in bytes(r.payload)
+    # the chained extraction a WARC pipeline runs (binary -> utf8 -> text)
+    df = spark.createDataFrame([(bytes(r.payload),)], "payload binary")
+    text = df.select(
+        html_extract_text(F.col("payload").cast("string")).alias("t")
+    ).first()[0]
+    assert text.startswith("Hi & bye")
+
+
+def test_read_wet_bad_mode_raises(spark):
+    with pytest.raises(ValueError, match="mode"):
+        read_wet(spark, "/nonexistent", mode="stream")
+
+
+def test_iter_records_rejects_missing_content_length():
+    blob = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\npayload\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(_iter_records(blob))
+
+
+def test_iter_records_rejects_overrun():
+    blob = b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    with pytest.raises(ValueError, match="overruns"):
+        list(_iter_records(blob))
+
+
+def test_iter_records_tolerates_missing_final_terminator():
+    blob = b"WARC/1.0\r\nContent-Length: 4\r\n\r\nbody"
+    assert list(_iter_records(blob)) == [("WARC/1.0\r\nContent-Length: 4", b"body")]
+
+
+# -- html_extract_text -------------------------------------------------------
+
+
+def _extract(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_extract_text("html").alias("t")).first().t
+
+
+def test_html_extract_drops_script_style_comments(spark):
+    html = (
+        "<html><head><style>p{color:red}</style></head><body>"
+        "<!-- secret --><script type='text/javascript'>var a = '<p>no</p>';"
+        "</script><p>keep me</p></body></html>"
+    )
+    assert _extract(spark, html) == "keep me"
+
+
+def test_html_extract_block_boundaries_become_newlines(spark):
+    html = "<h1>Title</h1><p>one two</p><div>three</div><ul><li>four</li></ul>"
+    assert _extract(spark, html) == "Title\none two\nthree\nfour"
+
+
+def test_html_extract_entities_and_whitespace(spark):
+    html = "<p>a&nbsp;&lt;b&gt; &quot;c&quot; &#39;d&#39; e &amp;amp; f</p>"
+    # &amp; decodes LAST: "&amp;amp;" -> "&amp;" literal, not "&"
+    assert _extract(spark, html) == 'a <b> "c" \'d\' e &amp; f'
+
+
+def test_html_extract_malformed_degrades_not_errors(spark):
+    assert _extract(spark, "<p unclosed <b>bold</p> trailing >") == "bold\ntrailing >"
+    assert _extract(spark, "no tags at all") == "no tags at all"
+    assert _extract(spark, "") == ""
+
+
+# -- pipeline-surface nodes ---------------------------------------------------
+
+
+def test_wet_pipeline_nodes_roundtrip(spark, tmp_path):
+    """WETWriter exports, WETReader ingests, HtmlExtract chains — the
+    Common Crawl loop from the YAML config surface."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    src = spark.createDataFrame(
+        [(i, f"https://x/{i}", f"<p>doc {i} &amp; more</p>") for i in range(6)],
+        "doc_id long, url string, text string",
+    )
+    src.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    out_wet = str(tmp_path / "wet")
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": str(tmp_path / "docs")}},
+            "export": {"class": "WETWriter", "options": {"path": out_wet}},
+        },
+        "paths": [["read", "export"]],
+    }
+    compile_pipeline(spark, config)
+    config2 = {
+        "nodes": {
+            "wet": {"class": "WETReader", "options": {"path": out_wet, "mode": "exact"}},
+            "extract": {
+                "class": "HtmlExtract",
+                "options": {"column": "text", "output_key": "clean"},
+            },
+        },
+        "paths": [["wet", "extract"]],
+    }
+    p = compile_pipeline(spark, config2)
+    rows = p.dataframes["extract"].orderBy("url").collect()
+    assert len(rows) == 6
+    assert rows[0].clean == "doc 0 & more"
