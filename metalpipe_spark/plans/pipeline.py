@@ -510,6 +510,24 @@ def _watchdog(spark, upstreams, opts):
     )
 
 
+@node_class("WETStream")
+def _wet_stream(spark, upstreams, opts):
+    """Continuously-arriving WET crawl segments as a stream
+    (sources/warc.py:stream_wet) — chain the streaming corpus pipeline
+    behind it."""
+    from metalpipe_spark.sources.warc import stream_wet
+
+    types = opts.get("record_types", ["conversion"])
+    return stream_wet(
+        spark,
+        opts["directory"],
+        warc_version=str(opts.get("warc_version", "1.0")),
+        record_types=tuple(types) if types is not None else None,
+        glob=opts.get("glob", "*.gz"),
+        max_files_per_trigger=opts.get("max_files_per_trigger"),
+    )
+
+
 @node_class("TimeWindowAccumulator")
 def _time_window(spark, upstreams, opts):
     """node.py:1453-1460 (stub in the reference) — tumbling event-time

@@ -119,8 +119,17 @@ def read_wet(
 def _read_wet_delimiter(spark: SparkSession, path: str, version: str) -> DataFrame:
     # One row per record: the framing bytes between records are exactly
     # CRLF CRLF "WARC/<v>" CRLF (record block, two CRLFs, next header).
-    delim = f"\r\n\r\nWARC/{version}\r\n"
-    raw = spark.read.option("lineSep", delim).text(path)
+    raw = spark.read.option("lineSep", _record_delim(version)).text(path)
+    return _wet_columns(raw)
+
+
+def _record_delim(version: str) -> str:
+    return f"\r\n\r\nWARC/{version}\r\n"
+
+
+def _wet_columns(raw: DataFrame) -> DataFrame:
+    """Delimiter-split records (one per ``value`` row) -> WET_SCHEMA
+    columns; shared by the batch reader and :func:`stream_wet`."""
     # First record of each file keeps its version line; later records
     # lost it to the delimiter.  The LAST record keeps the file's
     # trailing two CRLFs.  Both normalizations are anchored regexes.
@@ -262,6 +271,44 @@ def read_warc(
     bytes, so the delimiter fast path is WET-only by design.
     """
     out = _read_records_exact(spark, path, WARC_SCHEMA, http=True)
+    if record_types is not None:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
+def stream_wet(
+    spark: SparkSession,
+    directory: str,
+    warc_version: str = "1.0",
+    record_types: tuple[str, ...] | None = ("conversion",),
+    glob: str = "*.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """WET archives as a STREAM: the file source discovers new segment
+    files (checkpointed, exactly-once per file) and the same multi-byte
+    ``lineSep`` delimiter split + codegen header parse run per
+    micro-batch — a continuously-arriving crawl flows straight into the
+    streaming corpus pipeline (streaming/streams.py:
+    stream_corpus_pipeline) with no batch/stream code fork.
+
+    The default glob matches both Common Crawl's ``*.warc.wet.gz``
+    and :func:`write_wet`'s own ``part-*.txt.gz`` shards, so an
+    exported corpus can be re-streamed without configuration.
+
+    Delimiter mode only: the exact Content-Length walk needs whole-file
+    bytes (binaryFile has no streaming source), and streams are where
+    the scan-shaped fast path matters most; poisoned payloads still
+    surface as ``length_ok = false`` for a batch repair pass.
+    """
+    reader = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("lineSep", _record_delim(warc_version))
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = _wet_columns(reader.load(directory))
     if record_types is not None:
         out = out.where(F.col("warc_type").isin(*record_types))
     return out

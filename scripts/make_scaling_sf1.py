@@ -69,7 +69,33 @@ def main() -> None:
     pd.concat(eout, ignore_index=True).to_parquet(
         os.path.join(OUT, "embeddings.parquet"), index=False
     )
-    print(f"wrote {len(big)} docs, {m * REPLICAS} embeddings -> {OUT}")
+
+    # Events scale as "10x the traffic": same 30-day window (so window
+    # COUNT stays fixed and per-window density grows with data — the
+    # shape a real scale-up has), DISJOINT user ids per replica (so
+    # per-user stream-join/session density stays constant and join
+    # output grows linearly, not quadratically), fresh event ids, ts
+    # jittered by a few seconds so replicas are not tick-identical.
+    ev = pd.read_parquet(os.path.join(SRC, "events.parquet"))
+    k = len(ev)
+    users = int(ev["user_id"].max()) + 1
+    evout = []
+    for r in range(REPLICAS):
+        rep = ev.copy()
+        rep["event_id"] = ev["event_id"] + r * k
+        if r > 0:
+            rep["user_id"] = ev["user_id"] + r * users
+            rep["ts"] = ev["ts"] + pd.to_timedelta(
+                rng.integers(-5_000_000, 5_000_000, k), unit="us"
+            )
+        evout.append(rep)
+    pd.concat(evout, ignore_index=True).to_parquet(
+        os.path.join(OUT, "events.parquet"), index=False
+    )
+    print(
+        f"wrote {len(big)} docs, {m * REPLICAS} embeddings, "
+        f"{k * REPLICAS} events -> {OUT}"
+    )
 
 
 if __name__ == "__main__":

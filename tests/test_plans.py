@@ -650,3 +650,36 @@ def test_target_similarity_centroid_broadcasts_no_corpus_shuffle(spark):
     assert _nodes(plan, "SortMergeJoin") == 0
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "Window") == 0
+
+
+def test_wet_delimiter_read_is_jvm_only_scan(spark, tmp_path):
+    """read_wet's delimiter mode must stay entirely JVM-side — record
+    split via the text source's lineSep, header parse via codegen
+    regexes: no Python eval node, no exchange.  At 100 TB (a full
+    crawl) this is the difference between scan-speed ingestion and a
+    per-record Python hop."""
+    import gzip
+
+    from metalpipe_spark.sources.warc import read_wet
+
+    p = tmp_path / "w.wet.gz"
+    with gzip.open(str(p), "wb") as f:
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u\r\n"
+            b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+        )
+    plan = _formatted(read_wet(spark, str(p)))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert _nodes(plan, node) == 0, f"unexpected {node} in delimiter plan"
+    assert _nodes(plan, "Project") >= 1
+
+
+def test_html_extract_scan_shaped(spark):
+    """html_extract_text: one scan-shaped projection — zero exchanges,
+    zero Python — so the WARC->text stage rides the scan."""
+    from metalpipe_spark.operators.web import html_extract_text
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _formatted(docs.select(html_extract_text("text").alias("t")))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert _nodes(plan, node) == 0

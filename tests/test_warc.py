@@ -257,3 +257,29 @@ def test_wet_pipeline_nodes_roundtrip(spark, tmp_path):
     rows = p.dataframes["extract"].orderBy("url").collect()
     assert len(rows) == 6
     assert rows[0].clean == "doc 0 & more"
+
+
+def test_stream_wet_ingests_new_segments(spark, tmp_path):
+    """stream_wet: the delimiter parse as a streaming source — two
+    'crawl segments' land in a watched directory, every record flows
+    through with the same schema/flags as the batch reader."""
+    from metalpipe_spark.sources.warc import stream_wet
+    from metalpipe_spark.streaming.streams import run_to_memory
+
+    watch = tmp_path / "crawl"
+    watch.mkdir()
+    for seg in range(2):
+        recs = b"".join(
+            _record("conversion", f"http://s{seg}.ex/{i}", f"seg {seg} doc {i}".encode())
+            for i in range(4)
+        )
+        with gzip.open(str(watch / f"seg{seg}.wet.gz"), "wb") as f:
+            f.write(_record("warcinfo", "", b"crawler: test") + recs)
+    stream = stream_wet(spark, str(watch))
+    assert stream.isStreaming
+    out = run_to_memory(stream, "wet_stream_test", spark)
+    rows = out.orderBy("url").collect()
+    assert len(rows) == 8  # warcinfo records filtered
+    assert rows[0].url == "http://s0.ex/0"
+    assert rows[0].text == "seg 0 doc 0"
+    assert all(r.length_ok for r in rows)
