@@ -88,6 +88,7 @@ HEADLINE = [
     # WARC / WET ingestion (r13)
     "q_wet_roundtrip",
     "q_html_extract",
+    "q_crawl_pipeline",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

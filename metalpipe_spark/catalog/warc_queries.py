@@ -31,7 +31,7 @@ from metalpipe_spark.operators.web import (
     html_extract_text,
 )
 from metalpipe_spark.sources.readers import load_table
-from metalpipe_spark.sources.warc import read_wet, write_wet
+from metalpipe_spark.sources.warc import read_warc, read_wet, write_wet
 
 _WET_ORACLE = """
 SELECT m.mode, d.doc_id,
@@ -186,3 +186,111 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", html_extract_text("html").alias("extracted"))
         .orderBy("doc_id")
     )
+
+
+def _synth_html_col() -> F.Column:
+    """Spark twin of _HTML_SQL (shared by q_html_extract and
+    q_crawl_pipeline)."""
+    did = F.col("doc_id").cast("string")
+    body = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
+    ).otherwise(F.col("text"))
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p {margin:0}</style>"),
+        F.lit("</head><body><!-- id "), did, F.lit(" -->"),
+        F.lit('<script>var x = "<p>not text</p>";</script>'),
+        F.lit("<h1>Doc "), did, F.lit("</h1><p>"),
+        body,
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<div>extra &amp; block</div>"))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+# Plain concatenation: _HTML_SQL contains literal CSS braces, so
+# str.format would misread them as placeholders.
+_CRAWL_ORACLE = (
+    "\nWITH h AS (\n  SELECT doc_id, source, "
+    + _HTML_SQL
+    + " AS html FROM documents\n), x AS (\n  SELECT doc_id, source, "
+    + _html_extract_sql("html")
+    + """ AS t FROM h
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(t)) AS n_unique,
+       CAST(SUM(strlen(t)) AS BIGINT) AS total_chars
+FROM x GROUP BY source ORDER BY source
+"""
+)
+
+
+@register(
+    "q_crawl_pipeline",
+    _CRAWL_ORACLE,
+    doc=(
+        "The full Common Crawl ingestion chain as one run: documents "
+        "are wrapped into spec-framed WARC ``response`` captures (HTTP "
+        "status line + headers + HTML body, gzip segments), read back "
+        "through read_warc's Content-Length walk, the binary payloads "
+        "extracted to text (html_extract_text), and per-source corpus "
+        "stats aggregated (docs, distinct fingerprints, chars).  The "
+        "oracle replays synthesis + extraction + aggregation straight "
+        "from the documents table, so every stage of the crawl->corpus "
+        "path is pinned end-to-end."
+    ),
+)
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        _synth_html_col(),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit("https://corpus.example/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mps_crawl_")
+    try:
+        (
+            docs.select(record.alias("value"))
+            .write.option("lineSep", "\r\n")
+            .option("compression", "gzip")
+            .mode("overwrite")
+            .text(f"{tmp}/warc")
+        )
+        captures = read_warc(spark, f"{tmp}/warc")
+        out = (
+            captures.select(
+                F.regexp_extract("url", r"example/([^/]+)/", 1).alias("source"),
+                html_extract_text(F.col("payload").cast("string")).alias("t"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct(F.md5("t")).alias("n_unique"),
+                F.sum(F.length("t")).alias("total_chars"),
+            )
+        )
+        # SIZE GUARD: one row per source label (~20 at any SF) — the
+        # drain must outlive the temp dir for the lazy comparator.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("source")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

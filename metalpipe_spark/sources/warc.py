@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -96,6 +97,7 @@ def read_wet(
     mode: str = "delimiter",
     warc_version: str = "1.0",
     record_types: tuple[str, ...] | None = ("conversion",),
+    on_error: str = "fail",
 ) -> DataFrame:
     """Read WET (WARC conversion) files into (url, date, record_id,
     warc_type, content_type, content_length, text, length_ok).
@@ -104,11 +106,21 @@ def read_wet(
     ``conversion`` records and drops the per-file ``warcinfo``
     preamble); pass ``None`` to keep every record.  See the module
     docstring for the delimiter/exact trade-off.
+
+    ``on_error`` (exact mode): a structurally-broken file — truncated
+    gzip member, Content-Length overrunning the bytes, no header block
+    — raises by default; ``"skip"`` keeps the file's records up to the
+    corruption point and drops the rest, because at crawl scale a
+    handful of damaged segments must not kill a 100 TB job (the same
+    degrade-don't-die posture as the multimodal decoders,
+    operators/multimodal.py).  The delimiter path needs no knob: it has
+    no structural expectations to violate — damage surfaces per-record
+    as ``length_ok = false``.
     """
     if mode == "delimiter":
         out = _read_wet_delimiter(spark, path, warc_version)
     elif mode == "exact":
-        out = _read_records_exact(spark, path, WET_SCHEMA, http=False)
+        out = _read_records_exact(spark, path, WET_SCHEMA, http=False, on_error=on_error)
     else:
         raise ValueError(f"read_wet mode must be 'delimiter' or 'exact', got {mode!r}")
     if record_types is not None:
@@ -202,21 +214,60 @@ def _iter_records(blob: bytes) -> Iterator[tuple[str, bytes]]:
         i = start + clen
 
 
-def _gunzip_all(blob: bytes) -> bytes:
+def _gunzip_all(blob: bytes, partial: bool = False) -> bytes:
     """Decompress a possibly multi-member gzip stream (Common Crawl
-    writes ONE MEMBER PER RECORD so readers can range-seek; stdlib
-    ``gzip.decompress`` walks all members and tolerates trailing zero
-    padding); plain bytes pass through."""
+    writes ONE MEMBER PER RECORD so readers can range-seek); plain
+    bytes pass through.  ``partial=True`` returns the members that
+    decompressed cleanly BEFORE a truncated/corrupt one instead of
+    raising — per-record members mean a damaged segment still yields
+    every record up to the damage."""
     if not blob.startswith(b"\x1f\x8b"):
         return blob
-    return gzip.decompress(blob)
+    if not partial:
+        return gzip.decompress(blob)
+    out = bytearray()
+    rest = blob
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            member = d.decompress(rest) + d.flush()
+            if not d.eof:  # truncated mid-member
+                break
+        except zlib.error:
+            break
+        out += member
+        rest = d.unused_data
+    return bytes(out)
 
 
 def _read_records_exact(
-    spark: SparkSession, path: str, schema: T.StructType, http: bool
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    http: bool,
+    on_error: str = "fail",
 ) -> DataFrame:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bin_df = spark.read.format("binaryFile").load(path).select("content")
     names = [f.name for f in schema.fields]
+
+    def records(blob: bytes):
+        # Generator-wrapping matters: the corruption may surface on ANY
+        # next() (mid-file), and skip mode must keep the records already
+        # yielded before it; partial gunzip likewise salvages the gzip
+        # members preceding a truncated one.
+        skip = on_error == "skip"
+        it = _iter_records(_gunzip_all(bytes(blob), partial=skip))
+        while True:
+            try:
+                yield next(it)
+            except StopIteration:
+                return
+            except (ValueError, EOFError, OSError, zlib.error):
+                if not skip:
+                    raise
+                return
 
     def parse(batches):
         import pandas as pd
@@ -224,7 +275,7 @@ def _read_records_exact(
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                for head, payload in _iter_records(_gunzip_all(bytes(blob))):
+                for head, payload in records(blob):
                     base = [
                         _hval(head, "WARC-Target-URI"),
                         _hval(head, "WARC-Date"),
@@ -262,6 +313,7 @@ def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] | None = ("response",),
+    on_error: str = "fail",
 ) -> DataFrame:
     """Read raw WARC files into WET_SCHEMA's header columns plus
     (http_status, http_content_type, payload binary).
@@ -269,8 +321,9 @@ def read_warc(
     Always the exact walk: response payloads are binary (images, pdfs,
     gzip bodies) and may legally contain the inter-record framing
     bytes, so the delimiter fast path is WET-only by design.
+    ``on_error`` as in :func:`read_wet`.
     """
-    out = _read_records_exact(spark, path, WARC_SCHEMA, http=True)
+    out = _read_records_exact(spark, path, WARC_SCHEMA, http=True, on_error=on_error)
     if record_types is not None:
         out = out.where(F.col("warc_type").isin(*record_types))
     return out

@@ -283,3 +283,47 @@ def test_stream_wet_ingests_new_segments(spark, tmp_path):
     assert rows[0].url == "http://s0.ex/0"
     assert rows[0].text == "seg 0 doc 0"
     assert all(r.length_ok for r in rows)
+
+
+def test_exact_mode_on_error_skip_salvages_good_members(spark, tmp_path):
+    """A truncated gzip member (mid-transfer segment damage) kills the
+    job under the default, but on_error='skip' keeps every record from
+    the members before the damage — per-record members are exactly why
+    Common Crawl writes them."""
+    good = [
+        gzip.compress(_record("conversion", f"http://ok/{i}", f"doc {i}".encode()))
+        for i in range(3)
+    ]
+    broken = gzip.compress(_record("conversion", "http://bad/x", b"lost"))[:-7]
+    path = str(tmp_path / "damaged.wet.gz")
+    with open(path, "wb") as f:
+        f.write(b"".join(good) + broken)
+    with pytest.raises(Exception):
+        read_wet(spark, path, mode="exact").count()
+    out = read_wet(spark, path, mode="exact", on_error="skip").orderBy("url").collect()
+    assert [r.url for r in out] == [f"http://ok/{i}" for i in range(3)]
+
+
+def test_exact_mode_on_error_skip_framing_damage(spark, tmp_path):
+    """Framing damage (Content-Length overrun) mid-file: skip mode
+    keeps the records walked before it; other files are unaffected."""
+    data = (
+        _record("conversion", "http://a/1", b"fine")
+        + b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/2\r\n"
+        + b"Content-Length: 99999\r\n\r\nshort"
+    )
+    path = tmp_path / "frames"
+    path.mkdir()
+    with gzip.open(str(path / "bad.wet.gz"), "wb") as f:
+        f.write(data)
+    with gzip.open(str(path / "good.wet.gz"), "wb") as f:
+        f.write(_record("conversion", "http://b/1", b"ok"))
+    with pytest.raises(Exception):
+        read_wet(spark, str(path), mode="exact").count()
+    out = read_wet(spark, str(path), mode="exact", on_error="skip").orderBy("url")
+    assert [r.url for r in out.collect()] == ["http://a/1", "http://b/1"]
+
+
+def test_read_wet_on_error_validated(spark):
+    with pytest.raises(ValueError, match="on_error"):
+        read_wet(spark, "/nonexistent", mode="exact", on_error="ignore")
