@@ -164,25 +164,8 @@ FROM h ORDER BY doc_id
 )
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    body = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
-    ).otherwise(F.col("text"))
-    did = F.col("doc_id").cast("string")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "), did,
-        F.lit("</title><style>p {margin:0}</style>"),
-        F.lit("</head><body><!-- id "), did, F.lit(" -->"),
-        F.lit('<script>var x = "<p>not text</p>";</script>'),
-        F.lit("<h1>Doc "), did, F.lit("</h1><p>"),
-        body,
-        F.lit("</p>"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("<div>extra &amp; block</div>"))
-        .otherwise(F.lit("")),
-        F.lit("</body></html>"),
-    )
     return (
-        docs.select("doc_id", html.alias("html"))
+        docs.select("doc_id", _synth_html_col().alias("html"))
         .select("doc_id", html_extract_text("html").alias("extracted"))
         .orderBy("doc_id")
     )
@@ -222,7 +205,7 @@ _CRAWL_ORACLE = (
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(t)) AS n_unique,
-       CAST(SUM(strlen(t)) AS BIGINT) AS total_chars
+       CAST(SUM(length(t)) AS BIGINT) AS total_chars
 FROM x GROUP BY source ORDER BY source
 """
 )

@@ -179,6 +179,7 @@ def _wet_reader(spark, upstreams, opts):
         mode=opts.get("mode", "delimiter"),
         warc_version=str(opts.get("warc_version", "1.0")),
         record_types=tuple(types) if types is not None else None,
+        on_error=opts.get("on_error", "fail"),
     )
 
 
@@ -194,6 +195,7 @@ def _warc_reader(spark, upstreams, opts):
         spark,
         opts["path"],
         record_types=tuple(types) if types is not None else None,
+        on_error=opts.get("on_error", "fail"),
     )
 
 

@@ -22,11 +22,17 @@ Two parse strategies, same output schema, chosen per workload:
   splittable, so parallelism is per FILE — exactly Common Crawl's
   layout (a crawl is ~70k ~1 GB segment files; 100 TB = tens of
   thousands of independent tasks).  Caveat: a payload that itself
-  contains the framing bytes splits early.  That record (and the
-  spurious tail record) surface with ``length_ok = false`` — the
-  ``Content-Length`` header no longer matches the payload's
-  ``octet_length`` — so corruption is detectable row-by-row and the
-  affected files can be re-read under ``mode="exact"``.
+  contains the framing bytes splits early.  The HOST record surfaces
+  with ``length_ok = false`` (its ``Content-Length`` no longer matches
+  the payload's ``octet_length``), so accidental damage is detectable
+  row-by-row and the affected files can be re-read under
+  ``mode="exact"``.  The split-off TAIL is weaker: an adversarial
+  payload embedding a complete well-formed record yields a forged row
+  whose own fields are self-consistent (``length_ok = true``) — only
+  the flagged host record betrays it.  Web text is attacker-controlled,
+  so integrity-sensitive corpus builds should run ``mode="exact"``
+  (Content-Length framing cannot be payload-spoofed) or treat any file
+  containing a ``length_ok = false`` record as suspect wholesale.
 
 * ``mode="exact"``: ``binaryFile`` scan + a ``Content-Length``-driven
   record walk inside ``mapInPandas`` (Arrow-batched, one file per
@@ -143,26 +149,36 @@ def _wet_columns(raw: DataFrame) -> DataFrame:
     """Delimiter-split records (one per ``value`` row) -> WET_SCHEMA
     columns; shared by the batch reader and :func:`stream_wet`."""
     # First record of each file keeps its version line; later records
-    # lost it to the delimiter.  The LAST record keeps the file's
-    # trailing two CRLFs.  Both normalizations are anchored regexes.
+    # lost it to the delimiter.
     rec = F.regexp_replace(F.col("value"), r"^WARC/[0-9.]+\r\n", "")
-    rec = F.regexp_replace(rec, r"\r\n\r\n$", "")
     # Header block / payload split on the FIRST blank line (limit=2
     # keeps any further blank lines inside the payload).
     parts = F.split(rec, r"\r\n\r\n", 2)
     headers = parts.getItem(0)
     text = F.coalesce(parts.getItem(1), F.lit(""))
+    clen = F.nullif(_header(headers, "Content-Length"), F.lit("")).cast("long")
+    # The LAST record of a file keeps the file's trailing two CRLFs
+    # (earlier records lost theirs to the delimiter).  Strip them only
+    # when Content-Length says they are framing (+4 octets) — an
+    # unconditional strip would truncate a NON-final payload that
+    # legitimately ends with CRLF CRLF (legal: Content-Length governs).
+    # Without a Content-Length there is nothing to check, so fall back
+    # to stripping (the common final-record shape).
+    stripped = F.regexp_replace(text, r"\r\n\r\n$", "")
+    text = (
+        F.when(clen.isNull(), stripped)
+        .when(F.octet_length(text) == clen + 4, stripped)
+        .otherwise(text)
+    )
     return (
-        raw.select(headers.alias("_h"), text.alias("text"))
+        raw.select(headers.alias("_h"), clen.alias("content_length"), text.alias("text"))
         .select(
             _header(F.col("_h"), "WARC-Target-URI").alias("url"),
             _header(F.col("_h"), "WARC-Date").alias("date"),
             _header(F.col("_h"), "WARC-Record-ID").alias("record_id"),
             _header(F.col("_h"), "WARC-Type").alias("warc_type"),
             _header(F.col("_h"), "Content-Type").alias("content_type"),
-            F.nullif(_header(F.col("_h"), "Content-Length"), F.lit(""))
-            .cast("long")
-            .alias("content_length"),
+            F.col("content_length"),
             F.col("text"),
         )
         .withColumn(
@@ -175,7 +191,10 @@ def _wet_columns(raw: DataFrame) -> DataFrame:
 
 # -- exact (Content-Length walk) mode ---------------------------------------
 
-_CLEN_RE = re.compile(rb"(?im)^Content-Length:[ \t]*([0-9]+)[ \t]*$")
+# \r? before $: Python MULTILINE $ matches only before \n, and a
+# Content-Length that is NOT the last header line (the normal layout in
+# real crawl records) is followed by \r\n.  Same pitfall as _hval below.
+_CLEN_RE = re.compile(rb"(?im)^Content-Length:[ \t]*([0-9]+)[ \t]*\r?$")
 _STATUS_RE = re.compile(rb"^HTTP/[0-9.]+[ \t]+([0-9]{3})")
 
 
@@ -225,18 +244,34 @@ def _gunzip_all(blob: bytes, partial: bool = False) -> bytes:
         return blob
     if not partial:
         return gzip.decompress(blob)
+    # Chunked decompressobj walk: each input byte is fed exactly once
+    # (a per-member re-slice of the remaining blob would be quadratic at
+    # Common Crawl's ~50k members per segment, and GzipFile.read drops
+    # the entire chunk containing the damage), unused_data copies are
+    # bounded by the chunk size, and a TRUNCATED final member still
+    # yields the bytes it decompressed before breaking off — the record
+    # walk then salvages every complete record inside them.
+    chunk_size = 1 << 20
+    mv = memoryview(blob)
     out = bytearray()
-    rest = blob
-    while rest.startswith(b"\x1f\x8b"):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        try:
-            member = d.decompress(rest) + d.flush()
-            if not d.eof:  # truncated mid-member
-                break
-        except zlib.error:
-            break
-        out += member
-        rest = d.unused_data
+    i, n = 0, len(blob)
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    try:
+        while i < n:
+            end = min(i + chunk_size, n)
+            out += d.decompress(mv[i:end])
+            if d.eof:
+                # member boundary inside the chunk: reposition to the
+                # unconsumed tail and start the next member (or stop at
+                # trailing padding/garbage).
+                i = end - len(d.unused_data)
+                if blob[i : i + 2] != b"\x1f\x8b":
+                    break
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            else:
+                i = end
+    except zlib.error:
+        pass
     return bytes(out)
 
 

@@ -294,7 +294,10 @@ def test_exact_mode_on_error_skip_salvages_good_members(spark, tmp_path):
         gzip.compress(_record("conversion", f"http://ok/{i}", f"doc {i}".encode()))
         for i in range(3)
     ]
-    broken = gzip.compress(_record("conversion", "http://bad/x", b"lost"))[:-7]
+    # Cut into the deflate stream itself (not just the 8-byte trailer —
+    # trailer-only damage still salvages the member's full payload).
+    whole = gzip.compress(_record("conversion", "http://bad/x", b"lost"))
+    broken = whole[: len(whole) // 2]
     path = str(tmp_path / "damaged.wet.gz")
     with open(path, "wb") as f:
         f.write(b"".join(good) + broken)
@@ -327,3 +330,46 @@ def test_exact_mode_on_error_skip_framing_damage(spark, tmp_path):
 def test_read_wet_on_error_validated(spark):
     with pytest.raises(ValueError, match="on_error"):
         read_wet(spark, "/nonexistent", mode="exact", on_error="ignore")
+
+
+def test_exact_mode_content_length_mid_header_block(spark, tmp_path):
+    """Real crawl records put Content-Length BEFORE other headers; the
+    byte-level regex must match a CRLF-terminated (non-final) header
+    line — Python's MULTILINE $ does not match before \\r\\n on its
+    own (the _hval pitfall, byte flavor)."""
+    payload = b"mid-block content length"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://mid/1\r\n"
+        b"Content-Type: text/plain\r\n\r\n" + payload + b"\r\n\r\n"
+    )
+    path = str(tmp_path / "mid.wet.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(rec)
+    out = read_wet(spark, path, mode="exact").collect()
+    assert len(out) == 1 and out[0].text == payload.decode()
+    # delimiter mode parses the same layout identically
+    out2 = read_wet(spark, path).collect()
+    assert len(out2) == 1 and out2[0].text == payload.decode()
+    assert out2[0].length_ok is True
+
+
+def test_delimiter_keeps_payloads_legitimately_ending_in_crlfcrlf(spark, tmp_path):
+    """A NON-final payload that genuinely ends with CRLF CRLF (legal —
+    Content-Length governs) must not lose its last 4 bytes to the
+    final-record framing strip; the FINAL record's real framing still
+    strips."""
+    tricky = b"para one\r\n\r\n"
+    data = _record("conversion", "http://t/1", tricky) + _record(
+        "conversion", "http://t/2", b"last"
+    )
+    path = str(tmp_path / "t.wet.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(data)
+    rows = {r.url: r for r in read_wet(spark, path).collect()}
+    assert rows["http://t/1"].text == tricky.decode()
+    assert rows["http://t/1"].length_ok is True
+    assert rows["http://t/2"].text == "last"
+    assert rows["http://t/2"].length_ok is True
