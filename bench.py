@@ -85,6 +85,7 @@ HEADLINE = [
     "q_domain_stats",
     "q_host_filter",
     "q_url_dedup",
+    "q_host_rank",
     # WARC / WET ingestion (r13)
     "q_wet_roundtrip",
     "q_html_extract",

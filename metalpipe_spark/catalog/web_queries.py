@@ -213,3 +213,71 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = _with_url(spark, sf_dir)
     out = url_dedup(wu, "url", id_col="doc_id")
     return out.select("doc_id", "url_norm").orderBy("url_norm")
+
+
+_S = 10**15  # host_rank fixed-point scale (bit-reproducible ranks)
+
+_RANK_ORACLE = f"""
+WITH e AS (
+  SELECT source AS src, 'src' || ((doc_id * 7) % 20)::VARCHAR AS dst
+  FROM documents
+), hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM e UNION ALL SELECT dst AS host FROM e
+  )
+), nn AS (SELECT COUNT(*) AS n FROM hosts),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT host, {_S} // n AS r FROM hosts CROSS JOIN nn),
+c1 AS (
+  SELECT e.dst AS host, SUM(r0.r // deg.outdeg) AS c
+  FROM e JOIN deg USING (src) JOIN r0 ON r0.host = e.src GROUP BY e.dst
+), r1 AS (
+  SELECT h.host,
+         ((15 * {_S}) // (100 * nn.n)) + (85 * COALESCE(c1.c, 0)) // 100 AS r
+  FROM hosts h CROSS JOIN nn LEFT JOIN c1 ON c1.host = h.host
+), c2 AS (
+  SELECT e.dst AS host, SUM(r1.r // deg.outdeg) AS c
+  FROM e JOIN deg USING (src) JOIN r1 ON r1.host = e.src GROUP BY e.dst
+), r2 AS (
+  SELECT h.host,
+         ((15 * {_S}) // (100 * nn.n)) + (85 * COALESCE(c2.c, 0)) // 100 AS r
+  FROM hosts h CROSS JOIN nn LEFT JOIN c2 ON c2.host = h.host
+), c3 AS (
+  SELECT e.dst AS host, SUM(r2.r // deg.outdeg) AS c
+  FROM e JOIN deg USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst
+), r3 AS (
+  SELECT h.host,
+         ((15 * {_S}) // (100 * nn.n)) + (85 * COALESCE(c3.c, 0)) // 100 AS r
+  FROM hosts h CROSS JOIN nn LEFT JOIN c3 ON c3.host = h.host
+)
+SELECT host, CAST(r AS DOUBLE) / {_S}.0 AS rank FROM r3 ORDER BY host
+"""
+
+
+@register(
+    "q_host_rank",
+    _RANK_ORACLE,
+    doc=(
+        "host_rank (operators/web.py): 3 power iterations of PageRank "
+        "(d=0.85) over a deterministic 20-host link graph synthesized "
+        "from documents (source -> src[(doc_id*7)%20], multi-edges "
+        "kept).  Fixed-point scaled-integer arithmetic makes the ranks "
+        "bit-reproducible, so the oracle unrolls the same iterations "
+        "as chained CTEs with integer floor division and compares "
+        "exactly — no float tolerance."
+    ),
+)
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.web import host_rank
+    from metalpipe_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("source").alias("src_host"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") * 7) % 20).cast("string")
+        ).alias("dst_host"),
+    )
+    return host_rank(
+        edges, damping=0.85, iterations=3, fixed_point_scale=10**15
+    ).orderBy("host")

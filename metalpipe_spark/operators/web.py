@@ -256,3 +256,109 @@ def html_extract_text(html: Column | str) -> Column:
     c = F.regexp_replace(c, r"\n+", "\n")
     # trim() strips spaces only; the edges may hold newlines too.
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def host_rank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    damping: float = 0.85,
+    iterations: int = 3,
+    fixed_point_scale: int | None = None,
+) -> DataFrame:
+    """PageRank over a host-link graph -> (host, rank): the crawl-
+    curation staple for domain-quality weighting (rank-weighted
+    sampling, frontier prioritization) — no reference analogue,
+    brief-driven like the rest of the web family.
+
+    The classic power-iteration formulation (the one Spark's own
+    examples use): ``r0 = 1/N``; each step sends ``rank/outdegree``
+    down every edge and sets ``r' = (1-d)/N + d * inflow``.  Dangling
+    hosts (no outlinks) keep receiving but send nothing — their mass
+    decays rather than redistributing, the documented behavior of this
+    variant.
+
+    Scale shape: the rank table is HOST-sized (tiny next to the edge
+    list), so each iteration is one broadcast-ish hash join edges x
+    ranks plus one map-side-combined sum shuffled on the destination
+    host; iterations are fixed and few (rank stabilizes in a handful of
+    steps for curation purposes).  At web scale (~10^8 hosts) write the
+    edge list bucketed on ``src`` so every iteration's join co-locates
+    without reshuffling the edges; ranks then shuffle host-sized per
+    step, never edge-sized.  The single driver-side value is N (one
+    count — metadata scale).
+
+    ``fixed_point_scale`` switches every rank to a scaled BIGINT
+    (``rank * scale``) with pure integer arithmetic — ``div`` per-edge
+    splits, exact integer sums, damping as an integer percentage — so
+    the result is BIT-REPRODUCIBLE across engines and summation orders
+    (double sums are order-sensitive in the last ulp; the oracle and
+    any cross-run diff need exactness — same posture as the
+    decimal-aggregated KMeans fit, operators/similarity.py).  The
+    emitted ``rank`` is then ``scaled / scale``: one IEEE division of
+    exact integers, still deterministic.  Floor-rounding loses at most
+    ``1/scale`` per edge per iteration — at the default 10^15 scale,
+    noise 10 orders below any ranking decision.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = hosts.count()
+    if n == 0:
+        raise ValueError("host_rank: empty edge list")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src")
+
+    if fixed_point_scale is not None:
+        s = int(fixed_point_scale)
+        dnum = int(round(damping * 100))
+        if not 0 <= dnum <= 100:
+            raise ValueError(f"damping must be in [0, 1], got {damping}")
+        # 100 * scale must stay far under 2^63: cap the scale at 10^16.
+        if not 10**6 <= s <= 10**16:
+            raise ValueError(f"fixed_point_scale out of range: {s}")
+        base_i = ((100 - dnum) * s) // (100 * n)
+        ranks = hosts.withColumn("r", F.lit(s // n).cast("long"))
+        for _ in range(iterations):
+            contrib = (
+                ed.join(ranks.withColumnRenamed("host", "src"), "src")
+                .select(
+                    F.col("dst").alias("host"),
+                    F.expr("r div outdeg").alias("c"),
+                )
+                .groupBy("host")
+                .agg(F.sum("c").alias("c"))
+            )
+            ranks = hosts.join(contrib, "host", "left").select(
+                "host",
+                (
+                    F.lit(base_i)
+                    + F.expr(f"({dnum} * coalesce(c, 0L)) div 100")
+                ).alias("r"),
+            )
+        return ranks.select("host", (F.col("r") / F.lit(float(s))).alias("rank"))
+
+    ranks = hosts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

@@ -1027,6 +1027,23 @@ def _url_dedup_node(spark, upstreams, opts):
     )
 
 
+@node_class("HostRank")
+def _host_rank_node(spark, upstreams, opts):
+    """PageRank over a host-link graph (operators/web.py:host_rank) —
+    upstream rows are edges (src/dst host columns); set
+    ``fixed_point_scale`` for bit-reproducible ranks."""
+    from metalpipe_spark.operators.web import host_rank
+
+    return host_rank(
+        _one(upstreams, "HostRank"),
+        src=opts.get("src", "src_host"),
+        dst=opts.get("dst", "dst_host"),
+        damping=opts.get("damping", 0.85),
+        iterations=opts.get("iterations", 3),
+        fixed_point_scale=opts.get("fixed_point_scale"),
+    )
+
+
 @node_class("ModelQualityFilter")
 def _model_quality_filter_node(spark, upstreams, opts):
     """Hashed-feature linear classifier filter; ``keep_only=True``

@@ -186,3 +186,97 @@ def test_yaml_web_nodes_compile(spark, tmp_path):
     assert p.dataframes["dedup"].count() == 1
     [d] = p.dataframes["dedup"].collect()
     assert d["doc_id"] == 1  # min-id survivor of the two spellings
+
+
+# -- host_rank ---------------------------------------------------------------
+
+
+def _pagerank_reference(edges, damping=0.85, iterations=3):
+    """Pure-python twin of host_rank's float formulation."""
+    from collections import Counter, defaultdict
+
+    hosts = sorted({h for e in edges for h in e})
+    n = len(hosts)
+    outdeg = Counter(s for s, _ in edges)
+    r = {h: 1.0 / n for h in hosts}
+    for _ in range(iterations):
+        inflow = defaultdict(float)
+        for s, d in edges:
+            inflow[d] += r[s] / outdeg[s]
+        r = {h: (1 - damping) / n + damping * inflow.get(h, 0.0) for h in hosts}
+    return r
+
+
+def test_host_rank_matches_reference(spark):
+    from metalpipe_spark.operators.web import host_rank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "b"),  # multi-edge a->b counts twice
+        ("b", "c"), ("c", "a"), ("d", "a"),  # e is dangling (dst only)
+        ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    want = _pagerank_reference(edges)
+    got = {r.host: r["rank"] for r in host_rank(df).collect()}
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, h
+    # dangling host e: receives, never sends; mass decays (documented)
+    assert got["e"] > (1 - 0.85) / 5 - 1e-12
+    assert abs(sum(got.values()) - 1.0) > 1e-6  # decay, not redistribution
+
+
+def test_host_rank_fixed_point_close_to_float(spark):
+    from metalpipe_spark.operators.web import host_rank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    f = {r.host: r["rank"] for r in host_rank(df).collect()}
+    i = {
+        r.host: r["rank"]
+        for r in host_rank(df, fixed_point_scale=10**15).collect()
+    }
+    for h in f:
+        assert abs(f[h] - i[h]) < 1e-9, h
+    # fixed-point is bit-stable run to run
+    j = {
+        r.host: r["rank"]
+        for r in host_rank(df, fixed_point_scale=10**15).collect()
+    }
+    assert i == j
+
+
+def test_host_rank_validations(spark):
+    from metalpipe_spark.operators.web import host_rank
+
+    df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="iterations"):
+        host_rank(df, iterations=0)
+    with pytest.raises(ValueError, match="scale"):
+        host_rank(df, fixed_point_scale=10)
+    empty = df.where("1=0")
+    with pytest.raises(ValueError, match="empty"):
+        host_rank(empty)
+
+
+def test_host_rank_node(spark):
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src_host string, dst_host string"
+    ).createOrReplaceTempView("__hr_edges")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.table("__hr_edges").write.mode("overwrite").parquet(f"{d}/e")
+    config = {
+        "nodes": {
+            "edges": {"class": "ParquetReader", "options": {"path": f"{d}/e"}},
+            "rank": {"class": "HostRank", "options": {"iterations": 2}},
+        },
+        "paths": [["edges", "rank"]],
+    }
+    p = compile_pipeline(spark, config)
+    rows = {r.host: r["rank"] for r in p.dataframes["rank"].collect()}
+    # symmetric 2-cycle: equal ranks
+    assert abs(rows["a"] - rows["b"]) < 1e-12
