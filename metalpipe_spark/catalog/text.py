@@ -971,6 +971,81 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("n_exact"), F.asc("tok"))
 
 
+
+def _hist_oracle(
+    lo: float = 0.0,
+    hi: float = 128.0,
+    bins: int = 32,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> str:
+    """Replay of the histogram-quantile sketch: same bin arithmetic
+    (one sub, one mul, one div, one floor — textually identical
+    operation order), exact BIGINT bin counts, and the SHARED
+    value-CASE text from ``histogram_quantile_value_sql`` so the
+    interpolation cannot drift between engines."""
+    from metalpipe_spark.operators.sketches import histogram_quantile_value_sql
+
+    val = histogram_quantile_value_sql(lo, hi, bins, "b", "n", "cum", "tgt")
+    q_lits = ", ".join(f"'{q!r}'::DOUBLE" for q in qs)
+    return f"""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' '))::DOUBLE AS x FROM documents
+    ),
+    bb AS (
+      SELECT lang,
+             CASE WHEN x < {lo!r} THEN 0
+                  WHEN x >= {hi!r} THEN {bins + 1}
+                  ELSE 1 + least({bins - 1},
+                                 floor(((x - {lo!r}) * {float(bins)!r}) / {hi - lo!r}))
+             END AS b
+      FROM t
+    ),
+    r AS (SELECT lang, b, count(*)::BIGINT AS n FROM bb GROUP BY lang, b),
+    c AS (
+      SELECT lang, b, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total
+      FROM r
+    ),
+    qq AS (SELECT unnest([{q_lits}]) AS q),
+    h AS (
+      SELECT lang, b, n, cum, q,
+             GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * total) AS BIGINT)) AS tgt
+      FROM c CROSS JOIN qq
+    )
+    SELECT lang, q, {val} AS est
+    FROM h WHERE cum >= tgt AND cum - n < tgt
+    ORDER BY lang, q
+    """
+
+
+@register(
+    "q_hist_quantiles",
+    _hist_oracle(),
+    doc=(
+        "Histogram-quantile sketch (engine surface; the quantile "
+        "member of the sketch trio): per-language token-count "
+        "p25/p50/p90/p99 from a fixed 32-bin register table — at most "
+        "bins+2 rows per group cross the wire regardless of corpus "
+        "size, counts are exact BIGINTs (mergeable by sum), and the "
+        "inverse-CDF interpolation replays expression-for-expression "
+        "in the DuckDB oracle via the shared value-CASE text.  Native "
+        "approx_percentile can never pass this gate (engine-private "
+        "KLL compaction); an exact percentile is a full sort at "
+        "100 TB."
+    ),
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import histogram_sketch_quantiles
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    x = docs.select("lang", F.size(tokens("text")).alias("x"))
+    return histogram_sketch_quantiles(
+        x, "x", 0.0, 128.0, qs=(0.25, 0.5, 0.9, 0.99), bins=32,
+        group_cols=["lang"],
+    ).orderBy("lang", "q")
+
+
 _BM25_TERMS = ("hash", "join", "spark", "vector")
 
 

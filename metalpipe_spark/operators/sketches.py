@@ -599,3 +599,197 @@ def bloom_merge(blooms: DataFrame) -> DataFrame:
         )
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: deterministic mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the sketch trio (HLL = cardinality, count-min =
+# frequency, histogram = distribution).  Native `approx_percentile` is
+# engine-private (KLL-style random compaction — unreplayable), and an
+# exact percentile is a full sort at 100 TB.  A fixed-geometry histogram
+# is the deterministic middle: bin counts are exact integers, the bin
+# table is at most bins+2 rows per group REGARDLESS of input size (one
+# map-side-combined shuffle), shards merge by count-sum, and the
+# quantile estimate — inverse empirical CDF with uniform-within-bin
+# interpolation — replays expression-for-expression in ANSI SQL, so it
+# passes a value-hash gate.  Error is bounded by one bin width by
+# construction (tested).  Reference parity: the reference has no sketch
+# surface at all (its RowStatCollector, civis_nodes.py, collects exact
+# per-column stats on a single thread); this is the engine-native
+# distribution stat a 100 TB corpus report needs.
+
+
+def _hist_bin_expr(col: str, lo: float, hi: float, bins: int, scale: str):
+    """Bin index column: 0 = underflow (< lo), bins+1 = overflow
+    (>= hi), else 1..bins.  The arithmetic is one subtraction, one
+    multiply, one divide, one floor — textually identical in the DuckDB
+    oracle, so edge values land in the same bin on both engines."""
+    x = F.col(col).cast("double")
+    if scale == "linear":
+        raw = F.floor((x - F.lit(lo)) * F.lit(float(bins)) / F.lit(hi - lo))
+    elif scale == "log":
+        if lo <= 0:
+            raise ValueError(f"log scale needs lo > 0, got {lo}")
+        raw = F.floor(
+            F.log(x / F.lit(lo)) * F.lit(float(bins)) / F.lit(math.log(hi / lo))
+        )
+    else:
+        raise ValueError(f"scale must be 'linear' or 'log', got {scale!r}")
+    return (
+        F.when(x < F.lit(lo), F.lit(0))
+        .when(x >= F.lit(hi), F.lit(bins + 1))
+        .otherwise(F.lit(1) + F.least(F.lit(bins - 1), raw))
+        .cast("int")
+    )
+
+
+def _hist_geo(lo: float, hi: float, bins: int, scale: str) -> str:
+    return f"{scale}:{lo!r}:{hi!r}:{bins}"
+
+
+def histogram_registers(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    group_cols: list[str] | None = None,
+    scale: str = "linear",
+) -> DataFrame:
+    """The histogram REGISTER TABLE per group — ``(group..., __b, __n,
+    __geo)`` with at most ``bins + 2`` rows per group (__b 0 and
+    bins+1 are the under/overflow bins) — exact BIGINT counts from one
+    map-side-combined shuffle.  ``__geo`` stamps the bin geometry the
+    way Bloom masks and HLL registers stamp their hash fn: tables with
+    different geometries REFUSE to merge (the merged counts would be a
+    silently wrong histogram).  ``scale="log"`` bins by ratio (long-
+    tailed sizes); its bin EDGES involve exp/ln so only the linear
+    scale is oracle-value-checked — log is bound-tested."""
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"histogram needs hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"histogram needs bins >= 1, got {bins}")
+    groups = list(group_cols or [])
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*groups, _hist_bin_expr(col, lo, hi, bins, scale).alias("__b"))
+        .groupBy(*groups, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__geo", F.lit(_hist_geo(lo, hi, bins, scale)))
+    )
+
+
+def histogram_merge(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge register tables (shards, days, micro-batches) into one per
+    group: bin-count SUM — exact, order-independent.  Mixed-geometry
+    tables raise (bounded distinct scan over the geometry marker, the
+    hll_merge_registers pattern)."""
+    groups = list(group_cols or [])
+    geos = [r["__geo"] for r in regs.select("__geo").distinct().collect()]
+    if len(geos) > 1:
+        raise ValueError(
+            f"histogram_merge: register tables built under mixed "
+            f"geometries {sorted(geos)} cannot merge; re-sketch one side"
+        )
+    out = regs.groupBy(*groups, "__b").agg(F.sum("__n").alias("__n"))
+    return out.withColumn("__geo", F.lit(geos[0])) if geos else out.withColumn(
+        "__geo", F.lit(None).cast("string")
+    )
+
+
+def histogram_quantile_value_sql(
+    lo: float, hi: float, bins: int, b: str, n: str, cum: str, tgt: str
+) -> str:
+    """The quantile-estimate CASE expression as SQL TEXT, shared
+    verbatim by the Spark plan (``F.expr``) and the DuckDB oracle so
+    the floating-point operation ORDER is identical character for
+    character — the BM25 shared-CTE discipline.  ``b/n/cum/tgt`` are
+    the caller's column names: bin index, bin count, inclusive
+    cumulative count, target rank."""
+    w = f"(({hi!r} - {lo!r}) / {bins})"
+    return (
+        f"CASE WHEN {b} = 0 THEN {lo!r} "
+        f"WHEN {b} = {bins + 1} THEN {hi!r} "
+        f"ELSE {lo!r} + ({b} - 1) * {w} "
+        f"+ {w} * (CAST({tgt} - ({cum} - {n}) AS DOUBLE) "
+        f"/ CAST({n} AS DOUBLE)) END"
+    )
+
+
+def histogram_quantiles(
+    regs: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a register table —
+    ``(group..., q, est)`` — inverse empirical CDF: the estimate for q
+    lives in the first bin whose inclusive cumulative count reaches
+    ``ceil(q * total)`` (clamped to rank 1 so q=0 is the distribution
+    floor), linearly interpolated within the bin; under/overflow bins
+    clamp to lo/hi.  |est - exact quantile| <= one bin width whenever
+    the exact quantile is in [lo, hi) (tested).  The window and the
+    cross-explode run on register-table-sized data (bins+2 rows per
+    group), never on the input."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    geos = [r["__geo"] for r in regs.select("__geo").distinct().collect()]
+    if len(geos) != 1:
+        raise ValueError(
+            f"histogram_quantiles: expected one geometry, got {sorted(geos)}"
+        )
+    scale, lo_s, hi_s, bins_s = geos[0].split(":")
+    lo, hi, bins = float(lo_s), float(hi_s), int(bins_s)
+    win = Window.partitionBy(*groups).orderBy("__b")
+    cum = regs.select(
+        *groups,
+        "__b",
+        "__n",
+        F.sum("__n").over(win).alias("__cum"),
+        F.sum("__n").over(Window.partitionBy(*groups)).alias("__total"),
+    )
+    qcol = F.explode(
+        F.array(*[F.expr(f"CAST('{q!r}' AS DOUBLE)") for q in qs])
+    ).alias("q")
+    tgt = F.expr("GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * __total) AS BIGINT))")
+    hit = (
+        cum.select(*groups, "__b", "__n", "__cum", "__total", qcol)
+        .withColumn("__tgt", tgt)
+        .where((F.col("__cum") >= F.col("__tgt")) & (F.col("__cum") - F.col("__n") < F.col("__tgt")))
+    )
+    if scale == "linear":
+        val = F.expr(
+            histogram_quantile_value_sql(lo, hi, bins, "__b", "__n", "__cum", "__tgt")
+        )
+    else:  # log: edges at lo * (hi/lo)^((b-1)/bins); interpolate in log space
+        val = F.expr(
+            f"CASE WHEN __b = 0 THEN {lo!r} "
+            f"WHEN __b = {bins + 1} THEN {hi!r} "
+            f"ELSE {lo!r} * EXP((( __b - 1) + (CAST(__tgt - (__cum - __n) AS DOUBLE)"
+            f" / CAST(__n AS DOUBLE))) * {math.log(hi / lo)!r} / {bins}) END"
+        )
+    return hit.select(*groups, "q", val.alias("est")).orderBy(*groups, "q")
+
+
+def histogram_sketch_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 128,
+    group_cols: list[str] | None = None,
+    scale: str = "linear",
+) -> DataFrame:
+    """Sketch-then-estimate in one call (the hll_count_distinct shape):
+    quantiles of ``col`` per group from one pass + a register-sized
+    window."""
+    regs = histogram_registers(
+        df, col, lo, hi, bins=bins, group_cols=group_cols, scale=scale
+    )
+    return histogram_quantiles(regs, qs=qs, group_cols=group_cols)

@@ -2549,3 +2549,124 @@ def test_duplicate_span_dedup_validates_parameters(spark):
         duplicate_span_dedup(docs, window=0)
     with pytest.raises(ValueError, match="anchor_stride"):
         duplicate_span_dedup(docs, anchor_stride=0)
+
+
+def test_histogram_quantiles_within_one_bin_width(spark):
+    """Histogram-sketch contract: every quantile estimate lands within
+    one bin width of Spark's exact percentile when the exact quantile
+    is inside [lo, hi), for both a uniform-ish and a skewed column."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import histogram_sketch_quantiles
+
+    df = spark.range(1, 5001).select(
+        (F.col("id") % 3).alias("g"),
+        # skewed-ish deterministic values in [0, 500)
+        ((F.col("id") * F.col("id")) % 500).cast("double").alias("x"),
+    )
+    bins, lo, hi = 50, 0.0, 500.0
+    width = (hi - lo) / bins
+    qs = (0.1, 0.5, 0.9, 0.99)
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_sketch_quantiles(
+            df, "x", lo, hi, qs=qs, bins=bins, group_cols=["g"]
+        ).collect()
+    }
+    exact = {
+        (r["g"], q): r[f"p{i}"]
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(x, {q})").alias(f"p{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()
+        for i, q in enumerate(qs)
+    }
+    assert len(est) == 12
+    for key, e in est.items():
+        assert abs(e - exact[key]) <= width + 1e-9, (key, e, exact[key])
+
+
+def test_histogram_merge_equals_whole_and_refuses_mixed_geometry(spark):
+    """Shard registers sum to the whole-data registers (the mergeable
+    contract), and tables with different bin geometries refuse to merge
+    (the Bloom/HLL mismatch-proofing discipline)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_registers,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 997).cast("double").alias("x"))
+    shards = [
+        histogram_registers(df.where(f"id % 3 = {i}"), "x", 0.0, 1000.0, bins=40)
+        for i in range(3)
+    ]
+    merged = histogram_merge(shards[0].unionByName(shards[1]).unionByName(shards[2]))
+    whole = histogram_registers(df, "x", 0.0, 1000.0, bins=40)
+    assert (
+        merged.select("__b", "__n").exceptAll(whole.select("__b", "__n")).count()
+        == 0
+    )
+    assert merged.count() == whole.count()
+    # quantiles from merged registers == quantiles from the whole data
+    qm = histogram_quantiles(merged).collect()
+    qw = histogram_quantiles(whole).collect()
+    assert [(r["q"], r["est"]) for r in qm] == [(r["q"], r["est"]) for r in qw]
+    other = histogram_registers(df, "x", 0.0, 1000.0, bins=41)
+    with pytest.raises(ValueError, match="mixed"):
+        histogram_merge(shards[0].unionByName(other)).collect()
+
+
+def test_histogram_clamps_validation_and_log_scale(spark):
+    """Out-of-range values land in the under/overflow bins and clamp
+    estimates to lo/hi; bad geometry raises; log scale bins by ratio
+    (estimates within one log-bin of exact) and stays partition-
+    independent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import (
+        histogram_registers,
+        histogram_sketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.0,), (2.0,), (1e9,)], "x double"
+    )
+    regs = histogram_registers(df, "x", 1.0, 10.0, bins=4)
+    by_bin = {r["__b"]: r["__n"] for r in regs.collect()}
+    assert by_bin[0] == 2 and by_bin[5] == 1  # underflow, overflow
+    qs = histogram_sketch_quantiles(df, "x", 1.0, 10.0, qs=(0.01, 0.999), bins=4)
+    vals = {r["q"]: r["est"] for r in qs.collect()}
+    assert vals[0.01] == 1.0 and vals[0.999] == 10.0  # clamped to edges
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_registers(df, "x", 5.0, 5.0)
+    with pytest.raises(ValueError, match="lo > 0"):
+        histogram_registers(df, "x", 0.0, 10.0, scale="log")
+    with pytest.raises(ValueError, match="scale"):
+        histogram_registers(df, "x", 1.0, 10.0, scale="sqrt")
+    # log scale: 1..10^6, exact decade values; p50 within one ratio-bin
+    ldf = spark.range(1, 1001).select(
+        F.pow(F.lit(10.0), (F.col("id") % 7).cast("double")).alias("x")
+    )
+    got = histogram_sketch_quantiles(
+        ldf, "x", 1.0, 1e7, qs=(0.5,), bins=14, group_cols=None, scale="log"
+    ).collect()
+    exact = ldf.selectExpr("percentile(x, 0.5) p").collect()[0]["p"]
+    # one log-bin at 14 bins over 7 decades = half a decade: ratio sqrt(10)
+    assert got[0]["est"] / exact <= 10**0.5 + 1e-6
+    assert exact / got[0]["est"] <= 10**0.5 + 1e-6
+    g1 = histogram_sketch_quantiles(
+        ldf, "x", 1.0, 1e7, qs=(0.5,), bins=14, scale="log"
+    ).collect()[0]["est"]
+    g2 = histogram_sketch_quantiles(
+        ldf.repartition(13), "x", 1.0, 1e7, qs=(0.5,), bins=14, scale="log"
+    ).collect()[0]["est"]
+    assert g1 == g2
