@@ -281,3 +281,107 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank(
         edges, damping=0.85, iterations=3, fixed_point_scale=10**15
     ).orderBy("host")
+
+
+_ROBOTS_ORACLE = """
+    WITH hn AS (
+      SELECT source, source || '.example.com' AS host,
+             CAST(substr(source, 4) AS INT) AS num
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    rules AS (
+      SELECT host, '/tmp' AS prefix, 0 AS is_allow FROM hn WHERE num % 5 = 0
+      UNION ALL SELECT host, '/private', 0 FROM hn WHERE num % 5 <> 0
+      UNION ALL SELECT host, '/private/ok', 1 FROM hn WHERE num % 5 <> 0
+      UNION ALL SELECT host, '/tmp', 0 FROM hn WHERE num % 5 <> 0
+      UNION ALL SELECT host, '/public', 0 FROM hn
+                WHERE num % 5 <> 0 AND num % 2 = 1
+    ),
+    urls AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/public/doc' || CAST(doc_id AS VARCHAR)
+               ELSE '/' END AS path
+      FROM documents
+    ),
+    m AS (
+      SELECT u.doc_id, r.is_allow,
+             row_number() OVER (PARTITION BY u.doc_id
+                                ORDER BY length(r.prefix) DESC,
+                                         r.is_allow DESC) AS rn
+      FROM urls u
+      JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+    )
+    SELECT u.doc_id AS doc_id, u.host AS host,
+           COALESCE(m.is_allow = 1, TRUE) AS crawl_allowed
+    FROM urls u LEFT JOIN (SELECT doc_id, is_allow FROM m WHERE rn = 1) m
+      USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_robots_filter",
+    _ROBOTS_ORACLE,
+    doc=(
+        "parse_robots + robots_filter (operators/web.py, RFC 9309): "
+        "dirty per-host robots.txt bodies (CRLF lines, comments, "
+        "mixed-case field names, empty Disallow no-ops, unknown "
+        "directives, an exact-agent group that overrides a 'Disallow: "
+        "/' star group) parse into a host-scale rule table, then a "
+        "synthesized URL frontier is filtered by broadcast join + JVM "
+        "longest-match fold — the frontier side never shuffles.  The "
+        "oracle encodes the fixture's INTENDED rules directly and "
+        "replays longest-match-allow-wins as a window argmax, so any "
+        "parse or precedence drift hash-mismatches."
+    ),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    num = F.expr("CAST(substring(source, 4) AS INT)")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    star = (
+        "# synthetic robots\nUser-Agent: *\nDISALLOW: /private\n"
+        "allow: /private/ok\nDisallow: /tmp\nDisallow:\nCrawl-delay: 10\n"
+    )
+    body = F.when(
+        num % 5 == 0,
+        F.lit(
+            "User-agent: CRAWLER\r\nDisallow: /tmp\r\n\r\n"
+            "User-agent: *\r\nDisallow: /\r\n"
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(star),
+            F.when(
+                num % 2 == 1, F.lit("Disallow: /public # mirror list\n")
+            ).otherwise(F.lit("")),
+        )
+    )
+    robots = docs.select("source").distinct().select(
+        host.alias("host"), body.alias("body")
+    )
+    rules = parse_robots(robots, agent="crawler")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/doc"), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/private/ok/doc"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/tmp/doc"), d.cast("string")))
+        .when(d % 5 == 3, F.concat(F.lit("/public/doc"), d.cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return (
+        robots_filter(urls, rules, "url", keep="all")
+        .select("doc_id", "host", "crawl_allowed")
+        .orderBy("doc_id")
+    )

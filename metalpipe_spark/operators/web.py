@@ -362,3 +362,182 @@ def host_rank(
             ).alias("rank"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: crawl-politeness rules (RFC 9309)
+# ---------------------------------------------------------------------------
+#
+# The missing half of the WARC/WET crawl family (sources/warc.py): a
+# crawl pipeline that re-fetches or re-filters a frontier must honor
+# per-host robots rules.  Common Crawl publishes robotstxt captures as
+# their own WARC segments, so the natural 100 TB shape is: read the
+# robots captures -> parse_robots into a HOST-SCALE rule table ->
+# broadcast it against the URL frontier.  The parse is one bounded
+# window per host (RFC caps a robots.txt parse at 500 KiB, so per-host
+# line counts are bounded by spec); the filter is a broadcast join plus
+# a JVM higher-order fold — the URL side never shuffles.
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies → one rule table ``(host, rule, prefix, wild,
+    pattern)`` for a given user-agent product token, per RFC 9309:
+
+    - groups: a contiguous run of ``User-agent:`` lines shares the
+      rule lines that follow it (until the next run); rules before any
+      group are ignored;
+    - group selection: groups naming ``agent`` (case-insensitive token
+      match) win; only when none exists do the ``*`` groups apply —
+      and ALL matching groups combine (RFC 9309 §2.2.1);
+    - lines: comments (``#…``) stripped, field names case-insensitive,
+      CRLF tolerated (WARC payloads are CRLF by spec), empty
+      ``Disallow:`` is the no-op the RFC says it is, unknown directives
+      (``Crawl-delay`` etc.) are skipped;
+    - wildcards: ``*`` in a path and the ``$`` end anchor (the de-facto
+      extension every major crawler honors) compile to an anchored Java
+      regex in ``pattern`` with ``wild = true``; plain prefixes keep
+      ``wild = false`` so the filter's hot path stays ``startswith``.
+
+    Plan shape: two window passes partitioned by host over the
+    exploded lines (bounded per host by the RFC's 500 KiB parse cap),
+    one small aggregate for group selection.  Output is host-scale —
+    broadcast-class next to any real frontier."""
+    host = F.col(host_col)
+    lines = df.select(
+        host.alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    )
+    # CRLF + comment strip, then split at the FIRST colon.
+    line = F.trim(F.regexp_replace(F.regexp_replace("raw", "\r$", ""), "#.*$", ""))
+    has_colon = F.instr(line, ":") > 0
+    field = F.lower(F.trim(F.substring_index(line, ":", 1)))
+    value = F.when(
+        has_colon, F.trim(F.expr("substring(__line, instr(__line, ':') + 1)"))
+    ).otherwise(F.lit(""))
+    parsed = lines.withColumn("__line", line).select(
+        "host",
+        "pos",
+        (has_colon & (field == "user-agent")).alias("is_ua"),
+        (has_colon & field.isin("allow", "disallow") & (value != "")).alias(
+            "is_rule"
+        ),
+        field.alias("field"),
+        value.alias("value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("pos")
+    ua_start = F.col("is_ua") & ~F.lag("is_ua", 1, False).over(w)
+    runs = parsed.withColumn(
+        "run_id",
+        F.sum(ua_start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agent_lc = agent.lower()
+    groups = (
+        runs.where("is_ua")
+        .groupBy("host", "run_id")
+        .agg(
+            F.max((F.lower("value") == agent_lc).cast("int")).alias("m_exact"),
+            F.max((F.col("value") == "*").cast("int")).alias("m_star"),
+        )
+        .withColumn(
+            "has_exact", F.max("m_exact").over(Window.partitionBy("host"))
+        )
+        .where(
+            (F.col("has_exact") == 1) & (F.col("m_exact") == 1)
+            | (F.col("has_exact") == 0) & (F.col("m_star") == 1)
+        )
+        .select("host", "run_id")
+    )
+    rules = runs.where("is_rule").join(groups, ["host", "run_id"]).select(
+        "host", F.col("field").alias("rule"), F.col("value").alias("prefix")
+    ).distinct()
+    # Wildcard compilation: escape regex metachars in the pattern BODY
+    # (everything but a trailing '$', which the RFC extension reserves
+    # for end-of-path), then '*' -> '.*', anchored at the start.
+    ends_dollar = F.col("prefix").endswith("$")
+    body = F.when(
+        ends_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    escaped = F.regexp_replace(
+        body, r"([\\.\[\]{}()^$+?|])", r"\\$1"
+    )
+    regex = F.regexp_replace(escaped, r"\*", ".*")
+    wild = F.col("prefix").contains("*") | ends_dollar
+    return rules.select(
+        "host",
+        "rule",
+        "prefix",
+        wild.alias("wild"),
+        F.concat(
+            F.lit("^"), regex, F.when(ends_dollar, F.lit("$")).otherwise(F.lit(""))
+        ).alias("pattern"),
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep: str = "allowed",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Apply a :func:`parse_robots` rule table to a URL frontier:
+    RFC 9309 longest-match — the matching rule with the longest prefix
+    decides, allow winning exact ties (the least-restrictive reading
+    every major implementation uses); hosts with no rules, and URLs
+    matching no rule, are allowed.
+
+    ``keep="allowed"`` filters; ``keep="all"`` returns every row with a
+    ``crawl_allowed`` boolean.  Plan shape: the rule table collapses to
+    one array row per host and BROADCASTS; the verdict is a JVM
+    higher-order filter + array_max over (prefix_len, is_allow) structs
+    — lexicographic struct ordering IS the longest-match tiebreak — so
+    the frontier side never shuffles and never leaves codegen.  Plain
+    prefixes match via ``startswith``; only ``wild`` rules pay the
+    per-row regex."""
+    if keep not in ("allowed", "all"):
+        raise ValueError(f"keep must be 'allowed' or 'all', got {keep!r}")
+    u = F.col(url_col)
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("prefix").alias("plen"),
+                (F.col("rule") == "allow").cast("int").alias("is_allow"),
+                F.col("prefix").alias("prefix"),
+                F.col("wild").alias("wild"),
+                F.col("pattern").alias("pattern"),
+            )
+        ).alias("__rules")
+    )
+    raw_path = F.regexp_extract(u, PATH_RE, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    joined = (
+        df.withColumn("__host", extract_host(u, strip_www=strip_www))
+        .withColumn("__path", path)
+        .join(F.broadcast(per_host), F.col("__host") == per_host["host"], "left")
+        # Drop the rule side's join key SPECIFICALLY — a frontier that
+        # carries its own `host` column must keep it.
+        .drop(per_host["host"])
+    )
+    verdict = F.expr(
+        """
+        CASE WHEN __rules IS NULL THEN true ELSE COALESCE(
+          array_max(transform(
+            filter(__rules, r -> CASE WHEN r.wild THEN __path RLIKE r.pattern
+                                 ELSE startswith(__path, r.prefix) END),
+            r -> struct(r.plen AS plen, r.is_allow AS is_allow)
+          )).is_allow = 1, true) END
+        """
+    )
+    out = joined.withColumn("crawl_allowed", verdict).drop(
+        "__host", "__path", "__rules"
+    )
+    return out.where("crawl_allowed").drop("crawl_allowed") if keep == "allowed" else out

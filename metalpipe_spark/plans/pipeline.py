@@ -1044,6 +1044,73 @@ def _host_rank_node(spark, upstreams, opts):
     )
 
 
+@node_class("ParseRobots")
+def _parse_robots_node(spark, upstreams, opts):
+    """robots.txt bodies -> RFC 9309 rule table for one user-agent
+    (operators/web.py:parse_robots); upstream rows carry host + body."""
+    from metalpipe_spark.operators.web import parse_robots
+
+    return parse_robots(
+        _one(upstreams, "ParseRobots"),
+        host_col=opts.get("host_key", "host"),
+        body_col=opts.get("body_key", "body"),
+        agent=opts.get("agent", "*"),
+    )
+
+
+@node_class("RobotsFilter")
+def _robots_filter_node(spark, upstreams, opts):
+    """Crawl-politeness filter: first upstream is the URL frontier,
+    second the ParseRobots rule table (broadcast; the frontier never
+    shuffles).  ``keep: all`` annotates with crawl_allowed instead of
+    filtering."""
+    from metalpipe_spark.operators.web import robots_filter
+
+    if len(upstreams) != 2:
+        raise ValueError(
+            "RobotsFilter requires exactly two upstream nodes "
+            "(frontier, rules)"
+        )
+    # Upstream order follows YAML path declaration order — identify the
+    # ParseRobots table by its schema instead of by position.
+    rule_cols = {"host", "rule", "prefix", "wild", "pattern"}
+    is_rules = [rule_cols.issubset(set(u.columns)) for u in upstreams]
+    if is_rules == [True, False]:
+        rules, frontier = upstreams
+    elif is_rules == [False, True]:
+        frontier, rules = upstreams
+    else:
+        raise ValueError(
+            "RobotsFilter: exactly one upstream must be a ParseRobots "
+            f"rule table (host/rule/prefix/wild/pattern); got {is_rules}"
+        )
+    return robots_filter(
+        frontier,
+        rules,
+        url_col=opts.get("url_key", "url"),
+        keep=opts.get("keep", "allowed"),
+        strip_www=opts.get("strip_www", True),
+    )
+
+
+@node_class("HistogramQuantiles")
+def _histogram_quantiles_node(spark, upstreams, opts):
+    """Deterministic histogram-sketch quantiles per group
+    (operators/sketches.py:histogram_sketch_quantiles)."""
+    from metalpipe_spark.operators.sketches import histogram_sketch_quantiles
+
+    return histogram_sketch_quantiles(
+        _one(upstreams, "HistogramQuantiles"),
+        opts["column"],
+        lo=opts["lo"],
+        hi=opts["hi"],
+        qs=tuple(opts.get("qs", (0.5, 0.9, 0.99))),
+        bins=opts.get("bins", 128),
+        group_cols=opts.get("group_by"),
+        scale=opts.get("scale", "linear"),
+    )
+
+
 @node_class("ModelQualityFilter")
 def _model_quality_filter_node(spark, upstreams, opts):
     """Hashed-feature linear classifier filter; ``keep_only=True``

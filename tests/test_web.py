@@ -280,3 +280,194 @@ def test_host_rank_node(spark):
     rows = {r.host: r["rank"] for r in p.dataframes["rank"].collect()}
     # symmetric 2-cycle: equal ranks
     assert abs(rows["a"] - rows["b"]) < 1e-12
+
+
+def _robots_df(spark, *bodies):
+    return spark.createDataFrame(
+        [(f"h{i}.example", b) for i, b in enumerate(bodies)],
+        "host string, body string",
+    )
+
+
+def test_parse_robots_groups_and_agent_selection(spark):
+    """RFC 9309 grouping: contiguous User-agent runs share rules, rules
+    before any group are ignored, exact-agent groups override star
+    groups, and ALL groups for the same agent combine."""
+    from metalpipe_spark.operators.web import parse_robots
+
+    body = (
+        "Disallow: /orphan\n"  # before any group: ignored
+        "User-agent: other\nDisallow: /other\n\n"
+        "User-agent: MyBot\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: mybot\nDisallow: /b\n"  # second mybot group combines
+    )
+    got = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(_robots_df(spark, body), agent="MYBOT").collect()
+    }
+    assert got == {("disallow", "/a"), ("disallow", "/b")}
+    star = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(_robots_df(spark, body), agent="unknown").collect()
+    }
+    assert star == {("disallow", "/star")}
+
+
+def test_parse_robots_multi_ua_run_and_lexical_dirt(spark):
+    """A run of consecutive User-agent lines shares one rule block;
+    CRLF endings, comments, mixed-case fields, empty Disallow no-ops
+    and unknown directives all parse away."""
+    from metalpipe_spark.operators.web import parse_robots
+
+    body = (
+        "# header comment\r\n"
+        "User-agent: alpha\r\n"
+        "USER-AGENT: beta\r\n"
+        "disallow: /shared # inline comment\r\n"
+        "Disallow:\r\n"
+        "Crawl-delay: 7\r\n"
+        "Allow: /shared/ok\r\n"
+    )
+    for agent in ("alpha", "beta"):
+        got = {
+            (r["rule"], r["prefix"])
+            for r in parse_robots(_robots_df(spark, body), agent=agent).collect()
+        }
+        assert got == {("disallow", "/shared"), ("allow", "/shared/ok")}, agent
+    # no star group: an unmatched agent gets no rules at all
+    assert parse_robots(_robots_df(spark, body), agent="gamma").count() == 0
+
+
+def test_parse_robots_wildcard_compilation(spark):
+    """'*' and the '$' end anchor compile to anchored regexes; regex
+    metachars in literal paths are escaped (a path containing '.' or
+    '+' must not become a regex wildcard)."""
+    from metalpipe_spark.operators.web import parse_robots
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a*b$\n"
+        "Disallow: /file.php\n"
+        "Disallow: /c++/\n"
+    )
+    rows = {
+        r["prefix"]: (r["wild"], r["pattern"])
+        for r in parse_robots(_robots_df(spark, body)).collect()
+    }
+    assert rows["/a*b$"] == (True, "^/a.*b$")
+    assert rows["/file.php"][0] is False
+    assert rows["/file.php"][1] == r"^/file\.php"
+    assert rows["/c++/"][1] == r"^/c\+\+/"
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    """Longest prefix decides; allow wins exact ties; unlisted hosts
+    and unmatched paths are allowed; keep='allowed' filters and keeps
+    the caller's own `host` column intact."""
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /p/ok\n"
+        "Allow: /tie\n"
+        "Disallow: /tie\n"
+    )
+    rules = parse_robots(_robots_df(spark, body))
+    urls = spark.createDataFrame(
+        [
+            ("k", "https://h0.example/p/no"),
+            ("k", "https://h0.example/p/ok/yes"),
+            ("k", "https://h0.example/tie"),
+            ("k", "https://h0.example/elsewhere"),
+            ("k", "https://nowhere.example/p/no"),
+        ],
+        "host string, url string",
+    )
+    flagged = robots_filter(urls, rules, "url", keep="all")
+    assert flagged.columns == ["host", "url", "crawl_allowed"]
+    got = {r["url"]: r["crawl_allowed"] for r in flagged.collect()}
+    assert got == {
+        "https://h0.example/p/no": False,
+        "https://h0.example/p/ok/yes": True,
+        "https://h0.example/tie": True,  # allow wins the tie
+        "https://h0.example/elsewhere": True,
+        "https://nowhere.example/p/no": True,  # no rules for the host
+    }
+    kept = robots_filter(urls, rules, "url", keep="allowed")
+    assert kept.count() == 4 and "crawl_allowed" not in kept.columns
+    with pytest.raises(ValueError, match="keep"):
+        robots_filter(urls, rules, "url", keep="blocked")
+
+
+def test_robots_filter_wildcard_match_and_broadcast_plan(spark):
+    """Wild rules match via regex ($ anchors the path end); the rule
+    table reaches the frontier as a broadcast join (no frontier-side
+    shuffle in the plan)."""
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    rules = parse_robots(
+        _robots_df(spark, "User-agent: *\nDisallow: /dl/*.zip$\n")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h0.example/dl/a.zip",),
+            ("https://h0.example/dl/a.zip.txt",),
+            ("https://h0.example/dl/deep/b.zip",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_filter(urls, rules, "url", keep="all").collect()
+    }
+    assert got == {
+        "https://h0.example/dl/a.zip": False,
+        "https://h0.example/dl/a.zip.txt": True,
+        "https://h0.example/dl/deep/b.zip": False,
+    }
+    plan = robots_filter(urls, rules, "url", keep="all")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_yaml_robots_and_histogram_nodes(spark, tmp_path):
+    """ParseRobots + RobotsFilter (two-upstream) and HistogramQuantiles
+    reach the YAML pipeline surface."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/private/x", 10.0),
+         (2, "https://a.example/ok", 20.0),
+         (3, "https://b.example/private/y", 30.0)],
+        "doc_id long, url string, score double",
+    )
+    rp, up = str(tmp_path / "robots.parquet"), str(tmp_path / "urls.parquet")
+    robots.write.parquet(rp)
+    urls.write.parquet(up)
+    config = {
+        "nodes": {
+            "robots": {"class": "ParquetReader", "options": {"path": rp}},
+            "frontier": {"class": "ParquetReader", "options": {"path": up}},
+            "rules": {"class": "ParseRobots", "options": {"agent": "mybot"}},
+            "polite": {"class": "RobotsFilter", "options": {}},
+            "dist": {
+                "class": "HistogramQuantiles",
+                "options": {"column": "score", "lo": 0.0, "hi": 40.0,
+                            "bins": 4, "qs": [0.5]},
+            },
+        },
+        "paths": [
+            ["robots", "rules", "polite"],
+            ["frontier", "polite", "dist"],
+        ],
+    }
+    p = compile_pipeline(spark, config)
+    kept = sorted(r["doc_id"] for r in p.dataframes["polite"].collect())
+    assert kept == [2, 3]  # /private blocked on a.example only
+    [q] = p.dataframes["dist"].collect()
+    assert q["q"] == 0.5 and 20.0 <= q["est"] <= 30.0
