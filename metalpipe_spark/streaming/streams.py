@@ -738,6 +738,37 @@ def stream_hll_registers(
     return hll_registers(windowed, value_col, group_cols=["window"], p=p, hash=hash)
 
 
+def stream_histogram_registers(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 128,
+    scale: str = "linear",
+):
+    """Streaming distribution monitor — the histogram member of the
+    streaming-sketch pair (:func:`stream_hll_registers`): per-window
+    bin-count REGISTER tables ``(window, __b, __n, __geo)`` from ONE
+    watermarked count-aggregation; state per window is capped at
+    ``bins + 2`` rows regardless of stream volume.  Quantile estimates
+    run in BATCH over the stored registers
+    (``histogram_quantiles``), and per-window tables roll up into
+    coarser windows via ``histogram_merge`` (count-sum) — geometry
+    mismatches refuse mechanically, same as mixed HLL hash fns."""
+    from metalpipe_spark.operators.sketches import histogram_registers
+
+    windowed = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window_duration).alias("window"),
+        F.col(value_col),
+    )
+    return histogram_registers(
+        windowed, value_col, lo, hi, bins=bins, group_cols=["window"], scale=scale
+    )
+
+
 def stream_corpus_pipeline(
     stream: DataFrame,
     benchmark: DataFrame,

@@ -1038,3 +1038,52 @@ def test_streaming_semantic_dedup_scaled_cells(spark, tmp_path):
         stream_semantic_dedup_sink(
             stream, None, kept_path, str(tmp_path / "s3"), str(tmp_path / "c3"),
         )
+
+
+def test_stream_histogram_registers_match_batch_quantiles(spark, events_dir):
+    """Streaming histogram monitor: per-window bin registers maintained
+    by the watermarked streaming count-agg merge + estimate to EXACTLY
+    the batch sketch's quantiles on the same data, and per-window state
+    is capped at bins+2 rows."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch_quantiles,
+    )
+    from metalpipe_spark.streaming.streams import stream_histogram_registers
+
+    path, schema, batch = events_dir
+    stream = file_watchdog(spark, path, schema, max_files_per_trigger=1)
+    bins, lo, hi = 16, 0.0, 1000.0
+    regs = stream_histogram_registers(
+        stream, "value", lo, hi, ts_col="ts", window_duration="1 day",
+        watermark="3650 days", bins=bins,
+    )
+    out = regs.writeStream.format("memory").queryName("histregs").outputMode(
+        "complete"
+    ).trigger(availableNow=True).start()
+    out.awaitTermination()
+    streamed = spark.table("histregs")
+    per_window = streamed.groupBy("window").count().collect()
+    assert per_window and all(r["count"] <= bins + 2 for r in per_window)
+
+    merged = histogram_merge(streamed, group_cols=["window"])
+    got = {
+        (str(r["window"]["start"]), r["q"]): r["est"]
+        for r in histogram_quantiles(
+            merged, qs=(0.5, 0.9), group_cols=["window"]
+        ).collect()
+    }
+    want_src = batch.select(
+        F.window(F.col("ts"), "1 day").alias("window"), "value"
+    )
+    want = {
+        (str(r["window"]["start"]), r["q"]): r["est"]
+        for r in histogram_sketch_quantiles(
+            want_src, "value", lo, hi, qs=(0.5, 0.9), bins=bins,
+            group_cols=["window"],
+        ).collect()
+    }
+    assert got == want and len(got) >= 2
