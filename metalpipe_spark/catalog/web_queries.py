@@ -283,8 +283,10 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
-_ROBOTS_ORACLE = """
-    WITH hn AS (
+# Shared by q_robots_filter and q_sitemap_frontier: the fixture's
+# INTENDED rule table (hn = host numbering) — any parse or precedence
+# drift in the operators hash-mismatches against it.
+_ROBOTS_RULES_CTES = """hn AS (
       SELECT source, source || '.example.com' AS host,
              CAST(substr(source, 4) AS INT) AS num
       FROM (SELECT DISTINCT source FROM documents)
@@ -296,7 +298,11 @@ _ROBOTS_ORACLE = """
       UNION ALL SELECT host, '/tmp', 0 FROM hn WHERE num % 5 <> 0
       UNION ALL SELECT host, '/public', 0 FROM hn
                 WHERE num % 5 <> 0 AND num % 2 = 1
-    ),
+    )"""
+
+
+_ROBOTS_ORACLE = f"""
+    WITH {_ROBOTS_RULES_CTES},
     urls AS (
       SELECT doc_id, source || '.example.com' AS host,
              CASE CAST(doc_id % 5 AS INT)
@@ -323,26 +329,12 @@ _ROBOTS_ORACLE = """
     """
 
 
-@register(
-    "q_robots_filter",
-    _ROBOTS_ORACLE,
-    doc=(
-        "parse_robots + robots_filter (operators/web.py, RFC 9309): "
-        "dirty per-host robots.txt bodies (CRLF lines, comments, "
-        "mixed-case field names, empty Disallow no-ops, unknown "
-        "directives, an exact-agent group that overrides a 'Disallow: "
-        "/' star group) parse into a host-scale rule table, then a "
-        "synthesized URL frontier is filtered by broadcast join + JVM "
-        "longest-match fold — the frontier side never shuffles.  The "
-        "oracle encodes the fixture's INTENDED rules directly and "
-        "replays longest-match-allow-wins as a window argmax, so any "
-        "parse or precedence drift hash-mismatches."
-    ),
-)
-def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from metalpipe_spark.operators.web import parse_robots, robots_filter
-
-    docs = load_table(spark, sf_dir, "documents")
+def _robots_fixture(docs: DataFrame) -> DataFrame:
+    """Per-host robots.txt bodies (host, body) — the dirty-formatted
+    Spark twin of _ROBOTS_RULES_CTES' intended rules: CRLF lines,
+    comments, mixed-case fields, an empty-Disallow no-op, an unknown
+    directive, and an exact-agent group that overrides a 'Disallow: /'
+    star group on every fifth host."""
     num = F.expr("CAST(substring(source, 4) AS INT)")
     host = F.concat(F.col("source"), F.lit(".example.com"))
     star = (
@@ -363,25 +355,157 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         )
     )
-    robots = docs.select("source").distinct().select(
+    return docs.select("source").distinct().select(
         host.alias("host"), body.alias("body")
     )
-    rules = parse_robots(robots, agent="crawler")
+
+
+def _frontier_path() -> F.Column:
+    """Deterministic per-document path hitting every rule shape."""
     d = F.col("doc_id")
-    path = (
+    return (
         F.when(d % 5 == 0, F.concat(F.lit("/private/doc"), d.cast("string")))
         .when(d % 5 == 1, F.concat(F.lit("/private/ok/doc"), d.cast("string")))
         .when(d % 5 == 2, F.concat(F.lit("/tmp/doc"), d.cast("string")))
         .when(d % 5 == 3, F.concat(F.lit("/public/doc"), d.cast("string")))
         .otherwise(F.lit("/"))
     )
+
+
+@register(
+    "q_robots_filter",
+    _ROBOTS_ORACLE,
+    doc=(
+        "parse_robots + robots_filter (operators/web.py, RFC 9309): "
+        "dirty per-host robots.txt bodies (CRLF lines, comments, "
+        "mixed-case field names, empty Disallow no-ops, unknown "
+        "directives, an exact-agent group that overrides a 'Disallow: "
+        "/' star group) parse into a host-scale rule table, then a "
+        "synthesized URL frontier is filtered by broadcast join + JVM "
+        "longest-match fold — the frontier side never shuffles.  The "
+        "oracle encodes the fixture's INTENDED rules directly and "
+        "replays longest-match-allow-wins as a window argmax, so any "
+        "parse or precedence drift hash-mismatches."
+    ),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = parse_robots(_robots_fixture(docs), agent="crawler")
     urls = docs.select(
         "doc_id",
         host.alias("host"),
-        F.concat(F.lit("https://"), host, path).alias("url"),
+        F.concat(F.lit("https://"), host, _frontier_path()).alias("url"),
     )
     return (
         robots_filter(urls, rules, "url", keep="all")
         .select("doc_id", "host", "crawl_allowed")
         .orderBy("doc_id")
+    )
+
+
+_SITEMAP_ORACLE = f"""
+    WITH {_ROBOTS_RULES_CTES},
+    u0 AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             CAST(substr(source, 4) AS INT) AS num,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/public/doc' || CAST(doc_id AS VARCHAR)
+               ELSE '/' END AS path,
+             CASE WHEN doc_id % 5 = 3 THEN '?a=1&b=2' ELSE '' END AS qs,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                  ELSE '' END AS lastmod
+      FROM documents
+    ),
+    urls AS (SELECT * FROM u0 WHERE num <> 7),
+    m AS (
+      SELECT u.doc_id, r.is_allow,
+             row_number() OVER (PARTITION BY u.doc_id
+                                ORDER BY length(r.prefix) DESC,
+                                         r.is_allow DESC) AS rn
+      FROM urls u
+      JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+    )
+    SELECT u.host AS host,
+           'https://' || u.host || u.path || u.qs AS url,
+           u.lastmod AS lastmod,
+           COALESCE(m.is_allow = 1, TRUE) AS crawl_allowed
+    FROM urls u LEFT JOIN (SELECT doc_id, is_allow FROM m WHERE rn = 1) m
+      USING (doc_id)
+    ORDER BY url, lastmod
+    """
+
+
+@register(
+    "q_sitemap_frontier",
+    _SITEMAP_ORACLE,
+    doc=(
+        "parse_sitemap -> robots_filter (operators/web.py): per-host "
+        "sitemap.xml bodies synthesized from documents (XML entities, "
+        "CDATA-wrapped locs, optional lastmod, one host publishing a "
+        "sitemapindex whose children are NOT frontier URLs), parsed by "
+        "the codegen split/extract chain, then crawl-politeness-"
+        "filtered with the SAME robots fixture as q_robots_filter.  "
+        "The oracle rebuilds the intended frontier directly, so any "
+        "entity-decode, CDATA, kind-classification, or precedence "
+        "drift hash-mismatches."
+    ),
+)
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.web import (
+        parse_robots,
+        parse_sitemap,
+        robots_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    num = F.expr("CAST(substring(source, 4) AS INT)")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    qs = F.when(d % 5 == 3, F.lit("?a=1&b=2")).otherwise(F.lit(""))
+    loc_raw = F.concat(F.lit("https://"), host, _frontier_path(), qs)
+    loc_xml = F.regexp_replace(loc_raw, "&", "&amp;")
+    loc_part = F.when(
+        d % 4 == 0, F.concat(F.lit("<![CDATA["), loc_raw, F.lit("]]>"))
+    ).otherwise(loc_xml)
+    lastmod = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("<lastmod>2026-01-0"), (d % 9 + 1).cast("string"),
+                 F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    tag = F.when(num == 7, F.lit("sitemap")).otherwise(F.lit("url"))
+    entry = F.concat(
+        F.lit("<"), tag, F.lit("><loc>"), loc_part, F.lit("</loc>"),
+        lastmod, F.lit("</"), tag, F.lit(">"),
+    )
+    sitemaps = (
+        docs.select(F.col("source"), num.alias("num"), entry.alias("entry"))
+        .groupBy("source", "num")
+        .agg(F.array_sort(F.collect_list("entry")).alias("entries"))
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit('<?xml version="1.0"?>'),
+                F.when(F.col("num") == 7, F.lit("<sitemapindex>")).otherwise(
+                    F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+                ),
+                F.array_join("entries", ""),
+                F.when(F.col("num") == 7, F.lit("</sitemapindex>")).otherwise(
+                    F.lit("</urlset>")
+                ),
+            ).alias("body"),
+        )
+    )
+    frontier = parse_sitemap(sitemaps).where(F.col("kind") == "url")
+    rules = parse_robots(_robots_fixture(docs), agent="crawler")
+    return (
+        robots_filter(frontier, rules, "url", keep="all")
+        .select("host", "url", "lastmod", "crawl_allowed")
+        .orderBy("url", "lastmod")
     )

@@ -541,3 +541,60 @@ def robots_filter(
         "__host", "__path", "__rules"
     )
     return out.where("crawl_allowed").drop("crawl_allowed") if keep == "allowed" else out
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities, longest-first so '&amp;lt;'
+    decodes to '&lt;' (one pass per entity, amp LAST so freshly decoded
+    ampersands never re-decode)."""
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;", '"')
+    c = F.regexp_replace(c, "&apos;", "'")
+    return F.regexp_replace(c, "&amp;", "&")
+
+
+def parse_sitemap(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """sitemap.xml bodies → one frontier row per entry: every input
+    column (minus the body) plus ``kind`` (``url`` for ``<urlset>``
+    entries, ``sitemap`` for ``<sitemapindex>`` children — fetch those
+    and parse again), ``url`` and ``lastmod`` (raw W3C datetime string,
+    empty when absent).
+
+    The parse is regex-shaped rather than a full XML reader — sitemaps
+    are machine-generated with a fixed vocabulary (sitemaps.org
+    protocol), so entry blocks split on the closing tags and ``<loc>``
+    / ``<lastmod>`` extract per block; CDATA wrappers and the five
+    predefined XML entities decode.  Everything is codegen
+    split/explode/extract over the body column: no UDFs, no shuffle —
+    at crawl scale the parse rides the scan exactly like
+    ``html_extract_text``."""
+    carried = [c for c in df.columns if c != body_col]
+    loc_re = r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>"
+    lastmod_re = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+    out = None
+    for kind, close_tag in (("url", "</url>"), ("sitemap", "</sitemap>")):
+        blocks = df.select(
+            *carried,
+            F.explode(F.split(F.col(body_col), close_tag)).alias("__block"),
+        )
+        part = (
+            blocks
+            # A real entry block contains its OPEN tag ('<url>'/'<url '
+            # — '<urlset' does not match, nor '<sitemapindex'): without
+            # this, a urlset body read by the sitemap pass (one
+            # unsplit block) would leak its first <loc> as a phantom
+            # index entry, and vice versa.
+            .where(F.col("__block").rlike(f"<{kind}[\\s>]"))
+            .select(
+                *carried,
+                F.lit(kind).alias("kind"),
+                _xml_unescape(
+                    F.regexp_extract("__block", loc_re, 1)
+                ).alias("url"),
+                F.regexp_extract("__block", lastmod_re, 1).alias("lastmod"),
+            )
+            .where(F.col("url") != "")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

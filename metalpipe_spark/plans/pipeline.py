@@ -1058,6 +1058,21 @@ def _parse_robots_node(spark, upstreams, opts):
     )
 
 
+@node_class("ParseSitemap")
+def _parse_sitemap_node(spark, upstreams, opts):
+    """sitemap.xml bodies -> frontier rows (kind/url/lastmod), urlset
+    and sitemapindex both handled (operators/web.py:parse_sitemap)."""
+    from metalpipe_spark.operators.web import parse_sitemap
+
+    out = parse_sitemap(
+        _one(upstreams, "ParseSitemap"),
+        body_col=opts.get("body_key", "body"),
+    )
+    if opts.get("urls_only"):
+        out = out.where(F.col("kind") == "url")
+    return out
+
+
 @node_class("RobotsFilter")
 def _robots_filter_node(spark, upstreams, opts):
     """Crawl-politeness filter: first upstream is the URL frontier,

@@ -471,3 +471,70 @@ def test_yaml_robots_and_histogram_nodes(spark, tmp_path):
     assert kept == [2, 3]  # /private blocked on a.example only
     [q] = p.dataframes["dist"].collect()
     assert q["q"] == 0.5 and 20.0 <= q["est"] <= 30.0
+
+
+def test_parse_sitemap_urlset_index_cdata_entities(spark):
+    """Sitemap parse: urlset vs sitemapindex classification (a urlset
+    body yields no phantom index entries and vice versa), CDATA
+    wrappers, XML entity decode, whitespace-padded locs, optional
+    lastmod, carried columns preserved."""
+    from metalpipe_spark.operators.web import parse_sitemap
+
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.example/p?x=1&amp;y=2</loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "<url><loc><![CDATA[https://a.example/cdata]]></loc></url>"
+        "<url><loc>\n  https://a.example/ws\n</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.example/s1.xml</loc>"
+        "<lastmod>2025-12-31</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.example", urlset), ("b.example", index)],
+        "host string, body string",
+    )
+    rows = sorted(
+        (r["host"], r["kind"], r["url"], r["lastmod"])
+        for r in parse_sitemap(df).collect()
+    )
+    assert rows == [
+        ("a.example", "url", "https://a.example/cdata", ""),
+        ("a.example", "url", "https://a.example/p?x=1&y=2", "2026-01-01"),
+        ("a.example", "url", "https://a.example/ws", ""),
+        ("b.example", "sitemap", "https://b.example/s1.xml", "2025-12-31"),
+        ("b.example", "sitemap", "https://b.example/s2.xml", ""),
+    ]
+
+
+def test_parse_sitemap_node_urls_only(spark, tmp_path):
+    """ParseSitemap node reaches the YAML surface; urls_only drops
+    sitemapindex children."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [
+            ("<urlset><url><loc>https://a.example/1</loc></url></urlset>",),
+            ("<sitemapindex><sitemap><loc>https://a.example/sub.xml</loc>"
+             "</sitemap></sitemapindex>",),
+        ],
+        "body string",
+    )
+    p = str(tmp_path / "maps.parquet")
+    df.write.parquet(p)
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": p}},
+            "parsed": {"class": "ParseSitemap", "options": {"urls_only": True}},
+        },
+        "paths": [["read", "parsed"]],
+    }
+    out = compile_pipeline(spark, config).dataframes["parsed"].collect()
+    assert [(r["kind"], r["url"]) for r in out] == [
+        ("url", "https://a.example/1")
+    ]
