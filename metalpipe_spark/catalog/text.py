@@ -1046,6 +1046,46 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "q")
 
 
+_EXACT_Q_ORACLE = """
+    WITH t AS (SELECT lang, n_chars::DOUBLE AS x FROM documents),
+    w AS (
+      SELECT lang, x,
+             row_number() OVER (PARTITION BY lang ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    ),
+    qq AS (SELECT unnest(['0.5'::DOUBLE, '0.9'::DOUBLE]) AS q)
+    SELECT lang, q, x AS value FROM w CROSS JOIN qq
+    WHERE rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+    ORDER BY lang, q
+    """
+
+
+@register(
+    "q_exact_quantiles",
+    _EXACT_Q_ORACLE,
+    doc=(
+        "exact_quantile (engine surface; distributed selection): the "
+        "TRUE per-language n_chars median and p90 — the element at "
+        "rank ceil(q*n) — found by iterative histogram narrowing "
+        "instead of a global sort: each pass is a scan + map-side-"
+        "combined bin count against a broadcast range table, ranges "
+        "shrink 256x per pass, ties terminate via bin min==max.  Zero "
+        "error (vs histogram_quantiles' one-bin-width bound) at "
+        "log_256(range) scan passes and NO data shuffle; the oracle "
+        "is the sort-based definition (window row_number)."
+    ),
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import exact_quantile
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return exact_quantile(
+        docs.select("lang", "n_chars"), "n_chars", qs=(0.5, 0.9),
+        group_cols=["lang"],
+    )
+
+
 _BM25_TERMS = ("hash", "join", "spark", "vector")
 
 

