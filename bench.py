@@ -90,6 +90,11 @@ HEADLINE = [
     "q_wet_roundtrip",
     "q_html_extract",
     "q_crawl_pipeline",
+    # crawl politeness + quantile surfaces (r13 second half)
+    "q_robots_filter",
+    "q_sitemap_frontier",
+    "q_hist_quantiles",
+    "q_exact_quantiles",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",
