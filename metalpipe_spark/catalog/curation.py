@@ -813,3 +813,62 @@ def q_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_DSIR_BUCKETS, exact=True,
     )
     return weights.orderBy("doc_id")
+
+
+_DIFF_ORACLE = """
+    WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+    n AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.h AS ho, n.h AS hn
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho = hn THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM j ORDER BY doc_id
+    """
+
+
+@register(
+    "q_corpus_diff",
+    _DIFF_ORACLE,
+    doc=(
+        "corpus_diff (operators/curation.py): snapshot delta between "
+        "two corpus versions — the new snapshot drops every 7th doc "
+        "(removed), appends ' v2' to every 5th-mod-1 text (changed), "
+        "and re-adds every 11th doc under a shifted id (added); "
+        "everything else is unchanged.  Each side reduces to (id, "
+        "portable md5) at the scan, then ONE full-outer equi-join; "
+        "bucket both snapshots on the id for a shuffle-free diff at "
+        "corpus scale."
+    ),
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.curation import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    d = F.col("doc_id")
+    new = (
+        docs.where(d % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(d % 11 == 0).select(
+                (d + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new, id_col="doc_id").orderBy("doc_id")

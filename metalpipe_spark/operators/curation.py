@@ -1025,3 +1025,50 @@ def dsir_topk_sample(
     return corpus.join(picked, id_col).withColumnRenamed(
         weight_col, "dsir_log_weight"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Snapshot delta between two corpus versions — ``(id, change)``
+    with ``change`` ∈ added / removed / changed / unchanged — the
+    primitive an incremental corpus refresh builds on (recrawl
+    scheduling, delta-only re-dedup, changelog publication).
+
+    Content identity is the portable md5 of the content columns
+    concatenated with a 0x1f unit separator (NULL-safe: missing values
+    hash as the empty string but a NULL marker byte keeps
+    ``("a", NULL)`` ≠ ``("aNULL",)``), so the comparison replays in any
+    engine.  Plan shape: each side reduces to (id, hash) — column-
+    pruned at the scan — then ONE full-outer equi-join on id; at
+    100 TB bucket both snapshots on ``id_col`` so the join co-locates
+    (sinks/writers bucketed layout), making the whole diff
+    shuffle-free."""
+    sep = F.lit("\x1f")
+
+    def fp(df: DataFrame) -> Column:
+        parts: list[Column] = []
+        for i, c in enumerate(content_cols):
+            if i:
+                parts.append(sep)
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00null"))
+                .otherwise(F.col(c).cast("string"))
+            )
+        return F.md5(F.concat(*parts))
+
+    o = old.select(F.col(id_col).alias("__id"), fp(old).alias("__h_old"))
+    n = new.select(F.col(id_col).alias("__id"), fp(new).alias("__h_new"))
+    joined = o.join(n, "__id", "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__id").alias(id_col), change.alias("change")
+    )

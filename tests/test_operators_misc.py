@@ -2729,3 +2729,33 @@ def test_exact_quantile_no_shuffle_of_data_rows(spark):
         max(1, math.ceil(0.5 * 100_000)) - 1
     ]
     assert r["value"] == float(want)
+
+
+def test_corpus_diff_classifies_all_transitions(spark):
+    """corpus_diff: added/removed/changed/unchanged over id-keyed
+    snapshots; multi-column content identity is NULL-safe (a NULL
+    column differs from the string concatenation that would collide
+    with it)."""
+    from metalpipe_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "bNULL", ""), (3, "c2", "z"), (5, "e", "v")],
+        "doc_id long, text string, meta string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in corpus_diff(
+            old, new, content_cols=("text", "meta")
+        ).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",  # (b, NULL) != (bNULL, '') — the null marker holds
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
