@@ -95,6 +95,9 @@ HEADLINE = [
     "q_sitemap_frontier",
     "q_hist_quantiles",
     "q_exact_quantiles",
+    "q_corpus_diff",
+    "q_unigram_seed",
+    "q_unigram_encode",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

@@ -1680,3 +1680,92 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), _BIGRAM_LM, n=2,
         oov_logprob=_OOV_LP, fractions=_CCNET_P, exact=True,
     ).orderBy("doc_id")
+
+
+_UNIGRAM_SEED_ORACLE = """
+    WITH w AS (
+      SELECT word, count(*)::BIGINT AS n FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    s AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word) + 1), i ->
+               list_transform(range(1, least(4, length(word) - i + 1) + 1),
+                              l -> substr(word, i, l))))) AS piece,
+             n
+      FROM w
+    ),
+    c AS (SELECT piece, sum(n)::BIGINT AS piece_count FROM s GROUP BY piece),
+    r AS (
+      SELECT row_number() OVER (ORDER BY piece_count DESC, piece) AS rank,
+             piece, piece_count
+      FROM c
+    )
+    SELECT rank::INT AS rank, piece, piece_count FROM r
+    WHERE rank <= 50 ORDER BY rank
+    """
+
+
+@register(
+    "q_unigram_seed",
+    _UNIGRAM_SEED_ORACLE,
+    doc=(
+        "Unigram-tokenizer seeding (operators/unigram.py, Kudo 2018): "
+        "the top-50 candidate substrings (length <= 4) by weighted "
+        "corpus frequency under the trainer's deterministic total "
+        "order — the vocabulary train_unigram's EM starts from.  The "
+        "substring explosion is a pure JVM HOF over the DISTINCT-word "
+        "table (vocab-scale x L^2, never corpus-scale); the corpus is "
+        "touched exactly once by the word count."
+    ),
+)
+def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.unigram import unigram_seed_counts
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return unigram_seed_counts(docs, max_piece_len=4, top_k=50)
+
+
+# Fixed VALID piece table for the encode row (the _BPE_ENC_MERGES
+# pattern): hand-pinned log-probs over common English subwords plus
+# the ASCII letters, so Viterbi segmentation is fully determined by
+# the table and the text — no training in the bench path.
+_UNI_ENC_PIECES = {
+    "the": -2.0, "ing": -2.2, "ion": -2.4, "in": -2.5, "on": -2.6,
+    "es": -2.65, "at": -2.7, "an": -2.75, "er": -2.8, "en": -2.85,
+    "re": -2.9, "th": -3.0, "he": -3.2, "or": -3.1, "ar": -3.15,
+    "te": -3.25, "st": -3.3, "nd": -3.35, "ed": -3.4,
+    **{c: -4.0 - i * 0.01 for i, c in enumerate("etaoinshrdlcumwfgypbvkjxqz")},
+    **{c: -5.0 - i * 0.01 for i, c in enumerate("0123456789")},
+}
+
+
+@register(
+    "q_unigram_encode",
+    None,  # Viterbi is a per-word DP argmax: not one-pass-SQL-expressible
+    doc=(
+        "Unigram ENCODING with a fixed pinned piece table "
+        "(operators/unigram.py): Viterbi max-log-prob segmentation per "
+        "word, unknown characters as <unk>, fingerprinted as the "
+        "parenthesized piece stream.  Rows-only: the DP argmax cannot "
+        "be replayed in single-pass SQL (the BPE twin's regex-replay "
+        "trick needs merge-validity, which has no unigram analogue); "
+        "semantics are pinned instead by viterbi-vs-exhaustive "
+        "property tests and bit-reproducibility tests in "
+        "tests/test_unigram.py.  One Arrow-batched scan with a "
+        "per-batch word memo; no shuffle — the bpe_encode shape."
+    ),
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    enc = unigram_encode(docs, _UNI_ENC_PIECES)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(
+            F.concat(F.lit("("), F.concat_ws(")(", "pieces"), F.lit(")"))
+        ).alias("enc_md5"),
+    ).orderBy("doc_id")

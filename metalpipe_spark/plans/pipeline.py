@@ -1044,6 +1044,92 @@ def _host_rank_node(spark, upstreams, opts):
     )
 
 
+@node_class("TrainBPE")
+def _train_bpe_node(spark, upstreams, opts):
+    """Learn a BPE merge table from the upstream corpus
+    (operators/bpe.py:train_bpe)."""
+    from metalpipe_spark.operators.bpe import train_bpe
+
+    return train_bpe(
+        _one(upstreams, "TrainBPE"),
+        text_col=opts.get("text_column", "text"),
+        num_merges=opts.get("num_merges", 100),
+        min_pair_count=opts.get("min_pair_count", 2),
+    )
+
+
+@node_class("BPEEncode")
+def _bpe_encode_node(spark, upstreams, opts):
+    """Encode the corpus with a merge table: either ``merges`` inline
+    ([[left, right], ...]) or a second upstream (TrainBPE output)."""
+    from metalpipe_spark.operators.bpe import bpe_encode
+
+    merges = opts.get("merges")
+    if merges is not None:
+        corpus = _one(upstreams, "BPEEncode")
+        merges = [tuple(m) for m in merges]
+    else:
+        if len(upstreams) != 2:
+            raise ValueError(
+                "BPEEncode needs `merges` inline or exactly two "
+                "upstreams (corpus, TrainBPE table)"
+            )
+        tables = [u for u in upstreams if {"rank", "left", "right"} <= set(u.columns)]
+        if len(tables) != 1:
+            raise ValueError("BPEEncode: exactly one upstream must be a merge table")
+        merges = tables[0]
+        corpus = next(u for u in upstreams if u is not merges)
+    return bpe_encode(
+        corpus,
+        merges,
+        text_col=opts.get("text_column", "text"),
+        id_col=opts.get("id_column", "doc_id"),
+    )
+
+
+@node_class("TrainUnigram")
+def _train_unigram_node(spark, upstreams, opts):
+    """Learn a unigram (SentencePiece-family) piece table
+    (operators/unigram.py:train_unigram)."""
+    from metalpipe_spark.operators.unigram import train_unigram
+
+    return train_unigram(
+        _one(upstreams, "TrainUnigram"),
+        text_col=opts.get("text_column", "text"),
+        vocab_size=opts.get("vocab_size", 200),
+        max_piece_len=opts.get("max_piece_len", 6),
+        em_iters=opts.get("em_iters", 2),
+    )
+
+
+@node_class("UnigramEncode")
+def _unigram_encode_node(spark, upstreams, opts):
+    """Viterbi-encode the corpus: ``pieces`` inline ({piece: logprob})
+    or a second upstream (TrainUnigram output)."""
+    from metalpipe_spark.operators.unigram import unigram_encode
+
+    pieces = opts.get("pieces")
+    if pieces is not None:
+        corpus = _one(upstreams, "UnigramEncode")
+    else:
+        if len(upstreams) != 2:
+            raise ValueError(
+                "UnigramEncode needs `pieces` inline or exactly two "
+                "upstreams (corpus, TrainUnigram table)"
+            )
+        tables = [u for u in upstreams if {"piece", "logprob"} <= set(u.columns)]
+        if len(tables) != 1:
+            raise ValueError("UnigramEncode: exactly one upstream must be a piece table")
+        pieces = tables[0]
+        corpus = next(u for u in upstreams if u is not pieces)
+    return unigram_encode(
+        corpus,
+        pieces,
+        text_col=opts.get("text_column", "text"),
+        id_col=opts.get("id_column", "doc_id"),
+    )
+
+
 @node_class("ParseRobots")
 def _parse_robots_node(spark, upstreams, opts):
     """robots.txt bodies -> RFC 9309 rule table for one user-agent

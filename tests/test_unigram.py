@@ -1,0 +1,183 @@
+"""Unigram tokenizer (operators/unigram.py): EM training, Viterbi
+encoding, and the determinism discipline."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.unigram import (
+    UNK,
+    train_unigram,
+    unigram_encode,
+    unigram_seed_counts,
+    viterbi_segment,
+)
+
+
+def _corpus(spark, n=30):
+    text = (
+        "the quick brown fox jumps over the lazy dog "
+        "tokenization normalization internationalization "
+    )
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def _exhaustive_best(word: str, lp: dict, max_len: int):
+    """Brute-force max-log-prob segmentation score (all segmentations)."""
+    best = [None]
+
+    def rec(i, score):
+        if i == len(word):
+            if best[0] is None or score > best[0]:
+                best[0] = score
+            return
+        for j in range(i + 1, min(len(word), i + max_len) + 1):
+            p = word[i:j]
+            if p in lp:
+                rec(j, score + lp[p])
+
+    rec(0, 0.0)
+    return best[0]
+
+
+def test_viterbi_matches_exhaustive_argmax(spark):
+    """Viterbi's segmentation attains the exact brute-force optimum on
+    every word the vocabulary can cover."""
+    pieces = train_unigram(
+        _corpus(spark, 10), vocab_size=50, max_piece_len=6, em_iters=1
+    )
+    lp = {r["piece"]: r["logprob"] for r in pieces.collect()}
+    for w in ["the", "quick", "tokenization", "internationalization", "dog"]:
+        got = viterbi_segment(w, lp, 6)
+        assert "".join(got) == w
+        assert sum(lp[p] for p in got) == pytest.approx(
+            _exhaustive_best(w, lp, 6), abs=1e-12
+        )
+
+
+def test_train_unigram_bit_reproducible_and_em_improves(spark):
+    """Training is bit-identical across partitionings (DECIMAL-exact
+    expected-count sums), and more EM iterations never lower the
+    corpus log-likelihood of the Viterbi encoding."""
+    c = _corpus(spark, 20)
+    a = train_unigram(c, vocab_size=40, em_iters=2)
+    b = train_unigram(c.repartition(13), vocab_size=40, em_iters=2)
+    assert [tuple(r) for r in a.orderBy("rank").collect()] == [
+        tuple(r) for r in b.orderBy("rank").collect()
+    ]
+    # EM guarantee (on the model's own objective): total corpus LL of
+    # the fitted model is non-decreasing with more EM rounds.
+    lp1 = {
+        r["piece"]: r["logprob"]
+        for r in train_unigram(c, vocab_size=40, em_iters=1).collect()
+    }
+    lp3 = {
+        r["piece"]: r["logprob"]
+        for r in train_unigram(c, vocab_size=40, em_iters=3).collect()
+    }
+
+    words = (
+        "the quick brown fox jumps over the lazy dog "
+        "tokenization normalization internationalization"
+    ).split()
+
+    def ll(lp):
+        total = 0.0
+        for w in words:
+            total += _exhaustive_best(w, lp, 6)
+        return total
+
+    assert ll(lp3) >= ll(lp1) - 1e-9
+
+
+def test_unigram_encode_coverage_unk_and_memo(spark):
+    """Encoding covers trained text exactly (round-trip by
+    concatenation), unknown characters emit <unk>, and the output is
+    partition-independent."""
+    c = _corpus(spark, 8)
+    pieces = train_unigram(c, vocab_size=50, em_iters=1)
+    enc = unigram_encode(c.limit(3), pieces)
+    rows = enc.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_pieces"] == len(r["pieces"])
+        assert UNK not in r["pieces"]  # trained alphabet fully covers
+    odd = spark.createDataFrame(
+        [(1, "the Ωmega dog")], "doc_id long, text string"
+    )
+    [r] = unigram_encode(odd, pieces).collect()
+    assert UNK in r["pieces"]  # Ω was never in the training alphabet
+    joined = "".join(p for p in r["pieces"])
+    assert joined.startswith("the")
+    got1 = unigram_encode(c, pieces).orderBy("doc_id").collect()
+    got2 = unigram_encode(c.repartition(5), pieces).orderBy("doc_id").collect()
+    assert [r["pieces"] for r in got1] == [r["pieces"] for r in got2]
+
+
+def test_unigram_seed_counts_order_and_validations(spark):
+    """Seed candidates follow (count desc, piece asc); trainer input
+    guards raise."""
+    df = spark.createDataFrame(
+        [(1, "ab ab abc")], "doc_id long, text string"
+    )
+    rows = unigram_seed_counts(df, max_piece_len=3, top_k=5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # 'a', 'ab', 'b' all appear 3x; lexicographic among equals
+    top3 = [(r["piece"], r["piece_count"]) for r in rows[:3]]
+    assert top3 == [("a", 3), ("ab", 3), ("b", 3)]
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(df, vocab_size=0)
+    with pytest.raises(ValueError, match="shrink"):
+        train_unigram(df, shrink=1.5)
+    with pytest.raises(ValueError, match="em_iters"):
+        train_unigram(df, em_iters=0)
+    with pytest.raises(ValueError, match="no words"):
+        train_unigram(
+            spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+        )
+    with pytest.raises(ValueError, match="empty piece"):
+        unigram_encode(df, {})
+
+
+def test_tokenizer_nodes_yaml_surface(spark, tmp_path):
+    """TrainBPE/BPEEncode and TrainUnigram/UnigramEncode reach the
+    YAML pipeline surface, in both the two-upstream (trained table)
+    and inline-options forms."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    corpus = _corpus(spark, 5)
+    p = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(p)
+    config = {
+        "nodes": {
+            "read": {"class": "ParquetReader", "options": {"path": p}},
+            "bpe": {"class": "TrainBPE", "options": {"num_merges": 8}},
+            "bpe_enc": {"class": "BPEEncode", "options": {}},
+            "uni": {"class": "TrainUnigram",
+                    "options": {"vocab_size": 40, "em_iters": 1}},
+            "uni_enc": {"class": "UnigramEncode", "options": {}},
+            "uni_inline": {
+                "class": "UnigramEncode",
+                "options": {"pieces": {"the": -1.0, "t": -4.0, "h": -4.1,
+                                       "e": -4.2}},
+            },
+        },
+        "paths": [
+            ["read", "bpe", "bpe_enc"],
+            ["read", "bpe_enc"],
+            ["read", "uni", "uni_enc"],
+            ["read", "uni_enc"],
+            ["read", "uni_inline"],
+        ],
+    }
+    dfs = compile_pipeline(spark, config).dataframes
+    assert dfs["bpe_enc"].count() == 5
+    assert dfs["uni_enc"].count() == 5
+    [r] = dfs["uni_inline"].limit(1).collect()
+    assert r["pieces"][0] == "the"
