@@ -98,6 +98,7 @@ HEADLINE = [
     "q_corpus_diff",
     "q_unigram_seed",
     "q_unigram_encode",
+    "q_audio_vad_segments",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

@@ -682,3 +682,65 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, code_col="afp", id_col="id",
         bits=64, max_hamming=_AFP_MAX_HAMMING, blocks=_DHASH_BLOCKS,
     ).orderBy("d1", "d2")
+
+
+_VAD_WAVE_SPARK = (
+    "transform(sequence(0, 399), i -> CAST("
+    "CASE WHEN ((i div 100) + doc_id) % 3 = 0 THEN (i*7 + doc_id) % 13 + 5 "
+    "ELSE i % 2 END AS DOUBLE))"
+)
+
+_VAD_ORACLE = """
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_transform(range(0, 400), i -> (CASE
+               WHEN ((i // 100) + doc_id) % 3 = 0 THEN (i*7 + doc_id) % 13 + 5
+               ELSE i % 2 END)::DOUBLE) AS wave
+      FROM documents
+    ),
+    f AS (
+      SELECT id, unnest(range(0, 8)) AS k, wave FROM w
+    ),
+    e AS (
+      SELECT id, k,
+             list_sum(list_transform(list_slice(wave, k*50 + 1, k*50 + 50),
+                                     x -> x * x)) / 50.0 AS energy
+      FROM f
+    ),
+    g AS (
+      SELECT id, k,
+             k - row_number() OVER (PARTITION BY id ORDER BY k) AS grp
+      FROM e WHERE energy >= 2.0
+    )
+    SELECT id, min(k)::INT AS start_frame, max(k)::INT AS end_frame,
+           count(*)::INT AS n_active_frames,
+           (min(k) * 50)::BIGINT AS start_sample
+    FROM g GROUP BY id, grp ORDER BY id, start_frame
+    """
+
+
+@register(
+    "q_audio_vad_segments",
+    _VAD_ORACLE,
+    doc=(
+        "audio_energy_segments (operators/multimodal.py): energy-based "
+        "activity segmentation — the VAD primitive — over deterministic "
+        "integer-valued synthetic PCM (sums of integer squares are "
+        "exact in doubles, so the threshold compare is cross-engine "
+        "exact).  Frame energies are one transform+aggregate HOF pass; "
+        "islands come from aligned start/end boundary arrays zipped "
+        "1:1 — zero Python, zero shuffle, waveform samples never leave "
+        "their partition.  The oracle replays energies via list ops "
+        "and islands via the row_number gaps-and-islands."
+    ),
+)
+def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.multimodal import audio_energy_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_VAD_WAVE_SPARK).alias("waveform")
+    )
+    return audio_energy_segments(
+        clips, frame=50, hop=50, threshold=2.0
+    ).orderBy("id", "start_frame")

@@ -739,3 +739,50 @@ def test_mixed_corpus_e2e_pillow_posture(spark):
     if __import__("importlib").util.find_spec("PIL") is None:
         with pytest.raises(Exception, match="pillow"):
             decode_image_rgb(df).collect()
+
+
+def test_audio_energy_segments_islands_and_edges(spark):
+    """VAD segmentation: full-active, alternating, all-silent, and
+    shorter-than-one-frame clips; hop<frame overlapping windows; plan
+    stays Python-free (no BatchEvalPython / mapInPandas in the plan)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.multimodal import audio_energy_segments
+
+    def clip(pattern, block=100):
+        out = []
+        for p in pattern:
+            out += [5.0 if p else 0.5] * block
+        return out
+
+    df = spark.createDataFrame(
+        [
+            (1, clip([0, 0, 0, 0])),
+            (2, clip([1, 1, 1, 1])),
+            (3, clip([0, 1, 0, 1])),
+            (4, [0.1] * 30),  # shorter than one frame: no rows
+        ],
+        "id long, waveform array<double>",
+    )
+    got = sorted(
+        (r["id"], r["start_frame"], r["end_frame"], r["n_active_frames"],
+         r["start_sample"])
+        for r in audio_energy_segments(df, frame=50, threshold=2.0).collect()
+    )
+    assert got == [
+        (2, 0, 7, 8, 0),
+        (3, 2, 3, 2, 100),
+        (3, 6, 7, 2, 300),
+    ]
+    # overlapping hop: a lone active block widens by the overlap
+    overlap = audio_energy_segments(
+        df.where("id = 3"), frame=100, hop=50, threshold=2.0
+    ).collect()
+    assert all(r["start_sample"] == r["start_frame"] * 50 for r in overlap)
+    plan = audio_energy_segments(df, frame=50)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan.lower()
+    with pytest.raises(ValueError, match="frame"):
+        audio_energy_segments(df, frame=0)
+    with pytest.raises(ValueError, match="hop"):
+        audio_energy_segments(df, frame=10, hop=0)
