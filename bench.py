@@ -99,6 +99,7 @@ HEADLINE = [
     "q_unigram_seed",
     "q_unigram_encode",
     "q_audio_vad_segments",
+    "q_edit_distance_join",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

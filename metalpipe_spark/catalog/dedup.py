@@ -1048,3 +1048,75 @@ def q_span_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, window=_SPAN_W, anchor_stride=_SPAN_S,
         guaranteed_gap=_SPAN_GAP,
     ).orderBy("doc_id")
+
+
+_EDJOIN_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT tok FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) BETWEEN 3 AND 12
+    ),
+    w AS (
+      SELECT DISTINCT tok FROM (
+        SELECT tok FROM base
+        UNION ALL  -- 1-insertion variants for every 3rd length class
+        SELECT tok || 'x' FROM base WHERE length(tok) % 2 = 0
+        UNION ALL  -- 1-substitution variants for every 4th length class
+        SELECT 'x' || substr(tok, 2) FROM base WHERE length(tok) % 2 = 1
+      )
+    )
+    SELECT a.tok AS s1, b.tok AS s2, levenshtein(a.tok, b.tok)::INT AS dist
+    FROM w a JOIN w b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= 1
+    ORDER BY s1, s2
+    """
+
+
+@register(
+    "q_edit_distance_join",
+    _EDJOIN_ORACLE,
+    doc=(
+        "edit_distance_join (operators/joins.py): all token pairs "
+        "within Levenshtein distance 1 over the distinct 3-12-char "
+        "vocabulary (seeded with deterministic 1-edit variants) — the entity-resolution fuzzy join.  "
+        "EXACT but never all-pairs: SymSpell symmetric-delete "
+        "neighborhoods guarantee every qualifying pair shares a "
+        "deletion variant (pigeonhole), candidates meet inside variant "
+        "buckets (the minhash-band shape), one codegen levenshtein "
+        "verifies.  The oracle is the naive quadratic definition — "
+        "affordable at sf0.01, which is exactly why the engine plan "
+        "must not be it."
+    ),
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.joins import edit_distance_join
+    from metalpipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    base = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.length("tok").between(3, 12))
+        .distinct()
+    )
+    # Seed real near-misses: deterministic 1-insertion and
+    # 1-substitution variants (the audio-fixture pattern) so the row
+    # checks matching pairs, not just the empty case.
+    vocab = (
+        base.unionByName(
+            base.where(F.length("tok") % 2 == 0).select(
+                F.concat(F.col("tok"), F.lit("x")).alias("tok")
+            )
+        )
+        .unionByName(
+            base.where(F.length("tok") % 2 == 1).select(
+                F.concat(F.lit("x"), F.expr("substring(tok, 2)")).alias("tok")
+            )
+        )
+        .distinct()
+    )
+    return (
+        edit_distance_join(vocab, "tok", id_col="tok", max_edits=1)
+        .select("s1", "s2", "dist")
+        .orderBy("s1", "s2")
+    )

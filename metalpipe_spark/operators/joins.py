@@ -201,3 +201,99 @@ def range_join(
         (p_us >= s_us_r) & (p_us < e_us_r)
     )
     return out.drop("__bk")
+
+
+def _deletion_variants(col, max_edits: int):
+    """All strings reachable from ``col`` by deleting up to
+    ``max_edits`` characters (the string itself included) — the
+    SymSpell symmetric-delete neighborhood, generated as pure JVM HOFs
+    (one transform+flatten round per edit, array_distinct between
+    rounds).  Size is O(len^k) per string: meant for SHORT keys (names,
+    titles, words), which is the fuzzy-join regime."""
+    out = F.array(col)
+    for _ in range(max_edits):
+        expand = F.transform(
+            out,
+            lambda v: F.when(F.length(v) == 0, F.array(v)).otherwise(
+                F.concat(
+                    F.array(v),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(v)),
+                        lambda i: F.concat(
+                            F.substring(v, F.lit(1), i - 1),
+                            F.substring(v, i + 1, F.length(v)),
+                        ),
+                    ),
+                )
+            ),
+        )
+        out = F.array_distinct(F.flatten(expand))
+    return out
+
+
+def edit_distance_join(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    max_edits: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy self-join: every pair of rows whose ``col`` values are
+    within Levenshtein distance ``max_edits`` — ``(id1, id2, s1, s2,
+    dist)`` with ``id1 < id2`` — the entity-resolution primitive
+    (name/title matching) done EXACTLY but never all-pairs:
+
+    1. each string explodes into its symmetric-delete neighborhood
+       (every ≤ ``max_edits``-deletion variant; SymSpell's guarantee:
+       ``lev(a, b) <= k`` implies the depth-k neighborhoods intersect,
+       so blocking on shared variants misses NO qualifying pair);
+    2. candidates meet inside variant buckets (equi-join, the
+       minhash-band shape — pairs are generated only where a shared
+       variant exists);
+    3. one codegen ``levenshtein`` verifies each candidate exactly.
+
+    ``max_bucket_size`` is the production knob for ultra-hot variant
+    buckets (very short strings deleting into shared stubs): buckets
+    larger than the cap are skipped, which can drop pairs among those
+    hot keys — leave ``None`` (default) for the exact join.  Substring
+    HOF work is O(len^k) per row: this operator targets short keys;
+    for document-scale near-dup use the minhash/simhash family."""
+    if max_edits < 1:
+        raise ValueError(f"max_edits must be >= 1, got {max_edits}")
+    s = F.col(col)
+    variants = (
+        df.where(s.isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            s.alias("__s"),
+            F.explode(_deletion_variants(s, max_edits)).alias("__v"),
+        )
+    )
+    if max_bucket_size is not None:
+        counts = variants.groupBy("__v").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        variants = variants.join(
+            counts.where(F.col("__bn") <= max_bucket_size).select("__v"),
+            "__v",
+        )
+    left = variants.select(
+        F.col("__v"),
+        F.col("__id").alias("id1"),
+        F.col("__s").alias("s1"),
+    )
+    right = variants.select(
+        F.col("__v"),
+        F.col("__id").alias("id2"),
+        F.col("__s").alias("s2"),
+    )
+    cand = (
+        left.join(right, "__v")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    dist = F.levenshtein("s1", "s2")
+    return cand.where(dist <= max_edits).select(
+        "id1", "id2", "s1", "s2", dist.alias("dist")
+    )

@@ -2759,3 +2759,51 @@ def test_corpus_diff_classifies_all_transitions(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_edit_distance_join_exact_vs_bruteforce(spark):
+    """The SymSpell-blocked fuzzy join returns EXACTLY the brute-force
+    pair set at k=1 and k=2 (the pigeonhole guarantee), handles empty
+    strings and duplicates, and the bucket cap knob only ever drops
+    pairs (never invents them)."""
+    import itertools
+
+    import pytest
+
+    from metalpipe_spark.operators.joins import edit_distance_join
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "sitting"), (4, "mitten"),
+        (5, "kitten"), (6, "abc"), (7, "xyz"), (8, ""), (9, "ab"),
+        (10, "kittens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    for k in (1, 2):
+        want = sorted(
+            (a[0], b[0])
+            for a, b in itertools.combinations(rows, 2)
+            if lev(a[1], b[1]) <= k
+        )
+        got = sorted(
+            (r["id1"], r["id2"])
+            for r in edit_distance_join(df, "name", max_edits=k).collect()
+        )
+        assert got == want, k
+    capped = edit_distance_join(df, "name", max_edits=1, max_bucket_size=2)
+    full = edit_distance_join(df, "name", max_edits=1)
+    got_c = {(r["id1"], r["id2"]) for r in capped.collect()}
+    got_f = {(r["id1"], r["id2"]) for r in full.collect()}
+    assert got_c <= got_f
+    with pytest.raises(ValueError, match="max_edits"):
+        edit_distance_join(df, "name", max_edits=0)
