@@ -936,8 +936,16 @@ def _energy_segments_arrow(
                 n_frames = (len(w) - frame) // hop + 1 if len(w) >= frame else 0
                 if n_frames <= 0:
                     continue
-                idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)
-                e = np.square(w[idx]).sum(axis=1) / frame
+                # O(n) cumsum-of-squares difference — a gather matrix
+                # (n_frames x frame indices) would cost frame/hop times
+                # the clip in memory, an OOM on exactly the hour-scale
+                # PCM this path exists for.  Integer-valued samples
+                # stay exact (integer partial sums); float corpora
+                # agree to summation-order ulps, same as any vectorized
+                # reduction.
+                cs = np.concatenate(([0.0], np.cumsum(np.square(w))))
+                starts_at = np.arange(n_frames) * hop
+                e = (cs[starts_at + frame] - cs[starts_at]) / frame
                 active = e >= threshold
                 d = np.diff(np.concatenate(([0], active.view(np.int8), [0])))
                 starts = np.flatnonzero(d == 1)

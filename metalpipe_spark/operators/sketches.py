@@ -725,6 +725,7 @@ def histogram_quantiles(
     regs: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     group_cols: list[str] | None = None,
+    geometry: str | None = None,
 ) -> DataFrame:
     """Quantile estimates from a register table —
     ``(group..., q, est)`` — inverse empirical CDF: the estimate for q
@@ -734,16 +735,36 @@ def histogram_quantiles(
     clamp to lo/hi.  |est - exact quantile| <= one bin width whenever
     the exact quantile is in [lo, hi) (tested).  The window and the
     cross-explode run on register-table-sized data (bins+2 rows per
-    group), never on the input."""
+    group), never on the input.
+
+    ``geometry`` is the ``__geo`` marker string when the caller already
+    knows it (``histogram_sketch_quantiles`` passes it through so the
+    marker discovery never re-executes an unpersisted corpus-scale
+    register plan); ``None`` reads it from the table — the right call
+    for PERSISTED register tables, where the distinct scan is
+    bins-scale and the mixed-geometry guard is wanted."""
     from pyspark.sql import Window
 
     groups = list(group_cols or [])
-    geos = [r["__geo"] for r in regs.select("__geo").distinct().collect()]
-    if len(geos) != 1:
-        raise ValueError(
-            f"histogram_quantiles: expected one geometry, got {sorted(geos)}"
-        )
-    scale, lo_s, hi_s, bins_s = geos[0].split(":")
+    if geometry is None:
+        geos = [r["__geo"] for r in regs.select("__geo").distinct().collect()]
+        if not geos or (len(geos) == 1 and geos[0] is None):
+            # Empty input (or a merge of empty tables, whose marker is
+            # NULL): no groups exist, so no quantiles — return the
+            # typed empty result instead of crashing on the marker.
+            return regs.sparkSession.createDataFrame(
+                [],
+                ", ".join(
+                    [f"`{g}` {dict(regs.dtypes)[g]}" for g in groups]
+                    + ["q double", "est double"]
+                ),
+            )
+        if len(geos) != 1:
+            raise ValueError(
+                f"histogram_quantiles: expected one geometry, got {sorted(geos)}"
+            )
+        geometry = geos[0]
+    scale, lo_s, hi_s, bins_s = geometry.split(":")
     lo, hi, bins = float(lo_s), float(hi_s), int(bins_s)
     win = Window.partitionBy(*groups).orderBy("__b")
     cum = regs.select(
@@ -792,7 +813,15 @@ def histogram_sketch_quantiles(
     regs = histogram_registers(
         df, col, lo, hi, bins=bins, group_cols=group_cols, scale=scale
     )
-    return histogram_quantiles(regs, qs=qs, group_cols=group_cols)
+    # Pass the geometry through: discovering it from the table would
+    # re-execute the corpus-scale register aggregation once just to
+    # read a constant string.
+    return histogram_quantiles(
+        regs,
+        qs=qs,
+        group_cols=group_cols,
+        geometry=_hist_geo(float(lo), float(hi), bins, scale),
+    )
 
 
 def exact_quantile(
@@ -842,6 +871,11 @@ def exact_quantile(
         raise ValueError("exact_quantile needs at least one q")
     if any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    if bins < 2:
+        # bins=1 cannot narrow a range: every iteration would re-bin
+        # the whole range into one bucket and burn max_iters full
+        # scans before dying with a misleading convergence error.
+        raise ValueError(f"bins must be >= 2, got {bins}")
     x = F.col(col).cast("double")
     base = df.select(*groups, x.alias("__x")).where(F.col("__x").isNotNull())
     base = base.persist()
@@ -882,11 +916,20 @@ def exact_quantile(
                 + ["__q double", "__lo double", "__hi double"]
             )
             ranges = spark.createDataFrame(rows, schema)
-            j = (
-                base.join(F.broadcast(ranges), groups)
-                if groups
-                else base.crossJoin(F.broadcast(ranges))
-            )
+            if groups:
+                # NULL-safe equality: a NULL group key is a real group
+                # (it came out of the stats groupBy), and a plain
+                # equi-join would silently drop its rows — the walk
+                # below would then KeyError on the vanished key.
+                cond = None
+                for g in groups:
+                    c = base[g].eqNullSafe(ranges[g])
+                    cond = c if cond is None else (cond & c)
+                j = base.join(F.broadcast(ranges), cond).drop(
+                    *[ranges[g] for g in groups]
+                )
+            else:
+                j = base.crossJoin(F.broadcast(ranges))
             # hi is INCLUSIVE (it starts as the true max); the last bin
             # absorbs x == hi via the least() clamp.
             in_range = j.where((F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi")))

@@ -243,6 +243,7 @@ def train_unigram(
                     lp.setdefault(ch, math.log(1e-12))
             if len(lp) <= vocab_size:
                 break
+            before = len(lp)
             target = max(vocab_size, int(len(lp) * shrink))
             by_mass = sorted(
                 ((float(r["ec"]), r["piece"]) for r in rows),
@@ -256,6 +257,13 @@ def train_unigram(
                     kept.add(piece)
             kept |= chars
             lp = {p: w for p, w in lp.items() if p in kept}
+            # Coverage floor: single chars are never pruned, so an
+            # alphabet larger than vocab_size (or pinned chars filling
+            # the survivor set) can make a prune a no-op — without this
+            # stagnation guard the loop would re-run distributed EM
+            # forever.  Accept the coverage-sized vocabulary and stop.
+            if len(lp) >= before:
+                break
         rows = _em_expected_counts(wc, lp, max_piece_len)
         lp = m_step(rows)
         for ch in chars:

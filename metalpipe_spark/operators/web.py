@@ -519,9 +519,16 @@ def robots_filter(
     )
     raw_path = F.regexp_extract(u, PATH_RE, 1)
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    # Rules match against path + query (every major crawler's reading
+    # of RFC 9309 §2.2.2): 'Disallow: /search?q=' and '/*?*'-style
+    # rules are ubiquitous and would never fire on a bare path.
+    q = F.regexp_extract(u, QUERY_RE, 1)
+    path_q = F.concat(
+        path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
     joined = (
         df.withColumn("__host", extract_host(u, strip_www=strip_www))
-        .withColumn("__path", path)
+        .withColumn("__path", path_q)
         .join(F.broadcast(per_host), F.col("__host") == per_host["host"], "left")
         # Drop the rule side's join key SPECIFICALLY — a frontier that
         # carries its own `host` column must keep it.
@@ -570,7 +577,11 @@ def parse_sitemap(df: DataFrame, body_col: str = "body") -> DataFrame:
     at crawl scale the parse rides the scan exactly like
     ``html_extract_text``."""
     carried = [c for c in df.columns if c != body_col]
-    loc_re = r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>"
+    # Two loc forms, tried CDATA-first: a single combined class that
+    # excluded ']' from the URL body would silently drop legitimate
+    # bracket URLs (IPv6-literal hosts like https://[2001:db8::1]/).
+    loc_cdata_re = r"<loc>\s*<!\[CDATA\[\s*(.*?)\s*\]\]>\s*</loc>"
+    loc_plain_re = r"<loc>\s*([^<]+?)\s*</loc>"
     lastmod_re = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
     out = None
     for kind, close_tag in (("url", "</url>"), ("sitemap", "</sitemap>")):
@@ -589,8 +600,14 @@ def parse_sitemap(df: DataFrame, body_col: str = "body") -> DataFrame:
             .select(
                 *carried,
                 F.lit(kind).alias("kind"),
-                _xml_unescape(
-                    F.regexp_extract("__block", loc_re, 1)
+                F.when(
+                    F.regexp_extract("__block", loc_cdata_re, 1) != "",
+                    # CDATA content is raw by definition: no entity decode
+                    F.regexp_extract("__block", loc_cdata_re, 1),
+                ).otherwise(
+                    _xml_unescape(
+                        F.regexp_extract("__block", loc_plain_re, 1)
+                    )
                 ).alias("url"),
                 F.regexp_extract("__block", lastmod_re, 1).alias("lastmod"),
             )

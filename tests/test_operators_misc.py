@@ -2807,3 +2807,53 @@ def test_edit_distance_join_exact_vs_bruteforce(spark):
     assert got_c <= got_f
     with pytest.raises(ValueError, match="max_edits"):
         edit_distance_join(df, "name", max_edits=0)
+
+
+def test_exact_quantile_null_group_and_bins_guard(spark):
+    """A NULL group key is a real group (NULL-safe range join), and
+    bins < 2 is rejected up front instead of burning max_iters scans."""
+    import pytest
+
+    from metalpipe_spark.operators.sketches import exact_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 30.0)],
+        "g string, x double",
+    )
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantile(df, "x", qs=(0.5,), group_cols=["g"]).collect()
+    }
+    assert got == {("a", 0.5): 2.0, (None, 0.5): 10.0}
+    with pytest.raises(ValueError, match="bins"):
+        exact_quantile(df, "x", bins=1)
+
+
+def test_histogram_quantiles_empty_input_and_geometry_passthrough(spark):
+    """Empty register tables (and merges of them) yield a typed empty
+    result instead of crashing on the NULL geometry marker; the
+    sketch-then-estimate path produces identical estimates with the
+    geometry passed through (no marker re-discovery)."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_registers,
+        histogram_sketch_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "g string, x double")
+    regs = histogram_registers(empty, "x", 0.0, 10.0, bins=4, group_cols=["g"])
+    out = histogram_quantiles(regs, group_cols=["g"])
+    assert out.count() == 0 and out.columns == ["g", "q", "est"]
+    merged = histogram_merge(regs, group_cols=["g"])
+    assert histogram_quantiles(merged, group_cols=["g"]).count() == 0
+    df = spark.range(100).select((F.col("id") % 50).cast("double").alias("x"))
+    via_sketch = histogram_sketch_quantiles(df, "x", 0.0, 50.0, bins=10)
+    via_marker = histogram_quantiles(
+        histogram_registers(df, "x", 0.0, 50.0, bins=10)
+    )
+    assert sorted(map(tuple, via_sketch.collect())) == sorted(
+        map(tuple, via_marker.collect())
+    )

@@ -181,3 +181,16 @@ def test_tokenizer_nodes_yaml_surface(spark, tmp_path):
     assert dfs["uni_enc"].count() == 5
     [r] = dfs["uni_inline"].limit(1).collect()
     assert r["pieces"][0] == "the"
+
+
+def test_train_unigram_terminates_when_alphabet_exceeds_vocab(spark):
+    """vocab_size below the single-char alphabet size must terminate
+    (stagnation guard) and return a coverage-sized vocabulary, not loop
+    distributed EM forever."""
+    df = spark.createDataFrame(
+        [(1, "abcdefghij klmnopqrst uvwxyz0123 456789")],
+        "doc_id long, text string",
+    )
+    pieces = train_unigram(df, vocab_size=5, em_iters=1, max_piece_len=3)
+    got = {r["piece"] for r in pieces.collect()}
+    assert set("abcdefghijklmnopqrstuvwxyz0123456789") <= got

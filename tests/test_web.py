@@ -538,3 +538,55 @@ def test_parse_sitemap_node_urls_only(spark, tmp_path):
     assert [(r["kind"], r["url"]) for r in out] == [
         ("url", "https://a.example/1")
     ]
+
+
+def test_robots_filter_matches_query_string(spark):
+    """Rules match path + query (RFC 9309 as every major crawler reads
+    it): query-targeted disallows fire, and '$'-anchored path rules no
+    longer match a URL whose query extends past the anchor."""
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    rules = parse_robots(
+        _robots_df(
+            spark,
+            "User-agent: *\nDisallow: /search?q=\nDisallow: /dl/*.zip$\n",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h0.example/search?q=x",),
+            ("https://h0.example/search",),
+            ("https://h0.example/dl/a.zip",),
+            ("https://h0.example/dl/a.zip?session=1",),  # $ anchor: allowed
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_filter(urls, rules, "url", keep="all").collect()
+    }
+    assert got == {
+        "https://h0.example/search?q=x": False,
+        "https://h0.example/search": True,
+        "https://h0.example/dl/a.zip": False,
+        "https://h0.example/dl/a.zip?session=1": True,
+    }
+
+
+def test_parse_sitemap_bracket_urls_survive(spark):
+    """URLs containing ']' (IPv6-literal hosts) parse in both plain and
+    CDATA loc forms; CDATA content is taken raw (no entity decode)."""
+    from metalpipe_spark.operators.web import parse_sitemap
+
+    body = (
+        "<urlset>"
+        "<url><loc>https://[2001:db8::1]/page</loc></url>"
+        "<url><loc><![CDATA[https://[2001:db8::2]/a&amp;b]]></loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    got = sorted(r["url"] for r in parse_sitemap(df).collect())
+    assert got == [
+        "https://[2001:db8::1]/page",
+        "https://[2001:db8::2]/a&amp;b",  # raw: CDATA is not re-decoded
+    ]
