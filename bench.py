@@ -98,6 +98,7 @@ HEADLINE = [
     "q_corpus_diff",
     "q_unigram_seed",
     "q_unigram_encode",
+    "q_unigram_viterbi",
     "q_audio_vad_segments",
     "q_edit_distance_join",
     # similarity search

@@ -1769,3 +1769,37 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("("), F.concat_ws(")(", "pieces"), F.lit(")"))
         ).alias("enc_md5"),
     ).orderBy("doc_id")
+
+
+def _viterbi_scores_oracle() -> str:
+    from metalpipe_spark.operators.unigram import viterbi_score_oracle_sql
+
+    words_cte = (
+        "w AS MATERIALIZED (SELECT DISTINCT word FROM ("
+        "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word "
+        "FROM documents) WHERE word <> '' AND length(word) <= 20)"
+    )
+    return viterbi_score_oracle_sql(_UNI_ENC_PIECES, words_cte)
+
+
+@register(
+    "q_unigram_viterbi",
+    _viterbi_scores_oracle(),
+    doc=(
+        "unigram_viterbi_scores (operators/unigram.py): the Viterbi "
+        "BEST-SEGMENTATION SCORE per distinct word under the fixed "
+        "pinned piece table — the oracle-checkable face of the DP that "
+        "q_unigram_encode's piece stream relies on.  The DuckDB twin "
+        "unrolls the DP as one MATERIALIZED CTE per word position "
+        "(viterbi_score_oracle_sql), with the float adds running in "
+        "the same left-to-right order along the winning path, so "
+        "scores agree bit-for-bit before the shared 9-dp round.  "
+        "Vocab-scale work over the distinct-word table; the corpus is "
+        "touched once by the word explode."
+    ),
+)
+def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.unigram import unigram_viterbi_scores
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return unigram_viterbi_scores(docs, _UNI_ENC_PIECES).orderBy("word")

@@ -371,3 +371,117 @@ def unigram_encode(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} {id_type}, pieces array<string>, n_pieces long"
     )
+
+
+def unigram_viterbi_scores(
+    df: DataFrame,
+    pieces: DataFrame | dict,
+    text_col: str = "text",
+    id_col: str | None = None,
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Viterbi BEST-SEGMENTATION SCORE per distinct word —
+    ``(word, score)`` with the score rounded to 9 dp — the
+    oracle-checkable face of :func:`unigram_encode`: the DP's max/add
+    arithmetic replays as an unrolled CTE chain in ANSI SQL (one level
+    per word position), so the inference math is value-hash gated even
+    though the argmax PIECE STREAM itself (backtracking) is not
+    single-pass-SQL-expressible.  Words longer than ``max_word_len``
+    are excluded (the SQL unroll depth is fixed at plan-build time)."""
+    if isinstance(pieces, DataFrame):
+        lp = {r["piece"]: r["logprob"] for r in pieces.collect()}
+    else:
+        lp = dict(pieces)
+    if not lp:
+        raise ValueError("unigram_viterbi_scores: empty piece table")
+    max_len = max(len(p) for p in lp)
+    unk_pen = min(lp.values()) - 10.0
+
+    import pandas as pd
+
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+            ).alias("word")
+        )
+        .where(
+            (F.col("word") != "") & (F.length("word") <= max_word_len)
+        )
+        .distinct()
+    )
+
+    def batches(it):
+        for pdf in it:
+            outs = []
+            for w in pdf["word"]:
+                segs = viterbi_segment(w, lp, max_len, unk_pen)
+                outs.append(
+                    round(sum(lp.get(p, unk_pen) for p in segs), 9)
+                )
+            yield pd.DataFrame({"word": pdf["word"], "score": outs})
+
+    return words.mapInPandas(batches, "word string, score double")
+
+
+def viterbi_score_oracle_sql(
+    pieces: dict,
+    words_cte: str,
+    max_word_len: int = 20,
+) -> str:
+    """The DuckDB twin of :func:`unigram_viterbi_scores` for a FIXED
+    piece table: Viterbi unrolled as one CTE per word position —
+    ``d_j(word, s)`` is the best log-prob over segmentations of the
+    first ``j`` characters, built from ``d_{j-l}`` plus the piece (or
+    the single-char unk penalty) ending at ``j``.  The float adds run
+    in the same left-to-right order the Python DP uses along the
+    winning path, so scores agree bit-for-bit before the shared
+    9-dp round.  ``words_cte`` must define ``w(word)``."""
+    max_len = max(len(p) for p in pieces)
+    unk_pen = min(pieces.values()) - 10.0
+    piece_rows = ", ".join(
+        f"('{p}', '{v!r}'::DOUBLE)" for p, v in sorted(pieces.items())
+    )
+    # AS MATERIALIZED: without it DuckDB inlines each level into every
+    # consumer and the d_{j-1}..d_{j-L} fan-in expands the plan (and its
+    # parquet scans) exponentially in word length.
+    levels = ["d0 AS MATERIALIZED (SELECT word, '0.0'::DOUBLE AS s FROM w)"]
+    for j in range(1, max_word_len + 1):
+        arms = []
+        for l in range(1, min(j, max_len) + 1):
+            start = j - l + 1
+            sub = f"substr(w.word, {start}, {l})"
+            if l == 1:
+                arms.append(
+                    f"SELECT w.word, d{j - l}.s + COALESCE(p.lp, "
+                    f"'{unk_pen!r}'::DOUBLE) AS s "
+                    f"FROM w JOIN d{j - l} USING (word) "
+                    f"LEFT JOIN p ON p.piece = {sub} "
+                    f"WHERE length(w.word) >= {j}"
+                )
+            else:
+                arms.append(
+                    f"SELECT w.word, d{j - l}.s + p.lp AS s "
+                    f"FROM w JOIN d{j - l} USING (word) "
+                    f"JOIN p ON p.piece = {sub} "
+                    f"WHERE length(w.word) >= {j}"
+                )
+        union = "\n        UNION ALL ".join(arms)
+        levels.append(
+            f"d{j} AS MATERIALIZED (SELECT word, max(s) AS s FROM (\n        {union}\n"
+            f"      ) GROUP BY word)"
+        )
+    finals = "\n      UNION ALL ".join(
+        f"SELECT word, s FROM d{j} WHERE length(word) = {j}"
+        for j in range(1, max_word_len + 1)
+    )
+    lvl = ",\n    ".join(levels)
+    return f"""
+    WITH p(piece, lp) AS (VALUES {piece_rows}),
+    {words_cte},
+    {lvl},
+    best AS (
+      {finals}
+    )
+    SELECT word, round(s, 9) AS score FROM best ORDER BY word
+    """

@@ -194,3 +194,23 @@ def test_train_unigram_terminates_when_alphabet_exceeds_vocab(spark):
     pieces = train_unigram(df, vocab_size=5, em_iters=1, max_piece_len=3)
     got = {r["piece"] for r in pieces.collect()}
     assert set("abcdefghijklmnopqrstuvwxyz0123456789") <= got
+
+
+def test_viterbi_scores_face_matches_segmentation(spark):
+    """unigram_viterbi_scores equals the score of viterbi_segment's
+    path for every distinct word, trained or pinned table alike."""
+    from metalpipe_spark.operators.unigram import unigram_viterbi_scores
+
+    pieces = {"the": -1.5, "qu": -2.5, "ick": -2.6,
+              **{c: -4.0 - i * 0.01 for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}}
+    df = _corpus(spark, 3)
+    max_len = max(len(p) for p in pieces)
+    unk_pen = min(pieces.values()) - 10.0
+    got = {
+        r["word"]: r["score"]
+        for r in unigram_viterbi_scores(df, pieces).collect()
+    }
+    assert got  # non-empty
+    for w, s in got.items():
+        path = viterbi_segment(w, pieces, max_len, unk_pen)
+        assert s == round(sum(pieces.get(p, unk_pen) for p in path), 9), w
