@@ -151,6 +151,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_hll_tokens",
     "q_countmin_tokens",
+    "q_heavy_hitters",
     "q_bm25_topk",
     "q_hybrid_retrieval",
     "q_bpe_pair_counts",

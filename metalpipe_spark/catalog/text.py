@@ -1803,3 +1803,51 @@ def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return unigram_viterbi_scores(docs, _UNI_ENC_PIECES).orderBy("word")
+
+
+_HH_ORACLE = """
+    WITH t AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT bigram, count(*)::BIGINT AS n
+    FROM t GROUP BY bigram HAVING count(*) >= 40
+    ORDER BY bigram
+    """
+
+
+@register(
+    "q_heavy_hitters",
+    _HH_ORACLE,
+    doc=(
+        "count_min_heavy_hitters (operators/sketches.py): every token "
+        "BIGRAM occurring >= 40 times, with its EXACT count — the "
+        "count-min sketch's production use: one sketch pass, counters "
+        "collected (depth x width BIGINTs) into codegen array-literal "
+        "probes, and only rows whose one-sided estimate clears the "
+        "threshold reach the exact aggregate — the wide operation runs "
+        "on the candidate sliver, never the full vocabulary.  The "
+        "oracle is the plain GROUP BY ... HAVING definition, which is "
+        "exactly what the sketch path must reproduce (no false "
+        "negatives by one-sided error; exact pass kills the false "
+        "positives)."
+    ),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.sketches import count_min_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = tokens("text")
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return count_min_heavy_hitters(
+        bigrams, "bigram", threshold=40, depth=4, width=1024
+    ).orderBy("bigram")

@@ -981,3 +981,57 @@ def exact_quantile(
         ).orderBy(*groups, "q")
     finally:
         base.unpersist()
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+    hash: str = "md5",
+) -> DataFrame:
+    """EXACT heavy hitters — every value of ``col`` occurring at least
+    ``threshold`` times, with its exact count — without ever running a
+    full-cardinality aggregation: the count-min sketch's production
+    use.
+
+    1. one sketch pass (``count_min_sketch``: depth × width counters,
+       map-side combined);
+    2. the counters COLLECT to the driver (depth × width BIGINTs —
+       metadata-scale) and become ARRAY LITERALS in the plan, so every
+       row's estimate is a codegen ``least(element_at(...))`` probe —
+       no join, no second shuffle for candidate generation;
+    3. rows whose estimate clears ``threshold`` — a SUPERSET of the
+       true heavy rows by the sketch's one-sided error — proceed to an
+       exact groupBy whose key cardinality is at most
+       ``n/threshold + collision leakage``, not the full vocabulary;
+       the final ``HAVING count >= threshold`` discards the leakage.
+
+    No false negatives (estimates never undercount) and the exact pass
+    removes the false positives, so the result is EXACT while the only
+    wide operation runs on the candidate sliver.  Size ``width`` so
+    ``n/width ≪ threshold`` or the collision leakage erodes the
+    filtering (the classic CM sizing rule)."""
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    sketch = count_min_sketch(df, col, depth=depth, width=width, hash=hash)
+    counters = [[0] * width for _ in range(depth)]
+    for r in sketch.collect():  # depth*width rows — metadata-scale
+        counters[r["row"]][r["bucket"]] = r["c"]
+    _, rows = _cm_bucket_structs(col, depth, width, hash)
+    # element_at is 1-based; bucket is 0-based.
+    probes = [
+        F.element_at(
+            F.array(*[F.lit(int(c)) for c in counters[j]]),
+            (rows[j]["bucket"] + 1).cast("int"),
+        )
+        for j in range(depth)
+    ]
+    est = F.least(*probes) if depth > 1 else probes[0]
+    return (
+        df.where(est >= F.lit(threshold))
+        .groupBy(F.col(col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= threshold)
+    )

