@@ -480,3 +480,135 @@ def test_dsir_incremental_batch_split_invariance(spark, n_docs, cut, seed):
     assert sorted(map(tuple, final_store.collect())) == sorted(
         map(tuple, one_store.collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=200,
+    ),
+    q=st.floats(min_value=0.0, max_value=1.0),
+    bins=st.integers(min_value=2, max_value=64),
+)
+def test_exact_quantile_matches_sorted_rank_property(spark, values, q, bins):
+    """exact_quantile returns the literal rank-ceil(q*n) element for
+    ANY double multiset (duplicates, negatives, extreme skew), any q,
+    any bin count — the distributed selection is exact, not
+    approximate."""
+    import math
+
+    from metalpipe_spark.operators.sketches import exact_quantile
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    [r] = exact_quantile(df, "x", qs=(q,), bins=bins).collect()
+    want = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
+    assert r["value"] == want, (q, bins)
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=1, max_size=300,
+    ),
+    bins=st.integers(min_value=1, max_value=50),
+    q=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_histogram_quantile_error_bound_property(spark, values, bins, q):
+    """For any data and geometry, the histogram estimate is within one
+    bin width of the true rank-quantile whenever that quantile lies in
+    [lo, hi); out-of-range mass clamps to the edges."""
+    import math
+
+    from metalpipe_spark.operators.sketches import histogram_sketch_quantiles
+
+    lo, hi = 100.0, 900.0
+    width = (hi - lo) / bins
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    [r] = histogram_sketch_quantiles(
+        df, "x", lo, hi, qs=(q,), bins=bins
+    ).collect()
+    want = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
+    if lo <= want < hi:
+        assert abs(r["est"] - want) <= width + 1e-9, (q, bins)
+    else:
+        assert lo <= r["est"] <= hi
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=2, max_size=12, unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+def test_edit_distance_join_bruteforce_property(spark, words, k):
+    """SymSpell blocking + levenshtein verify equals the quadratic
+    definition for ANY short-string set over a tiny alphabet (the
+    collision-heaviest regime) at k=1 and k=2."""
+    import itertools
+
+    from metalpipe_spark.operators.joins import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    want = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(rows, 2)
+        if lev(a[1], b[1]) <= k
+    )
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in edit_distance_join(df, "name", max_edits=k).collect()
+    )
+    assert got == want, (words, k)
+
+
+@settings(**_SETTINGS)
+@given(
+    word=st.text(alphabet="abcd", min_size=1, max_size=9),
+    seed=st.integers(min_value=0, max_value=10),
+)
+def test_viterbi_exhaustive_property(spark, word, seed):
+    """Viterbi attains the brute-force optimum over ALL segmentations
+    for any word and any piece table (derandomized table per seed)."""
+    import itertools
+
+    from metalpipe_spark.operators.unigram import viterbi_segment
+
+    pieces = {c: -4.0 - i * 0.13 for i, c in enumerate("abcd")}
+    # seed-derived multi-char pieces
+    for i, p in enumerate(["ab", "bc", "cd", "abc", "bcd", "aa", "dd"]):
+        if (seed + i) % 3 != 0:
+            pieces[p] = -1.5 - 0.37 * ((seed + i) % 5)
+    max_len = max(len(p) for p in pieces)
+    got = viterbi_segment(word, pieces, max_len)
+    assert "".join(got) == word
+
+    best = [None]
+
+    def rec(i, score):
+        if i == len(word):
+            if best[0] is None or score > best[0]:
+                best[0] = score
+            return
+        for j in range(i + 1, min(len(word), i + max_len) + 1):
+            if word[i:j] in pieces:
+                rec(j, score + pieces[word[i:j]])
+
+    rec(0, 0.0)
+    got_score = sum(pieces[p] for p in got if p in pieces)
+    assert best[0] is not None and abs(got_score - best[0]) < 1e-12
