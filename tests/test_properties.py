@@ -612,3 +612,53 @@ def test_viterbi_exhaustive_property(spark, word, seed):
     rec(0, 0.0)
     got_score = sum(pieces[p] for p in got if p in pieces)
     assert best[0] is not None and abs(got_score - best[0]) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    n_groups=st.integers(min_value=1, max_value=3),
+    rules_per=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=99),
+    crlf=st.booleans(),
+    noise=st.booleans(),
+)
+def test_parse_robots_roundtrip_property(
+    spark, n_groups, rules_per, seed, crlf, noise
+):
+    """Synthesize a random rule table, render it as a dirty robots.txt
+    (optional CRLF, comments, unknown directives, shuffled field
+    casing), parse it back — the rule set for the star agent must equal
+    the synthesized star-group rules exactly, for any grouping."""
+    import random
+
+    from metalpipe_spark.operators.web import parse_robots
+
+    rng = random.Random(seed)
+    eol = "\r\n" if crlf else "\n"
+    want = set()
+    lines = []
+    if noise:
+        lines.append("# generated robots")
+        lines.append("Sitemap: https://h.example/map.xml")
+    for g in range(n_groups):
+        agent = "*" if g == 0 else f"bot{g}"
+        field = rng.choice(["User-agent", "user-agent", "USER-AGENT"])
+        lines.append(f"{field}: {agent}")
+        for r in range(rules_per):
+            kind = rng.choice(["Disallow", "disallow", "Allow"])
+            prefix = "/" + "".join(
+                rng.choice("abc/") for _ in range(rng.randint(1, 6))
+            ).strip("/")
+            lines.append(f"{kind}: {prefix}" + ("  # c" if noise else ""))
+            if agent == "*":
+                want.add((kind.lower(), prefix))
+        if noise:
+            lines.append("Crawl-delay: 5")
+        lines.append("")  # blank line between groups
+    body = eol.join(lines) + eol
+    df = spark.createDataFrame([("h.example", body)], "host string, body string")
+    got = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(df, agent="nomatch-agent").collect()
+    }
+    assert got == want, (body, want)
