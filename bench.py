@@ -224,6 +224,43 @@ def _env_fingerprint() -> dict:
     return fp
 
 
+def _emit(payload: dict) -> None:
+    """Two-line output contract (VERDICT r13 task 1): the driver captures
+    only the LAST ~2000 chars of stdout, and the full-catalog payload is
+    ~5.5 KB, so since r12 BENCH_r{N}.json recorded `parsed: null` with a
+    tail starting mid-key.  Line 1 carries the complete payload (tagged
+    "bench_line": "full" — round_close.py archives this one); the FINAL
+    line is a compact summary guaranteed <= 1500 chars: total, counts,
+    and the slowest-10 medians, which is what the driver actually
+    grades.  Both lines are standalone valid JSON."""
+    full = dict(payload)
+    full["bench_line"] = "full"
+    print(json.dumps(full))
+    timings = payload.get("queries", {})
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "runs": payload["runs"],
+        "stat": payload["stat"],
+        "n_queries": len(timings),
+        "n_errors": len(payload.get("errors", {})),
+        "queries": slowest,
+        "queries_note": "slowest 10 of n_queries; full medians on the"
+        " earlier bench_line=full stdout line",
+        "bench_line": "summary",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # defensive: never exceed the driver's capture
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
+
+
 def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
     """Fresh-JVM-per-query protocol (SPARK_GRAFT_BENCH_COLD=1): each
     query is timed in its own subprocess session, so JIT/codegen-cache
@@ -254,8 +291,16 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
                 text=True,
             )
             try:
-                row = json.loads(out.stdout.strip().splitlines()[-1])
-            except (json.JSONDecodeError, IndexError):
+                # The subprocess emits the two-line contract; the full
+                # payload (with per-query errors) is the tagged line.
+                row = next(
+                    r
+                    for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                    for r in [json.loads(ln)]
+                    if r.get("bench_line") == "full"
+                )
+            except (json.JSONDecodeError, StopIteration):
                 errors[name] = f"subprocess rc={out.returncode}: {out.stderr[-200:]}"
                 break
             if name in row.get("errors", {}):
@@ -282,7 +327,7 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SAMPLES"):
         payload["samples"] = samples
-    print(json.dumps(payload))
+    _emit(payload)
 
 
 def main() -> None:
@@ -442,7 +487,7 @@ def main() -> None:
     # parse wherever it lands (~4 KB for the full catalog).
     if os.environ.get("SPARK_GRAFT_BENCH_SAMPLES"):
         payload["samples"] = all_samples
-    print(json.dumps(payload))
+    _emit(payload)
 
 
 if __name__ == "__main__":

@@ -95,11 +95,18 @@ def main() -> int:
                 "SPARK_GRAFT_BENCH_SAMPLES": "1",
             },
         )
-        line = next(
-            ln for ln in reversed(out.strip().splitlines())
+        # bench.py now emits TWO JSON lines (r14): the full payload
+        # tagged bench_line=full, then a <=1500-char summary as the
+        # final line for the driver's 2000-char capture.  The LOCAL
+        # artifact archives the full one.
+        payload = next(
+            p
+            for ln in reversed(out.strip().splitlines())
             if ln.startswith("{")
+            for p in [json.loads(ln)]
+            if p.get("bench_line") == "full"
         )
-        payload = json.loads(line)  # validates the one-JSON-line contract
+        payload.pop("bench_line", None)
         art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
         # ONE JSON line — the format every prior BENCH_LOCAL artifact
         # uses and bench_compare's line-oriented loader expects.
