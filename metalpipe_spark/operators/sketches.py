@@ -830,7 +830,7 @@ def exact_quantile(
     qs: tuple[float, ...] = (0.5,),
     group_cols: list[str] | None = None,
     bins: int = 256,
-    max_iters: int = 40,
+    max_iters: int = 300,
 ) -> DataFrame:
     """EXACT quantiles per group — ``(group..., q, value)`` where
     ``value`` is the actual element at 1-based rank
@@ -846,8 +846,15 @@ def exact_quantile(
        the remaining rank;
     3. per-iteration min/max of the surviving range detects the
        all-ties case (``min == max`` → that IS the answer) and
-       guarantees progress in value space, so doubles converge in
-       ``log_bins(range/ulp)`` ≈ 8 passes worst-case.
+       guarantees progress in value space: each pass re-anchors to the
+       winning bin's ACTUAL data min/max, so convergence takes
+       ``log_bins(range/ulp)`` passes — ≤ 8 for same-binade data, but
+       a group spanning extreme double magnitudes (1e-300 .. 1e300)
+       can legitimately need ~265 passes at ``bins=256`` (the value
+       ratio is ~2^2100 and linear binning removes 8 bits per pass);
+       the default ``max_iters=300`` covers the full double range, and
+       overshooting costs nothing because the loop exits on
+       convergence.
 
     Contrast with the sketch face: :func:`histogram_quantiles` is one
     pass with bin-width error; this is a handful of passes with ZERO
@@ -1015,6 +1022,11 @@ def count_min_heavy_hitters(
     filtering (the classic CM sizing rule)."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
+    # NULLs hash to a NULL bucket (md5(NULL) is NULL), which would both
+    # crash the counter fill below (list index None) and be meaningless
+    # under the groupBy contract — a NULL key can never be a heavy
+    # hitter.  Exclude them from the sketch AND the probe.
+    df = df.where(F.col(col).isNotNull())
     sketch = count_min_sketch(df, col, depth=depth, width=width, hash=hash)
     counters = [[0] * width for _ in range(depth)]
     for r in sketch.collect():  # depth*width rows — metadata-scale

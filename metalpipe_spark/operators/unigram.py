@@ -217,7 +217,15 @@ def train_unigram(
         )
         # EVERY training-alphabet character seeds and never prunes —
         # the coverage guarantee (no word becomes unsegmentable).
-        char_rows = subs.where(F.length("piece") == 1).collect()
+        # Canonical order before any float reduction: collect order is
+        # partition-dependent, and float sums are not associative, so
+        # summing in collect order would make logprobs differ in final
+        # ulps across partitionings — breaking the bit-reproducibility
+        # contract.  Sorting by piece fixes the reduction order.
+        char_rows = sorted(
+            subs.where(F.length("piece") == 1).collect(),
+            key=lambda r: r["piece"],
+        )
         subs.unpersist()
         chars = {r["piece"] for r in char_rows}
         counts = {r["piece"]: r["c"] for r in char_rows}
@@ -227,6 +235,10 @@ def train_unigram(
         lp = {p: math.log(c / total) for p, c in counts.items()}
 
         def m_step(rows) -> dict:
+            # Sort before summing: the normalizer is a float reduction,
+            # and Spark collect order varies with partitioning — a
+            # canonical piece order makes every run sum identically.
+            rows = sorted(rows, key=lambda r: r["piece"])
             tot = sum(float(r["ec"]) for r in rows)
             return {
                 r["piece"]: math.log(float(r["ec"]) / tot)
@@ -439,8 +451,12 @@ def viterbi_score_oracle_sql(
     9-dp round.  ``words_cte`` must define ``w(word)``."""
     max_len = max(len(p) for p in pieces)
     unk_pen = min(pieces.values()) - 10.0
+    # SQL-escape the piece literals: once the piece table is seeded from
+    # real text (not the pinned bench vocab), apostrophes are plausible
+    # and an unescaped quote renders invalid oracle SQL.
     piece_rows = ", ".join(
-        f"('{p}', '{v!r}'::DOUBLE)" for p, v in sorted(pieces.items())
+        "('{}', '{!r}'::DOUBLE)".format(p.replace("'", "''"), v)
+        for p, v in sorted(pieces.items())
     )
     # AS MATERIALIZED: without it DuckDB inlines each level into every
     # consumer and the d_{j-1}..d_{j-L} fan-in expands the plan (and its

@@ -506,6 +506,15 @@ def robots_filter(
     if keep not in ("allowed", "all"):
         raise ValueError(f"keep must be 'allowed' or 'all', got {keep!r}")
     u = F.col(url_col)
+    # Fold the rule side's host the same way the frontier side is
+    # folded: a rule table parsed from robots bodies keyed by
+    # 'www.example.com' would otherwise never match any frontier URL
+    # (extract_host strips the prefix) and every URL on that host would
+    # silently read as allowed.
+    if strip_www:
+        rules = rules.withColumn(
+            "host", F.regexp_replace(F.lower("host"), r"^www\.", "")
+        )
     per_host = rules.groupBy("host").agg(
         F.collect_list(
             F.struct(

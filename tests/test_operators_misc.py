@@ -2886,3 +2886,21 @@ def test_count_min_heavy_hitters_exact_and_filtering(spark):
     assert got == [(t, c) for t, c in want] and len(got) == 2
     with pytest.raises(ValueError, match="threshold"):
         count_min_heavy_hitters(df, "tok", threshold=0)
+
+
+def test_count_min_heavy_hitters_ignores_nulls(spark):
+    """NULL values must not crash the sketch probe (md5(NULL) hashes to
+    a NULL bucket — ADVICE r13) and can never appear as a heavy hitter:
+    they are excluded before sketching AND probing."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import count_min_heavy_hitters
+
+    df = spark.range(2_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 4 == 1, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("tok")
+    )
+    got = count_min_heavy_hitters(df, "tok", threshold=100).collect()
+    assert [(r["tok"], r["n"]) for r in got] == [("hot", 500)]

@@ -214,3 +214,26 @@ def test_viterbi_scores_face_matches_segmentation(spark):
     for w, s in got.items():
         path = viterbi_segment(w, pieces, max_len, unk_pen)
         assert s == round(sum(pieces.get(p, unk_pen) for p in path), 9), w
+
+
+def test_viterbi_oracle_sql_escapes_apostrophe_pieces(spark):
+    """A piece table containing an apostrophe (plausible once seeded
+    from real text) must render VALID oracle SQL — the piece literals
+    are SQL-escaped (ADVICE r13: unescaped '{p}' broke on quotes)."""
+    import duckdb
+
+    from metalpipe_spark.operators.unigram import (
+        viterbi_score_oracle_sql,
+        viterbi_segment,
+    )
+
+    pieces = {"don't": -1.0, "'": -5.0,
+              **{c: -4.0 for c in "dontcare"}}
+    sql = viterbi_score_oracle_sql(
+        pieces, "w(word) AS (SELECT 'don''t')", max_word_len=6
+    )
+    got = duckdb.sql(sql).fetchall()
+    unk = min(pieces.values()) - 10.0
+    path = viterbi_segment("don't", pieces, 5, unk)
+    want = round(sum(pieces.get(p, unk) for p in path), 9)
+    assert got == [("don't", want)]

@@ -590,3 +590,45 @@ def test_parse_sitemap_bracket_urls_survive(spark):
         "https://[2001:db8::1]/page",
         "https://[2001:db8::2]/a&amp;b",  # raw: CDATA is not re-decoded
     ]
+
+
+def test_robots_filter_folds_www_on_rule_side(spark):
+    """A rule table keyed by 'www.example.com' must still bind to
+    frontier URLs whose host folds to 'example.com' (ADVICE r13: the
+    frontier side folded www but the rule side joined as-is, silently
+    allowing everything on the host)."""
+    from metalpipe_spark.operators.web import parse_robots, robots_filter
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("www.h0.example", "User-agent: *\nDisallow: /p\n")],
+            "host string, body string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h0.example/p/no",),
+            ("https://www.h0.example/p/no",),
+            ("https://h0.example/ok",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_filter(urls, rules, "url", keep="all").collect()
+    }
+    assert got == {
+        "https://h0.example/p/no": False,
+        "https://www.h0.example/p/no": False,
+        "https://h0.example/ok": True,
+    }
+    # strip_www=False keeps both sides literal: the bare host no longer
+    # matches the www-keyed rules.
+    literal = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_filter(
+            urls, rules, "url", keep="all", strip_www=False
+        ).collect()
+    }
+    assert literal["https://h0.example/p/no"] is True
+    assert literal["https://www.h0.example/p/no"] is False
