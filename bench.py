@@ -101,6 +101,9 @@ HEADLINE = [
     "q_unigram_viterbi",
     "q_audio_vad_segments",
     "q_edit_distance_join",
+    # batched inference (r14)
+    "q_embed_documents",
+    "q_embed_pipeline",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

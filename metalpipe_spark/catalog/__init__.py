@@ -48,6 +48,7 @@ def load_all() -> dict[str, CatalogQuery]:
     from metalpipe_spark.catalog import (  # noqa: F401
         curation,
         dedup,
+        inference_queries,
         modelling_queries,
         multimodal_queries,
         pipelines,

@@ -1,0 +1,118 @@
+"""Batched-inference catalog rows: the embed stage that PRODUCES
+embeddings (operators/inference.py), hash-gated end-to-end.
+
+The fixture model's arithmetic is exact-integer until one final
+``int / sqrt(int)`` per dimension, so the mapInPandas output is
+bit-identical to the SQL replay — the whole Python inference path
+(Arrow batching, per-worker model cache, batch re-chunking) sits
+inside the driver's value-hash gate, not beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metalpipe_spark.catalog import register
+from metalpipe_spark.operators.inference import embed_documents
+from metalpipe_spark.operators.similarity import brute_force_topk
+from metalpipe_spark.sources.readers import load_table
+
+# SQL replay of HashedProjectionModel (operators/inference.py): feature
+# hashing of whitespace tokens into `dim` signed buckets.  Hash
+# convention = the repo-wide portable md5 (dedup._hash64): bucket from
+# the first 15 nibbles, sign from the 16th nibble's parity.
+_EMBED_CTES = """
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim} AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    acc AS (
+      SELECT doc_id, bucket, SUM(sgn)::BIGINT AS s
+      FROM h GROUP BY doc_id, bucket
+    ),
+    nrm AS (SELECT doc_id, SUM(s * s)::BIGINT AS n2 FROM acc GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, g.range::BIGINT AS bucket
+      FROM (SELECT doc_id FROM documents) d CROSS JOIN range({dim}) g
+    ),
+    cells AS (
+      SELECT grid.doc_id, grid.bucket,
+             CASE WHEN COALESCE(n2, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s, 0) / sqrt(n2) END AS v
+      FROM grid
+      LEFT JOIN acc USING (doc_id, bucket)
+      LEFT JOIN nrm USING (doc_id)
+    )
+"""
+
+# Sequential double fold (same shape as catalog/similarity._DOT — both
+# engines fold left-to-right, so float adds agree bit-for-bit).
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_embed_documents",
+    f"""
+    WITH {_EMBED_CTES.format(dim=8)}
+    SELECT doc_id, bucket, round(v, 9) AS v
+    FROM cells
+    ORDER BY doc_id, bucket
+    """,
+    doc="Batched embedding inference (mapInPandas, executor-cached "
+    "fixture model), long-form per-dimension value gate.",
+)
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_documents(
+        docs, model="hashed-projection:8", batch_size=64, max_concurrent=2
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "__v")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("__v", 9).alias("v"),
+    ).orderBy("doc_id", "bucket")
+
+
+@register(
+    "q_embed_pipeline",
+    f"""
+    WITH {_EMBED_CTES.format(dim=16)},
+    vecs AS (
+      SELECT doc_id, list(v ORDER BY bucket) AS emb
+      FROM cells GROUP BY doc_id
+    ),
+    q AS (SELECT emb AS qv FROM vecs WHERE doc_id = 0)
+    SELECT vecs.doc_id,
+           round(({_DOT.format(a='emb', b='qv')})
+                 / (sqrt({_DOT.format(a='emb', b='emb')})
+                    * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cosine_sim
+    FROM vecs, q
+    ORDER BY cosine_sim DESC, doc_id
+    LIMIT 10
+    """,
+    doc="End-to-end embed -> ANN pipeline: batched inference feeding "
+    "the brute-force cosine top-k consumer (VERDICT r13 task 2).",
+)
+def q_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_documents(docs, model="hashed-projection:16", batch_size=128)
+    qv = emb.where(F.col("doc_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(
+        emb, [float(x) for x in qv], vec_col="embedding",
+        id_col="doc_id", k=10,
+    )

@@ -1,0 +1,230 @@
+"""Batched model inference over text columns — the step that PRODUCES
+the ``embeddings`` every similarity/semdedup consumer in this repo
+assumes already exists.
+
+The reference has no inference surface (its closest analog is applying
+an arbitrary per-message Python function — reference
+metalpipe/node.py:976 ``FunctionOfMessage``); this family is the
+training-data-pipeline extension: a real corpus pipeline is
+``documents → embed → semdedup/ANN``, and at 100 TB the embed stage is
+usually the dominant cost, so its Spark shape matters:
+
+* **mapInPandas, Arrow-batched** — text ships to Python in columnar
+  batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+  them), never row-at-a-time;
+* **executor-side model loading** — the model loads ONCE per Python
+  worker process (module-level cache) and is reused across tasks while
+  ``spark.python.worker.reuse`` (default true) keeps the worker alive.
+  Weights never ride the closure, so a 1000-executor fan-out ships the
+  model *spec* (a string), not the model;
+* **batch-size knob** — Arrow batches are re-chunked to the model's
+  preferred batch size before each ``encode`` call (GPU-sized batches
+  are usually smaller than Arrow's 10k default);
+* **max-concurrent knob** — a worker-process-level semaphore bounds
+  concurrent ``encode`` calls.  Scope: one Python worker process (Spark
+  runs one worker per core by default, so cluster-wide concurrency is
+  ``executors × cores``; bound THAT with ``spark.executor.cores`` /
+  dynamic allocation — a UDF cannot see across processes, and
+  pretending otherwise would be a lie that only shows up on a real
+  cluster).
+
+Real neural encoders (torch/ONNX) are not in this container, so the
+shipped model is the deterministic **hashed-projection fixture**:
+feature hashing of whitespace tokens into ``dim`` signed buckets,
+L2-normalized.  Every arithmetic step is exact-integer until one final
+``int / sqrt(int)`` per dimension, so the output is bit-identical in
+any engine — which is what lets the driver's DuckDB oracle hash-gate
+the whole mapInPandas path end-to-end (``q_embed_documents``).  Loaders
+for real models plug in via :func:`register_embedding_model` without
+touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import threading
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+# One entry per (worker process, model spec): the executor-side model
+# cache.  Populated lazily inside the UDF, so the driver never loads
+# (or ships) weights.
+_MODEL_CACHE: dict[str, object] = {}
+_CACHE_LOCK = threading.Lock()
+_ENCODE_GATES: dict[int, threading.Semaphore] = {}
+
+# Plugin registry: name -> loader(spec_args: str) -> model.  A model is
+# any object with `.dim: int` and `.encode(list[str]) -> ndarray`.
+_LOADERS: dict[str, Callable[[str], object]] = {}
+
+
+def register_embedding_model(name: str, loader: Callable[[str], object]) -> None:
+    """Register a loader for ``model="{name}:{args}"`` specs.  The
+    loader runs on the EXECUTOR (inside the UDF, cached per worker
+    process) — it may read weight files from shared storage, but the
+    driver-side plan only ever carries the spec string."""
+    _LOADERS[name] = loader
+
+
+class HashedProjectionModel:
+    """Deterministic fixture encoder: feature hashing (Weinberger et
+    al. 2009's hashing trick) of lower-cased whitespace tokens into
+    ``dim`` signed buckets, L2-normalized.
+
+    Hash convention is the repo-wide portable one (operators/dedup.py
+    ``_hash64``): bucket = first 15 md5 nibbles as int, mod dim; sign =
+    16th nibble's parity — one md5 per token, replayable as
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT`` in any SQL engine.
+    Accumulation is exact integer; the only float ops are one sqrt and
+    one divide per dimension, bit-identical everywhere.  ``salt`` gives
+    independent models (it prefixes every token before hashing)."""
+
+    def __init__(self, dim: int, salt: str = ""):
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1, got {dim}")
+        self.dim = dim
+        self.salt = salt
+
+    def encode(self, texts: list) -> "object":
+        import numpy as np
+
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        counts = np.zeros(self.dim, dtype=np.int64)
+        for i, text in enumerate(texts):
+            counts[:] = 0
+            if text is not None:
+                for tok in _TOKEN_SPLIT.split(str(text).lower()):
+                    if not tok:
+                        continue
+                    h = hashlib.md5(
+                        (self.salt + tok).encode("utf-8")
+                    ).hexdigest()
+                    bucket = int(h[:15], 16) % self.dim
+                    counts[bucket] += 1 if int(h[15], 16) % 2 == 0 else -1
+            # norm² is an exact int; int/sqrt(int) is one rounding per
+            # dim — the bit-reproducibility contract.
+            n2 = int((counts * counts).sum())
+            if n2 > 0:
+                out[i] = counts / float(n2) ** 0.5
+        return out
+
+
+def _hashed_projection_loader(args: str) -> HashedProjectionModel:
+    parts = args.split(":", 1) if args else [""]
+    if not parts[0].isdigit():
+        raise ValueError(
+            "hashed-projection spec is 'hashed-projection:{dim}[:{salt}]',"
+            f" got args {args!r}"
+        )
+    return HashedProjectionModel(
+        int(parts[0]), salt=parts[1] if len(parts) > 1 else ""
+    )
+
+
+register_embedding_model("hashed-projection", _hashed_projection_loader)
+
+
+def _encode_gate(n: int) -> threading.Semaphore:
+    """Worker-process-level semaphore for ``max_concurrent`` (one per
+    bound value).  A module function rather than inline closure code:
+    cloudpickle captures a closure's referenced globals BY VALUE, and a
+    lock in the capture set would make the UDF unpicklable — referenced
+    module-level *functions* pickle by name instead."""
+    with _CACHE_LOCK:
+        return _ENCODE_GATES.setdefault(n, threading.Semaphore(n))
+
+
+def load_model(spec: str, loader: Callable[[str], object] | None = None):
+    """Resolve a model spec to a cached model instance (executor side).
+    Unknown names fail loud with the plug-in instructions — real neural
+    encoders (torch/ONNX) are deliberately NOT stubbed as silent
+    no-ops.
+
+    ``loader`` overrides the registry lookup: plugin loaders registered
+    on the DRIVER don't exist in executor worker processes (each is a
+    fresh import of this module), so :func:`embed_documents` resolves
+    the loader at plan time and ships it inside the UDF closure."""
+    with _CACHE_LOCK:
+        model = _MODEL_CACHE.get(spec)
+        if model is None:
+            name, _, args = spec.partition(":")
+            loader = loader if loader is not None else _LOADERS.get(name)
+            if loader is None:
+                raise NotImplementedError(
+                    f"no embedding model loader named {name!r} (spec"
+                    f" {spec!r}); built-in: 'hashed-projection:{{dim}}'"
+                    " — register real encoders with"
+                    " register_embedding_model(name, loader)"
+                )
+            model = loader(args)
+            _MODEL_CACHE[spec] = model
+    return model
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    model: str = "hashed-projection:64",
+    output_col: str = "embedding",
+    batch_size: int = 256,
+    max_concurrent: int | None = None,
+) -> DataFrame:
+    """Append ``output_col`` (``array<double>``) = ``model(text_col)``,
+    batch-inferred executor-side.  All input columns pass through.
+
+    ``batch_size`` re-chunks each Arrow batch before ``encode`` (sized
+    to the model, not to Arrow); ``max_concurrent`` bounds concurrent
+    ``encode`` calls *within one Python worker process* (see module
+    docstring for the cluster-wide story).  Plan shape: one narrow
+    ArrowEvalPython-style stage — no shuffle, no collect, scales with
+    input splits."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if max_concurrent is not None and max_concurrent < 1:
+        raise ValueError(
+            f"max_concurrent must be >= 1, got {max_concurrent}"
+        )
+    if text_col not in df.columns:
+        raise ValueError(f"no column {text_col!r} in {df.columns}")
+    if output_col in df.columns:
+        raise ValueError(f"output_col {output_col!r} already exists")
+    # Validate the spec NOW on the driver (fail at plan time, not as a
+    # per-task executor error storm) — fixture loaders are cheap; a
+    # heavyweight loader can make its driver-side validation cheap by
+    # deferring the weight read to first encode().
+    load_model(model)
+    # Ship the resolved loader in the closure: executor worker processes
+    # import this module fresh, so driver-side register_embedding_model
+    # calls are invisible there — only the closure crosses the wire.
+    shipped_loader = _LOADERS[model.partition(":")[0]]
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(output_col, ArrayType(DoubleType()), True)]
+    )
+    spec, tcol, bsz, gate_n = model, text_col, batch_size, max_concurrent
+
+    def infer(batches: Iterator) -> Iterator:
+        m = load_model(spec, shipped_loader)  # per-worker-process cache
+        gate = _encode_gate(gate_n) if gate_n is not None else None
+        for pdf in batches:
+            texts = pdf[tcol].tolist()
+            vecs: list = []
+            for at in range(0, len(texts), bsz):
+                chunk = texts[at : at + bsz]
+                if gate is not None:
+                    with gate:
+                        enc = m.encode(chunk)
+                else:
+                    enc = m.encode(chunk)
+                vecs.extend(list(map(list, enc)))
+            out = pdf.copy()
+            out[output_col] = vecs
+            yield out
+
+    return df.mapInPandas(infer, out_schema)

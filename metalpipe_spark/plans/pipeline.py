@@ -766,6 +766,26 @@ def _paragraph_dedup_node(spark, upstreams, opts):
     )
 
 
+@node_class("EmbedDocuments")
+def _embed_documents_node(spark, upstreams, opts):
+    """Batched embedding inference (operators/inference.py): appends
+    ``output_col`` = model(text_col) via mapInPandas with executor-side
+    model caching.  ``model`` is a spec string — the built-in
+    deterministic fixture is ``hashed-projection:{dim}[:{salt}]``; real
+    encoders plug in via register_embedding_model."""
+    from metalpipe_spark.operators.inference import embed_documents
+
+    df = _one(upstreams, "EmbedDocuments")
+    return embed_documents(
+        df,
+        text_col=opts.get("text_col", "text"),
+        model=opts.get("model", "hashed-projection:64"),
+        output_col=opts.get("output_col", "embedding"),
+        batch_size=opts.get("batch_size", 256),
+        max_concurrent=opts.get("max_concurrent"),
+    )
+
+
 @node_class("Decontaminate")
 def _decontaminate_node(spark, upstreams, opts):
     """Two ordered upstreams: [corpus, benchmark].  Emits the clean

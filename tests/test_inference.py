@@ -1,0 +1,157 @@
+"""Batched embedding inference (operators/inference.py).
+
+The reference has no inference surface (closest: per-message Python
+functions, reference metalpipe/node.py:976); this is the
+training-data-pipeline extension — the stage that PRODUCES the
+embeddings table every similarity consumer assumes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metalpipe_spark.operators.inference import (
+    HashedProjectionModel,
+    embed_documents,
+    load_model,
+    register_embedding_model,
+)
+
+
+def _hand_embed(text: str, dim: int, salt: str = "") -> list[float]:
+    """Independent re-derivation of the fixture math (test-side twin)."""
+    import hashlib
+    import re
+
+    counts = [0] * dim
+    for tok in re.split(r"\s+", text.lower()):
+        if not tok:
+            continue
+        h = hashlib.md5((salt + tok).encode()).hexdigest()
+        counts[int(h[:15], 16) % dim] += 1 if int(h[15], 16) % 2 == 0 else -1
+    n2 = sum(c * c for c in counts)
+    return [c / math.sqrt(n2) for c in counts] if n2 else [0.0] * dim
+
+
+def test_embed_documents_values_passthrough_and_unit_norm(spark):
+    """Embeddings equal the hand-derived fixture math exactly; all
+    input columns pass through; non-degenerate rows are unit-norm."""
+    rows = [
+        (1, "Hello world hello", "a"),
+        (2, "spark  and   arrow", "b"),
+        (3, "", "c"),
+        (4, None, "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    out = embed_documents(df, model="hashed-projection:8", batch_size=2)
+    assert out.columns == ["doc_id", "text", "tag", "embedding"]
+    got = {r["doc_id"]: (r["tag"], r["embedding"]) for r in out.collect()}
+    assert got[1][0] == "a"
+    for doc_id, text, _ in rows:
+        want = _hand_embed(text or "", 8)
+        assert got[doc_id][1] == want, doc_id
+    assert got[3][1] == [0.0] * 8 and got[4][1] == [0.0] * 8
+    nrm = sum(v * v for v in got[1][1])
+    assert abs(nrm - 1.0) < 1e-12
+
+
+def test_embed_documents_batching_and_gate_equal_unbatched(spark):
+    """batch_size / max_concurrent change execution shape only, never
+    values; the salt knob yields a genuinely different model."""
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"),
+                 F.lit(" common word")).alias("text"),
+    )
+    a = embed_documents(df, model="hashed-projection:16", batch_size=3,
+                        max_concurrent=2).orderBy("doc_id").collect()
+    b = embed_documents(df, model="hashed-projection:16",
+                        batch_size=1000).orderBy("doc_id").collect()
+    assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+    s = embed_documents(df, model="hashed-projection:16:pepper",
+                        batch_size=1000).orderBy("doc_id").collect()
+    assert [r["embedding"] for r in s] != [r["embedding"] for r in b]
+
+
+def test_embed_documents_plan_is_one_narrow_python_stage(spark):
+    """No shuffle, no collect: the embed stage is scan-shaped — at
+    100 TB it scales with input splits."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b").alias("text")
+    )
+    plan = (
+        embed_documents(df, model="hashed-projection:4")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_embed_documents_validations_and_registry(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch_size"):
+        embed_documents(df, batch_size=0)
+    with pytest.raises(ValueError, match="max_concurrent"):
+        embed_documents(df, max_concurrent=0)
+    with pytest.raises(ValueError, match="no column"):
+        embed_documents(df, text_col="body")
+    with pytest.raises(ValueError, match="already exists"):
+        embed_documents(df.withColumn("embedding", F.lit(1)))
+    # Unknown model names fail LOUD at plan time on the driver, with
+    # the plug-in instructions — not as a per-task executor storm.
+    with pytest.raises(NotImplementedError, match="register_embedding_model"):
+        embed_documents(df, model="torch:all-MiniLM-L6-v2")
+    with pytest.raises(ValueError, match="hashed-projection spec"):
+        embed_documents(df, model="hashed-projection:abc")
+    with pytest.raises(ValueError, match="dim"):
+        HashedProjectionModel(0)
+
+
+def test_register_embedding_model_plugs_into_embed(spark):
+    """A custom loader runs through the same cached path; the cache is
+    per spec string (same spec -> same instance)."""
+
+    class Doubler:
+        dim = 2
+
+        def encode(self, texts):
+            import numpy as np
+
+            return np.array([[float(len(t or "")), 2.0] for t in texts])
+
+    register_embedding_model("testlen", lambda args: Doubler())
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(df, model="testlen:").collect()
+    }
+    assert got == {1: [3.0, 2.0], 2: [0.0, 2.0]}
+    assert load_model("testlen:") is load_model("testlen:")
+
+
+def test_embed_documents_yaml_node(spark, tmp_path):
+    """EmbedDocuments is reachable from the YAML pipeline surface."""
+    from metalpipe_spark.plans.pipeline import compile_pipeline
+
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    ).write.parquet(str(src))
+    cfg = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": str(src)}},
+            "embed": {
+                "class": "EmbedDocuments",
+                "options": {"model": "hashed-projection:4", "batch_size": 16},
+            },
+        },
+        "paths": [["docs", "embed"]],
+    }
+    p = compile_pipeline(spark, cfg)
+    rows = {
+        r["doc_id"]: r["embedding"] for r in p.dataframes["embed"].collect()
+    }
+    assert rows[1] == _hand_embed("alpha beta", 4)
+    assert rows[2] == _hand_embed("gamma", 4)
