@@ -78,6 +78,8 @@ HEADLINE = [
     "q_boilerplate_removal",
     "q_span_dedup",
     "q_span_dedup_winnow",
+    "q_exact_substr",
+    "q_exact_substr_shifted",
     "q_source_overlap",
     "q_normalized_dedup",
     # URL / host curation (r10)

@@ -1050,6 +1050,127 @@ def q_span_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Exact ExactSubstr: ground truth is stride-1 window CONTENT equality —
+# the oracle hashes every L-token window, keep-first per distinct
+# content, covers the rest.  The engine side computes the identical
+# relation in O(n) per doc via a verified double rolling hash.
+_XS_TAIL = """
+    r AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+      FROM w
+    ),
+    cover AS (
+      SELECT DISTINCT doc_id, u.pos
+      FROM r, unnest(range(s, s + {L})) AS u(pos)
+      WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, tk[i] AS tok, i - 1 AS pos
+      FROM {src}, unnest(range(1, len(tk) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+_XS_L = 16
+
+
+@register(
+    "q_exact_substr",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+    w AS (
+      SELECT doc_id, i - 1 AS s,
+             md5(array_to_string(tk[i : i + {_XS_L} - 1], ' ')) AS h
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE i - 1 + {_XS_L} <= len(tk)
+    ),
+    {_XS_TAIL.format(L=_XS_L, src='t')}
+    """,
+    doc=(
+        "EXACT duplicated-substring removal (Lee et al. 2022 "
+        "ExactSubstr): every token in a duplicated 16-token-or-longer "
+        "run is deleted except in the run's first occurrence — at any "
+        "offset, verified on window content.  Engine: O(n) double "
+        "rolling hash per doc (Arrow numpy kernel), map-side-combined "
+        "duplicate keys, content-verified candidates."
+    ),
+)
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return exact_substr_dedup(docs, min_length=_XS_L).orderBy("doc_id")
+
+
+@register(
+    "q_exact_substr_shifted",
+    f"""
+    WITH src AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      FROM documents WHERE doc_id < 40
+    ),
+    fix AS (
+      SELECT doc_id * 2 AS doc_id, tk[1 : 24] AS tk FROM src
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS doc_id,
+             list_concat(['pfx0', 'pfx1', 'pfx2'], tk[1 : 24]) AS tk
+      FROM src
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS s,
+             md5(array_to_string(tk[i : i + 11], ' ')) AS h
+      FROM fix, unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE i - 1 + 12 <= len(tk)
+    ),
+    {_XS_TAIL.format(L=12, src='fix')}
+    """,
+    doc=(
+        "Adversarial offset-shift fixture for ExactSubstr exactness "
+        "(VERDICT r13 task 3): each source doc appears twice, the "
+        "second copy shifted 3 tokens right by a prefix — a position-"
+        "grid or anchor-miss method can drop these; the exact operator "
+        "must strip every shifted duplicate run, keeping only the "
+        "3-token prefixes in the later copies."
+    ),
+)
+def q_exact_substr_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), r" ").alias("tk"),
+        )
+    )
+    a = src.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.concat_ws(" ", F.slice("tk", 1, 24)).alias("text"),
+    )
+    b = src.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.array(F.lit("pfx0"), F.lit("pfx1"), F.lit("pfx2")),
+                F.slice("tk", 1, 24),
+            ),
+        ).alias("text"),
+    )
+    return exact_substr_dedup(a.unionByName(b), min_length=12).orderBy(
+        "doc_id"
+    )
+
+
 _EDJOIN_ORACLE = """
     WITH base AS (
       SELECT DISTINCT tok FROM (

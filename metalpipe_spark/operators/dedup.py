@@ -1262,6 +1262,223 @@ def duplicate_span_dedup(
     )
 
 
+# Two ~2^31 primes + bases for the double rolling hash.  Products of
+# two residues stay < 2^62 (int64-safe); the pair gives ~62 bits of
+# collision resistance for CANDIDATE generation — final grouping is on
+# verified window CONTENT (exact_substr_dedup verify stage), so a
+# collision costs a wasted verification, never a wrong result.
+_RK = (
+    (1_000_003, 2147483647),  # (base B, prime p): p = 2^31 - 1
+    (1_000_033, 2147483629),  # p = 2^31 - 19
+)
+_RK_POWS: dict = {}
+
+
+def _rk_pows(n: int) -> list:
+    """Per-worker cache of (B^i mod p, B^-i mod p) arrays up to n for
+    both moduli — grown once, reused across batches."""
+    import numpy as np
+
+    cur = _RK_POWS.get("n", 0)
+    if cur < n:
+        grown = []
+        for m, (B, p) in enumerate(_RK):
+            binv = pow(B, p - 2, p)
+            if cur == 0:
+                fw, bw = [1], [1]
+            else:
+                fw, bw = list(_RK_POWS[m][0]), list(_RK_POWS[m][1])
+            while len(fw) < n:
+                fw.append(fw[-1] * B % p)
+                bw.append(bw[-1] * binv % p)
+            grown.append(
+                (np.array(fw, dtype=np.int64), np.array(bw, dtype=np.int64))
+            )
+        _RK_POWS.update({"n": n, 0: grown[0], 1: grown[1]})
+    return [_RK_POWS[0], _RK_POWS[1]]
+
+
+def _rolling_window_hashes(th, L: int):
+    """All L-window double rolling hashes of a token-hash vector, O(n).
+
+    ``W_j = sum_i th[j+i] * B^(L-1-i) mod p`` for each start j, computed
+    via the B^-i prefix-sum identity: a_i = th_i * B^-i; W_j =
+    B^(j+L-1) * (prefix[j+L-1] - prefix[j-1]).  np.cumsum stays exact in
+    int64 while n * p < 2^63 (n < 4e9 tokens per doc — guarded)."""
+    import numpy as np
+
+    n = len(th)
+    if n < L:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if n * 2147483647 >= (1 << 63):
+        raise ValueError(f"document too long for int64 prefix sums: {n}")
+    pows = _rk_pows(n + L)
+    out = []
+    for m, (B, p) in enumerate(_RK):
+        fw, bw = pows[m]
+        hm = np.asarray(th, dtype=np.int64) % p
+        a = hm * bw[:n] % p
+        pre = np.cumsum(a)
+        s = pre[L - 1 :] - np.concatenate(([0], pre[: n - L]))
+        out.append(s % p * fw[L - 1 : n] % p)
+    return out[0], out[1]
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_length: int = 32,
+    hash: str = "md5",
+    verify: bool = True,
+) -> DataFrame:
+    """EXACT duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): every token covered by a duplicated run of
+    ``min_length``-or-more tokens is deleted except in the run's
+    globally FIRST occurrence (ordered by ``(doc, start)``), at ANY
+    offset, for ANY token content.  This is the exactness guarantee
+    :func:`duplicate_span_dedup` approximates with content-defined
+    anchors (VERDICT r13 task 3 closes the gap).
+
+    Key identity: a duplicated run of length >= L exists iff some
+    EXACT L-token window is duplicated, and removing every non-first
+    duplicated L-window removes exactly the non-first occurrences of
+    all such runs.  So exhaustive stride-1 window hashing IS the exact
+    algorithm — the trick is paying O(n), not O(n*L), for it:
+
+    1. tokens hash once JVM-side (portable md5 / xxhash64 knob);
+    2. per document, an Arrow-batched numpy kernel computes ALL window
+       hashes with a double Rabin-Karp rolling hash in O(n) — the
+       linear recurrence is the one step Spark's HOFs cannot express
+       without O(n^2) array appends (reference point: Lee et al. build
+       a suffix array; a rolling hash gives the same window-equality
+       relation with distributed-friendly shapes);
+    3. duplicated window keys surface from one map-side-combined
+       groupBy (distinct-window scale after partial aggregation);
+       candidate occurrences are the join-back — bounded by DUPLICATED
+       window volume, never corpus scale;
+    4. ``verify=True`` (default) regroups candidates on the md5 of the
+       actual window CONTENT (array-local slice+concat, only on docs
+       holding candidates) — rolling-hash collisions cost a wasted
+       verification, never a wrong result: the output is exact, not
+       probabilistic;
+    5. non-first occurrences cover their positions; documents
+       reassemble from surviving tokens (the duplicate_span_dedup
+       output contract: ``(id, clean_text, n_kept)``; fully-covered
+       documents disappear).
+
+    At 100 TB: stages 1-2 ride the scan (zero shuffle); stage 3 is the
+    one token-scale shuffle, shrunk by map-side combine to
+    distinct-window scale; stages 4-5 scale with duplicate volume.
+    """
+    import pandas as pd
+
+    if min_length < 1:
+        raise ValueError(f"min_length must be >= 1, got {min_length}")
+    _check_hash(hash)
+    L = min_length
+    docs = df.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    idt = dict(docs.dtypes)[id_col]
+    hashed = docs.select(
+        id_col, F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
+    )
+
+    def window_hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, starts, w1s, w2s = [], [], [], []
+            for i, th in zip(pdf[id_col], pdf["__th"]):
+                w1, w2 = _rolling_window_hashes(np.asarray(th), L)
+                if len(w1):
+                    ids.append(np.full(len(w1), i))
+                    starts.append(np.arange(len(w1), dtype=np.int32))
+                    w1s.append(w1)
+                    w2s.append(w2)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "__s": np.concatenate(starts),
+                        "__w1": np.concatenate(w1s),
+                        "__w2": np.concatenate(w2s),
+                    }
+                )
+
+    w = hashed.mapInPandas(
+        window_hashes, f"`{id_col}` {idt}, __s int, __w1 long, __w2 long"
+    )
+    dup_keys = (
+        w.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .drop("__c")
+    )
+    cand = w.join(dup_keys, ["__w1", "__w2"])
+    if verify:
+        # Regroup candidates on actual window content (md5 of the
+        # token slice) — array-local, only over docs holding
+        # candidates.  This removes the rolling hash from the trust
+        # base entirely.
+        per_doc = cand.groupBy(id_col).agg(F.collect_list("__s").alias("__ss"))
+        ver = (
+            docs.join(per_doc, id_col)
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        "__ss",
+                        lambda s: F.struct(
+                            s.alias("__s"),
+                            F.md5(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__tk"), s + 1, L)
+                                )
+                            ).alias("__h"),
+                        ),
+                    )
+                ).alias("__v"),
+            )
+            .select(id_col, F.col("__v.__s").alias("__s"), F.col("__v.__h").alias("__h"))
+        )
+        keyed = ver
+        key = ["__h"]
+    else:
+        keyed = cand
+        key = ["__w1", "__w2"]
+    # keyed feeds BOTH the keep-first aggregation and the dup join —
+    # without a persist the whole upstream (scan + rolling-hash
+    # MapInPandas + duplicate-key join) executes once per consumer.
+    # Candidate-scale rows (bounded by duplicated-window volume), the
+    # same class of bounded persist as minhash sigs / band stores.
+    keyed = keyed.persist()
+    first = keyed.groupBy(*key).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))
+        ).alias("__f")
+    )
+    dup = keyed.join(first, key).where(
+        ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
+    )
+    cover = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__s"), F.col("__s") + L - 1)).alias("pos"),
+    ).distinct()
+    tokpos = docs.select(id_col, F.posexplode("__tk").alias("pos", "tok"))
+    kept = tokpos.join(cover, [id_col, "pos"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["tok"])).alias(
+            "clean_text"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def chunk_level_dedup(
     df: DataFrame,
     text_col: str = "text",

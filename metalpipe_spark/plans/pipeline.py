@@ -699,6 +699,23 @@ def _near_dup_dedup_node(spark, upstreams, opts):
     )
 
 
+@node_class("ExactSubstrDedup")
+def _exact_substr_dedup_node(spark, upstreams, opts):
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr
+    semantics): operators/dedup.exact_substr_dedup."""
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    df = _one(upstreams, "ExactSubstrDedup")
+    return exact_substr_dedup(
+        df,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        min_length=opts.get("min_length", 32),
+        hash=opts.get("hash", "md5"),
+        verify=opts.get("verify", True),
+    )
+
+
 @node_class("ChunkDocuments")
 def _chunk_documents_node(spark, upstreams, opts):
     from metalpipe_spark.operators.text import chunk_documents

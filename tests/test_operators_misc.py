@@ -2904,3 +2904,71 @@ def test_count_min_heavy_hitters_ignores_nulls(spark):
     )
     got = count_min_heavy_hitters(df, "tok", threshold=100).collect()
     assert [(r["tok"], r["n"]) for r in got] == [("hot", 500)]
+
+
+def test_exact_substr_dedup_offset_robust_and_keep_first(spark):
+    """The exact face: a run duplicated at a DIFFERENT offset is fully
+    stripped from the later doc; the first occurrence and unrelated
+    text survive untouched; fully-covered docs disappear."""
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    run = " ".join(f"r{i}" for i in range(10))
+    rows = [
+        (1, run),                      # first occurrence: kept whole
+        (2, "u1 u2 u3 " + run),        # shifted copy: run stripped
+        (3, run),                      # nothing unique: disappears
+        (4, "v1 v2 v3 v4"),            # unrelated: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in exact_substr_dedup(df, min_length=6).collect()
+    }
+    assert got == {
+        1: (run, 10),
+        2: ("u1 u2 u3", 3),
+        4: ("v1 v2 v3 v4", 4),
+    }
+
+
+def test_exact_substr_dedup_verify_and_hash_knobs_agree(spark):
+    """verify=False (pure rolling-hash grouping) and the xxhash64
+    production knob produce identical output to the verified md5
+    default on a mixed corpus."""
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(25)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            map(tuple, exact_substr_dedup(df, min_length=5, **kw).collect())
+        )
+
+    base = run()
+    assert run(verify=False) == base
+    assert run(hash="xxhash64") == base
+    assert base  # the modular vocab guarantees duplicates exist
+
+
+def test_exact_substr_dedup_validations(spark):
+    import pytest
+
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_length"):
+        exact_substr_dedup(df, min_length=0)
+    with pytest.raises(ValueError, match="hash"):
+        exact_substr_dedup(df, hash="sha1")
+    # NULL text and docs shorter than the window pass through whole.
+    short = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, exact_substr_dedup(short, min_length=8).collect())
+    )
+    assert got == [(1, "", 1), (2, "a b c", 3)]

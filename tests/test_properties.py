@@ -662,3 +662,59 @@ def test_parse_robots_roundtrip_property(
         for r in parse_robots(df, agent="nomatch-agent").collect()
     }
     assert got == want, (body, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_docs=st.integers(min_value=2, max_value=8),
+    L=st.integers(min_value=3, max_value=8),
+)
+def test_exact_substr_matches_python_oracle_property(spark, data, n_docs, L):
+    """exact_substr_dedup equals a brute-force Python oracle (keep-first
+    per distinct L-window, cover the rest) on corpora with PLANTED
+    duplicated runs at random offsets — so no duplicated run >= L
+    survives at ANY offset, and nothing extra is removed."""
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    # A small token alphabet makes accidental duplicates likely; a
+    # planted run (shared across a random subset of docs at random
+    # offsets) makes offset-robustness mandatory.
+    run_len = data.draw(st.integers(min_value=L, max_value=2 * L))
+    run = [f"R{j}" for j in range(run_len)]
+    docs = []
+    for d in range(n_docs):
+        n = data.draw(st.integers(min_value=0, max_value=30))
+        toks = [
+            f"t{data.draw(st.integers(min_value=0, max_value=5))}"
+            for _ in range(n)
+        ]
+        if data.draw(st.booleans()):
+            at = data.draw(st.integers(min_value=0, max_value=len(toks)))
+            toks = toks[:at] + run + toks[at:]
+        docs.append((d, " ".join(toks)))
+
+    # Python oracle: identical semantics, brute force.
+    firsts: dict[str, tuple[int, int]] = {}
+    for d, text in docs:
+        tk = text.split(" ")
+        for s in range(len(tk) - L + 1):
+            w = " ".join(tk[s : s + L])
+            firsts.setdefault(w, (d, s))
+    want = {}
+    for d, text in docs:
+        tk = text.split(" ")
+        covered = set()
+        for s in range(len(tk) - L + 1):
+            if firsts[" ".join(tk[s : s + L])] != (d, s):
+                covered.update(range(s, s + L))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        if kept:
+            want[d] = (" ".join(kept), len(kept))
+
+    out = exact_substr_dedup(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        min_length=L,
+    ).collect()
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"]) for r in out}
+    assert got == want
