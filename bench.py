@@ -92,6 +92,7 @@ HEADLINE = [
     "q_wet_roundtrip",
     "q_html_extract",
     "q_crawl_pipeline",
+    "q_warc_revisit_dedup",
     # crawl politeness + quantile surfaces (r13 second half)
     "q_robots_filter",
     "q_sitemap_frontier",

@@ -277,3 +277,118 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("source")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_warc_revisit_dedup",
+    """
+    SELECT 'urn:rev:' || doc_id AS record_id,
+           'https://corpus.example/' || source || '/' || doc_id
+             || '?refetch=1' AS url,
+           '<urn:doc:' || doc_id || '>' AS refers_to,
+           'https://corpus.example/' || source || '/' || doc_id AS orig_url,
+           200 AS http_status,
+           md5(coalesce(text, '')) AS payload_md5,
+           (doc_id % 6 <> 0) AS digest_ok
+    FROM documents
+    WHERE doc_id < 120 AND doc_id % 3 = 0
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Revisit-record dedup (WARC/1.1 identical-payload-digest): a "
+        "segment interleaving request/response/metadata/revisit records "
+        "round-trips through write_warc -> read_warc (exact walk now "
+        "parses all four types + linkage headers) and resolve_revisits "
+        "joins each payload-free revisit to its referred response — "
+        "recovering the original payload and validating the declared "
+        "digest (every 6th doc carries a deliberately wrong digest)."
+    ),
+)
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.sources.warc import resolve_revisits, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://corpus.example/"),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+    def rec(warc_type, url, rid, payload, date, refers_to, profile, digest):
+        return [
+            F.lit(warc_type).alias("warc_type"),
+            url.alias("url"),
+            rid.alias("record_id"),
+            payload.alias("payload"),
+            F.lit(date).alias("date"),
+            refers_to.alias("refers_to"),
+            F.lit(profile).alias("profile"),
+            digest.alias("payload_digest"),
+        ]
+
+    rid = lambda kind: F.concat(F.lit(f"urn:{kind}:"), F.col("doc_id"))
+    good = F.concat(F.lit("md5:"), F.md5("text"))
+    resp = docs.select(*rec(
+        "response", F.col("url"), rid("doc"),
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+            F.col("text"),
+        ),
+        "2026-01-01T00:00:00Z", F.lit(""), "", good,
+    ))
+    req = docs.select(*rec(
+        "request", F.col("url"), rid("req"),
+        F.lit("GET / HTTP/1.1\r\nHost: corpus.example\r\n\r\n"),
+        "2026-01-01T00:00:00Z", F.lit(""), "", F.lit(""),
+    ))
+    meta = docs.where(F.col("doc_id") % 5 == 0).select(*rec(
+        "metadata", F.col("url"), rid("meta"),
+        F.lit("via: sitemap\r\nhopsFromSeed: P\r\n"),
+        "2026-01-01T00:00:00Z",
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")),
+        "", F.lit(""),
+    ))
+    # Every 6th doc declares a WRONG digest: digest_ok must catch it.
+    rev_digest = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.lit("md5:"), F.md5(F.concat(F.col("text"), F.lit("X")))),
+    ).otherwise(good)
+    rev = docs.where(F.col("doc_id") % 3 == 0).select(*rec(
+        "revisit", F.concat(F.col("url"), F.lit("?refetch=1")), rid("rev"),
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        "2026-02-01T00:00:00Z",
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")),
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        rev_digest,
+    ))
+    segment = resp.unionByName(req).unionByName(meta).unionByName(rev)
+    tmp = tempfile.mkdtemp(prefix="mps_warc_rev_")
+    try:
+        write_warc(segment, f"{tmp}/warc")
+        warc = read_warc(spark, f"{tmp}/warc", record_types=None)
+        out = resolve_revisits(warc).select(
+            F.regexp_replace("record_id", r"^<|>$", "").alias("record_id"),
+            "url",
+            "refers_to",
+            "orig_url",
+            "http_status",
+            F.md5("payload").alias("payload_md5"),
+            "digest_ok",
+        )
+        # SIZE GUARD: revisit rows only (fixture scale) — the drain
+        # must outlive the temp dir for the lazy comparator.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("record_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

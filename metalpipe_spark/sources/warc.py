@@ -82,6 +82,13 @@ WARC_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
         T.StructField("payload", T.BinaryType()),
+        # Revisit/metadata linkage (RFC WARC/1.1 §6.7): real Common
+        # Crawl segments interleave request/metadata/revisit records
+        # with responses; a `revisit` + WARC-Refers-To is the crawler's
+        # own dedup assertion — resolve_revisits() consumes these.
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("profile", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
         T.StructField("length_ok", T.BooleanType()),
     ]
 )
@@ -321,7 +328,16 @@ def _read_records_exact(
                     ]
                     if http:
                         status, ctype, body = _split_http(payload)
-                        rows.append(base + [status, ctype, body, True])
+                        rows.append(
+                            base
+                            + [status, ctype, body]
+                            + [
+                                _hval(head, "WARC-Refers-To"),
+                                _hval(head, "WARC-Profile"),
+                                _hval(head, "WARC-Payload-Digest"),
+                                True,
+                            ]
+                        )
                     else:
                         rows.append(base + [payload.decode("utf-8", "replace"), True])
             yield pd.DataFrame(rows, columns=names)
@@ -440,3 +456,115 @@ def write_wet(
     if compression:
         writer = writer.option("compression", compression)
     writer.mode("overwrite").text(path)
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    warc_version: str = "1.0",
+    compression: str | None = "gzip",
+) -> None:
+    """Export arbitrary WARC records — the general-record sibling of
+    :func:`write_wet` (which is fixed to ``conversion``): one
+    spec-framed record per row, any ``WARC-Type``, optional linkage
+    headers — so request/response/metadata/revisit interleavings (what
+    a real Common Crawl segment looks like) can be produced, tested,
+    and replayed without network fixtures.
+
+    Expected columns: ``warc_type``, ``url``, ``record_id`` (bare URN;
+    written in angle brackets), ``payload`` (string; HTTP framing, if
+    any, is the caller's payload content), and optional ``date``,
+    ``refers_to``, ``profile``, ``payload_digest`` (empty/missing ->
+    header omitted).  ``Content-Length`` is the payload's OCTET length,
+    per the exact-walk contract."""
+    cols = set(df.columns)
+
+    def opt(header: str, col: str) -> Column:
+        if col not in cols:
+            return F.lit("")
+        v = F.coalesce(F.col(col), F.lit(""))
+        return F.when(
+            v == "", F.lit("")
+        ).otherwise(F.concat(F.lit(f"{header}: "), v, F.lit("\r\n")))
+
+    date_c = (
+        F.coalesce(F.col("date"), F.lit("2026-01-01T00:00:00Z"))
+        if "date" in cols
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    payload = F.coalesce(F.col("payload"), F.lit(""))
+    record = F.concat(
+        F.lit(f"WARC/{warc_version}\r\n"),
+        F.lit("WARC-Type: "), F.col("warc_type"), F.lit("\r\n"),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit("\r\n"),
+        F.lit("WARC-Date: "), date_c, F.lit("\r\n"),
+        F.lit("WARC-Record-ID: <"), F.col("record_id"), F.lit(">\r\n"),
+        opt("WARC-Refers-To", "refers_to"),
+        opt("WARC-Profile", "profile"),
+        opt("WARC-Payload-Digest", "payload_digest"),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n"),
+    )
+    writer = df.select(record.alias("value")).write.option("lineSep", "\r\n")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.mode("overwrite").text(path)
+
+
+def resolve_revisits(warc: DataFrame) -> DataFrame:
+    """Resolve ``revisit`` records against the ``response`` records they
+    refer to — the crawler's own dedup assertions turned into a usable
+    fetch table.
+
+    A revisit record (WARC/1.1 §6.7, identical-payload-digest profile)
+    says "this URL was fetched again and the payload was byte-identical
+    to an earlier capture" — it carries NO payload of its own, only
+    ``WARC-Refers-To`` (the original's record id).  Output: one row per
+    revisit with the original's content joined in —
+    ``(record_id, url, date, refers_to, orig_url, orig_date,
+    http_status, payload, digest_ok)`` where ``digest_ok`` is true when
+    the revisit's declared ``WARC-Payload-Digest`` matches the
+    original's (NULL digest on either side -> false, never silently
+    trusted).
+
+    Plan shape: one equi-join on the referred record id (unique per
+    response, evenly distributed — no skew by construction); both sides
+    are pre-filtered by ``warc_type``, so the join input is revisit
+    volume x response volume, never the full record stream.  At crawl
+    scale this is THE payload-free dedup join: revisits are typically
+    the majority of fetches and never ship a body."""
+    revs = warc.where(F.col("warc_type") == "revisit").select(
+        "record_id",
+        "url",
+        "date",
+        # Stored with angle brackets (raw header value); the join key
+        # is the bare URN, matching the response side's record_id.
+        F.regexp_replace("refers_to", r"^<|>$", "").alias("__ref"),
+        F.col("refers_to").alias("refers_to"),
+        F.col("payload_digest").alias("__rev_digest"),
+    )
+    orig = warc.where(F.col("warc_type") == "response").select(
+        F.regexp_replace("record_id", r"^<|>$", "").alias("__ref"),
+        F.col("url").alias("orig_url"),
+        F.col("date").alias("orig_date"),
+        "http_status",
+        "payload",
+        F.col("payload_digest").alias("__orig_digest"),
+    )
+    return revs.join(orig, "__ref").select(
+        "record_id",
+        "url",
+        "date",
+        "refers_to",
+        "orig_url",
+        "orig_date",
+        "http_status",
+        "payload",
+        (
+            F.col("__rev_digest").isNotNull()
+            & (F.col("__rev_digest") != "")
+            & (F.col("__rev_digest") == F.col("__orig_digest"))
+        ).alias("digest_ok"),
+    )

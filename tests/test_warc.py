@@ -475,3 +475,72 @@ def test_stream_wet_feeds_corpus_pipeline(spark, tmp_path):
     out = spark.read.parquet(kept)
     assert out.count() > 0
     assert {"doc_id", "text"} <= set(out.columns)
+
+
+def test_warc_interleaved_record_types_and_revisit_resolution(spark, tmp_path):
+    """A segment interleaving request/response/metadata/revisit records
+    (the real Common Crawl layout) parses under the exact walk with the
+    linkage headers surfaced, and resolve_revisits recovers the
+    original payload for each payload-free revisit — flagging declared
+    digests that do not match."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.sources.warc import (
+        read_warc,
+        resolve_revisits,
+        write_warc,
+    )
+
+    body = "shared page body"
+    rows = [
+        # (warc_type, url, record_id, payload, refers_to, profile, digest)
+        ("request", "https://h.example/a", "urn:req:1",
+         "GET /a HTTP/1.1\r\nHost: h.example\r\n\r\n", "", "", ""),
+        ("response", "https://h.example/a", "urn:doc:1",
+         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+         "", "", "md5:d1"),
+        ("metadata", "https://h.example/a", "urn:meta:1",
+         "via: seed\r\n", "<urn:doc:1>", "", ""),
+        ("revisit", "https://h.example/a?r=1", "urn:rev:1",
+         "HTTP/1.1 200 OK\r\n", "<urn:doc:1>",
+         "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+         "md5:d1"),
+        ("revisit", "https://h.example/a?r=2", "urn:rev:2",
+         "HTTP/1.1 200 OK\r\n", "<urn:doc:1>",
+         "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+         "md5:WRONG"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_type string, url string, record_id string, payload string,"
+        " refers_to string, profile string, payload_digest string",
+    )
+    out = str(tmp_path / "seg")
+    write_warc(df, out, compression=None)
+    warc = read_warc(spark, out, record_types=None)
+    by_type = {r["warc_type"]: r for r in warc.collect()}
+    assert set(by_type) == {"request", "response", "metadata", "revisit"}
+    # request payloads are not HTTP responses: status None, bytes kept
+    assert by_type["request"]["http_status"] is None
+    assert bytes(by_type["request"]["payload"]).startswith(b"GET /a")
+    assert by_type["metadata"]["refers_to"] == "<urn:doc:1>"
+    assert by_type["revisit"]["profile"].endswith("identical-payload-digest")
+    assert by_type["response"]["payload_digest"] == "md5:d1"
+    # default read_warc filter still keeps only responses
+    assert read_warc(spark, out).count() == 1
+
+    res = {
+        r["record_id"]: r
+        for r in resolve_revisits(warc)
+        .withColumn(
+            "record_id", F.regexp_replace("record_id", r"^<|>$", "")
+        )
+        .collect()
+    }
+    assert set(res) == {"urn:rev:1", "urn:rev:2"}
+    for rid, ok in (("urn:rev:1", True), ("urn:rev:2", False)):
+        r = res[rid]
+        assert bytes(r["payload"]).decode() == body  # original body joined in
+        assert r["orig_url"] == "https://h.example/a"
+        assert r["http_status"] == 200
+        assert r["digest_ok"] is ok
