@@ -683,3 +683,92 @@ def test_html_extract_scan_shaped(spark):
     plan = _formatted(docs.select(html_extract_text("text").alias("t")))
     for node in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert _nodes(plan, node) == 0
+
+
+def test_corpus_diff_over_bucketed_snapshots_is_exchange_free(spark):
+    """The incremental family's store layout (VERDICT r13 task 5): two
+    corpus snapshots bucketed on doc_id full-outer-diff with ZERO
+    Exchange — the (id, md5) projection is alias-aware, so bucketing
+    survives it and the 100 TB diff never shuffles."""
+    from metalpipe_spark.operators.curation import corpus_diff
+    from metalpipe_spark.sinks.writers import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    write_bucketed(docs, "t_snap_old", "doc_id", 8, sort_col="doc_id")
+    write_bucketed(
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text")),
+        ).where(F.col("doc_id") % 11 != 0),
+        "t_snap_new",
+        "doc_id",
+        8,
+        sort_col="doc_id",
+    )
+    try:
+        diff = corpus_diff(spark.table("t_snap_old"), spark.table("t_snap_new"))
+        with _no_auto_broadcast(spark):
+            plan = _formatted(diff)
+        assert _nodes(plan, "SortMergeJoin") == 1, plan
+        assert _nodes(plan, "Exchange") == 0, plan
+        counts = {r["change"]: r["n"] for r in
+                  diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts.get("removed", 0) > 0 and counts.get("changed", 0) > 0
+        assert counts.get("unchanged", 0) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")
+
+
+def test_incremental_neardup_bucketed_store_side_never_shuffles(spark):
+    """A band store persisted bucketed on band_key joins incoming batch
+    bands with NO Exchange above the store scan: only the (small) batch
+    side shuffles into the store's bucketing — the store side of every
+    future incremental batch is shuffle-free at any store size."""
+    from metalpipe_spark.operators.dedup import (
+        band_store,
+        incremental_neardup_dedup,
+    )
+    from metalpipe_spark.sinks.writers import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    store = band_store(docs.where(F.col("doc_id") < 300))
+    write_bucketed(store, "t_band_store", "band_key", 8)
+    try:
+        batch = docs.where(F.col("doc_id") >= 300)
+        fresh, updated = incremental_neardup_dedup(
+            batch, spark.table("t_band_store")
+        )
+        with _no_auto_broadcast(spark):
+            plan = _formatted(fresh)
+        # The store's scan must flow into its join with no Exchange in
+        # between: in the formatted plan, no Exchange node's input
+        # subtree contains the bucketed table scan.  Cheap proxy: the
+        # plan section between the store scan and the store-batch
+        # SortMergeJoin carries no Exchange on the store branch, i.e.
+        # total exchanges == exchanges with the store scan removed.
+        # Direct branch check: in the plan tree, the lines immediately
+        # above the store scan must be Sort/Filter only — no Exchange
+        # feeds the store side.
+        tree_lines = plan.splitlines()
+        scan_idx = [
+            i for i, ln in enumerate(tree_lines) if "t_band_store" in ln
+        ]
+        assert scan_idx, plan
+        for i in scan_idx:
+            above = "\n".join(tree_lines[max(0, i - 3) : i])
+            assert "Exchange" not in above, plan
+        unbucketed = band_store(docs.where(F.col("doc_id") < 300))
+        fresh_u, _ = incremental_neardup_dedup(batch, unbucketed)
+        with _no_auto_broadcast(spark):
+            plan_u = _formatted(fresh_u)
+        # And globally: the bucketed layout strictly removes exchanges
+        # relative to the identical unbucketed store.
+        assert _nodes(plan, "Exchange") < _nodes(plan_u, "Exchange"), (
+            plan,
+            plan_u,
+        )
+        assert fresh.count() == fresh_u.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_store")
