@@ -997,6 +997,7 @@ def count_min_heavy_hitters(
     depth: int = 4,
     width: int = 1024,
     hash: str = "md5",
+    probe: str = "auto",
 ) -> DataFrame:
     """EXACT heavy hitters — every value of ``col`` occurring at least
     ``threshold`` times, with its exact count — without ever running a
@@ -1019,19 +1020,58 @@ def count_min_heavy_hitters(
     removes the false positives, so the result is EXACT while the only
     wide operation runs on the candidate sliver.  Size ``width`` so
     ``n/width ≪ threshold`` or the collision leakage erodes the
-    filtering (the classic CM sizing rule)."""
+    filtering (the classic CM sizing rule).
+
+    ``probe`` picks how counters reach the rows: ``"literal"`` inlines
+    them as codegen array literals (zero joins, but Catalyst pays a
+    plan-compile floor that grows with ``depth*width`` — ~2 s at
+    4x1024); ``"broadcast"`` leaves the counters as a DataFrame and
+    runs one BROADCAST left join per depth row (map-side, no shuffle;
+    plan size constant in ``width``); ``"auto"`` (default) switches to
+    broadcast when ``depth * width > 16384``, where compile time
+    starts to dominate the probe's benefit.  Both forms are
+    output-identical (pinned by test)."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if probe not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            f"probe must be 'auto', 'literal' or 'broadcast', got {probe!r}"
+        )
     # NULLs hash to a NULL bucket (md5(NULL) is NULL), which would both
     # crash the counter fill below (list index None) and be meaningless
     # under the groupBy contract — a NULL key can never be a heavy
     # hitter.  Exclude them from the sketch AND the probe.
     df = df.where(F.col(col).isNotNull())
     sketch = count_min_sketch(df, col, depth=depth, width=width, hash=hash)
+    _, rows = _cm_bucket_structs(col, depth, width, hash)
+    if probe == "broadcast" or (probe == "auto" and depth * width > 16384):
+        # Counter tables stay DataFrames: one broadcast LEFT join per
+        # depth row on the row's bucket expression (absent counter =
+        # true zero — no item ever hashed there).  Map-side only; the
+        # plan carries depth joins, not depth*width literals.
+        probed = df
+        ests = []
+        for j in range(depth):
+            cj = sketch.where(F.col("row") == j).select(
+                F.col("bucket").alias(f"__b{j}"),
+                F.col("c").alias(f"__c{j}"),
+            )
+            probed = probed.join(
+                F.broadcast(cj),
+                rows[j]["bucket"] == F.col(f"__b{j}"),
+                "left",
+            )
+            ests.append(F.coalesce(F.col(f"__c{j}"), F.lit(0)))
+        est = F.least(*ests) if depth > 1 else ests[0]
+        return (
+            probed.where(est >= F.lit(threshold))
+            .groupBy(F.col(col))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= threshold)
+        )
     counters = [[0] * width for _ in range(depth)]
     for r in sketch.collect():  # depth*width rows — metadata-scale
         counters[r["row"]][r["bucket"]] = r["c"]
-    _, rows = _cm_bucket_structs(col, depth, width, hash)
     # element_at is 1-based; bucket is 0-based.
     probes = [
         F.element_at(

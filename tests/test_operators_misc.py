@@ -2972,3 +2972,44 @@ def test_exact_substr_dedup_validations(spark):
         map(tuple, exact_substr_dedup(short, min_length=8).collect())
     )
     assert got == [(1, "", 1), (2, "a b c", 3)]
+
+
+def test_count_min_heavy_hitters_probe_forms_agree(spark):
+    """The broadcast-join probe equals the literal-array probe exactly
+    (same skew corpus), and the auto switch picks broadcast once
+    depth*width crosses the compile-floor threshold."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.sketches import count_min_heavy_hitters
+
+    df = spark.range(30_000).select(
+        F.when(F.col("id") % 40 < 2, F.lit("hot_a"))
+        .when(F.col("id") % 40 < 3, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 9_000).cast("string")))
+        .alias("tok")
+    )
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                count_min_heavy_hitters(df, "tok", threshold=400, **kw).collect(),
+            )
+        )
+
+    lit_form = run(probe="literal")
+    assert run(probe="broadcast") == lit_form and len(lit_form) == 2
+    # auto: small geometry -> literal path (no join in the plan); big
+    # geometry -> broadcast joins appear.
+    small = count_min_heavy_hitters(df, "tok", threshold=400)
+    big = count_min_heavy_hitters(
+        df, "tok", threshold=400, depth=4, width=8192
+    )
+    assert "Join" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in big._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, big.collect())) == lit_form
+    with pytest.raises(ValueError, match="probe"):
+        count_min_heavy_hitters(df, "tok", threshold=400, probe="join")
