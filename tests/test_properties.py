@@ -718,3 +718,169 @@ def test_exact_substr_matches_python_oracle_property(spark, data, n_docs, L):
     ).collect()
     got = {r["doc_id"]: (r["clean_text"], r["n_kept"]) for r in out}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(data=st.data(), n_records=st.integers(min_value=1, max_value=8))
+def test_warc_exact_walk_adversarial_framing_property(
+    spark, tmp_path_factory, data, n_records
+):
+    """The Content-Length exact walk must recover every record's payload
+    BYTE-EXACTLY for any payload content — including payloads embedding
+    the inter-record framing bytes, fake record headers, NULs, and
+    trailing CRLF runs — across all four record types."""
+    from metalpipe_spark.sources.warc import read_warc
+
+    types = ["response", "request", "metadata", "revisit", "conversion"]
+    evil = [
+        b"\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 0\r\n\r\n",
+        b"\x00\xff\x1f\x8b",
+        b"Content-Length: 99\r\n",
+        b"\r\n" * 4,
+    ]
+    recs = []
+    blob = b""
+    for i in range(n_records):
+        wt = data.draw(st.sampled_from(types))
+        payload = bytes(
+            data.draw(
+                st.lists(st.integers(min_value=0, max_value=255), max_size=30)
+            )
+        )
+        if data.draw(st.booleans()):
+            payload += data.draw(st.sampled_from(evil))
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {wt}\r\n"
+            f"WARC-Target-URI: https://h.example/{i}\r\n"
+            f"WARC-Record-ID: <urn:p:{i}>\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        blob += head + payload + b"\r\n\r\n"
+        recs.append((f"urn:p:{i}", wt, payload))
+    out = tmp_path_factory.mktemp("warcprop")
+    (out / "seg.warc").write_bytes(blob)
+    rows = read_warc(spark, str(out), record_types=None).collect()
+    got = {
+        r["record_id"]: (r["warc_type"], bytes(r["payload"]))
+        for r in rows
+    }
+    want = {}
+    for rid, wt, payload in recs:
+        # read_warc splits HTTP-shaped payloads into (status, body);
+        # reconstruct what the walk should keep as `payload`.
+        import re as _re
+
+        if _re.match(rb"^HTTP/\d\.\d (\d{3})", payload):
+            end = payload.find(b"\r\n\r\n")
+            body = b"" if end < 0 else payload[end + 4 :]
+            want[f"<{rid}>"] = (wt, body)
+        else:
+            want[f"<{rid}>"] = (wt, payload)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(data=st.data(), n_rules=st.integers(min_value=1, max_value=10))
+def test_robots_filter_longest_match_property(spark, data, n_rules):
+    """robots_filter equals a Python RFC 9309 oracle (longest prefix
+    decides, allow wins exact ties, no match -> allowed) for random
+    plain-prefix rule sets and random frontier paths."""
+    from metalpipe_spark.operators.web import robots_filter
+
+    rules = []
+    for _ in range(n_rules):
+        kind = data.draw(st.sampled_from(["allow", "disallow"]))
+        prefix = "/" + "".join(
+            data.draw(
+                st.lists(
+                    st.sampled_from("ab/"), min_size=0, max_size=6
+                )
+            )
+        )
+        rules.append((kind, prefix))
+    urls = [
+        "https://h.example/"
+        + "".join(
+            data.draw(st.lists(st.sampled_from("ab/"), max_size=8))
+        )
+        for _ in range(6)
+    ]
+
+    def oracle(path: str) -> bool:
+        best = None  # (plen, is_allow)
+        for kind, prefix in rules:
+            if path.startswith(prefix):
+                cand = (len(prefix), kind == "allow")
+                if best is None or cand > best:
+                    best = cand
+        return True if best is None else best[1]
+
+    rule_df = spark.createDataFrame(
+        [
+            ("h.example", k, p, False, "")
+            for k, p in rules
+        ],
+        "host string, rule string, prefix string, wild boolean, pattern string",
+    )
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_filter(frontier, rule_df, "url", keep="all").collect()
+    }
+    for u in urls:
+        path = u[len("https://h.example"):] or "/"
+        assert got[u] == oracle(path), (u, rules)
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+    ),
+    seq_len=st.integers(min_value=1, max_value=17),
+)
+def test_pack_sequences_reconstruction_property(spark, weights, seq_len):
+    """pack_sequences' manifest must tile the concatenated token stream
+    exactly: per doc, pieces cover [0, weight) contiguously in seq
+    order; per sequence, pieces cover [0, seq_len) contiguously (the
+    last sequence may end short); global piece order equals the
+    exclusive prefix sum of weights."""
+    from metalpipe_spark.operators.curation import pack_sequences
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", "doc_id", seq_len).collect()
+    # per doc: pieces in seq order reconstruct [0, weight)
+    by_doc: dict[int, list] = {}
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    total = sum(weights)
+    for doc_id, w in rows:
+        pieces = sorted(by_doc.get(doc_id, []), key=lambda r: r["seq_id"])
+        assert (len(pieces) == 0) == (w == 0), doc_id
+        at = 0
+        for p in pieces:
+            assert p["doc_start"] == at
+            assert 0 < p["piece_len"] <= seq_len
+            at += p["piece_len"]
+        assert at == w, doc_id
+    # per sequence: contiguous fill from 0; full except possibly the last
+    n_seqs = (total + seq_len - 1) // seq_len
+    assert set(by_seq) == set(range(n_seqs))
+    for s, pieces in by_seq.items():
+        pieces = sorted(pieces, key=lambda r: r["seq_start"])
+        at = 0
+        for p in pieces:
+            assert p["seq_start"] == at
+            at += p["piece_len"]
+        assert at == (seq_len if s < n_seqs - 1 else total - seq_len * (n_seqs - 1))
+    # global order: doc pieces appear at exactly the prefix-sum offsets
+    prefix = 0
+    for doc_id, w in rows:
+        if w:
+            first = min(by_doc[doc_id], key=lambda r: r["seq_id"])
+            assert first["seq_id"] * seq_len + first["seq_start"] == prefix
+        prefix += w
