@@ -107,6 +107,7 @@ HEADLINE = [
     # batched inference (r14)
     "q_embed_documents",
     "q_embed_pipeline",
+    "q_incremental_embed",
     # similarity search
     "q_ann_brute_topk",
     "q_ann_batch_topk",

@@ -27,7 +27,7 @@ _EMBED_CTES = """
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                 t -> t <> '')) AS tok
-      FROM documents
+      FROM {src}
     ),
     h AS (
       SELECT doc_id,
@@ -43,7 +43,7 @@ _EMBED_CTES = """
     nrm AS (SELECT doc_id, SUM(s * s)::BIGINT AS n2 FROM acc GROUP BY doc_id),
     grid AS (
       SELECT d.doc_id, g.range::BIGINT AS bucket
-      FROM (SELECT doc_id FROM documents) d CROSS JOIN range({dim}) g
+      FROM (SELECT doc_id FROM {src}) d CROSS JOIN range({dim}) g
     ),
     cells AS (
       SELECT grid.doc_id, grid.bucket,
@@ -66,7 +66,7 @@ _DOT = (
 @register(
     "q_embed_documents",
     f"""
-    WITH {_EMBED_CTES.format(dim=8)}
+    WITH {_EMBED_CTES.format(dim=8, src='documents')}
     SELECT doc_id, bucket, round(v, 9) AS v
     FROM cells
     ORDER BY doc_id, bucket
@@ -91,7 +91,7 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embed_pipeline",
     f"""
-    WITH {_EMBED_CTES.format(dim=16)},
+    WITH {_EMBED_CTES.format(dim=16, src='documents')},
     vecs AS (
       SELECT doc_id, list(v ORDER BY bucket) AS emb
       FROM cells GROUP BY doc_id
@@ -115,4 +115,69 @@ def q_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         emb, [float(x) for x in qv], vec_col="embedding",
         id_col="doc_id", k=10,
+    )
+
+
+@register(
+    "q_incremental_embed",
+    f"""
+    WITH mod AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents
+    ),
+    {_EMBED_CTES.format(dim=8, src='mod')}
+    SELECT doc_id, bucket, round(v, 9) AS v,
+           (doc_id >= 250 OR doc_id % 10 = 0) AS refreshed
+    FROM cells
+    ORDER BY doc_id, bucket
+    """,
+    doc=(
+        "Incremental embedding refresh: a store built over the first "
+        "half of the corpus meets a full re-crawl where every 10th "
+        "document's text changed — only new/changed docs run the model "
+        "(fingerprint anti-join), carried rows pass through untouched; "
+        "the updated store's values and the refreshed classification "
+        "are both hash-gated."
+    ),
+)
+def q_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.inference import incremental_embed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = "hashed-projection:8"
+    # Yesterday's store: first half of the corpus at ORIGINAL text.
+    _, store = incremental_embed(
+        docs.where(F.col("doc_id") < 250), None, model=spec, batch_size=64
+    )
+    # Today's crawl: every doc, every 10th text changed.
+    recrawl = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    fresh, updated = incremental_embed(
+        recrawl, store, model=spec, batch_size=64
+    )
+    return (
+        updated.join(
+            fresh.select("doc_id").distinct().withColumn(
+                "__r", F.lit(True)
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.posexplode("embedding").alias("bucket", "__v"),
+            F.coalesce("__r", F.lit(False)).alias("refreshed"),
+        )
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round("__v", 9).alias("v"),
+            "refreshed",
+        )
+        .orderBy("doc_id", "bucket")
     )

@@ -47,6 +47,7 @@ import threading
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 _TOKEN_SPLIT = re.compile(r"\s+")
@@ -228,3 +229,81 @@ def embed_documents(
             yield out
 
     return df.mapInPandas(infer, out_schema)
+
+
+def incremental_embed(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: str = "hashed-projection:64",
+    output_col: str = "embedding",
+    batch_size: int = 256,
+    max_concurrent: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Embed ONLY what changed — the incremental twin of
+    :func:`embed_documents`, completing the exact/MinHash/embedding/
+    image incremental-store family (operators/dedup.py,
+    operators/similarity.py) for the inference stage.
+
+    The store is ``(id, fingerprint, embedding, model)`` — fingerprint
+    is the portable md5 of the text, so an unchanged document is
+    recognized WITHOUT re-running the model, and a re-crawled document
+    whose text changed re-embeds (an id-only anti-join would serve
+    stale embeddings forever).  ``model`` rides with every store row
+    (the band_store/bloom ``h``-marker rule): a store embedded with one
+    model must never silently mix with a batch embedded by another —
+    mixed markers fail loud.
+
+    Returns ``(fresh, updated_store)``: ``fresh`` is the newly-embedded
+    rows only (what downstream incremental consumers — cell stores,
+    ANN indexes — need to ingest), ``updated_store`` carries every
+    current batch id with its up-to-date embedding (carried rows
+    untouched, changed/new rows replaced).
+
+    Plan shape: one (id, fingerprint) equi-join against the store
+    decides the re-embed set — bucket the store on ``id_col`` and the
+    join co-locates (SCALING.md batch 8) — and the model runs over the
+    CHANGED SLIVER only.  At 100 TB with a ~1%/day churn corpus this is
+    the difference between 1 TB/day and 100 TB/day of inference."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    batch = new_docs.withColumn("__fp", fp)
+    if store is not None:
+        required = {id_col, "__fp", output_col, "__model"}
+        missing = required - set(store.columns)
+        if missing:
+            raise ValueError(
+                f"incremental_embed: store is missing columns {sorted(missing)}"
+                " (expected a store produced by incremental_embed)"
+            )
+        markers = sorted(
+            r["__model"] if r["__model"] is not None else "<null>"
+            for r in store.select("__model").distinct().collect()
+        )
+        if any(m != model for m in markers):
+            raise ValueError(
+                f"incremental_embed: store carries model markers {markers}"
+                f" but the batch uses {model!r} — embeddings from"
+                " different models must never mix; rebuild one side"
+            )
+        carried = (
+            batch.join(store, [id_col, "__fp"], "inner")
+            .select(batch["*"], F.col(output_col))
+        )
+        todo = batch.join(store, [id_col, "__fp"], "left_anti")
+    else:
+        carried = None
+        todo = batch
+    fresh = embed_documents(
+        todo,
+        text_col=text_col,
+        model=model,
+        output_col=output_col,
+        batch_size=batch_size,
+        max_concurrent=max_concurrent,
+    )
+    updated = fresh if carried is None else fresh.unionByName(carried)
+    updated_store = updated.select(
+        id_col, "__fp", output_col, F.lit(model).alias("__model")
+    )
+    return fresh.drop("__fp"), updated_store

@@ -803,6 +803,34 @@ def _embed_documents_node(spark, upstreams, opts):
     )
 
 
+@node_class("IncrementalEmbed")
+def _incremental_embed_node(spark, upstreams, opts):
+    """Fingerprint-incremental embedding: one upstream = first build
+    (no store), two ordered upstreams = [batch, store].  Emits the
+    updated store; the fresh slice is exposed via ``fresh_view`` for a
+    downstream SQLExecute node (the Decontaminate report pattern)."""
+    from metalpipe_spark.operators.inference import incremental_embed
+
+    if len(upstreams) not in (1, 2):
+        raise ValueError(
+            "IncrementalEmbed takes [batch] or [batch, store] upstreams"
+        )
+    batch = upstreams[0]
+    store = upstreams[1] if len(upstreams) == 2 else None
+    fresh, updated = incremental_embed(
+        batch,
+        store,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        model=opts.get("model", "hashed-projection:64"),
+        batch_size=opts.get("batch_size", 256),
+        max_concurrent=opts.get("max_concurrent"),
+    )
+    if opts.get("fresh_view"):
+        fresh.createOrReplaceTempView(opts["fresh_view"])
+    return updated
+
+
 @node_class("Decontaminate")
 def _decontaminate_node(spark, upstreams, opts):
     """Two ordered upstreams: [corpus, benchmark].  Emits the clean

@@ -155,3 +155,46 @@ def test_embed_documents_yaml_node(spark, tmp_path):
     }
     assert rows[1] == _hand_embed("alpha beta", 4)
     assert rows[2] == _hand_embed("gamma", 4)
+
+
+def test_incremental_embed_embeds_only_changed_and_new(spark):
+    """The fingerprint anti-join: unchanged docs carry their STORED
+    embedding through without re-running the model (proven by planting
+    a wrong embedding in the store — a recompute would fix it), changed
+    and new docs re-embed, and the model marker guards mixing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.inference import incremental_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    fresh0, store = incremental_embed(docs, None, model="hashed-projection:4")
+    assert sorted(r["doc_id"] for r in fresh0.collect()) == [1, 2]
+    # Plant a sentinel embedding for doc 1: if the operator re-embedded
+    # carried rows, the sentinel would be overwritten.
+    store = store.withColumn(
+        "embedding",
+        F.when(
+            F.col("doc_id") == 1, F.array(*[F.lit(9.0)] * 4)
+        ).otherwise(F.col("embedding")),
+    )
+    recrawl = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma CHANGED"), (3, "new doc")],
+        "doc_id long, text string",
+    )
+    fresh, updated = incremental_embed(
+        recrawl, store, model="hashed-projection:4"
+    )
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [2, 3]
+    up = {r["doc_id"]: r["embedding"] for r in updated.collect()}
+    assert set(up) == {1, 2, 3}
+    assert up[1] == [9.0] * 4  # carried, not recomputed
+    assert up[2] == _hand_embed("gamma CHANGED", 4)
+    assert up[3] == _hand_embed("new doc", 4)
+    # model-marker guard: a store embedded by another model fails loud
+    with pytest.raises(ValueError, match="model markers"):
+        incremental_embed(recrawl, updated, model="hashed-projection:4:salt")
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental_embed(recrawl, docs, model="hashed-projection:4")
