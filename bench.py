@@ -194,6 +194,7 @@ HEADLINE = [
     "q_stream_stats",
     "q_stream_window_daily",
     "q_session_windows",
+    "q_stream_embed",
 ]
 
 

@@ -181,3 +181,64 @@ def q_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "q_stream_embed",
+    f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    {_EMBED_CTES.format(dim=8, src='src')}
+    SELECT doc_id, bucket, round(v, 9) AS v
+    FROM cells
+    ORDER BY doc_id, bucket
+    """,
+    doc=(
+        "Embedding inference in Structured Streaming: the same "
+        "embed_documents mapInPandas stage runs per micro-batch over a "
+        "file-source stream (no batch/stream code fork) and sinks to "
+        "parquet under availableNow; values equal the batch oracle."
+    ),
+)
+def q_stream_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.streaming.streams import file_watchdog
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    emb = embed_documents(stream, model="hashed-projection:8", batch_size=64)
+    tmp = tempfile.mkdtemp(prefix="mps_stream_embed_")
+    try:
+        (
+            emb.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .option("path", f"{tmp}/out")
+            .start()
+            .awaitTermination()
+        )
+        out = (
+            spark.read.parquet(f"{tmp}/out")
+            .select("doc_id", F.posexplode("embedding").alias("bucket", "__v"))
+            .select(
+                "doc_id",
+                F.col("bucket").cast("long").alias("bucket"),
+                F.round("__v", 9).alias("v"),
+            )
+        )
+        # SIZE GUARD: catalog-fixture drain (docs/2 x 8 narrow rows) —
+        # the result must outlive the temp dir for the lazy comparator;
+        # the production path sinks to parquet and never collects.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "doc_id", "bucket"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
