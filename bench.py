@@ -118,6 +118,7 @@ HEADLINE = [
     "q_ann_pq_rerank",
     "q_ann_ivfadc",
     "q_embed_neardup_lsh",
+    "q_embed_quantize",
     "q_mean_pool",
     "q_target_similarity",
     "q_semdedup",

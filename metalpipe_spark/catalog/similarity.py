@@ -933,3 +933,61 @@ def q_target_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("target_cosine", 6).alias("target_cosine"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q_embed_quantize",
+    """
+    WITH ext AS (
+      SELECT min(x) AS lo, max(x) AS hi
+      FROM (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings)
+    ),
+    el AS (
+      SELECT vec_id, (u.i - 1)::INT AS d,
+             embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    q AS (
+      SELECT vec_id, d,
+             GREATEST(0, LEAST(255,
+               floor((v - lo) * (255 / (hi - lo)) + 0.5)::INT)) AS code,
+             lo, hi
+      FROM el, ext
+    )
+    SELECT vec_id, d, code,
+           round(lo + code * ((hi - lo) / 255), 9) AS vhat
+    FROM q
+    ORDER BY vec_id, d
+    """,
+    doc=(
+        "Scalar int8 quantization of the embeddings table (the faiss "
+        "SQ8 layout — PQ's codebook-free sibling, 4x smaller than "
+        "float32): affine grid from the corpus-wide element min/max, "
+        "half-up codes, geometry columns riding along so the decode "
+        "grid can never mismatch; codes AND reconstructed values "
+        "hash-gated."
+    ),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.pq import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = dequantize_embeddings(quantize_embeddings(emb, bits=8))
+    return (
+        deq.select(
+            "vec_id",
+            F.posexplode(F.arrays_zip("codes", "dequantized")).alias(
+                "d", "__z"
+            ),
+        )
+        .select(
+            "vec_id",
+            "d",
+            F.col("__z.codes").alias("code"),
+            F.round(F.col("__z.dequantized"), 9).alias("vhat"),
+        )
+        .orderBy("vec_id", "d")
+    )

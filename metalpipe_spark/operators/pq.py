@@ -484,3 +484,86 @@ def train_pq_codebooks(
         ).fit(sub)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
     return books
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """SCALAR quantization — the other standard ANN compression leg
+    (PQ's simpler sibling, the faiss ``SQ8`` layout): every vector
+    element maps to ``bits``-bit integer codes on a shared affine grid,
+    4x smaller than float32 at ``bits=8`` with no codebook to train.
+
+    ``codes[i] = clamp(floor((v[i] - lo) * scale + 0.5), 0, 2^bits-1)``
+    with ``scale = (2^bits - 1) / (hi - lo)``; half-up via ``floor(x +
+    0.5)`` because engines disagree on ``round``'s tie rule but not on
+    ``floor``.  ``lo``/``hi`` default to the corpus-wide element
+    min/max (one column-pruned aggregation — aggregate-output-class
+    collect), and ride along as literal ``q_lo``/``q_hi``/``q_bits``
+    geometry columns so :func:`dequantize_embeddings` always decodes
+    with the quantizer's own grid (the sketch-geometry marker rule —
+    a mismatched decode is impossible by construction).
+
+    Pure codegen ``transform`` over the array — no Python, no shuffle
+    beyond the optional min/max pass; a degenerate range (``hi == lo``)
+    yields all-zero codes rather than a divide-by-zero."""
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    if lo is None:
+        row = df.agg(
+            F.min(F.array_min(F.col(vec_col).cast("array<double>"))).alias("lo"),
+            F.max(F.array_max(F.col(vec_col).cast("array<double>"))).alias("hi"),
+        ).first()
+        lo, hi = float(row["lo"]), float(row["hi"])
+    if hi < lo:
+        raise ValueError(f"hi ({hi}) < lo ({lo})")
+    levels = (1 << bits) - 1
+    scale = float(levels) / (hi - lo) if hi > lo else 0.0
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(levels),
+                F.floor(
+                    (v.cast("double") - F.lit(lo)) * F.lit(scale) + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn("codes", codes).withColumn(
+        "q_lo", F.lit(lo)
+    ).withColumn("q_hi", F.lit(hi)).withColumn("q_bits", F.lit(bits))
+
+
+def dequantize_embeddings(
+    qdf: DataFrame, out_col: str = "dequantized"
+) -> DataFrame:
+    """Decode scalar-quantized codes back to doubles on the grid the
+    quantizer stamped into the frame: ``v̂[i] = lo + codes[i] * (hi -
+    lo) / (2^bits - 1)``.  Geometry is READ FROM THE COLUMNS, never
+    passed — the marker rule."""
+    for c in ("codes", "q_lo", "q_hi", "q_bits"):
+        if c not in qdf.columns:
+            raise ValueError(
+                f"dequantize_embeddings: missing column {c!r} (expected a"
+                " quantize_embeddings output)"
+            )
+    # shiftleft's bit count must be a literal in the PySpark API; the
+    # SQL form takes a column.
+    step = (F.col("q_hi") - F.col("q_lo")) / F.expr(
+        "cast(shiftleft(1, q_bits) - 1 as double)"
+    )
+    return qdf.withColumn(
+        out_col,
+        F.transform(
+            F.col("codes"),
+            lambda c: F.col("q_lo") + c.cast("double") * step,
+        ),
+    )

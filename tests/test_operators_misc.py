@@ -3013,3 +3013,55 @@ def test_count_min_heavy_hitters_probe_forms_agree(spark):
     assert sorted(map(tuple, big.collect())) == lit_form
     with pytest.raises(ValueError, match="probe"):
         count_min_heavy_hitters(df, "tok", threshold=400, probe="join")
+
+
+def test_scalar_quantization_roundtrip_and_geometry_guard(spark):
+    """SQ codes stay within bits, reconstruction error is bounded by
+    half a step, geometry rides with the frame (decode never takes
+    parameters), and degenerate/invalid ranges behave."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.pq import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") * 0.1 - 2.0),
+            (F.col("id") * -0.05 + 1.0),
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+    q = quantize_embeddings(df, bits=8)
+    assert {"codes", "q_lo", "q_hi", "q_bits"} <= set(q.columns)
+    deq = dequantize_embeddings(q)
+    rows = deq.collect()
+    lo, hi = rows[0]["q_lo"], rows[0]["q_hi"]
+    step = (hi - lo) / 255
+    for r in rows:
+        for v, c, vh in zip(r["embedding"], r["codes"], r["dequantized"]):
+            assert 0 <= c <= 255
+            assert abs(v - vh) <= step / 2 + 1e-12
+    # explicit range clamps out-of-range values instead of wrapping
+    q2 = quantize_embeddings(df, bits=4, lo=-1.0, hi=1.0)
+    for r in q2.collect():
+        assert all(0 <= c <= 15 for c in r["codes"])
+    # degenerate range: all-zero codes, no divide-by-zero
+    const = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(2.5), F.lit(2.5)).alias("embedding"),
+    )
+    assert all(
+        r["codes"] == [0, 0] for r in quantize_embeddings(const).collect()
+    )
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=0)
+    with pytest.raises(ValueError, match="both lo and hi"):
+        quantize_embeddings(df, lo=0.0)
+    with pytest.raises(ValueError, match="hi"):
+        quantize_embeddings(df, lo=1.0, hi=0.0)
+    with pytest.raises(ValueError, match="missing column"):
+        dequantize_embeddings(df)
