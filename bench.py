@@ -164,6 +164,7 @@ HEADLINE = [
     "q_hybrid_retrieval",
     "q_bpe_pair_counts",
     "q_bpe_encode",
+    "q_wordpiece_encode",
     # multimodal
     "q_multimodal_decode",
     "q_multimodal_features",

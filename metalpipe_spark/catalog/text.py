@@ -1851,3 +1851,101 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_heavy_hitters(
         bigrams, "bigram", threshold=40, depth=4, width=1024
     ).orderBy("bigram")
+
+
+# WordPiece fixture vocab (BERT-style: continuations carry '##').
+# Full a-z0-9 coverage start+continuation, plus multi-char pieces so
+# longest-match-first actually has choices; words containing any other
+# character exercise the whole-word [UNK] rule.
+_WP_VOCAB = (
+    ["the", "th", "in", "on", "an", "re", "er", "or", "at"]
+    + ["##ing", "##ion", "##ed", "##er", "##es", "##nd", "##at", "##en",
+       "##he", "##is", "##on", "##an"]
+    + list("abcdefghijklmnopqrstuvwxyz0123456789")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+)
+
+
+def _wp_vocab_values() -> str:
+    return ", ".join(
+        "('{}')".format(p.replace("'", "''")) for p in sorted(_WP_VOCAB)
+    )
+
+
+@register(
+    "q_wordpiece_encode",
+    f"""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT tok AS word FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+      )
+    ),
+    vocab(piece) AS (VALUES {_wp_vocab_values()}),
+    v AS (
+      SELECT piece, (piece LIKE '##%') AS cont,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS stripped
+      FROM vocab
+    ),
+    matches AS (
+      SELECT w.word, u.i AS pos, v.piece, len(v.stripped) AS plen
+      FROM words w, unnest(range(1, len(w.word) + 1)) AS u(i), v
+      WHERE v.cont = (u.i > 1)
+        AND substr(w.word, u.i, len(v.stripped)) = v.stripped
+    ),
+    best AS (
+      SELECT word, pos, arg_max(piece, plen) AS piece, max(plen) AS plen
+      FROM matches GROUP BY word, pos
+    ),
+    walk(word, pos, seq, piece) AS (
+      SELECT b.word, 1 + b.plen, 1, b.piece FROM best b WHERE b.pos = 1
+      UNION ALL
+      SELECT w.word, w.pos + b.plen, w.seq + 1, b.piece
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+    ),
+    ok AS (
+      SELECT w.word FROM words w
+      JOIN (SELECT word, max(pos) AS endpos FROM walk GROUP BY word) d
+        ON d.word = w.word
+      WHERE d.endpos = len(w.word) + 1
+    )
+    SELECT word, seq, piece FROM walk JOIN ok USING (word)
+    UNION ALL
+    SELECT word, 1 AS seq, '[UNK]' AS piece FROM words
+    WHERE word NOT IN (SELECT word FROM ok)
+    ORDER BY word, seq
+    """,
+    doc=(
+        "WordPiece encoding (BERT's greedy longest-match-first "
+        "inference tokenizer, the third family beside BPE merge-replay "
+        "and Unigram Viterbi) over every distinct corpus word with a "
+        "pinned vocabulary: continuations carry '##', unmatchable "
+        "words collapse whole to [UNK].  The DuckDB twin replays the "
+        "greedy walk as a recursive CTE over per-(word, pos) "
+        "longest-match tables — the full piece stream is value-hashed, "
+        "not just scores."
+    ),
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.bpe import wordpiece_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .distinct()
+    )
+    enc = wordpiece_encode(words, _WP_VOCAB, text_col="word", id_col="word")
+    return (
+        enc.select("word", F.posexplode("pieces").alias("__i", "piece"))
+        .select("word", (F.col("__i") + 1).cast("long").alias("seq"), "piece")
+        .orderBy("word", "seq")
+    )

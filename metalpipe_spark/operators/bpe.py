@@ -254,3 +254,97 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} {id_type}, subwords array<string>, n_subwords long"
     )
+
+
+def wordpiece_segment(word: str, vocab: set, max_len: int, unk: str) -> list:
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (Wu et al. 2016 / BERT's tokenizer): at each position take the
+    LONGEST vocab piece matching the remaining prefix — continuation
+    positions match '##'-prefixed vocab entries — and if any position
+    matches nothing, the WHOLE word becomes ``unk`` (BERT semantics:
+    no partial fallback)."""
+    out: list = []
+    pos, n = 0, len(word)
+    while pos < n:
+        end = min(n, pos + max_len)
+        piece = None
+        while end > pos:
+            cand = word[pos:end]
+            key = cand if pos == 0 else "##" + cand
+            if key in vocab:
+                piece = key
+                break
+            end -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        pos = end
+    return out
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """WordPiece document encoding — the third tokenizer family beside
+    BPE (merge replay) and Unigram (Viterbi): greedy longest-match-
+    first against a FIXED vocabulary, continuations carrying the
+    ``##`` prefix, unmatchable words collapsing to ``unk`` whole (the
+    BERT inference tokenizer; vocabularies ship with models, so there
+    is no training half here).
+
+    ``vocab`` is an iterable of pieces (continuation entries already
+    ``##``-prefixed) or a single-column DataFrame.  Same plan shape as
+    unigram_encode: the vocab broadcasts in the closure (model-sized),
+    each Arrow batch keeps a word memo so every distinct word segments
+    once per batch, one scan, no shuffle.  Output ``(id, pieces,
+    n_pieces)``."""
+    if isinstance(vocab, DataFrame):
+        col = vocab.columns[0]
+        vs = {r[col] for r in vocab.collect()}
+    else:
+        vs = set(vocab)
+    if not vs:
+        raise ValueError("wordpiece_encode: empty vocab")
+    if unk in vs:
+        raise ValueError(
+            f"wordpiece_encode: unk marker {unk!r} collides with a vocab"
+            " piece"
+        )
+    max_len = max(
+        len(p) - 2 if p.startswith("##") else len(p) for p in vs
+    )
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            memo: dict = {}
+            out = []
+            for text in pdf[text_col]:
+                toks: list = []
+                for w in (text or "").lower().split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = wordpiece_segment(w, vs, max_len, unk)
+                        memo[w] = got
+                    toks.extend(got)
+                out.append(toks)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": out,
+                    "n_pieces": [len(t) for t in out],
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    # id_col == text_col is legal (a distinct-words face keyed by the
+    # word itself); a duplicate select would shadow the pandas column.
+    cols = [id_col] if id_col == text_col else [id_col, text_col]
+    return df.select(*cols).mapInPandas(
+        batches, f"{id_col} {id_type}, pieces array<string>, n_pieces long"
+    )

@@ -141,3 +141,52 @@ def test_bpe_encode_compound_chain(spark):
     # (th,e) chain; nothing merges n or </w>.
     assert got[1] == ["the", "n", "</w>"]
     assert got[2] == ["x", "q", "</w>"]
+
+
+def test_wordpiece_segment_greedy_semantics():
+    """Longest-match-first, '##' continuations, whole-word UNK on any
+    unmatchable position — the BERT tokenizer contract."""
+    from metalpipe_spark.operators.bpe import wordpiece_segment
+
+    vocab = {"un", "##aff", "##able", "##ble", "##a", "u", "##n",
+             "the", "##ory", "t", "##h", "##e"}
+    seg = lambda w: wordpiece_segment(w, vocab, 5, "[UNK]")
+    # longest start piece wins over char-by-char
+    assert seg("unaffable") == ["un", "##aff", "##able"]
+    # greedy (not optimal): 'theory' takes 'the' then needs '##ory'
+    assert seg("theory") == ["the", "##ory"]
+    # no continuation for 'z' -> whole word UNK, not partial output
+    assert seg("unz") == ["[UNK]"]
+    # no start piece at all
+    assert seg("zzz") == ["[UNK]"]
+    assert seg("the") == ["the"]
+
+
+def test_wordpiece_encode_docs_and_validations(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.bpe import wordpiece_encode
+
+    vocab = ["he", "##llo", "w", "##or", "##ld", "a"]
+    df = spark.createDataFrame(
+        [(1, "Hello world"), (2, "a hello"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pieces"], r["n_pieces"])
+        for r in wordpiece_encode(df, vocab).collect()
+    }
+    assert got[1] == (["he", "##llo", "w", "##or", "##ld"], 5)
+    assert got[2] == (["a", "he", "##llo"], 3)
+    assert got[3] == ([], 0)
+    # vocab as a DataFrame works identically
+    vdf = spark.createDataFrame([(p,) for p in vocab], "piece string")
+    assert {
+        r["doc_id"]: r["n_pieces"]
+        for r in wordpiece_encode(df, vdf).collect()
+    } == {1: 5, 2: 3, 3: 0}
+    with pytest.raises(ValueError, match="empty vocab"):
+        wordpiece_encode(df, [])
+    with pytest.raises(ValueError, match="collides"):
+        wordpiece_encode(df, vocab, unk="a")
