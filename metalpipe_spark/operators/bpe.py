@@ -309,6 +309,14 @@ def wordpiece_encode(
         vs = set(vocab)
     if not vs:
         raise ValueError("wordpiece_encode: empty vocab")
+    if "" in vs or "##" in vs:
+        # A zero-length piece matches every position with zero advance:
+        # the greedy walk would never terminate (and the SQL oracle's
+        # recursive walk would recurse forever).
+        raise ValueError(
+            "wordpiece_encode: vocab contains a zero-length piece"
+            " ('' or '##')"
+        )
     if unk in vs:
         raise ValueError(
             f"wordpiece_encode: unk marker {unk!r} collides with a vocab"

@@ -190,3 +190,14 @@ def test_wordpiece_encode_docs_and_validations(spark):
         wordpiece_encode(df, [])
     with pytest.raises(ValueError, match="collides"):
         wordpiece_encode(df, vocab, unk="a")
+
+
+def test_wordpiece_encode_rejects_zero_length_pieces(spark):
+    import pytest
+
+    from metalpipe_spark.operators.bpe import wordpiece_encode
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad in ("", "##"):
+        with pytest.raises(ValueError, match="zero-length"):
+            wordpiece_encode(df, ["a", bad])
