@@ -271,6 +271,22 @@ def _emit(payload: dict) -> None:
     print(line)
 
 
+def _find_full_line(text: str) -> dict | None:
+    """The bench_line=full payload from a bench stdout capture, or None.
+    Lines that merely start with '{' but are not JSON (stray log
+    fragments) are skipped, not fatal."""
+    for ln in text.strip().splitlines():
+        if not ln.startswith("{"):
+            continue
+        try:
+            row = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(row, dict) and row.get("bench_line") == "full":
+            return row
+    return None
+
+
 def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
     """Fresh-JVM-per-query protocol (SPARK_GRAFT_BENCH_COLD=1): each
     query is timed in its own subprocess session, so JIT/codegen-cache
@@ -300,17 +316,12 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
                 capture_output=True,
                 text=True,
             )
-            try:
-                # The subprocess emits the two-line contract; the full
-                # payload (with per-query errors) is the tagged line.
-                row = next(
-                    r
-                    for ln in out.stdout.strip().splitlines()
-                    if ln.startswith("{")
-                    for r in [json.loads(ln)]
-                    if r.get("bench_line") == "full"
-                )
-            except (json.JSONDecodeError, StopIteration):
+            # The subprocess emits the two-line contract; the full
+            # payload (with per-query errors) is the tagged line.  A
+            # stray '{'-prefixed log line must not abort the scan, so
+            # each line parses under its own guard.
+            row = _find_full_line(out.stdout)
+            if row is None:
                 errors[name] = f"subprocess rc={out.returncode}: {out.stderr[-200:]}"
                 break
             if name in row.get("errors", {}):

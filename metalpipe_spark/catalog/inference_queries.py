@@ -55,12 +55,10 @@ _EMBED_CTES = """
     )
 """
 
-# Sequential double fold (same shape as catalog/similarity._DOT — both
-# engines fold left-to-right, so float adds agree bit-for-bit).
-_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc, x) -> acc + x)"
-)
+# The fold-order-critical dot fragment is SHARED with the similarity
+# oracles — one definition, so a fold-shape change can never
+# desynchronize this file's oracles from brute_force_topk's scoring.
+from metalpipe_spark.catalog.similarity import _DOT  # noqa: E402
 
 
 @register(
@@ -150,6 +148,12 @@ def q_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, store = incremental_embed(
         docs.where(F.col("doc_id") < 250), None, model=spec, batch_size=64
     )
+    # Persist the in-session store: its lineage CONTAINS the first-pass
+    # inference, and the refresh reads the store three times (marker
+    # check, carried join, anti-join) — unpersisted, each read would
+    # re-run the model.  In production the store is a parquet/bucketed
+    # TABLE and the reads are cheap scans (the band_store rule).
+    store = store.persist()
     # Today's crawl: every doc, every 10th text changed.
     recrawl = docs.withColumn(
         "text",

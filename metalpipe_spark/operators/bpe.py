@@ -15,8 +15,15 @@ repeat; each unique word is encoded once per batch).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ASCII-only whitespace split: matches Java/RE2 '\s' (what the SQL
+# oracles and the Spark-side F.split word derivations use), unlike
+# str.split() / Unicode '\s', which also split NBSP and friends.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 END_OF_WORD = "</w>"
 
@@ -334,7 +341,12 @@ def wordpiece_encode(
             out = []
             for text in pdf[text_col]:
                 toks: list = []
-                for w in (text or "").lower().split():
+                # ASCII-only \s split (not str.split): matches the
+                # Java-regex word derivation the SQL oracle uses, so
+                # non-ASCII whitespace cannot desynchronize the two.
+                for w in _WS_ASCII.split((text or "").lower()):
+                    if not w:
+                        continue
                     got = memo.get(w)
                     if got is None:
                         got = wordpiece_segment(w, vs, max_len, unk)

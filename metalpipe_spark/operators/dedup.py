@@ -1381,7 +1381,7 @@ def exact_substr_dedup(
     docs = df.select(
         F.col(id_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
-    ).withColumn("__n", F.size("__tk"))
+    )
     idt = dict(docs.dtypes)[id_col]
     hashed = docs.select(
         id_col, F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")

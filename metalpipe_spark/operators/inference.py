@@ -50,7 +50,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-_TOKEN_SPLIT = re.compile(r"\s+")
+# re.ASCII: the SQL replay splits with Java/RE2 '\s' (ASCII-only); a
+# Unicode-aware Python '\s' would split NBSP etc. and break the
+# bit-identical-replay contract on non-ASCII whitespace.
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)
 
 # One entry per (worker process, model spec): the executor-side model
 # cache.  Populated lazily inside the UDF, so the driver never loads
@@ -265,7 +268,12 @@ def incremental_embed(
     decides the re-embed set — bucket the store on ``id_col`` and the
     join co-locates (SCALING.md batch 8) — and the model runs over the
     CHANGED SLIVER only.  At 100 TB with a ~1%/day churn corpus this is
-    the difference between 1 TB/day and 100 TB/day of inference."""
+    the difference between 1 TB/day and 100 TB/day of inference.
+
+    The store is read three times (model-marker check, carried join,
+    anti-join): pass it as a STORED table (parquet/bucketed — the
+    band_store rule) or persist it first; an unpersisted store whose
+    lineage contains inference would re-run that inference per read."""
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     batch = new_docs.withColumn("__fp", fp)
     if store is not None:

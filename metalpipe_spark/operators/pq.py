@@ -525,16 +525,24 @@ def quantize_embeddings(
         raise ValueError(f"hi ({hi}) < lo ({lo})")
     levels = (1 << bits) - 1
     scale = float(levels) / (hi - lo) if hi > lo else 0.0
+    # NULL elements propagate as NULL codes: Spark's least/greatest
+    # SKIP null arguments, so without the guard a NULL element would
+    # silently encode as the MAX code (fabricated data in the index).
     codes = F.transform(
         F.col(vec_col),
-        lambda v: F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(levels),
-                F.floor(
-                    (v.cast("double") - F.lit(lo)) * F.lit(scale) + F.lit(0.5)
-                ).cast("int"),
-            ),
+        lambda v: F.when(
+            v.isNull(), F.lit(None).cast("int")
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(levels),
+                    F.floor(
+                        (v.cast("double") - F.lit(lo)) * F.lit(scale)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            )
         ),
     )
     return df.withColumn("codes", codes).withColumn(

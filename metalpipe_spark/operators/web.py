@@ -506,15 +506,15 @@ def robots_filter(
     if keep not in ("allowed", "all"):
         raise ValueError(f"keep must be 'allowed' or 'all', got {keep!r}")
     u = F.col(url_col)
-    # Fold the rule side's host the same way the frontier side is
-    # folded: a rule table parsed from robots bodies keyed by
-    # 'www.example.com' would otherwise never match any frontier URL
-    # (extract_host strips the prefix) and every URL on that host would
-    # silently read as allowed.
+    # Normalize the rule side's host the same way the frontier side is
+    # normalized: extract_host always LOWERCASES (so a rule row keyed
+    # 'Example.COM' must fold case regardless of strip_www) and strips
+    # 'www.' when asked — otherwise the broadcast join silently misses
+    # and every URL on that host reads as allowed.
+    host_n = F.lower("host")
     if strip_www:
-        rules = rules.withColumn(
-            "host", F.regexp_replace(F.lower("host"), r"^www\.", "")
-        )
+        host_n = F.regexp_replace(host_n, r"^www\.", "")
+    rules = rules.withColumn("host", host_n)
     per_host = rules.groupBy("host").agg(
         F.collect_list(
             F.struct(

@@ -562,9 +562,13 @@ def resolve_revisits(warc: DataFrame) -> DataFrame:
         "orig_date",
         "http_status",
         "payload",
-        (
+        # coalesce(False): a NULL digest on EITHER side must read as
+        # false (per the docstring contract), never as three-valued
+        # NULL that both where(digest_ok) and where(~digest_ok) drop.
+        F.coalesce(
             F.col("__rev_digest").isNotNull()
             & (F.col("__rev_digest") != "")
-            & (F.col("__rev_digest") == F.col("__orig_digest"))
+            & F.col("__rev_digest").eqNullSafe(F.col("__orig_digest")),
+            F.lit(False),
         ).alias("digest_ok"),
     )

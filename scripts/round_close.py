@@ -99,13 +99,12 @@ def main() -> int:
         # tagged bench_line=full, then a <=1500-char summary as the
         # final line for the driver's 2000-char capture.  The LOCAL
         # artifact archives the full one.
-        payload = next(
-            p
-            for ln in reversed(out.strip().splitlines())
-            if ln.startswith("{")
-            for p in [json.loads(ln)]
-            if p.get("bench_line") == "full"
-        )
+        sys.path.insert(0, REPO)
+        from bench import _find_full_line
+
+        payload = _find_full_line(out)
+        if payload is None:
+            raise SystemExit("bench stdout carried no bench_line=full line")
         payload.pop("bench_line", None)
         art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
         # ONE JSON line — the format every prior BENCH_LOCAL artifact

@@ -3065,3 +3065,23 @@ def test_scalar_quantization_roundtrip_and_geometry_guard(spark):
         quantize_embeddings(df, lo=1.0, hi=0.0)
     with pytest.raises(ValueError, match="missing column"):
         dequantize_embeddings(df)
+
+
+def test_scalar_quantization_propagates_null_elements(spark):
+    """A NULL array element must encode as a NULL code (Spark's
+    least/greatest skip nulls, which would otherwise fabricate the MAX
+    code) and decode back to NULL."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.pq import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, None, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = dequantize_embeddings(quantize_embeddings(df, bits=8)).first()
+    assert r["codes"] == [0, None, 255]
+    assert r["dequantized"][1] is None

@@ -544,3 +544,23 @@ def test_warc_interleaved_record_types_and_revisit_resolution(spark, tmp_path):
         assert r["orig_url"] == "https://h.example/a"
         assert r["http_status"] == 200
         assert r["digest_ok"] is ok
+
+
+def test_resolve_revisits_null_digest_reads_false(spark):
+    """digest_ok must be FALSE (not three-valued NULL) when either
+    side's digest is missing — a bad-digest audit keeps the row."""
+    from metalpipe_spark.sources.warc import resolve_revisits
+
+    warc = spark.createDataFrame(
+        [
+            ("response", "u", "2026", "<urn:doc:1>", None, "", None, 200,
+             bytearray(b"body")),
+            ("revisit", "u?r=1", "2026", "<urn:rev:1>", "<urn:doc:1>",
+             "profile", "md5:abc", 200, bytearray(b"")),
+        ],
+        "warc_type string, url string, date string, record_id string,"
+        " refers_to string, profile string, payload_digest string,"
+        " http_status int, payload binary",
+    )
+    rows = resolve_revisits(warc).collect()
+    assert len(rows) == 1 and rows[0]["digest_ok"] is False

@@ -632,3 +632,20 @@ def test_robots_filter_folds_www_on_rule_side(spark):
     }
     assert literal["https://h0.example/p/no"] is True
     assert literal["https://www.h0.example/p/no"] is False
+
+
+def test_robots_filter_case_folds_rule_hosts_without_strip_www(spark):
+    """extract_host always lowercases the frontier side, so a
+    mixed-case rule host must fold regardless of strip_www — otherwise
+    its Disallow rules are silently ignored."""
+    from metalpipe_spark.operators.web import robots_filter
+
+    rules = spark.createDataFrame(
+        [("Example.COM", "disallow", "/p", False, "")],
+        "host string, rule string, prefix string, wild boolean, pattern string",
+    )
+    urls = spark.createDataFrame(
+        [("https://example.com/p/x",)], "url string"
+    )
+    got = robots_filter(urls, rules, "url", keep="all", strip_www=False)
+    assert got.first()["crawl_allowed"] is False
