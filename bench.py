@@ -119,6 +119,7 @@ HEADLINE = [
     "q_ann_ivfadc",
     "q_embed_neardup_lsh",
     "q_embed_quantize",
+    "q_embed_semdedup",
     "q_mean_pool",
     "q_target_similarity",
     "q_semdedup",

@@ -246,3 +246,60 @@ def q_stream_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _embed_semdedup_oracle() -> str:
+    from metalpipe_spark.catalog.similarity import _semdedup_oracle
+    from metalpipe_spark.operators.similarity import deterministic_centroids
+
+    prelude = f"""{_EMBED_CTES.format(dim=16, src='documents')},
+    vecs AS (
+      SELECT doc_id AS vec_id, list(v ORDER BY bucket) AS embedding
+      FROM cells GROUP BY doc_id
+    ),
+    """
+    # The zero-vector guard matters even though this corpus has none:
+    # cosine against a zero norm is NaN, and DuckDB orders NaN ABOVE
+    # every threshold while Spark's comparison yields false — the
+    # filter keeps the two engines (and any future corpus) aligned.
+    return _semdedup_oracle(
+        deterministic_centroids(4, 16),
+        threshold=0.9,
+        where="WHERE len(list_filter(embedding, x -> x <> 0)) > 0",
+        source="vecs",
+        prelude=prelude,
+    )
+
+
+@register(
+    "q_embed_semdedup",
+    _embed_semdedup_oracle(),
+    doc=(
+        "Full embed -> SemDeDup pipeline: batched fixture inference "
+        "produces the vectors and semantic_dedup consumes them in one "
+        "plan (centroid cells bound candidates, within-cell cosine >= "
+        "0.9 drops lower-id near-dups) — the documents-to-survivors "
+        "path a training-data pipeline actually runs, value-hashed end "
+        "to end."
+    ),
+)
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign_literal,
+        semantic_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = (
+        embed_documents(docs, model="hashed-projection:16", batch_size=128)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .where(F.exists("embedding", lambda x: x != 0))
+    )
+    cents = deterministic_centroids(4, 16)
+    kept = semantic_dedup(emb, cents, threshold=0.9)
+    return (
+        ivf_assign_literal(kept, cents)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )

@@ -304,12 +304,18 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_oracle(
-    centroids: list[list[float]], threshold: float, where: str = ""
+    centroids: list[list[float]],
+    threshold: float,
+    where: str = "",
+    source: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """Pure-SQL replay of semantic_dedup: literal-centroid assignment
     (same argmin + ascending-cell tie-break as the IVF oracle), within-
     cell pair cosine at 6 decimals, drop-if-lower-id-neardup, survivors
-    re-tagged with their cell."""
+    re-tagged with their cell.  ``source`` names the (vec_id,
+    embedding) relation; ``prelude`` injects the CTEs that define it
+    (e.g. the embed replay for an end-to-end embed→semdedup row)."""
     cent_rows = ", ".join(
         f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
         for j, c in enumerate(centroids)
@@ -317,11 +323,11 @@ def _semdedup_oracle(
     dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
     dot_ab = _DOT.format(a="a.embedding", b="b.embedding")
     return f"""
-    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    WITH {prelude}cent(cell, cn2, cv) AS (VALUES {cent_rows}),
     corpus AS (
       SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings {where}
+      FROM {source} {where}
     ),
     assigned AS (
       SELECT vec_id, embedding, nrm, cell FROM (
