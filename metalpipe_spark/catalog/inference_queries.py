@@ -252,7 +252,17 @@ def _embed_semdedup_oracle() -> str:
     from metalpipe_spark.catalog.similarity import _semdedup_oracle
     from metalpipe_spark.operators.similarity import deterministic_centroids
 
-    prelude = f"""{_EMBED_CTES.format(dim=16, src='documents')},
+    # Anchor fixture = the doc_id % 5 = 0 FIFTH of the corpus (the
+    # q_semdedup rationale): the oracle needs exactness, not a large
+    # cell population — the fixture embeddings collapse into one dense
+    # cluster, so the exact interpreted pair fold is quadratic in the
+    # big cell (measured 14 s full-corpus at sf0.1 vs ~1 s on the
+    # fifth); the cell-bounded production behavior is pinned by the
+    # q_semdedup/q_semdedup_gemm twins.
+    prelude = f"""sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_EMBED_CTES.format(dim=16, src='sub')},
     vecs AS (
       SELECT doc_id AS vec_id, list(v ORDER BY bucket) AS embedding
       FROM cells GROUP BY doc_id
@@ -290,7 +300,11 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
     emb = (
         embed_documents(docs, model="hashed-projection:16", batch_size=128)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
