@@ -884,3 +884,84 @@ def test_pack_sequences_reconstruction_property(spark, weights, seq_len):
             first = min(by_doc[doc_id], key=lambda r: r["seq_id"])
             assert first["seq_id"] * seq_len + first["seq_start"] == prefix
         prefix += w
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=20),
+    bits=st.integers(min_value=1, max_value=10),
+)
+def test_scalar_quantization_error_bound_property(spark, data, n, bits):
+    """For any vectors and any bit width: codes stay in range, the
+    reconstruction error of every in-range element is <= half a step,
+    and out-of-range elements clamp to the grid edges."""
+    from metalpipe_spark.operators.pq import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    vecs = [
+        [
+            data.draw(
+                st.floats(min_value=-50, max_value=50, allow_nan=False)
+            )
+            for _ in range(3)
+        ]
+        for _ in range(n)
+    ]
+    lo = data.draw(st.floats(min_value=-60, max_value=-1))
+    hi = data.draw(st.floats(min_value=1, max_value=60))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    levels = (1 << bits) - 1
+    step = (hi - lo) / levels if levels else 0.0
+    out = dequantize_embeddings(
+        quantize_embeddings(df, bits=bits, lo=lo, hi=hi)
+    ).collect()
+    for r in out:
+        for v, c, vh in zip(r["embedding"], r["codes"], r["dequantized"]):
+            assert 0 <= c <= levels
+            if lo <= v <= hi:
+                assert abs(v - vh) <= step / 2 + 1e-9 * max(1, abs(v))
+            elif v < lo:
+                assert c == 0 and vh == lo
+            else:
+                assert c == levels
+
+
+@settings(**_SETTINGS)
+@given(
+    n_docs=st.integers(min_value=1, max_value=12),
+    cut=st.integers(min_value=0, max_value=12),
+    changed=st.integers(min_value=0, max_value=4),
+)
+def test_incremental_embed_batch_split_invariance(spark, n_docs, cut, changed):
+    """Embedding a corpus through (first batch -> store -> refresh with
+    the rest + some changed texts) must equal embedding the final
+    corpus in one shot — for any split point and change set."""
+    from metalpipe_spark.operators.inference import (
+        embed_documents,
+        incremental_embed,
+    )
+
+    cut = min(cut, n_docs)
+    final = [
+        (i, f"tok{i % 3} shared words" + (" edited" if i < changed else ""))
+        for i in range(n_docs)
+    ]
+    original = [(i, f"tok{i % 3} shared words") for i in range(n_docs)]
+    spec = "hashed-projection:8"
+    first = spark.createDataFrame(original[:cut], "doc_id long, text string")
+    _, store = incremental_embed(first, None, model=spec)
+    store = store.persist()
+    recrawl = spark.createDataFrame(final, "doc_id long, text string")
+    _, updated = incremental_embed(recrawl, store, model=spec)
+    got = {r["doc_id"]: r["embedding"] for r in updated.collect()}
+    want = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(recrawl, model=spec).collect()
+    }
+    assert got == want
