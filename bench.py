@@ -80,6 +80,7 @@ HEADLINE = [
     "q_span_dedup_winnow",
     "q_exact_substr",
     "q_exact_substr_shifted",
+    "q_incremental_exact_substr",
     "q_source_overlap",
     "q_normalized_dedup",
     # URL / host curation (r10)

@@ -1241,3 +1241,49 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", "dist")
         .orderBy("s1", "s2")
     )
+
+
+@register(
+    "q_incremental_exact_substr",
+    f"""
+    SELECT doc_id, clean_text, n_kept,
+           (doc_id >= 250) AS second_batch
+    FROM (
+      WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS s,
+               md5(array_to_string(tk[i : i + {_XS_L} - 1], ' ')) AS h
+        FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+        WHERE i - 1 + {_XS_L} <= len(tk)
+      ),
+      {_XS_TAIL.format(L=_XS_L, src='t')}
+    )
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Incremental ExactSubstr: the corpus arrives as two batches "
+        "against a persisted distinct-window store (quad-modulus "
+        "rolling-hash identity, geometry markers); concatenated batch "
+        "outputs must equal the one-shot batch operator — the oracle "
+        "IS the one-shot stride-1 content replay, plus the batch flag."
+    ),
+)
+def q_incremental_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    c1, store = incremental_exact_substr(b1, None, min_length=_XS_L)
+    # Persist the in-session store: the second batch reads it twice
+    # (semi + anti join) and its lineage holds the first batch's window
+    # kernel; in production it is a bucketed TABLE (SCALING.md batch 8).
+    store = store.persist()
+    c2, _ = incremental_exact_substr(b2, store, min_length=_XS_L)
+    return (
+        c1.withColumn("second_batch", F.lit(False))
+        .unionByName(c2.withColumn("second_batch", F.lit(True)))
+        .orderBy("doc_id")
+    )

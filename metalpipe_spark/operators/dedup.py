@@ -1262,26 +1262,30 @@ def duplicate_span_dedup(
     )
 
 
-# Two ~2^31 primes + bases for the double rolling hash.  Products of
-# two residues stay < 2^62 (int64-safe); the pair gives ~62 bits of
-# collision resistance for CANDIDATE generation — final grouping is on
-# verified window CONTENT (exact_substr_dedup verify stage), so a
-# collision costs a wasted verification, never a wrong result.
+# ~2^31 primes + bases for the multi-modulus rolling hash.  Products of
+# two residues stay < 2^62 (int64-safe).  The batch operator uses the
+# first TWO (~62 bits — candidates only; final grouping is on verified
+# window CONTENT, so a collision costs a wasted verification, never a
+# wrong result).  The incremental operator uses all FOUR (~124 bits):
+# cross-batch verification would require storing window content, so
+# there the hash IS the identity and birthday risk must be negligible
+# at 100 TB window counts (1e13 windows -> ~5e-12 expected collisions).
 _RK = (
     (1_000_003, 2147483647),  # (base B, prime p): p = 2^31 - 1
     (1_000_033, 2147483629),  # p = 2^31 - 19
+    (1_000_037, 2147483587),  # p = 2^31 - 61
+    (1_000_039, 2147483563),  # p = 2^31 - 85
 )
 _RK_POWS: dict = {}
 
 
 def _rk_pows(n: int) -> list:
     """Per-worker cache of (B^i mod p, B^-i mod p) arrays up to n for
-    both moduli — grown once, reused across batches."""
+    every modulus — grown once, reused across batches."""
     import numpy as np
 
     cur = _RK_POWS.get("n", 0)
     if cur < n:
-        grown = []
         for m, (B, p) in enumerate(_RK):
             binv = pow(B, p - 2, p)
             if cur == 0:
@@ -1291,15 +1295,17 @@ def _rk_pows(n: int) -> list:
             while len(fw) < n:
                 fw.append(fw[-1] * B % p)
                 bw.append(bw[-1] * binv % p)
-            grown.append(
-                (np.array(fw, dtype=np.int64), np.array(bw, dtype=np.int64))
+            _RK_POWS[m] = (
+                np.array(fw, dtype=np.int64),
+                np.array(bw, dtype=np.int64),
             )
-        _RK_POWS.update({"n": n, 0: grown[0], 1: grown[1]})
-    return [_RK_POWS[0], _RK_POWS[1]]
+        _RK_POWS["n"] = n
+    return [_RK_POWS[m] for m in range(len(_RK))]
 
 
-def _rolling_window_hashes(th, L: int):
-    """All L-window double rolling hashes of a token-hash vector, O(n).
+def _rolling_window_hashes(th, L: int, mods: int = 2):
+    """All L-window rolling hashes of a token-hash vector under the
+    first ``mods`` moduli, O(n) each.
 
     ``W_j = sum_i th[j+i] * B^(L-1-i) mod p`` for each start j, computed
     via the B^-i prefix-sum identity: a_i = th_i * B^-i; W_j =
@@ -1309,19 +1315,20 @@ def _rolling_window_hashes(th, L: int):
 
     n = len(th)
     if n < L:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return tuple(np.empty(0, dtype=np.int64) for _ in range(mods))
     if n * 2147483647 >= (1 << 63):
         raise ValueError(f"document too long for int64 prefix sums: {n}")
     pows = _rk_pows(n + L)
     out = []
-    for m, (B, p) in enumerate(_RK):
+    for m in range(mods):
+        B, p = _RK[m]
         fw, bw = pows[m]
         hm = np.asarray(th, dtype=np.int64) % p
         a = hm * bw[:n] % p
         pre = np.cumsum(a)
         s = pre[L - 1 :] - np.concatenate(([0], pre[: n - L]))
         out.append(s % p * fw[L - 1 : n] % p)
-    return out[0], out[1]
+    return tuple(out)
 
 
 def exact_substr_dedup(
@@ -1372,8 +1379,6 @@ def exact_substr_dedup(
     one token-scale shuffle, shrunk by map-side combine to
     distinct-window scale; stages 4-5 scale with duplicate volume.
     """
-    import pandas as pd
-
     if min_length < 1:
         raise ValueError(f"min_length must be >= 1, got {min_length}")
     _check_hash(hash)
@@ -1383,35 +1388,7 @@ def exact_substr_dedup(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
     )
     idt = dict(docs.dtypes)[id_col]
-    hashed = docs.select(
-        id_col, F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
-    )
-
-    def window_hashes(batches):
-        import numpy as np
-
-        for pdf in batches:
-            ids, starts, w1s, w2s = [], [], [], []
-            for i, th in zip(pdf[id_col], pdf["__th"]):
-                w1, w2 = _rolling_window_hashes(np.asarray(th), L)
-                if len(w1):
-                    ids.append(np.full(len(w1), i))
-                    starts.append(np.arange(len(w1), dtype=np.int32))
-                    w1s.append(w1)
-                    w2s.append(w2)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        id_col: np.concatenate(ids),
-                        "__s": np.concatenate(starts),
-                        "__w1": np.concatenate(w1s),
-                        "__w2": np.concatenate(w2s),
-                    }
-                )
-
-    w = hashed.mapInPandas(
-        window_hashes, f"`{id_col}` {idt}, __s int, __w1 long, __w2 long"
-    )
+    w = _window_hash_frame(docs, id_col, idt, L, hash, mods=2)
     dup_keys = (
         w.groupBy("__w1", "__w2")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1464,7 +1441,58 @@ def exact_substr_dedup(
     dup = keyed.join(first, key).where(
         ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
     )
-    cover = dup.select(
+    return _remove_covered_windows(docs, dup, id_col, L)
+
+
+def _window_hash_frame(
+    docs: DataFrame, id_col: str, idt: str, L: int, hash: str, mods: int
+) -> DataFrame:
+    """``(id, __s, __w1..__w{mods})`` — one row per L-token window of
+    every document, hashes from the O(n) rolling kernel.  Token hashing
+    stays JVM-side; only the linear recurrence runs in numpy."""
+    import pandas as pd
+
+    hashed = docs.select(
+        id_col, F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
+    )
+    wcols = [f"__w{m + 1}" for m in range(mods)]
+
+    def window_hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, starts = [], []
+            ws: list[list] = [[] for _ in range(mods)]
+            for i, th in zip(pdf[id_col], pdf["__th"]):
+                hs = _rolling_window_hashes(np.asarray(th), L, mods=mods)
+                if len(hs[0]):
+                    ids.append(np.full(len(hs[0]), i))
+                    starts.append(np.arange(len(hs[0]), dtype=np.int32))
+                    for m in range(mods):
+                        ws[m].append(hs[m])
+            if ids:
+                out = {
+                    id_col: np.concatenate(ids),
+                    "__s": np.concatenate(starts),
+                }
+                for m, c in enumerate(wcols):
+                    out[c] = np.concatenate(ws[m])
+                yield pd.DataFrame(out)
+
+    schema = f"`{id_col}` {idt}, __s int, " + ", ".join(
+        f"{c} long" for c in wcols
+    )
+    return hashed.mapInPandas(window_hashes, schema)
+
+
+def _remove_covered_windows(
+    docs: DataFrame, covered: DataFrame, id_col: str, L: int
+) -> DataFrame:
+    """Reassembly tail shared by the batch and incremental ExactSubstr
+    faces: every ``(id, __s)`` row of ``covered`` deletes tokens
+    ``[__s, __s + L)``; documents rebuild from survivors (fully-covered
+    docs disappear)."""
+    cover = covered.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("__s"), F.col("__s") + L - 1)).alias("pos"),
     ).distinct()
@@ -1477,6 +1505,104 @@ def exact_substr_dedup(
         ),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+def incremental_exact_substr(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_length: int = 32,
+    hash: str = "md5",
+) -> "tuple[DataFrame, DataFrame]":
+    """ExactSubstr dedup of a NEW batch against the accumulated corpus —
+    the incremental face of :func:`exact_substr_dedup`, completing the
+    exact/MinHash/embedding/image/inference incremental-store family.
+
+    The store holds one row per DISTINCT window seen so far:
+    ``(__w1..__w4, first_id, first_s, wL, h)`` — a quad-modulus
+    (~124-bit) rolling hash is the window's identity, because
+    cross-batch content verification would require storing window TEXT;
+    at 1e13 windows (100 TB scale) expected birthday collisions are
+    ~5e-12, and the ``wL``/``h`` geometry markers refuse a store built
+    with a different window length or token-hash fn (the band_store
+    rule).  Within the batch the semantics equal the batch operator's:
+    keep-first by ``(doc, start)``.
+
+    Returns ``(clean, updated_store)``: ``clean`` is the batch with
+    every token covered by an already-seen window (store hit) or a
+    non-first in-batch duplicate window removed; ``updated_store``
+    appends the batch's new first occurrences.  When batches arrive in
+    ascending id order, concatenating every batch's ``clean`` equals
+    :func:`exact_substr_dedup` over the union (property-tested).
+
+    Plan shape: window hashing rides the batch scan (O(n) numpy
+    kernel); the store meets the batch through one equi-join on the
+    hash quad — bucket the store on ``__w1`` and the store side never
+    shuffles (SCALING.md batch 8); everything downstream is bounded by
+    batch size + duplicate volume."""
+    if min_length < 1:
+        raise ValueError(f"min_length must be >= 1, got {min_length}")
+    _check_hash(hash)
+    L = min_length
+    docs = new_docs.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
+    )
+    idt = dict(docs.dtypes)[id_col]
+    keys = ["__w1", "__w2", "__w3", "__w4"]
+    # The window frame feeds the store join, the in-batch grouping AND
+    # the new-firsts projection — batch-scale rows, persist once.
+    w = _window_hash_frame(docs, id_col, idt, L, hash, mods=4).persist()
+    if store is not None:
+        missing = set(keys + ["first_id", "first_s", "wL", "h"]) - set(
+            store.columns
+        )
+        if missing:
+            raise ValueError(
+                f"incremental_exact_substr: store is missing columns "
+                f"{sorted(missing)} (expected an incremental_exact_substr"
+                " store)"
+            )
+        markers = sorted(
+            (r["wL"], r["h"] if r["h"] is not None else "<null>")
+            for r in store.select("wL", "h").distinct().collect()
+        )
+        if any(m != (L, hash) for m in markers):
+            raise ValueError(
+                f"incremental_exact_substr: store carries geometry "
+                f"markers {markers} but the batch uses ({L}, {hash!r}) — "
+                "window identities would never match; rebuild one side"
+            )
+        store_keys = store.select(*keys)
+        hits = w.join(store_keys, keys, "left_semi")
+        fresh_w = w.join(store_keys, keys, "left_anti")
+    else:
+        hits = w.where(F.lit(False))
+        fresh_w = w
+    first = fresh_w.groupBy(*keys).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))
+        ).alias("__f")
+    )
+    dup_in_batch = fresh_w.join(first, keys).where(
+        ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
+    )
+    covered = hits.select(id_col, "__s").unionByName(
+        dup_in_batch.select(id_col, "__s")
+    )
+    clean = _remove_covered_windows(docs, covered, id_col, L)
+    new_rows = first.select(
+        *keys,
+        F.col("__f.d").alias("first_id"),
+        F.col("__f.s").alias("first_s"),
+        F.lit(L).alias("wL"),
+        F.lit(hash).alias("h"),
+    )
+    updated_store = (
+        new_rows if store is None else store.unionByName(new_rows)
+    )
+    return clean, updated_store
 
 
 def chunk_level_dedup(

@@ -716,6 +716,33 @@ def _exact_substr_dedup_node(spark, upstreams, opts):
     )
 
 
+@node_class("IncrementalExactSubstr")
+def _incremental_exact_substr_node(spark, upstreams, opts):
+    """Incremental ExactSubstr against a persisted window store: one
+    upstream = first build, two ordered upstreams = [batch, store].
+    Emits the cleaned batch; the updated store is exposed via
+    ``store_view`` for a downstream sink (the IncrementalEmbed
+    pattern)."""
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    if len(upstreams) not in (1, 2):
+        raise ValueError(
+            "IncrementalExactSubstr takes [batch] or [batch, store]"
+            " upstreams"
+        )
+    clean, store = incremental_exact_substr(
+        upstreams[0],
+        upstreams[1] if len(upstreams) == 2 else None,
+        text_col=opts.get("text_col", "text"),
+        id_col=opts.get("id_col", "doc_id"),
+        min_length=opts.get("min_length", 32),
+        hash=opts.get("hash", "md5"),
+    )
+    if opts.get("store_view"):
+        store.createOrReplaceTempView(opts["store_view"])
+    return clean
+
+
 @node_class("ChunkDocuments")
 def _chunk_documents_node(spark, upstreams, opts):
     from metalpipe_spark.operators.text import chunk_documents

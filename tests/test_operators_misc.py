@@ -3085,3 +3085,35 @@ def test_scalar_quantization_propagates_null_elements(spark):
     r = dequantize_embeddings(quantize_embeddings(df, bits=8)).first()
     assert r["codes"] == [0, None, 255]
     assert r["dequantized"][1] is None
+
+
+def test_incremental_exact_substr_store_semantics_and_guards(spark):
+    """Store hits cover batch windows (the batch keeps only unseen
+    text), the updated store grows by the batch's new firsts, and the
+    geometry/hash markers refuse mismatched stores."""
+    import pytest
+
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    run = " ".join(f"r{i}" for i in range(6))
+    b1 = spark.createDataFrame([(1, run)], "doc_id long, text string")
+    clean1, store = incremental_exact_substr(b1, None, min_length=4)
+    assert clean1.first()["clean_text"] == run  # first sight: untouched
+    store = store.persist()
+    assert store.count() == 3  # 6 tokens -> 3 distinct 4-windows
+    b2 = spark.createDataFrame(
+        [(2, "u1 u2 " + run), (3, run)], "doc_id long, text string"
+    )
+    clean2, store2 = incremental_exact_substr(b2, store, min_length=4)
+    got = {r["doc_id"]: r["clean_text"] for r in clean2.collect()}
+    assert got == {2: "u1 u2"}  # 3 fully covered -> disappears
+    # new firsts: windows straddling the u1/u2 prefix in doc 2
+    assert store2.count() > store.count()
+    with pytest.raises(ValueError, match="geometry"):
+        incremental_exact_substr(b2, store, min_length=5)
+    with pytest.raises(ValueError, match="geometry"):
+        incremental_exact_substr(b2, store, min_length=4, hash="xxhash64")
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental_exact_substr(b2, b1, min_length=4)
+    with pytest.raises(ValueError, match="min_length"):
+        incremental_exact_substr(b2, None, min_length=0)

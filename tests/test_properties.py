@@ -965,3 +965,48 @@ def test_incremental_embed_batch_split_invariance(spark, n_docs, cut, changed):
         for r in embed_documents(recrawl, model=spec).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_docs=st.integers(min_value=2, max_value=10),
+    L=st.integers(min_value=3, max_value=6),
+    cut=st.integers(min_value=0, max_value=10),
+)
+def test_incremental_exact_substr_split_invariance_property(
+    spark, data, n_docs, L, cut
+):
+    """For any corpus with planted duplicated runs and any ascending-id
+    batch split, concatenating the incremental batches' outputs equals
+    the one-shot exact_substr_dedup over the union."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.dedup import (
+        exact_substr_dedup,
+        incremental_exact_substr,
+    )
+
+    cut = min(cut, n_docs)
+    run = [f"R{j}" for j in range(data.draw(st.integers(L, 2 * L)))]
+    docs = []
+    for d in range(n_docs):
+        toks = [
+            f"t{data.draw(st.integers(0, 4))}"
+            for _ in range(data.draw(st.integers(0, 20)))
+        ]
+        if data.draw(st.booleans()):
+            at = data.draw(st.integers(0, len(toks)))
+            toks = toks[:at] + run + toks[at:]
+        docs.append((d, " ".join(toks)))
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = sorted(
+        map(tuple, exact_substr_dedup(full, min_length=L).collect())
+    )
+    b1 = full.where(F.col("doc_id") < cut)
+    b2 = full.where(F.col("doc_id") >= cut)
+    c1, store = incremental_exact_substr(b1, None, min_length=L)
+    store = store.persist()
+    c2, _ = incremental_exact_substr(b2, store, min_length=L)
+    got = sorted(map(tuple, c1.unionByName(c2).collect()))
+    assert got == want
