@@ -997,3 +997,114 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "d")
     )
+
+
+_SQD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),"
+    " (acc, x) -> acc + x)"
+)
+
+_SPLIT_CAP = 150
+
+
+def _split_cells_oracle(centroids: list[list[float]], cap: int) -> str:
+    """SQL replay of split_oversized_cells over the fixed-centroid
+    assignment: min-id seed A, farthest-rounded seed B (min-id ties),
+    nearer-seed reassignment (ties -> A), child id = max(cell) + 1 +
+    split rank."""
+    cent_rows = ", ".join(
+        f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
+        for j, c in enumerate(centroids)
+    )
+    dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
+    return f"""
+    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY t.cn2 - 2.0 * ({dot_cv}) / c.nrm, t.cell
+               ) AS arnk
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE arnk = 1
+    ),
+    sizes AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+    splits AS (
+      SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS rnk
+      FROM sizes WHERE n > {cap}
+    ),
+    childm AS (
+      SELECT s.cell, (SELECT max(cell) FROM assigned) + 1 + s.rnk AS child
+      FROM splits s
+    ),
+    mem AS (
+      SELECT a.vec_id, a.embedding, a.cell, c.child
+      FROM assigned a JOIN childm c USING (cell)
+    ),
+    seeda AS (SELECT cell, min(vec_id) AS vid FROM mem GROUP BY cell),
+    av AS (
+      SELECT m.cell, m.embedding AS va
+      FROM mem m JOIN seeda s ON m.cell = s.cell AND m.vec_id = s.vid
+    ),
+    d1t AS (
+      SELECT m.vec_id, m.embedding, m.cell, m.child,
+             round({_SQD.format(a='m.embedding', b='av.va')}, 6) AS d1
+      FROM mem m JOIN av USING (cell)
+    ),
+    seedb AS (
+      SELECT cell, vec_id FROM (
+        SELECT cell, vec_id,
+               row_number() OVER (
+                 PARTITION BY cell ORDER BY d1 DESC, vec_id ASC
+               ) AS rn
+        FROM d1t
+      ) WHERE rn = 1
+    ),
+    bv AS (
+      SELECT m.cell, m.embedding AS vb
+      FROM mem m JOIN seedb s ON m.cell = s.cell AND m.vec_id = s.vec_id
+    ),
+    moved AS (
+      SELECT d.vec_id,
+             CASE WHEN round({_SQD.format(a='d.embedding', b='bv.vb')}, 6) < d.d1
+                  THEN d.child ELSE d.cell END AS cell
+      FROM d1t d JOIN bv USING (cell)
+    )
+    SELECT vec_id, cell FROM moved
+    UNION ALL
+    SELECT vec_id, cell FROM assigned
+    WHERE cell NOT IN (SELECT cell FROM splits)
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "q_ivf_cell_split",
+    _split_cells_oracle(deterministic_centroids(4, 64), _SPLIT_CAP),
+    doc=(
+        "IVF index maintenance: cells over the size cap split by the "
+        "deterministic two-seed rule (min-id seed, farthest second "
+        "seed, nearer-seed reassignment) — the re-balance step that "
+        "keeps an incrementally-growing index cell-bounded instead of "
+        "degrading to brute force; full assignment replayed in SQL."
+    ),
+)
+def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        ivf_assign_literal,
+        split_oversized_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign_literal(emb, deterministic_centroids(4, 64)).select(
+        "vec_id", "embedding", "cell"
+    )
+    reassigned, _ = split_oversized_cells(assigned, _SPLIT_CAP)
+    return reassigned.select("vec_id", "cell").orderBy("vec_id")

@@ -1713,3 +1713,196 @@ def target_centroid_scores(
         .crossJoin(F.broadcast(cent))
         .select(F.col(id_col), sim.alias("target_cosine"))
     )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Left-associated double fold of |a-b|² — the distance the split
+    decisions rank on; same shape as the DuckDB list_reduce twin, so
+    verdicts are bit-reproducible."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def split_oversized_cells(
+    assigned: DataFrame,
+    max_cell_size: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> "tuple[DataFrame, DataFrame]":
+    """IVF index MAINTENANCE: split every cell holding more than
+    ``max_cell_size`` vectors into two — the re-balance step an
+    incrementally-growing index needs (without it, a hot cell slowly
+    turns cell-bounded search back into brute force; the classic
+    IVF failure mode at corpus scale).
+
+    Deterministic two-seed split (no Lloyd iterations, so the whole
+    decision replays in SQL): seed A = the cell's MINIMUM-id member,
+    seed B = the member FARTHEST from A (squared distance rounded to 6
+    decimals, min-id tie-break); every member joins the nearer seed
+    (ties → A).  Child A keeps the original cell id — untouched cells
+    and already-ingested references stay valid — and child B gets
+    ``max(cell) + 1 + rank`` (rank = the split cell's position among
+    the splits, ascending), so new ids are deterministic and
+    collision-free.  A cell of identical vectors yields an empty child
+    B (nothing CAN split it) rather than looping.
+
+    Returns ``(reassigned, new_cells)``: the full index with updated
+    ``cell`` values, and one row per NEW child cell ``(cell, parent,
+    n, centroid)`` — centroid = per-dimension exact-DECIMAL mean of the
+    members, the row a serving centroid table ingests.  Plan shape:
+    split detection is one map-side-combined count; everything after
+    runs ONLY on oversized-cell members (semi-join bounded); the
+    centroid means are map-side partial aggregates.  Call after each
+    incremental ingest wave; cells ≤ cap are never touched or
+    recomputed."""
+    if max_cell_size < 1:
+        raise ValueError(
+            f"max_cell_size must be >= 1, got {max_cell_size}"
+        )
+    spark = assigned.sparkSession
+    sizes = (
+        assigned.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )  # cell-scale — aggregate-output-class
+    split_cells = sorted(
+        r[cell_col] for r in sizes if r["__n"] > max_cell_size
+    )
+    if not split_cells:
+        return assigned, assigned.sparkSession.createDataFrame(
+            [], f"{cell_col} int, parent int, n long, centroid array<double>"
+        )
+    base = max(r[cell_col] for r in sizes) + 1
+    child_map = spark.createDataFrame(
+        [(c, base + i) for i, c in enumerate(split_cells)],
+        f"{cell_col} int, __child int",
+    )
+    members = assigned.join(F.broadcast(child_map), cell_col)
+    rest = assigned.join(
+        F.broadcast(child_map.select(cell_col)), cell_col, "left_anti"
+    )
+    v = F.col(vec_col)
+    # Seed A: the min-id member (vector fetched by joining back).
+    seed_a = members.groupBy(cell_col).agg(F.min(id_col).alias(id_col))
+    a_vec = members.join(seed_a, [cell_col, id_col]).select(
+        cell_col, F.col(vec_col).alias("__va")
+    )
+    with_a = members.join(F.broadcast(a_vec), cell_col)
+    d1 = F.round(_sqdist(v, F.col("__va")), 6)
+    # Seed B: argmax distance-from-A, min-id tie-break — max over
+    # struct(d, -id) is exactly that, map-side combined.
+    seed_b = (
+        with_a.groupBy(cell_col)
+        .agg(
+            F.max(
+                F.struct(
+                    d1.alias("d"), (-F.col(id_col)).alias("negid")
+                )
+            ).alias("__m")
+        )
+        .select(cell_col, (-F.col("__m.negid")).alias(id_col))
+    )
+    b_vec = members.join(seed_b, [cell_col, id_col]).select(
+        cell_col, F.col(vec_col).alias("__vb")
+    )
+    scored = with_a.join(F.broadcast(b_vec), cell_col).withColumn(
+        "__take_b",
+        F.round(_sqdist(v, F.col("__vb")), 6) < d1,
+    )
+    reassigned_members = scored.withColumn(
+        cell_col,
+        F.when(F.col("__take_b"), F.col("__child")).otherwise(
+            F.col(cell_col)
+        ),
+    ).select(*assigned.columns)
+    reassigned = rest.unionByName(reassigned_members)
+    # New-cell centroids: exact-DECIMAL per-dimension means (the
+    # mean_pool determinism contract), one row per child cell.
+    child_members = reassigned_members.join(
+        F.broadcast(child_map.select(F.col("__child").alias(cell_col), F.col(cell_col).alias("parent"))),
+        cell_col,
+    )
+    dims = child_members.select(
+        cell_col, "parent", F.posexplode(v).alias("__d", "__x")
+    )
+    per_dim = dims.groupBy(cell_col, "parent", "__d").agg(
+        (
+            F.sum(F.col("__x").cast("decimal(28,12)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    new_cells = (
+        per_dim.groupBy(cell_col, "parent")
+        .agg(
+            F.max("__n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("__d", "__m"))
+            ).alias("__dm"),
+        )
+        .select(
+            cell_col,
+            "parent",
+            "n",
+            F.transform("__dm", lambda s: s["__m"]).alias("centroid"),
+        )
+    )
+    return reassigned, new_cells
+
+
+def rebalance_cells(
+    assigned: DataFrame,
+    max_cell_size: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    max_rounds: int = 16,
+) -> "tuple[DataFrame, DataFrame]":
+    """Repeated :func:`split_oversized_cells` until every cell fits (or
+    a cell stops shrinking — identical vectors cannot split).  Each
+    round at most halves the largest splittable cell, so rounds ~
+    log2(max_cell/cap); each round's work is bounded by the still-
+    oversized membership.  Returns ``(reassigned, new_cells)`` with the
+    new-cell rows accumulated across rounds (later splits of a fresh
+    child appear once per id — consumers key on ``cell``)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    spark = assigned.sparkSession
+    all_new = spark.createDataFrame(
+        [], f"{cell_col} int, parent int, n long, centroid array<double>"
+    )
+    cur = assigned
+    for _ in range(max_rounds):
+        prev_sizes = {
+            r[cell_col]: r["n"]
+            for r in cur.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if all(n <= max_cell_size for n in prev_sizes.values()):
+            break
+        cur, new_cells = split_oversized_cells(
+            cur, max_cell_size, vec_col=vec_col, id_col=id_col,
+            cell_col=cell_col,
+        )
+        # Persist per round: the next round's size scan (and the final
+        # consumer) must not replay the whole split chain.
+        cur = cur.persist()
+        made = new_cells.collect()  # cell-scale
+        if not made or all(
+            prev_sizes.get(r["parent"], 0) - r["n"] == 0 for r in made
+        ):
+            break  # nothing actually moved: degenerate cells
+        all_new = all_new.unionByName(
+            spark.createDataFrame(made, all_new.schema)
+        )
+    return cur, all_new

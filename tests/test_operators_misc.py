@@ -3117,3 +3117,64 @@ def test_incremental_exact_substr_store_semantics_and_guards(spark):
         incremental_exact_substr(b2, b1, min_length=4)
     with pytest.raises(ValueError, match="min_length"):
         incremental_exact_substr(b2, None, min_length=0)
+
+
+def test_split_oversized_cells_semantics_and_centroids(spark):
+    """Two-seed split: members join the nearer seed, child ids extend
+    the cell space, new-cell centroids are the exact member means, and
+    undersized/degenerate cells are untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.similarity import (
+        rebalance_cells,
+        split_oversized_cells,
+    )
+
+    rows = (
+        # cell 0: two clumps -> must split cleanly
+        [(i, [0.0 + i * 0.01, 0.0], 0) for i in range(4)]
+        + [(10 + i, [100.0 + i * 0.01, 0.0], 0) for i in range(4)]
+        # cell 1: under cap -> untouched
+        + [(100, [5.0, 5.0], 1)]
+        # cell 2: identical vectors -> cannot split, must not loop
+        + [(200 + i, [7.0, 7.0], 2) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    re, new = split_oversized_cells(df, max_cell_size=4)
+    cells = {r["vec_id"]: r["cell"] for r in re.collect()}
+    # seed A = vec 0 (min id); seed B = farthest = one of the 100.x
+    # clump; the clumps separate exactly
+    assert {cells[i] for i in range(4)} == {0}
+    far_cell = {cells[10 + i] for i in range(4)}
+    assert far_cell != {0} and len(far_cell) == 1
+    assert cells[100] == 1
+    assert {cells[200 + i] for i in range(5)} == {2}  # degenerate: stays
+    info = {r["cell"]: r for r in new.collect()}
+    child = far_cell.pop()
+    assert info[child]["parent"] == 0 and info[child]["n"] == 4
+    # exact mean of the far clump (the operator sums in DECIMAL, so the
+    # expected value is the exact-arithmetic mean, not a float-sum mean)
+    from decimal import Decimal
+
+    exact = float(
+        sum(Decimal("100.0") + Decimal(repr(0.01)) * i for i in range(4)) / 4
+    )
+    assert abs(info[child]["centroid"][0] - 100.015) < 1e-9
+    assert abs(info[child]["centroid"][0] - exact) < 1e-9
+    with pytest.raises(ValueError, match="max_cell_size"):
+        split_oversized_cells(df, max_cell_size=0)
+
+    # rebalance loops until every splittable cell fits
+    reb, newc = rebalance_cells(df, max_cell_size=2)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in reb.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for c, n in sizes.items():
+        if c != 2:  # the identical-vector cell legitimately cannot split
+            assert n <= 2, (c, n)
+    assert sizes[2] == 5
+    assert reb.count() == df.count()
