@@ -56,7 +56,7 @@ _QUALITY_SQL = """
     "q_curate_top_docs",
     f"""
     WITH t AS (
-      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+      SELECT doc_id, lang, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM documents
     ), q AS (
       SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM t
@@ -606,7 +606,7 @@ def _dsir_grams_cte() -> str:
     return f"""
     t AS (
       SELECT doc_id, lang,
-             regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+             regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS tk
       FROM documents
     ),
     g AS (

@@ -55,7 +55,7 @@ _HASH64_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
     """
     SELECT MIN(doc_id) AS doc_id
     FROM documents
-    GROUP BY md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+    GROUP BY md5(array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' '))
     ORDER BY doc_id
     """,
     doc="Exact dedup: hash-groupBy on normalized-text fingerprint.",
@@ -414,7 +414,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORM_FP_SQL = (
-    "md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))"
+    "md5(array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' '))"
 )
 
 
@@ -1174,7 +1174,7 @@ def q_exact_substr_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDJOIN_ORACLE = """
     WITH base AS (
       SELECT DISTINCT tok FROM (
-        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents
       ) WHERE length(tok) BETWEEN 3 AND 12
     ),

@@ -25,7 +25,7 @@ from metalpipe_spark.sources.readers import load_table
 _EMBED_CTES = """
     toks AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                 t -> t <> '')) AS tok
       FROM {src}
     ),

@@ -151,7 +151,7 @@ def _corpus_pipeline_oracle() -> str:
       SELECT MIN(doc_id) AS doc_id
       FROM kept
       GROUP BY md5(array_to_string(
-        regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+        regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' '))
     ),
     clean AS (
       SELECT k.doc_id, k.toks, len(k.toks) AS n

@@ -955,8 +955,13 @@ def q_target_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT vec_id, d,
-             GREATEST(0, LEAST(255,
-               floor((v - lo) * (255 / (hi - lo)) + 0.5)::INT)) AS code,
+             -- hi = lo guard mirrors the engine's scale = 0.0 branch
+             -- (all-zero codes on a constant corpus); without it DuckDB
+             -- divides by zero into inf/NaN codes (r14 advice)
+             CASE WHEN hi = lo THEN 0 ELSE
+               GREATEST(0, LEAST(255,
+                 floor((v - lo) * (255 / (hi - lo)) + 0.5)::INT))
+             END AS code,
              lo, hi
       FROM el, ext
     )

@@ -1,10 +1,12 @@
 """Text-analysis catalog queries over the ``documents`` table: language
 ID, quality scoring, token stats, fingerprinting.
 
-Oracle parity notes: tokenization is ``regexp_split_to_array(text,'\\s+')``
-on the DuckDB side vs ``F.split(text, '\\s+')`` — identical on the
-synthetic corpus (single-space separated); all ratios are exact-integer
-divisions performed once in DOUBLE.
+Oracle parity notes: tokenization is
+``regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')`` on the DuckDB side vs
+``F.split(text, '\\s+')`` on the Spark side — the explicit class IS
+Java's ``\\s`` (RE2's ``\\s`` omits ``\\x0b``, so spelling it out keeps the
+engines identical on every input, r14 advice); all ratios are
+exact-integer divisions performed once in DOUBLE.
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ def _argmax_case(langs: list[str], threshold: float = 0.01) -> str:
 
 _LANGID_SQL = f"""
     WITH t AS (
-      SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS toks
+      SELECT doc_id, lang, text, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM documents
     ), s AS (
       SELECT doc_id, lang,
@@ -98,7 +100,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_tokens",
     """
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents
     )
     SELECT doc_id,
            len(toks) AS n_tokens,
@@ -126,10 +128,10 @@ def q_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tokenize_regex",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
-           len(regexp_split_to_array(text, '\\s+')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpeish,
+           len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_ws,
            CAST(coalesce(list_aggregate(
-             list_transform(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'),
                             t -> length(t)),
              'sum'), 0) AS BIGINT) AS token_chars
     FROM documents
@@ -162,7 +164,7 @@ def q_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     """
     SELECT doc_id,
-           md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' '))
+           md5(array_to_string(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' '))
              AS fingerprint
     FROM documents
     ORDER BY doc_id
@@ -178,7 +180,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_profile_by_lang",
     """
     WITH t AS (
-      SELECT lang, regexp_split_to_array(text, '\\s+') AS toks, n_chars FROM documents
+      SELECT lang, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks, n_chars FROM documents
     )
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -544,7 +546,7 @@ def _model_quality_oracle(weights: list[float], threshold: float) -> str:
     d = len(weights)
     return f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id,
@@ -649,8 +651,8 @@ def _lexicon_oracle(lexicon: dict[str, float]) -> str:
     return f"""
     WITH lex(token, weight) AS (VALUES {rows}),
     t AS (
-      SELECT doc_id, len(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS n,
-             unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS token
+      SELECT doc_id, len(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+')) AS n,
+             unnest(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+')) AS token
       FROM documents
     ),
     j AS (
@@ -713,7 +715,7 @@ def _ngram_lm_oracle(
     return f"""
     WITH lm(ngram, logprob) AS (VALUES {rows}),
     t AS (SELECT doc_id,
-                 regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+                 regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS tk
           FROM documents),
     g AS (
       SELECT doc_id, (len(tk) - 1)::BIGINT AS n,
@@ -765,7 +767,7 @@ def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_PAIR_COUNTS_ORACLE = """
 WITH words AS (
-  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS word
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+')) AS word
   FROM documents
 ),
 w AS (
@@ -827,7 +829,7 @@ def _hll_oracle(p: int = 12) -> str:
     alpha = 0.7213 / (1 + 1.079 / m)
     return f"""
     WITH t AS (
-      SELECT DISTINCT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      SELECT DISTINCT lang, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM documents
     ),
     hh AS (
@@ -911,7 +913,7 @@ def _countmin_oracle(depth: int = 4, width: int = 2048, k: int = 20) -> str:
     )
     return f"""
     WITH t AS (
-      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+      SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents
     ),
     hh AS (SELECT tok, {h32} AS h FROM t),
     rb AS (
@@ -1435,7 +1437,7 @@ def _langid_model_oracle() -> str:
       SELECT doc_id, lang, {synth} AS text FROM documents
     ), t AS (
       SELECT doc_id, lang, text,
-             regexp_split_to_array(text, '\\s+') AS toks
+             regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM s
     ), l AS (
       SELECT doc_id, lang, {logits} AS logits FROM t
@@ -1531,7 +1533,7 @@ def _langid_cjk_oracle() -> str:
     ), s1 AS (
       SELECT doc_id, lang, text,
              regexp_replace(text, '{_WS_CLASS}', '', 'g') AS s,
-             regexp_split_to_array(text, '\\s+') AS toks
+             regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks
       FROM s0
     ), l AS (
       SELECT doc_id, lang, text,
@@ -1685,7 +1687,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIGRAM_SEED_ORACLE = """
     WITH w AS (
       SELECT word, count(*)::BIGINT AS n FROM (
-        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+        SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
         FROM documents
       ) WHERE word <> '' GROUP BY word
     ),
@@ -1776,7 +1778,7 @@ def _viterbi_scores_oracle() -> str:
 
     words_cte = (
         "w AS MATERIALIZED (SELECT DISTINCT word FROM ("
-        "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word "
+        "SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word "
         "FROM documents) WHERE word <> '' AND length(word) <= 20)"
     )
     return viterbi_score_oracle_sql(_UNI_ENC_PIECES, words_cte)
@@ -1878,7 +1880,7 @@ def _wp_vocab_values() -> str:
     WITH RECURSIVE words AS (
       SELECT DISTINCT tok AS word FROM (
         SELECT unnest(list_filter(
-          regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+          regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS tok
         FROM documents
       )
     ),

@@ -123,7 +123,7 @@ def _html_extract_sql(expr: str) -> str:
     expr = f"regexp_replace({expr}, '[ \\t\\r\\f]+', ' ', 'g')"
     expr = f"regexp_replace({expr}, ' ?\\n ?', e'\\n', 'g')"
     expr = f"regexp_replace({expr}, '\\n+', e'\\n', 'g')"
-    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    return f"regexp_replace({expr}, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')"
 
 
 # The synthetic page: title + style in head, comment + script noise,

@@ -20,10 +20,12 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ASCII-only whitespace split: matches Java/RE2 '\s' (what the SQL
-# oracles and the Spark-side F.split word derivations use), unlike
-# str.split() / Unicode '\s', which also split NBSP and friends.
-_WS_ASCII = re.compile(r"\s+", re.ASCII)
+# The pinned whitespace class, spelled out: identical to Python
+# re.ASCII '\s' and Java '\s' (both [ \t\n\x0b\f\r] — what the
+# Spark-side F.split word derivations match), unlike RE2 '\s' (no
+# \x0b) or Unicode '\s' (NBSP etc.).  The SQL oracles spell the same
+# explicit class so all three engines split identically (r14 advice).
+_WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")
 
 END_OF_WORD = "</w>"
 

@@ -162,6 +162,22 @@ def _hash64(col: Column, hash: str = "md5") -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _hash64b(col: Column, hash: str = "md5") -> Column:
+    """A SECOND independent 60-bit hash of the same value: md5 nibbles
+    16-30 (disjoint from :func:`_hash64`'s 1-15, so the pair carries
+    the digest's first 120 bits), or a re-salted xxhash64.  Exists for
+    the incremental ExactSubstr store, whose cross-batch window
+    identity must not bottleneck on one 60-bit token hash (r14 advisor
+    finding: stacking moduli over ONE stream caps at that stream's
+    width for single-token substitutions)."""
+    _check_hash(hash)
+    if hash == "xxhash64":
+        return F.pmod(
+            F.xxhash64(col, F.lit("__ds2")), F.lit(1 << 60).cast("long")
+        )
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
 def _hash32(col: Column, hash: str = "md5") -> Column:
     """32-bit nonneg hash (md5: first 8 nibbles; xxhash64: pmod 2^32).
     Small enough that ``a*h + b`` stays inside int64 for 31-bit
@@ -1266,10 +1282,17 @@ def duplicate_span_dedup(
 # two residues stay < 2^62 (int64-safe).  The batch operator uses the
 # first TWO (~62 bits — candidates only; final grouping is on verified
 # window CONTENT, so a collision costs a wasted verification, never a
-# wrong result).  The incremental operator uses all FOUR (~124 bits):
-# cross-batch verification would require storing window content, so
-# there the hash IS the identity and birthday risk must be negligible
-# at 100 TB window counts (1e13 windows -> ~5e-12 expected collisions).
+# wrong result).  The incremental operator uses all FOUR, fed by TWO
+# independent 60-bit token-hash streams (moduli 1-2 see stream 1,
+# moduli 3-4 see stream 2 — md5 nibbles 1-15 vs 16-30): without the
+# second stream, a single-token substitution collides on every modulus
+# iff the two tokens' ONE 60-bit hashes are equal (CRT — the r14
+# advisor's finding), capping the identity at ~60 bits regardless of
+# how many moduli stack.  With it, single-token identity is ~120 bits
+# and generic window identity ~124 bits, so at 1e13 windows (100 TB)
+# expected birthday collisions stay ~5e-12.  Cross-batch verification
+# would require storing window content, so there the hash IS the
+# identity and this width is load-bearing.
 _RK = (
     (1_000_003, 2147483647),  # (base B, prime p): p = 2^31 - 1
     (1_000_033, 2147483629),  # p = 2^31 - 19
@@ -1303,9 +1326,10 @@ def _rk_pows(n: int) -> list:
     return [_RK_POWS[m] for m in range(len(_RK))]
 
 
-def _rolling_window_hashes(th, L: int, mods: int = 2):
-    """All L-window rolling hashes of a token-hash vector under the
-    first ``mods`` moduli, O(n) each.
+def _rolling_window_hashes(th, L: int, mods: int = 2, first: int = 0):
+    """All L-window rolling hashes of a token-hash vector under moduli
+    ``first .. first + mods - 1``, O(n) each (``first`` lets a second
+    token-hash stream run under its own moduli pair).
 
     ``W_j = sum_i th[j+i] * B^(L-1-i) mod p`` for each start j, computed
     via the B^-i prefix-sum identity: a_i = th_i * B^-i; W_j =
@@ -1320,7 +1344,7 @@ def _rolling_window_hashes(th, L: int, mods: int = 2):
         raise ValueError(f"document too long for int64 prefix sums: {n}")
     pows = _rk_pows(n + L)
     out = []
-    for m in range(mods):
+    for m in range(first, first + mods):
         B, p = _RK[m]
         fw, bw = pows[m]
         hm = np.asarray(th, dtype=np.int64) % p
@@ -1445,16 +1469,36 @@ def exact_substr_dedup(
 
 
 def _window_hash_frame(
-    docs: DataFrame, id_col: str, idt: str, L: int, hash: str, mods: int
+    docs: DataFrame,
+    id_col: str,
+    idt: str,
+    L: int,
+    hash: str,
+    mods: int,
+    dual_stream: bool = False,
 ) -> DataFrame:
     """``(id, __s, __w1..__w{mods})`` — one row per L-token window of
     every document, hashes from the O(n) rolling kernel.  Token hashing
-    stays JVM-side; only the linear recurrence runs in numpy."""
+    stays JVM-side; only the linear recurrence runs in numpy.
+
+    ``dual_stream`` (requires ``mods == 4``) feeds moduli 1-2 from
+    :func:`_hash64` and moduli 3-4 from the independent
+    :func:`_hash64b` slice, so a single-token substitution must collide
+    BOTH 60-bit token hashes (~2^-120) to alias a window — the batch
+    operator doesn't need this (content-verify stage), the incremental
+    store does (the hash IS the cross-batch identity)."""
     import pandas as pd
 
-    hashed = docs.select(
-        id_col, F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
-    )
+    if dual_stream and mods != 4:
+        raise ValueError("dual_stream requires mods=4")
+    cols = [
+        F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
+    ]
+    if dual_stream:
+        cols.append(
+            F.transform("__tk", lambda t: _hash64b(t, hash)).alias("__th2")
+        )
+    hashed = docs.select(id_col, *cols)
     wcols = [f"__w{m + 1}" for m in range(mods)]
 
     def window_hashes(batches):
@@ -1463,8 +1507,16 @@ def _window_hash_frame(
         for pdf in batches:
             ids, starts = [], []
             ws: list[list] = [[] for _ in range(mods)]
-            for i, th in zip(pdf[id_col], pdf["__th"]):
-                hs = _rolling_window_hashes(np.asarray(th), L, mods=mods)
+            th2s = pdf["__th2"] if dual_stream else pdf["__th"]
+            for i, th, th2 in zip(pdf[id_col], pdf["__th"], th2s):
+                if dual_stream:
+                    hs = _rolling_window_hashes(
+                        np.asarray(th), L, mods=2
+                    ) + _rolling_window_hashes(
+                        np.asarray(th2), L, mods=2, first=2
+                    )
+                else:
+                    hs = _rolling_window_hashes(np.asarray(th), L, mods=mods)
                 if len(hs[0]):
                     ids.append(np.full(len(hs[0]), i))
                     starts.append(np.arange(len(hs[0]), dtype=np.int32))
@@ -1520,14 +1572,22 @@ def incremental_exact_substr(
     exact/MinHash/embedding/image/inference incremental-store family.
 
     The store holds one row per DISTINCT window seen so far:
-    ``(__w1..__w4, first_id, first_s, wL, h)`` — a quad-modulus
-    (~124-bit) rolling hash is the window's identity, because
-    cross-batch content verification would require storing window TEXT;
-    at 1e13 windows (100 TB scale) expected birthday collisions are
-    ~5e-12, and the ``wL``/``h`` geometry markers refuse a store built
-    with a different window length or token-hash fn (the band_store
-    rule).  Within the batch the semantics equal the batch operator's:
-    keep-first by ``(doc, start)``.
+    ``(__w1..__w4, first_id, first_s, wL, h)`` — a quad-modulus rolling
+    hash over TWO independent 60-bit token-hash streams (moduli 1-2 on
+    md5 nibbles 1-15, moduli 3-4 on nibbles 16-30) is the window's
+    identity, because cross-batch content verification would require
+    storing window TEXT.  The second stream matters: over one stream,
+    CRT makes a single-token substitution collide on all four moduli
+    iff the two tokens' single 60-bit hashes are equal — ~60-bit
+    identity no matter how many moduli stack (r14 advisor finding).
+    With two streams, single-token identity is ~120 bits and generic
+    window identity ~124 bits, so at 1e13 windows (100 TB scale)
+    expected birthday collisions are ~5e-12.  The ``wL``/``h`` geometry
+    markers (``h`` carries the ``/ds2`` scheme tag) refuse a store
+    built with a different window length, token-hash fn or the
+    pre-dual-stream identity (the band_store rule).  Within the batch
+    the semantics equal the batch operator's: keep-first by
+    ``(doc, start)``.
 
     Returns ``(clean, updated_store)``: ``clean`` is the batch with
     every token covered by an already-seen window (store hit) or a
@@ -1553,7 +1613,10 @@ def incremental_exact_substr(
     keys = ["__w1", "__w2", "__w3", "__w4"]
     # The window frame feeds the store join, the in-batch grouping AND
     # the new-firsts projection — batch-scale rows, persist once.
-    w = _window_hash_frame(docs, id_col, idt, L, hash, mods=4).persist()
+    scheme = hash + "/ds2"  # identity-scheme tag: dual-stream quad-mod
+    w = _window_hash_frame(
+        docs, id_col, idt, L, hash, mods=4, dual_stream=True
+    ).persist()
     if store is not None:
         missing = set(keys + ["first_id", "first_s", "wL", "h"]) - set(
             store.columns
@@ -1568,11 +1631,12 @@ def incremental_exact_substr(
             (r["wL"], r["h"] if r["h"] is not None else "<null>")
             for r in store.select("wL", "h").distinct().collect()
         )
-        if any(m != (L, hash) for m in markers):
+        if any(m != (L, scheme) for m in markers):
             raise ValueError(
                 f"incremental_exact_substr: store carries geometry "
-                f"markers {markers} but the batch uses ({L}, {hash!r}) — "
-                "window identities would never match; rebuild one side"
+                f"markers {markers} but the batch uses ({L}, {scheme!r}) — "
+                "window identities would never match (a marker without "
+                "'/ds2' is a pre-dual-stream store); rebuild one side"
             )
         store_keys = store.select(*keys)
         hits = w.join(store_keys, keys, "left_semi")
@@ -1597,7 +1661,7 @@ def incremental_exact_substr(
         F.col("__f.d").alias("first_id"),
         F.col("__f.s").alias("first_s"),
         F.lit(L).alias("wL"),
-        F.lit(hash).alias("h"),
+        F.lit(scheme).alias("h"),
     )
     updated_store = (
         new_rows if store is None else store.unionByName(new_rows)

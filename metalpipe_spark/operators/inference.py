@@ -50,10 +50,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-# re.ASCII: the SQL replay splits with Java/RE2 '\s' (ASCII-only); a
-# Unicode-aware Python '\s' would split NBSP etc. and break the
-# bit-identical-replay contract on non-ASCII whitespace.
-_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)
+# The pinned whitespace class, spelled out: identical to Python
+# re.ASCII '\s' AND Java '\s' (both [ \t\n\x0b\f\r]); the SQL oracles
+# use the same explicit class because RE2's '\s' EXCLUDES \x0b (r14
+# advisor finding) and a Unicode-aware '\s' would also split NBSP —
+# either would break the bit-identical-replay contract.
+_TOKEN_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
 
 # One entry per (worker process, model spec): the executor-side model
 # cache.  Populated lazily inside the UDF, so the driver never loads

@@ -1881,15 +1881,40 @@ def rebalance_cells(
         [], f"{cell_col} int, parent int, n long, centroid array<double>"
     )
     cur = assigned
+    # Cells that stayed the same size through a split round are
+    # unsplittable (all-identical vectors: seed A keeps every member —
+    # a child can never absorb the whole cell, so "child == parent
+    # size" can NEVER fire; r14 advice).  Track them so one degenerate
+    # cell beside a splittable one can't re-enter every round until
+    # max_rounds burning unused child ids.
+    stuck: set = set()
+    prev_sizes: dict | None = None
+    pending_unpersist = None
     for _ in range(max_rounds):
-        prev_sizes = {
+        sizes = {
             r[cell_col]: r["n"]
             for r in cur.groupBy(cell_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if all(n <= max_cell_size for n in prev_sizes.values()):
+        # The size scan above materialized cur's persist; the previous
+        # round's cache is now safely droppable (r14 advice: each round
+        # used to leak its predecessor's cache).
+        if pending_unpersist is not None:
+            pending_unpersist.unpersist()
+            pending_unpersist = None
+        if prev_sizes is not None:
+            stuck.update(
+                c
+                for c, n in sizes.items()
+                if n > max_cell_size and prev_sizes.get(c) == n
+            )
+        if all(
+            n <= max_cell_size or c in stuck for c, n in sizes.items()
+        ):
             break
+        prev_sizes = sizes
+        prev_cur = cur if cur is not assigned else None
         cur, new_cells = split_oversized_cells(
             cur, max_cell_size, vec_col=vec_col, id_col=id_col,
             cell_col=cell_col,
@@ -1897,11 +1922,10 @@ def rebalance_cells(
         # Persist per round: the next round's size scan (and the final
         # consumer) must not replay the whole split chain.
         cur = cur.persist()
+        pending_unpersist = prev_cur
         made = new_cells.collect()  # cell-scale
-        if not made or all(
-            prev_sizes.get(r["parent"], 0) - r["n"] == 0 for r in made
-        ):
-            break  # nothing actually moved: degenerate cells
+        if not made:
+            break  # nothing splittable at all
         all_new = all_new.unionByName(
             spark.createDataFrame(made, all_new.schema)
         )

@@ -1045,16 +1045,23 @@ def count_min_heavy_hitters(
     sketch = count_min_sketch(df, col, depth=depth, width=width, hash=hash)
     _, rows = _cm_bucket_structs(col, depth, width, hash)
     if probe == "broadcast" or (probe == "auto" and depth * width > 16384):
-        # Counter tables stay DataFrames: one broadcast LEFT join per
-        # depth row on the row's bucket expression (absent counter =
-        # true zero — no item ever hashed there).  Map-side only; the
-        # plan carries depth joins, not depth*width literals.
+        # One broadcast LEFT join per depth row on the row's bucket
+        # expression (absent counter = true zero — no item ever hashed
+        # there).  Map-side only; the plan carries depth joins, not
+        # depth*width literals.  The counters COLLECT once (depth*width
+        # BIGINTs — metadata-scale, same as the literal path) and each
+        # depth slice becomes a local DataFrame: slicing the live
+        # sketch lineage per depth would re-run the full input
+        # aggregation depth times (r14 advice).
+        spark = df.sparkSession
+        slices: list[list] = [[] for _ in range(depth)]
+        for r in sketch.collect():  # depth*width rows
+            slices[r["row"]].append((int(r["bucket"]), int(r["c"])))
         probed = df
         ests = []
         for j in range(depth):
-            cj = sketch.where(F.col("row") == j).select(
-                F.col("bucket").alias(f"__b{j}"),
-                F.col("c").alias(f"__c{j}"),
+            cj = spark.createDataFrame(
+                slices[j], schema=f"__b{j} long, __c{j} long"
             )
             probed = probed.join(
                 F.broadcast(cj),
