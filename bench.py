@@ -237,6 +237,67 @@ def _env_fingerprint() -> dict:
     return fp
 
 
+def _calibrate(spark=None) -> dict:
+    """Fixed-work, data-free CPU calibration stamped into every bench
+    artifact (VERDICT r14 task 1): r14's committed numbers read 1.47x
+    over r13 purely from host drift, and proving that cost a day of
+    three-way arbitration.  Three medians-of-3 over pinned workloads:
+
+    - ``jvm_hash_sec``: 200M-row codegen hash-agg
+      (range -> xxhash64 -> bit_xor, 16 slices) — the engine-side
+      currency every headline query is paid in.  Needs a live session;
+      omitted in cold mode (one throwaway run first: plan compile is
+      JIT, not CPU).
+    - ``numpy_sec``: 120 x 512^2 float64 matmuls — the Arrow/kernel
+      path's currency (BLAS-threaded, like the real kernels).
+    - ``python_sec``: 2M-iteration pure-Python hash loop — the
+      GIL-bound single-core currency (driver-side planning).
+
+    Cross-round rule (BENCH_NOTES.md): a per-row ratio between two
+    artifacts is only a CODE signal after dividing by the artifacts'
+    ``jvm_hash_sec`` ratio; round_close warns when calibration drifts
+    >1.2x from the previous round's artifact."""
+    import statistics
+
+    import numpy as np
+
+    out: dict = {
+        "spec": "jvm:range200Mx16-xxhash64-bitxor;"
+        "numpy:120x512matmul;python:2Mhashloop"
+    }
+    a = (np.arange(512 * 512, dtype=np.float64).reshape(512, 512) % 7) + 1.0
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(120):
+            a @ a
+        samples.append(time.perf_counter() - t0)
+    out["numpy_sec"] = round(statistics.median(samples), 4)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc ^= hash((i * 2654435761) & 0xFFFFFFFF)
+        samples.append(time.perf_counter() - t0)
+    out["python_sec"] = round(statistics.median(samples), 4)
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        def one(n: int) -> float:
+            t0 = time.perf_counter()
+            spark.range(0, n, 1, 16).select(
+                F.xxhash64("id").alias("h")
+            ).agg(F.bit_xor("h")).collect()
+            return time.perf_counter() - t0
+
+        one(1_000_000)  # throwaway: whole-stage-codegen compile
+        out["jvm_hash_sec"] = round(
+            statistics.median([one(200_000_000) for _ in range(3)]), 4
+        )
+    return out
+
+
 def _emit(payload: dict) -> None:
     """Two-line output contract (VERDICT r13 task 1): the driver captures
     only the LAST ~2000 chars of stdout, and the full-catalog payload is
@@ -262,6 +323,10 @@ def _emit(payload: dict) -> None:
         "stat": payload["stat"],
         "n_queries": len(timings),
         "n_errors": len(payload.get("errors", {})),
+        # The calibration constants ride the summary line too: the
+        # driver's BENCH_r{N}.json must be normalizable without access
+        # to the full line (VERDICT r14 task 1).
+        **({"calib": payload["calib"]} if "calib" in payload else {}),
         "queries": slowest,
         "queries_note": "slowest 10 of n_queries; full medians on the"
         " earlier bench_line=full stdout line",
@@ -346,6 +411,9 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
         "stat": "median",
         "protocol": "cold-jvm-per-query",
         "drain": "xxhash64-checksum",
+        # No live session in the parent: the JVM component is omitted
+        # (each subprocess's artifact would carry its own anyway).
+        "calib": _calibrate(None),
         "env": {"before": fp0, "after": _env_fingerprint()},
         **({"errors": errors} if errors else {}),
     }
@@ -424,6 +492,28 @@ def main() -> None:
         ).count()
         spark.catalog.clearCache()
 
+    # Pre-pay first-timed-row costs that scale with CATALOG size, not
+    # query work (VERDICT r14 task 5: q01 read a consistent +0.15 s at
+    # HEAD vs the r13 checkout while other rows flipped sign — lazy
+    # operator-module imports + first plan analysis land on whichever
+    # row runs first).  Build, analyze, but do NOT execute.
+    if headline:
+        try:
+            registry[headline[0]].build(spark, sf_dir).schema
+        except Exception:
+            pass  # a broken row is reported by the timed loop, not here
+
+    # CPU calibration AFTER warm-up (so its JVM component measures CPU,
+    # not JIT).  Skipped for SPARK_GRAFT_BENCH_ONLY local-iteration
+    # subsets — in cold mode every per-query subprocess is such a
+    # subset and ~5 s of calibration each would dominate — unless
+    # SPARK_GRAFT_BENCH_CALIB=1 forces it.
+    calib = (
+        _calibrate(spark)
+        if not only or os.environ.get("SPARK_GRAFT_BENCH_CALIB")
+        else None
+    )
+
     # Median-of-N: BENCH_NOTES.md records ±10% repeat-run variance on
     # this host, so a single run cannot distinguish a real regression
     # from noise.  Each query is timed `runs` times back-to-back and the
@@ -497,6 +587,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": runs,
         "stat": "median",
+        **({"calib": calib} if calib else {}),
         "env": {"before": fp0, "after": _env_fingerprint()},
         # Methodology marker: rounds <= r01 drained via count()
         # (column-pruned); r02+ checksum every output column, so

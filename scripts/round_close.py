@@ -106,6 +106,46 @@ def main() -> int:
         if payload is None:
             raise SystemExit("bench stdout carried no bench_line=full line")
         payload.pop("bench_line", None)
+        # Calibration gate (VERDICT r14 task 1): r14's committed
+        # artifact read 1.47x over r13 from pure host drift.  Compare
+        # this run's fixed-work calibration against the previous
+        # round's artifact; >1.2x drift means the host is NOT the one
+        # the prior numbers were taken on — annotate the artifact (so
+        # cross-round ratio math can normalize by it) and warn loudly.
+        # Not a hard refusal: a degraded host may never recover inside
+        # the round, and the annotation is what makes the artifact
+        # honest.
+        prior_art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd - 1}.json")
+        cur_calib = payload.get("calib", {})
+        if os.path.exists(prior_art) and cur_calib.get("jvm_hash_sec"):
+            with open(prior_art) as f:
+                prior = json.load(f)
+            prior_calib = prior.get("calib", {})
+            if prior_calib.get("jvm_hash_sec"):
+                drift = {
+                    k: round(cur_calib[k] / prior_calib[k], 3)
+                    for k in ("jvm_hash_sec", "numpy_sec", "python_sec")
+                    if prior_calib.get(k) and cur_calib.get(k)
+                }
+                payload["calib_vs_prior"] = {
+                    "round": rnd - 1,
+                    **drift,
+                    "rule": "divide cross-round per-row ratios by"
+                    " jvm_hash_sec ratio before calling them code",
+                }
+                worst = max(drift.values(), default=1.0)
+                best = min(drift.values(), default=1.0)
+                if worst > 1.2 or best < 1 / 1.2:
+                    print(
+                        "!" * 72
+                        + f"\nCALIB DRIFT vs r{rnd - 1}: {drift} — this"
+                        " host is NOT running at the prior artifact's"
+                        " speed; cross-round per-row ratios are only"
+                        " code signals after normalizing by the"
+                        " jvm_hash_sec ratio (BENCH_NOTES.md).\n"
+                        + "!" * 72,
+                        flush=True,
+                    )
         art = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
         # ONE JSON line — the format every prior BENCH_LOCAL artifact
         # uses and bench_compare's line-oriented loader expects.
