@@ -168,6 +168,7 @@ HEADLINE = [
     "q_bpe_pair_counts",
     "q_bpe_encode",
     "q_wordpiece_encode",
+    "q_wordpiece_pair_scores",
     # multimodal
     "q_multimodal_decode",
     "q_multimodal_features",

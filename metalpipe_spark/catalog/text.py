@@ -1951,3 +1951,66 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", (F.col("__i") + 1).cast("long").alias("seq"), "piece")
         .orderBy("word", "seq")
     )
+
+
+@register(
+    "q_wordpiece_pair_scores",
+    """
+    WITH words AS (
+      SELECT tok AS word, count(*)::BIGINT AS n FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+          t -> t <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    syms AS (
+      SELECT word, n, u.i AS pos,
+             CASE WHEN u.i = 1 THEN substr(word, 1, 1)
+                  ELSE '##' || substr(word, u.i, 1) END AS sym
+      FROM words, unnest(range(1, len(word) + 1)) AS u(i)
+    ),
+    symc AS (SELECT sym, sum(n)::BIGINT AS sc FROM syms GROUP BY sym),
+    pairs AS (
+      SELECT a.sym AS left_sym, b.sym AS right_sym,
+             sum(a.n)::BIGINT AS pair_count
+      FROM syms a JOIN syms b ON a.word = b.word AND b.pos = a.pos + 1
+      GROUP BY a.sym, b.sym
+    ),
+    scored AS (
+      -- pinned as BIGINT / (DOUBLE * BIGINT): bit-identical IEEE double
+      -- vs the engine's long / (double * long)
+      SELECT left_sym, right_sym, pair_count,
+             pair_count / (cl.sc::DOUBLE * cr.sc) AS score
+      FROM pairs
+      JOIN symc cl ON cl.sym = left_sym
+      JOIN symc cr ON cr.sym = right_sym
+    )
+    SELECT row_number() OVER
+             (ORDER BY score DESC, left_sym, right_sym)::INT AS rank,
+           left_sym, right_sym, pair_count, score
+    FROM scored
+    ORDER BY score DESC, left_sym, right_sym
+    LIMIT 150
+    """,
+    doc=(
+        "wordpiece_pair_scores (operators/bpe.py): the oracle face of "
+        "WordPiece TRAINING (Schuster & Nakajima likelihood-scored "
+        "merges — closes the tokenizer-training family: BPE and "
+        "Unigram both already train), mirroring the q_bpe_pair_counts "
+        "pattern: the round-0 scored pair table, top-150 under the "
+        "trainer's exact argmax order (score desc, pair asc).  Rank 1 "
+        "IS train_wordpiece's first merge (pinned by test).  Scores "
+        "are BIT-identical across engines: both compute "
+        "count / (double(left_total) * right_total) in IEEE double — "
+        "no rounding, the raw doubles hash.  Plan: one corpus-scale "
+        "word count, vocab-scale pair+symbol counts meeting through "
+        "broadcast joins, distributed partial top-k; the row_number "
+        "window touches 150 rows."
+    ),
+)
+def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.bpe import wordpiece_pair_scores
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return wordpiece_pair_scores(docs, top_k=150).orderBy("rank")

@@ -151,38 +151,7 @@ def train_bpe(
             break
         left, right = best["p"]["l"], best["p"]["r"]
         merges.append((rank, left, right, int(best["c"])))
-        merged = F.concat(F.lit(left), F.lit(right))
-        # Greedy left-to-right merge via an array fold: append each
-        # symbol unless the accumulator ends with `left` and the symbol
-        # is `right` — then the tail rewrites to the merged symbol.
-        # (Reference semantics: "aaa" under (a,a) -> ["aa", "a"].)
-        # The fold is an interpreted HOF, so it is GATED behind a cheap
-        # codegen containment check: a word lacking either symbol cannot
-        # contain the adjacent pair, and most of the vocabulary lacks
-        # any given pair, so the interpreted path runs on a sliver of
-        # rows (the win grows with vocabulary size; at sf0.1 the round
-        # cost is dominated by job scheduling, not the fold).
-        fold = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select(
-            F.when(
-                F.array_contains("syms", left) & F.array_contains("syms", right),
-                fold,
-            )
-            .otherwise(F.col("syms"))
-            .alias("syms"),
-            F.col("n"),
-        )
+        vocab = _greedy_merge_vocab(vocab, left, right, left + right)
         if (rank + 1) % checkpoint_every == 0:
             from metalpipe_spark.operators.dedup import _truncate_lineage
 
@@ -370,3 +339,226 @@ def wordpiece_encode(
     return df.select(*cols).mapInPandas(
         batches, f"{id_col} {id_type}, pieces array<string>, n_pieces long"
     )
+
+
+def _wp_initial_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The round-0 WordPiece vocabulary: each unique whitespace word
+    split into BERT-style symbols — first character plain, every later
+    character ``##``-prefixed (continuation marker instead of BPE's
+    terminal ``</w>``) — with its corpus frequency, as
+    ``(syms: array<string>, n: long)``.  One corpus-scale pass, same
+    shape as :func:`_initial_vocab`."""
+    words = df.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+        ).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.transform(
+                F.split(F.col("word"), ""),
+                lambda c, i: F.when(i == F.lit(0), c).otherwise(
+                    F.concat(F.lit("##"), c)
+                ),
+            ).alias("syms"),
+            F.col("n"),
+        )
+    )
+
+
+def _greedy_merge_vocab(
+    vocab: DataFrame, left: str, right: str, merged
+) -> DataFrame:
+    """One merge round's vocabulary rewrite, shared by the BPE and
+    WordPiece trainers: greedy left-to-right replacement of adjacent
+    ``(left, right)`` with ``merged`` via an array fold ("aaa" under
+    (a, a) -> ["aa", "a"] — the reference semantics).  The interpreted
+    HOF is gated behind a codegen containment check, so it runs only on
+    the vocabulary sliver that can contain the pair at all."""
+    merged_col = F.lit(merged)
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged_col)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return vocab.select(
+        F.when(
+            F.array_contains("syms", left) & F.array_contains("syms", right),
+            fold,
+        )
+        .otherwise(F.col("syms"))
+        .alias("syms"),
+        F.col("n"),
+    )
+
+
+def _wp_merged_symbol(left: str, right: str) -> str:
+    """WordPiece merge result: the right symbol's continuation prefix
+    folds away ("a" + "##b" = "ab", "##a" + "##b" = "##ab")."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def _wp_scored_pairs(vocab: DataFrame) -> DataFrame:
+    """Likelihood-scored adjacent pairs of a WordPiece vocabulary:
+    ``score = pair_count / (left_total * right_total)`` — the Schuster
+    & Nakajima objective (merging the pair with the best
+    count-over-product ratio maximizes the corpus unigram-LM likelihood
+    gain).  The division is pinned as ``long / (double * long)`` so the
+    DuckDB twin (``pair_count / (cl::DOUBLE * cr)``) produces the
+    bit-identical IEEE double; the product is computed in double
+    because two ~1e12 counts overflow int64 at 100 TB scale.
+    Returns ``(l, r, pair_count, score)``."""
+    pairs = (
+        _adjacent_pairs(vocab)
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    symc = (
+        vocab.select(F.explode("syms").alias("s"), "n")
+        .groupBy("s")
+        .agg(F.sum("n").alias("sc"))
+    )
+    # Symbol totals are alphabet+merges-sized — broadcast both probes.
+    lc = symc.select(F.col("s").alias("l"), F.col("sc").alias("cl"))
+    rc = symc.select(F.col("s").alias("r"), F.col("sc").alias("cr"))
+    return (
+        pairs.join(F.broadcast(lc), "l")
+        .join(F.broadcast(rc), "r")
+        .select(
+            "l",
+            "r",
+            "pair_count",
+            (
+                F.col("pair_count")
+                / (F.col("cl").cast("double") * F.col("cr"))
+            ).alias("score"),
+        )
+    )
+
+
+def wordpiece_pair_scores(
+    df: DataFrame, text_col: str = "text", top_k: int = 200
+) -> DataFrame:
+    """The oracle-checkable face of WordPiece training (the
+    :func:`bpe_pair_counts` pattern): the round-0 likelihood-scored
+    pair table, top ``top_k`` under the trainer's deterministic argmax
+    order (score desc, then lexicographically smallest pair).  Rank 1
+    IS the first merge :func:`train_wordpiece` picks.  Returns
+    ``(rank, left_sym, right_sym, pair_count, score)``.
+
+    Plan shape: one corpus-scale word count, one vocab-scale pair
+    count + one vocab-scale symbol count meeting through broadcast
+    joins, a distributed partial top-k; the row_number window runs on
+    the ``top_k``-row result only."""
+    scored = _wp_scored_pairs(_wp_initial_vocab(df, text_col))
+    order = [F.desc("score"), F.asc("l"), F.asc("r")]
+    topk = scored.orderBy(*order).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        "pair_count",
+        "score",
+    )
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges from a corpus (Schuster &
+    Nakajima 2012 — the likelihood-scored trainer behind BERT vocabs,
+    closing the train->encode loop that BPE and Unigram already have;
+    :func:`wordpiece_encode` serves the result).  Returns the merge
+    table ``(rank, left, right, merged, pair_count, score)`` ordered by
+    rank, where ``merged`` folds the right symbol's ``##`` away.
+
+    Differs from :func:`train_bpe` in exactly one place: the argmax is
+    over ``pair_count / (left_total * right_total)`` (the unigram-LM
+    likelihood gain of the merge) instead of raw ``pair_count`` —
+    frequent-but-independent pairs like "e"+"##s" lose to rarer pairs
+    whose parts occur mostly together.  Ties break deterministically:
+    best score, then lexicographically smallest ``(left, right)``
+    (pinned by the reference-equality test and shared with
+    :func:`wordpiece_pair_scores`).
+
+    Plan shape: word counting is the one corpus-scale pass; each round
+    is one vocab-scale pair count + one vocab-scale symbol count
+    meeting through broadcast joins, a 1-row argmax to the driver, and
+    the shared containment-gated greedy fold rewrite
+    (:func:`_greedy_merge_vocab`); ``checkpoint_every`` bounds the
+    iterative plan exactly as in BPE training.  Pairs with raw count
+    under ``min_pair_count`` are excluded from every round's argmax
+    CANDIDATES (the likelihood score actively FAVORS rare pairs —
+    c/(cl*cr) is maximal for a hapax between hapax symbols — so a
+    BPE-style "stop when the best drops under min" would halt round 0
+    on any realistic corpus); training stops when no pair qualifies."""
+    spark = df.sparkSession
+    vocab = _wp_initial_vocab(df, text_col)
+    merges = []
+    prev_rdd = None
+    for rank in range(num_merges):
+        best = (
+            _wp_scored_pairs(vocab)
+            .where(F.col("pair_count") >= min_pair_count)
+            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        left, right = best["l"], best["r"]
+        merged = _wp_merged_symbol(left, right)
+        merges.append(
+            (rank, left, right, merged, int(best["pair_count"]),
+             float(best["score"]))
+        )
+        vocab = _greedy_merge_vocab(vocab, left, right, merged)
+        if (rank + 1) % checkpoint_every == 0:
+            from metalpipe_spark.operators.dedup import _truncate_lineage
+
+            vocab, rdd = _truncate_lineage(vocab, reliable=False)
+            vocab.count()  # materialize so the lineage truncation holds
+            if prev_rdd is not None:
+                prev_rdd.unpersist(False)
+            prev_rdd = rdd
+    if prev_rdd is not None:
+        prev_rdd.unpersist(False)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string,"
+        " pair_count long, score double",
+    )
+
+
+def wordpiece_vocab(
+    df: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The serving vocabulary a trained WordPiece model ships with:
+    the corpus's round-0 alphabet (every start + continuation
+    character symbol) plus each merge's ``merged`` piece — exactly
+    what :func:`wordpiece_encode` consumes, closing train->encode.
+    Single-column ``(piece)``; alphabet derivation is one corpus-scale
+    pass, the merge side is vocab-scale."""
+    alphabet = (
+        _wp_initial_vocab(df, text_col)
+        .select(F.explode("syms").alias("piece"))
+        .distinct()
+    )
+    return alphabet.unionByName(
+        merges.select(F.col("merged").alias("piece"))
+    ).distinct()

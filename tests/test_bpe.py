@@ -201,3 +201,143 @@ def test_wordpiece_encode_rejects_zero_length_pieces(spark):
     for bad in ("", "##"):
         with pytest.raises(ValueError, match="zero-length"):
             wordpiece_encode(df, ["a", bad])
+
+
+def _reference_wordpiece(
+    word_counts: dict[str, int], num_merges: int, min_count: int = 2
+):
+    """Schuster & Nakajima training: score = pair/(left*right) in IEEE
+    double, tie-break = (score desc, pair asc); merged symbol folds the
+    right side's '##' away."""
+    vocab = {
+        tuple([w[0]] + ["##" + c for c in w[1:]]): c
+        for w, c in word_counts.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        syms_total: Counter = Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                syms_total[s] += c
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        scored = {
+            p: c / (float(syms_total[p[0]]) * syms_total[p[1]])
+            for p, c in pairs.items()
+            if c >= min_count  # hapax pairs never argmax (score FAVORS rare)
+        }
+        if not scored:
+            break
+        best = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), score = best
+        merged = l + (r[2:] if r.startswith("##") else r)
+        merges.append((l, r, merged, pairs[(l, r)], score))
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_train_wordpiece_matches_reference(spark):
+    from metalpipe_spark.operators.bpe import train_wordpiece
+
+    docs = [
+        "hugs hug hugging pun puns pug pugs bun buns",
+        "hug hug pun pun pug bun hugging hugged",
+        "running runner run runs hug bun puns",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"], r["score"])
+        for r in train_wordpiece(df, num_merges=10, checkpoint_every=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    counts: Counter = Counter(w for t in docs for w in t.split())
+    want = _reference_wordpiece(dict(counts), 10)
+    # Scores must be bit-identical, not approximately equal: both sides
+    # compute count / (double(left) * right) in IEEE double.
+    assert got == want
+    # The likelihood objective must actually diverge from raw-count BPE
+    # on this corpus (else the test proves nothing about the scorer).
+    raw_first = max(
+        Counter(
+            (a, b)
+            for w, c in counts.items()
+            for a, b in zip(
+                [w[0]] + ["##" + ch for ch in w[1:]],
+                ["##" + ch for ch in w[1:]],
+            )
+            for _ in range(c)
+        ).items(),
+        key=lambda kv: (kv[1], tuple(-ord(x) for x in "".join(kv[0]))),
+    )[0]
+    assert (got[0][0], got[0][1]) != raw_first
+
+
+def test_wordpiece_pair_scores_rank1_is_first_merge(spark):
+    from metalpipe_spark.operators.bpe import (
+        train_wordpiece,
+        wordpiece_pair_scores,
+    )
+
+    docs = ["hugs hug hugging pun puns pug", "hug pun pug bun hugged"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    top = wordpiece_pair_scores(df, top_k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+    first = train_wordpiece(df, num_merges=1, min_pair_count=1).first()
+    assert (top[0]["left_sym"], top[0]["right_sym"]) == (
+        first["left"],
+        first["right"],
+    )
+    assert top[0]["score"] == first["score"]
+
+
+def test_wordpiece_train_encode_loop(spark):
+    """train -> wordpiece_vocab -> wordpiece_encode closes: every word
+    reconstructs from its pieces ('##' stripped), no [UNK] (the
+    alphabet covers the corpus), and at least one trained merge is
+    actually served."""
+    from metalpipe_spark.operators.bpe import (
+        train_wordpiece,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = ["hugs hug hugging pun puns pug", "hug pun pug bun hugged run"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    merges = train_wordpiece(df, num_merges=6, min_pair_count=1)
+    vocab = wordpiece_vocab(df, merges)
+    words = df.selectExpr(
+        "explode(split(text, ' ')) AS word"
+    ).distinct()
+    enc = wordpiece_encode(
+        words, vocab, text_col="word", id_col="word"
+    ).collect()
+    assert enc
+    multi_piece = 0
+    for r in enc:
+        assert "[UNK]" not in r["pieces"]
+        rebuilt = "".join(
+            p[2:] if p.startswith("##") else p for p in r["pieces"]
+        )
+        assert rebuilt == r["word"]
+        if len(r["pieces"]) < len(r["word"]):
+            multi_piece += 1  # a merged (multi-char) piece was used
+    assert multi_piece > 0
