@@ -198,3 +198,62 @@ def test_incremental_embed_embeds_only_changed_and_new(spark):
         incremental_embed(recrawl, updated, model="hashed-projection:4:salt")
     with pytest.raises(ValueError, match="missing columns"):
         incremental_embed(recrawl, docs, model="hashed-projection:4")
+
+
+def test_numpy_mlp_model_through_embed_documents(spark):
+    """The registered numpy-MLP encoder (VERDICT r14 task 4): a model
+    with REAL weight tensors through the full mapInPandas path —
+    deterministic across runs/chunkings (weights derive from the spec
+    string, not RNG state), unit-norm outputs, input-sensitive."""
+    import numpy as np
+
+    from metalpipe_spark.operators.inference import (
+        NumpyMLPModel,
+        embed_documents,
+    )
+
+    rows = [(i, f"doc {i} alpha beta {'x' * (i % 5)}") for i in range(40)]
+    rows.append((40, None))
+    rows.append((41, ""))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spec = "numpy-mlp:64:32:16"
+    a = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(df, model=spec, batch_size=7).collect()
+    }
+    b = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(df, model=spec, batch_size=256,
+                                 max_concurrent=2).collect()
+    }
+    assert a == b  # bit-identical under different chunking + the gate
+    assert len(a[0]) == 16
+    for i, v in a.items():
+        n = float(np.sqrt(sum(x * x for x in v)))
+        if i in (40, 41):
+            # empty/null text: zero feature vector still flows through
+            # the MLP (bias path) — output is the same bias embedding
+            assert a[40] == a[41]
+        else:
+            assert abs(n - 1.0) < 1e-9
+    assert a[1] != a[2]  # input-sensitive
+    # Same spec == same weights object content; different salt differs.
+    m1, m2 = NumpyMLPModel(8, 4, 4), NumpyMLPModel(8, 4, 4)
+    assert (m1.w1 == m2.w1).all() and (m1.b2 == m2.b2).all()
+    m3 = NumpyMLPModel(8, 4, 4, salt="other")
+    assert not (m1.w1 == m3.w1).all()
+    # Direct-encode equals the Spark-path output (worker == driver).
+    direct = NumpyMLPModel(64, 32, 16).encode([rows[3][1]])[0]
+    assert list(direct) == a[3]
+
+
+def test_numpy_mlp_spec_validation(spark):
+    import pytest
+
+    from metalpipe_spark.operators.inference import embed_documents
+
+    df = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="numpy-mlp spec"):
+        embed_documents(df, model="numpy-mlp:64:32")
+    with pytest.raises(ValueError, match="numpy-mlp spec"):
+        embed_documents(df, model="numpy-mlp:a:b:c")
