@@ -119,6 +119,7 @@ HEADLINE = [
     "q_ann_pq_rerank",
     "q_ann_ivfadc",
     "q_ivf_cell_split",
+    "q_ivf_maintain_search",
     "q_embed_neardup_lsh",
     "q_embed_quantize",
     "q_embed_semdedup",

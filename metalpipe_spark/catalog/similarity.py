@@ -1013,18 +1013,20 @@ _SQD = (
 _SPLIT_CAP = 150
 
 
-def _split_cells_oracle(centroids: list[list[float]], cap: int) -> str:
-    """SQL replay of split_oversized_cells over the fixed-centroid
-    assignment: min-id seed A, farthest-rounded seed B (min-id ties),
-    nearer-seed reassignment (ties -> A), child id = max(cell) + 1 +
-    split rank."""
+def _split_ctes(centroids: list[list[float]], cap: int) -> str:
+    """The shared CTE body replaying split_oversized_cells over the
+    fixed-centroid assignment: min-id seed A, farthest-rounded seed B
+    (min-id ties), nearer-seed reassignment (ties -> A), child id =
+    max(cell) + 1 + split rank.  Ends at ``current(vec_id, cell)`` —
+    the post-split index — so both the split row and the composed
+    maintain->search row build on one definition (a replay-rule change
+    can never desynchronize them)."""
     cent_rows = ", ".join(
         f"({j}, '{float(sum(x * x for x in c))!r}'::DOUBLE, {_lit_vec(c)})"
         for j, c in enumerate(centroids)
     )
     dot_cv = _DOT_D.format(a="c.embedding", b="t.cv")
-    return f"""
-    WITH cent(cell, cn2, cv) AS (VALUES {cent_rows}),
+    return f"""cent(cell, cn2, cv) AS (VALUES {cent_rows}),
     corpus AS (
       SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
@@ -1081,11 +1083,19 @@ def _split_cells_oracle(centroids: list[list[float]], cap: int) -> str:
              CASE WHEN round({_SQD.format(a='d.embedding', b='bv.vb')}, 6) < d.d1
                   THEN d.child ELSE d.cell END AS cell
       FROM d1t d JOIN bv USING (cell)
-    )
-    SELECT vec_id, cell FROM moved
-    UNION ALL
-    SELECT vec_id, cell FROM assigned
-    WHERE cell NOT IN (SELECT cell FROM splits)
+    ),
+    current AS (
+      SELECT vec_id, cell FROM moved
+      UNION ALL
+      SELECT vec_id, cell FROM assigned
+      WHERE cell NOT IN (SELECT cell FROM splits)
+    )"""
+
+
+def _split_cells_oracle(centroids: list[list[float]], cap: int) -> str:
+    return f"""
+    WITH {_split_ctes(centroids, cap)}
+    SELECT vec_id, cell FROM current
     ORDER BY vec_id
     """
 
@@ -1113,3 +1123,80 @@ def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reassigned, _ = split_oversized_cells(assigned, _SPLIT_CAP)
     return reassigned.select("vec_id", "cell").orderBy("vec_id")
+
+
+def _maintain_search_oracle(
+    centroids: list[list[float]], cap: int, k: int, n_queries: int
+) -> str:
+    return f"""
+    WITH {_split_ctes(centroids, cap)},
+    dmap AS (
+      SELECT cell AS parent, cell FROM cent
+      UNION ALL
+      SELECT cell AS parent, child AS cell FROM childm
+    ),
+    qs AS (
+      SELECT a.vec_id AS query_id, a.embedding AS qv, c.nrm AS qn,
+             a.cell AS parent
+      FROM assigned a JOIN corpus c USING (vec_id)
+      WHERE a.vec_id < {n_queries}
+    ),
+    cand AS (
+      SELECT q.query_id, cur.vec_id,
+             round(({_DOT.format(a='q.qv', b='e.embedding')})
+                   / (q.qn * e.nrm), 6) AS cs
+      FROM qs q
+      JOIN dmap d ON d.parent = q.parent
+      JOIN current cur ON cur.cell = d.cell
+      JOIN corpus e ON e.vec_id = cur.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cs DESC, vec_id
+             ) AS rnk
+      FROM cand
+    )
+    SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "q_ivf_maintain_search",
+    _maintain_search_oracle(
+        deterministic_centroids(4, 64), _SPLIT_CAP, k=3, n_queries=10
+    ),
+    doc=(
+        "The composed IVF maintenance lifecycle, end-to-end (VERDICT "
+        "r14 task 7): assign (literal centroids) -> split oversized "
+        "cells -> SERVE through ivf_search_split, which probes each "
+        "query's nearest ORIGINAL centroid and searches every current "
+        "cell descended from it.  Because a split only partitions a "
+        "parent's members, the descendant probe scans exactly the "
+        "pre-split membership — maintenance preserves serving recall "
+        "BY CONSTRUCTION, and the equality against the unsplit 1-probe "
+        "answer is pinned in tests/test_scale_utils.py.  The oracle "
+        "replays assignment, the two-seed split AND the search (shared "
+        "CTE body with q_ivf_cell_split); integer-only compare columns "
+        "ranked over the quantized cosine."
+    ),
+)
+def q_ivf_maintain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.similarity import (
+        ivf_assign_literal,
+        ivf_search_split,
+        split_oversized_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(4, 64)
+    assigned = ivf_assign_literal(emb, cents).select(
+        "vec_id", "embedding", "cell"
+    )
+    reassigned, new_cells = split_oversized_cells(assigned, _SPLIT_CAP)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_search_split((reassigned, new_cells, cents), qs, k=3)
+    return out.select("query_id", "vec_id", "rnk").orderBy("query_id", "rnk")

@@ -1326,10 +1326,15 @@ def _rk_pows(n: int) -> list:
     return [_RK_POWS[m] for m in range(len(_RK))]
 
 
-def _rolling_window_hashes(th, L: int, mods: int = 2, first: int = 0):
+def _rolling_window_hashes(
+    th, L: int, mods: int = 2, first: int = 0, rk=None
+):
     """All L-window rolling hashes of a token-hash vector under moduli
     ``first .. first + mods - 1``, O(n) each (``first`` lets a second
-    token-hash stream run under its own moduli pair).
+    token-hash stream run under its own moduli pair; ``rk`` overrides
+    the production ``_RK`` table — the collision-injection knob: tests
+    pass tiny primes so hash collisions actually occur and the verify
+    stage's reject path runs for real).
 
     ``W_j = sum_i th[j+i] * B^(L-1-i) mod p`` for each start j, computed
     via the B^-i prefix-sum identity: a_i = th_i * B^-i; W_j =
@@ -1342,11 +1347,28 @@ def _rolling_window_hashes(th, L: int, mods: int = 2, first: int = 0):
         return tuple(np.empty(0, dtype=np.int64) for _ in range(mods))
     if n * 2147483647 >= (1 << 63):
         raise ValueError(f"document too long for int64 prefix sums: {n}")
-    pows = _rk_pows(n + L)
+    if rk is None:
+        pows = _rk_pows(n + L)
+        sel = [(_RK[m], pows[m]) for m in range(first, first + mods)]
+    else:
+        sel = []
+        for B, p in rk[first : first + mods]:
+            binv = pow(B, p - 2, p)
+            fw, bw = [1], [1]
+            while len(fw) < n + L:
+                fw.append(fw[-1] * B % p)
+                bw.append(bw[-1] * binv % p)
+            sel.append(
+                (
+                    (B, p),
+                    (
+                        np.array(fw, dtype=np.int64),
+                        np.array(bw, dtype=np.int64),
+                    ),
+                )
+            )
     out = []
-    for m in range(first, first + mods):
-        B, p = _RK[m]
-        fw, bw = pows[m]
+    for (B, p), (fw, bw) in sel:
         hm = np.asarray(th, dtype=np.int64) % p
         a = hm * bw[:n] % p
         pre = np.cumsum(a)
@@ -1362,6 +1384,7 @@ def exact_substr_dedup(
     min_length: int = 32,
     hash: str = "md5",
     verify: bool = True,
+    _rk=None,
 ) -> DataFrame:
     """EXACT duplicated-substring removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -1402,6 +1425,11 @@ def exact_substr_dedup(
     At 100 TB: stages 1-2 ride the scan (zero shuffle); stage 3 is the
     one token-scale shuffle, shrunk by map-side combine to
     distinct-window scale; stages 4-5 scale with duplicate volume.
+
+    ``_rk`` is the TEST-ONLY collision-injection knob: an override
+    modulus table (tiny primes make rolling-hash collisions abundant)
+    so the verify stage's reject path is exercised for real — never set
+    in production.
     """
     if min_length < 1:
         raise ValueError(f"min_length must be >= 1, got {min_length}")
@@ -1412,7 +1440,7 @@ def exact_substr_dedup(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r" ").alias("__tk"),
     )
     idt = dict(docs.dtypes)[id_col]
-    w = _window_hash_frame(docs, id_col, idt, L, hash, mods=2)
+    w = _window_hash_frame(docs, id_col, idt, L, hash, mods=2, rk=_rk)
     dup_keys = (
         w.groupBy("__w1", "__w2")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1476,6 +1504,7 @@ def _window_hash_frame(
     hash: str,
     mods: int,
     dual_stream: bool = False,
+    rk=None,
 ) -> DataFrame:
     """``(id, __s, __w1..__w{mods})`` — one row per L-token window of
     every document, hashes from the O(n) rolling kernel.  Token hashing
@@ -1511,12 +1540,14 @@ def _window_hash_frame(
             for i, th, th2 in zip(pdf[id_col], pdf["__th"], th2s):
                 if dual_stream:
                     hs = _rolling_window_hashes(
-                        np.asarray(th), L, mods=2
+                        np.asarray(th), L, mods=2, rk=rk
                     ) + _rolling_window_hashes(
-                        np.asarray(th2), L, mods=2, first=2
+                        np.asarray(th2), L, mods=2, first=2, rk=rk
                     )
                 else:
-                    hs = _rolling_window_hashes(np.asarray(th), L, mods=mods)
+                    hs = _rolling_window_hashes(
+                        np.asarray(th), L, mods=mods, rk=rk
+                    )
                 if len(hs[0]):
                     ids.append(np.full(len(hs[0]), i))
                     starts.append(np.arange(len(hs[0]), dtype=np.int32))

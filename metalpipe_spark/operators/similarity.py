@@ -842,6 +842,85 @@ def ivf_search_prebuilt(
     )
 
 
+def ivf_search_split(
+    index: "tuple[DataFrame, DataFrame, list[list[float]]]",
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Serve a query batch against an index AFTER cell-split
+    maintenance (:func:`split_oversized_cells` /
+    :func:`rebalance_cells`) — the piece that proves maintenance
+    preserves serving recall: each query probes its nearest ORIGINAL
+    centroid, then searches every CURRENT cell descended from that
+    parent (child A keeps the parent id; each ``new_cells`` row links a
+    child, transitively under repeated rebalance rounds).  Because a
+    split only PARTITIONS a parent's members between itself and its
+    children, probing the full descendant set scans exactly the
+    parent's pre-split membership — so the top-k equals the unsplit
+    index's 1-probe answer by construction (pinned by test), while the
+    per-cell Arrow batches the cogrouped scorer sees stay
+    ``max_cell_size``-bounded.
+
+    ``index`` is ``(reassigned, new_cells, centroids)`` — the two
+    outputs of the split operator plus the ORIGINAL centroid matrix.
+    The descendant map is cell-scale metadata (one driver collect,
+    aggregate-output-class).  Output: (query_id, vec_id, cosine_sim,
+    rnk)."""
+    reassigned, new_cells, centroids = index
+    links = new_cells.select(
+        "parent", F.col(cell_col).alias("__child")
+    ).collect()  # cell-scale
+    parent_of = {r["__child"]: r["parent"] for r in links}
+
+    def _root(c: int) -> int:
+        while c in parent_of:
+            c = parent_of[c]
+        return c
+
+    pairs = [(j, j) for j in range(len(centroids))] + [
+        (_root(r["__child"]), r["__child"]) for r in links
+    ]
+    spark = reassigned.sparkSession
+    dmap = spark.createDataFrame(pairs, f"__parent int, {cell_col} int")
+    build = reassigned.select(
+        F.col(cell_col),
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).cast("array<double>").alias("v2"),
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("d1"),
+        F.col(query_vec_col).cast("array<double>").alias("_vd"),
+    )
+    probe = (
+        qpre.select(
+            F.col("d1"),
+            F.col("_vd").alias("v1"),
+            F.element_at(_probe_cells(centroids, 1), 1).alias("__parent"),
+        )
+        .join(F.broadcast(dmap), "__parent")
+        .select("d1", "v1", cell_col)
+    )
+    out = _ivf_cogroup_topk(
+        probe,
+        build,
+        k=k,
+        id_type=queries.schema[query_id_col].dataType.simpleString(),
+        exclude_self=False,
+        build_id_type=reassigned.schema[id_col].dataType.simpleString(),
+    )
+    return out.select(
+        F.col("d1").alias(query_id_col),
+        F.col("d2").alias(id_col),
+        "cosine_sim",
+        "rnk",
+    )
+
+
 def semantic_neardup_pairs(
     df: DataFrame,
     centroids: list[list[float]],

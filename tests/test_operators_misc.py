@@ -3178,3 +3178,113 @@ def test_split_oversized_cells_semantics_and_centroids(spark):
             assert n <= 2, (c, n)
     assert sizes[2] == 5
     assert reb.count() == df.count()
+
+
+def test_split_oversized_cells_idempotent_and_search_parity(spark):
+    """r14 advice/verdict property pair: (a) splitting an
+    already-compliant index is a no-op; (b) searching through the
+    descendant probe (ivf_search_split) after a split returns EXACTLY
+    the unsplit index's 1-probe top-k — maintenance preserves serving
+    results, not just recall."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign_literal,
+        ivf_search_prebuilt,
+        ivf_search_split,
+        split_oversized_cells,
+    )
+
+    cents = deterministic_centroids(3, 8)
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = ivf_assign_literal(emb, cents).select(
+        "vec_id", "embedding", "cell"
+    )
+
+    # (a) idempotence: with the cap above every cell size, nothing moves
+    # and no child ids are allocated.
+    re0, new0 = split_oversized_cells(assigned, max_cell_size=1000)
+    assert new0.count() == 0
+    assert (
+        re0.select("vec_id", "cell").exceptAll(
+            assigned.select("vec_id", "cell")
+        ).count()
+        == 0
+    )
+
+    # (b) parity: split with a cap that forces movement, then serve.
+    re1, new1 = split_oversized_cells(assigned, max_cell_size=15)
+    assert new1.count() > 0  # the fixture must actually split
+    moved = (
+        re1.select("vec_id", "cell")
+        .exceptAll(assigned.select("vec_id", "cell"))
+        .count()
+    )
+    assert moved > 0
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_search_split((re1, new1, cents), qs, k=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_search_prebuilt(
+            (assigned, cents), qs, k=4, n_probe=1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_substr_verify_rejects_injected_hash_collisions(spark):
+    """r14 verdict task 6: force real rolling-hash collisions (tiny
+    override moduli make them abundant) and prove the content-verify
+    stage rejects every one — output identical to the true-duplicate
+    answer — while verify=False under the same collisions DOES
+    false-delete, proving the injection actually produced colliding
+    candidates."""
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+
+    TINY = [(3, 11), (5, 13)]  # window identity space = 11*13 = 143
+    # 40 docs of 8 distinct tokens each, no L=4 run repeated anywhere;
+    # >= 40*5 windows into 143 buckets guarantees cross-doc collisions.
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(8))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substr_dedup(df, min_length=4, _rk=TINY).collect()
+    }
+    assert clean == dict(rows)  # nothing removed: every collision rejected
+
+    # Same moduli, no verify: collisions masquerade as duplicates and
+    # tokens disappear — the stage under test is load-bearing.
+    unverified = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substr_dedup(
+            df, min_length=4, _rk=TINY, verify=False
+        ).collect()
+    }
+    assert unverified != dict(rows)
+
+    # And with true duplicates present, verify under collisions still
+    # returns exactly the real-moduli answer.
+    dup_rows = rows + [(100, rows[0][1]), (101, rows[1][1])]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substr_dedup(ddf, min_length=4, _rk=TINY).collect()
+    }
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substr_dedup(ddf, min_length=4).collect()
+    }
+    assert got == want

@@ -1010,3 +1010,48 @@ def test_incremental_exact_substr_split_invariance_property(
     c2, _ = incremental_exact_substr(b2, store, min_length=L)
     got = sorted(map(tuple, c1.unionByName(c2).collect()))
     assert got == want
+
+
+@settings(**{**_SETTINGS, "max_examples": 12})
+@given(
+    n_resp=st.integers(1, 6),
+    refs=st.lists(st.integers(0, 9), min_size=1, max_size=10),
+    bad_digest=st.lists(st.booleans(), min_size=1, max_size=10),
+)
+def test_resolve_revisits_property(spark, n_resp, refs, bad_digest):
+    """Property (r14 verdict task 6): a revisit resolves iff its
+    refers_to names an EXISTING response (dangling refs vanish — the
+    join is the existence check), and digest_ok holds iff both digests
+    are present and equal."""
+    from metalpipe_spark.sources.warc import resolve_revisits
+
+    responses = [
+        ("response", f"https://h/{j}", "2026", f"<urn:doc:{j}>", None,
+         "", f"md5:d{j}", 200, bytearray(f"body{j}".encode()))
+        for j in range(n_resp)
+    ]
+    revisits = []
+    for i, ref in enumerate(refs):
+        bad = bad_digest[i % len(bad_digest)]
+        digest = "md5:WRONG" if bad else f"md5:d{ref}"
+        revisits.append(
+            ("revisit", f"https://h/{ref}?r={i}", "2026",
+             f"<urn:rev:{i}>", f"<urn:doc:{ref}>", "profile", digest,
+             200, bytearray(b""))
+        )
+    warc = spark.createDataFrame(
+        responses + revisits,
+        "warc_type string, url string, date string, record_id string,"
+        " refers_to string, profile string, payload_digest string,"
+        " http_status int, payload binary",
+    )
+    got = {
+        r["record_id"]: r["digest_ok"]
+        for r in resolve_revisits(warc).collect()
+    }
+    want = {
+        f"<urn:rev:{i}>": not bad_digest[i % len(bad_digest)]
+        for i, ref in enumerate(refs)
+        if ref < n_resp  # dangling refers_to must NOT resolve
+    }
+    assert got == want
