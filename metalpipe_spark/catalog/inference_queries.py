@@ -286,18 +286,24 @@ def _embed_semdedup_oracle() -> str:
     _embed_semdedup_oracle(),
     doc=(
         "Full embed -> SemDeDup pipeline: batched fixture inference "
-        "produces the vectors and semantic_dedup consumes them in one "
-        "plan (centroid cells bound candidates, within-cell cosine >= "
-        "0.9 drops lower-id near-dups) — the documents-to-survivors "
-        "path a training-data pipeline actually runs, value-hashed end "
-        "to end."
+        "produces the vectors and the GEMM semantic-dedup scorer "
+        "consumes them in one plan (centroid cells bound candidates, "
+        "within-cell cosine >= 0.9 drops lower-id near-dups) — the "
+        "documents-to-survivors path a training-data pipeline actually "
+        "runs, value-hashed end to end.  The GEMM twin (not the "
+        "interpreted exact fold) serves here because the dense-cluster "
+        "fixture makes within-cell pair volume quadratic in corpus "
+        "size — SCALING batch 10 measured the fold path 31x on 10x "
+        "data vs 4.6x for BLAS; the survivor decision is the shared "
+        "quantized contract, so the oracle is unchanged (q_semdedup "
+        "keeps the exact fold as the family's oracle anchor)."
     ),
 )
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metalpipe_spark.operators.similarity import (
         deterministic_centroids,
         ivf_assign_literal,
-        semantic_dedup,
+        semantic_dedup_gemm,
     )
 
     docs = (
@@ -311,7 +317,7 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.exists("embedding", lambda x: x != 0))
     )
     cents = deterministic_centroids(4, 16)
-    kept = semantic_dedup(emb, cents, threshold=0.9)
+    kept = semantic_dedup_gemm(emb, cents, threshold=0.9)
     return (
         ivf_assign_literal(kept, cents)
         .select("vec_id", "cell")

@@ -35,6 +35,12 @@ QUERIES = [
     # the banner makes a handful of gram buckets hot
     "q_dsir_weights",
     "q_ccnet_buckets",
+    # round-15 row (VERDICT r14 task 2): the 32-token banner IS a
+    # duplicated window run for exact_substr (min_length 12 at this
+    # row's setting), so the duplicated-window groupBy and the
+    # join-back at operators/dedup.py (_window keys) go maximally hot —
+    # the skew-sensitive stage under boilerplate-heavy corpora.
+    "q_exact_substr",
 ]
 
 
