@@ -1743,19 +1743,28 @@ _UNI_ENC_PIECES = {
 }
 
 
+def _unigram_encode_oracle() -> str:
+    from metalpipe_spark.operators.unigram import viterbi_encode_oracle_sql
+
+    return viterbi_encode_oracle_sql(_UNI_ENC_PIECES, max_word_len=20)
+
+
 @register(
     "q_unigram_encode",
-    None,  # Viterbi is a per-word DP argmax: not one-pass-SQL-expressible
+    _unigram_encode_oracle(),
     doc=(
         "Unigram ENCODING with a fixed pinned piece table "
         "(operators/unigram.py): Viterbi max-log-prob segmentation per "
         "word, unknown characters as <unk>, fingerprinted as the "
-        "parenthesized piece stream.  Rows-only: the DP argmax cannot "
-        "be replayed in single-pass SQL (the BPE twin's regex-replay "
-        "trick needs merge-validity, which has no unigram analogue); "
-        "semantics are pinned instead by viterbi-vs-exhaustive "
-        "property tests and bit-reproducibility tests in "
-        "tests/test_unigram.py.  One Arrow-batched scan with a "
+        "parenthesized piece stream.  FULLY hash-gated since r15 "
+        "(previously rows-only): the DuckDB twin materializes each DP "
+        "level's candidate ARMS and winning choice (score desc, "
+        "longest piece — the engine's first-maximizer tie-break), "
+        "walks the backtracking as a recursive CTE, and reassembles "
+        "per-document piece streams in token order "
+        "(viterbi_encode_oracle_sql — the q_unigram_viterbi "
+        "MATERIALIZED-CTE unroll taken one step further, closing "
+        "VERDICT r14 task 8).  Engine: one Arrow-batched scan with a "
         "per-batch word memo; no shuffle — the bpe_encode shape."
     ),
 )

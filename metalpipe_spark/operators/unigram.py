@@ -501,3 +501,129 @@ def viterbi_score_oracle_sql(
     )
     SELECT word, round(s, 9) AS score FROM best ORDER BY word
     """
+
+
+def viterbi_encode_oracle_sql(
+    pieces: dict,
+    max_word_len: int = 20,
+    src: str = "documents",
+) -> str:
+    """The DuckDB twin of :func:`unigram_encode` — the full PIECE
+    STREAM, not just the best score: :func:`viterbi_score_oracle_sql`'s
+    MATERIALIZED per-position unroll taken one step further (VERDICT
+    r14 task 8).  Each position level now materializes its candidate
+    ARMS with the piece length attached (``a{j}``), the best score
+    (``d{j}``, as before) AND the winning arm (``c{j}`` — score desc,
+    then LONGEST piece, exactly :func:`viterbi_segment`'s
+    first-maximizer-scanning-longest-first tie-break); a recursive CTE
+    then walks the choices back from each word's end, which is the
+    backtracking loop SQL-ified.  Per-word fragments ``(p1)(p2)...``
+    concatenate in token order per document, reproducing the engine
+    row's ``md5('(' || join(')(') || ')')`` fingerprint bit-for-bit
+    (floats only ever COMPARE — same left-to-right adds as the score
+    oracle — so no float reaches the output).
+
+    Words longer than ``max_word_len`` have no level to start the walk
+    and their documents hash-mismatch LOUDLY rather than silently
+    passing (the fixture corpus max word length is 8; the unroll is
+    plan-build-time fixed, the score oracle's documented bound)."""
+    max_len = max(len(p) for p in pieces)
+    unk_pen = min(pieces.values()) - 10.0
+    piece_rows = ", ".join(
+        "('{}', '{!r}'::DOUBLE)".format(p.replace("'", "''"), v)
+        for p, v in sorted(pieces.items())
+    )
+    levels = [
+        "d0 AS MATERIALIZED (SELECT word, '0.0'::DOUBLE AS s FROM w)"
+    ]
+    choices = []
+    for j in range(1, max_word_len + 1):
+        arms = []
+        for l in range(1, min(j, max_len) + 1):
+            start = j - l + 1
+            sub = f"substr(w.word, {start}, {l})"
+            if l == 1:
+                # unknown single char: the unk fallback, displayed as
+                # <unk> (viterbi_segment emits UNK for pieces not in lp)
+                arms.append(
+                    f"SELECT w.word, {l} AS l, "
+                    f"CASE WHEN p.piece IS NULL THEN '<unk>' ELSE p.piece"
+                    f" END AS piece, d{j - l}.s + COALESCE(p.lp, "
+                    f"'{unk_pen!r}'::DOUBLE) AS s "
+                    f"FROM w JOIN d{j - l} USING (word) "
+                    f"LEFT JOIN p ON p.piece = {sub} "
+                    f"WHERE length(w.word) >= {j}"
+                )
+            else:
+                arms.append(
+                    f"SELECT w.word, {l} AS l, p.piece AS piece, "
+                    f"d{j - l}.s + p.lp AS s "
+                    f"FROM w JOIN d{j - l} USING (word) "
+                    f"JOIN p ON p.piece = {sub} "
+                    f"WHERE length(w.word) >= {j}"
+                )
+        union = "\n        UNION ALL ".join(arms)
+        levels.append(
+            f"a{j} AS MATERIALIZED (\n        {union}\n      )"
+        )
+        levels.append(
+            f"d{j} AS MATERIALIZED (SELECT word, max(s) AS s FROM a{j}"
+            " GROUP BY word)"
+        )
+        # The winning arm: best score, then longest piece — the Python
+        # DP scans i ascending (longest span first) and later
+        # candidates must STRICTLY beat, so the first maximizer wins.
+        choices.append(
+            f"SELECT word, {j} AS j, l, piece FROM ("
+            f"SELECT word, l, piece, row_number() OVER ("
+            f"PARTITION BY word ORDER BY s DESC, l DESC) AS rn FROM a{j}"
+            f") WHERE rn = 1"
+        )
+    lvl = ",\n    ".join(levels)
+    choice_union = "\n      UNION ALL ".join(choices)
+    return f"""
+    WITH RECURSIVE p(piece, lp) AS (VALUES {piece_rows}),
+    toks AS (
+      SELECT doc_id, u.i AS ti, tk[u.i] AS word
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                           '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS tk
+        FROM {src}
+      ), unnest(range(1, len(tk) + 1)) AS u(i)
+    ),
+    w AS MATERIALIZED (
+      SELECT DISTINCT word FROM toks WHERE length(word) <= {max_word_len}
+    ),
+    {lvl},
+    choice AS MATERIALIZED (
+      {choice_union}
+    ),
+    walk(word, pos, l, piece) AS (
+      SELECT c.word, length(c.word), c.l, c.piece
+      FROM choice c WHERE c.j = length(c.word)
+      UNION ALL
+      SELECT wk.word, wk.pos - wk.l, c.l, c.piece
+      FROM walk wk JOIN choice c
+        ON c.word = wk.word AND c.j = wk.pos - wk.l
+      WHERE wk.pos - wk.l > 0
+    ),
+    wordenc AS (
+      SELECT word,
+             string_agg('(' || piece || ')', '' ORDER BY pos - l) AS frag,
+             count(*)::BIGINT AS np
+      FROM walk GROUP BY word
+    ),
+    docenc AS (
+      SELECT t.doc_id, sum(e.np)::BIGINT AS n_pieces,
+             md5(string_agg(e.frag, '' ORDER BY t.ti)) AS enc_md5
+      FROM toks t JOIN wordenc e USING (word)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(e.n_pieces, 0) AS n_pieces,
+           COALESCE(e.enc_md5, md5('()')) AS enc_md5
+    FROM (SELECT doc_id FROM {src}) d
+    LEFT JOIN docenc e USING (doc_id)
+    ORDER BY d.doc_id
+    """

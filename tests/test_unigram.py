@@ -237,3 +237,63 @@ def test_viterbi_oracle_sql_escapes_apostrophe_pieces(spark):
     path = viterbi_segment("don't", pieces, 5, unk)
     want = round(sum(pieces.get(p, unk) for p in path), 9)
     assert got == [("don't", want)]
+
+
+def test_viterbi_encode_oracle_matches_engine_on_ties_and_unks(spark):
+    """viterbi_encode_oracle_sql (r15 — the full piece-STREAM replay)
+    must reproduce unigram_encode's fingerprints on a corpus crafted to
+    exercise the hard parts the sf fixture may never hit: exact-score
+    TIES between different segmentations (the longest-piece tie-break),
+    unknown characters, empty text, and repeated words."""
+    import duckdb
+    import pandas as pd
+
+    from metalpipe_spark.operators.unigram import (
+        unigram_encode,
+        viterbi_encode_oracle_sql,
+    )
+    from pyspark.sql import functions as F
+
+    # "ab" tie: [ab] = -4.0 vs [a][b] = -2.0 + -2.0 = -4.0 — exact
+    # float equality; engine picks the LONGER piece.  "xz!" has an
+    # unknown char.  Doc 4 is empty; doc 5 repeats words.
+    pieces = {
+        "ab": -4.0, "a": -2.0, "b": -2.0, "c": -3.0, "abc": -7.0,
+        "x": -4.5, "z": -4.25,
+    }
+    docs = [
+        (0, "ab abc ba"),
+        (1, "xz! ab"),
+        (2, "aaab abab"),
+        (3, "cab abba"),
+        (4, ""),
+        (5, "ab ab ab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    enc = unigram_encode(df, pieces)
+    got = {
+        (r["doc_id"], r["n_pieces"], r["enc_md5"])
+        for r in enc.select(
+            "doc_id",
+            "n_pieces",
+            F.md5(
+                F.concat(
+                    F.lit("("), F.concat_ws(")(", "pieces"), F.lit(")")
+                )
+            ).alias("enc_md5"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs_fixture",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    sql = viterbi_encode_oracle_sql(
+        pieces, max_word_len=8, src="docs_fixture"
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+    # The tie must actually resolve to the longer piece in BOTH
+    # engines (sanity that the fixture exercises the tie-break):
+    one_piece = {r["doc_id"]: r["pieces"] for r in enc.collect()}
+    assert one_piece[5] == ["ab", "ab", "ab"]
