@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metalpipe_spark.operators.bpe import _WS_ASCII
+
 UNK = "<unk>"
 
 
@@ -364,7 +366,14 @@ def unigram_encode(
             out = []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                for w in (text or "").split():
+                # The pinned ASCII whitespace class (operators/bpe.py
+                # _WS_ASCII rationale): str.split() also splits
+                # Unicode whitespace (NBSP etc.), which would
+                # desynchronize the piece stream from the SQL replay
+                # (viterbi_encode_oracle_sql) on non-ASCII input.
+                for w in _WS_ASCII.split(text or ""):
+                    if not w:
+                        continue
                     got = memo.get(w)
                     if got is None:
                         got = viterbi_segment(w, lp, max_len, unk_pen)
