@@ -1920,7 +1920,9 @@ def _wp_vocab_values() -> str:
       SELECT w.word FROM words w
       JOIN (SELECT word, max(pos) AS endpos FROM walk GROUP BY word) d
         ON d.word = w.word
-      WHERE d.endpos = len(w.word) + 1
+      -- len <= 100 mirrors the engine's max_input_chars (BERT's
+      -- max_input_chars_per_word): overlong words are whole-word [UNK]
+      WHERE d.endpos = len(w.word) + 1 AND len(w.word) <= 100
     )
     SELECT word, seq, piece FROM walk JOIN ok USING (word)
     UNION ALL

@@ -266,6 +266,7 @@ def wordpiece_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     unk: str = "[UNK]",
+    max_input_chars: int = 100,
 ) -> DataFrame:
     """WordPiece document encoding — the third tokenizer family beside
     BPE (merge replay) and Unigram (Viterbi): greedy longest-match-
@@ -279,7 +280,13 @@ def wordpiece_encode(
     unigram_encode: the vocab broadcasts in the closure (model-sized),
     each Arrow batch keeps a word memo so every distinct word segments
     once per batch, one scan, no shuffle.  Output ``(id, pieces,
-    n_pieces)``."""
+    n_pieces)``.
+
+    ``max_input_chars`` is BERT's ``max_input_chars_per_word`` (default
+    100, the reference tokenizer's): longer words collapse to ``unk``
+    WITHOUT paying the O(len * max_piece) greedy walk — at web scale a
+    single pathological megabyte "word" (minified JS, base64 blobs)
+    must cost O(1), not a quadratic scan."""
     if isinstance(vocab, DataFrame):
         col = vocab.columns[0]
         vs = {r[col] for r in vocab.collect()}
@@ -299,6 +306,10 @@ def wordpiece_encode(
         raise ValueError(
             f"wordpiece_encode: unk marker {unk!r} collides with a vocab"
             " piece"
+        )
+    if max_input_chars < 1:
+        raise ValueError(
+            f"max_input_chars must be >= 1, got {max_input_chars}"
         )
     max_len = max(
         len(p) - 2 if p.startswith("##") else len(p) for p in vs
@@ -320,7 +331,10 @@ def wordpiece_encode(
                         continue
                     got = memo.get(w)
                     if got is None:
-                        got = wordpiece_segment(w, vs, max_len, unk)
+                        if len(w) > max_input_chars:
+                            got = [unk]
+                        else:
+                            got = wordpiece_segment(w, vs, max_len, unk)
                         memo[w] = got
                     toks.extend(got)
                 out.append(toks)

@@ -341,3 +341,25 @@ def test_wordpiece_train_encode_loop(spark):
         if len(r["pieces"]) < len(r["word"]):
             multi_piece += 1  # a merged (multi-char) piece was used
     assert multi_piece > 0
+
+
+def test_wordpiece_encode_max_input_chars(spark):
+    """BERT's max_input_chars_per_word: overlong words collapse to
+    [UNK] whole (O(1), never the greedy walk), shorter words encode
+    normally, and the knob validates."""
+    import pytest
+
+    from metalpipe_spark.operators.bpe import wordpiece_encode
+
+    vocab = ["a", "##a", "b", "##b"]
+    long_word = "a" * 101
+    df = spark.createDataFrame(
+        [(0, f"ab {long_word} ba")], "doc_id long, text string"
+    )
+    r = wordpiece_encode(df, vocab).collect()[0]
+    assert r["pieces"] == ["a", "##b", "[UNK]", "b", "##a"]
+    # Tighter knob flips the short words too.
+    r2 = wordpiece_encode(df, vocab, max_input_chars=1).collect()[0]
+    assert r2["pieces"] == ["[UNK]", "[UNK]", "[UNK]"]
+    with pytest.raises(ValueError, match="max_input_chars"):
+        wordpiece_encode(df, vocab, max_input_chars=0)
