@@ -296,7 +296,12 @@ def _embed_semdedup_oracle() -> str:
         "size — SCALING batch 10 measured the fold path 31x on 10x "
         "data vs 4.6x for BLAS; the survivor decision is the shared "
         "quantized contract, so the oracle is unchanged (q_semdedup "
-        "keeps the exact fold as the family's oracle anchor)."
+        "keeps the exact fold as the family's oracle anchor).  Same "
+        "documented caveat as q_semdedup_gemm, which has shared this "
+        "oracle since r7: BLAS accumulation could in principle land "
+        "within an ulp of the round(.,6) boundary and flip a decision "
+        "— never observed on the fixture, and the exact-vs-GEMM "
+        "survivor-set equality test pins the two paths to each other."
     ),
 )
 def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

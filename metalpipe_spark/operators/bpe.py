@@ -217,7 +217,12 @@ def bpe_encode(
             out = []
             for text in pdf[text_col]:
                 subs: list[str] = []
-                for w in (text or "").split():
+                # Pinned ASCII class, not str.split(): Unicode
+                # whitespace (NBSP etc.) must not desynchronize the
+                # subword stream from the Java/SQL word derivations.
+                for w in _WS_ASCII.split(text or ""):
+                    if not w:
+                        continue
                     subs.extend(encode_word(w, memo))
                 out.append(subs)
             yield pd.DataFrame(
@@ -361,10 +366,16 @@ def _wp_initial_vocab(df: DataFrame, text_col: str) -> DataFrame:
     character ``##``-prefixed (continuation marker instead of BPE's
     terminal ``</w>``) — with its corpus frequency, as
     ``(syms: array<string>, n: long)``.  One corpus-scale pass, same
-    shape as :func:`_initial_vocab`."""
+    shape as :func:`_initial_vocab` — but LOWERCASED, because
+    :func:`wordpiece_encode` (the BERT-uncased serving contract) folds
+    case, so a case-preserving trainer would emit capitalized symbols
+    the encoder can never match and every mixed-case word would serve
+    as [UNK] (r15 review finding; the SQL oracle already lowercases)."""
     words = df.select(
         F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            )
         ).alias("word")
     ).where(F.col("word") != "")
     return (

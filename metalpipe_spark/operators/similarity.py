@@ -2008,4 +2008,11 @@ def rebalance_cells(
         all_new = all_new.unionByName(
             spark.createDataFrame(made, all_new.schema)
         )
+    # Exits through the 'not made' break or max_rounds exhaustion still
+    # hold the previous round's cache (the loop-top drain never ran for
+    # it) — drop it here or a long-lived driver session accumulates one
+    # cached split layer per rebalance call (r15 review finding).  The
+    # consumer's first action re-materializes cur's own persist.
+    if pending_unpersist is not None:
+        pending_unpersist.unpersist()
     return cur, all_new

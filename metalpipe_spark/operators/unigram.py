@@ -445,99 +445,31 @@ def unigram_viterbi_scores(
     return words.mapInPandas(batches, "word string, score double")
 
 
-def viterbi_score_oracle_sql(
-    pieces: dict,
-    words_cte: str,
-    max_word_len: int = 20,
-) -> str:
-    """The DuckDB twin of :func:`unigram_viterbi_scores` for a FIXED
-    piece table: Viterbi unrolled as one CTE per word position —
-    ``d_j(word, s)`` is the best log-prob over segmentations of the
-    first ``j`` characters, built from ``d_{j-l}`` plus the piece (or
-    the single-char unk penalty) ending at ``j``.  The float adds run
-    in the same left-to-right order the Python DP uses along the
-    winning path, so scores agree bit-for-bit before the shared
-    9-dp round.  ``words_cte`` must define ``w(word)``."""
+def _viterbi_dp_ctes(pieces: dict, max_word_len: int):
+    """The ONE generator of the Viterbi DP's SQL unroll, shared by the
+    score oracle (q_unigram_viterbi) and the full piece-stream encode
+    oracle (q_unigram_encode) so the two can never disagree about the
+    same DP (r15 review: they briefly had duplicated level builders —
+    the _split_ctes lesson applied here).
+
+    Emits, per word position j: ``a{j}`` — the candidate ARMS
+    (word, l, piece, s = d_{j-l}.s + piece logprob), one row per piece
+    length ending at j, with the single-char arm LEFT-joining the piece
+    table so unknown chars surface as '<unk>' at the floor penalty;
+    ``d{j}`` — the best score (max over arms).  AS MATERIALIZED:
+    without it DuckDB inlines each level into every consumer and the
+    d_{j-1}..d_{j-L} fan-in expands the plan exponentially in word
+    length.  The float adds run in the same left-to-right order the
+    Python DP uses along the winning path, so scores agree bit-for-bit
+    before any rounding.  Returns ``(piece_rows, levels_sql,
+    choice_union_sql)`` — choice rows pick each level's winning arm by
+    (score desc, LONGEST piece), :func:`viterbi_segment`'s
+    first-maximizer-scanning-longest-first tie-break."""
     max_len = max(len(p) for p in pieces)
     unk_pen = min(pieces.values()) - 10.0
     # SQL-escape the piece literals: once the piece table is seeded from
     # real text (not the pinned bench vocab), apostrophes are plausible
     # and an unescaped quote renders invalid oracle SQL.
-    piece_rows = ", ".join(
-        "('{}', '{!r}'::DOUBLE)".format(p.replace("'", "''"), v)
-        for p, v in sorted(pieces.items())
-    )
-    # AS MATERIALIZED: without it DuckDB inlines each level into every
-    # consumer and the d_{j-1}..d_{j-L} fan-in expands the plan (and its
-    # parquet scans) exponentially in word length.
-    levels = ["d0 AS MATERIALIZED (SELECT word, '0.0'::DOUBLE AS s FROM w)"]
-    for j in range(1, max_word_len + 1):
-        arms = []
-        for l in range(1, min(j, max_len) + 1):
-            start = j - l + 1
-            sub = f"substr(w.word, {start}, {l})"
-            if l == 1:
-                arms.append(
-                    f"SELECT w.word, d{j - l}.s + COALESCE(p.lp, "
-                    f"'{unk_pen!r}'::DOUBLE) AS s "
-                    f"FROM w JOIN d{j - l} USING (word) "
-                    f"LEFT JOIN p ON p.piece = {sub} "
-                    f"WHERE length(w.word) >= {j}"
-                )
-            else:
-                arms.append(
-                    f"SELECT w.word, d{j - l}.s + p.lp AS s "
-                    f"FROM w JOIN d{j - l} USING (word) "
-                    f"JOIN p ON p.piece = {sub} "
-                    f"WHERE length(w.word) >= {j}"
-                )
-        union = "\n        UNION ALL ".join(arms)
-        levels.append(
-            f"d{j} AS MATERIALIZED (SELECT word, max(s) AS s FROM (\n        {union}\n"
-            f"      ) GROUP BY word)"
-        )
-    finals = "\n      UNION ALL ".join(
-        f"SELECT word, s FROM d{j} WHERE length(word) = {j}"
-        for j in range(1, max_word_len + 1)
-    )
-    lvl = ",\n    ".join(levels)
-    return f"""
-    WITH p(piece, lp) AS (VALUES {piece_rows}),
-    {words_cte},
-    {lvl},
-    best AS (
-      {finals}
-    )
-    SELECT word, round(s, 9) AS score FROM best ORDER BY word
-    """
-
-
-def viterbi_encode_oracle_sql(
-    pieces: dict,
-    max_word_len: int = 20,
-    src: str = "documents",
-) -> str:
-    """The DuckDB twin of :func:`unigram_encode` — the full PIECE
-    STREAM, not just the best score: :func:`viterbi_score_oracle_sql`'s
-    MATERIALIZED per-position unroll taken one step further (VERDICT
-    r14 task 8).  Each position level now materializes its candidate
-    ARMS with the piece length attached (``a{j}``), the best score
-    (``d{j}``, as before) AND the winning arm (``c{j}`` — score desc,
-    then LONGEST piece, exactly :func:`viterbi_segment`'s
-    first-maximizer-scanning-longest-first tie-break); a recursive CTE
-    then walks the choices back from each word's end, which is the
-    backtracking loop SQL-ified.  Per-word fragments ``(p1)(p2)...``
-    concatenate in token order per document, reproducing the engine
-    row's ``md5('(' || join(')(') || ')')`` fingerprint bit-for-bit
-    (floats only ever COMPARE — same left-to-right adds as the score
-    oracle — so no float reaches the output).
-
-    Words longer than ``max_word_len`` have no level to start the walk
-    and their documents hash-mismatch LOUDLY rather than silently
-    passing (the fixture corpus max word length is 8; the unroll is
-    plan-build-time fixed, the score oracle's documented bound)."""
-    max_len = max(len(p) for p in pieces)
-    unk_pen = min(pieces.values()) - 10.0
     piece_rows = ", ".join(
         "('{}', '{!r}'::DOUBLE)".format(p.replace("'", "''"), v)
         for p, v in sorted(pieces.items())
@@ -552,8 +484,6 @@ def viterbi_encode_oracle_sql(
             start = j - l + 1
             sub = f"substr(w.word, {start}, {l})"
             if l == 1:
-                # unknown single char: the unk fallback, displayed as
-                # <unk> (viterbi_segment emits UNK for pieces not in lp)
                 arms.append(
                     f"SELECT w.word, {l} AS l, "
                     f"CASE WHEN p.piece IS NULL THEN '<unk>' ELSE p.piece"
@@ -579,17 +509,66 @@ def viterbi_encode_oracle_sql(
             f"d{j} AS MATERIALIZED (SELECT word, max(s) AS s FROM a{j}"
             " GROUP BY word)"
         )
-        # The winning arm: best score, then longest piece — the Python
-        # DP scans i ascending (longest span first) and later
-        # candidates must STRICTLY beat, so the first maximizer wins.
         choices.append(
             f"SELECT word, {j} AS j, l, piece FROM ("
             f"SELECT word, l, piece, row_number() OVER ("
             f"PARTITION BY word ORDER BY s DESC, l DESC) AS rn FROM a{j}"
             f") WHERE rn = 1"
         )
-    lvl = ",\n    ".join(levels)
-    choice_union = "\n      UNION ALL ".join(choices)
+    return (
+        piece_rows,
+        ",\n    ".join(levels),
+        "\n      UNION ALL ".join(choices),
+    )
+
+
+def viterbi_score_oracle_sql(
+    pieces: dict,
+    words_cte: str,
+    max_word_len: int = 20,
+) -> str:
+    """The DuckDB twin of :func:`unigram_viterbi_scores` for a FIXED
+    piece table: Viterbi unrolled as one CTE per word position —
+    ``d_j(word, s)`` is the best log-prob over segmentations of the
+    first ``j`` characters (see :func:`_viterbi_dp_ctes`, the shared
+    generator).  Scores agree bit-for-bit with the Python DP before
+    the shared 9-dp round.  ``words_cte`` must define ``w(word)``."""
+    piece_rows, lvl, _ = _viterbi_dp_ctes(pieces, max_word_len)
+    finals = "\n      UNION ALL ".join(
+        f"SELECT word, s FROM d{j} WHERE length(word) = {j}"
+        for j in range(1, max_word_len + 1)
+    )
+    return f"""
+    WITH p(piece, lp) AS (VALUES {piece_rows}),
+    {words_cte},
+    {lvl},
+    best AS (
+      {finals}
+    )
+    SELECT word, round(s, 9) AS score FROM best ORDER BY word
+    """
+
+
+def viterbi_encode_oracle_sql(
+    pieces: dict,
+    max_word_len: int = 20,
+    src: str = "documents",
+) -> str:
+    """The DuckDB twin of :func:`unigram_encode` — the full PIECE
+    STREAM, not just the best score (VERDICT r14 task 8): the shared
+    :func:`_viterbi_dp_ctes` unroll plus each level's winning arm, a
+    recursive CTE walking the choices back from each word's end (the
+    backtracking loop SQL-ified), and per-word fragments
+    ``(p1)(p2)...`` concatenated in token order per document —
+    reproducing the engine row's ``md5('(' || join(')(') || ')')``
+    fingerprint bit-for-bit (floats only ever COMPARE, so none reach
+    the output).
+
+    Words longer than ``max_word_len`` have no level to start the walk
+    and their documents hash-mismatch LOUDLY rather than silently
+    passing (the fixture corpus max word length is 8; the unroll is
+    plan-build-time fixed, the score oracle's documented bound)."""
+    piece_rows, lvl, choice_union = _viterbi_dp_ctes(pieces, max_word_len)
     return f"""
     WITH RECURSIVE p(piece, lp) AS (VALUES {piece_rows}),
     toks AS (

@@ -272,18 +272,15 @@ def test_train_wordpiece_matches_reference(spark):
     assert got == want
     # The likelihood objective must actually diverge from raw-count BPE
     # on this corpus (else the test proves nothing about the scorer).
-    raw_first = max(
-        Counter(
-            (a, b)
-            for w, c in counts.items()
-            for a, b in zip(
-                [w[0]] + ["##" + ch for ch in w[1:]],
-                ["##" + ch for ch in w[1:]],
-            )
-            for _ in range(c)
-        ).items(),
-        key=lambda kv: (kv[1], tuple(-ord(x) for x in "".join(kv[0]))),
-    )[0]
+    # Raw-count argmax contract = count desc, pair lexicographically
+    # asc — min over (-count, pair), pairs kept as TUPLES (joining the
+    # symbols would lose the boundary; r15 review finding).
+    raw_pairs: Counter = Counter()
+    for w, c in counts.items():
+        syms = [w[0]] + ["##" + ch for ch in w[1:]]
+        for a, b in zip(syms, syms[1:]):
+            raw_pairs[(a, b)] += c
+    raw_first = min(raw_pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     assert (got[0][0], got[0][1]) != raw_first
 
 
@@ -363,3 +360,32 @@ def test_wordpiece_encode_max_input_chars(spark):
     assert r2["pieces"] == ["[UNK]", "[UNK]", "[UNK]"]
     with pytest.raises(ValueError, match="max_input_chars"):
         wordpiece_encode(df, vocab, max_input_chars=0)
+
+
+def test_wordpiece_train_encode_mixed_case(spark):
+    """r15 review regression: the trainer lowercases like the encoder
+    (BERT-uncased contract) — a mixed-case corpus must train a vocab
+    the encoder can actually serve, never whole-word [UNK]s."""
+    from metalpipe_spark.operators.bpe import (
+        train_wordpiece,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hug Hug pun pun Hugging"), (1, "HUG puns hugged Pun")],
+        "doc_id long, text string",
+    )
+    merges = train_wordpiece(df, num_merges=4, min_pair_count=1)
+    vocab = {r["piece"] for r in wordpiece_vocab(df, merges).collect()}
+    assert all(p == p.lower() for p in vocab)
+    enc = wordpiece_encode(df, sorted(vocab)).collect()
+    for r in enc:
+        assert "[UNK]" not in r["pieces"], r
+        rebuilt = "".join(
+            p[2:] if p.startswith("##") else p for p in r["pieces"]
+        )
+        # pieces reconstruct the LOWERCASED text
+        assert rebuilt == (
+            "hughugpunpunhugging" if r["doc_id"] == 0 else "hugpunshuggedpun"
+        )
