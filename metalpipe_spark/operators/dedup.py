@@ -1520,14 +1520,40 @@ def _window_hash_frame(
 
     if dual_stream and mods != 4:
         raise ValueError("dual_stream requires mods=4")
-    cols = [
-        F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
-    ]
-    if dual_stream:
-        cols.append(
-            F.transform("__tk", lambda t: _hash64b(t, hash)).alias("__th2")
+    if dual_stream and hash == "md5":
+        # Both 60-bit streams slice ONE digest — hash each token once,
+        # not once per stream (md5 per token is this stage's dominant
+        # cost; two separate _hash64/_hash64b transforms would evaluate
+        # md5 twice per token).
+        md = docs.select(
+            id_col, F.transform("__tk", lambda t: F.md5(t)).alias("__md")
         )
-    hashed = docs.select(id_col, *cols)
+        hashed = md.select(
+            id_col,
+            F.transform(
+                "__md",
+                lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("__th"),
+            F.transform(
+                "__md",
+                lambda m: F.conv(F.substring(m, 16, 15), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("__th2"),
+        )
+    else:
+        cols = [
+            F.transform("__tk", lambda t: _hash64(t, hash)).alias("__th")
+        ]
+        if dual_stream:
+            cols.append(
+                F.transform("__tk", lambda t: _hash64b(t, hash)).alias(
+                    "__th2"
+                )
+            )
+        hashed = docs.select(id_col, *cols)
     wcols = [f"__w{m + 1}" for m in range(mods)]
 
     def window_hashes(batches):
