@@ -202,6 +202,7 @@ HEADLINE = [
     "q_stream_window_daily",
     "q_session_windows",
     "q_stream_embed",
+    "q_stream_exact_substr",
 ]
 
 

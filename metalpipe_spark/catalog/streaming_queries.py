@@ -455,3 +455,72 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_exact_substr_oracle() -> str:
+    from metalpipe_spark.catalog.dedup import _XS_L, _XS_TAIL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS s,
+             md5(array_to_string(tk[i : i + {_XS_L} - 1], ' ')) AS h
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE i - 1 + {_XS_L} <= len(tk)
+    ),
+    {_XS_TAIL.format(L=_XS_L, src='t')}
+    """
+
+
+@register(
+    "q_stream_exact_substr",
+    _stream_exact_substr_oracle(),
+    doc=(
+        "STREAMING ExactSubstr (streams.stream_exact_substr_sink) "
+        "drained with availableNow: each micro-batch's duplicated "
+        "token windows are removed against the manifest-atomic "
+        "distinct-window store (dual-stream quad-modulus identity) — "
+        "completing the streaming dedup family next to fingerprints, "
+        "bands, cells, codes and embeddings.  One source file = one "
+        "batch here, so the drained output equals the one-shot batch "
+        "operator; the cross-batch store semantics are pinned by the "
+        "3-file stream==batch test in tests/test_streaming.py.  The "
+        "oracle is the one-shot stride-1 window-content replay."
+    ),
+)
+def q_stream_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.catalog.dedup import _XS_L
+    from metalpipe_spark.streaming.streams import stream_exact_substr_sink
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mps_stream_xs_")
+    try:
+        stream_exact_substr_sink(
+            stream,
+            f"{tmp}/kept",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            min_length=_XS_L,
+        ).awaitTermination()
+        out = spark.read.parquet(f"{tmp}/kept").select(
+            "doc_id", "clean_text", "n_kept"
+        )
+        # SIZE GUARD: catalog-fixture drain (<= corpus doc count, three
+        # narrow columns) so the result outlives the temp dir for the
+        # driver's lazy comparator; production sinks to parquet and
+        # never collects.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

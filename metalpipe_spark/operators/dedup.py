@@ -1623,10 +1623,18 @@ def incremental_exact_substr(
     id_col: str = "doc_id",
     min_length: int = 32,
     hash: str = "md5",
+    with_cleanup: bool = False,
 ) -> "tuple[DataFrame, DataFrame]":
     """ExactSubstr dedup of a NEW batch against the accumulated corpus —
     the incremental face of :func:`exact_substr_dedup`, completing the
     exact/MinHash/embedding/image/inference incremental-store family.
+
+    ``with_cleanup=True`` returns ``(clean, updated_store, cleanup)``
+    where ``cleanup()`` drops the internally-persisted window frame —
+    the ``_incremental_store_sink`` contract, so a STREAMING caller
+    doesn't pin one batch-scale cache per micro-batch for the stream's
+    lifetime.  Batch callers (two calls per catalog row) keep the
+    2-tuple and the bounded persist.
 
     The store holds one row per DISTINCT window seen so far:
     ``(__w1..__w4, first_id, first_s, wL, h)`` — a quad-modulus rolling
@@ -1723,6 +1731,8 @@ def incremental_exact_substr(
     updated_store = (
         new_rows if store is None else store.unionByName(new_rows)
     )
+    if with_cleanup:
+        return clean, updated_store, lambda: w.unpersist()
     return clean, updated_store
 
 

@@ -424,6 +424,48 @@ def stream_semantic_dedup_sink(
     return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
 
 
+def stream_exact_substr_sink(
+    df: DataFrame,
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_length: int = 32,
+    hash: str = "md5",
+):
+    """Continuously-ingesting ExactSubstr dedup: each micro-batch's
+    duplicated token windows are removed against the distinct-window
+    store persisted so far (``dedup.incremental_exact_substr`` —
+    dual-stream quad-modulus window identity, geometry markers), the
+    cleaned documents append to ``kept_path`` and the store extends —
+    completing the streaming dedup family (exact fingerprints, MinHash
+    bands, semantic cells, image codes and embeddings already have this
+    face).  Exactly-once, manifest-atomic, crash-healing: the shared
+    ``_incremental_store_sink`` contract.  When files arrive in id
+    order, the concatenated kept output equals the one-shot
+    :func:`~metalpipe_spark.operators.dedup.exact_substr_dedup` over
+    everything (the incremental operator's property test).  Durable
+    state: one row per DISTINCT window seen — mergeable, storage-side,
+    never executor memory."""
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    def step(batch_df: DataFrame, store: DataFrame | None):
+        # with_cleanup: the sink drops the batch's window-frame cache
+        # after the store swap instead of pinning one per micro-batch.
+        return incremental_exact_substr(
+            batch_df,
+            store,
+            text_col=text_col,
+            id_col=id_col,
+            min_length=min_length,
+            hash=hash,
+            with_cleanup=True,
+        )
+
+    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+
+
 _STORE_VDIR_RE = r"v-(\d{10})"
 
 

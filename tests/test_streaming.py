@@ -1087,3 +1087,62 @@ def test_stream_histogram_registers_match_batch_quantiles(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) >= 2
+
+
+def test_stream_exact_substr_sink_equals_one_shot(spark, tmp_path):
+    """The streaming ExactSubstr face: three arriving files dedup
+    against the accumulating window store; because files arrive in id
+    order, the concatenated kept output must equal the one-shot batch
+    operator over the whole corpus — and the store is versioned
+    (manifest-atomic) like every _incremental_store_sink store."""
+    import time as _time
+
+    from metalpipe_spark.operators.dedup import exact_substr_dedup
+    from metalpipe_spark.streaming.streams import (
+        load_store,
+        stream_exact_substr_sink,
+    )
+
+    run = "tok0 tok1 tok2 tok3 tok4 tok5"  # the duplicated 6-token run
+    texts = [
+        f"{run} tail0 tail1",        # doc 0: first occurrence, kept
+        "solo0 solo1 solo2 solo3 solo4 solo5 solo6",
+        f"lead0 {run}",              # doc 2 (batch 2): run removed
+        "other0 other1 other2 other3 other4 other5",
+        f"{run}",                    # doc 4 (batch 3): fully covered
+        f"pre0 pre1 {run} post0",    # doc 5 (batch 3): run removed
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    src = tmp_path / "docs"
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        docs.where(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)  # deterministic (mtime, path) arrival order
+
+    stream = file_watchdog(
+        spark, str(src), docs.schema, max_files_per_trigger=1
+    )
+    kept_path = str(tmp_path / "kept")
+    store_path = str(tmp_path / "store")
+    stream_exact_substr_sink(
+        stream, kept_path, store_path, str(tmp_path / "ckpt"), min_length=6
+    ).awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in spark.read.parquet(kept_path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in exact_substr_dedup(docs, min_length=6).collect()
+    }
+    assert got == want
+    assert 4 not in got  # fully-covered doc disappeared
+    # The store is the published distinct-window table with geometry
+    # markers intact (readable through the manifest-atomic reader).
+    store = load_store(spark, store_path)
+    markers = store.select("wL", "h").distinct().collect()
+    assert [(r["wL"], r["h"]) for r in markers] == [(6, "md5/ds2")]
