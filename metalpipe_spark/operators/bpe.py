@@ -483,8 +483,13 @@ def wordpiece_pair_scores(
     Plan shape: one corpus-scale word count, one vocab-scale pair
     count + one vocab-scale symbol count meeting through broadcast
     joins, a distributed partial top-k; the row_number window runs on
-    the ``top_k``-row result only."""
-    scored = _wp_scored_pairs(_wp_initial_vocab(df, text_col))
+    the ``top_k``-row result only.  The round-0 vocabulary PERSISTS
+    (bounded, one row per distinct word — the minhash-sigs class):
+    the scored-pair plan consumes it three times (pairs + both
+    symbol-count probes), and without the persist each consumer
+    re-runs the corpus scan — a 3x-of-100TB mistake the .explain
+    audit caught (r15)."""
+    scored = _wp_scored_pairs(_wp_initial_vocab(df, text_col).persist())
     order = [F.desc("score"), F.asc("l"), F.asc("r")]
     topk = scored.orderBy(*order).limit(top_k)
     from pyspark.sql import Window
@@ -534,9 +539,19 @@ def train_wordpiece(
     BPE-style "stop when the best drops under min" would halt round 0
     on any realistic corpus); training stops when no pair qualifies."""
     spark = df.sparkSession
-    vocab = _wp_initial_vocab(df, text_col)
+    # Checkpoint the ROUND-0 vocabulary before the loop: each round's
+    # argmax consumes the vocab three times (pair counts + both
+    # symbol-count broadcast probes), so an untruncated round 0 would
+    # re-run the corpus word count three times (the .explain audit's
+    # 3x-of-100TB finding); later rounds already read the
+    # checkpoint_every cache.
+    from metalpipe_spark.operators.dedup import _truncate_lineage
+
+    vocab, prev_rdd = _truncate_lineage(
+        _wp_initial_vocab(df, text_col), reliable=False
+    )
+    vocab.count()  # materialize so the lineage truncation holds
     merges = []
-    prev_rdd = None
     for rank in range(num_merges):
         best = (
             _wp_scored_pairs(vocab)
@@ -554,8 +569,6 @@ def train_wordpiece(
         )
         vocab = _greedy_merge_vocab(vocab, left, right, merged)
         if (rank + 1) % checkpoint_every == 0:
-            from metalpipe_spark.operators.dedup import _truncate_lineage
-
             vocab, rdd = _truncate_lineage(vocab, reliable=False)
             vocab.count()  # materialize so the lineage truncation holds
             if prev_rdd is not None:

@@ -772,3 +772,28 @@ def test_incremental_neardup_bucketed_store_side_never_shuffles(spark):
         assert fresh.count() == fresh_u.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_band_store")
+
+
+def test_wordpiece_pair_scores_single_corpus_scan(spark, tmp_path):
+    """The scored-pair plan consumes the round-0 vocabulary three times
+    (pair counts + both symbol-count broadcast probes); the vocab must
+    be served from cache so the corpus is scanned ONCE — three
+    FileScans of 100 TB was the r15 .explain-audit finding."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.bpe import wordpiece_pair_scores
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("aa bb cc dd ee x"), (F.col("id") % 7).cast("string")).alias("text"),
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = (
+        wordpiece_pair_scores(docs, top_k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") == 3, plan
+    # broadcast probes stayed broadcast (no SMJ crept in)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
