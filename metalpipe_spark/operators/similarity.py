@@ -1868,7 +1868,14 @@ def split_oversized_cells(
         F.broadcast(child_map.select(cell_col)), cell_col, "left_anti"
     )
     v = F.col(vec_col)
-    # Seed A: the min-id member (vector fetched by joining back).
+    # Seed A: the min-id member (vector fetched by joining back).  The
+    # seed frames are cell-scale and the initial plan shows the fetch
+    # joins as SMJs — but do NOT broadcast-hint them: forcing the hint
+    # measured 2x SLOWER at sf1 (cell_split 7.6 s -> 15.0 s, same-host
+    # A/B, r15) because each forced broadcast turns the seed aggregate
+    # into its own blocking job subtree, while the unhinted shuffles
+    # pipeline with the member table's and AQE can still flip small
+    # sides to broadcast at runtime.
     seed_a = members.groupBy(cell_col).agg(F.min(id_col).alias(id_col))
     a_vec = members.join(seed_a, [cell_col, id_col]).select(
         cell_col, F.col(vec_col).alias("__va")
