@@ -510,6 +510,7 @@ def train_wordpiece(
     num_merges: int = 100,
     min_pair_count: int = 2,
     checkpoint_every: int = 2,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Learn ``num_merges`` WordPiece merges from a corpus (Schuster &
     Nakajima 2012 — the likelihood-scored trainer behind BERT vocabs,
@@ -537,7 +538,13 @@ def train_wordpiece(
     CANDIDATES (the likelihood score actively FAVORS rare pairs —
     c/(cl*cr) is maximal for a hapax between hapax symbols — so a
     BPE-style "stop when the best drops under min" would halt round 0
-    on any realistic corpus); training stops when no pair qualifies."""
+    on any realistic corpus); training stops when no pair qualifies.
+
+    ``vocab_size`` is the HF-parity alternative to ``num_merges``: the
+    TARGET total vocabulary (round-0 alphabet + merged pieces, what
+    :func:`wordpiece_vocab` returns — how BERT vocab sizes are quoted).
+    When set it overrides ``num_merges``; the alphabet count is one
+    vocab-scale aggregate paid once before the loop."""
     spark = df.sparkSession
     # Checkpoint the ROUND-0 vocabulary before the loop: each round's
     # argmax consumes the vocab three times (pair counts + both
@@ -551,6 +558,13 @@ def train_wordpiece(
         _wp_initial_vocab(df, text_col), reliable=False
     )
     vocab.count()  # materialize so the lineage truncation holds
+    if vocab_size is not None:
+        if vocab_size < 1:
+            raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+        alphabet_n = (
+            vocab.select(F.explode("syms").alias("s")).distinct().count()
+        )
+        num_merges = max(0, vocab_size - alphabet_n)
     merges = []
     for rank in range(num_merges):
         best = (

@@ -389,3 +389,36 @@ def test_wordpiece_train_encode_mixed_case(spark):
         assert rebuilt == (
             "hughugpunpunhugging" if r["doc_id"] == 0 else "hugpunshuggedpun"
         )
+
+
+def test_train_wordpiece_vocab_size_target(spark):
+    """vocab_size (the HF/BERT way of quoting tokenizer size) targets
+    the TOTAL vocabulary: alphabet + merges; wordpiece_vocab returns
+    exactly that many pieces when the corpus supports the merges."""
+    from metalpipe_spark.operators.bpe import (
+        _wp_initial_vocab,
+        train_wordpiece,
+        wordpiece_vocab,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "hugs hug hugging pun puns pug"), (1, "hug pun pug bun")],
+        "doc_id long, text string",
+    )
+    alphabet_n = (
+        _wp_initial_vocab(df, "text")
+        .select(F.explode("syms").alias("s"))
+        .distinct()
+        .count()
+    )
+    target = alphabet_n + 3
+    merges = train_wordpiece(df, vocab_size=target, min_pair_count=1)
+    assert merges.count() == 3
+    assert wordpiece_vocab(df, merges).count() == target
+    # target below the alphabet -> zero merges, never negative
+    assert train_wordpiece(df, vocab_size=1, min_pair_count=1).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_wordpiece(df, vocab_size=0)
