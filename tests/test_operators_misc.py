@@ -3288,3 +3288,34 @@ def test_exact_substr_verify_rejects_injected_hash_collisions(spark):
         for r in exact_substr_dedup(ddf, min_length=4).collect()
     }
     assert got == want
+
+
+def test_incremental_exact_substr_store_parquet_roundtrip(spark, tmp_path):
+    """The window store must survive a parquet write/read across
+    sessions-in-spirit: dedup against the RELOADED store equals dedup
+    against the live one (dual-stream hash quads and '/ds2' geometry
+    markers are plain columns — nothing closure-bound)."""
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    run = "w0 w1 w2 w3"
+    b1 = spark.createDataFrame(
+        [(0, f"{run} a0 a1"), (1, "b0 b1 b2 b3 b4")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"c0 {run}"), (3, "d0 d1 d2 d3")], "doc_id long, text string"
+    )
+    _, store = incremental_exact_substr(b1, None, min_length=4)
+    path = str(tmp_path / "xs_store")
+    store.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    live = {
+        r["doc_id"]: r["clean_text"]
+        for r in incremental_exact_substr(b2, store, min_length=4)[0].collect()
+    }
+    cold = {
+        r["doc_id"]: r["clean_text"]
+        for r in incremental_exact_substr(b2, reloaded, min_length=4)[0].collect()
+    }
+    assert live == cold
+    assert cold[2] == "c0"  # the stored run was removed cross-session

@@ -1055,3 +1055,40 @@ def test_resolve_revisits_property(spark, n_resp, refs, bad_digest):
         if ref < n_resp  # dangling refers_to must NOT resolve
     }
     assert got == want
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5),
+        min_size=2,
+        max_size=12,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=1, max_size=12),
+    n_merges=st.integers(1, 4),
+)
+def test_train_wordpiece_reference_property(spark, words, reps, n_merges):
+    """Breadth companion to the fixed-corpus reference-equality test:
+    on random tiny corpora the distributed WordPiece trainer must
+    produce the exact merge list (bit-equal scores included) of the
+    pure-Python Schuster-Nakajima reference."""
+    from collections import Counter
+
+    from metalpipe_spark.operators.bpe import train_wordpiece
+    from tests.test_bpe import _reference_wordpiece
+
+    docs = [" ".join(w for w in words for _ in range(reps[hash(w) % len(reps)]))]
+    df = spark.createDataFrame(
+        [(0, docs[0])], "doc_id long, text string"
+    )
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"], r["score"])
+        for r in train_wordpiece(
+            df, num_merges=n_merges, min_pair_count=1, checkpoint_every=2
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    counts = Counter(w for t in docs for w in t.split())
+    want = _reference_wordpiece(dict(counts), n_merges, min_count=1)
+    assert got == want
