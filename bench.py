@@ -155,6 +155,7 @@ HEADLINE = [
     "q_model_quality",
     "q_lexicon_score",
     "q_ngram_logprob",
+    "q_train_ngram_lm",
     "q_ccnet_buckets",
     "q_distinctive_terms",
     "q_length_quantiles",

@@ -2025,3 +2025,77 @@ def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return wordpiece_pair_scores(docs, top_k=150).orderBy("rank")
+
+
+@register(
+    "q_train_ngram_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS u(i)
+      WHERE tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    gc AS (
+      SELECT w1 || ' ' || w2 AS ngram, w1, count(*)::BIGINT AS n_count
+      FROM grams GROUP BY w1, w2
+    ),
+    cc AS (SELECT w1, sum(n_count)::BIGINT AS ctx_count FROM gc GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok)::BIGINT AS vn FROM (
+        SELECT unnest(tk) AS tok FROM t
+      ) WHERE tok <> ''
+    ),
+    p AS (
+      -- operand order/types pinned to the engine: every op a
+      -- correctly-rounded IEEE primitive (no log10 in the hash gate)
+      SELECT ngram, n_count, ctx_count,
+             round((n_count::DOUBLE + '0.1'::DOUBLE)
+                   / (ctx_count::DOUBLE + '0.1'::DOUBLE * vn::DOUBLE),
+                   9) AS prob
+      FROM gc JOIN cc USING (w1) CROSS JOIN v
+    )
+    SELECT row_number() OVER
+             (ORDER BY n_count DESC, ngram)::INT AS rank,
+           ngram, n_count, ctx_count, prob
+    FROM p
+    ORDER BY n_count DESC, ngram
+    LIMIT 150
+    """,
+    doc=(
+        "train_ngram_lm (operators/text.py): the CCNet loop's missing "
+        "half — train the bigram LM perplexity_buckets scores with "
+        "(Lidstone add-k over observed grams; unseen grams are the "
+        "scorer's flat OOV), exportable via write_arpa and reloadable "
+        "with load_arpa (roundtrip bit-identical, unit-tested with the "
+        "full train->export->reload->score loop).  Top-150 grams by "
+        "(count desc, ngram asc), hash-gating counts, context sums and "
+        "the smoothed PROBABILITY — a pure ratio of exact counts, so "
+        "cross-engine bit-parity needs only correctly-rounded IEEE "
+        "ops; the log10 face is pinned by unit test instead (libm "
+        "log10 is not correctly rounded across engines).  Plan: grams "
+        "ride the scan, one map-side-combined gram count, context "
+        "sums derive from the gram table."
+    ),
+)
+def q_train_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from metalpipe_spark.operators.text import train_ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_ngram_lm(docs, n=2, k=0.1)
+    order = [F.desc("n_count"), F.asc("ngram")]
+    topk = lm.orderBy(*order).limit(150)
+    w = Window.orderBy(*order)
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "ngram",
+        "n_count",
+        "ctx_count",
+        F.round("prob", 9).alias("prob"),
+    )

@@ -1172,3 +1172,145 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    k: float = 0.1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the n-gram LM that :func:`ngram_logprob` /
+    :func:`perplexity_buckets` consume — closing the CCNet loop (Wenzek
+    et al.: train a small LM on the TARGET domain, perplexity-bucket
+    the crawl with it).  Until now the engine could only LOAD a model
+    (``load_arpa``); this trains one from a corpus and
+    :func:`write_arpa` exports it back to the interchange format.
+
+    Additive (Lidstone) smoothing over observed n-grams:
+    ``prob(w_n | ctx) = (c(gram) + k) / (c(ctx) + k * V)`` with ``V`` =
+    distinct token vocabulary — the flat-backoff consumer handles
+    unseen grams via its own ``oov_logprob``, so an order-chained
+    Kneser-Ney backoff would never be read (document the honest scope
+    rather than ship dead weight).  ``logprob`` is log10, rounded to
+    9 dp at train time — exactly what ``ngram_logprob(exact=True)``'s
+    DECIMAL(18,9) accumulation requires of a model table.
+
+    Returns ``(ngram, n_count, ctx_count, prob, logprob)`` — select
+    ``(ngram, logprob)`` for scoring.  ``min_count`` prunes the OUTPUT
+    rows only; context denominators and V always come from the full
+    counts (pruning before the sums would bias every surviving
+    probability).
+
+    Plan shape: tokenization and gram construction ride the scan
+    (shifted-slice zips, the ngram_logprob discipline); ONE
+    corpus-scale map-side-combined gram count; context counts derive
+    FROM the gram table (gram-scale groupBy on the context prefix — no
+    second corpus pass, and exactly the MLE denominator: occurrences of
+    the context that HAVE a continuation); V is one distinct-count over
+    the exploded tokens.  Everything after the gram count is
+    gram-table-scale."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    toked = df.withColumn("__tk", tokens(text_col))
+    toks = F.col("__tk")
+    count = F.size(toks) - F.lit(n - 1)
+    safe = F.greatest(count, F.lit(1))
+    grams = F.slice(toks, 1, safe)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + i, safe),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # Grams containing an EMPTY token (the raw \s+ split keeps leading/
+    # trailing/double-whitespace artifacts) are excluded from the
+    # model: ARPA's whitespace-delimited format cannot represent them,
+    # and the scorer — which keys the same raw grams — resolves them to
+    # OOV, the right verdict for tokenization junk.  An empty token
+    # shows up in the joined gram as a leading/trailing/double space.
+    junk = (
+        (F.col("ngram") != F.trim(F.col("ngram")))
+        | F.col("ngram").contains("  ")
+        | (F.length("ngram") == 0)
+    )
+    gc = (
+        toked.where(count > 0)
+        .select(F.explode(grams).alias("ngram"))
+        .where(~junk)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+    )
+    vocab_n = (
+        toked.select(F.explode(toks).alias("__t"))
+        .where(F.col("__t") != "")
+        .distinct()
+        .count()
+    )
+    if n == 1:
+        total = gc.agg(F.sum("n_count").alias("ctx_count"))
+        joined = gc.crossJoin(F.broadcast(total))
+    else:
+        ctx = F.substring_index(F.col("ngram"), " ", n - 1)
+        cc = (
+            gc.groupBy(ctx.alias("__ctx"))
+            .agg(F.sum("n_count").alias("ctx_count"))
+        )
+        joined = gc.join(cc, ctx == F.col("__ctx")).drop("__ctx")
+    # Operand order and types pinned for cross-engine bit parity:
+    # (double(c) + k) / (double(ctx) + k * double(V)) — every op is a
+    # correctly-rounded IEEE primitive (+, *, /), unlike log10, which
+    # is why the catalog row hash-gates PROB and the log10 face is
+    # pinned by unit test instead.
+    prob = (F.col("n_count").cast("double") + F.lit(float(k))) / (
+        F.col("ctx_count").cast("double")
+        + F.lit(float(k)) * F.lit(float(vocab_n))
+    )
+    return (
+        joined.where(F.col("n_count") >= min_count)
+        .select(
+            "ngram",
+            "n_count",
+            "ctx_count",
+            prob.alias("prob"),
+            F.round(F.log10(prob), 9).alias("logprob"),
+        )
+    )
+
+
+def write_arpa(lm: DataFrame, path: str, n: int) -> int:
+    """Export a :func:`train_ngram_lm` table as a KenLM-interchange
+    ``.arpa`` file that :func:`~metalpipe_spark.sources.readers.
+    load_arpa` reads back verbatim (roundtrip-tested) — the artifact a
+    perplexity-filter deployment ships between the train job and the
+    100 TB scoring job.
+
+    Driver-side single-file write: an LM is VOCABULARY-scale by
+    construction (load_arpa's documented bound — MBs-GBs, loads once
+    per job), so the collect here is the same class as the model
+    collect every scorer already performs; rows sort by ngram for a
+    byte-deterministic artifact, logprobs serialize with repr() so the
+    reload is bit-identical.  Returns the row count."""
+    rows = sorted(
+        (r["ngram"], float(r["logprob"])) for r in lm.select("ngram", "logprob").collect()
+    )
+    for ngram, _ in rows:
+        if ngram != ngram.strip() or "  " in ngram or not ngram:
+            # Whitespace-anomalous ngrams round-trip WRONG through the
+            # whitespace-delimited format (load_arpa would mis-field
+            # them) — refuse rather than corrupt the artifact.
+            raise ValueError(
+                f"write_arpa: ngram {ngram!r} contains empty tokens —"
+                " not representable in ARPA"
+            )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram {n}={len(rows)}\n\n")
+        f.write(f"\\{n}-grams:\n")
+        for ngram, lp in rows:
+            f.write(f"{lp!r}\t{ngram}\n")
+        f.write("\n\\end\\\n")
+    return len(rows)

@@ -3319,3 +3319,97 @@ def test_incremental_exact_substr_store_parquet_roundtrip(spark, tmp_path):
     }
     assert live == cold
     assert cold[2] == "c0"  # the stored run was removed cross-session
+
+
+def test_train_ngram_lm_matches_hand_counts(spark):
+    """Lidstone bigram LM vs hand arithmetic: counts, context sums, V,
+    and prob = (c + k)/(ctx + k*V) — including that min_count prunes
+    OUTPUT rows without changing surviving denominators."""
+    import math
+
+    from metalpipe_spark.operators.text import train_ngram_lm
+
+    # tokens: a a b | a b  -> bigrams: (a a), (a b), (a b); V = {a, b}
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b")], "doc_id long, text string"
+    )
+    lm = {
+        r["ngram"]: (r["n_count"], r["ctx_count"], r["prob"], r["logprob"])
+        for r in train_ngram_lm(df, n=2, k=0.5).collect()
+    }
+    V = 2
+    # context 'a' has 3 continuations total (a a, a b, a b)
+    assert lm["a a"][:2] == (1, 3)
+    assert lm["a b"][:2] == (2, 3)
+    assert lm["a a"][2] == (1 + 0.5) / (3 + 0.5 * V)
+    assert lm["a b"][2] == (2 + 0.5) / (3 + 0.5 * V)
+    assert lm["a b"][3] == round(math.log10((2 + 0.5) / (3 + 0.5 * V)), 9)
+    # min_count prunes output only: 'a a' (count 1) drops, 'a b' keeps
+    # the SAME denominator
+    pruned = {
+        r["ngram"]: r["prob"]
+        for r in train_ngram_lm(df, n=2, k=0.5, min_count=2).collect()
+    }
+    assert set(pruned) == {"a b"} and pruned["a b"] == lm["a b"][2]
+    # unigram face: ctx_count = total tokens
+    uni = {
+        r["ngram"]: (r["n_count"], r["ctx_count"])
+        for r in train_ngram_lm(df, n=1, k=0.5).collect()
+    }
+    assert uni == {"a": (3, 5), "b": (2, 5)}
+    import pytest
+
+    with pytest.raises(ValueError, match="n must"):
+        train_ngram_lm(df, n=0)
+    with pytest.raises(ValueError, match="k must"):
+        train_ngram_lm(df, k=0.0)
+
+
+def test_train_write_load_score_lm_loop(spark, tmp_path):
+    """The full CCNet loop closes: train on a target-domain slice,
+    write_arpa, load_arpa the artifact back (bit-identical logprobs),
+    and perplexity-score a corpus with it — scoring through the
+    reloaded file equals scoring through the live table."""
+    from metalpipe_spark.operators.text import (
+        ngram_logprob,
+        perplexity_buckets,
+        train_ngram_lm,
+        write_arpa,
+    )
+    from metalpipe_spark.sources.readers import load_arpa
+
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)]
+        + [(9, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(target, n=2)
+    path = str(tmp_path / "tiny.arpa")
+    n_rows = write_arpa(lm, path, n=2)
+    reloaded = load_arpa(spark, path, order=2).select("ngram", "logprob")
+    assert reloaded.count() == n_rows == lm.count()
+    live = {
+        (r["ngram"], r["logprob"])
+        for r in lm.select("ngram", "logprob").collect()
+    }
+    cold = {(r["ngram"], r["logprob"]) for r in reloaded.collect()}
+    assert live == cold  # repr() serialization is bit-identical
+    corpus = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zx qy vv"), (2, "the dog sat")],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob(corpus, lm.select("ngram", "logprob"), n=2).collect()
+    }
+    b = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob(corpus, reloaded, n=2).collect()
+    }
+    assert a == b
+    assert a[0] > a[1]  # in-domain text scores more natural than junk
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(corpus, reloaded, n=2).collect()
+    }
+    assert buckets[0] == "head" and buckets[1] == "tail"
