@@ -482,25 +482,28 @@ def wordpiece_pair_scores(
 
     Plan shape: one corpus-scale word count, one vocab-scale pair
     count + one vocab-scale symbol count meeting through broadcast
-    joins, a distributed partial top-k; the row_number window runs on
-    the ``top_k``-row result only.  The round-0 vocabulary PERSISTS
-    (bounded, one row per distinct word — the minhash-sigs class):
-    the scored-pair plan consumes it three times (pairs + both
-    symbol-count probes), and without the persist each consumer
-    re-runs the corpus scan — a 3x-of-100TB mistake the .explain
-    audit caught (r15)."""
-    scored = _wp_scored_pairs(_wp_initial_vocab(df, text_col).persist())
-    order = [F.desc("score"), F.asc("l"), F.asc("r")]
-    topk = scored.orderBy(*order).limit(top_k)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*order)
-    return topk.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        F.col("l").alias("left_sym"),
-        F.col("r").alias("right_sym"),
-        "pair_count",
-        "score",
+    joins, a distributed partial top-k.  The round-0 vocabulary
+    persists for the duration of the call only — the scored-pair plan
+    consumes it three times (pairs + both symbol-count probes), and
+    without the persist each consumer re-runs the corpus scan (a
+    3x-of-100TB mistake the r15 .explain audit caught) — and the
+    top-k is materialized EAGERLY (``top_k`` rows,
+    aggregate-output-class) so the cache is dropped before returning
+    instead of pinning a vocab-scale block for the session's lifetime
+    (r16 advice: the rebalance_cells leak class)."""
+    vocab = _wp_initial_vocab(df, text_col).persist()
+    try:
+        order = [F.desc("score"), F.asc("l"), F.asc("r")]
+        rows = _wp_scored_pairs(vocab).orderBy(*order).limit(top_k).collect()
+    finally:
+        vocab.unpersist()
+    return df.sparkSession.createDataFrame(
+        [
+            (i + 1, r["l"], r["r"], r["pair_count"], r["score"])
+            for i, r in enumerate(rows)
+        ],
+        "rank int, left_sym string, right_sym string, "
+        "pair_count long, score double",
     )
 
 

@@ -1624,6 +1624,8 @@ def incremental_exact_substr(
     min_length: int = 32,
     hash: str = "md5",
     with_cleanup: bool = False,
+    return_delta: bool = False,
+    check_geometry: bool = True,
 ) -> "tuple[DataFrame, DataFrame]":
     """ExactSubstr dedup of a NEW batch against the accumulated corpus —
     the incremental face of :func:`exact_substr_dedup`, completing the
@@ -1635,6 +1637,17 @@ def incremental_exact_substr(
     doesn't pin one batch-scale cache per micro-batch for the stream's
     lifetime.  Batch callers (two calls per catalog row) keep the
     2-tuple and the bounded persist.
+
+    ``return_delta=True`` returns the batch's NEW store rows alone in
+    the second position instead of ``store ∪ new`` — the store is
+    strictly append-only, so a sink publishing delta segments
+    (``_incremental_store_sink(append_only=True)``) needs only the
+    delta and turns its per-batch store write from O(total store) to
+    O(batch).  ``check_geometry=False`` skips the store's wL/h marker
+    scan (O(store rows) on two pruned columns): a long-lived streaming
+    caller verifies the geometry on the FIRST batch and skips it after,
+    since every later version was written by the same sink under the
+    same geometry (the semantic sink's check_geometry contract).
 
     The store holds one row per DISTINCT window seen so far:
     ``(__w1..__w4, first_id, first_s, wL, h)`` — a quad-modulus rolling
@@ -1692,17 +1705,19 @@ def incremental_exact_substr(
                 f"{sorted(missing)} (expected an incremental_exact_substr"
                 " store)"
             )
-        markers = sorted(
-            (r["wL"], r["h"] if r["h"] is not None else "<null>")
-            for r in store.select("wL", "h").distinct().collect()
-        )
-        if any(m != (L, scheme) for m in markers):
-            raise ValueError(
-                f"incremental_exact_substr: store carries geometry "
-                f"markers {markers} but the batch uses ({L}, {scheme!r}) — "
-                "window identities would never match (a marker without "
-                "'/ds2' is a pre-dual-stream store); rebuild one side"
+        if check_geometry:
+            markers = sorted(
+                (r["wL"], r["h"] if r["h"] is not None else "<null>")
+                for r in store.select("wL", "h").distinct().collect()
             )
+            if any(m != (L, scheme) for m in markers):
+                raise ValueError(
+                    f"incremental_exact_substr: store carries geometry "
+                    f"markers {markers} but the batch uses ({L}, "
+                    f"{scheme!r}) — window identities would never match "
+                    "(a marker without '/ds2' is a pre-dual-stream "
+                    "store); rebuild one side"
+                )
         store_keys = store.select(*keys)
         hits = w.join(store_keys, keys, "left_semi")
         fresh_w = w.join(store_keys, keys, "left_anti")
@@ -1729,7 +1744,9 @@ def incremental_exact_substr(
         F.lit(scheme).alias("h"),
     )
     updated_store = (
-        new_rows if store is None else store.unionByName(new_rows)
+        new_rows
+        if (store is None or return_delta)
+        else store.unionByName(new_rows)
     )
     if with_cleanup:
         return clean, updated_store, lambda: w.unpersist()

@@ -1814,6 +1814,7 @@ def split_oversized_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    exclude_cells=None,
 ) -> "tuple[DataFrame, DataFrame]":
     """IVF index MAINTENANCE: split every cell holding more than
     ``max_cell_size`` vectors into two — the re-balance step an
@@ -1840,11 +1841,18 @@ def split_oversized_cells(
     runs ONLY on oversized-cell members (semi-join bounded); the
     centroid means are map-side partial aggregates.  Call after each
     incremental ingest wave; cells ≤ cap are never touched or
-    recomputed."""
+    recomputed.
+
+    ``exclude_cells`` (cell-scale iterable) marks cells the caller
+    KNOWS are unsplittable (all-identical vectors — a two-seed split
+    can never shrink them): they are skipped outright, so a caller
+    looping splits (:func:`rebalance_cells`) stops burning child ids
+    and degenerate new-cell rows on them (r16 advice)."""
     if max_cell_size < 1:
         raise ValueError(
             f"max_cell_size must be >= 1, got {max_cell_size}"
         )
+    excl = frozenset(exclude_cells or ())
     spark = assigned.sparkSession
     sizes = (
         assigned.groupBy(cell_col)
@@ -1852,7 +1860,9 @@ def split_oversized_cells(
         .collect()
     )  # cell-scale — aggregate-output-class
     split_cells = sorted(
-        r[cell_col] for r in sizes if r["__n"] > max_cell_size
+        r[cell_col]
+        for r in sizes
+        if r["__n"] > max_cell_size and r[cell_col] not in excl
     )
     if not split_cells:
         return assigned, assigned.sparkSession.createDataFrame(
@@ -2001,9 +2011,13 @@ def rebalance_cells(
             break
         prev_sizes = sizes
         prev_cur = cur if cur is not assigned else None
+        # Stuck cells are excluded from the split outright (r16
+        # advice): without this they re-split every remaining round
+        # while other cells converge, burning child ids and appending
+        # degenerate new_cells rows.
         cur, new_cells = split_oversized_cells(
             cur, max_cell_size, vec_col=vec_col, id_col=id_col,
-            cell_col=cell_col,
+            cell_col=cell_col, exclude_cells=stuck,
         )
         # Persist per round: the next round's size scan (and the final
         # consumer) must not replay the whole split chain.

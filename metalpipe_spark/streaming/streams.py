@@ -433,6 +433,7 @@ def stream_exact_substr_sink(
     id_col: str = "doc_id",
     min_length: int = 32,
     hash: str = "md5",
+    compact_segments: int = 64,
 ):
     """Continuously-ingesting ExactSubstr dedup: each micro-batch's
     duplicated token windows are removed against the distinct-window
@@ -447,13 +448,27 @@ def stream_exact_substr_sink(
     :func:`~metalpipe_spark.operators.dedup.exact_substr_dedup` over
     everything (the incremental operator's property test).  Durable
     state: one row per DISTINCT window seen — mergeable, storage-side,
-    never executor memory."""
+    never executor memory.
+
+    The window store is strictly append-only, so the sink publishes
+    DELTA SEGMENTS (``append_only=True``): each batch writes only its
+    new first-occurrence windows and the manifest flip references the
+    prior segments plus the delta — per-batch store write is O(batch),
+    not O(total windows seen), the property that makes this face
+    viable at crawl scale where the store is token-shaped.  Every
+    ``compact_segments`` batches the segments fold into one directory
+    to bound reader fan-in.  Geometry markers verify on the FIRST
+    batch only: later versions were written by this sink under the
+    same geometry, so re-scanning the token-scale store's marker
+    columns per trigger would pay O(store) for an invariant."""
     from metalpipe_spark.operators.dedup import incremental_exact_substr
+
+    geometry_checked = {"done": False}
 
     def step(batch_df: DataFrame, store: DataFrame | None):
         # with_cleanup: the sink drops the batch's window-frame cache
         # after the store swap instead of pinning one per micro-batch.
-        return incremental_exact_substr(
+        out = incremental_exact_substr(
             batch_df,
             store,
             text_col=text_col,
@@ -461,9 +476,16 @@ def stream_exact_substr_sink(
             min_length=min_length,
             hash=hash,
             with_cleanup=True,
+            return_delta=True,
+            check_geometry=not geometry_checked["done"],
         )
+        geometry_checked["done"] = True
+        return out
 
-    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+    return _incremental_store_sink(
+        df, kept_path, store_path, checkpoint, step,
+        append_only=True, compact_segments=compact_segments,
+    )
 
 
 _STORE_VDIR_RE = r"v-(\d{10})"
@@ -483,7 +505,15 @@ def load_store(spark, store_path: str) -> DataFrame:
     return load_published(spark, store_path)
 
 
-def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, checkpoint: str, step):
+def _incremental_store_sink(
+    df: DataFrame,
+    kept_path: str,
+    store_path: str,
+    checkpoint: str,
+    step,
+    append_only: bool = False,
+    compact_segments: int = 64,
+):
     """The shared skeleton of every store-backed incremental dedup sink
     (semantic cells, image codes): per micro-batch, read the store at
     its current manifest version, run ``step(batch_df, store) ->
@@ -494,6 +524,23 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
     ``_manifest-v{N}.json`` per version, flipped by a single rename),
     so a reader racing the swap sees entirely-old or entirely-new state
     and NO crash point ever leaves zero complete copies on disk:
+
+    ``append_only=True`` is the scale path for stores that only ever
+    GROW (the ExactSubstr window store: every version is the previous
+    one plus the batch's new rows): ``step`` returns the batch's DELTA
+    rows as its second element, and the sink publishes them as a NEW
+    segment directory while the flipped manifest references the prior
+    version's directories PLUS the delta — per-batch write cost drops
+    from O(total store) to O(batch), which at 100 TB is the difference
+    between the dedup being the bill and the store write being the
+    bill.  The manifest body was always a dirs→files dict, so readers
+    (``load_published``) need no change and reader atomicity is
+    untouched: a racing scan still resolves exactly one manifest's
+    file set.  Every ``compact_segments`` versions the sink rewrites
+    the accumulated segments into ONE directory (store ∪ delta — an
+    O(store) write amortized to O(store/compact_segments) per batch),
+    bounding reader fan-in and small-file growth; crash points during
+    compaction heal exactly like any unflipped version dir.
 
     - crash before the manifest flip → the new ``v-{N+1}`` dir is
       unlisted debris; the next batch reconciles it away and retries.
@@ -631,7 +678,8 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
                 and batch_id <= done
             ):
                 return
-            live_dirs = set(body["partitions"])
+            live_parts = body["partitions"]
+            live_dirs = set(live_parts)
             # Reconcile: version dirs the manifest does not name are
             # crash debris (a v{N+1} write that never flipped, or a
             # superseded v{N-1} whose GC was interrupted).
@@ -645,7 +693,7 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
                     fs.delete(status.getPath(), True)
             store = load_published(spark, store_path)
         else:
-            version, live_dirs, store = 0, set(), None
+            version, live_parts, live_dirs, store = 0, {}, set(), None
         out = step(batch_df, store)
         fresh, updated = out[0], out[1]
         cleanup = out[2] if len(out) > 2 else None
@@ -662,21 +710,48 @@ def _incremental_store_sink(df: DataFrame, kept_path: str, store_path: str, chec
         )
         new_version = version + 1
         new_dir = f"v-{new_version:010d}"
-        updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")
+        if append_only and store is not None:
+            compact = (
+                compact_segments is not None
+                and len(live_dirs) + 1 > compact_segments
+            )
+            if compact:
+                # Amortized rewrite: fold the accumulated segments plus
+                # this batch's delta into ONE directory so reader
+                # fan-in and small-file count stay bounded.  O(store)
+                # once per compact_segments batches = O(store/K) per
+                # batch.
+                store.unionByName(updated).write.mode("overwrite").parquet(
+                    f"{store_path}/{new_dir}"
+                )
+                parts = {new_dir: _data_files(fs, hpath(dst, new_dir))}
+            else:
+                # Delta segment: O(batch) write; the manifest carries
+                # the prior version's dirs->files entries verbatim plus
+                # the new segment.
+                updated.write.mode("overwrite").parquet(
+                    f"{store_path}/{new_dir}"
+                )
+                parts = dict(live_parts)
+                parts[new_dir] = _data_files(fs, hpath(dst, new_dir))
+        else:
+            updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")
+            parts = {new_dir: _data_files(fs, hpath(dst, new_dir))}
         # The atomic flip: readers move to the new store version here —
         # and, carrying batch_id, it is also the kept output's COMMIT
         # record (kept rows land before the flip; the flip makes the
         # batch immune to replay).
         _write_manifest(
-            spark, store_path, new_version,
-            {new_dir: _data_files(fs, hpath(dst, new_dir))},
+            spark, store_path, new_version, parts,
             extra={"batch_id": batch_id, "ckpt": checkpoint},
         )
-        # GC the superseded version dir and manifests older than N-1
-        # (N-1's manifest stays so a reader that resolved it just before
-        # the flip still parses it — the documented retryable-read
-        # caveat when its files are gone).
-        for name in live_dirs:
+        # GC version dirs the NEW manifest no longer references (in
+        # append-only mode prior segments stay live across versions —
+        # they are only superseded by a compaction) and manifests older
+        # than N-1 (N-1's manifest stays so a reader that resolved it
+        # just before the flip still parses it — the documented
+        # retryable-read caveat when its files are gone).
+        for name in live_dirs - set(parts):
             fs.delete(hpath(dst, name), True)
         for status in fs.listStatus(dst):
             m = re.fullmatch(r"_manifest-v(\d+)\.json", status.getPath().getName())

@@ -3180,6 +3180,43 @@ def test_split_oversized_cells_semantics_and_centroids(spark):
     assert reb.count() == df.count()
 
 
+def test_rebalance_stuck_cells_stop_resplitting(spark):
+    """r16 advice: once a cell is detected as unsplittable (identical
+    vectors — its size never changes through a split round), it must be
+    EXCLUDED from later split rounds instead of burning a child id and
+    re-splitting every round while other cells converge.  Pinned by (a)
+    no new_cells row ever naming the stuck cell as parent, and (b) the
+    allocated child ids staying CONTIGUOUS — the pre-fix loop left an
+    id gap per wasted round."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.similarity import rebalance_cells
+
+    rows = (
+        # cell 2: five identical vectors — stuck forever
+        [(200 + i, [7.0, 7.0], 2) for i in range(5)]
+        # cell 0: a 16-vector line needing several rounds at cap 2
+        + [(i, [float(i), 0.0], 0) for i in range(16)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    reb, newc = rebalance_cells(df, max_cell_size=2, max_rounds=10)
+    made = sorted(
+        (r["cell"], r["parent"], r["n"]) for r in newc.collect()
+    )
+    assert all(parent != 2 for _, parent, _ in made), made
+    child_ids = [c for c, _, _ in made]
+    assert child_ids == list(range(3, 3 + len(child_ids))), made
+    sizes = {
+        r["cell"]: r["n"]
+        for r in reb.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes[2] == 5  # stuck cell intact
+    assert all(n <= 2 for c, n in sizes.items() if c != 2), sizes
+    assert reb.count() == df.count()
+
+
 def test_split_oversized_cells_idempotent_and_search_parity(spark):
     """r14 advice/verdict property pair: (a) splitting an
     already-compliant index is a no-op; (b) searching through the

@@ -778,10 +778,17 @@ def test_wordpiece_pair_scores_single_corpus_scan(spark, tmp_path):
     """The scored-pair plan consumes the round-0 vocabulary three times
     (pair counts + both symbol-count broadcast probes); the vocab must
     be served from cache so the corpus is scanned ONCE — three
-    FileScans of 100 TB was the r15 .explain-audit finding."""
+    FileScans of 100 TB was the r15 .explain-audit finding.  And the
+    public face must DRAIN that cache before returning (r16 advice:
+    every call used to pin a vocab-scale block for the session's
+    lifetime), pinned here by a persistent-RDD count."""
     from pyspark.sql import functions as F
 
-    from metalpipe_spark.operators.bpe import wordpiece_pair_scores
+    from metalpipe_spark.operators.bpe import (
+        _wp_initial_vocab,
+        _wp_scored_pairs,
+        wordpiece_pair_scores,
+    )
 
     path = str(tmp_path / "docs.parquet")
     spark.range(200).select(
@@ -789,11 +796,23 @@ def test_wordpiece_pair_scores_single_corpus_scan(spark, tmp_path):
         F.concat(F.lit("aa bb cc dd ee x"), (F.col("id") % 7).cast("string")).alias("text"),
     ).write.parquet(path)
     docs = spark.read.parquet(path)
-    plan = (
-        wordpiece_pair_scores(docs, top_k=10)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert plan.count("InMemoryTableScan") == 3, plan
-    # broadcast probes stayed broadcast (no SMJ crept in)
-    assert plan.count("BroadcastHashJoin") == 2, plan
-    assert "SortMergeJoin" not in plan
+    # The internal composition wordpiece_pair_scores executes: scored
+    # pairs over the persisted round-0 vocab.
+    vocab = _wp_initial_vocab(docs, "text").persist()
+    try:
+        plan = (
+            _wp_scored_pairs(vocab)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("InMemoryTableScan") == 3, plan
+        # broadcast probes stayed broadcast (no SMJ crept in)
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        vocab.unpersist()
+    # Storage-level assertion: the public call leaves NO pinned blocks
+    # behind (the top-k materializes eagerly, then the cache drains).
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = wordpiece_pair_scores(docs, top_k=10)
+    assert out.count() == 10
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

@@ -1146,3 +1146,108 @@ def test_stream_exact_substr_sink_equals_one_shot(spark, tmp_path):
     store = load_store(spark, store_path)
     markers = store.select("wL", "h").distinct().collect()
     assert [(r["wL"], r["h"]) for r in markers] == [(6, "md5/ds2")]
+
+
+def test_stream_exact_substr_delta_segments_and_compaction(spark, tmp_path):
+    """r16: the ExactSubstr window store publishes DELTA SEGMENTS — each
+    micro-batch writes only its new windows (O(batch), not O(store)) and
+    the flipped manifest references prior segments plus the delta; a
+    reader racing the flip still resolves exactly one manifest's file
+    set, unflipped debris stays invisible and reconciles away, and a
+    later sink run with a small compact_segments folds the accumulated
+    segments into one directory."""
+    import os
+    import time as _time
+
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+    from metalpipe_spark.sinks.writers import read_current_manifest
+    from metalpipe_spark.streaming.streams import (
+        load_store,
+        stream_exact_substr_sink,
+    )
+
+    run = "tok0 tok1 tok2 tok3 tok4 tok5"
+    texts = [
+        f"{run} tail0 tail1",
+        "solo0 solo1 solo2 solo3 solo4 solo5 solo6",
+        f"lead0 {run}",
+        "other0 other1 other2 other3 other4 other5",
+        f"{run}",
+        f"pre0 pre1 {run} post0",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    src = tmp_path / "docs"
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        docs.where(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    kept_path = str(tmp_path / "kept")
+    store_path = str(tmp_path / "store")
+    stream_exact_substr_sink(
+        file_watchdog(spark, str(src), docs.schema, max_files_per_trigger=1),
+        kept_path, store_path, str(tmp_path / "ckpt"), min_length=6,
+    ).awaitTermination()
+
+    # Three micro-batches -> manifest v3 referencing THREE live segment
+    # dirs (v1's and v2's segments were never rewritten or deleted).
+    v3 = read_current_manifest(spark, store_path)
+    assert v3 is not None and v3[0] == 3
+    segs = sorted(v3[1])
+    assert segs == ["v-0000000001", "v-0000000002", "v-0000000003"]
+    for d in segs:
+        assert os.path.isdir(os.path.join(store_path, d))
+    # The multi-segment union equals the one-shot incremental store.
+    keys = ["__w1", "__w2", "__w3", "__w4", "first_id", "first_s"]
+    got = sorted(
+        tuple(r[k] for k in keys)
+        for r in load_store(spark, store_path).collect()
+    )
+    want = sorted(
+        tuple(r[k] for k in keys)
+        for r in incremental_exact_substr(docs, None, min_length=6)[1].collect()
+    )
+    assert got == want
+
+    # Crash debris: an unflipped v4 dir is invisible to readers (a
+    # racing reader resolves manifest v3's exact multi-segment file
+    # set) ...
+    junk_dir = os.path.join(store_path, "v-0000000004")
+    load_store(spark, store_path).limit(1).write.mode("overwrite").parquet(
+        junk_dir
+    )
+    still = sorted(
+        tuple(r[k] for k in keys)
+        for r in load_store(spark, store_path).collect()
+    )
+    assert still == want
+
+    # ... and the next batch (new checkpoint lineage, compact_segments
+    # small enough to trigger) reconciles the debris away AND compacts:
+    # 3 live segments + 1 new > 2 -> one folded directory, superseded
+    # segments GC'd, reader-visible content preserved.
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(9, f"{run} fresh0 fresh1 fresh2")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream_exact_substr_sink(
+        file_watchdog(spark, str(src), docs.schema, max_files_per_trigger=8),
+        kept_path, store_path, str(tmp_path / "ckpt2"), min_length=6,
+        compact_segments=2,
+    ).awaitTermination()
+    v4 = read_current_manifest(spark, store_path)
+    assert v4 is not None and v4[0] == 4
+    assert sorted(v4[1]) == ["v-0000000004"]
+    for d in segs:
+        assert not os.path.exists(os.path.join(store_path, d))
+    after = sorted(
+        tuple(r[k] for k in keys)
+        for r in load_store(spark, store_path).collect()
+    )
+    # doc 9's run windows are store hits (not new firsts); only its
+    # fresh tail contributes new windows -> store grew but kept every
+    # pre-compaction row.
+    assert set(want) <= set(after) and len(after) > len(want)
