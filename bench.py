@@ -156,6 +156,8 @@ HEADLINE = [
     "q_lexicon_score",
     "q_ngram_logprob",
     "q_train_ngram_lm",
+    "q_train_backoff_lm",
+    "q_backoff_logprob",
     "q_ccnet_buckets",
     "q_distinctive_terms",
     "q_length_quantiles",

@@ -2099,3 +2099,230 @@ def q_train_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctx_count",
         F.round("prob", 9).alias("prob"),
     )
+
+
+# Fixed literal backoff LM for q_backoff_logprob — the SINGLE source of
+# truth both engines consume (Spark createDataFrame + SQL VALUES), so
+# the row gates the backoff CHAIN arithmetic without any libm log10 in
+# the hash path (the house rule: logprobs here are 9-dp literals).
+# Tokens chosen from the documents table's actual vocabulary so every
+# chain branch fires at sf0.01: top-order hit, backoff-with-weight,
+# backoff-without-weight, flat OOV.
+_BO_LM_ROWS = [
+    # (ngram, lm_order, logprob, log_backoff)
+    ("join", 1, -1.1, -0.3),
+    ("hash", 1, -1.2, -0.25),
+    ("row", 1, -1.15, None),
+    ("batch", 1, -1.3, -0.2),
+    ("scan", 1, -1.25, None),
+    ("table", 1, -1.05, -0.35),
+    ("key", 1, -1.4, None),
+    ("value", 1, -1.35, None),
+    ("join hash", 2, -0.9, None),
+    ("hash join", 2, -0.85, None),
+    ("table scan", 2, -0.6, None),
+    ("batch row", 2, -1.0, None),
+    ("join table", 2, -0.95, None),
+]
+
+
+def _bo_lm_values_sql() -> str:
+    rows = ", ".join(
+        "('{}', {}, {}, {})".format(
+            g, o, repr(lp), "NULL" if bo is None else repr(bo)
+        )
+        for g, o, lp, bo in _BO_LM_ROWS
+    )
+    return f"(VALUES {rows})"
+
+
+@register(
+    "q_train_backoff_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (SELECT sum(n_count)::BIGINT AS ctx_count FROM uni),
+    big AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS ngram, count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    cst AS (
+      SELECT w1, sum(n_count)::BIGINT AS ctx_count,
+             count(*)::BIGINT AS types
+      FROM big GROUP BY w1
+    ),
+    p1 AS (
+      SELECT uni.ngram, uni.n_count, tot.ctx_count,
+             uni.n_count::DOUBLE / tot.ctx_count::DOUBLE AS prob
+      FROM uni CROSS JOIN tot
+    ),
+    p2 AS (
+      -- operand order pinned to the engine: (double(c) - D) / denom
+      SELECT big.ngram, big.w1, big.w2, big.n_count, cst.ctx_count,
+             (big.n_count::DOUBLE - '0.75'::DOUBLE)
+               / cst.ctx_count::DOUBLE AS prob
+      FROM big JOIN cst USING (w1)
+    ),
+    resid AS (
+      -- residual sums the lower order's 9-dp probs in DECIMAL
+      -- (order-independent), exactly the trainer's rule
+      SELECT p2.w1, sum(round(p1.prob, 9)::DECIMAL(28,12)) AS slo
+      FROM p2 JOIN p1 ON p1.ngram = p2.w2 GROUP BY p2.w1
+    ),
+    bo AS (
+      SELECT cst.w1 AS ngram,
+             CASE WHEN '1.0'::DOUBLE - resid.slo::DOUBLE <= '0.0'::DOUBLE
+                  THEN '0.0'::DOUBLE
+                  ELSE (('0.75'::DOUBLE * cst.types::DOUBLE)
+                          / cst.ctx_count::DOUBLE)
+                       / ('1.0'::DOUBLE - resid.slo::DOUBLE)
+             END AS backoff
+      FROM cst JOIN resid USING (w1)
+    ),
+    lvl AS (
+      SELECT p1.ngram, 1 AS lm_order, p1.n_count, p1.ctx_count, p1.prob,
+             bo.backoff
+      FROM p1 LEFT JOIN bo ON bo.ngram = p1.ngram
+      UNION ALL
+      SELECT ngram, 2 AS lm_order, n_count, ctx_count, prob,
+             NULL::DOUBLE AS backoff
+      FROM p2
+    ),
+    ranked AS (
+      SELECT row_number() OVER (
+               PARTITION BY lm_order ORDER BY n_count DESC, ngram
+             )::INT AS rank,
+             lm_order, ngram, n_count, ctx_count,
+             round(prob, 9) AS prob, round(backoff, 9) AS backoff
+      FROM lvl
+    )
+    SELECT rank, lm_order, ngram, n_count, ctx_count, prob, backoff
+    FROM ranked WHERE rank <= 75
+    ORDER BY lm_order, rank
+    """,
+    doc=(
+        "train_backoff_lm (operators/text.py): multi-order backoff LM "
+        "— absolute discounting (D=0.75) with exact Katz backoff "
+        "weights, the KenLM model shape behind CCNet perplexity "
+        "filtering, upgrading the single-order add-k trainer.  Top-75 "
+        "grams per order by (count desc, ngram), hash-gating counts, "
+        "context denominators, the DISCOUNTED probability AND the "
+        "backoff weight — every gated value a ratio of exact counts "
+        "through correctly-rounded IEEE ops (the residual sums 9-dp "
+        "lower-order probs in DECIMAL); the log10 faces are pinned by "
+        "unit test per the house libm rule.  Plan: ONE corpus pass "
+        "builds every order's grams, one map-side-combined "
+        "(order, ngram) count, gram-table-scale joins after."
+    ),
+)
+def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_backoff_lm(docs, n=2, discount=0.75)
+    w = Window.partitionBy("order").orderBy(
+        F.desc("n_count"), F.asc("ngram")
+    )
+    return (
+        lm.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 75)
+        .select(
+            "rank",
+            F.col("order").alias("lm_order"),
+            "ngram",
+            "n_count",
+            "ctx_count",
+            F.round("prob", 9).alias("prob"),
+            F.round("backoff", 9).alias("backoff"),
+        )
+        .orderBy("lm_order", "rank")
+    )
+
+
+@register(
+    "q_backoff_logprob",
+    """
+    WITH lm(ngram, lm_order, logprob, log_backoff) AS (
+      SELECT * FROM {LM}
+    ),
+    t AS (
+      SELECT doc_id,
+             regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, (len(tk) - 1)::BIGINT AS nn,
+             tk[i] AS w1, tk[i + 1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS nn, NULL AS w1, NULL AS w2
+      FROM t WHERE len(tk) < 2
+    ),
+    s AS (
+      SELECT g.doc_id, g.nn,
+             CASE WHEN lp2.logprob IS NOT NULL THEN lp2.logprob
+                  WHEN lp1.logprob IS NOT NULL THEN
+                    ('0.0'::DOUBLE + coalesce(bo1.log_backoff,
+                                              '0.0'::DOUBLE))
+                      + lp1.logprob
+                  ELSE '-8.0'::DOUBLE
+             END AS sc
+      FROM g
+      LEFT JOIN lm lp2
+        ON lp2.lm_order = 2 AND lp2.ngram = g.w1 || ' ' || g.w2
+      LEFT JOIN lm lp1
+        ON lp1.lm_order = 1 AND lp1.ngram = g.w2
+      LEFT JOIN lm bo1
+        ON bo1.lm_order = 1 AND bo1.ngram = g.w1
+    )
+    SELECT doc_id,
+           sum(round(sc, 9)::DECIMAL(18,9))::DOUBLE / nn::DOUBLE
+             AS mean_logprob
+    FROM s GROUP BY doc_id, nn
+    ORDER BY doc_id
+    """.replace("{LM}", _bo_lm_values_sql()),
+    doc=(
+        "ngram_logprob_backoff (operators/text.py): the backoff-aware "
+        "scorer — an unseen bigram pays the context's log10 backoff "
+        "weight and falls to unigram evidence; unseen even there is "
+        "the flat OOV floor.  The model is a FIXED 9-dp literal table "
+        "shared verbatim by both engines (no libm in the hash path), "
+        "chosen from the documents vocabulary so every chain branch "
+        "fires; exact mode rounds each gram's score to 9 dp and "
+        "accumulates DECIMAL(18,9).  Plan: grams ride the scan, "
+        "2n-1 broadcast probes against the model-scale table, one "
+        "map-side-combined doc rollup — corpus rows shuffle once."
+    ),
+)
+def q_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import ngram_logprob_backoff
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = spark.createDataFrame(
+        _BO_LM_ROWS,
+        "ngram string, lm_order int, logprob double, log_backoff double",
+    ).select(
+        "ngram",
+        F.col("lm_order").alias("order"),
+        "logprob",
+        "log_backoff",
+    )
+    return ngram_logprob_backoff(
+        docs, lm, n=2, exact=True
+    ).orderBy("doc_id")

@@ -1112,6 +1112,7 @@ def perplexity_buckets(
     fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     exact: bool = False,
     approx: bool = False,
+    backoff: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): score
     every document with the n-gram LM (:func:`ngram_logprob`), then
@@ -1133,11 +1134,30 @@ def perplexity_buckets(
     the bucket semantics are unchanged, boundaries move by the sketch
     tolerance.  This is the same oracle-exact/production-twin split as
     the blocked-kNN family.
+
+    ``backoff=True`` scores through :func:`ngram_logprob_backoff`
+    instead of the flat-OOV scorer — ``lm`` must then be a multi-order
+    table (:func:`train_backoff_lm` output or a
+    :func:`~metalpipe_spark.sources.readers.load_arpa` reload), and a
+    document full of unseen top-order grams is judged by real
+    lower-order evidence rather than a constant floor — the CCNet/KenLM
+    behavior.
     """
-    scored = ngram_logprob(
-        df, lm, n=n, oov_logprob=oov_logprob,
-        text_col=text_col, id_col=id_col, exact=exact,
-    )
+    if backoff:
+        if isinstance(lm, dict):
+            raise ValueError(
+                "perplexity_buckets(backoff=True) needs a multi-order "
+                "LM DataFrame (train_backoff_lm / load_arpa), not a dict"
+            )
+        scored = ngram_logprob_backoff(
+            df, lm, n=n, oov_logprob=oov_logprob,
+            text_col=text_col, id_col=id_col, exact=exact,
+        )
+    else:
+        scored = ngram_logprob(
+            df, lm, n=n, oov_logprob=oov_logprob,
+            text_col=text_col, id_col=id_col, exact=exact,
+        )
     if exact:
         scored = scored.withColumn(
             "mean_logprob", F.round("mean_logprob", 6)
@@ -1281,36 +1301,421 @@ def train_ngram_lm(
     )
 
 
-def write_arpa(lm: DataFrame, path: str, n: int) -> int:
-    """Export a :func:`train_ngram_lm` table as a KenLM-interchange
-    ``.arpa`` file that :func:`~metalpipe_spark.sources.readers.
-    load_arpa` reads back verbatim (roundtrip-tested) — the artifact a
-    perplexity-filter deployment ships between the train job and the
-    100 TB scoring job.
+def write_arpa(lm: DataFrame, path: str, n: int | None = None) -> int:
+    """Export an LM table as a KenLM-interchange ``.arpa`` file that
+    :func:`~metalpipe_spark.sources.readers.load_arpa` reads back
+    verbatim (roundtrip-tested) — the artifact a perplexity-filter
+    deployment ships between the train job and the 100 TB scoring job.
+
+    Accepts BOTH trainer shapes: a single-order :func:`train_ngram_lm`
+    table (``ngram, logprob``) writes one ``\\N-grams:`` section, and a
+    multi-order :func:`train_backoff_lm` table (``ngram, order,
+    logprob, log_backoff``) writes the full multi-section ARPA with
+    log10 backoff weights on context rows — the format KenLM itself
+    emits, so :func:`ngram_logprob_backoff` can score a reload.
+
+    ``n`` is VALIDATED, never trusted (r16 advice: passing a bigram
+    table with ``n=3`` used to silently write a wrong ``\\3-grams:``
+    header that load_arpa would mislabel): every ngram's whitespace
+    token count must equal its order — the row's ``order`` column when
+    present, else the table-wide order derived from the rows — and a
+    given ``n`` must match the (maximum) derived order or this raises.
+    Multi-order tables must cover orders 1..max contiguously (a gap
+    means a broken trainer, and a scorer would mis-chain backoffs).
 
     Driver-side single-file write: an LM is VOCABULARY-scale by
     construction (load_arpa's documented bound — MBs-GBs, loads once
     per job), so the collect here is the same class as the model
-    collect every scorer already performs; rows sort by ngram for a
-    byte-deterministic artifact, logprobs serialize with repr() so the
-    reload is bit-identical.  Returns the row count."""
-    rows = sorted(
-        (r["ngram"], float(r["logprob"])) for r in lm.select("ngram", "logprob").collect()
-    )
-    for ngram, _ in rows:
-        if ngram != ngram.strip() or "  " in ngram or not ngram:
-            # Whitespace-anomalous ngrams round-trip WRONG through the
-            # whitespace-delimited format (load_arpa would mis-field
-            # them) — refuse rather than corrupt the artifact.
-            raise ValueError(
-                f"write_arpa: ngram {ngram!r} contains empty tokens —"
-                " not representable in ARPA"
+    collect every scorer already performs; rows sort by ngram within
+    each section for a byte-deterministic artifact, floats serialize
+    with repr() so the reload is bit-identical.  Returns the total row
+    count."""
+    cols = set(lm.columns)
+    multi = "order" in cols
+    bo_col = "log_backoff" if "log_backoff" in cols else None
+    by_order: dict[int, list] = {}
+    if multi:
+        sel = ["order", "ngram", "logprob"] + ([bo_col] if bo_col else [])
+        for r in lm.select(*sel).collect():
+            bo = float(r[bo_col]) if bo_col and r[bo_col] is not None else None
+            by_order.setdefault(int(r["order"]), []).append(
+                (r["ngram"], float(r["logprob"]), bo)
             )
+    else:
+        rows = [
+            (r["ngram"], float(r["logprob"]), None)
+            for r in lm.select("ngram", "logprob").collect()
+        ]
+        if not rows:
+            raise ValueError("write_arpa: empty LM table")
+        derived = len(rows[0][0].split(" "))
+        by_order[derived] = rows
+    for o, rows in by_order.items():
+        rows.sort(key=lambda t: t[0])
+        for ngram, _, _ in rows:
+            if ngram != ngram.strip() or "  " in ngram or not ngram:
+                # Whitespace-anomalous ngrams round-trip WRONG through
+                # the whitespace-delimited format (load_arpa would
+                # mis-field them) — refuse rather than corrupt the
+                # artifact.
+                raise ValueError(
+                    f"write_arpa: ngram {ngram!r} contains empty tokens —"
+                    " not representable in ARPA"
+                )
+            toks_n = len(ngram.split(" "))
+            if toks_n != o:
+                raise ValueError(
+                    f"write_arpa: ngram {ngram!r} has {toks_n} tokens but "
+                    f"claims order {o} — the table is mislabeled and the "
+                    "written section headers would lie to load_arpa"
+                )
+    orders = sorted(by_order)
+    if orders != list(range(1, orders[-1] + 1)) and multi:
+        raise ValueError(
+            f"write_arpa: multi-order table covers orders {orders}, not a "
+            f"contiguous 1..{orders[-1]} — a backoff scorer would mis-chain"
+        )
+    if n is not None and n != orders[-1]:
+        raise ValueError(
+            f"write_arpa: n={n} but the table's ngrams derive order "
+            f"{orders[-1]} — pass the real order or omit n"
+        )
+    total = 0
     with open(path, "w", encoding="utf-8") as f:
         f.write("\\data\\\n")
-        f.write(f"ngram {n}={len(rows)}\n\n")
-        f.write(f"\\{n}-grams:\n")
-        for ngram, lp in rows:
-            f.write(f"{lp!r}\t{ngram}\n")
-        f.write("\n\\end\\\n")
-    return len(rows)
+        for o in orders:
+            f.write(f"ngram {o}={len(by_order[o])}\n")
+        f.write("\n")
+        for o in orders:
+            f.write(f"\\{o}-grams:\n")
+            for ngram, lp, bo in by_order[o]:
+                if bo is None:
+                    f.write(f"{lp!r}\t{ngram}\n")
+                else:
+                    f.write(f"{lp!r}\t{ngram}\t{bo!r}\n")
+                total += 1
+            f.write("\n")
+        f.write("\\end\\\n")
+    return total
+
+
+def train_backoff_lm(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Multi-order backoff LM — absolute discounting with Katz-style
+    backoff weights (Ney, Essen & Kneser 1994), the model shape CCNet's
+    KenLM perplexity filter actually ships: orders 1..``n`` trained in
+    ONE corpus pass, every order's probability discounted by a fixed
+    ``discount`` D, and each context carrying the backoff weight that
+    routes its unseen continuations to the next order down.  Where
+    :func:`train_ngram_lm` is single-order add-k with a FLAT OOV
+    fallback, this one backs off through real lower-order evidence —
+    the quality gap the r15 verdict named for the flagship curation
+    loop.  (Full Kneser-Ney replaces lower-order raw counts with
+    continuation counts; that variant needs context-only entries for
+    prefixes that are never suffixes — KenLM's <unk>/context rows —
+    and is documented out of scope: with raw counts every context and
+    every suffix of a seen gram is itself a seen gram, so the model is
+    closed under exactly the lookups the scorer performs.)
+
+    Math, all correctly-rounded IEEE primitives so the catalog row can
+    hash-gate it cross-engine:
+
+    - ``c_k(g)``: raw count of the order-``k`` gram (grams containing
+      empty tokens excluded, the train_ngram_lm rule).
+    - ``denom_k(ctx) = Σ_w c_k(ctx w)`` — the MLE denominator, from
+      the gram table itself (occurrences of the context WITH a
+      continuation; no second corpus pass).
+    - order 1: ``p_1(w) = c_1(w) / Σ c_1`` (undiscounted MLE floor;
+      words never seen at all are the scorer's flat ``oov_logprob``).
+    - order k≥2, seen grams: ``p_k(ctx w) = (c_k - D) / denom_k(ctx)``
+      (``0 < D < 1`` so the numerator stays positive).
+    - backoff weight on the (k-1)-gram ``ctx``:
+      ``b(ctx) = (D · types_k(ctx) / denom_k(ctx))
+      / (1 - Σ_{seen w} p_{k-1}(suffix(ctx w)))`` — leftover discount
+      mass, renormalized over the unseen continuations' lower-order
+      mass (exact Katz).  The residual sums the lower order's
+      9-dp-ROUNDED probabilities (the values the exported artifact
+      carries) in DECIMAL(28,12), so it is order-independent and
+      engine-portable.  A non-positive residual (seen continuations
+      already cover the lower order) gets ``b = 0`` and the ARPA
+      sentinel ``log_backoff = -99.0``.
+
+    Returns one row per gram per order: ``(ngram, order, n_count,
+    ctx_count, prob, logprob, backoff, log_backoff)`` — ``backoff`` is
+    the LINEAR ratio (hash-gateable), ``log_backoff`` its log10 rounded
+    to 9 dp (what :func:`write_arpa` exports and the scorer sums), NULL
+    on grams that are not a context of the next order and on the top
+    order.  ``logprob`` is log10(prob) rounded to 9 dp, the
+    :func:`ngram_logprob` exact-mode contract.
+
+    Plan shape: ONE corpus-scale pass builds every order's grams
+    (shifted-slice zips per order, flattened and tagged), ONE
+    map-side-combined count keyed ``(order, ngram)`` — lazily
+    checkpointed so the per-order consumers replay the gram table, not
+    the corpus; everything after (denominators, residuals, backoff
+    attachment) is gram-table-scale joins and aggregates."""
+    if n < 2:
+        raise ValueError(
+            f"train_backoff_lm needs n >= 2 (n=1 has nothing to back "
+            f"off to — use train_ngram_lm), got {n}"
+        )
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            f"discount must be in (0, 1), got {discount} (D >= 1 could "
+            "zero out singleton grams; D <= 0 discounts nothing)"
+        )
+    D = float(discount)
+    toked = df.withColumn("__tk", tokens(text_col))
+    toks = F.col("__tk")
+
+    def _tag(k: int):
+        # closure factory: a default-arg lambda inside a HOF would bind
+        # the loop variable as a Column (the documented pyspark gotcha)
+        return lambda g: F.struct(
+            F.lit(k).alias("o"), g.alias("g")
+        )
+
+    per_order = []
+    for k in range(1, n + 1):
+        count = F.size(toks) - F.lit(k - 1)
+        safe = F.greatest(count, F.lit(1))
+        grams = F.slice(toks, 1, safe)
+        for i in range(1, k):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, 1 + i, safe),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        grams = F.when(count > 0, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        per_order.append(F.transform(grams, _tag(k)))
+    exploded = toked.select(
+        F.explode(F.flatten(F.array(*per_order))).alias("s")
+    ).select(F.col("s.o").alias("order"), F.col("s.g").alias("ngram"))
+    junk = (
+        (F.col("ngram") != F.trim(F.col("ngram")))
+        | F.col("ngram").contains("  ")
+        | (F.length("ngram") == 0)
+    )
+    # ONE corpus-scale aggregate for every order; the lazy checkpoint
+    # makes the n per-order consumers replay the gram TABLE, not the
+    # corpus scan (the perplexity_buckets precedent).
+    gc = (
+        exploded.where(~junk)
+        .groupBy("order", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+        .localCheckpoint(eager=False)
+    )
+    lvl: dict[int, DataFrame] = {}
+    g1 = gc.where(F.col("order") == 1).select("ngram", "n_count")
+    denom1 = g1.agg(F.sum("n_count").alias("ctx_count"))
+    lvl[1] = g1.crossJoin(F.broadcast(denom1)).select(
+        "ngram",
+        "n_count",
+        "ctx_count",
+        (
+            F.col("n_count").cast("double")
+            / F.col("ctx_count").cast("double")
+        ).alias("prob"),
+    )
+    for k in range(2, n + 1):
+        base = gc.where(F.col("order") == k).select(
+            "ngram",
+            "n_count",
+            F.substring_index("ngram", " ", k - 1).alias("__ctx"),
+            F.expr("substring(ngram, instr(ngram, ' ') + 1)").alias("__sfx"),
+        )
+        cstats = base.groupBy("__ctx").agg(
+            F.sum("n_count").alias("ctx_count"),
+            F.count(F.lit(1)).alias("__types"),
+        )
+        # operand order pinned for cross-engine bit parity:
+        # (double(c) - D) / double(denom)
+        lk = base.join(cstats, "__ctx").withColumn(
+            "prob",
+            (F.col("n_count").cast("double") - F.lit(D))
+            / F.col("ctx_count").cast("double"),
+        )
+        # residual: Σ over SEEN continuations of the lower order's
+        # 9-dp prob at the dropped-first-word suffix (always a seen
+        # lower gram under raw counts) — DECIMAL so the sum is
+        # order-independent.
+        lower = lvl[k - 1].select(
+            F.col("ngram").alias("__sfx"),
+            F.round("prob", 9).alias("__lp"),
+        )
+        resid = (
+            lk.join(lower, "__sfx")
+            .groupBy("__ctx")
+            .agg(
+                F.sum(F.col("__lp").cast("decimal(28,12)")).alias("__slo")
+            )
+        )
+        bo = (
+            cstats.join(resid, "__ctx")
+            .select(
+                F.col("__ctx").alias("ngram"),
+                F.when(
+                    F.lit(1.0) - F.col("__slo").cast("double") <= 0.0,
+                    F.lit(0.0),
+                )
+                .otherwise(
+                    (
+                        (F.lit(D) * F.col("__types").cast("double"))
+                        / F.col("ctx_count").cast("double")
+                    )
+                    / (F.lit(1.0) - F.col("__slo").cast("double"))
+                )
+                .alias("backoff"),
+            )
+        )
+        lvl[k - 1] = lvl[k - 1].join(bo, "ngram", "left")
+        lvl[k] = lk.select("ngram", "n_count", "ctx_count", "prob")
+    out = None
+    for k in range(1, n + 1):
+        part = lvl[k].withColumn("order", F.lit(k))
+        if "backoff" not in part.columns:
+            part = part.withColumn(
+                "backoff", F.lit(None).cast("double")
+            )
+        part = part.select(
+            "ngram", "order", "n_count", "ctx_count", "prob", "backoff"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "ngram",
+        "order",
+        "n_count",
+        "ctx_count",
+        "prob",
+        F.round(F.log10("prob"), 9).alias("logprob"),
+        "backoff",
+        F.when(F.col("backoff").isNull(), F.lit(None).cast("double"))
+        .when(F.col("backoff") == 0.0, F.lit(-99.0))
+        .otherwise(F.round(F.log10("backoff"), 9))
+        .alias("log_backoff"),
+    )
+
+
+def ngram_logprob_backoff(
+    df: DataFrame,
+    lm: DataFrame,
+    n: int | None = None,
+    oov_logprob: float = -8.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Backoff-aware LM scoring — the consumer half of
+    :func:`train_backoff_lm` and the scorer a real multi-section ARPA
+    (KenLM export via :func:`~metalpipe_spark.sources.readers.
+    load_arpa`) expects: an order-``n`` gram missing from the model
+    backs off to the order-(n-1) gram of its LAST n-1 words, paying the
+    context's log10 backoff weight, chaining down to unigrams; a word
+    unseen even at order 1 scores the flat ``oov_logprob`` (no backoff
+    accumulation — tokenization junk and true OOV get the floor, the
+    :func:`ngram_logprob` contract).  Returns ``(id, mean_logprob)``
+    over the document's order-``n`` grams, drop-in for
+    :func:`perplexity_buckets`.
+
+    ``lm`` carries ``(ngram, order, logprob)`` plus backoff weights in
+    log10: a ``log_backoff`` column (trainer output) or ARPA's native
+    ``backoff`` column (load_arpa output) — ``log_backoff`` wins when
+    both exist, since the trainer's ``backoff`` is the LINEAR ratio.
+    A missing backoff row or NULL weight means 1.0 (log 0), the ARPA
+    convention.  ``n`` defaults to the model's maximum order.
+
+    Plan shape: the same single-pass shifted-slice gram construction as
+    :func:`ngram_logprob` (docs shorter than ``n`` get one
+    never-matching pseudo-gram → the OOV floor), then ``2n-1``
+    BROADCAST joins against the model-scale table (order-k logprob on
+    the gram's last k words for k=n..1; order-k backoff on the k words
+    preceding the final word for k=n-1..1) and one map-side-combined
+    doc aggregate — corpus rows shuffle ONCE, in the final rollup.
+    ``exact=True`` rounds each gram's double score to 9 dp and
+    accumulates DECIMAL(18,9) (order-independent), which a trainer/ARPA
+    table with 9-dp logprobs and backoffs satisfies by construction."""
+    from pyspark.sql.functions import broadcast
+
+    if n is None:
+        n = lm.agg(F.max("order")).first()[0]
+        if n is None:
+            raise ValueError("ngram_logprob_backoff: empty LM table")
+        n = int(n)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bo_src = "log_backoff" if "log_backoff" in lm.columns else "backoff"
+    df = df.withColumn("__tk", tokens(text_col))
+    toks = F.col("__tk")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    safe = F.greatest(count, F.lit(1))
+    grams = F.slice(toks, 1, safe)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + k, safe),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    oov_marker = F.array(F.lit("\x00__short__"))
+    exploded = df.select(
+        F.col(id_col),
+        F.greatest(count, F.lit(1)).alias("__n"),
+        F.explode(
+            F.when(count > 0, grams).otherwise(oov_marker)
+        ).alias("__g"),
+    )
+    wds = F.split(F.col("__g"), " ")
+    keyed = exploded.select(
+        id_col,
+        "__n",
+        *[
+            F.array_join(F.slice(wds, n - k + 1, k), " ").alias(f"__s{k}")
+            for k in range(1, n + 1)
+        ],
+        *[
+            F.array_join(F.slice(wds, n - k, k), " ").alias(f"__c{k}")
+            for k in range(1, n)
+        ],
+    )
+    probed = keyed
+    for k in range(1, n + 1):
+        lmk = lm.where(F.col("order") == k).select(
+            F.col("ngram").alias(f"__s{k}"),
+            F.col("logprob").alias(f"__lp{k}"),
+        )
+        probed = probed.join(broadcast(lmk), f"__s{k}", "left")
+    for k in range(1, n):
+        bok = lm.where(F.col("order") == k).select(
+            F.col("ngram").alias(f"__c{k}"),
+            F.col(bo_src).alias(f"__bo{k}"),
+        )
+        probed = probed.join(broadcast(bok), f"__c{k}", "left")
+    # Highest order first; each step DOWN pays the next backoff weight.
+    score = F.when(F.col(f"__lp{n}").isNotNull(), F.col(f"__lp{n}"))
+    bosum = F.lit(0.0)
+    for k in range(n - 1, 0, -1):
+        bosum = bosum + F.coalesce(F.col(f"__bo{k}"), F.lit(0.0))
+        score = score.when(
+            F.col(f"__lp{k}").isNotNull(), bosum + F.col(f"__lp{k}")
+        )
+    score = score.otherwise(F.lit(float(oov_logprob)))
+    if exact:
+        score = F.round(score, 9)
+    total = (
+        F.sum(score.cast("decimal(18,9)")).cast("double")
+        if exact
+        else F.sum(score)
+    )
+    return (
+        probed.groupBy(id_col, "__n")
+        .agg(total.alias("__t"))
+        .select(
+            F.col(id_col),
+            (F.col("__t") / F.col("__n")).alias("mean_logprob"),
+        )
+    )
