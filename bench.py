@@ -206,6 +206,7 @@ HEADLINE = [
     "q_session_windows",
     "q_stream_embed",
     "q_stream_exact_substr",
+    "q_stream_bpe_encode",
 ]
 
 

@@ -524,3 +524,66 @@ def q_stream_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_bpe_encode_oracle() -> str:
+    from metalpipe_spark.catalog.text import _bpe_encode_oracle
+
+    return _bpe_encode_oracle()
+
+
+@register(
+    "q_stream_bpe_encode",
+    _stream_bpe_encode_oracle(),
+    doc=(
+        "STREAMING tokenizer encode (streams.stream_encode_sink, bpe "
+        "family) drained with availableNow: documents tokenize on "
+        "arrival with the fixed valid merge table and the encoded rows "
+        "sink to parquet — the crawl-ingestion face that feeds "
+        "pack_sequences without a re-batch, closing the one family "
+        "(tokenizers) that had no stream face.  Stateless: the merge "
+        "table broadcasts in the UDF closure, exactly-once is the "
+        "parquet sink's own file log, per-batch cost O(batch).  The "
+        "oracle is q_bpe_encode's rank-order regex-replay twin — "
+        "availableNow over the static file equals the batch encoder "
+        "exactly."
+    ),
+)
+def q_stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.catalog.text import _BPE_ENC_MERGES
+    from metalpipe_spark.streaming.streams import stream_encode_sink
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mps_stream_enc_")
+    try:
+        stream_encode_sink(
+            stream,
+            _BPE_ENC_MERGES,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            tokenizer="bpe",
+        ).awaitTermination()
+        out = spark.read.parquet(f"{tmp}/out").select(
+            "doc_id",
+            "n_subwords",
+            F.md5(
+                F.concat(
+                    F.lit("("), F.concat_ws(")(", "subwords"), F.lit(")")
+                )
+            ).alias("enc_md5"),
+        )
+        # SIZE GUARD: catalog-fixture drain (one narrow row per doc) so
+        # the result outlives the temp dir for the driver's lazy
+        # comparator; production sinks to parquet and never collects.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -488,6 +488,58 @@ def stream_exact_substr_sink(
     )
 
 
+def stream_encode_sink(
+    df: DataFrame,
+    model,
+    out_path: str,
+    checkpoint: str,
+    tokenizer: str = "bpe",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **encode_kwargs,
+):
+    """Streaming tokenizer ENCODE — the crawl-ingestion face the
+    tokenizer families were missing (every dedup/embed family already
+    had a stream sink): documents tokenize on arrival and the encoded
+    rows land in parquet, ready to feed ``pack_sequences`` without a
+    re-batch.  ``tokenizer`` picks the family — ``bpe`` (merge-table
+    rank-greedy replay), ``wordpiece`` (greedy longest-match), or
+    ``unigram`` (Viterbi) — and ``model`` is that encoder's
+    merges/vocab/pieces argument (a DataFrame model is collected ONCE
+    at plan build, driver-side, model-scale by construction).
+
+    Stateless by design: the vocab/merge table broadcasts in the UDF
+    closure, no store, no watermark — exactly-once delivery is the
+    parquet sink's own checkpointed file log, so there is no manifest
+    protocol to pay.  Per-batch cost is O(batch); nothing scales with
+    stream lifetime.  Under ``availableNow`` over a static directory
+    the output equals the batch encoder over the same files (the
+    q_stream_embed contract, pinned by the catalog row's oracle)."""
+    from metalpipe_spark.operators.bpe import bpe_encode, wordpiece_encode
+    from metalpipe_spark.operators.unigram import unigram_encode
+
+    encoders = {
+        "bpe": bpe_encode,
+        "wordpiece": wordpiece_encode,
+        "unigram": unigram_encode,
+    }
+    if tokenizer not in encoders:
+        raise ValueError(
+            f"stream_encode_sink: unknown tokenizer {tokenizer!r} "
+            f"(expected one of {sorted(encoders)})"
+        )
+    encoded = encoders[tokenizer](
+        df, model, text_col=text_col, id_col=id_col, **encode_kwargs
+    )
+    return (
+        encoded.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _STORE_VDIR_RE = r"v-(\d{10})"
 
 

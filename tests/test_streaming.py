@@ -1251,3 +1251,52 @@ def test_stream_exact_substr_delta_segments_and_compaction(spark, tmp_path):
     # fresh tail contributes new windows -> store grew but kept every
     # pre-compaction row.
     assert set(want) <= set(after) and len(after) > len(want)
+
+
+def test_stream_encode_sink_equals_batch_all_families(spark, tmp_path):
+    """stream_encode_sink: availableNow over a static directory equals
+    the batch encoder for each tokenizer family (the q_stream_embed
+    contract; the bpe family is additionally oracle-gated by
+    q_stream_bpe_encode)."""
+    import pytest
+
+    from metalpipe_spark.operators.bpe import wordpiece_encode
+    from metalpipe_spark.operators.unigram import unigram_encode
+    from metalpipe_spark.streaming.streams import stream_encode_sink
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "that hat"), (2, "catnip")],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(src))
+    vocab = ["the", "cat", "##nip", "sat", "that", "hat", "c", "##at"]
+    pieces = {"th": -1.0, "e": -2.0, "cat": -1.5, "sat": -1.5,
+              "hat": -1.5, "t": -3.0, "a": -3.0, "nip": -2.0}
+
+    for fam, model, enc in (
+        ("wordpiece", vocab, wordpiece_encode),
+        ("unigram", pieces, unigram_encode),
+    ):
+        stream = file_watchdog(spark, str(src), docs.schema)
+        stream_encode_sink(
+            stream, model, str(tmp_path / f"out_{fam}"),
+            str(tmp_path / f"ckpt_{fam}"), tokenizer=fam,
+        ).awaitTermination()
+        norm = lambda r: tuple(
+            tuple(v) if isinstance(v, list) else v for v in r
+        )
+        got = {
+            norm(r) for r in spark.read.parquet(
+                str(tmp_path / f"out_{fam}")
+            ).collect()
+        }
+        want = {norm(r) for r in enc(docs, model).collect()}
+        assert got == want, fam
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        stream_encode_sink(
+            file_watchdog(spark, str(src), docs.schema),
+            vocab, str(tmp_path / "x"), str(tmp_path / "xc"),
+            tokenizer="sentencepiece",
+        )
