@@ -103,7 +103,18 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(got)} rows)")
         rows[name] = {"status": "PASS" if ok else "FAIL", "rows": len(got)}
     total = len(only) if only is not None else len(reg)
-    print(f"---- {total - len(bad)}/{total} green")
+    # Honest SKIP accounting (r15 verdict): a rows-only row (no oracle)
+    # is NOT oracle-green — report the split instead of folding it in.
+    skipped = sum(1 for r in rows.values() if r.get("status") == "SKIP")
+    oracle_total = total - skipped
+    oracle_green = oracle_total - len(bad)
+    if skipped:
+        print(
+            f"---- {oracle_green}/{oracle_total} oracle-green"
+            f" + {skipped} rows-only (no oracle)"
+        )
+    else:
+        print(f"---- {oracle_green}/{oracle_total} green")
     if json_path:
         import json
 
@@ -114,6 +125,9 @@ def main() -> int:
                     "ansi": ansi,
                     "green": total - len(bad),
                     "total": total,
+                    "oracle_green": oracle_green,
+                    "oracle_total": oracle_total,
+                    "rows_only": skipped,
                     "rows": rows,
                 },
                 f,

@@ -186,8 +186,15 @@ def main() -> int:
                 "sf_dir": normal["sf_dir"],
                 "green": normal["green"],
                 "total": normal["total"],
+                # Honest SKIP split (r15 verdict cosmetic finding): a
+                # rows-only row is not oracle-green and must not be
+                # folded into the green count silently.
+                "oracle_green": normal.get("oracle_green"),
+                "oracle_total": normal.get("oracle_total"),
+                "rows_only": normal.get("rows_only"),
                 "ansi_green": ansi["green"],
                 "ansi_total": ansi["total"],
+                "ansi_oracle_green": ansi.get("oracle_green"),
                 "rows": {
                     name: {**rec, "ansi": ansi["rows"][name]["status"]}
                     for name, rec in normal["rows"].items()
@@ -199,8 +206,11 @@ def main() -> int:
         )
         f.write("\n")
     print(
-        f"wrote {sweep_art}: {normal['green']}/{normal['total']} green, "
-        f"{ansi['green']}/{ansi['total']} green under ANSI"
+        f"wrote {sweep_art}: "
+        f"{normal.get('oracle_green')}/{normal.get('oracle_total')} "
+        f"oracle-green + {normal.get('rows_only')} rows-only, "
+        f"{ansi.get('oracle_green')}/{ansi.get('oracle_total')} "
+        f"oracle-green under ANSI"
     )
 
     print(f"ROUND {rnd} CLOSE: ALL GREEN")
