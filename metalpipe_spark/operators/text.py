@@ -1403,7 +1403,7 @@ def train_backoff_lm(
     df: DataFrame,
     n: int = 3,
     text_col: str = "text",
-    discount: float = 0.75,
+    discount: "float | str" = 0.75,
 ) -> DataFrame:
     """Multi-order backoff LM — absolute discounting with Katz-style
     backoff weights (Ney, Essen & Kneser 1994), the model shape CCNet's
@@ -1457,18 +1457,33 @@ def train_backoff_lm(
     map-side-combined count keyed ``(order, ngram)`` — lazily
     checkpointed so the per-order consumers replay the gram table, not
     the corpus; everything after (denominators, residuals, backoff
-    attachment) is gram-table-scale joins and aggregates."""
+    attachment) is gram-table-scale joins and aggregates.
+
+    ``discount="ney"`` estimates each order's D from its count-of-
+    counts, ``D_k = n1 / (n1 + 2·n2)`` (Ney, Essen & Kneser 1994; the
+    estimate KenLM's trainer uses) — two scalars per order off the
+    gram table (aggregate-output-class collect), clamped away from the
+    0/1 boundaries when a degenerate corpus yields no singletons or no
+    doubletons."""
     if n < 2:
         raise ValueError(
             f"train_backoff_lm needs n >= 2 (n=1 has nothing to back "
             f"off to — use train_ngram_lm), got {n}"
         )
-    if not (0.0 < discount < 1.0):
-        raise ValueError(
-            f"discount must be in (0, 1), got {discount} (D >= 1 could "
-            "zero out singleton grams; D <= 0 discounts nothing)"
-        )
-    D = float(discount)
+    auto_discount = discount == "ney"
+    if not auto_discount:
+        if isinstance(discount, str):
+            raise ValueError(
+                f"discount must be a float in (0, 1) or 'ney', "
+                f"got {discount!r}"
+            )
+        if not (0.0 < discount < 1.0):
+            raise ValueError(
+                f"discount must be in (0, 1), got {discount} (D >= 1 "
+                "could zero out singleton grams; D <= 0 discounts "
+                "nothing)"
+            )
+    D = None if auto_discount else float(discount)
     toked = df.withColumn("__tk", tokens(text_col))
     toks = F.col("__tk")
 
@@ -1511,6 +1526,29 @@ def train_backoff_lm(
         .agg(F.count(F.lit(1)).alias("n_count"))
         .localCheckpoint(eager=False)
     )
+    if auto_discount:
+        # count-of-counts per order: two scalars each
+        # (aggregate-output-class); the collect also materializes the
+        # lazy checkpoint, so every later consumer reads gram rows.
+        coc = {
+            (r["order"], r["n_count"]): r["cnt"]
+            for r in gc.where(F.col("n_count") <= 2)
+            .groupBy("order", "n_count")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def _discount_for(k: int) -> float:
+        if not auto_discount:
+            return D
+        n1 = coc.get((k, 1), 0)
+        n2 = coc.get((k, 2), 0)
+        d = n1 / (n1 + 2.0 * n2) if (n1 + n2) else 0.75
+        # clamp: d=1 would zero every singleton's prob (log10 -> -inf
+        # in the export); d=0 would discount nothing and starve the
+        # backoff mass.
+        return min(max(d, 1e-6), 1.0 - 1e-6)
+
     lvl: dict[int, DataFrame] = {}
     g1 = gc.where(F.col("order") == 1).select("ngram", "n_count")
     denom1 = g1.agg(F.sum("n_count").alias("ctx_count"))
@@ -1534,11 +1572,12 @@ def train_backoff_lm(
             F.sum("n_count").alias("ctx_count"),
             F.count(F.lit(1)).alias("__types"),
         )
+        Dk = _discount_for(k)
         # operand order pinned for cross-engine bit parity:
         # (double(c) - D) / double(denom)
         lk = base.join(cstats, "__ctx").withColumn(
             "prob",
-            (F.col("n_count").cast("double") - F.lit(D))
+            (F.col("n_count").cast("double") - F.lit(Dk))
             / F.col("ctx_count").cast("double"),
         )
         # residual: Σ over SEEN continuations of the lower order's
@@ -1566,7 +1605,7 @@ def train_backoff_lm(
                 )
                 .otherwise(
                     (
-                        (F.lit(D) * F.col("__types").cast("double"))
+                        (F.lit(Dk) * F.col("__types").cast("double"))
                         / F.col("ctx_count").cast("double")
                     )
                     / (F.lit(1.0) - F.col("__slo").cast("double"))

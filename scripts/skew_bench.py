@@ -41,6 +41,10 @@ QUERIES = [
     # join-back at operators/dedup.py (_window keys) go maximally hot —
     # the skew-sensitive stage under boilerplate-heavy corpora.
     "q_exact_substr",
+    # round-16 row: the backoff trainer's gram count keys (order, ngram)
+    # and the context denominator keys the gram PREFIX — the banner
+    # makes one context and a run of bigrams maximally hot.
+    "q_train_backoff_lm",
 ]
 
 
@@ -48,6 +52,13 @@ def main() -> int:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(QUERIES)
+        if unknown:
+            print(f"--only names not in QUERIES: {sorted(unknown)}")
+            return 2
     if not os.path.exists(os.path.join(SKEWED, "documents.parquet")):
         print("skew fixture missing — run scripts/make_skew_fixture.py first")
         return 2
@@ -89,6 +100,8 @@ def main() -> int:
     out = {}
     worst = 0.0
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         tu = median_time(name, UNIFORM)
         ts = median_time(name, SKEWED)
         ratio = ts / tu

@@ -3499,6 +3499,18 @@ def test_train_backoff_lm_hand_counts(spark):
         train_backoff_lm(docs, n=1)
     with pytest.raises(ValueError, match="discount"):
         train_backoff_lm(docs, discount=1.0)
+    with pytest.raises(ValueError, match="discount"):
+        train_backoff_lm(docs, discount="kneser")
+    # discount='ney': per-order D from count-of-counts — bigrams have
+    # n1=1 (b d), n2=2 (a b, b c) -> D2 = 1/(1+2*2) = 0.2
+    ney = {
+        (r["order"], r["ngram"]): r
+        for r in train_backoff_lm(docs, n=2, discount="ney").collect()
+    }
+    assert ney[(2, "a b")]["prob"] == (2.0 - 0.2) / 2.0
+    assert ney[(2, "b d")]["prob"] == (1.0 - 0.2) / 3.0
+    # b(a) = (0.2*1/2)/(1 - p1(b)) = 0.1/0.625
+    assert abs(ney[(1, "a")]["backoff"] - 0.1 / 0.625) < 1e-12
 
 
 def test_backoff_arpa_roundtrip_and_scorer_n3(spark, tmp_path):
