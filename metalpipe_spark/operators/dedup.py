@@ -832,6 +832,7 @@ def incremental_exact_dedup(
     seen_fingerprints: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    return_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an existing corpus fingerprint store —
     the shape a continuously-ingesting 100 TB pipeline actually runs
@@ -846,7 +847,12 @@ def incremental_exact_dedup(
     without a store-side shuffle.
 
     ``seen_fingerprints`` schema: a ``fingerprint`` column; pass None
-    for a first batch.
+    for a first batch.  ``return_delta=True`` returns only the batch's
+    NEW fingerprints in the second position — the store is strictly
+    append-only (fresh rows are anti-joined against it), so a
+    delta-segment sink (``_incremental_store_sink(append_only=True)``)
+    writes O(batch) per trigger instead of rewriting the corpus-scale
+    fingerprint table.
     """
     fp = new_docs.withColumn("__fp", fingerprint(text_col))
     batch_canon = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
@@ -860,7 +866,7 @@ def incremental_exact_dedup(
     new_fps = fresh.select("fingerprint")
     updated = (
         new_fps
-        if seen_fingerprints is None
+        if (seen_fingerprints is None or return_delta)
         else seen_fingerprints.select("fingerprint").union(new_fps)
     )
     return fresh, updated
@@ -1030,6 +1036,7 @@ def incremental_hamming_dedup(
     max_hamming: int = 3,
     blocks: int | None = None,
     combo: int = 1,
+    return_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a NEW batch of hamming codes against the
     accumulated corpus — the incremental twin of
@@ -1045,7 +1052,9 @@ def incremental_hamming_dedup(
     image/document, bucketable on the band key at warehouse scale.  The
     same cross-batch transitivity caveat as the MinHash twin applies
     (membership is decided against surviving canonicals at arrival
-    time)."""
+    time).  ``return_delta=True`` returns only the batch's surviving
+    codes in the second position — the store is strictly append-only,
+    the delta-segment sink contract."""
     in_pairs = hamming_neardup_pairs(
         new_codes, code_col, id_col, bits, max_hamming, blocks, combo
     )
@@ -1074,7 +1083,7 @@ def incremental_hamming_dedup(
     fresh_codes = survivors.select(id_col, code_col)
     updated = (
         fresh_codes
-        if store is None
+        if (store is None or return_delta)
         else store.select(id_col, code_col).unionByName(fresh_codes)
     )
     return survivors, updated

@@ -1059,6 +1059,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     use_gemm: bool = True,
     checkpoint_batch: bool = False,
+    return_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic dedup of a NEW batch against the accumulated corpus —
     the incremental twin of :func:`semantic_dedup`, completing the
@@ -1125,7 +1126,13 @@ def incremental_semantic_dedup(
             hits = hits.localCheckpoint(eager=True)  # ids only — tiny
         fresh = batch_survivors.join(hits, id_col, "left_anti")
         surv_store = surv_store.join(hits, id_col, "left_anti")
-        updated = store.unionByName(surv_store)
+        # return_delta: the store is strictly append-only (survivors
+        # are anti-joined against it), so a delta-segment sink needs
+        # only the batch's new store rows — O(batch) per trigger
+        # instead of rewriting the vector-scale store.
+        updated = (
+            surv_store if return_delta else store.unionByName(surv_store)
+        )
         return fresh, updated
     return batch_survivors, surv_store
 
@@ -1602,6 +1609,7 @@ def incremental_semantic_dedup_scaled(
     max_cell_size: int = 65_536,
     checkpoint_batch: bool = False,
     check_geometry: bool = True,
+    return_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_semantic_dedup` with CORPUS-SCALED learned
     cells — the 100 TB incremental entry point.  Fit the centroid
@@ -1683,7 +1691,11 @@ def incremental_semantic_dedup_scaled(
             hits = hits.localCheckpoint(eager=True)
         batch_survivors = batch_survivors.join(hits, id_col, "left_anti")
         surv_sigs = surv_sigs.join(hits, id_col, "left_anti")
-        return batch_survivors, store.unionByName(surv_sigs)
+        # return_delta: append-only store — delta-segment sink contract
+        # (see incremental_semantic_dedup).
+        return batch_survivors, (
+            surv_sigs if return_delta else store.unionByName(surv_sigs)
+        )
     return batch_survivors, surv_sigs
 
 

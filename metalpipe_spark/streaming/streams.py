@@ -354,6 +354,7 @@ def stream_semantic_dedup_sink(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_table: DataFrame | None = None,
+    compact_segments: int = 64,
 ):
     """Continuously-ingesting semantic dedup: each micro-batch dedups
     against the cell store persisted so far
@@ -370,12 +371,17 @@ def stream_semantic_dedup_sink(
 
     The store itself publishes through ``_incremental_store_sink``'s
     versioned-manifest protocol (the same reader-atomicity as
-    ``upsert_parquet(manifest=True)``): each batch writes a complete
-    new store version, flips an immutable manifest, and self-heals any
-    crash debris at the start of the next batch — no crash point leaves
-    zero complete copies, and a reader using ``load_store`` racing the
-    swap sees entirely-old or entirely-new state.  Batch-scale GEMM
-    results are materialized once
+    ``upsert_parquet(manifest=True)``): the survivor-vector store is
+    strictly append-only, so each batch writes ONLY its new rows as a
+    delta segment (``append_only=True`` — O(batch) per trigger; the
+    store is VECTOR-scale, an embedding per survivor, so a full
+    rewrite per trigger would be the dominant bill at crawl scale),
+    flips an immutable manifest referencing prior segments plus the
+    delta, folds segments every ``compact_segments`` batches, and
+    self-heals any crash debris at the start of the next batch — no
+    crash point leaves zero complete copies, and a reader using
+    ``load_store`` racing the swap sees entirely-old or entirely-new
+    state.  Batch-scale GEMM results are materialized once
     (``checkpoint_batch`` in ``incremental_semantic_dedup``) so the
     kept-append and the version write don't re-run the dedup kernels;
     the store itself streams scan→parquet exactly once.
@@ -412,16 +418,20 @@ def stream_semantic_dedup_sink(
                 # trigger would re-pay the scan for a geometry that
                 # cannot have changed.
                 check_geometry=not geometry_checked["done"],
+                return_delta=True,
             )
             geometry_checked["done"] = True
             return fresh_pair
         return incremental_semantic_dedup(
             batch_df, store, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,
-            checkpoint_batch=True,
+            checkpoint_batch=True, return_delta=True,
         )
 
-    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+    return _incremental_store_sink(
+        df, kept_path, store_path, checkpoint, step,
+        append_only=True, compact_segments=compact_segments,
+    )
 
 
 def stream_exact_substr_sink(
@@ -567,11 +577,14 @@ def _incremental_store_sink(
     compact_segments: int = 64,
 ):
     """The shared skeleton of every store-backed incremental dedup sink
-    (semantic cells, image codes): per micro-batch, read the store at
-    its current manifest version, run ``step(batch_df, store) ->
-    (fresh, updated_store[, cleanup])``, append the fresh rows, write
-    the updated store fully into a NEW version directory, then flip the
-    manifest — the same reader-atomic versioned publish as
+    (semantic cells, image codes, fingerprints, substring windows): per
+    micro-batch, read the store at its current manifest version, run
+    ``step(batch_df, store) -> (fresh, updated_store[, cleanup])``,
+    append the fresh rows, publish the store's next version (a DELTA
+    segment for append-only stores — every dedup store sink; a full
+    rewrite only for merge-style stores whose state is bounded, like
+    DSIR's fixed bucket-count table), then flip the manifest — the
+    same reader-atomic versioned publish as
     ``upsert_parquet(manifest=True)`` (one immutable
     ``_manifest-v{N}.json`` per version, flipped by a single rename),
     so a reader racing the swap sees entirely-old or entirely-new state
@@ -867,13 +880,20 @@ def stream_image_dedup_sink(
             image_dhash(batch_df, id_col=id_col), reliable=False
         )
         codes.count()
+        # return_delta: the (id, dhash) store is strictly append-only —
+        # the sink publishes only the batch's surviving codes as a
+        # delta segment (O(batch) per trigger; the store is one row per
+        # surviving image ever seen).
         fresh, updated = incremental_hamming_dedup(
             codes, store, code_col="dhash", id_col=id_col,
             bits=64, max_hamming=max_hamming, blocks=blocks, combo=combo,
+            return_delta=True,
         )
         return fresh, updated, lambda: rdd.unpersist(False)
 
-    return _incremental_store_sink(df, kept_path, store_path, checkpoint, step)
+    return _incremental_store_sink(
+        df, kept_path, store_path, checkpoint, step, append_only=True
+    )
 
 
 def stream_hll_registers(
@@ -1024,12 +1044,19 @@ def stream_corpus_pipeline(
         # would each re-run it (the same double-pricing the sink's
         # outer persist exists to prevent).
         clean = kept.join(flagged.select(id_col), id_col, "left_anti").persist()
-        fresh, updated = incremental_exact_dedup(
-            clean, store, text_col=text_col, id_col=id_col
+        # return_delta: the fingerprint store is strictly append-only
+        # (fresh rows are anti-joined against it), so the sink writes
+        # only the batch's new md5 rows per trigger — the delta is
+        # already distinct (one row per in-batch canonical fingerprint).
+        fresh, delta = incremental_exact_dedup(
+            clean, store, text_col=text_col, id_col=id_col,
+            return_delta=True,
         )
-        return fresh, updated.distinct(), lambda: clean.unpersist()
+        return fresh, delta, lambda: clean.unpersist()
 
-    return _incremental_store_sink(scrubbed, kept_path, store_path, checkpoint, step)
+    return _incremental_store_sink(
+        scrubbed, kept_path, store_path, checkpoint, step, append_only=True
+    )
 
 
 def stream_dsir_sink(

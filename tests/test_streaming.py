@@ -560,8 +560,11 @@ def test_store_swap_reader_atomicity_and_debris_heal(spark, tmp_path):
     # content, so mixing would be visible), manifest NOT yet flipped.
     (v1_dir,) = set(v1[1])
     v2_dir = "v-0000000002"
+    # BIGINT literal: under append-only manifests this dir coexists
+    # with real segments in later versions, so its schema must match
+    # the store's (vec_id long) or the multi-segment read fails.
     load_store(spark, store_path).limit(1).selectExpr(
-        "7 AS vec_id", "* EXCEPT (vec_id)"
+        "CAST(7 AS BIGINT) AS vec_id", "* EXCEPT (vec_id)"
     ).write.mode("overwrite").parquet(os.path.join(store_path, v2_dir))
     got = sorted(r["vec_id"] for r in load_store(spark, store_path).collect())
     assert got == v1_rows  # still exactly version 1
