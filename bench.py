@@ -159,6 +159,7 @@ HEADLINE = [
     "q_train_backoff_lm",
     "q_backoff_logprob",
     "q_ccnet_buckets",
+    "q_ccnet_buckets_backoff",
     "q_distinctive_terms",
     "q_length_quantiles",
     "q_tokenize_regex",

@@ -2253,10 +2253,10 @@ def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_backoff_logprob",
-    """
-    WITH lm(ngram, lm_order, logprob, log_backoff) AS (
+# Shared scoring CTEs for the backoff-scorer rows (q_backoff_logprob
+# and the composed q_ccnet_buckets_backoff): the SAME text feeds both
+# oracles, so the chain semantics cannot drift between them.
+_BO_SCORE_CTES = """lm(ngram, lm_order, logprob, log_backoff) AS (
       SELECT * FROM {LM}
     ),
     t AS (
@@ -2290,13 +2290,21 @@ def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON lp1.lm_order = 1 AND lp1.ngram = g.w2
       LEFT JOIN lm bo1
         ON bo1.lm_order = 1 AND bo1.ngram = g.w1
-    )
+    )"""
+
+
+@register(
+    "q_backoff_logprob",
+    """
+    WITH {CTES}
     SELECT doc_id,
            sum(round(sc, 9)::DECIMAL(18,9))::DOUBLE / nn::DOUBLE
              AS mean_logprob
     FROM s GROUP BY doc_id, nn
     ORDER BY doc_id
-    """.replace("{LM}", _bo_lm_values_sql()),
+    """.replace("{CTES}", _BO_SCORE_CTES).replace(
+        "{LM}", _bo_lm_values_sql()
+    ),
     doc=(
         "ngram_logprob_backoff (operators/text.py): the backoff-aware "
         "scorer — an unseen bigram pays the context's log10 backoff "
@@ -2325,4 +2333,61 @@ def q_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ngram_logprob_backoff(
         docs, lm, n=2, exact=True
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_ccnet_buckets_backoff",
+    """
+    WITH {CTES},
+    allscored AS (
+      SELECT doc_id,
+             round(sum(round(sc, 9)::DECIMAL(18,9))::DOUBLE
+                     / nn::DOUBLE, 6) AS mean_logprob
+      FROM s GROUP BY doc_id, nn
+    ),
+    th AS (
+      SELECT quantile_disc(mean_logprob, {P1}) AS t1,
+             quantile_disc(mean_logprob, {P2}) AS t2
+      FROM allscored
+    )
+    SELECT doc_id, mean_logprob,
+           CASE WHEN mean_logprob > t2 THEN 'head'
+                WHEN mean_logprob > t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM allscored, th
+    ORDER BY doc_id
+    """.replace("{CTES}", _BO_SCORE_CTES)
+    .replace("{LM}", _bo_lm_values_sql())
+    .replace("{P1}", repr(_CCNET_P[0]))
+    .replace("{P2}", repr(_CCNET_P[1])),
+    doc=(
+        "CCNet head/middle/tail split over the BACKOFF scorer "
+        "(perplexity_buckets(backoff=True)) — the flagship curation "
+        "loop end-to-end with KenLM-parity scoring: a doc full of "
+        "unseen bigrams is bucketed by real lower-order evidence "
+        "instead of a constant floor.  Scoring CTEs are shared "
+        "verbatim with q_backoff_logprob (fixed 9-dp literal model, "
+        "no libm in the hash path); thresholds are percentile_disc "
+        "terciles with the fraction literals shared between engines "
+        "(the q_ccnet_buckets step-function rule); exact mode rounds "
+        "mean scores to 6 dp before the threshold compare."
+    ),
+)
+def q_ccnet_buckets_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = spark.createDataFrame(
+        _BO_LM_ROWS,
+        "ngram string, lm_order int, logprob double, log_backoff double",
+    ).select(
+        "ngram",
+        F.col("lm_order").alias("order"),
+        "logprob",
+        "log_backoff",
+    )
+    return perplexity_buckets(
+        docs.select("doc_id", "text"), lm, n=2,
+        fractions=_CCNET_P, exact=True, backoff=True,
     ).orderBy("doc_id")

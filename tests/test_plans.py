@@ -816,3 +816,29 @@ def test_wordpiece_pair_scores_single_corpus_scan(spark, tmp_path):
     out = wordpiece_pair_scores(docs, top_k=10)
     assert out.count() == 10
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_train_backoff_lm_single_corpus_scan(spark, tmp_path):
+    """The backoff trainer's per-order consumers (3 levels x pair/
+    denominator/residual probes) must all read the CHECKPOINTED gram
+    table, never the corpus: the output plan carries ZERO parquet
+    scans — the one corpus pass lives inside the checkpoint RDD,
+    materialized once.  16 checkpoint reads of a gram table beat 16
+    scans of 100 TB."""
+    from pyspark.sql import functions as F
+
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("a b c d e f g w"), (F.col("id") % 5).cast("string")
+        ).alias("text"),
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    lm = train_backoff_lm(docs, n=3)
+    plan = lm._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed gram table
+    assert lm.count() > 0
