@@ -208,6 +208,7 @@ HEADLINE = [
     "q_stream_embed",
     "q_stream_exact_substr",
     "q_stream_bpe_encode",
+    "q_stream_semdedup",
 ]
 
 

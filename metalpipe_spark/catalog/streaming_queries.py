@@ -587,3 +587,66 @@ def q_stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_semdedup_oracle() -> str:
+    from metalpipe_spark.catalog.similarity import _semdedup_oracle
+    from metalpipe_spark.operators.similarity import deterministic_centroids
+
+    return _semdedup_oracle(
+        deterministic_centroids(8, 64),
+        threshold=0.25,
+        where="WHERE vec_id % 3 = 0",
+    )
+
+
+@register(
+    "q_stream_semdedup",
+    _stream_semdedup_oracle(),
+    doc=(
+        "STREAMING semantic dedup (streams.stream_semantic_dedup_sink) "
+        "drained with availableNow: one source file = one micro-batch, "
+        "so survivors equal the batch semantic_dedup over the same "
+        "subset (q_semdedup's oracle verbatim) — and the run exercises "
+        "the delta-segment manifest publish end-to-end under the "
+        "oracle gate (the store's multi-segment protocol is "
+        "additionally pinned by the 3-batch crash/compaction tests).  "
+        "Cross-batch store semantics are q_incremental_semdedup's."
+    ),
+)
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.catalog.similarity import _ivf_cents
+    from metalpipe_spark.operators.similarity import ivf_assign_literal
+    from metalpipe_spark.streaming.streams import stream_semantic_dedup_sink
+
+    stream = (
+        file_watchdog(
+            spark,
+            sf_dir,
+            "vec_id long, embedding array<float>, label int",
+            glob="embeddings.parquet",
+        )
+        .where(F.col("vec_id") % 3 == 0)
+        .select("vec_id", "embedding")
+    )
+    cents = _ivf_cents()
+    tmp = tempfile.mkdtemp(prefix="mps_stream_sd_")
+    try:
+        stream_semantic_dedup_sink(
+            stream, cents, f"{tmp}/kept", f"{tmp}/store",
+            f"{tmp}/ckpt", threshold=0.25,
+        ).awaitTermination()
+        kept = spark.read.parquet(f"{tmp}/kept").select(
+            "vec_id", "embedding"
+        )
+        out = ivf_assign_literal(kept, cents).select("vec_id", "cell")
+        # SIZE GUARD: catalog-fixture drain (two narrow columns, <=
+        # subset row count) so the result outlives the temp dir for
+        # the driver's lazy comparator.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("vec_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
