@@ -1655,10 +1655,13 @@ def ngram_logprob_backoff(
     (KenLM export via :func:`~metalpipe_spark.sources.readers.
     load_arpa`) expects: an order-``n`` gram missing from the model
     backs off to the order-(n-1) gram of its LAST n-1 words, paying the
-    context's log10 backoff weight, chaining down to unigrams; a word
-    unseen even at order 1 scores the flat ``oov_logprob`` (no backoff
-    accumulation — tokenization junk and true OOV get the floor, the
-    :func:`ngram_logprob` contract).  Returns ``(id, mean_logprob)``
+    context's log10 backoff weight, chaining down to unigrams; a gram
+    whose FINAL word is unseen even at order 1 scores the flat
+    ``oov_logprob`` with no backoff accumulation (true OOV gets the
+    floor, the :func:`ngram_logprob` contract — note a junk gram whose
+    final word IS in-vocab resolves through the unigram with backoff
+    weight 1, since its empty-token context matches nothing; the
+    oracle replays exactly this).  Returns ``(id, mean_logprob)``
     over the document's order-``n`` grams, drop-in for
     :func:`perplexity_buckets`.
 
