@@ -228,15 +228,39 @@ def _arpa_reader(spark, upstreams, opts):
 def _ngram_logprob_node(spark, upstreams, opts):
     """Mean n-gram log-probability per document (the CCNet perplexity
     cut).  One upstream = corpus scored against an inline ``lm`` dict;
-    two upstreams = [corpus, lm table] — wire an ArpaReader here."""
-    from metalpipe_spark.operators.text import ngram_logprob
+    two upstreams = [corpus, lm table] — wire an ArpaReader here.
+    ``backoff: true`` (two-upstream form only) scores through
+    ``ngram_logprob_backoff``: the lm table keeps its ``order`` and
+    backoff columns and unseen grams chain down through real
+    lower-order evidence — the KenLM/CCNet behavior for a
+    multi-section ARPA or a ``train_backoff_lm`` table."""
+    from metalpipe_spark.operators.text import (
+        ngram_logprob,
+        ngram_logprob_backoff,
+    )
 
+    backoff = bool(opts.get("backoff", False))
     if len(upstreams) == 2:
         corpus, lm = upstreams
+        if backoff:
+            return ngram_logprob_backoff(
+                corpus,
+                lm,
+                n=opts.get("n"),
+                oov_logprob=opts.get("oov_logprob", -8.0),
+                text_col=opts.get("text_col", "text"),
+                id_col=opts.get("id_col", "doc_id"),
+            )
         if opts.get("order") is not None:  # slice a multi-order ARPA table
             lm = lm.where(F.col("order") == int(opts["order"]))
         lm = lm.select("ngram", "logprob")
     elif len(upstreams) == 1 and "lm" in opts:
+        if backoff:
+            raise ValueError(
+                "NgramLogprob: backoff scoring needs a multi-order lm "
+                "TABLE upstream (ArpaReader / train_backoff_lm), not an "
+                "inline lm dict"
+            )
         corpus, lm = upstreams[0], dict(opts["lm"])
     else:
         raise ValueError(

@@ -870,6 +870,25 @@ def test_arpa_reader_ngram_logprob_yaml(spark, tmp_path):
     assert abs(got[1] - (-8.5 / 3)) < 1e-9
     assert abs(got[2] - (-8.0)) < 1e-9
 
+    # backoff: true routes the SAME wiring through the backoff scorer:
+    # the unseen "world hello" gram now chains to the unigram
+    # (bo("world") is NULL -> weight 1) instead of the flat floor.
+    config2 = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/d"}},
+            "lm": {"class": "ArpaReader", "options": {"path": str(arpa)}},
+            "ppl": {
+                "class": "NgramLogprob",
+                "options": {"n": 2, "backoff": True},
+            },
+        },
+        "paths": [["docs", "ppl"], ["lm", "ppl"]],
+    }
+    p2 = compile_pipeline(spark, config2)
+    got2 = {r["doc_id"]: r["mean_logprob"] for r in p2.dataframes["ppl"].collect()}
+    assert abs(got2[1] - ((-0.25 + -1.0 + -0.25) / 3)) < 1e-9
+    assert abs(got2[2] - (-8.0)) < 1e-9  # final word unseen -> floor
+
 
 def test_pivot_pinned_node_yaml(spark, tmp_path):
     spark.createDataFrame(
