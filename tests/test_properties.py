@@ -1092,3 +1092,193 @@ def test_train_wordpiece_reference_property(spark, words, reps, n_merges):
     counts = Counter(w for t in docs for w in t.split())
     want = _reference_wordpiece(dict(counts), n_merges, min_count=1)
     assert got == want
+
+
+def _reference_backoff_lm(texts: list[str], n: int, D: float):
+    """Pure-Python absolute-discount Katz trainer mirroring
+    train_backoff_lm's exact arithmetic: raw counts per order (junk
+    grams excluded), MLE unigram floor, (c - D)/denom discounted
+    probs, residual = DECIMAL sum of the lower order's HALF_UP
+    9-dp-rounded probs (Decimal(float) = Java BigDecimal(double)
+    semantics), backoff = leftover / (1 - residual) with the
+    non-positive-residual -> 0 guard."""
+    import re
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def r9(p: float) -> Decimal:
+        return Decimal(p).quantize(q9, rounding=ROUND_HALF_UP)
+
+    counts: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
+    for t in texts:
+        toks = re.split(r"\s+", t)
+        for k in range(1, n + 1):
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                if g != g.strip() or "  " in g or not g:
+                    continue
+                counts[k][g] += 1
+    out = {}  # (order, ngram) -> [n_count, ctx_count, prob, backoff]
+    total1 = sum(counts[1].values())
+    for w, c in counts[1].items():
+        out[(1, w)] = [c, total1, float(c) / float(total1), None]
+    for k in range(2, n + 1):
+        denom: Counter = Counter()
+        types: Counter = Counter()
+        sfx = {}
+        for g, c in counts[k].items():
+            ctx = g.rsplit(" ", 1)[0] if k == 2 else " ".join(g.split(" ")[: k - 1])
+            denom[ctx] += c
+            types[ctx] += 1
+        for g, c in counts[k].items():
+            ctx = " ".join(g.split(" ")[: k - 1])
+            out[(k, g)] = [
+                c, denom[ctx],
+                (float(c) - D) / float(denom[ctx]), None,
+            ]
+            sfx[g] = " ".join(g.split(" ")[1:])
+        resid: dict[str, Decimal] = defaultdict(lambda: Decimal(0))
+        for g in counts[k]:
+            ctx = " ".join(g.split(" ")[: k - 1])
+            resid[ctx] += r9(out[(k - 1, sfx[g])][2])
+        for ctx in denom:
+            slo = float(resid[ctx])
+            if 1.0 - slo <= 0.0:
+                bo = 0.0
+            else:
+                bo = ((D * float(types[ctx])) / float(denom[ctx])) / (
+                    1.0 - slo
+                )
+            out[(k - 1, ctx)][3] = bo
+    return {
+        key: (v[0], v[1], v[2], v[3]) for key, v in out.items()
+    }
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=3,
+        max_size=10,
+    ),
+    reps=st.lists(st.integers(1, 3), min_size=1, max_size=10),
+    n=st.integers(2, 3),
+)
+def test_train_backoff_lm_reference_property(spark, words, reps, n):
+    """Breadth companion to the hand-counted backoff-LM test: on random
+    tiny corpora the distributed trainer must produce bit-equal counts,
+    denominators, discounted probabilities AND backoff weights to the
+    pure-Python Katz reference — every order, every context.  Also
+    pins the per-context mass identity sum(seen probs) + D*types/denom
+    == 1 exactly (the discount leftover is the backoff mass)."""
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    text = " ".join(w for w in words for _ in range(reps[hash(w) % len(reps)]))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = train_backoff_lm(docs, n=n, discount=0.75).collect()
+    got = {
+        (r["order"], r["ngram"]): (
+            r["n_count"], r["ctx_count"], r["prob"], r["backoff"]
+        )
+        for r in rows
+    }
+    want = _reference_backoff_lm([text], n, 0.75)
+    assert got == want
+    # mass identity per context at every order >= 2
+    from collections import defaultdict
+
+    by_ctx = defaultdict(list)
+    for r in rows:
+        if r["order"] >= 2:
+            ctx = " ".join(r["ngram"].split(" ")[: r["order"] - 1])
+            by_ctx[(r["order"], ctx)].append(r)
+    for (_, _), members in by_ctx.items():
+        denom = members[0]["ctx_count"]
+        leftover = 0.75 * len(members) / denom
+        assert abs(sum(m["prob"] for m in members) + leftover - 1.0) < 1e-9
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(
+    train_words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=2),
+        min_size=4,
+        max_size=10,
+    ),
+    score_words=st.lists(
+        st.text(alphabet="abcz", min_size=1, max_size=2),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_ngram_logprob_backoff_reference_property(spark, train_words, score_words):
+    """Scorer breadth: against a model TRAINED at n=3 on one random
+    corpus, the distributed backoff chain over a second random doc
+    (including 'z' words the model never saw) must equal a pure-Python
+    replay of the ARPA chain — trigram hit / bigram backoff / unigram
+    backoff / OOV floor — under exact-mode 9-dp DECIMAL accumulation."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from metalpipe_spark.operators.text import (
+        ngram_logprob_backoff,
+        train_backoff_lm,
+    )
+
+    q9 = Decimal("0.000000001")
+
+    def r9d(x: float) -> Decimal:
+        return Decimal(x).quantize(q9, rounding=ROUND_HALF_UP)
+
+    n = 3
+    train_text = " ".join(train_words * 2)
+    score_text = " ".join(score_words)
+    lm_df = train_backoff_lm(
+        spark.createDataFrame(
+            [(0, train_text)], "doc_id long, text string"
+        ),
+        n=n,
+    )
+    lm_rows = lm_df.collect()
+    lp = {(r["order"], r["ngram"]): r["logprob"] for r in lm_rows}
+    bo = {
+        (r["order"], r["ngram"]): r["log_backoff"]
+        for r in lm_rows
+        if r["log_backoff"] is not None
+    }
+
+    def ref_gram(ws: list[str]) -> float:
+        for k in range(n, 0, -1):
+            key = " ".join(ws[n - k:])
+            if (k, key) in lp:
+                # the engine's exact float order: bosum accumulates
+                # DESCENDING j from n-1 down to k, then + lp
+                s = 0.0
+                for j in range(n - 1, k - 1, -1):
+                    ctx = " ".join(ws[n - 1 - j : n - 1])
+                    s = s + bo.get((j, ctx), 0.0)
+                return s + lp[(k, key)]
+        return -8.0
+
+    toks = re.split(r"\s+", score_text)
+    grams = [toks[i : i + n] for i in range(len(toks) - n + 1)]
+    if grams:
+        nn = len(grams)
+        total = sum((r9d(ref_gram(g)) for g in grams), Decimal(0))
+    else:
+        nn, total = 1, r9d(-8.0)
+    want = float(total) / float(nn)
+
+    got = ngram_logprob_backoff(
+        spark.createDataFrame(
+            [(7, score_text)], "doc_id long, text string"
+        ),
+        lm_df,
+        n=n,
+        exact=True,
+    ).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 7
+    assert got[0]["mean_logprob"] == want
