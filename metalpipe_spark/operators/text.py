@@ -1649,6 +1649,7 @@ def ngram_logprob_backoff(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact: bool = False,
+    unk_token: str | None = "<unk>",
 ) -> DataFrame:
     """Backoff-aware LM scoring — the consumer half of
     :func:`train_backoff_lm` and the scorer a real multi-section ARPA
@@ -1656,12 +1657,15 @@ def ngram_logprob_backoff(
     load_arpa`) expects: an order-``n`` gram missing from the model
     backs off to the order-(n-1) gram of its LAST n-1 words, paying the
     context's log10 backoff weight, chaining down to unigrams; a gram
-    whose FINAL word is unseen even at order 1 scores the flat
-    ``oov_logprob`` with no backoff accumulation (true OOV gets the
-    floor, the :func:`ngram_logprob` contract — note a junk gram whose
-    final word IS in-vocab resolves through the unigram with backoff
-    weight 1, since its empty-token context matches nothing; the
-    oracle replays exactly this).  Returns ``(id, mean_logprob)``
+    whose FINAL word is unseen even at order 1 chains to the model's
+    ``unk_token`` unigram when one exists (full backoff sum + its
+    logprob — the KenLM semantics; every real ARPA ships ``<unk>``),
+    else scores the flat ``oov_logprob`` with no backoff accumulation
+    (the :func:`ngram_logprob` contract for the unk-less tables our
+    raw-corpus trainers emit — note a junk gram whose final word IS
+    in-vocab resolves through the unigram with backoff weight 1, since
+    its empty-token context matches nothing; the oracle replays
+    exactly this).  Returns ``(id, mean_logprob)``
     over the document's order-``n`` grams, drop-in for
     :func:`perplexity_buckets`.
 
@@ -1745,7 +1749,25 @@ def ngram_logprob_backoff(
         score = score.when(
             F.col(f"__lp{k}").isNotNull(), bosum + F.col(f"__lp{k}")
         )
-    score = score.otherwise(F.lit(float(oov_logprob)))
+    # KenLM parity: a model shipping an <unk> unigram (every real ARPA
+    # does) catches words unseen even at order 1 by CONTINUING the
+    # backoff chain to <unk> — paying the full backoff sum plus its
+    # logprob — instead of the flat floor.  Models without <unk> (our
+    # raw-corpus trainers) keep the flat oov_logprob.  The lookup is
+    # one model-scale driver probe at plan build.
+    unk_row = (
+        lm.where(
+            (F.col("order") == 1) & (F.col("ngram") == unk_token)
+        )
+        .select("logprob")
+        .first()
+        if unk_token is not None
+        else None
+    )
+    if unk_row is not None:
+        score = score.otherwise(bosum + F.lit(float(unk_row["logprob"])))
+    else:
+        score = score.otherwise(F.lit(float(oov_logprob)))
     if exact:
         score = F.round(score, 9)
     total = (

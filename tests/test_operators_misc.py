@@ -3644,3 +3644,43 @@ def test_perplexity_buckets_backoff_scorer(spark):
     assert out[1][0] > -8.0
     with pytest.raises(ValueError, match="multi-order"):
         perplexity_buckets(corpus, {"a b": -1.0}, backoff=True)
+
+
+def test_backoff_scorer_unk_token_chain(spark):
+    """KenLM parity: a model shipping an <unk> unigram catches unseen
+    final words by CONTINUING the backoff chain (full backoff sum +
+    unk logprob) instead of the flat floor; models without <unk> keep
+    the flat oov_logprob, and unk_token=None disables the probe."""
+    from metalpipe_spark.operators.text import ngram_logprob_backoff
+
+    lm = spark.createDataFrame(
+        [
+            ("the", 1, -1.0, -0.5),
+            ("cat", 1, -1.2, None),
+            ("<unk>", 1, -2.5, None),
+            ("the cat", 2, -0.4, None),
+        ],
+        "ngram string, order int, logprob double, log_backoff double",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "the zzz"), (2, "qqq zzz")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob_backoff(docs, lm, n=2).collect()
+    }
+    assert got[0] == -0.4
+    # "the zzz": bigram miss -> bo("the") + chain; unigram "zzz" miss
+    # -> <unk>: bo("the") + lp(<unk>) = -0.5 + -2.5
+    assert abs(got[1] - (-3.0)) < 1e-12
+    # "qqq zzz": no backoff row for "qqq" (weight 1) -> lp(<unk>)
+    assert abs(got[2] - (-2.5)) < 1e-12
+    # unk_token=None: unseen final word falls to the flat floor
+    flat = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob_backoff(
+            docs, lm, n=2, unk_token=None
+        ).collect()
+    }
+    assert flat[1] == -8.0 and flat[2] == -8.0
