@@ -851,6 +851,7 @@ def stream_image_dedup_sink(
     blocks: int = 4,
     combo: int = 1,
     id_col: str = "id",
+    compact_segments: int = 64,
 ):
     """Continuously-ingesting IMAGE near-dup dedup: each micro-batch of
     raw-RGB rows ``(id, content, width, height)`` hashes to dHash codes
@@ -892,7 +893,8 @@ def stream_image_dedup_sink(
         return fresh, updated, lambda: rdd.unpersist(False)
 
     return _incremental_store_sink(
-        df, kept_path, store_path, checkpoint, step, append_only=True
+        df, kept_path, store_path, checkpoint, step,
+        append_only=True, compact_segments=compact_segments,
     )
 
 
@@ -969,6 +971,7 @@ def stream_corpus_pipeline(
     min_hits: int = 3,
     rebalance_partitions: int | None = None,
     hash: str = "md5",
+    compact_segments: int = 64,
 ):
     """The CURATION pipeline as one continuously-ingesting stream —
     the streaming twin of q_corpus_pipeline's scrub → quality → dedup
@@ -1055,7 +1058,8 @@ def stream_corpus_pipeline(
         return fresh, delta, lambda: clean.unpersist()
 
     return _incremental_store_sink(
-        scrubbed, kept_path, store_path, checkpoint, step, append_only=True
+        scrubbed, kept_path, store_path, checkpoint, step,
+        append_only=True, compact_segments=compact_segments,
     )
 
 
