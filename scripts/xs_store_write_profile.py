@@ -12,8 +12,12 @@ headline — at 100 TB the store is token-scale and the full rewrite,
 not the dedup, is the bill (SCALING.md batch-10 addendum's finding,
 now fixed).
 
-Usage: python scripts/xs_store_write_profile.py [sf_dir] [K]
-       (defaults: .scaling/sf1, 8 batches)
+Usage: python scripts/xs_store_write_profile.py [sf_dir] [K] [sink]
+       (defaults: .scaling/sf1, 8 batches, sink=exact_substr;
+        sink=semantic profiles stream_semantic_dedup_sink over the
+        embeddings table instead — its store is VECTOR-scale, so the
+        full-rewrite baseline pays an embedding-array write per
+        surviving vector per trigger)
 """
 
 from __future__ import annotations
@@ -35,15 +39,21 @@ def main() -> int:
         else os.path.join(REPO, ".scaling", "sf1")
     )
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sink_kind = sys.argv[3] if len(sys.argv) > 3 else "exact_substr"
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from metalpipe_spark.monitoring import attach_streaming_progress
     from metalpipe_spark.operators.dedup import incremental_exact_substr
+    from metalpipe_spark.operators.similarity import (
+        deterministic_centroids,
+        incremental_semantic_dedup,
+    )
     from metalpipe_spark.streaming.streams import (
         _incremental_store_sink,
         file_watchdog,
         stream_exact_substr_sink,
+        stream_semantic_dedup_sink,
     )
 
     spark = (
@@ -57,33 +67,61 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    if sink_kind == "semantic":
+        src_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        id_col = "vec_id"
+        cents = deterministic_centroids(8, 64)
+
+        def delta_sink(df, kept, store_path, ckpt):
+            return stream_semantic_dedup_sink(
+                df, cents, kept, store_path, ckpt, threshold=0.25
+            )
+
+        def full_rewrite_sink(df, kept, store_path, ckpt):
+            def step(batch_df, store):
+                return incremental_semantic_dedup(
+                    batch_df, store, cents,
+                    threshold=0.25, checkpoint_batch=True,
+                )
+
+            return _incremental_store_sink(
+                df, kept, store_path, ckpt, step, append_only=False
+            )
+
+    else:
+        src_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        id_col = "doc_id"
+        delta_sink = stream_exact_substr_sink
+
+        def full_rewrite_sink(df, kept, store_path, ckpt):
+            # The pre-r16 behavior, reconstructed: full store into every
+            # version dir, geometry re-checked per batch.
+            def step(batch_df, store):
+                return incremental_exact_substr(
+                    batch_df, store, with_cleanup=True
+                )
+
+            return _incremental_store_sink(
+                df, kept, store_path, ckpt, step, append_only=False
+            )
+
     tmp = tempfile.mkdtemp(prefix="xs_prof_")
     src = f"{tmp}/src"
     # K files in modulo slices; mtime spacing pins arrival order.
     for i in range(K):
-        docs.where(F.col("doc_id") % K == i).coalesce(1).write.mode(
+        src_df.where(F.col(id_col) % K == i).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         time.sleep(1.05)
-
-    def full_rewrite_sink(df, kept, store_path, ckpt):
-        # The pre-r16 behavior, reconstructed: full store into every
-        # version dir, geometry re-checked per batch.
-        def step(batch_df, store):
-            return incremental_exact_substr(
-                batch_df, store, with_cleanup=True
-            )
-
-        return _incremental_store_sink(
-            df, kept, store_path, ckpt, step, append_only=False
-        )
+    docs = src_df
 
     results = {}
     for mode, launch in (
-        ("delta", stream_exact_substr_sink),
+        ("delta", delta_sink),
         ("full-rewrite", full_rewrite_sink),
     ):
         progress: list[dict] = []
