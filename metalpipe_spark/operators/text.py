@@ -1149,6 +1149,16 @@ def perplexity_buckets(
                 "perplexity_buckets(backoff=True) needs a multi-order "
                 "LM DataFrame (train_backoff_lm / load_arpa), not a dict"
             )
+        if "order" not in lm.columns or not (
+            "log_backoff" in lm.columns or "backoff" in lm.columns
+        ):
+            raise ValueError(
+                "perplexity_buckets(backoff=True) needs an LM table "
+                "with 'order' and a backoff column ('log_backoff' or "
+                f"'backoff'); got columns {lm.columns} — a single-order "
+                "train_ngram_lm table has nothing to back off to (use "
+                "backoff=False)"
+            )
         scored = ngram_logprob_backoff(
             df, lm, n=n, oov_logprob=oov_logprob,
             text_col=text_col, id_col=id_col, exact=exact,
@@ -1332,7 +1342,19 @@ def write_arpa(lm: DataFrame, path: str, n: int | None = None) -> int:
     count."""
     cols = set(lm.columns)
     multi = "order" in cols
-    bo_col = "log_backoff" if "log_backoff" in cols else None
+    # Backoff column resolution mirrors ngram_logprob_backoff: the
+    # trainer ships log10 weights as 'log_backoff' (its 'backoff' is
+    # the LINEAR ratio), while a load_arpa reload carries log10 weights
+    # in 'backoff' — so a multi-order table without 'log_backoff' falls
+    # back to 'backoff' (r16 advice: the old log_backoff-only rule
+    # silently re-exported a reloaded model with NO backoff fields, and
+    # a later load+score treated every backoff as 1.0).
+    if "log_backoff" in cols:
+        bo_col = "log_backoff"
+    elif multi and "backoff" in cols:
+        bo_col = "backoff"
+    else:
+        bo_col = None
     by_order: dict[int, list] = {}
     if multi:
         sel = ["order", "ngram", "logprob"] + ([bo_col] if bo_col else [])
@@ -1341,6 +1363,8 @@ def write_arpa(lm: DataFrame, path: str, n: int | None = None) -> int:
             by_order.setdefault(int(r["order"]), []).append(
                 (r["ngram"], float(r["logprob"]), bo)
             )
+        if not by_order:
+            raise ValueError("write_arpa: empty LM table")
     else:
         rows = [
             (r["ngram"], float(r["logprob"]), None)

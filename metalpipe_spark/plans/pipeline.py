@@ -240,6 +240,16 @@ def _ngram_logprob_node(spark, upstreams, opts):
     )
 
     backoff = bool(opts.get("backoff", False))
+    if backoff and opts.get("order") is not None:
+        # 'order' slices a multi-order table down to the FLAT scorer's
+        # single section; the backoff scorer consumes every order by
+        # design, so combining them would silently run different
+        # semantics than the config requests (r16 advice).
+        raise ValueError(
+            "NgramLogprob: 'order' is flat-path-only (it slices a "
+            "multi-order table for ngram_logprob); backoff: true "
+            "scores ALL orders — drop one of the two options"
+        )
     if len(upstreams) == 2:
         corpus, lm = upstreams
         if backoff:

@@ -3606,6 +3606,75 @@ def test_write_arpa_validates_order(spark, tmp_path):
         write_arpa(mislabeled, str(tmp_path / "bad.arpa"))
 
 
+def test_write_arpa_reexports_reloaded_model(spark, tmp_path):
+    """r17 advice (medium): a load_arpa reload carries log10 backoff
+    weights in a 'backoff' column (no 'log_backoff'); re-exporting it
+    must keep the weights — the old log_backoff-only rule silently
+    wrote a weight-less ARPA whose reload scored every backoff as
+    1.0.  Round-trip train -> write -> load -> write -> load and
+    require byte-identical files and bit-identical tables."""
+    from metalpipe_spark.operators.text import (
+        train_backoff_lm,
+        write_arpa,
+    )
+    from metalpipe_spark.sources.readers import load_arpa
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "a b d c")], ["doc_id", "text"]
+    )
+    lm = train_backoff_lm(docs, n=2)
+    p1 = str(tmp_path / "m.arpa")
+    p2 = str(tmp_path / "m2.arpa")
+    write_arpa(lm, p1)
+    first = load_arpa(spark, p1)
+    write_arpa(first, p2)  # load_arpa shape: 'backoff' is log-domain
+    with open(p1) as f1, open(p2) as f2:
+        assert f1.read() == f2.read()
+    second = {
+        (r["order"], r["ngram"]): (r["logprob"], r["backoff"])
+        for r in load_arpa(spark, p2).collect()
+    }
+    assert second == {
+        (r["order"], r["ngram"]): (r["logprob"], r["backoff"])
+        for r in first.collect()
+    }
+
+
+def test_write_arpa_empty_multi_order_table(spark, tmp_path):
+    """r17 advice (low): an empty multi-order table must raise the
+    intended 'empty LM table' ValueError, not IndexError at
+    orders[-1]."""
+    import pytest
+
+    from metalpipe_spark.operators.text import write_arpa
+
+    empty = spark.createDataFrame(
+        [],
+        "ngram string, order int, logprob double, log_backoff double",
+    )
+    with pytest.raises(ValueError, match="empty LM table"):
+        write_arpa(empty, str(tmp_path / "e.arpa"))
+
+
+def test_perplexity_buckets_backoff_validates_lm_shape(spark):
+    """r17 advice (low): backoff=True with a single-order table (no
+    'order' column) must fail with a usable error up front, not an
+    unresolved-column AnalysisException deep in the scorer."""
+    import pytest
+
+    from metalpipe_spark.operators.text import (
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], ["doc_id", "text"]
+    )
+    flat = train_ngram_lm(docs, n=2)  # no 'order', no backoff column
+    with pytest.raises(ValueError, match="'order'"):
+        perplexity_buckets(docs, flat, n=2, backoff=True)
+
+
 def test_perplexity_buckets_backoff_scorer(spark):
     """perplexity_buckets(backoff=True): a held-out doc with unseen
     bigrams is scored through the backoff chain (real lower-order

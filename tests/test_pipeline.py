@@ -889,6 +889,25 @@ def test_arpa_reader_ngram_logprob_yaml(spark, tmp_path):
     assert abs(got2[1] - ((-0.25 + -1.0 + -0.25) / 3)) < 1e-9
     assert abs(got2[2] - (-8.0)) < 1e-9  # final word unseen -> floor
 
+    # r17 advice: backoff + order are contradictory (order slices for
+    # the FLAT scorer; backoff consumes every order) — refuse loudly
+    # instead of silently running different semantics than configured.
+    import pytest
+
+    config3 = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/d"}},
+            "lm": {"class": "ArpaReader", "options": {"path": str(arpa)}},
+            "ppl": {
+                "class": "NgramLogprob",
+                "options": {"n": 2, "backoff": True, "order": 2},
+            },
+        },
+        "paths": [["docs", "ppl"], ["lm", "ppl"]],
+    }
+    with pytest.raises(ValueError, match="flat-path-only"):
+        compile_pipeline(spark, config3).dataframes["ppl"].collect()
+
 
 def test_pivot_pinned_node_yaml(spark, tmp_path):
     spark.createDataFrame(
