@@ -2253,6 +2253,141 @@ def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_train_kn_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    big AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS ngram, count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    cc1 AS (
+      -- LEFT-continuation count: #distinct predecessors of w over the
+      -- bigram TYPE table (distinct rows make COUNT(*) the distinct
+      -- count)
+      SELECT w2 AS ngram, count(*)::BIGINT AS cc FROM big GROUP BY w2
+    ),
+    e1 AS (
+      SELECT uni.ngram, coalesce(cc1.cc, 0)::BIGINT AS n_count
+      FROM uni LEFT JOIN cc1 USING (ngram)
+    ),
+    s1 AS (
+      SELECT count(*)::BIGINT AS v, sum(n_count)::BIGINT AS d,
+             (count(*) FILTER (WHERE n_count > 0))::BIGINT AS ty
+      FROM e1
+    ),
+    p1 AS (
+      -- operand order pinned to the engine: term + gamma * uniform9,
+      -- every step a correctly-rounded IEEE primitive
+      SELECT e1.ngram, e1.n_count, s1.d AS ctx_count,
+             CASE WHEN s1.d = 0
+                  THEN round('1.0'::DOUBLE / s1.v::DOUBLE, 9)
+                  ELSE (CASE WHEN e1.n_count > 0
+                             THEN e1.n_count::DOUBLE - '0.75'::DOUBLE
+                             ELSE '0.0'::DOUBLE END) / s1.d::DOUBLE
+                       + (('0.75'::DOUBLE * s1.ty::DOUBLE)
+                            / s1.d::DOUBLE)
+                         * round('1.0'::DOUBLE / s1.v::DOUBLE, 9)
+             END AS prob
+      FROM e1 CROSS JOIN s1
+    ),
+    cst AS (
+      SELECT w1, sum(n_count)::BIGINT AS d, count(*)::BIGINT AS ty
+      FROM big GROUP BY w1
+    ),
+    p2 AS (
+      SELECT big.ngram, big.n_count, cst.d AS ctx_count,
+             (big.n_count::DOUBLE - '0.75'::DOUBLE) / cst.d::DOUBLE
+               + (('0.75'::DOUBLE * cst.ty::DOUBLE) / cst.d::DOUBLE)
+                 * round(p1s.prob, 9) AS prob
+      FROM big JOIN cst USING (w1)
+      JOIN p1 p1s ON p1s.ngram = big.w2
+    ),
+    bo AS (
+      SELECT w1 AS ngram,
+             ('0.75'::DOUBLE * ty::DOUBLE) / d::DOUBLE AS backoff
+      FROM cst
+    ),
+    lvl AS (
+      SELECT p1.ngram, 1 AS lm_order, p1.n_count, p1.ctx_count, p1.prob,
+             bo.backoff
+      FROM p1 LEFT JOIN bo ON bo.ngram = p1.ngram
+      UNION ALL
+      SELECT ngram, 2 AS lm_order, n_count, ctx_count, prob,
+             NULL::DOUBLE AS backoff
+      FROM p2
+    ),
+    ranked AS (
+      SELECT row_number() OVER (
+               PARTITION BY lm_order ORDER BY n_count DESC, ngram
+             )::INT AS rank,
+             lm_order, ngram, n_count, ctx_count,
+             round(prob, 9) AS prob, round(backoff, 9) AS backoff
+      FROM lvl
+    )
+    SELECT rank, lm_order, ngram, n_count, ctx_count, prob, backoff
+    FROM ranked WHERE rank <= 75
+    ORDER BY lm_order, rank
+    """,
+    doc=(
+        "train_backoff_lm(smoothing='kn') (operators/text.py): "
+        "INTERPOLATED KNESER-NEY — the KenLM default and the r16 "
+        "verdict's top task.  Lower orders replace raw counts with "
+        "left-continuation counts (cc(w) = #distinct predecessors "
+        "over the bigram type table), unigrams interpolate with the "
+        "uniform 1/|V| floor, and the top order folds "
+        "gamma(ctx)*p_lower into every seen gram; the stored backoff "
+        "IS gamma, so the scorer consumes the table unchanged.  "
+        "Hash-gates continuation counts, denominators, interpolated "
+        "probs AND gamma backoffs: every value a pinned-operand chain "
+        "of correctly-rounded IEEE ops over exact counts (consumed "
+        "lower levels 9-dp rounded, the residual rule); log10 faces "
+        "pinned by unit test per the house libm rule.  Plan: same "
+        "ONE-corpus-pass gram build as the absolute path; "
+        "continuation counts are one gram-table-scale aggregate per "
+        "level (group order-(k+1) grams by dropped-first-word "
+        "suffix); everything downstream is gram-table-scale."
+    ),
+)
+def q_train_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_backoff_lm(docs, n=2, discount=0.75, smoothing="kn")
+    w = Window.partitionBy("order").orderBy(
+        F.desc("n_count"), F.asc("ngram")
+    )
+    return (
+        lm.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 75)
+        .select(
+            "rank",
+            F.col("order").alias("lm_order"),
+            "ngram",
+            "n_count",
+            "ctx_count",
+            F.round("prob", 9).alias("prob"),
+            F.round("backoff", 9).alias("backoff"),
+        )
+        .orderBy("lm_order", "rank")
+    )
+
+
 # Shared scoring CTEs for the backoff-scorer rows (q_backoff_logprob
 # and the composed q_ccnet_buckets_backoff): the SAME text feeds both
 # oracles, so the chain semantics cannot drift between them.

@@ -1428,6 +1428,7 @@ def train_backoff_lm(
     n: int = 3,
     text_col: str = "text",
     discount: "float | str" = 0.75,
+    smoothing: str = "absolute",
 ) -> DataFrame:
     """Multi-order backoff LM — absolute discounting with Katz-style
     backoff weights (Ney, Essen & Kneser 1994), the model shape CCNet's
@@ -1438,12 +1439,46 @@ def train_backoff_lm(
     :func:`train_ngram_lm` is single-order add-k with a FLAT OOV
     fallback, this one backs off through real lower-order evidence —
     the quality gap the r15 verdict named for the flagship curation
-    loop.  (Full Kneser-Ney replaces lower-order raw counts with
-    continuation counts; that variant needs context-only entries for
-    prefixes that are never suffixes — KenLM's <unk>/context rows —
-    and is documented out of scope: with raw counts every context and
-    every suffix of a seen gram is itself a seen gram, so the model is
-    closed under exactly the lookups the scorer performs.)
+    loop.
+
+    ``smoothing="kn"`` trains INTERPOLATED KNESER-NEY instead (Kneser
+    & Ney 1995; Chen & Goodman 1998's interpolated form — the KenLM
+    default): lower orders replace raw counts with LEFT-CONTINUATION
+    counts (``cc_k(g)`` = number of distinct words that ever precede
+    ``g``), and every order's probability folds the discounted mass
+    into the lower order up front::
+
+        p_k(ctx w) = max(cnt_k(ctx w) - D_k, 0) / denom_k(ctx)
+                     + γ_k(ctx) · p_{k-1}(suffix)
+        γ_k(ctx)   = D_k · types_k(ctx) / denom_k(ctx)
+
+    with ``cnt_k`` = raw counts at the top order, continuation counts
+    below; ``denom_k(ctx) = Σ_w cnt_k(ctx w)``; unigrams interpolate
+    with the uniform ``1/|V|`` over the raw vocabulary (the KenLM
+    floor, sans ``<unk>``).  The stored backoff weight on a context IS
+    ``γ`` of the next order up — interpolated KN is self-consistent
+    under the ARPA backoff rule (unseen gram ⇒ discounted term 0 ⇒
+    ``p = γ(ctx)·p_lower`` = exactly what :func:`ngram_logprob_backoff`
+    computes), so the scorer consumes a KN table UNCHANGED.  Entry
+    sets: order ``k`` ships every RAW-seen ``k``-gram (prefix/suffix
+    closure is then structural); a gram seen only document-initially
+    has ``cc = 0`` and carries pure interpolated mass — the KenLM
+    context-row analogue.  A context whose continuation denominator is
+    0 (possible below the top order: none of its continuations has a
+    left extension) passes through entirely: ``p = p_{k-1}(suffix)``
+    and backoff weight 1.  Each level's probabilities are consumed by
+    the level above ROUNDED to 9 dp (the residual rule), keeping every
+    gated value a chain of correctly-rounded IEEE primitives with
+    pinned operand order — the catalog row hashes probs AND backoffs
+    cross-engine with no libm in the path.  ``discount="ney"``
+    estimates each level's D from the count-of-counts of that level's
+    OWN count table (continuation counts below the top, per Chen &
+    Goodman).
+
+    (The default absolute path keeps raw counts everywhere: every
+    context and every suffix of a seen gram is itself a seen gram, so
+    the model is closed under exactly the lookups the scorer
+    performs.)
 
     Math, all correctly-rounded IEEE primitives so the catalog row can
     hash-gate it cross-engine:
@@ -1493,6 +1528,10 @@ def train_backoff_lm(
         raise ValueError(
             f"train_backoff_lm needs n >= 2 (n=1 has nothing to back "
             f"off to — use train_ngram_lm), got {n}"
+        )
+    if smoothing not in ("absolute", "kn"):
+        raise ValueError(
+            f"smoothing must be 'absolute' or 'kn', got {smoothing!r}"
         )
     auto_discount = discount == "ney"
     if not auto_discount:
@@ -1550,6 +1589,9 @@ def train_backoff_lm(
         .agg(F.count(F.lit(1)).alias("n_count"))
         .localCheckpoint(eager=False)
     )
+    if smoothing == "kn":
+        lvl = _kn_levels(gc, n, D, auto_discount)
+        return _assemble_lm_levels(lvl, n)
     if auto_discount:
         # count-of-counts per order: two scalars each
         # (aggregate-output-class); the collect also materializes the
@@ -1639,6 +1681,15 @@ def train_backoff_lm(
         )
         lvl[k - 1] = lvl[k - 1].join(bo, "ngram", "left")
         lvl[k] = lk.select("ngram", "n_count", "ctx_count", "prob")
+    return _assemble_lm_levels(lvl, n)
+
+
+def _assemble_lm_levels(lvl: dict[int, DataFrame], n: int) -> DataFrame:
+    """Shared :func:`train_backoff_lm` tail: union the per-order level
+    tables into the ``(ngram, order, n_count, ctx_count, prob,
+    logprob, backoff, log_backoff)`` contract, deriving the log10
+    faces (9 dp; linear backoff 0 exports the ARPA ``-99.0``
+    sentinel)."""
     out = None
     for k in range(1, n + 1):
         part = lvl[k].withColumn("order", F.lit(k))
@@ -1663,6 +1714,177 @@ def train_backoff_lm(
         .otherwise(F.round(F.log10("backoff"), 9))
         .alias("log_backoff"),
     )
+
+
+def _kn_levels(
+    gc: DataFrame, n: int, D: "float | None", auto_discount: bool
+) -> dict[int, DataFrame]:
+    """Interpolated Kneser-Ney level construction for
+    :func:`train_backoff_lm(smoothing="kn")` — see its docstring for
+    the math.  ``gc`` is the checkpointed ``(order, ngram, n_count)``
+    raw gram table covering orders 1..n; returns the per-order level
+    DataFrames ``(ngram, n_count, ctx_count, prob[, backoff])`` that
+    :func:`_assemble_lm_levels` unions.
+
+    Plan shape: continuation counts are ONE gram-table-scale aggregate
+    per level (group the order-(k+1) gram table by its
+    dropped-first-word suffix — distinct gram rows make COUNT(*) the
+    distinct-left-extension count); entries, context stats and the
+    interpolation joins are all gram-table-scale keyed on
+    ngram/context, the same shuffle class as the absolute path.  The
+    corpus is never rescanned."""
+    # Count tables per level: raw at the top order, left-continuation
+    # counts below (cc_k(g) = #distinct w0 with "w0 g" a seen
+    # (k+1)-gram = row count of the order-(k+1) gram table grouped by
+    # suffix).
+    cnt: dict[int, DataFrame] = {
+        n: gc.where(F.col("order") == n).select("ngram", "n_count")
+    }
+    for k in range(1, n):
+        cnt[k] = (
+            gc.where(F.col("order") == k + 1)
+            .select(
+                F.expr(
+                    "substring(ngram, instr(ngram, ' ') + 1)"
+                ).alias("ngram")
+            )
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_count"))
+        )
+    if auto_discount:
+        # Chen & Goodman: each level's D from the count-of-counts of
+        # that level's OWN count table (continuation counts below the
+        # top) — two scalars per level, one unioned aggregate.
+        coc_src = None
+        for k in range(1, n + 1):
+            part = cnt[k].select(F.lit(k).alias("lvl"), "n_count")
+            coc_src = (
+                part if coc_src is None else coc_src.unionByName(part)
+            )
+        coc = {
+            (r["lvl"], r["n_count"]): r["cnt"]
+            for r in coc_src.where(F.col("n_count") <= 2)
+            .groupBy("lvl", "n_count")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def _disc(k: int) -> float:
+        if not auto_discount:
+            return D
+        n1 = coc.get((k, 1), 0)
+        n2 = coc.get((k, 2), 0)
+        d = n1 / (n1 + 2.0 * n2) if (n1 + n2) else 0.75
+        return min(max(d, 1e-6), 1.0 - 1e-6)
+
+    # Order 1: every RAW vocab word is an entry (a doc-initial-only
+    # word has cc=0 and pure interpolated mass); uniform 1/|V| floor.
+    e1 = (
+        gc.where(F.col("order") == 1)
+        .select("ngram")
+        .join(cnt[1], "ngram", "left")
+        .select(
+            "ngram", F.coalesce("n_count", F.lit(0)).alias("n_count")
+        )
+    )
+    stats1 = e1.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("n_count").alias("__d"),
+        F.count(F.when(F.col("n_count") > 0, 1)).alias("__t"),
+    )
+    D1 = _disc(1)
+    # Pinned operand order throughout (cross-engine bit parity): each
+    # step one correctly-rounded IEEE primitive; the uniform floor and
+    # every consumed lower-level prob are 9-dp rounded first.
+    uniform = F.round(F.lit(1.0) / F.col("__v").cast("double"), 9)
+    term1_1 = (
+        F.when(
+            F.col("n_count") > 0,
+            F.col("n_count").cast("double") - F.lit(D1),
+        ).otherwise(F.lit(0.0))
+        / F.col("__d").cast("double")
+    )
+    gamma1 = (
+        (F.lit(D1) * F.col("__t").cast("double"))
+        / F.col("__d").cast("double")
+    )
+    lvl: dict[int, DataFrame] = {
+        1: e1.crossJoin(F.broadcast(stats1)).select(
+            "ngram",
+            "n_count",
+            F.col("__d").cast("long").alias("ctx_count"),
+            F.when(F.col("__d") == 0, uniform)
+            .otherwise(term1_1 + gamma1 * uniform)
+            .alias("prob"),
+        )
+    }
+    for k in range(2, n + 1):
+        Dk = _disc(k)
+        if k < n:
+            # entries = all RAW-seen k-grams; adjusted count = cc (0
+            # for doc-initial-only grams — the context-row analogue)
+            ents = (
+                gc.where(F.col("order") == k)
+                .select("ngram")
+                .join(cnt[k], "ngram", "left")
+                .select(
+                    "ngram",
+                    F.coalesce("n_count", F.lit(0)).alias("n_count"),
+                )
+            )
+        else:
+            ents = cnt[n]
+        base = ents.select(
+            "ngram",
+            "n_count",
+            F.substring_index("ngram", " ", k - 1).alias("__ctx"),
+            F.expr(
+                "substring(ngram, instr(ngram, ' ') + 1)"
+            ).alias("__sfx"),
+        )
+        cstats = base.groupBy("__ctx").agg(
+            F.sum("n_count").alias("__d"),
+            F.count(F.when(F.col("n_count") > 0, 1)).alias("__t"),
+        )
+        lower = lvl[k - 1].select(
+            F.col("ngram").alias("__sfx"),
+            F.round("prob", 9).alias("__lo"),
+        )
+        term1 = (
+            F.when(
+                F.col("n_count") > 0,
+                F.col("n_count").cast("double") - F.lit(Dk),
+            ).otherwise(F.lit(0.0))
+            / F.col("__d").cast("double")
+        )
+        gamma = (
+            (F.lit(Dk) * F.col("__t").cast("double"))
+            / F.col("__d").cast("double")
+        )
+        # Every entry's suffix is a raw-seen (k-1)-gram (drop the
+        # first word of a raw-seen gram), so the lower join is inner
+        # and total.  A zero denominator (no continuation evidence
+        # for the whole context) passes the lower level through.
+        lvl[k] = (
+            base.join(cstats, "__ctx")
+            .join(lower, "__sfx")
+            .select(
+                "ngram",
+                "n_count",
+                F.col("__d").cast("long").alias("ctx_count"),
+                F.when(F.col("__d") == 0, F.col("__lo"))
+                .otherwise(term1 + gamma * F.col("__lo"))
+                .alias("prob"),
+            )
+        )
+        bo = cstats.select(
+            F.col("__ctx").alias("ngram"),
+            F.when(F.col("__d") == 0, F.lit(1.0))
+            .otherwise(gamma)
+            .alias("backoff"),
+        )
+        lvl[k - 1] = lvl[k - 1].join(bo, "ngram", "left")
+    return lvl
 
 
 def ngram_logprob_backoff(

@@ -3513,6 +3513,75 @@ def test_train_backoff_lm_hand_counts(spark):
     assert abs(ney[(1, "a")]["backoff"] - 0.1 / 0.625) < 1e-12
 
 
+def test_train_kn_lm_hand_counts_and_ney(spark):
+    """Interpolated Kneser-Ney hand-check (r16 verdict task 1): doc
+    'x y z w y z' at n=3, D=0.5 — continuation counts, the uniform
+    1/|V| unigram floor, the cc=0 doc-initial bigram 'x y', its
+    denom=0 context pass-through (p = p_lower, backoff 1), gamma
+    backoffs, and the log10 faces; plus discount='ney' estimating D
+    per level from the CONTINUATION count-of-counts."""
+    import math
+
+    import pytest
+
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    docs = spark.createDataFrame(
+        [(0, "x y z w y z")], ["doc_id", "text"]
+    )
+    lm = {
+        (r["order"], r["ngram"]): r
+        for r in train_backoff_lm(
+            docs, n=3, discount=0.5, smoothing="kn"
+        ).collect()
+    }
+    # order 1: cc from bigram types {x y, y z, z w, w y}: y:2 z:1 w:1
+    # x:0 (doc-initial only); V=4, denom=4, types=3, uniform=0.25
+    assert (lm[(1, "x")]["n_count"], lm[(1, "y")]["n_count"]) == (0, 2)
+    assert lm[(1, "x")]["prob"] == (0.5 * 3 / 4) * 0.25  # pure interp
+    assert lm[(1, "y")]["prob"] == (2 - 0.5) / 4 + (0.5 * 3 / 4) * 0.25
+    assert (
+        sum(lm[(1, w)]["prob"] for w in "xyzw") == 1.0
+    )  # exact conservation
+    # order 2: cc from trigram suffixes: 'y z':2 'z w':1 'w y':1,
+    # 'x y':0 -> context x has denom 0 -> pass-through + backoff 1
+    assert lm[(2, "x y")]["n_count"] == 0
+    assert lm[(2, "x y")]["ctx_count"] == 0
+    assert lm[(2, "x y")]["prob"] == round(lm[(1, "y")]["prob"], 9)
+    assert lm[(1, "x")]["backoff"] == 1.0
+    assert lm[(1, "x")]["log_backoff"] == 0.0
+    assert lm[(2, "y z")]["prob"] == (2 - 0.5) / 2 + (
+        0.5 * 1 / 2
+    ) * round(lm[(1, "z")]["prob"], 9)
+    assert lm[(1, "y")]["backoff"] == 0.5 * 1 / 2
+    # order 3 raw: p(x y z) = (1-.5)/1 + .5*p2(y z)9, b(x y) = 0.5
+    assert lm[(3, "x y z")]["prob"] == 0.5 + 0.5 * round(
+        lm[(2, "y z")]["prob"], 9
+    )
+    assert lm[(2, "x y")]["backoff"] == 0.5
+    assert lm[(3, "x y z")]["logprob"] == round(
+        math.log10(lm[(3, "x y z")]["prob"]), 9
+    )
+    with pytest.raises(ValueError, match="smoothing"):
+        train_backoff_lm(docs, n=2, smoothing="katz")
+    # discount='ney' over CONTINUATION counts: level-1 cc values
+    # {y:2, z:1, w:1} -> n1=2, n2=1 -> D1 = 2/(2+2) = 0.5; level-3
+    # raw trigrams all singletons -> n1=4, n2=0 -> D3 clamped 1-1e-6
+    ney = {
+        (r["order"], r["ngram"]): r
+        for r in train_backoff_lm(
+            docs, n=3, discount="ney", smoothing="kn"
+        ).collect()
+    }
+    d1 = 0.5
+    u = round(1.0 / 4, 9)
+    assert ney[(1, "y")]["prob"] == (2 - d1) / 4 + (d1 * 3 / 4) * u
+    d3 = 1.0 - 1e-6
+    assert ney[(3, "x y z")]["prob"] == (1 - d3) / 1 + (
+        d3 * 1 / 1
+    ) * round(ney[(2, "y z")]["prob"], 9)
+
+
 def test_backoff_arpa_roundtrip_and_scorer_n3(spark, tmp_path):
     """The multi-order loop closes at N=3: train_backoff_lm ->
     write_arpa (three sections, backoff weights on context rows) ->
