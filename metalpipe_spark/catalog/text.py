@@ -2254,6 +2254,127 @@ def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_prune_backoff_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (SELECT sum(n_count)::BIGINT AS ctx_count FROM uni),
+    big AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS ngram, count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    cst AS (
+      SELECT w1, sum(n_count)::BIGINT AS ctx_count FROM big GROUP BY w1
+    ),
+    p1 AS (
+      SELECT uni.ngram, uni.n_count, tot.ctx_count,
+             uni.n_count::DOUBLE / tot.ctx_count::DOUBLE AS prob
+      FROM uni CROSS JOIN tot
+    ),
+    p2kept AS (
+      -- the prune rule, SQL-replayable: bigram count >= 2 (probs are
+      -- the trainer's, untouched by pruning)
+      SELECT big.ngram, big.w1, big.w2, big.n_count, cst.ctx_count,
+             (big.n_count::DOUBLE - '0.75'::DOUBLE)
+               / cst.ctx_count::DOUBLE AS prob
+      FROM big JOIN cst USING (w1)
+      WHERE big.n_count >= 2
+    ),
+    bo AS (
+      -- exact renormalization over KEPT rows: both sums 9-dp DECIMAL
+      -- (order-independent), non-positive num/den -> 0
+      SELECT w1 AS ngram,
+             CASE WHEN '1.0'::DOUBLE - snum::DOUBLE <= '0.0'::DOUBLE
+                    OR '1.0'::DOUBLE - sden::DOUBLE <= '0.0'::DOUBLE
+                  THEN '0.0'::DOUBLE
+                  ELSE ('1.0'::DOUBLE - snum::DOUBLE)
+                       / ('1.0'::DOUBLE - sden::DOUBLE)
+             END AS backoff
+      FROM (
+        SELECT p2kept.w1,
+               sum(round(p2kept.prob, 9)::DECIMAL(28,12)) AS snum,
+               sum(round(p1.prob, 9)::DECIMAL(28,12)) AS sden
+        FROM p2kept JOIN p1 ON p1.ngram = p2kept.w2
+        GROUP BY p2kept.w1
+      )
+    ),
+    lvl AS (
+      SELECT p1.ngram, 1 AS lm_order, p1.n_count, p1.ctx_count, p1.prob,
+             bo.backoff
+      FROM p1 LEFT JOIN bo ON bo.ngram = p1.ngram
+      UNION ALL
+      SELECT ngram, 2 AS lm_order, n_count, ctx_count, prob,
+             NULL::DOUBLE AS backoff
+      FROM p2kept
+    ),
+    ranked AS (
+      SELECT row_number() OVER (
+               PARTITION BY lm_order ORDER BY n_count DESC, ngram
+             )::INT AS rank,
+             lm_order, ngram, n_count, ctx_count,
+             round(prob, 9) AS prob, round(backoff, 9) AS backoff
+      FROM lvl
+    )
+    SELECT rank, lm_order, ngram, n_count, ctx_count, prob, backoff
+    FROM ranked WHERE rank <= 75
+    ORDER BY lm_order, rank
+    """,
+    doc=(
+        "prune_lm (operators/text.py): count-threshold LM pruning "
+        "with EXACT backoff renormalization (SRILM rule: kept probs "
+        "untouched, b = (1 - Σ kept p_k)/(1 - Σ kept p_lower) over "
+        "9-dp DECIMAL sums) — the r16 verdict's task 2, what keeps a "
+        "crawl-scale model inside the scorer's broadcast envelope and "
+        "write_arpa's driver-collect bound.  Here: train the absolute "
+        "n=2 model, prune singleton bigrams (threshold 2 — the "
+        "SQL-replayable rule), hash-gate kept counts/probs AND the "
+        "recomputed weights; contexts losing every continuation go "
+        "NULL.  Stolcke entropy pruning shares the operator but is "
+        "test-pinned (libm logs, house rule).  Plan: the one-pass "
+        "trainer, then model-scale semi-joins (cascades) and one "
+        "groupBy(ctx) per order pair — the corpus is never rescanned."
+    ),
+)
+def q_prune_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from metalpipe_spark.operators.text import prune_lm, train_backoff_lm
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_backoff_lm(docs, n=2, discount=0.75)
+    pruned = prune_lm(lm, min_counts=2)
+    w = Window.partitionBy("order").orderBy(
+        F.desc("n_count"), F.asc("ngram")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 75)
+        .select(
+            "rank",
+            F.col("order").alias("lm_order"),
+            "ngram",
+            "n_count",
+            "ctx_count",
+            F.round("prob", 9).alias("prob"),
+            F.round("backoff", 9).alias("backoff"),
+        )
+        .orderBy("lm_order", "rank")
+    )
+
+
+@register(
     "q_train_kn_lm",
     """
     WITH t AS (

@@ -1887,6 +1887,272 @@ def _kn_levels(
     return lvl
 
 
+def prune_lm(
+    lm: DataFrame,
+    min_counts: "int | list[int] | None" = None,
+    entropy_threshold: float | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Prune a multi-order backoff LM and RE-NORMALIZE its backoff
+    weights — the standard practice (KenLM ``--prune``, SRILM
+    ``ngram -prune``) that keeps a crawl-scale model inside the
+    scorer's broadcast envelope and :func:`write_arpa`'s driver-collect
+    bound: a 5-gram model over 100 TB of text is unboundedly large,
+    but singleton-pruned models are vocabulary-shaped.
+
+    Two rules, composable (a row must survive BOTH):
+
+    - ``min_counts``: count-threshold pruning (KenLM semantics).  An
+      int applies to every order >= 2; a list gives per-order
+      thresholds ``[t1..tn]`` which must be NON-DECREASING with order
+      and ``t1 = 0`` (unigrams are never pruned — the model's floor).
+      A row at order k >= 2 is dropped when ``n_count < t_k``; the
+      threshold applies to the table's OWN stored counts, i.e.
+      continuation counts for the lower orders of a
+      ``smoothing="kn"`` model (the KenLM adjusted-count rule).
+    - ``entropy_threshold``: Stolcke (1998) relative-entropy pruning.
+      Each order->=2 row's removal cost is the weighted entropy
+      increase ``Δ = -P(h)·[p(w|h)·(ln p_lower(sfx) + ln α' -
+      ln p(w|h)) + m(h)·(ln α' - ln α)]`` where ``α`` is the
+      context's backoff before removal, ``α'`` after, and ``m(h)``
+      the backoff mass ``1 - Σ_seen p``; ``P(h)`` uses the EMPIRICAL
+      context frequency ``n_count(h)/Σ`` (the stored counts — one
+      aggregate, no chain evaluation).  Rows with ``Δ <
+      entropy_threshold`` are dropped.  Involves libm logs, so this
+      rule is test-pinned rather than oracle-hashed (house rule).
+
+    After the row rule, TWO structural cascades keep the model closed
+    under the scorer's lookups (trivial no-ops for raw-count models,
+    where counts are monotone in order; load-bearing for KN tables
+    whose continuation counts are not):
+
+    1. ascending PREFIX cascade — a row whose context was pruned at
+       the order below is pruned too (ARPA requires every context row
+       to exist to carry its backoff weight);
+    2. descending SUFFIX add-back — a kept row's dropped-first-word
+       suffix is restored at the order below (the backoff chain's
+       probability lookups stay total).
+
+    Backoff weights are then recomputed EXACTLY over the kept rows
+    (the SRILM rule — kept probabilities are untouched, the pruned
+    mass reroutes through backoff)::
+
+        b(ctx) = (1 - Σ_kept p_k(ctx w)) / (1 - Σ_kept p_{k-1}(sfx))
+
+    with both sums over 9-dp-ROUNDED probs in DECIMAL(28,12)
+    (order-independent, engine-portable — the train_backoff_lm
+    residual rule) and the non-positive-numerator/denominator -> 0
+    guard; a context with no surviving continuations carries NULL
+    (implicit weight 1).  Note the recomputed weights are the exact
+    renormalization of the PRUNED model — on a no-op prune they agree
+    with the trainer's weights to 9-dp rounding, not bitwise.
+
+    Plan shape: model-scale only — per-order semi/anti joins for the
+    cascades, one groupBy(ctx) aggregate per order pair for the
+    weights; the corpus is never touched.  Input is any trainer/
+    load_arpa-shaped table ``(ngram, order, n_count, ctx_count, prob,
+    logprob, backoff?, log_backoff?)``; output keeps that schema with
+    ``backoff``/``log_backoff`` recomputed."""
+    if min_counts is None and entropy_threshold is None:
+        raise ValueError(
+            "prune_lm: pass min_counts and/or entropy_threshold"
+        )
+    for col in ("ngram", "order", "n_count", "ctx_count", "prob", "logprob"):
+        if col not in lm.columns:
+            raise ValueError(
+                f"prune_lm needs a trainer-shaped table with {col!r} "
+                f"(got columns {lm.columns}) — a load_arpa reload has "
+                "no counts/linear probs; prune at train time"
+            )
+    if n is None:
+        n = lm.agg(F.max("order")).first()[0]
+        if n is None:
+            raise ValueError("prune_lm: empty LM table")
+        n = int(n)
+    if isinstance(min_counts, int):
+        thresholds = [0] + [min_counts] * (n - 1)
+    elif min_counts is not None:
+        thresholds = [int(t) for t in min_counts]
+        if len(thresholds) != n:
+            raise ValueError(
+                f"prune_lm: min_counts list must have one threshold per "
+                f"order (got {len(thresholds)} for n={n})"
+            )
+        if thresholds[0] != 0:
+            raise ValueError(
+                "prune_lm: unigrams are never pruned — t1 must be 0"
+            )
+        if any(a > b for a, b in zip(thresholds, thresholds[1:])):
+            raise ValueError(
+                f"prune_lm: thresholds must be non-decreasing with "
+                f"order (KenLM rule), got {thresholds}"
+            )
+    else:
+        thresholds = [0] * n
+
+    orders = {
+        k: lm.where(F.col("order") == k).drop(
+            "backoff", "log_backoff"
+        )
+        for k in range(1, n + 1)
+    }
+    if entropy_threshold is not None:
+        costs = _lm_entropy_costs(orders, n)
+    # row rule + ascending prefix cascade
+    kept: dict[int, DataFrame] = {1: orders[1]}
+    for k in range(2, n + 1):
+        cand = orders[k]
+        if thresholds[k - 1] > 0:
+            cand = cand.where(F.col("n_count") >= thresholds[k - 1])
+        if entropy_threshold is not None:
+            cand = cand.join(
+                costs[k].where(
+                    F.col("__delta") < F.lit(float(entropy_threshold))
+                ).select("ngram"),
+                "ngram",
+                "left_anti",
+            )
+        ctxs = kept[k - 1].select(F.col("ngram").alias("__pfx"))
+        kept[k] = cand.join(
+            ctxs,
+            F.substring_index("ngram", " ", k - 1) == F.col("__pfx"),
+            "left_semi",
+        )
+    # descending suffix add-back (restores the chain's prob lookups;
+    # no-op for monotone raw-count models)
+    for k in range(n, 1, -1):
+        sfx = kept[k].select(
+            F.expr(
+                "substring(ngram, instr(ngram, ' ') + 1)"
+            ).alias("ngram")
+        ).distinct()
+        missing = sfx.join(kept[k - 1], "ngram", "left_anti")
+        if k - 1 >= 2:
+            addback = orders[k - 1].join(missing, "ngram", "left_semi")
+            kept[k - 1] = kept[k - 1].unionByName(addback)
+    # exact backoff renormalization over kept rows
+    out = None
+    for k in range(1, n + 1):
+        part = kept[k]
+        if k < n:
+            upper = kept[k + 1].select(
+                F.substring_index("ngram", " ", k).alias("__ctx"),
+                F.round("prob", 9).alias("__pk"),
+                F.expr(
+                    "substring(ngram, instr(ngram, ' ') + 1)"
+                ).alias("__sfx"),
+            )
+            lower = kept[k].select(
+                F.col("ngram").alias("__sfx"),
+                F.round("prob", 9).alias("__plo"),
+            )
+            sums = (
+                upper.join(lower, "__sfx")
+                .groupBy("__ctx")
+                .agg(
+                    F.sum(
+                        F.col("__pk").cast("decimal(28,12)")
+                    ).alias("__snum"),
+                    F.sum(
+                        F.col("__plo").cast("decimal(28,12)")
+                    ).alias("__sden"),
+                )
+            )
+            bnum = F.lit(1.0) - F.col("__snum").cast("double")
+            bden = F.lit(1.0) - F.col("__sden").cast("double")
+            bo = sums.select(
+                F.col("__ctx").alias("ngram"),
+                F.when((bnum <= 0.0) | (bden <= 0.0), F.lit(0.0))
+                .otherwise(bnum / bden)
+                .alias("backoff"),
+            )
+            part = part.join(bo, "ngram", "left")
+        else:
+            part = part.withColumn(
+                "backoff", F.lit(None).cast("double")
+            )
+        part = part.select(
+            "ngram",
+            "order",
+            "n_count",
+            "ctx_count",
+            "prob",
+            "logprob",
+            "backoff",
+            F.when(F.col("backoff").isNull(), F.lit(None).cast("double"))
+            .when(F.col("backoff") == 0.0, F.lit(-99.0))
+            .otherwise(F.round(F.log10("backoff"), 9))
+            .alias("log_backoff"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _lm_entropy_costs(
+    orders: "dict[int, DataFrame]", n: int
+) -> "dict[int, DataFrame]":
+    """Stolcke (1998) relative-entropy removal costs for
+    :func:`prune_lm` — per order k>=2, ``(ngram, __delta)`` where
+    ``__delta`` is the (natural-log) entropy increase from pruning
+    that row alone.  Empirical-frequency context weights; model-scale
+    aggregates only."""
+    costs: dict[int, DataFrame] = {}
+    for k in range(2, n + 1):
+        base = orders[k].select(
+            "ngram",
+            F.round("prob", 9).alias("__pk"),
+            F.substring_index("ngram", " ", k - 1).alias("__ctx"),
+            F.expr(
+                "substring(ngram, instr(ngram, ' ') + 1)"
+            ).alias("__sfx"),
+        )
+        lower = orders[k - 1].select(
+            F.col("ngram").alias("__sfx"),
+            F.round("prob", 9).alias("__plo"),
+        )
+        joined = base.join(lower, "__sfx")
+        cstat = joined.groupBy("__ctx").agg(
+            F.sum(F.col("__pk").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__sp"),
+            F.sum(F.col("__plo").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__slo"),
+        )
+        # empirical P(h): the context row's own count share
+        ctx_w = orders[k - 1].select(
+            F.col("ngram").alias("__ctx"),
+            F.col("n_count").alias("__hc"),
+        )
+        tot = ctx_w.agg(F.sum("__hc").alias("__ht"))
+        num = F.lit(1.0) - F.col("__sp")
+        den = F.lit(1.0) - F.col("__slo")
+        alpha = num / den
+        alpha_p = (num + F.col("__pk")) / (den + F.col("__plo"))
+        ph = F.col("__hc").cast("double") / F.col("__ht").cast("double")
+        delta = -ph * (
+            F.col("__pk")
+            * (F.log("__plo") + F.log(alpha_p) - F.log("__pk"))
+            + num * (F.log(alpha_p) - F.log(alpha))
+        )
+        costs[k] = (
+            joined.join(cstat, "__ctx")
+            .join(ctx_w, "__ctx")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "ngram",
+                # degenerate contexts (no backoff mass / non-positive
+                # denominators) never prune: cost +inf
+                F.when(
+                    (num <= 0.0) | (den <= 0.0), F.lit(float("inf"))
+                )
+                .otherwise(delta)
+                .alias("__delta"),
+            )
+        )
+    return costs
+
+
 def ngram_logprob_backoff(
     df: DataFrame,
     lm: DataFrame,

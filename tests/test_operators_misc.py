@@ -3582,6 +3582,107 @@ def test_train_kn_lm_hand_counts_and_ney(spark):
     ) * round(ney[(2, "y z")]["prob"], 9)
 
 
+def test_prune_lm_count_threshold_renormalizes_backoff(spark):
+    """r16 verdict task 2: count-threshold pruning keeps kept probs
+    untouched and recomputes each context's backoff weight as the
+    exact renormalization b = (1 - Σ kept p_k)/(1 - Σ kept p_lower)
+    over 9-dp DECIMAL sums; the scorer then backs off GRACEFULLY
+    where rows were pruned (the pruned gram's mass reroutes through
+    the recomputed weight instead of vanishing)."""
+    import math
+
+    import pytest
+
+    from metalpipe_spark.operators.text import (
+        ngram_logprob_backoff,
+        prune_lm,
+        train_backoff_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "b c")], ["doc_id", "text"]
+    )
+    lm = train_backoff_lm(docs, n=2, discount=0.75)
+    pruned = prune_lm(lm, min_counts=2)
+    rows = {(r["order"], r["ngram"]): r for r in pruned.collect()}
+    # bigrams (a b):2 and (b c):2 survive; singleton (b d) is pruned
+    assert (2, "b d") not in rows
+    assert (2, "a b") in rows and (2, "b c") in rows
+    assert rows[(2, "a b")]["prob"] == (2.0 - 0.75) / 2.0  # untouched
+    # exact recomputed weights
+    exp_ba = (1.0 - round((2 - 0.75) / 2.0, 9)) / (1.0 - round(0.375, 9))
+    exp_bb = (1.0 - round((2 - 0.75) / 3.0, 9)) / (1.0 - round(0.25, 9))
+    assert rows[(1, "a")]["backoff"] == exp_ba
+    assert rows[(1, "b")]["backoff"] == exp_bb
+    assert rows[(1, "b")]["log_backoff"] == round(math.log10(exp_bb), 9)
+    # non-contexts still NULL
+    assert rows[(1, "c")]["backoff"] is None
+    # graceful degradation: scoring the PRUNED gram "b d" chains
+    # b(b)*p1(d) instead of the flat floor
+    s = ngram_logprob_backoff(
+        spark.createDataFrame([(5, "b d")], ["doc_id", "text"]),
+        pruned,
+        n=2,
+    ).collect()
+    want = round(math.log10(exp_bb), 9) + rows[(1, "d")]["logprob"]
+    assert abs(s[0]["mean_logprob"] - want) < 1e-9
+    assert s[0]["mean_logprob"] > -8.0
+    # validation
+    with pytest.raises(ValueError, match="non-decreasing"):
+        prune_lm(lm, min_counts=[0, 3, 2], n=3)
+    with pytest.raises(ValueError, match="t1 must be 0"):
+        prune_lm(lm, min_counts=[1, 1], n=2)
+    with pytest.raises(ValueError, match="min_counts and/or"):
+        prune_lm(lm)
+
+
+def test_prune_lm_kn_cascades_and_entropy(spark):
+    """Pruning a Kneser-Ney table exercises the structural cascades
+    (continuation counts are not monotone in order): a pruned context
+    drops its extensions (prefix cascade) and kept rows keep their
+    suffix chain total (suffix add-back).  Entropy pruning is
+    monotone in its threshold and never prunes below count-pruning's
+    floor semantics (kept rows score identically)."""
+    from metalpipe_spark.operators.text import prune_lm, train_backoff_lm
+
+    docs = spark.createDataFrame(
+        [(0, "x y z w y z")], ["doc_id", "text"]
+    )
+    kn = train_backoff_lm(docs, n=3, discount=0.5, smoothing="kn")
+    # cc('x y') = 0 -> pruned at t2=1; trigram 'x y z' cascades away
+    pk = {
+        (r["order"], r["ngram"])
+        for r in prune_lm(kn, min_counts=[0, 1, 1]).collect()
+    }
+    assert (2, "x y") not in pk and (3, "x y z") not in pk
+    assert (3, "w y z") in pk  # suffix 'y z' kept -> chain total
+    assert (2, "y z") in pk
+    # harsher threshold: only cc>=2 bigram survives, backoff exact
+    pk2 = {
+        (r["order"], r["ngram"]): r
+        for r in prune_lm(kn, min_counts=[0, 2, 2]).collect()
+    }
+    assert {k for k in pk2} == {
+        (1, "w"), (1, "x"), (1, "y"), (1, "z"), (2, "y z")
+    }
+    p2yz = pk2[(2, "y z")]["prob"]
+    p1z = pk2[(1, "z")]["prob"]
+    assert pk2[(1, "y")]["backoff"] == (1.0 - round(p2yz, 9)) / (
+        1.0 - round(p1z, 9)
+    )
+    assert pk2[(1, "x")]["backoff"] is None  # no surviving extensions
+    # entropy pruning: monotone in threshold, unigrams never pruned
+    docs2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "b c")], ["doc_id", "text"]
+    )
+    lm = train_backoff_lm(docs2, n=2)
+    full = lm.count()
+    small = prune_lm(lm, entropy_threshold=1e-9)
+    big = prune_lm(lm, entropy_threshold=1.0)
+    assert big.count() <= small.count() <= full
+    assert big.where("order = 1").count() == 4  # unigram floor intact
+
+
 def test_backoff_arpa_roundtrip_and_scorer_n3(spark, tmp_path):
     """The multi-order loop closes at N=3: train_backoff_lm ->
     write_arpa (three sections, backoff weights on context rows) ->
