@@ -2254,6 +2254,125 @@ def q_train_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trained_scorer_profile",
+    """
+    WITH t0 AS (
+      SELECT doc_id,
+             regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    t AS (SELECT tk FROM t0 WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (SELECT sum(n_count)::BIGINT AS ctx_count FROM uni),
+    big AS (
+      SELECT w1, w2, count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    cst AS (
+      SELECT w1, sum(n_count)::BIGINT AS ctx_count,
+             count(*)::BIGINT AS types
+      FROM big GROUP BY w1
+    ),
+    p1 AS (
+      SELECT uni.ngram, uni.n_count::DOUBLE / tot.ctx_count::DOUBLE AS prob
+      FROM uni CROSS JOIN tot
+    ),
+    p2 AS (
+      SELECT big.w1, big.w2,
+             (big.n_count::DOUBLE - '0.75'::DOUBLE)
+               / cst.ctx_count::DOUBLE AS prob
+      FROM big JOIN cst USING (w1)
+    ),
+    resid AS (
+      SELECT p2.w1, sum(round(p1.prob, 9)::DECIMAL(28,12)) AS slo
+      FROM p2 JOIN p1 ON p1.ngram = p2.w2 GROUP BY p2.w1
+    ),
+    bo AS (
+      SELECT cst.w1 AS ngram,
+             CASE WHEN '1.0'::DOUBLE - resid.slo::DOUBLE <= '0.0'::DOUBLE
+                  THEN '0.0'::DOUBLE
+                  ELSE (('0.75'::DOUBLE * cst.types::DOUBLE)
+                          / cst.ctx_count::DOUBLE)
+                       / ('1.0'::DOUBLE - resid.slo::DOUBLE)
+             END AS backoff
+      FROM cst JOIN resid USING (w1)
+    ),
+    g AS (
+      SELECT doc_id, (len(tk) - 1)::BIGINT AS nn,
+             tk[i] AS w1, tk[i + 1] AS w2
+      FROM t0, unnest(range(1, len(tk))) AS u(i)
+      WHERE doc_id % 2 = 1 AND len(tk) >= 2
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS nn, NULL AS w1, NULL AS w2
+      FROM t0 WHERE doc_id % 2 = 1 AND len(tk) < 2
+    ),
+    s AS (
+      SELECT g.doc_id, g.nn,
+             CASE WHEN hi.prob IS NOT NULL THEN 2
+                  WHEN lo.prob IS NOT NULL THEN 1
+                  ELSE 0 END AS d,
+             CASE WHEN hi.prob IS NOT NULL THEN round(hi.prob, 9)
+                  WHEN lo.prob IS NOT NULL THEN
+                    round(('1.0'::DOUBLE
+                           * coalesce(bo.backoff, '1.0'::DOUBLE))
+                          * lo.prob, 9)
+                  ELSE '0.0'::DOUBLE END AS lin
+      FROM g
+      LEFT JOIN p2 hi ON hi.w1 = g.w1 AND hi.w2 = g.w2
+      LEFT JOIN p1 lo ON lo.ngram = g.w2
+      LEFT JOIN bo ON bo.ngram = g.w1
+    )
+    SELECT doc_id, nn AS n_grams,
+           (count(*) FILTER (WHERE d = 2))::BIGINT AS hit_2,
+           (count(*) FILTER (WHERE d = 1))::BIGINT AS hit_1,
+           (count(*) FILTER (WHERE d = 0))::BIGINT AS oov_count,
+           sum(lin::DECIMAL(28,12))::DOUBLE AS lin_score
+    FROM s GROUP BY doc_id, nn
+    ORDER BY doc_id
+    """,
+    doc=(
+        "backoff_chain_profile (operators/text.py): the composed "
+        "TRAIN -> SCORE path oracle-hashed end-to-end — closes r16 "
+        "'What's wrong' #2.  train_backoff_lm(n=2, D=0.75) on the "
+        "EVEN doc_id slice, then every ODD doc scored gram-by-gram "
+        "through the trained model's backoff chain: per-doc "
+        "resolution-depth counts (top-order hit / unigram backoff / "
+        "OOV) are integer faces, and lin_score accumulates each "
+        "gram's 9-dp-rounded LINEAR chain mass (paid backoff weights "
+        "x hit-level prob, pinned descending multiply order) in "
+        "DECIMAL(28,12) — counts and linear ratios only, no libm in "
+        "the hash path; the log10 twin (ngram_logprob_backoff) "
+        "shares this exact gram/probe construction and stays "
+        "property-test-pinned.  Plan: one-pass trainer on the train "
+        "slice, grams ride the score-slice scan, 2n-1 broadcast "
+        "probes, one map-side-combined doc rollup."
+    ),
+)
+def q_trained_scorer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.operators.text import (
+        backoff_chain_profile,
+        train_backoff_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_backoff_lm(
+        docs.where(F.col("doc_id") % 2 == 0), n=2, discount=0.75
+    )
+    return backoff_chain_profile(
+        docs.where(F.col("doc_id") % 2 == 1), lm, n=2
+    ).orderBy("doc_id")
+
+
+@register(
     "q_prune_backoff_lm",
     """
     WITH t AS (
