@@ -650,3 +650,119 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("vec_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_ccnet_oracle() -> str:
+    from metalpipe_spark.catalog.text import (
+        _BO_SCORE_CTES,
+        _CCNET_P,
+        _bo_lm_values_sql,
+    )
+
+    return (
+        """
+    WITH {CTES},
+    allscored AS (
+      SELECT doc_id,
+             round(sum(round(sc, 9)::DECIMAL(18,9))::DOUBLE
+                     / nn::DOUBLE, 6) AS mean_logprob
+      FROM s GROUP BY doc_id, nn
+    ),
+    th AS (
+      SELECT quantile_disc(mean_logprob, {P1}) AS t1,
+             quantile_disc(mean_logprob, {P2}) AS t2
+      FROM allscored
+    )
+    SELECT doc_id, mean_logprob,
+           CASE WHEN mean_logprob > t2 THEN 'head'
+                WHEN mean_logprob > t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM allscored, th
+    ORDER BY doc_id
+    """.replace("{CTES}", _BO_SCORE_CTES)
+        .replace("{LM}", _bo_lm_values_sql())
+        .replace("{P1}", repr(_CCNET_P[0]))
+        .replace("{P2}", repr(_CCNET_P[1]))
+    )
+
+
+@register(
+    "q_stream_ccnet_buckets",
+    _stream_ccnet_oracle(),
+    doc=(
+        "STREAMING perplexity scoring (streams.stream_score_sink) — "
+        "the CCNet loop's serving half (r16 verdict task 4): the "
+        "fixed 9-dp literal backoff model broadcasts once, documents "
+        "score on arrival per micro-batch, and the head/middle/tail "
+        "bucket is assigned against PINNED thresholds calibrated on "
+        "the static slice (a stream cannot take corpus-wide "
+        "percentiles statelessly — production calibrates on a sample, "
+        "then streams with the literals).  Drained with availableNow "
+        "over the same files, the result equals "
+        "perplexity_buckets(backoff=True) row for row — the oracle is "
+        "q_ccnet_buckets_backoff's SQL verbatim (shared CTEs, shared "
+        "fraction literals).  Stateless: no store, no watermark; "
+        "exactly-once is the idempotent one-directory-per-batch "
+        "overwrite."
+    ),
+)
+def q_stream_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from metalpipe_spark.catalog.text import _BO_LM_ROWS, _CCNET_P
+    from metalpipe_spark.operators.text import ngram_logprob_backoff
+    from metalpipe_spark.streaming.streams import stream_score_sink
+
+    lm = spark.createDataFrame(
+        _BO_LM_ROWS,
+        "ngram string, lm_order int, logprob double, log_backoff double",
+    ).select(
+        "ngram",
+        F.col("lm_order").alias("order"),
+        "logprob",
+        "log_backoff",
+    )
+    # threshold calibration on the static slice — the batch face's
+    # exact percentile_disc over 6-dp scores (perplexity_buckets rule)
+    static = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    scored = ngram_logprob_backoff(static, lm, n=2, exact=True).withColumn(
+        "mean_logprob", F.round("mean_logprob", 6)
+    )
+    p1, p2 = (repr(float(p)) for p in _CCNET_P)
+    th = scored.selectExpr(
+        f"percentile_disc({p1}) WITHIN GROUP (ORDER BY mean_logprob)"
+        " AS t1",
+        f"percentile_disc({p2}) WITHIN GROUP (ORDER BY mean_logprob)"
+        " AS t2",
+    ).first()
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mps_stream_ppl_")
+    try:
+        stream_score_sink(
+            stream,
+            lm,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            n=2,
+            exact=True,
+            thresholds=(th["t1"], th["t2"]),
+        ).awaitTermination()
+        out = spark.read.parquet(f"{tmp}/out").select(
+            "doc_id", "mean_logprob", "bucket"
+        )
+        # SIZE GUARD: catalog-fixture drain (three narrow columns, one
+        # row per doc) so the result outlives the temp dir for the
+        # driver's lazy comparator; production sinks to parquet and
+        # never collects.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1303,3 +1303,73 @@ def test_stream_encode_sink_equals_batch_all_families(spark, tmp_path):
             vocab, str(tmp_path / "x"), str(tmp_path / "xc"),
             tokenizer="sentencepiece",
         )
+
+
+def test_stream_score_sink_multibatch_equals_batch(spark, tmp_path):
+    """stream_score_sink (r16 verdict task 4): two source files drained
+    one per micro-batch score identically to the batch backoff scorer
+    over their union — per-doc scoring is batch-local, so multi-batch
+    == single-batch == batch.  Bucket thresholds are pinned literals;
+    replaying the query over the same checkpoint is a no-op (idempotent
+    per-batch overwrite)."""
+    from metalpipe_spark.operators.text import (
+        ngram_logprob_backoff,
+        train_backoff_lm,
+    )
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        stream_score_sink,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a cat ran to the mat")],
+        ["doc_id", "text"],
+    )
+    lm = train_backoff_lm(train, n=2, discount=0.75)
+    a = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq")], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(12, "a dog sat on the mat"), (13, "the")], ["doc_id", "text"]
+    )
+    src = tmp_path / "docs"
+    a.coalesce(1).write.parquet(str(src))
+    b.coalesce(1).write.mode("append").parquet(str(src))
+    stream = file_watchdog(
+        spark, str(src), "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q = stream_score_sink(
+        stream, lm, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        exact=True, thresholds=(-3.0, -1.5),
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        r["doc_id"]: (r["mean_logprob"], r["bucket"])
+        for r in out.collect()
+    }
+    want_scored = ngram_logprob_backoff(
+        a.unionByName(b), lm, exact=True
+    ).withColumn("mean_logprob", F.round("mean_logprob", 6))
+    want = {}
+    for r in want_scored.collect():
+        m = r["mean_logprob"]
+        want[r["doc_id"]] = (
+            m, "head" if m > -1.5 else ("middle" if m > -3.0 else "tail")
+        )
+    assert got == want
+    assert len(got) == 4
+    # the batch provenance partition column records >= 2 micro-batches
+    assert out.select("batch").distinct().count() >= 2
+    # replay over the same (finished) checkpoint: no new rows, no error
+    stream2 = file_watchdog(
+        spark, str(src), "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    stream_score_sink(
+        stream2, lm, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        exact=True, thresholds=(-3.0, -1.5),
+    ).awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
