@@ -354,7 +354,7 @@ def stream_semantic_dedup_sink(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_table: DataFrame | None = None,
-    compact_segments: int = 64,
+    compact_segments: int = 8,
 ):
     """Continuously-ingesting semantic dedup: each micro-batch dedups
     against the cell store persisted so far
@@ -377,7 +377,9 @@ def stream_semantic_dedup_sink(
     store is VECTOR-scale, an embedding per survivor, so a full
     rewrite per trigger would be the dominant bill at crawl scale),
     flips an immutable manifest referencing prior segments plus the
-    delta, folds segments every ``compact_segments`` batches, and
+    delta, size-tier-folds segments once ``compact_segments``
+    similar-sized ones accumulate (LSM-style, O(log) write
+    amplification), and
     self-heals any crash debris at the start of the next batch — no
     crash point leaves zero complete copies, and a reader using
     ``load_store`` racing the swap sees entirely-old or entirely-new
@@ -443,7 +445,7 @@ def stream_exact_substr_sink(
     id_col: str = "doc_id",
     min_length: int = 32,
     hash: str = "md5",
-    compact_segments: int = 64,
+    compact_segments: int = 8,
 ):
     """Continuously-ingesting ExactSubstr dedup: each micro-batch's
     duplicated token windows are removed against the distinct-window
@@ -465,9 +467,10 @@ def stream_exact_substr_sink(
     new first-occurrence windows and the manifest flip references the
     prior segments plus the delta — per-batch store write is O(batch),
     not O(total windows seen), the property that makes this face
-    viable at crawl scale where the store is token-shaped.  Every
-    ``compact_segments`` batches the segments fold into one directory
-    to bound reader fan-in.  Geometry markers verify on the FIRST
+    viable at crawl scale where the store is token-shaped.  Once
+    ``compact_segments`` similar-sized segments accumulate they fold
+    into one (size-tiered, LSM-style — O(log) write amplification,
+    bounded reader fan-in).  Geometry markers verify on the FIRST
     batch only: later versions were written by this sink under the
     same geometry, so re-scanning the token-scale store's marker
     columns per trigger would pay O(store) for an invariant."""
@@ -658,6 +661,63 @@ def load_store(spark, store_path: str) -> DataFrame:
     return load_published(spark, store_path)
 
 
+def _tiered_fold(
+    spark, fs, hpath, dst, store_path, data_files,
+    parts: dict, version: int, fan_in: int, created: set,
+):
+    """Size-tiered (LSM-style) segment folding for
+    :func:`_incremental_store_sink`'s append-only stores: group live
+    segment directories into power-of-two BYTE-SIZE tiers and, while
+    any tier holds at least ``fan_in`` segments, merge that tier's
+    segments into one new version directory (read the union back from
+    disk, write once), cascading upward as merged outputs land in
+    higher tiers.
+
+    Why tiered instead of the old every-K full fold: on an append-only
+    stream the store grows forever, so a periodic full rewrite costs
+    amortized O(|store|/K) PER BATCH — over 1000 triggers that is ~15
+    full-store rewrites.  Here a byte is rewritten only when its
+    segment climbs a tier, ~log_{fan_in}(batches) times over the
+    stream's whole lifetime, and each fold touches only similar-sized
+    segments (merging a giant with a fresh delta would pay the giant's
+    bytes for no fan-in gain).  Reader fan-in stays bounded at about
+    ``fan_in`` segments per tier times O(log) tiers.
+
+    Crash safety is inherited unchanged: every fold output is an
+    unflipped ``v-{N}`` directory until the caller's single manifest
+    flip; debris from a crash mid-fold matches the version-dir pattern
+    and reconciles away on the next batch.  Returns the (possibly
+    advanced) version counter and the updated dirs->files mapping;
+    appends every directory it creates to ``created`` so the caller
+    can GC cascade intermediates immediately after the flip."""
+    import math
+
+    while True:
+        sizes = {}
+        for d in parts:
+            total = 0
+            for st in fs.listStatus(hpath(dst, d)):
+                if not st.isDirectory():
+                    total += st.getLen()
+            sizes[d] = total
+        tiers: dict[int, list] = {}
+        for d, s in sizes.items():
+            tiers.setdefault(int(math.log2(max(s, 1))), []).append(d)
+        ripe = sorted(t for t, ds in tiers.items() if len(ds) >= fan_in)
+        if not ripe:
+            return version, parts
+        merge = sorted(tiers[ripe[0]])
+        version += 1
+        out_dir = f"v-{version:010d}"
+        spark.read.parquet(
+            *[f"{store_path}/{d}" for d in merge]
+        ).write.mode("overwrite").parquet(f"{store_path}/{out_dir}")
+        created.add(out_dir)
+        for d in merge:
+            parts.pop(d)
+        parts[out_dir] = data_files(fs, hpath(dst, out_dir))
+
+
 def _incremental_store_sink(
     df: DataFrame,
     kept_path: str,
@@ -665,7 +725,7 @@ def _incremental_store_sink(
     checkpoint: str,
     step,
     append_only: bool = False,
-    compact_segments: int = 64,
+    compact_segments: int = 8,
 ):
     """The shared skeleton of every store-backed incremental dedup sink
     (semantic cells, image codes, fingerprints, substring windows): per
@@ -692,11 +752,15 @@ def _incremental_store_sink(
     bill.  The manifest body was always a dirs→files dict, so readers
     (``load_published``) need no change and reader atomicity is
     untouched: a racing scan still resolves exactly one manifest's
-    file set.  Every ``compact_segments`` versions the sink rewrites
-    the accumulated segments into ONE directory (store ∪ delta — an
-    O(store) write amortized to O(store/compact_segments) per batch),
-    bounding reader fan-in and small-file growth; crash points during
-    compaction heal exactly like any unflipped version dir.
+    file set.  Segment growth is bounded by SIZE-TIERED folding
+    (:func:`_tiered_fold`, r16 verdict task 3): once
+    ``compact_segments`` similar-sized segments accumulate (power-of-
+    two byte tiers) they merge into one directory, cascading upward
+    LSM-style — per-byte write amplification is O(log #batches) over
+    the stream's lifetime instead of the every-K full fold's periodic
+    O(store), and reader fan-in/small-file growth stay bounded at
+    ~``compact_segments`` per tier; crash points during a fold heal
+    exactly like any unflipped version dir.
 
     - crash before the manifest flip → the new ``v-{N+1}`` dir is
       unlisted debris; the next batch reconciles it away and retries.
@@ -866,52 +930,55 @@ def _incremental_store_sink(
         )
         new_version = version + 1
         new_dir = f"v-{new_version:010d}"
+        created = {new_dir}
         if append_only and store is not None:
-            compact = (
-                compact_segments is not None
-                and len(live_dirs) + 1 > compact_segments
+            # Delta segment: O(batch) write; the manifest carries the
+            # prior version's dirs->files entries verbatim plus the
+            # new segment.
+            updated.write.mode("overwrite").parquet(
+                f"{store_path}/{new_dir}"
             )
-            if compact:
-                # Amortized rewrite: fold the accumulated segments plus
-                # this batch's delta into ONE directory so reader
-                # fan-in and small-file count stay bounded.  O(store)
-                # once per compact_segments batches = O(store/K) per
-                # batch.
-                store.unionByName(updated).write.mode("overwrite").parquet(
-                    f"{store_path}/{new_dir}"
+            parts = dict(live_parts)
+            parts[new_dir] = _data_files(fs, hpath(dst, new_dir))
+            if compact_segments is not None:
+                # Size-tiered fold (r16 verdict task 3): merge only
+                # when >= compact_segments SIMILAR-SIZED segments
+                # accumulate (power-of-two byte tiers), cascading
+                # upward LSM-style — per-byte write amplification is
+                # O(log segments) instead of the every-K full fold's
+                # periodic O(store), while reader fan-in stays
+                # bounded at ~fan_in x #tiers.
+                new_version, parts = _tiered_fold(
+                    spark, fs, hpath, dst, store_path, _data_files,
+                    parts, new_version, compact_segments, created,
                 )
-                parts = {new_dir: _data_files(fs, hpath(dst, new_dir))}
-            else:
-                # Delta segment: O(batch) write; the manifest carries
-                # the prior version's dirs->files entries verbatim plus
-                # the new segment.
-                updated.write.mode("overwrite").parquet(
-                    f"{store_path}/{new_dir}"
-                )
-                parts = dict(live_parts)
-                parts[new_dir] = _data_files(fs, hpath(dst, new_dir))
         else:
             updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")
             parts = {new_dir: _data_files(fs, hpath(dst, new_dir))}
         # The atomic flip: readers move to the new store version here —
         # and, carrying batch_id, it is also the kept output's COMMIT
         # record (kept rows land before the flip; the flip makes the
-        # batch immune to replay).
+        # batch immune to replay).  A fold batch allocates several
+        # version numbers (delta + each merge output); the manifest
+        # version is the LAST allocated, so versions can jump by more
+        # than one per batch.
         _write_manifest(
             spark, store_path, new_version, parts,
             extra={"batch_id": batch_id, "ckpt": checkpoint},
         )
-        # GC version dirs the NEW manifest no longer references (in
-        # append-only mode prior segments stay live across versions —
-        # they are only superseded by a compaction) and manifests older
-        # than N-1 (N-1's manifest stays so a reader that resolved it
-        # just before the flip still parses it — the documented
-        # retryable-read caveat when its files are gone).
-        for name in live_dirs - set(parts):
+        # GC version dirs the NEW manifest no longer references —
+        # superseded segments folded away this batch, plus any
+        # intermediate fold outputs a cascade consumed — and all
+        # manifests except the new one and its PREDECESSOR (the
+        # predecessor stays so a reader that resolved it just before
+        # the flip still parses it — the documented retryable-read
+        # caveat when its files are gone; with version jumps that is
+        # manifest `version`, not new_version-1).
+        for name in (live_dirs | created) - set(parts):
             fs.delete(hpath(dst, name), True)
         for status in fs.listStatus(dst):
             m = re.fullmatch(r"_manifest-v(\d+)\.json", status.getPath().getName())
-            if m and int(m.group(1)) < new_version - 1:
+            if m and int(m.group(1)) not in (new_version, version):
                 fs.delete(status.getPath(), False)
         if cleanup is not None:
             cleanup()
@@ -942,7 +1009,7 @@ def stream_image_dedup_sink(
     blocks: int = 4,
     combo: int = 1,
     id_col: str = "id",
-    compact_segments: int = 64,
+    compact_segments: int = 8,
 ):
     """Continuously-ingesting IMAGE near-dup dedup: each micro-batch of
     raw-RGB rows ``(id, content, width, height)`` hashes to dHash codes
@@ -1062,7 +1129,7 @@ def stream_corpus_pipeline(
     min_hits: int = 3,
     rebalance_partitions: int | None = None,
     hash: str = "md5",
-    compact_segments: int = 64,
+    compact_segments: int = 8,
 ):
     """The CURATION pipeline as one continuously-ingesting stream —
     the streaming twin of q_corpus_pipeline's scrub → quality → dedup

@@ -1229,9 +1229,13 @@ def test_stream_exact_substr_delta_segments_and_compaction(spark, tmp_path):
     assert still == want
 
     # ... and the next batch (new checkpoint lineage, compact_segments
-    # small enough to trigger) reconciles the debris away AND compacts:
-    # 3 live segments + 1 new > 2 -> one folded directory, superseded
-    # segments GC'd, reader-visible content preserved.
+    # small enough to trigger) reconciles the debris away AND
+    # SIZE-TIER-FOLDS: the three similar-sized segments plus the new
+    # delta share a byte tier, 4 >= 2 -> they merge into ONE new
+    # version directory.  The fold batch allocates TWO versions (v4 =
+    # delta, v5 = fold output), the manifest flips once at v5, the
+    # delta intermediate and the superseded segments are GC'd, and
+    # reader-visible content is preserved.
     _time.sleep(1.1)
     spark.createDataFrame(
         [(9, f"{run} fresh0 fresh1 fresh2")], ["doc_id", "text"]
@@ -1241,10 +1245,10 @@ def test_stream_exact_substr_delta_segments_and_compaction(spark, tmp_path):
         kept_path, store_path, str(tmp_path / "ckpt2"), min_length=6,
         compact_segments=2,
     ).awaitTermination()
-    v4 = read_current_manifest(spark, store_path)
-    assert v4 is not None and v4[0] == 4
-    assert sorted(v4[1]) == ["v-0000000004"]
-    for d in segs:
+    v5 = read_current_manifest(spark, store_path)
+    assert v5 is not None and v5[0] == 5
+    assert sorted(v5[1]) == ["v-0000000005"]
+    for d in segs + ["v-0000000004"]:
         assert not os.path.exists(os.path.join(store_path, d))
     after = sorted(
         tuple(r[k] for k in keys)
@@ -1254,6 +1258,61 @@ def test_stream_exact_substr_delta_segments_and_compaction(spark, tmp_path):
     # fresh tail contributes new windows -> store grew but kept every
     # pre-compaction row.
     assert set(want) <= set(after) and len(after) > len(want)
+
+
+def test_tiered_fold_multilevel_bounds_segments(spark, tmp_path):
+    """r16 verdict task 3, multi-level: many micro-batches with a
+    per-tier fan-in of 2 cascade folds LSM-style — fold outputs land
+    in higher byte tiers and fold again when THEIR tier fills — so
+    live segment count stays bounded at ~fan_in x #tiers while the
+    every-K rule would have rewritten the full store repeatedly.
+    Content equals the one-shot incremental store after every
+    lineage."""
+    import time as _time
+
+    from metalpipe_spark.operators.dedup import incremental_exact_substr
+    from metalpipe_spark.sinks.writers import read_current_manifest
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        load_store,
+        stream_exact_substr_sink,
+    )
+
+    texts = [
+        f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h" for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    src = tmp_path / "docs"
+    for i in range(8):
+        docs.where(f"doc_id = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.05)
+    stream_exact_substr_sink(
+        file_watchdog(spark, str(src), docs.schema, max_files_per_trigger=1),
+        str(tmp_path / "kept"), str(tmp_path / "store"),
+        str(tmp_path / "ckpt"), min_length=6, compact_segments=2,
+    ).awaitTermination()
+    m = read_current_manifest(spark, str(tmp_path / "store"))
+    assert m is not None
+    # 8 equal-sized deltas under fan_in=2 fold pairwise and cascade:
+    # live segments stay far below the 8 an unfolded store would hold
+    # (bounded by ~fan_in * tiers), and versions advanced past 8
+    # because fold outputs take their own version numbers.
+    assert len(m[1]) <= 4
+    assert m[0] > 8
+    keys = ["__w1", "__w2", "__w3", "__w4", "first_id", "first_s"]
+    got = sorted(
+        tuple(r[k] for k in keys)
+        for r in load_store(spark, str(tmp_path / "store")).collect()
+    )
+    want = sorted(
+        tuple(r[k] for k in keys)
+        for r in incremental_exact_substr(docs, None, min_length=6)[1].collect()
+    )
+    assert got == want
 
 
 def test_stream_encode_sink_equals_batch_all_families(spark, tmp_path):
