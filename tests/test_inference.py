@@ -257,3 +257,98 @@ def test_numpy_mlp_spec_validation(spark):
         embed_documents(df, model="numpy-mlp:64:32")
     with pytest.raises(ValueError, match="numpy-mlp spec"):
         embed_documents(df, model="numpy-mlp:a:b:c")
+
+
+def test_real_encoder_loaders_fail_loud_without_wheels():
+    """r16 verdict task 5: the onnx/torchscript loaders are REGISTERED
+    and validate their specs today; without the optional wheels they
+    fail LOUD with the activation path (never a silent stub), so when
+    a deployment has the dependency nothing but the environment
+    changes."""
+    import pytest
+
+    from metalpipe_spark.operators.inference import (
+        _MODEL_CACHE,
+        _LOADERS,
+        load_model,
+    )
+
+    assert "onnx" in _LOADERS and "torchscript" in _LOADERS
+    # spec validation fires before the optional import
+    with pytest.raises(ValueError, match="onnx spec"):
+        load_model("onnx:model-only")
+    _MODEL_CACHE.pop("onnx:model-only", None)
+    for spec, module in (
+        ("onnx:/m.onnx:/tok.json", "onnxruntime"),
+        ("torchscript:/m.pt:/tok.json", "torch"),
+    ):
+        try:
+            __import__(module)
+        except ImportError:
+            with pytest.raises(ImportError, match="Activation"):
+                load_model(spec)
+            _MODEL_CACHE.pop(spec, None)
+
+
+def test_onnx_encoder_end_to_end(spark, tmp_path):
+    """Runs ONLY where the optional wheels exist (skips cleanly in
+    this container): build a minimal Gather-embedding ONNX graph and a
+    word-level tokenizer.json, then drive the full embed_documents
+    mapInPandas path through the onnx loader — masked mean pooling,
+    L2 norm, dim read from session metadata."""
+    import pytest
+
+    onnx = pytest.importorskip("onnx")
+    pytest.importorskip("onnxruntime")
+    tokenizers = pytest.importorskip("tokenizers")
+    import numpy as np
+    from onnx import TensorProto, helper, numpy_helper
+
+    from metalpipe_spark.operators.inference import embed_documents
+
+    dim, vocab = 4, {"[PAD]": 0, "[UNK]": 1, "cat": 2, "dog": 3}
+    tok = tokenizers.Tokenizer(
+        tokenizers.models.WordLevel(vocab, unk_token="[UNK]")
+    )
+    tok.pre_tokenizer = tokenizers.pre_tokenizers.Whitespace()
+    tok_path = str(tmp_path / "tokenizer.json")
+    tok.save(tok_path)
+
+    table = numpy_helper.from_array(
+        np.arange(len(vocab) * dim, dtype=np.float32).reshape(-1, dim),
+        name="emb",
+    )
+    node = helper.make_node("Gather", ["emb", "input_ids"], ["hidden"])
+    graph = helper.make_graph(
+        [node],
+        "embed",
+        [
+            helper.make_tensor_value_info(
+                "input_ids", TensorProto.INT64, ["b", "s"]
+            ),
+            helper.make_tensor_value_info(
+                "attention_mask", TensorProto.INT64, ["b", "s"]
+            ),
+        ],
+        [
+            helper.make_tensor_value_info(
+                "hidden", TensorProto.FLOAT, ["b", "s", dim]
+            )
+        ],
+        initializer=[table],
+    )
+    model_path = str(tmp_path / "m.onnx")
+    onnx.save(helper.make_model(graph), model_path)
+
+    df = spark.createDataFrame(
+        [(0, "cat dog"), (1, "dog")], ["doc_id", "text"]
+    )
+    out = embed_documents(
+        df, model=f"onnx:{model_path}:{tok_path}:8"
+    ).collect()
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in out}
+    emb = np.arange(len(vocab) * dim, dtype=np.float64).reshape(-1, dim)
+    for did, toks in ((0, [2, 3]), (1, [3])):
+        want = emb[toks].mean(axis=0)
+        want = want / np.sqrt((want * want).sum())
+        assert np.allclose(got[did], want)
