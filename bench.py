@@ -157,7 +157,10 @@ HEADLINE = [
     "q_ngram_logprob",
     "q_train_ngram_lm",
     "q_train_backoff_lm",
+    "q_train_kn_lm",
+    "q_prune_backoff_lm",
     "q_backoff_logprob",
+    "q_trained_scorer_profile",
     "q_ccnet_buckets",
     "q_ccnet_buckets_backoff",
     "q_distinctive_terms",
@@ -209,6 +212,7 @@ HEADLINE = [
     "q_stream_exact_substr",
     "q_stream_bpe_encode",
     "q_stream_semdedup",
+    "q_stream_ccnet_buckets",
 ]
 
 
