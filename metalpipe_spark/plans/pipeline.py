@@ -286,6 +286,84 @@ def _ngram_logprob_node(spark, upstreams, opts):
     )
 
 
+@node_class("TrainNgramLM")
+def _train_ngram_lm_node(spark, upstreams, opts):
+    """Single-order add-k LM trainer (``operators.text.train_ngram_lm``)
+    as a config node — corpus upstream in, ``(ngram, n_count,
+    ctx_count, prob, logprob)`` model table out, wirable straight into
+    NgramLogprob's second upstream or WriteArpa."""
+    from metalpipe_spark.operators.text import train_ngram_lm
+
+    return train_ngram_lm(
+        _one(upstreams, "TrainNgramLM"),
+        n=opts.get("n", 2),
+        k=opts.get("k", 0.1),
+        text_col=opts.get("text_col", "text"),
+    )
+
+
+@node_class("TrainBackoffLM")
+def _train_backoff_lm_node(spark, upstreams, opts):
+    """Multi-order backoff LM trainer
+    (``operators.text.train_backoff_lm``) as a config node — the YAML
+    face of the CCNet train half.  ``smoothing: kn`` trains
+    interpolated Kneser-Ney; ``discount`` is a float or ``ney``;
+    ``min_counts`` / ``entropy_threshold`` apply
+    ``operators.text.prune_lm`` to the trained table in the same node
+    (the common train-then-prune deployment), so
+    ``docs -> TrainBackoffLM -> NgramLogprob(backoff)`` or
+    ``-> WriteArpa`` is a complete curation loop in config."""
+    from metalpipe_spark.operators.text import prune_lm, train_backoff_lm
+
+    lm = train_backoff_lm(
+        _one(upstreams, "TrainBackoffLM"),
+        n=opts.get("n", 3),
+        text_col=opts.get("text_col", "text"),
+        discount=opts.get("discount", 0.75),
+        smoothing=opts.get("smoothing", "absolute"),
+    )
+    if opts.get("min_counts") is not None or opts.get(
+        "entropy_threshold"
+    ) is not None:
+        lm = prune_lm(
+            lm,
+            min_counts=opts.get("min_counts"),
+            entropy_threshold=opts.get("entropy_threshold"),
+            n=opts.get("n", 3),
+        )
+    return lm
+
+
+@node_class("PruneLM")
+def _prune_lm_node(spark, upstreams, opts):
+    """Standalone LM pruning (``operators.text.prune_lm``) — for
+    pruning a trainer table produced elsewhere in the graph at a
+    different threshold than the trainer node applied."""
+    from metalpipe_spark.operators.text import prune_lm
+
+    return prune_lm(
+        _one(upstreams, "PruneLM"),
+        min_counts=opts.get("min_counts"),
+        entropy_threshold=opts.get("entropy_threshold"),
+        n=opts.get("n"),
+    )
+
+
+@node_class("WriteArpa")
+def _write_arpa_node(spark, upstreams, opts):
+    """Export the upstream LM table as a KenLM-interchange ``.arpa``
+    artifact (``operators.text.write_arpa``) — the ship step between
+    the train job and the scoring job.  The write happens AT COMPILE
+    (the Blocker precedent: sinks act eagerly so a config run leaves
+    the artifact on disk); the node forwards the LM table unchanged so
+    a graph can export AND keep scoring with the same model."""
+    from metalpipe_spark.operators.text import write_arpa
+
+    lm = _one(upstreams, "WriteArpa")
+    write_arpa(lm, opts["path"], n=opts.get("n"))
+    return lm
+
+
 @node_class("ConstantEmitter")
 def _constant_emitter(spark, upstreams, opts):
     return constant_emitter(spark, opts.get("thing"), max_loops=opts.get("max_loops", 5))

@@ -1046,3 +1046,74 @@ def test_neardup_and_decontaminate_nodes_hash_knob(spark, tmp_path):
     config["nodes"]["decon"]["options"] = {"method": "nope"}
     with pytest.raises(ValueError, match="exact.*bloom"):
         compile_pipeline(spark, config)
+
+
+def test_lm_train_prune_export_score_yaml(spark, tmp_path):
+    """r17: the complete CCNet train half in config — TrainBackoffLM
+    (KN smoothing + inline count pruning) -> WriteArpa exports the
+    artifact at compile -> the SAME graph scores held-out docs through
+    NgramLogprob(backoff) -- and a second pipeline reloads the
+    exported ARPA via ArpaReader and scores identically."""
+    import os
+
+    from metalpipe_spark.operators.text import (
+        ngram_logprob_backoff,
+        prune_lm,
+        train_backoff_lm,
+    )
+
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat sat"), (1, "a cat ran on the mat")],
+        ["doc_id", "text"],
+    ).write.parquet(f"{tmp_path}/train")
+    spark.createDataFrame(
+        [(7, "the cat sat"), (8, "zz qq")], ["doc_id", "text"]
+    ).write.parquet(f"{tmp_path}/score")
+    arpa = f"{tmp_path}/model.arpa"
+    config = {
+        "nodes": {
+            "train": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/train"}},
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/score"}},
+            "lm": {
+                "class": "TrainBackoffLM",
+                "options": {
+                    "n": 2, "smoothing": "kn", "discount": 0.75,
+                    "min_counts": 2,
+                },
+            },
+            "export": {"class": "WriteArpa", "options": {"path": arpa}},
+            "ppl": {"class": "NgramLogprob", "options": {"n": 2, "backoff": True}},
+        },
+        "paths": [["train", "lm", "export"], ["docs", "ppl"], ["export", "ppl"]],
+    }
+    p = compile_pipeline(spark, config)
+    got = {r["doc_id"]: r["mean_logprob"] for r in p.dataframes["ppl"].collect()}
+    assert os.path.exists(arpa)
+    # operator-level replay of the same chain
+    want_lm = prune_lm(
+        train_backoff_lm(
+            spark.read.parquet(f"{tmp_path}/train"), n=2,
+            discount=0.75, smoothing="kn",
+        ),
+        min_counts=2,
+        n=2,
+    )
+    want = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in ngram_logprob_backoff(
+            spark.read.parquet(f"{tmp_path}/score"), want_lm, n=2
+        ).collect()
+    }
+    assert got == want
+    # the exported artifact reloads and scores identically
+    config2 = {
+        "nodes": {
+            "docs": {"class": "ParquetReader", "options": {"path": f"{tmp_path}/score"}},
+            "lm": {"class": "ArpaReader", "options": {"path": arpa}},
+            "ppl": {"class": "NgramLogprob", "options": {"n": 2, "backoff": True}},
+        },
+        "paths": [["docs", "ppl"], ["lm", "ppl"]],
+    }
+    p2 = compile_pipeline(spark, config2)
+    got2 = {r["doc_id"]: r["mean_logprob"] for r in p2.dataframes["ppl"].collect()}
+    assert got2 == got
