@@ -158,6 +158,7 @@ HEADLINE = [
     "q_train_ngram_lm",
     "q_train_backoff_lm",
     "q_train_kn_lm",
+    "q_train_mkn_lm",
     "q_prune_backoff_lm",
     "q_backoff_logprob",
     "q_trained_scorer_profile",

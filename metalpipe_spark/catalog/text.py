@@ -2628,6 +2628,202 @@ def q_train_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chen-Goodman modified-KN discount estimation as a SQL fragment —
+# replayed per level from that level's count-of-counts CTE (columns
+# n1..n4), matching _mkn_discounts' pinned operand order exactly:
+# Y = n1/(n1 + 2.0*n2); D_i = i - ((i+1)*Y)*n_{i+1}/n_i with the
+# i-0.5 degenerate fallback and the 1e-6 lower clamp.
+_MKN_DISC_SQL = """
+      SELECT
+        greatest(CASE WHEN n1 > 0
+          THEN '1.0'::DOUBLE - (('2.0'::DOUBLE * y) * n2::DOUBLE)
+               / n1::DOUBLE
+          ELSE '0.5'::DOUBLE END, '1e-06'::DOUBLE) AS d1,
+        greatest(CASE WHEN n2 > 0
+          THEN '2.0'::DOUBLE - (('3.0'::DOUBLE * y) * n3::DOUBLE)
+               / n2::DOUBLE
+          ELSE '1.5'::DOUBLE END, '1e-06'::DOUBLE) AS d2,
+        greatest(CASE WHEN n3 > 0
+          THEN '3.0'::DOUBLE - (('4.0'::DOUBLE * y) * n4::DOUBLE)
+               / n3::DOUBLE
+          ELSE '2.5'::DOUBLE END, '1e-06'::DOUBLE) AS d3
+      FROM (
+        SELECT n1, n2, n3, n4,
+               CASE WHEN n1 + 2 * n2 > 0
+                    THEN n1::DOUBLE
+                         / (n1::DOUBLE + '2.0'::DOUBLE * n2::DOUBLE)
+                    ELSE '0.0'::DOUBLE END AS y
+        FROM {COC}
+      )
+"""
+
+
+@register(
+    "q_train_mkn_lm",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    big AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS ngram, count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    cc1 AS (
+      SELECT w2 AS ngram, count(*)::BIGINT AS cc FROM big GROUP BY w2
+    ),
+    coc1 AS (
+      SELECT (count(*) FILTER (WHERE cc = 1))::BIGINT AS n1,
+             (count(*) FILTER (WHERE cc = 2))::BIGINT AS n2,
+             (count(*) FILTER (WHERE cc = 3))::BIGINT AS n3,
+             (count(*) FILTER (WHERE cc = 4))::BIGINT AS n4
+      FROM cc1
+    ),
+    coc2 AS (
+      SELECT (count(*) FILTER (WHERE n_count = 1))::BIGINT AS n1,
+             (count(*) FILTER (WHERE n_count = 2))::BIGINT AS n2,
+             (count(*) FILTER (WHERE n_count = 3))::BIGINT AS n3,
+             (count(*) FILTER (WHERE n_count = 4))::BIGINT AS n4
+      FROM big
+    ),
+    disc1 AS ({DISC1}),
+    disc2 AS ({DISC2}),
+    e1 AS (
+      SELECT uni.ngram, coalesce(cc1.cc, 0)::BIGINT AS n_count
+      FROM uni LEFT JOIN cc1 USING (ngram)
+    ),
+    s1 AS (
+      SELECT count(*)::BIGINT AS v, sum(n_count)::BIGINT AS d,
+             (count(*) FILTER (WHERE n_count = 1))::BIGINT AS t1,
+             (count(*) FILTER (WHERE n_count = 2))::BIGINT AS t2,
+             (count(*) FILTER (WHERE n_count >= 3))::BIGINT AS t3
+      FROM e1
+    ),
+    p1 AS (
+      SELECT e1.ngram, e1.n_count, s1.d AS ctx_count,
+             CASE WHEN s1.d = 0
+                  THEN round('1.0'::DOUBLE / s1.v::DOUBLE, 9)
+                  ELSE (CASE WHEN e1.n_count = 1
+                             THEN e1.n_count::DOUBLE - disc1.d1
+                             WHEN e1.n_count = 2
+                             THEN e1.n_count::DOUBLE - disc1.d2
+                             WHEN e1.n_count >= 3
+                             THEN e1.n_count::DOUBLE - disc1.d3
+                             ELSE '0.0'::DOUBLE END) / s1.d::DOUBLE
+                       + ((disc1.d1 * s1.t1::DOUBLE
+                           + disc1.d2 * s1.t2::DOUBLE
+                           + disc1.d3 * s1.t3::DOUBLE)
+                            / s1.d::DOUBLE)
+                         * round('1.0'::DOUBLE / s1.v::DOUBLE, 9)
+             END AS prob
+      FROM e1 CROSS JOIN s1 CROSS JOIN disc1
+    ),
+    cst AS (
+      SELECT w1, sum(n_count)::BIGINT AS d,
+             (count(*) FILTER (WHERE n_count = 1))::BIGINT AS t1,
+             (count(*) FILTER (WHERE n_count = 2))::BIGINT AS t2,
+             (count(*) FILTER (WHERE n_count >= 3))::BIGINT AS t3
+      FROM big GROUP BY w1
+    ),
+    p2 AS (
+      SELECT big.ngram, big.n_count, cst.d AS ctx_count,
+             (CASE WHEN big.n_count = 1
+                   THEN big.n_count::DOUBLE - disc2.d1
+                   WHEN big.n_count = 2
+                   THEN big.n_count::DOUBLE - disc2.d2
+                   ELSE big.n_count::DOUBLE - disc2.d3 END)
+               / cst.d::DOUBLE
+               + ((disc2.d1 * cst.t1::DOUBLE
+                   + disc2.d2 * cst.t2::DOUBLE
+                   + disc2.d3 * cst.t3::DOUBLE) / cst.d::DOUBLE)
+                 * round(p1s.prob, 9) AS prob
+      FROM big JOIN cst USING (w1)
+      JOIN p1 p1s ON p1s.ngram = big.w2
+      CROSS JOIN disc2
+    ),
+    bo AS (
+      SELECT w1 AS ngram,
+             (disc2.d1 * t1::DOUBLE + disc2.d2 * t2::DOUBLE
+              + disc2.d3 * t3::DOUBLE) / d::DOUBLE AS backoff
+      FROM cst CROSS JOIN disc2
+    ),
+    lvl AS (
+      SELECT p1.ngram, 1 AS lm_order, p1.n_count, p1.ctx_count, p1.prob,
+             bo.backoff
+      FROM p1 LEFT JOIN bo ON bo.ngram = p1.ngram
+      UNION ALL
+      SELECT ngram, 2 AS lm_order, n_count, ctx_count, prob,
+             NULL::DOUBLE AS backoff
+      FROM p2
+    ),
+    ranked AS (
+      SELECT row_number() OVER (
+               PARTITION BY lm_order ORDER BY n_count DESC, ngram
+             )::INT AS rank,
+             lm_order, ngram, n_count, ctx_count,
+             round(prob, 9) AS prob, round(backoff, 9) AS backoff
+      FROM lvl
+    )
+    SELECT rank, lm_order, ngram, n_count, ctx_count, prob, backoff
+    FROM ranked WHERE rank <= 75
+    ORDER BY lm_order, rank
+    """.replace(
+        "{DISC1}", _MKN_DISC_SQL.replace("{COC}", "coc1")
+    ).replace("{DISC2}", _MKN_DISC_SQL.replace("{COC}", "coc2")),
+    doc=(
+        "train_backoff_lm(smoothing='mkn', discount='ney') "
+        "(operators/text.py): MODIFIED interpolated Kneser-Ney — "
+        "KenLM's actual default, completing the smoothing family.  "
+        "Three discounts per level applied by gram count, gamma = "
+        "(D1*N1 + D2*N2 + D3*N3+)/denom, and the Chen-Goodman "
+        "estimates (Y = n1/(n1+2n2), D_i = i-(i+1)*Y*n_{i+1}/n_i, "
+        "i-0.5 degenerate fallback) computed by the ENGINE driver-side "
+        "from each level's count-of-counts and REPLAYED IN SQL from "
+        "the same integer counts with pinned operand order — so the "
+        "estimated discounts themselves are inside the hash gate.  "
+        "Continuation counts, entries, the uniform floor and the "
+        "gamma-as-backoff rule are q_train_kn_lm's; log10 faces stay "
+        "unit-test-pinned.  Plan: identical shuffle shape to the KN "
+        "row (one corpus pass, gram-table-scale aggregates; the coc "
+        "discount estimate is a handful of scalars per level)."
+    ),
+)
+def q_train_mkn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_backoff_lm(docs, n=2, discount="ney", smoothing="mkn")
+    w = Window.partitionBy("order").orderBy(
+        F.desc("n_count"), F.asc("ngram")
+    )
+    return (
+        lm.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 75)
+        .select(
+            "rank",
+            F.col("order").alias("lm_order"),
+            "ngram",
+            "n_count",
+            "ctx_count",
+            F.round("prob", 9).alias("prob"),
+            F.round("backoff", 9).alias("backoff"),
+        )
+        .orderBy("lm_order", "rank")
+    )
+
+
 # Shared scoring CTEs for the backoff-scorer rows (q_backoff_logprob
 # and the composed q_ccnet_buckets_backoff): the SAME text feeds both
 # oracles, so the chain semantics cannot drift between them.

@@ -1475,6 +1475,18 @@ def train_backoff_lm(
     OWN count table (continuation counts below the top, per Chen &
     Goodman).
 
+    ``smoothing="mkn"`` is MODIFIED interpolated KN — the KenLM
+    default: three discounts per level applied by the gram's count
+    (``D1`` for singletons, ``D2`` for doubletons, ``D3+`` above),
+    with ``γ(ctx) = (D1·N1(ctx) + D2·N2(ctx) + D3·N3+(ctx))/denom``
+    where ``Nc(ctx)`` counts continuations with count exactly c.
+    ``discount`` is then ``"ney"`` (per-level Chen-Goodman estimates,
+    :func:`_mkn_discounts`) or an explicit ``(D1, D2, D3+)`` triple.
+    Everything else — continuation counts, entry sets, the uniform
+    floor, denom=0 pass-through, γ-as-backoff self-consistency — is
+    shared with plain KN, and the scorer again consumes the table
+    unchanged.
+
     (The default absolute path keeps raw counts everywhere: every
     context and every suffix of a seen gram is itself a seen gram, so
     the model is closed under exactly the lookups the scorer
@@ -1529,13 +1541,33 @@ def train_backoff_lm(
             f"train_backoff_lm needs n >= 2 (n=1 has nothing to back "
             f"off to — use train_ngram_lm), got {n}"
         )
-    if smoothing not in ("absolute", "kn"):
+    if smoothing not in ("absolute", "kn", "mkn"):
         raise ValueError(
-            f"smoothing must be 'absolute' or 'kn', got {smoothing!r}"
+            f"smoothing must be 'absolute', 'kn' or 'mkn', got "
+            f"{smoothing!r}"
         )
     auto_discount = discount == "ney"
-    if not auto_discount:
-        if isinstance(discount, str):
+    mkn_fixed = None
+    if smoothing == "mkn":
+        if isinstance(discount, (tuple, list)):
+            if len(discount) != 3 or not all(
+                isinstance(d, (int, float)) and 0.0 < d <= i + 1
+                for i, d in enumerate(discount)
+            ):
+                raise ValueError(
+                    "mkn discount must be 'ney' or a (D1, D2, D3+) "
+                    f"triple with 0 < D_i <= i, got {discount!r}"
+                )
+            mkn_fixed = tuple(float(d) for d in discount)
+        elif not auto_discount:
+            raise ValueError(
+                "smoothing='mkn' takes discount='ney' (per-level "
+                "Chen-Goodman estimates) or an explicit (D1, D2, D3+) "
+                f"triple, got {discount!r}"
+            )
+        D = None
+    elif not auto_discount:
+        if isinstance(discount, (str, tuple, list)):
             raise ValueError(
                 f"discount must be a float in (0, 1) or 'ney', "
                 f"got {discount!r}"
@@ -1546,7 +1578,9 @@ def train_backoff_lm(
                 "could zero out singleton grams; D <= 0 discounts "
                 "nothing)"
             )
-    D = None if auto_discount else float(discount)
+        D = float(discount)
+    else:
+        D = None
     toked = df.withColumn("__tk", tokens(text_col))
     toks = F.col("__tk")
 
@@ -1589,8 +1623,11 @@ def train_backoff_lm(
         .agg(F.count(F.lit(1)).alias("n_count"))
         .localCheckpoint(eager=False)
     )
-    if smoothing == "kn":
-        lvl = _kn_levels(gc, n, D, auto_discount)
+    if smoothing in ("kn", "mkn"):
+        lvl = _kn_levels(
+            gc, n, D, auto_discount,
+            mkn=smoothing == "mkn", mkn_fixed=mkn_fixed,
+        )
         return _assemble_lm_levels(lvl, n)
     if auto_discount:
         # count-of-counts per order: two scalars each
@@ -1716,15 +1753,52 @@ def _assemble_lm_levels(lvl: dict[int, DataFrame], n: int) -> DataFrame:
     )
 
 
+def _mkn_discounts(coc_get, k: int) -> "tuple[float, float, float]":
+    """Chen & Goodman (1998) modified-KN discount estimates for level
+    ``k`` from its count-of-counts: ``Y = n1/(n1+2n2)``, ``D1 =
+    1-2Y·n2/n1``, ``D2 = 2-3Y·n3/n2``, ``D3+ = 3-4Y·n4/n3`` — every
+    op a pinned-order IEEE primitive over exact integer counts, so the
+    catalog oracle can replay the SAME expressions in SQL.  A
+    component whose denominator count is 0 (degenerate corpus) falls
+    back to the classic ``i - 0.5`` absolute-discount heuristic;
+    everything clamps to >= 1e-6 (D_i <= i holds by construction, so
+    discounted numerators stay non-negative)."""
+    n1 = coc_get(k, 1)
+    n2 = coc_get(k, 2)
+    n3 = coc_get(k, 3)
+    n4 = coc_get(k, 4)
+    y = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.0
+    d1 = 1.0 - 2.0 * y * n2 / n1 if n1 > 0 else 0.5
+    d2 = 2.0 - 3.0 * y * n3 / n2 if n2 > 0 else 1.5
+    d3 = 3.0 - 4.0 * y * n4 / n3 if n3 > 0 else 2.5
+    return (max(d1, 1e-6), max(d2, 1e-6), max(d3, 1e-6))
+
+
 def _kn_levels(
-    gc: DataFrame, n: int, D: "float | None", auto_discount: bool
+    gc: DataFrame,
+    n: int,
+    D: "float | None",
+    auto_discount: bool,
+    mkn: bool = False,
+    mkn_fixed: "tuple[float, float, float] | None" = None,
 ) -> dict[int, DataFrame]:
     """Interpolated Kneser-Ney level construction for
-    :func:`train_backoff_lm(smoothing="kn")` — see its docstring for
-    the math.  ``gc`` is the checkpointed ``(order, ngram, n_count)``
-    raw gram table covering orders 1..n; returns the per-order level
-    DataFrames ``(ngram, n_count, ctx_count, prob[, backoff])`` that
-    :func:`_assemble_lm_levels` unions.
+    :func:`train_backoff_lm(smoothing="kn"/"mkn")` — see its docstring
+    for the math.  ``gc`` is the checkpointed ``(order, ngram,
+    n_count)`` raw gram table covering orders 1..n; returns the
+    per-order level DataFrames ``(ngram, n_count, ctx_count, prob[,
+    backoff])`` that :func:`_assemble_lm_levels` unions.
+
+    ``mkn=True`` is MODIFIED interpolated KN (the KenLM default):
+    three discounts per level — ``D(c) = D1/D2/D3+`` by the gram's
+    count — with ``γ(ctx) = (D1·N1(ctx) + D2·N2(ctx) +
+    D3·N3+(ctx))/denom`` where ``Nc(ctx)`` counts continuations with
+    count exactly c (3+ = at least 3); discounts come from
+    ``mkn_fixed`` or the per-level Chen-Goodman estimates
+    (:func:`_mkn_discounts`).  The single-discount path keeps its
+    original ``(D·types)/denom`` gamma expression BIT-FOR-BIT (the
+    q_train_kn_lm oracle contract) — the triple form with equal Ds
+    would round differently.
 
     Plan shape: continuation counts are ONE gram-table-scale aggregate
     per level (group the order-(k+1) gram table by its
@@ -1751,10 +1825,13 @@ def _kn_levels(
             .groupBy("ngram")
             .agg(F.count(F.lit(1)).alias("n_count"))
         )
-    if auto_discount:
-        # Chen & Goodman: each level's D from the count-of-counts of
-        # that level's OWN count table (continuation counts below the
-        # top) — two scalars per level, one unioned aggregate.
+    need_coc = auto_discount or (mkn and mkn_fixed is None)
+    if need_coc:
+        # Chen & Goodman: each level's discounts from the
+        # count-of-counts of that level's OWN count table
+        # (continuation counts below the top) — a handful of scalars
+        # per level, one unioned aggregate.
+        coc_limit = 4 if mkn else 2
         coc_src = None
         for k in range(1, n + 1):
             part = cnt[k].select(F.lit(k).alias("lvl"), "n_count")
@@ -1763,7 +1840,7 @@ def _kn_levels(
             )
         coc = {
             (r["lvl"], r["n_count"]): r["cnt"]
-            for r in coc_src.where(F.col("n_count") <= 2)
+            for r in coc_src.where(F.col("n_count") <= coc_limit)
             .groupBy("lvl", "n_count")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
@@ -1777,6 +1854,68 @@ def _kn_levels(
         d = n1 / (n1 + 2.0 * n2) if (n1 + n2) else 0.75
         return min(max(d, 1e-6), 1.0 - 1e-6)
 
+    def _disc3(k: int) -> "tuple[float, float, float]":
+        if mkn_fixed is not None:
+            return mkn_fixed
+        return _mkn_discounts(lambda kk, c: coc.get((kk, c), 0), k)
+
+    def _count_stats():
+        """The per-context (or global) aggregate columns both gamma
+        forms draw from."""
+        cols = [
+            F.sum("n_count").alias("__d"),
+            F.count(F.when(F.col("n_count") > 0, 1)).alias("__t"),
+        ]
+        if mkn:
+            cols += [
+                F.count(F.when(F.col("n_count") == 1, 1)).alias("__t1"),
+                F.count(F.when(F.col("n_count") == 2, 1)).alias("__t2"),
+                F.count(F.when(F.col("n_count") >= 3, 1)).alias("__t3"),
+            ]
+        return cols
+
+    def _term(ds) -> Column:
+        """Discounted numerator / denominator, operand order pinned."""
+        if not mkn:
+            num = F.when(
+                F.col("n_count") > 0,
+                F.col("n_count").cast("double") - F.lit(ds),
+            ).otherwise(F.lit(0.0))
+        else:
+            d1, d2, d3 = ds
+            num = (
+                F.when(
+                    F.col("n_count") == 1,
+                    F.col("n_count").cast("double") - F.lit(d1),
+                )
+                .when(
+                    F.col("n_count") == 2,
+                    F.col("n_count").cast("double") - F.lit(d2),
+                )
+                .when(
+                    F.col("n_count") >= 3,
+                    F.col("n_count").cast("double") - F.lit(d3),
+                )
+                .otherwise(F.lit(0.0))
+            )
+        return num / F.col("__d").cast("double")
+
+    def _gamma(ds) -> Column:
+        if not mkn:
+            return (
+                (F.lit(ds) * F.col("__t").cast("double"))
+                / F.col("__d").cast("double")
+            )
+        d1, d2, d3 = ds
+        return (
+            (
+                F.lit(d1) * F.col("__t1").cast("double")
+                + F.lit(d2) * F.col("__t2").cast("double")
+                + F.lit(d3) * F.col("__t3").cast("double")
+            )
+            / F.col("__d").cast("double")
+        )
+
     # Order 1: every RAW vocab word is an entry (a doc-initial-only
     # word has cc=0 and pure interpolated mass); uniform 1/|V| floor.
     e1 = (
@@ -1788,26 +1927,15 @@ def _kn_levels(
         )
     )
     stats1 = e1.agg(
-        F.count(F.lit(1)).alias("__v"),
-        F.sum("n_count").alias("__d"),
-        F.count(F.when(F.col("n_count") > 0, 1)).alias("__t"),
+        F.count(F.lit(1)).alias("__v"), *_count_stats()
     )
-    D1 = _disc(1)
+    ds1 = _disc3(1) if mkn else _disc(1)
     # Pinned operand order throughout (cross-engine bit parity): each
     # step one correctly-rounded IEEE primitive; the uniform floor and
     # every consumed lower-level prob are 9-dp rounded first.
     uniform = F.round(F.lit(1.0) / F.col("__v").cast("double"), 9)
-    term1_1 = (
-        F.when(
-            F.col("n_count") > 0,
-            F.col("n_count").cast("double") - F.lit(D1),
-        ).otherwise(F.lit(0.0))
-        / F.col("__d").cast("double")
-    )
-    gamma1 = (
-        (F.lit(D1) * F.col("__t").cast("double"))
-        / F.col("__d").cast("double")
-    )
+    term1_1 = _term(ds1)
+    gamma1 = _gamma(ds1)
     lvl: dict[int, DataFrame] = {
         1: e1.crossJoin(F.broadcast(stats1)).select(
             "ngram",
@@ -1819,7 +1947,7 @@ def _kn_levels(
         )
     }
     for k in range(2, n + 1):
-        Dk = _disc(k)
+        dsk = _disc3(k) if mkn else _disc(k)
         if k < n:
             # entries = all RAW-seen k-grams; adjusted count = cc (0
             # for doc-initial-only grams — the context-row analogue)
@@ -1842,25 +1970,13 @@ def _kn_levels(
                 "substring(ngram, instr(ngram, ' ') + 1)"
             ).alias("__sfx"),
         )
-        cstats = base.groupBy("__ctx").agg(
-            F.sum("n_count").alias("__d"),
-            F.count(F.when(F.col("n_count") > 0, 1)).alias("__t"),
-        )
+        cstats = base.groupBy("__ctx").agg(*_count_stats())
         lower = lvl[k - 1].select(
             F.col("ngram").alias("__sfx"),
             F.round("prob", 9).alias("__lo"),
         )
-        term1 = (
-            F.when(
-                F.col("n_count") > 0,
-                F.col("n_count").cast("double") - F.lit(Dk),
-            ).otherwise(F.lit(0.0))
-            / F.col("__d").cast("double")
-        )
-        gamma = (
-            (F.lit(Dk) * F.col("__t").cast("double"))
-            / F.col("__d").cast("double")
-        )
+        term1 = _term(dsk)
+        gamma = _gamma(dsk)
         # Every entry's suffix is a raw-seen (k-1)-gram (drop the
         # first word of a raw-seen gram), so the lower join is inner
         # and total.  A zero denominator (no continuation evidence

@@ -1180,6 +1180,123 @@ def _reference_kn_lm(texts: list[str], n: int, D: float):
     return {key: tuple(v) for key, v in out.items()}
 
 
+def _reference_mkn_lm(texts: list[str], n: int, fixed=None):
+    """Pure-Python MODIFIED interpolated Kneser-Ney mirroring
+    train_backoff_lm(smoothing='mkn'): the _reference_kn_lm count/
+    entry/floor structure with three discounts per level — fixed
+    (D1, D2, D3+) or the Chen-Goodman estimates from each level's own
+    count-of-counts (Y = n1/(n1+2n2), D_i = i - (i+1)*Y*n_{i+1}/n_i,
+    i-0.5 fallback, clamp >= 1e-6) — and gamma = (D1*N1 + D2*N2 +
+    D3*N3+)/denom in the engine's pinned operand order."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def r9(p: float) -> float:
+        return float(Decimal(p).quantize(q9, rounding=ROUND_HALF_UP))
+
+    raw: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
+    for t in texts:
+        toks = re.split(r"\s+", t)
+        for k in range(1, n + 1):
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                if g != g.strip() or "  " in g or not g:
+                    continue
+                raw[k][g] += 1
+    cnt: dict[int, Counter] = {n: raw[n]}
+    for k in range(1, n):
+        cc: Counter = Counter()
+        for g in raw[k + 1]:
+            cc[g.split(" ", 1)[1]] += 1
+        cnt[k] = cc
+
+    def disc(k):
+        if fixed is not None:
+            return fixed
+        coc = Counter(c for c in cnt[k].values() if c <= 4)
+        n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+        y = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.0
+        d1 = 1.0 - 2.0 * y * n2 / n1 if n1 > 0 else 0.5
+        d2 = 2.0 - 3.0 * y * n3 / n2 if n2 > 0 else 1.5
+        d3 = 3.0 - 4.0 * y * n4 / n3 if n3 > 0 else 2.5
+        return (max(d1, 1e-6), max(d2, 1e-6), max(d3, 1e-6))
+
+    def dc(c, ds):
+        return ds[0] if c == 1 else (ds[1] if c == 2 else ds[2])
+
+    out = {}
+    V = len(raw[1])
+    d1v, t1, t2, t3 = (
+        sum(cnt[1].values()),
+        sum(1 for c in cnt[1].values() if c == 1),
+        sum(1 for c in cnt[1].values() if c == 2),
+        sum(1 for c in cnt[1].values() if c >= 3),
+    )
+    ds = disc(1)
+    u = r9(1.0 / float(V))
+    prob: dict[int, dict[str, float]] = {1: {}}
+    for w in raw[1]:
+        c = cnt[1].get(w, 0)
+        if d1v == 0:
+            p = u
+        else:
+            term = ((float(c) - dc(c, ds)) if c > 0 else 0.0) / float(d1v)
+            g = (ds[0] * float(t1) + ds[1] * float(t2)
+                 + ds[2] * float(t3)) / float(d1v)
+            p = term + g * u
+        prob[1][w] = p
+        out[(1, w)] = [c, d1v, p, None]
+    for k in range(2, n + 1):
+        ds = disc(k)
+        ents = raw[k] if k == n else {
+            g: cnt[k].get(g, 0) for g in raw[k]
+        }
+        denom: Counter = Counter()
+        nn: dict[str, list] = {}
+        for g, c in ents.items():
+            ctx = " ".join(g.split(" ")[: k - 1])
+            denom[ctx] += c
+            s = nn.setdefault(ctx, [0, 0, 0])
+            if c == 1:
+                s[0] += 1
+            elif c == 2:
+                s[1] += 1
+            elif c >= 3:
+                s[2] += 1
+        prob[k] = {}
+        for g, c in ents.items():
+            ctx = " ".join(g.split(" ")[: k - 1])
+            lo = r9(prob[k - 1][g.split(" ", 1)[1]])
+            if denom[ctx] == 0:
+                p = lo
+            else:
+                term = (
+                    (float(c) - dc(c, ds)) if c > 0 else 0.0
+                ) / float(denom[ctx])
+                s = nn[ctx]
+                g_ = (
+                    ds[0] * float(s[0]) + ds[1] * float(s[1])
+                    + ds[2] * float(s[2])
+                ) / float(denom[ctx])
+                p = term + g_ * lo
+            prob[k][g] = p
+            out[(k, g)] = [c, denom[ctx], p, None]
+        for ctx in denom:
+            if denom[ctx] == 0:
+                bo = 1.0
+            else:
+                s = nn[ctx]
+                bo = (
+                    ds[0] * float(s[0]) + ds[1] * float(s[1])
+                    + ds[2] * float(s[2])
+                ) / float(denom[ctx])
+            out[(k - 1, ctx)][3] = bo
+    return {key: tuple(v) for key, v in out.items()}
+
+
 def _reference_backoff_lm(texts: list[str], n: int, D: float):
     """Pure-Python absolute-discount Katz trainer mirroring
     train_backoff_lm's exact arithmetic: raw counts per order (junk
@@ -1335,6 +1452,55 @@ def test_train_kn_lm_reference_property(spark, words, reps, n):
         total = 0.0
         for w in vocab:
             total += seen2.get(f"{ctx} {w}", b1[ctx] * p1[w])
+        assert abs(total - 1.0) < 1e-6, (ctx, total)
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=3,
+        max_size=10,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=1, max_size=10),
+    n=st.integers(2, 3),
+    estimated=st.booleans(),
+)
+def test_train_mkn_lm_reference_property(spark, words, reps, n, estimated):
+    """Modified interpolated Kneser-Ney (KenLM's default): the
+    distributed trainer must produce bit-equal counts, denominators,
+    triple-discounted interpolated probabilities AND summed-gamma
+    backoff weights to the pure-Python reference — both with fixed
+    (D1, D2, D3+) and with per-level Chen-Goodman estimates — plus
+    order-2 mass conservation over the full vocabulary."""
+    from metalpipe_spark.operators.text import train_backoff_lm
+
+    text = " ".join(w for w in words for _ in range(reps[hash(w) % len(reps)]))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    disc = "ney" if estimated else (0.4, 1.1, 2.0)
+    rows = train_backoff_lm(
+        docs, n=n, discount=disc, smoothing="mkn"
+    ).collect()
+    got = {
+        (r["order"], r["ngram"]): (
+            r["n_count"], r["ctx_count"], r["prob"], r["backoff"]
+        )
+        for r in rows
+    }
+    want = _reference_mkn_lm(
+        [text], n, fixed=None if estimated else (0.4, 1.1, 2.0)
+    )
+    assert got == want
+    vocab = [g for (k, g) in got if k == 1]
+    p1 = {g: got[(1, g)][2] for g in vocab}
+    b1 = {g: got[(1, g)][3] for g in vocab}
+    seen2 = {g: got[(2, g)][2] for (k, g) in got if k == 2}
+    for ctx in vocab:
+        if b1[ctx] is None:
+            continue
+        total = sum(
+            seen2.get(f"{ctx} {w}", b1[ctx] * p1[w]) for w in vocab
+        )
         assert abs(total - 1.0) < 1e-6, (ctx, total)
 
 
