@@ -45,6 +45,10 @@ QUERIES = [
     # and the context denominator keys the gram PREFIX — the banner
     # makes one context and a run of bigrams maximally hot.
     "q_train_backoff_lm",
+    # round-17 row: the KN trainer adds a continuation-count aggregate
+    # keyed by the gram's dropped-first-word SUFFIX — the banner makes
+    # a run of suffixes hot on top of the r16 gram/context keys.
+    "q_train_kn_lm",
 ]
 
 
