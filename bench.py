@@ -214,6 +214,7 @@ HEADLINE = [
     "q_stream_bpe_encode",
     "q_stream_semdedup",
     "q_stream_ccnet_buckets",
+    "q_stream_ngram_counts",
 ]
 
 

@@ -766,3 +766,95 @@ def q_stream_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_stream_ngram_counts",
+    """
+    WITH t AS (
+      SELECT regexp_split_to_array(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+    ),
+    lvl AS (
+      SELECT 1 AS lm_order, tok AS ngram, count(*)::BIGINT AS n_count
+      FROM (SELECT unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY tok
+      UNION ALL
+      SELECT 2 AS lm_order, w1 || ' ' || w2 AS ngram,
+             count(*)::BIGINT AS n_count
+      FROM (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE tk[i] <> '' AND tk[i + 1] <> ''
+      ) GROUP BY w1, w2
+    ),
+    ranked AS (
+      SELECT row_number() OVER (
+               PARTITION BY lm_order ORDER BY n_count DESC, ngram
+             )::INT AS rank,
+             lm_order, ngram, n_count
+      FROM lvl
+    )
+    SELECT rank, lm_order, ngram, n_count
+    FROM ranked WHERE rank <= 75
+    ORDER BY lm_order, rank
+    """,
+    doc=(
+        "STREAMING n-gram counting (streams.stream_ngram_count_sink) "
+        "drained with availableNow: the crawl tokenizes ONCE as it "
+        "arrives, per-batch gram counts publish as additive delta "
+        "segments (sum-merge tiered folds keep fold outputs "
+        "distinct-gram-scale), and load_ngram_counts reads the store "
+        "as THE count table — the sufficient statistic every "
+        "train_backoff_lm smoothing variant trains from without "
+        "re-scanning the corpus (train-from-counts == "
+        "train-from-corpus is unit-pinned).  Oracle: plain unigram + "
+        "bigram counts over the same file, top-75 per order."
+    ),
+)
+def q_stream_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from metalpipe_spark.streaming.streams import (
+        load_ngram_counts,
+        stream_ngram_count_sink,
+    )
+
+    stream = file_watchdog(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="documents.parquet",
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mps_stream_ngc_")
+    try:
+        stream_ngram_count_sink(
+            stream, f"{tmp}/store", f"{tmp}/ckpt", n=2
+        ).awaitTermination()
+        counts = load_ngram_counts(spark, f"{tmp}/store")
+        w = Window.partitionBy("order").orderBy(
+            F.desc("n_count"), F.asc("ngram")
+        )
+        out = (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 75)
+            .select(
+                "rank",
+                F.col("order").alias("lm_order"),
+                "ngram",
+                "n_count",
+            )
+        )
+        # SIZE GUARD: catalog-fixture drain (150 narrow rows) so the
+        # result outlives the temp dir for the driver's lazy
+        # comparator; production trains from the store in place.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "lm_order", "rank"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

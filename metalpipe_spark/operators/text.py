@@ -1423,6 +1423,62 @@ def write_arpa(lm: DataFrame, path: str, n: int | None = None) -> int:
     return total
 
 
+def ngram_count_table(
+    df: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """The ``(order, ngram, n_count)`` raw gram-count table for orders
+    1..``n`` in ONE corpus pass — :func:`train_backoff_lm`'s first
+    stage, exposed so counting can run SEPARATELY from training: count
+    the crawl once (or incrementally, :func:`~metalpipe_spark.
+    streaming.streams.stream_ngram_count_sink`), then train/prune/
+    export models from the count table with
+    ``train_backoff_lm(counts=...)`` without ever re-scanning the
+    corpus — at 100 TB the corpus scan IS the bill, and counts are
+    the sufficient statistic for every smoothing variant here.
+
+    Grams build as shifted-slice zips per order, flattened and tagged,
+    then one map-side-combined ``(order, ngram)`` count; grams
+    containing empty tokens are excluded (the train_ngram_lm rule)."""
+    toked = df.withColumn("__tk", tokens(text_col))
+    toks = F.col("__tk")
+
+    def _tag(k: int):
+        # closure factory: a default-arg lambda inside a HOF would bind
+        # the loop variable as a Column (the documented pyspark gotcha)
+        return lambda g: F.struct(
+            F.lit(k).alias("o"), g.alias("g")
+        )
+
+    per_order = []
+    for k in range(1, n + 1):
+        count = F.size(toks) - F.lit(k - 1)
+        safe = F.greatest(count, F.lit(1))
+        grams = F.slice(toks, 1, safe)
+        for i in range(1, k):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, 1 + i, safe),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        grams = F.when(count > 0, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        per_order.append(F.transform(grams, _tag(k)))
+    exploded = toked.select(
+        F.explode(F.flatten(F.array(*per_order))).alias("s")
+    ).select(F.col("s.o").alias("order"), F.col("s.g").alias("ngram"))
+    junk = (
+        (F.col("ngram") != F.trim(F.col("ngram")))
+        | F.col("ngram").contains("  ")
+        | (F.length("ngram") == 0)
+    )
+    return (
+        exploded.where(~junk)
+        .groupBy("order", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+    )
+
+
 def write_lm_parquet(lm: DataFrame, path: str) -> int:
     """Distributed parquet LM exchange — the WEB-SCALE artifact path
     :func:`write_arpa` deliberately is not (r16 verdict "What's
@@ -1502,11 +1558,12 @@ def load_lm_parquet(spark, path: str, order: int | None = None) -> DataFrame:
 
 
 def train_backoff_lm(
-    df: DataFrame,
+    df: DataFrame | None = None,
     n: int = 3,
     text_col: str = "text",
     discount: "float | str" = 0.75,
     smoothing: str = "absolute",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-order backoff LM — absolute discounting with Katz-style
     backoff weights (Ney, Essen & Kneser 1994), the model shape CCNet's
@@ -1570,6 +1627,16 @@ def train_backoff_lm(
     the model is closed under exactly the lookups the scorer
     performs.)
 
+    ``counts=`` trains from a PRE-COUNTED ``(order, ngram, n_count)``
+    table instead of a corpus — :func:`ngram_count_table` output or an
+    incrementally-maintained count store
+    (:func:`~metalpipe_spark.streaming.streams.load_ngram_counts`).
+    Counts are the sufficient statistic for every smoothing variant
+    here, so a crawl is scanned ONCE (or never re-scanned at all,
+    with the streaming counter) no matter how many models, discounts
+    or prune thresholds are trained from it — at 100 TB the corpus
+    scan is the bill, not the gram-table-scale trainer math.
+
     Math, all correctly-rounded IEEE primitives so the catalog row can
     hash-gate it cross-engine:
 
@@ -1614,6 +1681,12 @@ def train_backoff_lm(
     gram table (aggregate-output-class collect), clamped away from the
     0/1 boundaries when a degenerate corpus yields no singletons or no
     doubletons."""
+    if (df is None) == (counts is None):
+        raise ValueError(
+            "train_backoff_lm takes EITHER a corpus df OR a "
+            "pre-counted gram table (counts=ngram_count_table output /"
+            " load_ngram_counts store) — exactly one"
+        )
     if n < 2:
         raise ValueError(
             f"train_backoff_lm needs n >= 2 (n=1 has nothing to back "
@@ -1659,48 +1732,25 @@ def train_backoff_lm(
         D = float(discount)
     else:
         D = None
-    toked = df.withColumn("__tk", tokens(text_col))
-    toks = F.col("__tk")
-
-    def _tag(k: int):
-        # closure factory: a default-arg lambda inside a HOF would bind
-        # the loop variable as a Column (the documented pyspark gotcha)
-        return lambda g: F.struct(
-            F.lit(k).alias("o"), g.alias("g")
+    if counts is not None:
+        for col in ("order", "ngram", "n_count"):
+            if col not in counts.columns:
+                raise ValueError(
+                    f"train_backoff_lm(counts=...) needs column "
+                    f"{col!r}; got {counts.columns} — the "
+                    "ngram_count_table / load_ngram_counts shape"
+                )
+        gc = counts.select("order", "ngram", "n_count").localCheckpoint(
+            eager=False
         )
-
-    per_order = []
-    for k in range(1, n + 1):
-        count = F.size(toks) - F.lit(k - 1)
-        safe = F.greatest(count, F.lit(1))
-        grams = F.slice(toks, 1, safe)
-        for i in range(1, k):
-            grams = F.zip_with(
-                grams,
-                F.slice(toks, 1 + i, safe),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        grams = F.when(count > 0, grams).otherwise(
-            F.array().cast("array<string>")
+    else:
+        # ONE corpus-scale aggregate for every order; the lazy
+        # checkpoint makes the n per-order consumers replay the gram
+        # TABLE, not the corpus scan (the perplexity_buckets
+        # precedent).
+        gc = ngram_count_table(df, n, text_col=text_col).localCheckpoint(
+            eager=False
         )
-        per_order.append(F.transform(grams, _tag(k)))
-    exploded = toked.select(
-        F.explode(F.flatten(F.array(*per_order))).alias("s")
-    ).select(F.col("s.o").alias("order"), F.col("s.g").alias("ngram"))
-    junk = (
-        (F.col("ngram") != F.trim(F.col("ngram")))
-        | F.col("ngram").contains("  ")
-        | (F.length("ngram") == 0)
-    )
-    # ONE corpus-scale aggregate for every order; the lazy checkpoint
-    # makes the n per-order consumers replay the gram TABLE, not the
-    # corpus scan (the perplexity_buckets precedent).
-    gc = (
-        exploded.where(~junk)
-        .groupBy("order", "ngram")
-        .agg(F.count(F.lit(1)).alias("n_count"))
-        .localCheckpoint(eager=False)
-    )
     if smoothing in ("kn", "mkn"):
         lvl = _kn_levels(
             gc, n, D, auto_discount,

@@ -661,9 +661,78 @@ def load_store(spark, store_path: str) -> DataFrame:
     return load_published(spark, store_path)
 
 
+def stream_ngram_count_sink(
+    df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    n: int = 3,
+    text_col: str = "text",
+    compact_segments: int = 8,
+):
+    """Incrementally maintain the ``(order, ngram, n_count)`` gram
+    COUNT table over a document stream — the statistic that makes LM
+    training corpus-scan-free: counts are the sufficient statistic for
+    every ``train_backoff_lm`` smoothing variant, so the crawl is
+    tokenized exactly ONCE as it arrives and any number of models
+    (orders, discounts, prune thresholds) train later from the store
+    (``train_backoff_lm(counts=load_ngram_counts(...))``) without
+    touching the corpus again.  At 100 TB the corpus scan is the
+    bill; the count store is gram-table-scale.
+
+    Store shape: each micro-batch publishes its OWN gram counts as a
+    delta segment (additive — the store's logical content is the
+    keywise SUM of all segments, which :func:`load_ngram_counts`
+    computes with one map-side-combined aggregate at read).  This
+    rides the append-only manifest protocol unchanged — O(batch)
+    publish, reader-atomic flips, crash-heal — and the size-tiered
+    fold passes a sum-by-key ``fold_merge``, so folds COMPACT
+    duplicate grams (LSM merge) and fold outputs stay
+    distinct-gram-scale instead of concatenating per-batch rows
+    forever.  The kept output records each batch's distinct-gram
+    counts (provenance).  Exactly-once: the manifest batch_id guard,
+    as every store sink."""
+    from metalpipe_spark.operators.text import ngram_count_table
+
+    def step(batch_df: DataFrame, store: DataFrame | None):
+        batch_counts = ngram_count_table(batch_df, n, text_col=text_col)
+        return batch_counts, batch_counts
+
+    def fold_merge(union: DataFrame) -> DataFrame:
+        return union.groupBy("order", "ngram").agg(
+            F.sum("n_count").alias("n_count")
+        )
+
+    # kept output == the delta, so reuse store_path's sibling for the
+    # provenance rows
+    return _incremental_store_sink(
+        df,
+        store_path + "_batches",
+        store_path,
+        checkpoint,
+        step,
+        append_only=True,
+        compact_segments=compact_segments,
+        fold_merge=fold_merge,
+    )
+
+
+def load_ngram_counts(spark, store_path: str) -> DataFrame:
+    """Read a :func:`stream_ngram_count_sink` store as THE gram count
+    table: segments are additive per-batch (or folded) count deltas,
+    so the logical table is one keywise sum — map-side combined, one
+    gram-table-scale aggregate.  Feed straight to
+    ``train_backoff_lm(counts=...)``."""
+    return (
+        load_store(spark, store_path)
+        .groupBy("order", "ngram")
+        .agg(F.sum("n_count").alias("n_count"))
+    )
+
+
 def _tiered_fold(
     spark, fs, hpath, dst, store_path, data_files,
     parts: dict, version: int, fan_in: int, created: set,
+    fold_merge=None,
 ):
     """Size-tiered (LSM-style) segment folding for
     :func:`_incremental_store_sink`'s append-only stores: group live
@@ -689,7 +758,16 @@ def _tiered_fold(
     and reconciles away on the next batch.  Returns the (possibly
     advanced) version counter and the updated dirs->files mapping;
     appends every directory it creates to ``created`` so the caller
-    can GC cascade intermediates immediately after the flip."""
+    can GC cascade intermediates immediately after the flip.
+
+    ``fold_merge`` (optional) transforms the unioned segments before
+    the fold output is written — the LSM merge function.  For stores
+    whose segments are ADDITIVE DELTAS (the n-gram count store: each
+    segment holds per-batch counts and readers aggregate), passing
+    the sum-by-key aggregate here makes every fold COMPACT duplicate
+    keys instead of merely concatenating them, so fold outputs stay
+    distinct-key-scale.  Correctness does not depend on it (readers
+    aggregate either way); it bounds fold-output size."""
     import math
 
     while True:
@@ -709,9 +787,12 @@ def _tiered_fold(
         merge = sorted(tiers[ripe[0]])
         version += 1
         out_dir = f"v-{version:010d}"
-        spark.read.parquet(
+        union = spark.read.parquet(
             *[f"{store_path}/{d}" for d in merge]
-        ).write.mode("overwrite").parquet(f"{store_path}/{out_dir}")
+        )
+        if fold_merge is not None:
+            union = fold_merge(union)
+        union.write.mode("overwrite").parquet(f"{store_path}/{out_dir}")
         created.add(out_dir)
         for d in merge:
             parts.pop(d)
@@ -726,6 +807,7 @@ def _incremental_store_sink(
     step,
     append_only: bool = False,
     compact_segments: int = 8,
+    fold_merge=None,
 ):
     """The shared skeleton of every store-backed incremental dedup sink
     (semantic cells, image codes, fingerprints, substring windows): per
@@ -951,6 +1033,7 @@ def _incremental_store_sink(
                 new_version, parts = _tiered_fold(
                     spark, fs, hpath, dst, store_path, _data_files,
                     parts, new_version, compact_segments, created,
+                    fold_merge=fold_merge,
                 )
         else:
             updated.write.mode("overwrite").parquet(f"{store_path}/{new_dir}")

@@ -1468,3 +1468,73 @@ def test_upsert_delta_loud_without_jars_or_full_merge(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {1: "a", 2: "b3", 3: "c"}
+
+
+def test_stream_ngram_count_sink_and_train_from_counts(spark, tmp_path):
+    """r17: incremental n-gram counting — three micro-batches of
+    additive count deltas (with a sum-merge tiered fold at fan_in=2)
+    aggregate to exactly the one-shot gram table, and
+    train_backoff_lm(counts=store) reproduces train-from-corpus
+    bit-for-bit for all three smoothing variants — the
+    corpus-scan-free retraining loop."""
+    import time as _time
+
+    from metalpipe_spark.operators.text import (
+        ngram_count_table,
+        train_backoff_lm,
+    )
+    from metalpipe_spark.streaming.streams import (
+        file_watchdog,
+        load_ngram_counts,
+        stream_ngram_count_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat c{i % 3} sat on the mat") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "docs"
+    for lo in range(0, 6, 2):
+        docs.where(
+            f"doc_id >= {lo} and doc_id < {lo + 2}"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.05)
+    stream_ngram_count_sink(
+        file_watchdog(
+            spark, str(src), "doc_id long, text string",
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        n=2, compact_segments=2,
+    ).awaitTermination()
+    counts = load_ngram_counts(spark, str(tmp_path / "store"))
+    got = sorted(
+        (r["order"], r["ngram"], r["n_count"]) for r in counts.collect()
+    )
+    want = sorted(
+        (r["order"], r["ngram"], r["n_count"])
+        for r in ngram_count_table(docs, 2).collect()
+    )
+    assert got == want
+    for smoothing in ("absolute", "kn", "mkn"):
+        disc = "ney" if smoothing == "mkn" else 0.75
+        a = {
+            (r["order"], r["ngram"]): (r["prob"], r["backoff"])
+            for r in train_backoff_lm(
+                counts=counts, n=2, discount=disc, smoothing=smoothing
+            ).collect()
+        }
+        b = {
+            (r["order"], r["ngram"]): (r["prob"], r["backoff"])
+            for r in train_backoff_lm(
+                docs, n=2, discount=disc, smoothing=smoothing
+            ).collect()
+        }
+        assert a == b, smoothing
+    # exactly-one-source validation
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        train_backoff_lm(docs, counts=counts)
+    with pytest.raises(ValueError, match="exactly one"):
+        train_backoff_lm()
