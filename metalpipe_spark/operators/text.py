@@ -2382,6 +2382,11 @@ def prune_lm(
     else:
         thresholds = [0] * n
 
+    # The per-order slices are each consumed several times (row rule,
+    # cascades, backoff sums, output); the lazy checkpoint makes them
+    # replay the model TABLE instead of re-running an upstream trainer
+    # DAG per reference (the perplexity_buckets precedent).
+    lm = lm.localCheckpoint(eager=False)
     orders = {
         k: lm.where(F.col("order") == k).drop(
             "backoff", "log_backoff"
