@@ -694,7 +694,12 @@ def stream_ngram_count_sink(
     from metalpipe_spark.operators.text import ngram_count_table
 
     def step(batch_df: DataFrame, store: DataFrame | None):
-        batch_counts = ngram_count_table(batch_df, n, text_col=text_col)
+        # One count table, TWO writes (kept provenance + store delta):
+        # the lazy checkpoint makes the second write replay counted
+        # rows instead of re-tokenizing the batch.
+        batch_counts = ngram_count_table(
+            batch_df, n, text_col=text_col
+        ).localCheckpoint(eager=False)
         return batch_counts, batch_counts
 
     def fold_merge(union: DataFrame) -> DataFrame:

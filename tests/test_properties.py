@@ -1111,7 +1111,15 @@ def _reference_kn_lm(texts: list[str], n: int, D: float):
     q9 = Decimal("0.000000001")
 
     def r9(p: float) -> float:
-        return float(Decimal(p).quantize(q9, rounding=ROUND_HALF_UP))
+        # Spark round()/cast-to-decimal quantize the SHORTEST
+        # decimal repr (Java Double.toString == Python repr), not
+        # the exact binary expansion — they differ when the exact
+        # value sits just below an ...x5 boundary whose shortest
+        # repr is exactly the boundary (caught by hypothesis on
+        # the mkn trainer).
+        return float(
+            Decimal(repr(p)).quantize(q9, rounding=ROUND_HALF_UP)
+        )
 
     raw: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
     for t in texts:
@@ -1195,7 +1203,15 @@ def _reference_mkn_lm(texts: list[str], n: int, fixed=None):
     q9 = Decimal("0.000000001")
 
     def r9(p: float) -> float:
-        return float(Decimal(p).quantize(q9, rounding=ROUND_HALF_UP))
+        # Spark round()/cast-to-decimal quantize the SHORTEST
+        # decimal repr (Java Double.toString == Python repr), not
+        # the exact binary expansion — they differ when the exact
+        # value sits just below an ...x5 boundary whose shortest
+        # repr is exactly the boundary (caught by hypothesis on
+        # the mkn trainer).
+        return float(
+            Decimal(repr(p)).quantize(q9, rounding=ROUND_HALF_UP)
+        )
 
     raw: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
     for t in texts:
@@ -1302,8 +1318,9 @@ def _reference_backoff_lm(texts: list[str], n: int, D: float):
     train_backoff_lm's exact arithmetic: raw counts per order (junk
     grams excluded), MLE unigram floor, (c - D)/denom discounted
     probs, residual = DECIMAL sum of the lower order's HALF_UP
-    9-dp-rounded probs (Decimal(float) = Java BigDecimal(double)
-    semantics), backoff = leftover / (1 - residual) with the
+    9-dp-rounded probs (Decimal(repr(float)): Spark rounds the
+    SHORTEST decimal repr — Java Double.toString — not the exact
+    binary expansion), backoff = leftover / (1 - residual) with the
     non-positive-residual -> 0 guard."""
     import re
     from collections import Counter, defaultdict
@@ -1312,7 +1329,8 @@ def _reference_backoff_lm(texts: list[str], n: int, D: float):
     q9 = Decimal("0.000000001")
 
     def r9(p: float) -> Decimal:
-        return Decimal(p).quantize(q9, rounding=ROUND_HALF_UP)
+        # shortest-repr quantize: see _reference_kn_lm's r9 note
+        return Decimal(repr(p)).quantize(q9, rounding=ROUND_HALF_UP)
 
     counts: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
     for t in texts:
@@ -1580,7 +1598,8 @@ def test_ngram_logprob_backoff_reference_property(spark, train_words, score_word
     q9 = Decimal("0.000000001")
 
     def r9d(x: float) -> Decimal:
-        return Decimal(x).quantize(q9, rounding=ROUND_HALF_UP)
+        # shortest-repr quantize: see _reference_kn_lm's r9 note
+        return Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP)
 
     n = 3
     train_text = " ".join(train_words * 2)
@@ -1631,3 +1650,32 @@ def test_ngram_logprob_backoff_reference_property(spark, train_words, score_word
     ).collect()
     assert len(got) == 1 and got[0]["doc_id"] == 7
     assert got[0]["mean_logprob"] == want
+
+
+def test_round9_shortest_repr_semantics(spark):
+    """Pin the rounding semantic the pure-Python LM references must
+    mirror: Spark's round() (and its cast-to-decimal) quantizes the
+    SHORTEST decimal representation (Java Double.toString == Python
+    repr), not the exact binary expansion.  0.4666666665's exact
+    binary is ...6649999999..., so exact-binary HALF_UP gives
+    ...666 while shortest-repr gives ...667 — Spark and DuckDB both
+    produce ...667 (hypothesis caught the divergence on the mkn
+    trainer; the references now quantize Decimal(repr(x)))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    x = 0.4666666665
+    q9 = Decimal("0.000000001")
+    assert Decimal(x).quantize(q9, rounding=ROUND_HALF_UP) == Decimal(
+        "0.466666666"
+    )
+    want = float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+    assert want == 0.466666667
+    got = spark.range(1).select(F.round(F.lit(x), 9).alias("r")).first()
+    assert got["r"] == want
+    assert (
+        duckdb.sql("select round(0.4666666665::DOUBLE, 9)").fetchone()[0]
+        == want
+    )
