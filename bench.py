@@ -217,6 +217,18 @@ HEADLINE = [
     "q_stream_ngram_counts",
 ]
 
+# Families share materialized stages (catalog/dedup.shared_stage): ONE
+# row is designated to pay each stage's compute — bench clears that
+# stage's memo (and only that one) before each timed run of its payer.
+# Module-level so diagnostic tooling (scripts/profile_rows.py) mirrors
+# the bench's accounting exactly.
+PAYS_SHARED_STAGE = {
+    "q_minhash_signatures": {"minhash_sigs"},
+    "q_dedup_clusters": {"cc"},
+    "q_image_neardup": {"image_dhash"},
+    "q_dsir_weights": {"dsir_weights"},
+}
+
 
 def _env_fingerprint() -> dict:
     """Host-state stamp recorded into every bench artifact (VERDICT r9
@@ -546,13 +558,6 @@ def main() -> None:
     # report their true marginal cost — summing the medians then equals
     # what one session computing the whole catalog actually does.
     from metalpipe_spark.catalog.dedup import clear_shared_stages
-
-    PAYS_SHARED_STAGE = {
-        "q_minhash_signatures": {"minhash_sigs"},
-        "q_dedup_clusters": {"cc"},
-        "q_image_neardup": {"image_dhash"},
-        "q_dsir_weights": {"dsir_weights"},
-    }
 
     for name in headline:
         q = registry[name]

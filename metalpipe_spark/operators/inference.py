@@ -179,8 +179,17 @@ class NumpyMLPModel:
     ``tanh(x W1 + b1)`` → ``h W2 + b2`` → L2 normalize.  Weights come
     from :func:`_det_weights` — deterministic in the spec string, so
     every worker materializes identical tensors and outputs are
-    reproducible run-to-run (the fixture-model property, kept).  All
-    encode math is vectorized numpy (two matmuls per batch)."""
+    reproducible run-to-run (the fixture-model property, kept).
+
+    The two matmuls run through :func:`_det_matmul`, a fixed
+    left-to-right fold over the contraction axis, NOT BLAS ``@``:
+    GEMM kernels choose blocking (and therefore summation order) by
+    batch shape, thread count and microarchitecture, so ``x @ w`` can
+    differ in the last ulp between a 1-row driver-side encode and a
+    7-row worker batch — breaking the worker == driver bit-equality
+    this fixture model promises (observed on this host: OpenBLAS GEMV
+    vs GEMM paths disagree by 1 ulp).  The fold's order depends only
+    on the contraction length, which is fixed by the spec."""
 
     def __init__(self, dim_in: int, hidden: int, dim_out: int,
                  salt: str = ""):
@@ -196,14 +205,28 @@ class NumpyMLPModel:
         self.w2 = _det_weights(hidden, dim_out, tag + ":w2")
         self.b2 = _det_weights(1, dim_out, tag + ":b2")[0]
 
+    @staticmethod
+    def _det_matmul(x, w):
+        """Batch-shape-independent matmul: out[i, j] = the strict
+        left-to-right IEEE fold of x[i, k] * w[k, j] over k.  Each
+        output element's summation order is a function of the
+        contraction length alone, so results are bit-identical for any
+        batch size, thread count or BLAS build."""
+        import numpy as np
+
+        out = np.zeros((x.shape[0], w.shape[1]), dtype=np.float64)
+        for k in range(x.shape[1]):
+            out += x[:, k : k + 1] * w[k]
+        return out
+
     def encode(self, texts: list) -> "object":
         import numpy as np
 
         x = _hashed_token_counts(texts, self.dim_in, self.salt).astype(
             np.float64
         )
-        h = np.tanh(x @ self.w1 + self.b1)
-        y = h @ self.w2 + self.b2
+        h = np.tanh(self._det_matmul(x, self.w1) + self.b1)
+        y = self._det_matmul(h, self.w2) + self.b2
         n = np.sqrt((y * y).sum(axis=1))
         nz = n > 0
         y[nz] = y[nz] / n[nz][:, None]
