@@ -245,6 +245,22 @@ def _env_fingerprint() -> dict:
         "python": platform.python_version(),
         "loadavg": list(os.getloadavg()),
     }
+    # Hypervisor steal (r17): this sandbox is a microVM on a contended
+    # host — /proc/stat cumulative steal jiffies before/after bound how
+    # much vCPU the neighbors took DURING this run.  Identical code +
+    # identical calib stamps measured 3-17x apart on some rows purely
+    # from steal bursts; the delta (after - before, in seconds across
+    # all vCPUs) is the first thing to check before reading any row
+    # ratio as a code signal.
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+            # user nice system idle iowait irq softirq steal
+            fp["cpu_user_sec"] = int(parts[1]) / 100
+            fp["cpu_idle_sec"] = int(parts[4]) / 100
+            fp["cpu_steal_sec"] = int(parts[8]) / 100
+    except (OSError, IndexError, ValueError):
+        pass
     try:
         import pyspark
 
