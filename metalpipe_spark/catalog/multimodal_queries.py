@@ -681,6 +681,9 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(
         codes, code_col="afp", id_col="id",
         bits=64, max_hamming=_AFP_MAX_HAMMING, blocks=_DHASH_BLOCKS,
+        # The RMS-envelope numpy kernel is the row's cost; without the
+        # cache it runs once per self-join side (r17, guide §5).
+        cache_codes=True,
     ).orderBy("d1", "d2")
 
 

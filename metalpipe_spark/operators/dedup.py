@@ -943,6 +943,7 @@ def hamming_neardup_pairs(
     max_hamming: int = 3,
     blocks: int | None = None,
     combo: int = 1,
+    cache_codes: bool = False,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` over ANY integer
     code column via Manku block banding (Manku et al., WWW'07 §3) — the
@@ -973,7 +974,22 @@ def hamming_neardup_pairs(
     combinations.  Measured at sf1: worst bucket 13.4k -> 3.5k docs
     (90M -> 6M pairs inside it), wall 70-168 s -> 15 s for the same
     18.7M output pairs.  Raise blocks/combo further when corpus
-    cardinality approaches 2^(combo * bits/blocks)."""
+    cardinality approaches 2^(combo * bits/blocks).
+
+    ``cache_codes=True`` materializes the ``(id, code)`` projection
+    once (lazy localCheckpoint, ContextCleaner-dropped) before the
+    self-join references it twice.  The join sides are NOT otherwise
+    shared: when one side broadcasts (the usual local outcome) there is
+    no common Exchange for ReuseExchange to collapse, so the whole
+    upstream code pipeline executes once per side.  Flip it on when
+    that pipeline is expensive — the multimodal numpy kernels pay the
+    Arrow boundary plus per-row decode twice (r17 A/B: q_audio_neardup
+    ~2x faster, guide §2.4/§5); leave it off for cheap map-side code
+    pipelines, where recompute beats cache write+read (the
+    minhash_lsh_pairs cache_signatures precedent).  Cached state is 16
+    bytes/doc — never payloads."""
+    if cache_codes:
+        codes = codes.select(id_col, code_col).localCheckpoint(eager=False)
     banded = _banded_codes(codes, code_col, id_col, bits, max_hamming, blocks, combo)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

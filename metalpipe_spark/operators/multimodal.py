@@ -802,6 +802,9 @@ def video_neardup_pairs(
     pairs = hamming_neardup_pairs(
         codes, code_col="dhash", id_col="fid",
         bits=64, max_hamming=max_hamming, blocks=blocks,
+        # Frame decode + dHash (numpy, Arrow-batched) would otherwise
+        # run once per self-join side (r17, guide §5).
+        cache_codes=True,
     )
     # fid order preserves video order, so v1 <= v2 already holds; the
     # strict filter drops within-video frame matches.

@@ -1866,11 +1866,32 @@ def split_oversized_cells(
         )
     excl = frozenset(exclude_cells or ())
     spark = assigned.sparkSession
+    # Materialize the assignment ONCE (r17 optimization, guide §2.4/§5):
+    # this operator references ``assigned`` from ~6 distinct subtrees
+    # (size census, member/rest split, both seed fetches, the scoring
+    # join), and Catalyst does NOT reuse unexchanged scan subtrees — the
+    # pre-change plan re-ran the full scan + centroid-assignment compute
+    # 8x per action (plans/r17/q_ivf_cell_split_before.txt: 8 parquet
+    # scans, 0 ReusedExchange).  A lazy localCheckpoint (the prune_lm
+    # precedent) turns those into cache-block reads: the sizes collect
+    # right below materializes it, and the blocks are dropped by the
+    # ContextCleaner when the returned frames go out of scope — unlike
+    # a bare persist, nothing leaks across a long driver session
+    # (rebalance_cells round-1 input would otherwise pin its cache
+    # forever).  At index scale this is exactly the materialization a
+    # real IVF build performs anyway (the stored index IS the
+    # assignment); MEMORY_AND_DISK blocks spill gracefully.  Inputs the
+    # caller already persisted (rebalance_cells rounds >= 2) are left
+    # alone.
+    from pyspark import StorageLevel
+
+    if assigned.storageLevel == StorageLevel.NONE:
+        assigned = assigned.localCheckpoint(eager=False)
     sizes = (
         assigned.groupBy(cell_col)
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
-    )  # cell-scale — aggregate-output-class
+    )  # cell-scale — aggregate-output-class; also fills the cache
     split_cells = sorted(
         r[cell_col]
         for r in sizes

@@ -1028,9 +1028,15 @@ def count_min_heavy_hitters(
     4x1024); ``"broadcast"`` leaves the counters as a DataFrame and
     runs one BROADCAST left join per depth row (map-side, no shuffle;
     plan size constant in ``width``); ``"auto"`` (default) switches to
-    broadcast when ``depth * width > 16384``, where compile time
-    starts to dominate the probe's benefit.  Both forms are
-    output-identical (pinned by test)."""
+    broadcast when ``depth * width > 2048``.  The cutoff was 16384
+    through r16; the r17 interleaved A/B measured the literal path's
+    analysis/codegen floor dominating already at 4x1024 (the catalog
+    row: see OPTIMIZATION_r17.md), and the floor is pure driver time —
+    at 100 TB it is noise, locally it is most of the row — while the
+    broadcast probe's per-row cost is the same map-side hash lookup at
+    any scale, so broadcast is the safe default everywhere above a few
+    hundred counters.  Both forms are output-identical (pinned by
+    test)."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     if probe not in ("auto", "literal", "broadcast"):
@@ -1044,7 +1050,7 @@ def count_min_heavy_hitters(
     df = df.where(F.col(col).isNotNull())
     sketch = count_min_sketch(df, col, depth=depth, width=width, hash=hash)
     _, rows = _cm_bucket_structs(col, depth, width, hash)
-    if probe == "broadcast" or (probe == "auto" and depth * width > 16384):
+    if probe == "broadcast" or (probe == "auto" and depth * width > 2048):
         # One broadcast LEFT join per depth row on the row's bucket
         # expression (absent counter = true zero — no item ever hashed
         # there).  Map-side only; the plan carries depth joins, not

@@ -3003,8 +3003,11 @@ def test_count_min_heavy_hitters_probe_forms_agree(spark):
     lit_form = run(probe="literal")
     assert run(probe="broadcast") == lit_form and len(lit_form) == 2
     # auto: small geometry -> literal path (no join in the plan); big
-    # geometry -> broadcast joins appear.
-    small = count_min_heavy_hitters(df, "tok", threshold=400)
+    # geometry -> broadcast joins appear.  The default 4x1024 geometry
+    # sits ABOVE the r17 auto cutoff (2048: the literal path's
+    # analysis/codegen floor dominated the row at 4x1024 in the
+    # interleaved A/B), so "small" here pins an explicitly tiny sketch.
+    small = count_min_heavy_hitters(df, "tok", threshold=400, width=256)
     big = count_min_heavy_hitters(
         df, "tok", threshold=400, depth=4, width=8192
     )
