@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metalpipe_spark.operators.text import fingerprint
@@ -1433,10 +1433,10 @@ def exact_substr_dedup(
        without O(n^2) array appends (reference point: Lee et al. build
        a suffix array; a rolling hash gives the same window-equality
        relation with distributed-friendly shapes);
-    3. duplicated window keys surface from one map-side-combined
-       groupBy (distinct-window scale after partial aggregation);
-       candidate occurrences are the join-back — bounded by DUPLICATED
-       window volume, never corpus scale;
+    3. duplicated-window occurrences surface from ONE window count
+       over the hash pair (r17: previously a groupBy + join-back that
+       executed the window-hash kernel twice); candidates are bounded
+       by DUPLICATED window volume, never corpus scale;
     4. ``verify=True`` (default) regroups candidates on the md5 of the
        actual window CONTENT (array-local slice+concat, only on docs
        holding candidates) — rolling-hash collisions cost a wasted
@@ -1466,13 +1466,23 @@ def exact_substr_dedup(
     )
     idt = dict(docs.dtypes)[id_col]
     w = _window_hash_frame(docs, id_col, idt, L, hash, mods=2, rk=_rk)
-    dup_keys = (
-        w.groupBy("__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # Duplicated-window detection as ONE window count over (__w1, __w2)
+    # instead of groupBy-then-join-back (r17, guide §2.4): the old
+    # shape executed the O(n) rolling-hash kernel TWICE (once under the
+    # aggregate's exchange, once under the join's — no ReusedExchange:
+    # a partial-aggregate exchange never matches a plain one) and paid
+    # three exchanges; this is one kernel pass and one exchange.  The
+    # map-side combine the groupBy had is no real loss: cross-document
+    # duplicate windows rarely co-locate in a map partition, so partial
+    # aggregation collapsed almost nothing.
+    cand = (
+        w.withColumn(
+            "__c",
+            F.count(F.lit(1)).over(Window.partitionBy("__w1", "__w2")),
+        )
         .where(F.col("__c") > 1)
         .drop("__c")
     )
-    cand = w.join(dup_keys, ["__w1", "__w2"])
     if verify:
         # Regroup candidates on actual window content (md5 of the
         # token slice) — array-local, only over docs holding
@@ -1504,19 +1514,25 @@ def exact_substr_dedup(
     else:
         keyed = cand
         key = ["__w1", "__w2"]
-    # keyed feeds BOTH the keep-first aggregation and the dup join —
-    # without a persist the whole upstream (scan + rolling-hash
-    # MapInPandas + duplicate-key join) executes once per consumer.
-    # Candidate-scale rows (bounded by duplicated-window volume), the
-    # same class of bounded persist as minhash sigs / band stores.
-    keyed = keyed.persist()
-    first = keyed.groupBy(*key).agg(
-        F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))
-        ).alias("__f")
-    )
-    dup = keyed.join(first, key).where(
-        ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
+    # Keep-first as a window min over the key instead of
+    # groupBy-then-join-back (r17): one pass over the candidate rows,
+    # one exchange — which also makes `keyed` single-reference, so the
+    # r15 bounded persist (one cached block set per call, freed only at
+    # session end) is gone entirely.
+    dup = (
+        keyed.withColumn(
+            "__f",
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))
+            ).over(Window.partitionBy(*key)),
+        )
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__f.d"))
+                & (F.col("__s") == F.col("__f.s"))
+            )
+        )
+        .drop("__f")
     )
     return _remove_covered_windows(docs, dup, id_col, L)
 
@@ -1749,22 +1765,32 @@ def incremental_exact_substr(
     else:
         hits = w.where(F.lit(False))
         fresh_w = w
-    first = fresh_w.groupBy(*keys).agg(
+    # Keep-first as a window min (r17, the exact_substr_dedup rewrite):
+    # `marked` carries the per-key first occurrence on every row, so
+    # the in-batch duplicates AND the new store rows both read from ONE
+    # exchange of the (persisted) window frame — previously a groupBy
+    # plus a join-back, i.e. two more shuffles of the frame per action.
+    # (id, __s) is unique within a key group (one row per window
+    # occurrence), so "row == min struct" selects exactly one row per
+    # key — the same row the old aggregate returned.
+    __is_first = (F.col(id_col) == F.col("__f.d")) & (
+        F.col("__s") == F.col("__f.s")
+    )
+    marked = fresh_w.withColumn(
+        "__f",
         F.min(
             F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))
-        ).alias("__f")
+        ).over(Window.partitionBy(*keys)),
     )
-    dup_in_batch = fresh_w.join(first, keys).where(
-        ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
-    )
+    dup_in_batch = marked.where(~__is_first)
     covered = hits.select(id_col, "__s").unionByName(
         dup_in_batch.select(id_col, "__s")
     )
     clean = _remove_covered_windows(docs, covered, id_col, L)
-    new_rows = first.select(
+    new_rows = marked.where(__is_first).select(
         *keys,
-        F.col("__f.d").alias("first_id"),
-        F.col("__f.s").alias("first_s"),
+        F.col(id_col).alias("first_id"),
+        F.col("__s").alias("first_s"),
         F.lit(L).alias("wL"),
         F.lit(scheme).alias("h"),
     )
