@@ -205,15 +205,26 @@ def compile_graph(
                 entities[key].unionByName(ent).dropDuplicates() if key in entities else ent
             )
         elif a.kind == "compound_name":
+            # The hub key is a deterministic function of the component
+            # tuple, so dedup BEFORE hashing: the distinct runs over the
+            # raw component columns (two ints shuffle instead of a
+            # 64-char hex string per row) and sha2 prices once per
+            # DISTINCT tuple, not once per source row on both sides of
+            # the partial aggregate.
             key_col = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in a.columns]), 256)
-            ent = canon.select(
+            comps = canon.select(*a.columns).dropDuplicates()
+            ent = comps.select(
                 key_col.alias("name"),
                 *[F.col(c).alias(f"component_{c}") for c in a.columns],
-            ).dropDuplicates()
+            )
             entities[a.entity_type or "_".join(a.columns)] = ent
             # Component edges: hub -> each component value (nft_nodes.py:607-657).
+            # Re-deduped per edge: distinct (hub, component) pairs are a
+            # projection of distinct component TUPLES only when sha2 is
+            # injective on tuples, so each edge keeps its own distinct —
+            # over the tuple-scale frame, no longer the source rows.
             for c in a.columns:
-                edge = canon.select(
+                edge = comps.select(
                     key_col.alias("src_key"), F.col(c).alias("tgt_key")
                 ).dropDuplicates()
                 edges[f"HAS_{c.upper()}"] = edge

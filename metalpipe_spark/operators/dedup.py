@@ -881,6 +881,7 @@ def simhash_neardup_pairs(
     blocks: int | None = None,
     combo: int = 1,
     hash: str = "md5",
+    cache_codes: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via block banding (Manku et al., WWW'07): split the
@@ -908,9 +909,16 @@ def simhash_neardup_pairs(
     ``bits`` (e.g. 64 via a second hash) so the combined key keeps
     clearing log2(n)."""
     fp = simhash(df, text_col, id_col, bits, hash)
+    # cache_codes defaults ON here (unlike the raw hamming engine): the
+    # simhash code pipeline is a token explode + packed-lane groupBy —
+    # a full shuffle-aggregate per reference — and the banded self-join
+    # references it once per side, so without the 16-byte/doc
+    # materialization the corpus tokenizes and aggregates twice per
+    # action (r17 A/B: the audio/video precedent, guide §2.4/§5).
     return hamming_neardup_pairs(
         fp, code_col="simhash", id_col=id_col,
         bits=bits, max_hamming=max_hamming, blocks=blocks, combo=combo,
+        cache_codes=cache_codes,
     )
 
 
@@ -1284,10 +1292,20 @@ def duplicate_span_dedup(
         .select(id_col, F.col("__sp.__s").alias("__s"), F.col("__sp.__h").alias("__h"))
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
-    first = w.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))).alias("__f")
-    )
-    dup = w.join(first, "__h").where(
+    # First-occurrence as ONE window aggregate over the span-hash
+    # partition (the r17 ExactSubstr keep-first rewrite): the former
+    # groupBy(__h).min + join-back referenced `w` twice, and a partial
+    # aggregate's exchange never matches a plain one, so the whole
+    # tokenize/winnow/span-hash projection — the O(n*gap) interpreted
+    # argmin fold included — executed once per side (guide §2.4: window
+    # functions keyed like the aggregation need one exchange, not two
+    # plus a duplicated subtree).
+    dup = w.withColumn(
+        "__f",
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__s").alias("s"))).over(
+            Window.partitionBy("__h")
+        ),
+    ).where(
         ~((F.col(id_col) == F.col("__f.d")) & (F.col("__s") == F.col("__f.s")))
     )
     cover = dup.select(
