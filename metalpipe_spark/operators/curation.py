@@ -852,6 +852,16 @@ def _dsir_ratio(
     the raw corpus can ever be probed, so it left-joins from the raw
     side; absent target buckets take the smoothed-zero estimate."""
     s = float(smoothing)
+    # Both count tables are referenced twice below (total aggregate +
+    # ratio join), and each reference replays its upstream subtree —
+    # for the target side the full target-slice gram-hash
+    # explode+aggregate, for the raw side a repeat pass over the
+    # doc-count table (r17, guide §2.4: duplicated subtrees).  Both are
+    # <= buckets rows after aggregation, so a lazy localCheckpoint pins
+    # a few KB and halves the upstream passes; an already-truncated
+    # input (stream_dsir_sink's tc) just re-caches the tiny table.
+    t_counts = t_counts.localCheckpoint(eager=False)
+    r_counts = r_counts.localCheckpoint(eager=False)
     t_total = t_counts.agg(F.sum("__ct").alias("__tt"))
     r_total = r_counts.agg(F.sum("__cr").alias("__rt"))
     ratio = (
