@@ -303,16 +303,28 @@ def host_rank(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Iterative lineage hygiene (r17, guide §5): without materialization
+    # every power iteration re-derives the host universe (an edge-scale
+    # union+distinct), the degree-annotated edge list, AND the whole
+    # lineage of the previous iteration's ranks — the final action
+    # replayed 13 edge scans at 3 iterations
+    # (plans/r17/q_host_rank_before.txt).  `hosts` and `ed` are
+    # checkpointed once (the count below materializes them), and each
+    # iteration's host-scale rank table is checkpointed to truncate the
+    # growing lineage.  Values are unchanged: the fixed-point path is
+    # exact integer arithmetic, and the double path's join/agg structure
+    # is identical per iteration.
     hosts = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = hosts.count()
     if n == 0:
         raise ValueError("host_rank: empty edge list")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src")
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
 
     if fixed_point_scale is not None:
         s = int(fixed_point_scale)
@@ -340,7 +352,7 @@ def host_rank(
                     F.lit(base_i)
                     + F.expr(f"({dnum} * coalesce(c, 0L)) div 100")
                 ).alias("r"),
-            )
+            ).localCheckpoint(eager=False)
         return ranks.select("host", (F.col("r") / F.lit(float(s))).alias("rank"))
 
     ranks = hosts.withColumn("rank", F.lit(1.0 / n))
@@ -360,7 +372,7 @@ def host_rank(
             (
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=False)
     return ranks
 
 
