@@ -598,6 +598,14 @@ def incremental_embed(
         batch_size=batch_size,
         max_concurrent=max_concurrent,
     )
+    # The model execution feeds BOTH returned frames (fresh for
+    # downstream ingest, updated_store via the union) — a caller
+    # consuming both would run inference on the changed sliver once per
+    # action (r17; guide §4: the Python-kernel boundary is the
+    # expensive stage, never price it twice).  Lazy localCheckpoint:
+    # sliver-scale (id, fp, embedding) rows, materialized by whichever
+    # action runs first, blocks dropped by the ContextCleaner.
+    fresh = fresh.localCheckpoint(eager=False)
     updated = fresh if carried is None else fresh.unionByName(carried)
     updated_store = updated.select(
         id_col, "__fp", output_col, F.lit(model).alias("__model")
