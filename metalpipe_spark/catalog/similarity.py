@@ -72,7 +72,11 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Blocked exact kNN within label blocks (IVF-cell stand-in; block-local join).",
 )
 def q_ann_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # rebalance: the O(B²) pair fold runs on the JOIN'S STREAM SIDE, so
+    # a 1-row-group scan serializes the whole quadratic compute onto one
+    # task; the spread is per-pair CPU-bound, the opposite trade from
+    # the join-shaped TPC-H rows where rebalance loses (readers.py).
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return pairwise_topk_per_label(emb, k=3, dim=64).orderBy("d1", "rnk")
 
 
@@ -261,7 +265,7 @@ def _lsh_oracle(num_planes: int = 8, dim: int = 64, threshold: float = 0.9) -> s
     doc="Embedding-cosine near-dup via hyperplane LSH buckets; exact cosine verify inside buckets.",
 )
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return lsh_neardup_pairs(emb, num_planes=8, dim=64, threshold=0.25).orderBy("d1", "d2")
 
 
@@ -383,7 +387,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).where(
         F.col("vec_id") % 3 == 0
     )
     cents = _ivf_cents()
@@ -474,11 +478,19 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign_literal,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select("vec_id", "embedding")
     cents = _ivf_cents()
     store = cell_store(emb.where(F.col("vec_id") % 2 == 0), cents)
     fresh, _ = incremental_semantic_dedup(
-        emb.where(F.col("vec_id") % 2 == 1), store, cents, threshold=0.25
+        emb.where(F.col("vec_id") % 2 == 1),
+        store,
+        cents,
+        threshold=0.25,
+        # fresh = batch_survivors ⋉̸ hits references batch_survivors
+        # twice in one action (directly and through the cross-store hit
+        # set); without the checkpoint the in-batch GEMM dedup kernel
+        # executes once per reference (guide §2.4).
+        checkpoint_batch=True,
     )
     return (
         ivf_assign_literal(fresh, cents)

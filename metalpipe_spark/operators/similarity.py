@@ -928,6 +928,7 @@ def semantic_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    cache_sigs: bool = True,
 ) -> DataFrame:
     """Within-cell embedding-cosine near-duplicate pairs: every vector is
     assigned to its nearest centroid cell (map-side, centroids as plan
@@ -945,6 +946,19 @@ def semantic_neardup_pairs(
     hot cell is the same hazard as a hot label in
     :func:`pairwise_topk_per_label` — refit/expand the centroid set, or
     pre-split with that function's salting pattern.
+
+    ``cache_sigs=True`` (default) materializes the assigned
+    ``(id, _vd, cell, nrm)`` frame once (lazy localCheckpoint,
+    ContextCleaner-dropped) before the self-join references it twice.
+    Without it the nearest-centroid assignment — k dot products per
+    row, each an interpreted HOF fold — executes once per join side,
+    and the join's pushed ``isnotnull(cell)`` null-filter re-evaluates
+    the WHOLE assignment expression a second time per row below each
+    Project (the guide §4.4 duplication, with a built-in expression):
+    ~4 assignment passes per action where one suffices.  Materializing
+    the assignment is what SemDeDup's own pipeline does anyway (the
+    cell table IS the index); state is id + dim doubles + cell + nrm
+    per row, payloads never enter block storage.
     """
     dim = dim or len(centroids[0])
     pre = df.select(
@@ -957,6 +971,8 @@ def semantic_neardup_pairs(
         F.element_at(_probe_cells(centroids, 1), 1).alias("cell"),
         F.expr(norm_sql("_vd", dim, cast=False)).alias("nrm"),
     )
+    if cache_sigs:
+        sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select(
         F.col("cell"),
         F.col(id_col).alias("d1"),
