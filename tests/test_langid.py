@@ -307,3 +307,52 @@ def test_sql_text_literals_escape_and_roundtrip(spark):
     w = [[0.1 + 0.2, -1.5e-7, 123456.789012345, float(2**53 - 1)], [0.0, -0.0, 1e300, 5e-324]]
     got = df.select(_dmatrix_lit(w).alias("m")).first()["m"]
     assert [list(r) for r in got] == w  # exact doubles, not approximations
+
+
+def test_sql_fast_path_matches_column_path(spark):
+    """The one-F.expr serving trees (r17: ~1.3 s of driver py4j per
+    plan build collapsed to one JVM parse) must agree EXACTLY with the
+    Column-built trees — same argmax over the same rounded logits —
+    on every script family, raw corpus text, and the null/empty/1-char
+    edge cases (the <2-char gram guard and the coalesce)."""
+    from metalpipe_spark.operators.langid import (
+        detect_language_cjk,
+        detect_language_model,
+        detect_language_routed,
+        synthetic_cjk_text,
+        synthetic_multilingual_text,
+    )
+
+    langs = ["en", "de", "ru", "ar", "hi", "zh", "ja", "ko", "pt"]
+    mix = F.array(*[F.lit(c) for c in langs])
+    base = spark.range(90).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            mix, F.pmod(F.col("id"), F.lit(len(langs))).cast("int") + 1
+        ).alias("lang"),
+    )
+    synth = base.select(
+        "doc_id",
+        F.when(
+            F.col("lang").isin("zh", "ja", "ko"),
+            synthetic_cjk_text("lang", "doc_id", salt="v1c"),
+        )
+        .otherwise(synthetic_multilingual_text("lang", "doc_id", salt="v1c"))
+        .alias("text"),
+    )
+    edge = spark.createDataFrame(
+        [(1001, None), (1002, ""), (1003, " "), (1004, "あ"), (1005, "x")],
+        "doc_id long, text string",
+    )
+    fix = synth.unionByName(edge)
+    for fast, slow in [
+        (detect_language_routed("text"), detect_language_routed(F.col("text"))),
+        (detect_language_model("text"), detect_language_model(F.col("text"))),
+        (detect_language_cjk("text"), detect_language_cjk(F.col("text"))),
+    ]:
+        bad = (
+            fix.select(fast.alias("a"), slow.alias("b"))
+            .where("NOT (a <=> b)")
+            .count()
+        )
+        assert bad == 0
