@@ -1219,6 +1219,9 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .where(F.length("tok").between(3, 12))
         .distinct()
+        # referenced by 3 union branches below — one tokenize+distinct
+        # pass instead of three (vocab-scale state, lazy)
+        .localCheckpoint(eager=False)
     )
     # Seed real near-misses: deterministic 1-insertion and
     # 1-substitution variants (the audio-fixture pattern) so the row

@@ -2809,6 +2809,39 @@ def test_edit_distance_join_exact_vs_bruteforce(spark):
         edit_distance_join(df, "name", max_edits=0)
 
 
+def test_edit_distance_join_cache_variants_parity(spark):
+    """cache_variants only changes the physical plan (one variant-
+    explode pass feeding both self-join sides instead of two): the
+    pair set, strings and distances are identical with it on and off,
+    with and without the bucket cap (r17 optimization §14)."""
+    from metalpipe_spark.operators.joins import edit_distance_join
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "mitten"), (4, "abc"),
+        (5, "abd"), (6, ""), (7, "kitten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    for cap in (None, 3):
+        on = sorted(
+            map(tuple, edit_distance_join(
+                df, "name", max_edits=1, max_bucket_size=cap,
+                cache_variants=True,
+            ).collect())
+        )
+        off = sorted(
+            map(tuple, edit_distance_join(
+                df, "name", max_edits=1, max_bucket_size=cap,
+                cache_variants=False,
+            ).collect())
+        )
+        assert on == off
+        assert on  # the fixture produces real pairs
+    # The default path reads the checkpoint, not two explode subtrees.
+    plan = edit_distance_join(df, "name", max_edits=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
 def test_exact_quantile_null_group_and_bins_guard(spark):
     """A NULL group key is a real group (NULL-safe range join), and
     bins < 2 is rejected up front instead of burning max_iters scans."""
