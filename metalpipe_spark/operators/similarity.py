@@ -1679,6 +1679,14 @@ def incremental_semantic_dedup_scaled(
         sigs.select(id_col, "cell", "vec", "nrm"),
         id_col, id_type, threshold, chunk, max_cell_size,
     )
+    if checkpoint_batch:
+        # Materialize the loser ID SET itself (id-scale), not just its
+        # two consumers: batch_survivors and surv_sigs each anti-join
+        # against ``losers``, so eagerly checkpointing only those two
+        # frames executed the in-batch GEMM kernel — and its
+        # corpus-scale vector shuffle into applyInPandas — once per
+        # consumer (guide §2.4 duplicated-subtree rule).
+        losers = losers.localCheckpoint(eager=True)
     batch_survivors = new_docs.join(losers, id_col, "left_anti")
     surv_sigs = sigs.join(losers, id_col, "left_anti")
     if checkpoint_batch:
