@@ -538,7 +538,11 @@ def q_incremental_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
             batch, store, cells, threshold=0.25, checkpoint_batch=True
         )
         fresh_parts.append(fresh.select("vec_id"))
-        store = store.localCheckpoint(eager=True)
+        # No store re-checkpoint here: with checkpoint_batch=True the
+        # operator already materialized surv_sigs, so wave 1's store
+        # (== surv_sigs) is checkpoint-backed and an extra eager copy
+        # is a redundant corpus-scale job; wave 2's updated store is
+        # never consumed (the row returns fresh ids only).
     return fresh_parts[0].unionByName(fresh_parts[1]).orderBy("vec_id")
 
 

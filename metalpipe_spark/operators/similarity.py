@@ -1690,8 +1690,20 @@ def incremental_semantic_dedup_scaled(
     batch_survivors = new_docs.join(losers, id_col, "left_anti")
     surv_sigs = sigs.join(losers, id_col, "left_anti")
     if checkpoint_batch:
-        batch_survivors = batch_survivors.localCheckpoint(eager=True)
-        surv_sigs = surv_sigs.localCheckpoint(eager=True)
+        # The two survivor frames are INDEPENDENT anti-joins of
+        # already-checkpointed inputs; materialize them concurrently —
+        # each job under-fills the cluster at batch scale, so running
+        # them back-to-back serializes idle cores (thread-pool job
+        # overlap; Spark schedules jobs from separate threads fine).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bs = pool.submit(
+                lambda: batch_survivors.localCheckpoint(eager=True)
+            )
+            f_ss = pool.submit(lambda: surv_sigs.localCheckpoint(eager=True))
+            batch_survivors = f_bs.result()
+            surv_sigs = f_ss.result()
     if store is not None:
         # Only store cells the BATCH touches enter the cross GEMM: a
         # batch of B rows names <= B distinct cells, so the semi-join

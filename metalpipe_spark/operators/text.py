@@ -2550,6 +2550,11 @@ def _lm_entropy_costs(
     return costs
 
 
+# Tri-state default for resolved_unk_logprob below: None is meaningful
+# ("the model has no <unk> row"), so absence needs its own marker.
+_UNK_UNRESOLVED = object()
+
+
 def ngram_logprob_backoff(
     df: DataFrame,
     lm: DataFrame,
@@ -2560,6 +2565,7 @@ def ngram_logprob_backoff(
     exact: bool = False,
     unk_token: str | None = "<unk>",
     broadcast_model: bool = True,
+    resolved_unk_logprob: "float | None | object" = _UNK_UNRESOLVED,
 ) -> DataFrame:
     """Backoff-aware LM scoring — the consumer half of
     :func:`train_backoff_lm` and the scorer a real multi-section ARPA
@@ -2643,18 +2649,29 @@ def ngram_logprob_backoff(
     # backoff chain to <unk> — paying the full backoff sum plus its
     # logprob — instead of the flat floor.  Models without <unk> (our
     # raw-corpus trainers) keep the flat oov_logprob.  The lookup is
-    # one model-scale driver probe at plan build.
-    unk_row = (
-        lm.where(
-            (F.col("order") == 1) & (F.col("ngram") == unk_token)
+    # one model-scale driver probe at plan build; a caller scoring the
+    # SAME model repeatedly (the streaming sink, once per micro-batch)
+    # probes once and passes ``resolved_unk_logprob`` (the float, or
+    # None for "no <unk> row") to skip the per-plan job.
+    if resolved_unk_logprob is not _UNK_UNRESOLVED:
+        unk_lp = (
+            float(resolved_unk_logprob)
+            if resolved_unk_logprob is not None
+            else None
         )
-        .select("logprob")
-        .first()
-        if unk_token is not None
-        else None
-    )
-    if unk_row is not None:
-        score = score.otherwise(bosum + F.lit(float(unk_row["logprob"])))
+    else:
+        unk_row = (
+            lm.where(
+                (F.col("order") == 1) & (F.col("ngram") == unk_token)
+            )
+            .select("logprob")
+            .first()
+            if unk_token is not None
+            else None
+        )
+        unk_lp = float(unk_row["logprob"]) if unk_row is not None else None
+    if unk_lp is not None:
+        score = score.otherwise(bosum + F.lit(unk_lp))
     else:
         score = score.otherwise(F.lit(float(oov_logprob)))
     if exact:

@@ -608,6 +608,17 @@ def stream_score_sink(
         n = int(row[0])
     if thresholds is not None:
         t1, t2 = (float(t) for t in thresholds)
+    # The <unk> unigram lookup is a model-scale driver job; the model
+    # is fixed for the sink's lifetime, so resolve it ONCE here instead
+    # of once per micro-batch inside the scorer's plan build.
+    unk_row = (
+        lm.where((F.col("order") == 1) & (F.col("ngram") == unk_token))
+        .select("logprob")
+        .first()
+        if unk_token is not None
+        else None
+    )
+    unk_lp = float(unk_row["logprob"]) if unk_row is not None else None
     ckpt_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -620,6 +631,7 @@ def stream_score_sink(
             id_col=id_col,
             exact=exact,
             unk_token=unk_token,
+            resolved_unk_logprob=unk_lp,
         )
         if exact:
             scored = scored.withColumn(

@@ -3961,6 +3961,40 @@ def test_backoff_scorer_unk_token_chain(spark):
     assert flat[1] == -8.0 and flat[2] == -8.0
 
 
+def test_backoff_scorer_resolved_unk_parity(spark):
+    """resolved_unk_logprob (the streaming sink's once-per-sink probe
+    hoist) must be a pure plan-build shortcut: passing the probed
+    float — or None for an unk-less model — yields row-identical
+    scores to the default per-plan probe, and the resolved value wins
+    without touching the model table."""
+    from metalpipe_spark.operators.text import ngram_logprob_backoff
+
+    lm = spark.createDataFrame(
+        [
+            ("the", 1, -1.0, -0.5),
+            ("cat", 1, -1.2, None),
+            ("<unk>", 1, -2.5, None),
+            ("the cat", 2, -0.4, None),
+        ],
+        "ngram string, order int, logprob double, log_backoff double",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "the zzz"), (2, "qqq zzz")],
+        ["doc_id", "text"],
+    )
+
+    def score(**kw):
+        return {
+            r["doc_id"]: r["mean_logprob"]
+            for r in ngram_logprob_backoff(docs, lm, n=2, **kw).collect()
+        }
+
+    probed = score()
+    assert score(resolved_unk_logprob=-2.5) == probed
+    # None = "model has no <unk>": equals unk_token=None's flat floor
+    assert score(resolved_unk_logprob=None) == score(unk_token=None)
+
+
 def test_lm_parquet_exchange_and_shuffle_scorer(spark, tmp_path):
     """r16 verdict 'What's missing' #2, second half: the parquet-native
     distributed model exchange (no driver collect) and the
