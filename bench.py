@@ -341,6 +341,51 @@ def _calibrate(spark=None) -> dict:
     return out
 
 
+# Steal-storm detection thresholds (VERDICT r17 task 2): the r17 close
+# artifacts were invalidated by hypervisor steal that the stamps
+# recorded but nothing acted on.  A run is flagged suspect when the
+# /proc/stat steal delta exceeds this fraction of the run's total
+# available CPU (wall x vCPUs) — the clean r17 mid artifact measured
+# 0.016%, stormed runs 2-12% — or when the post-run fixed-work
+# calibration drifts from the pre-run one by more than the ratio
+# bounds below (a storm arriving or leaving mid-run moves them; the
+# clean repeat-variance of both workloads is <10%).
+STEAL_FRAC_SUSPECT = 0.02
+CALIB_POST_DRIFT_SUSPECT = 1.3
+
+
+def _steal_verdict(
+    fp0: dict, fp1: dict, wall_sec: float, calib: dict | None,
+    calib_post: dict | None,
+) -> dict:
+    """Steal/calib cross-check stamped into the payload: additive
+    fields only, so the artifact contract is unchanged."""
+    out: dict = {"wall_sec": round(wall_sec, 1)}
+    reasons: list[str] = []
+    if "cpu_steal_sec" in fp0 and "cpu_steal_sec" in fp1:
+        delta = round(fp1["cpu_steal_sec"] - fp0["cpu_steal_sec"], 2)
+        frac = delta / max(wall_sec * (os.cpu_count() or 1), 1e-9)
+        out["steal_delta_sec"] = delta
+        out["steal_frac_of_cpu"] = round(frac, 5)
+        if frac > STEAL_FRAC_SUSPECT:
+            reasons.append(
+                f"steal {frac:.1%} of CPU > {STEAL_FRAC_SUSPECT:.0%}"
+            )
+    if calib and calib_post:
+        for k in ("jvm_hash_sec", "numpy_sec", "python_sec"):
+            if calib.get(k) and calib_post.get(k):
+                r = calib_post[k] / calib[k]
+                if (
+                    r > CALIB_POST_DRIFT_SUSPECT
+                    or r < 1 / CALIB_POST_DRIFT_SUSPECT
+                ):
+                    reasons.append(f"{k} post/pre calib {r:.2f}x")
+    out["suspect"] = bool(reasons)
+    if reasons:
+        out["reasons"] = reasons
+    return out
+
+
 def _emit(payload: dict) -> None:
     """Two-line output contract (VERDICT r13 task 1): the driver captures
     only the LAST ~2000 chars of stdout, and the full-catalog payload is
@@ -370,6 +415,13 @@ def _emit(payload: dict) -> None:
         # driver's BENCH_r{N}.json must be normalizable without access
         # to the full line (VERDICT r14 task 1).
         **({"calib": payload["calib"]} if "calib" in payload else {}),
+        # Steal-storm flag rides the summary too (VERDICT r17 task 2):
+        # a graded artifact must carry its own environment verdict.
+        **(
+            {"steal_suspect": payload["steal_suspect"]}
+            if "steal_suspect" in payload
+            else {}
+        ),
         "queries": slowest,
         "queries_note": "slowest 10 of n_queries; full medians on the"
         " earlier bench_line=full stdout line",
@@ -409,6 +461,10 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
     import subprocess
 
     fp0 = _env_fingerprint()
+    wall_t0 = time.perf_counter()
+    # No live session in the parent: the JVM calibration component is
+    # omitted (each subprocess's artifact would carry its own anyway).
+    calib0 = _calibrate(None)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -444,6 +500,11 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
             samples[name] = per
             timings[name] = per[len(per) // 2]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_post = _calibrate(None)
+    fp1 = _env_fingerprint()
+    steal = _steal_verdict(
+        fp0, fp1, time.perf_counter() - wall_t0, calib0, calib_post
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -454,10 +515,11 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
         "stat": "median",
         "protocol": "cold-jvm-per-query",
         "drain": "xxhash64-checksum",
-        # No live session in the parent: the JVM component is omitted
-        # (each subprocess's artifact would carry its own anyway).
-        "calib": _calibrate(None),
-        "env": {"before": fp0, "after": _env_fingerprint()},
+        "calib": calib0,
+        "calib_post": calib_post,
+        "steal": steal,
+        "steal_suspect": steal["suspect"],
+        "env": {"before": fp0, "after": fp1},
         **({"errors": errors} if errors else {}),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SAMPLES"):
@@ -468,6 +530,7 @@ def _run_cold(headline: list[str], sf_dir: str, runs: int) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     fp0 = _env_fingerprint()
+    wall_t0 = time.perf_counter()
     # Local-iteration subset (comma-separated names); the driver never
     # sets it, so driver artifacts always carry the full catalog.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -614,6 +677,20 @@ def main() -> None:
             timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
+    # Post-run calibration (VERDICT r17 task 2): the pre-run stamp
+    # cannot see a steal storm that ARRIVES mid-run — both r17 close
+    # artifacts started clean and were stormed after calibration.
+    # Re-measuring the same fixed work after the catalog bounds the
+    # host's speed across the whole window.
+    calib_post = (
+        _calibrate(spark)
+        if calib is not None
+        else None
+    )
+    fp1 = _env_fingerprint()
+    steal = _steal_verdict(
+        fp0, fp1, time.perf_counter() - wall_t0, calib, calib_post
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total_wall",
@@ -624,7 +701,10 @@ def main() -> None:
         "runs": runs,
         "stat": "median",
         **({"calib": calib} if calib else {}),
-        "env": {"before": fp0, "after": _env_fingerprint()},
+        **({"calib_post": calib_post} if calib_post else {}),
+        "steal": steal,
+        "steal_suspect": steal["suspect"],
+        "env": {"before": fp0, "after": fp1},
         # Methodology marker: rounds <= r01 drained via count()
         # (column-pruned); r02+ checksum every output column, so
         # cross-round diffs must compare like with like.

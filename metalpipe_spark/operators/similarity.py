@@ -1695,13 +1695,34 @@ def incremental_semantic_dedup_scaled(
         # each job under-fills the cluster at batch scale, so running
         # them back-to-back serializes idle cores (thread-pool job
         # overlap; Spark schedules jobs from separate threads fine).
+        # inheritable_thread_target so the checkpoint jobs carry the
+        # caller's Spark local properties (job group/tags, scheduler
+        # pool): a plain thread under pinned-thread mode detaches them,
+        # so cancelling the caller's job group — e.g. stopping the
+        # streaming query whose foreachBatch is running this — would
+        # not reach an in-flight checkpoint job (ADVICE r17).
         from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        spark = new_docs.sparkSession
+
+        def _inherit(fn):
+            try:
+                return inheritable_thread_target(spark)(fn)
+            except TypeError:
+                # Pinned-thread mode off: the session form degrades to
+                # returning the session itself; properties are shared
+                # JVM-side there anyway, so run the target as-is.
+                return fn
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_bs = pool.submit(
-                lambda: batch_survivors.localCheckpoint(eager=True)
+                _inherit(lambda: batch_survivors.localCheckpoint(eager=True))
             )
-            f_ss = pool.submit(lambda: surv_sigs.localCheckpoint(eager=True))
+            f_ss = pool.submit(
+                _inherit(lambda: surv_sigs.localCheckpoint(eager=True))
+            )
             batch_survivors = f_bs.result()
             surv_sigs = f_ss.result()
     if store is not None:

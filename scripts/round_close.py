@@ -35,6 +35,33 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Evidence file a FULL green close writes (ADVICE r17): --bench-only
+# retakes may only run when the pytest/sweep gates were mechanically
+# green at the SAME HEAD, not on the operator's say-so.
+GATE_STATE = os.path.join(REPO, ".round_close_gates.json")
+
+
+def _git_head() -> str:
+    out = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    )
+    return out.stdout.strip()
+
+
+def _steal_pct(window: float = 5.0) -> float:
+    """Instantaneous hypervisor-steal percentage over a short window."""
+
+    def snap() -> tuple[float, float]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        total = sum(int(x) for x in parts[1:9])
+        return int(parts[8]), total
+
+    s0, t0 = snap()
+    time.sleep(window)
+    s1, t1 = snap()
+    return 100.0 * (s1 - s0) / max(t1 - t0, 1)
+
 
 def run(step: str, cmd: list[str], env: dict | None = None) -> str:
     print(f"==== {step}: {' '.join(cmd)}", flush=True)
@@ -70,6 +97,33 @@ def main() -> int:
         print(__doc__)
         return 2
     rnd = int(argv[0])
+    # Contradictory flags (ADVICE r17): --bench-only asks for the bench
+    # stage, --skip-bench skips it — silently running the full close
+    # instead of the requested retake helped pollute the r17 artifacts.
+    if bench_only and skip_bench:
+        print("--bench-only and --skip-bench are contradictory; pick one.")
+        return 2
+    if bench_only:
+        # Mechanical precondition (ADVICE r17): the retake is only legal
+        # when a FULL close already ran green at this exact HEAD.
+        head = _git_head()
+        state = None
+        if os.path.exists(GATE_STATE):
+            with open(GATE_STATE) as f:
+                state = json.load(f)
+        if (
+            not state
+            or state.get("round") != rnd
+            or state.get("head") != head
+            or not state.get("pytest_green")
+            or not state.get("sweep_green")
+        ):
+            print(
+                "--bench-only refused: no recorded green full close for "
+                f"round {rnd} at HEAD {head[:12]} "
+                f"(gate state: {state}). Run the full close first."
+            )
+            return 2
 
     if not skip_bench:
         # Idle gate: wait (up to 10 min) for the 1-min loadavg to drop
@@ -84,33 +138,80 @@ def main() -> int:
             print(f"bench idle-gate: loadavg {load:.1f} >= 2.0, waiting 30s",
                   flush=True)
             time.sleep(30)
-        out = run(
-            "bench",
-            [sys.executable, "bench.py"],
-            env={
-                "SPARK_GRAFT_SF_DIR": os.environ.get(
-                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-                ),
-                "SPARK_GRAFT_BENCH_RUNS": os.environ.get(
-                    "SPARK_GRAFT_BENCH_RUNS", "3"
-                ),
-                # Per-run samples for the LOCAL artifact only — the
-                # driver's run stays compact (its capture truncated the
-                # r12 samples-bearing line mid-stream).
-                "SPARK_GRAFT_BENCH_SAMPLES": "1",
-            },
-        )
-        # bench.py now emits TWO JSON lines (r14): the full payload
-        # tagged bench_line=full, then a <=1500-char summary as the
-        # final line for the driver's 2000-char capture.  The LOCAL
-        # artifact archives the full one.
+        # bench.py emits TWO JSON lines (r14): the full payload tagged
+        # bench_line=full, then a <=1500-char summary as the final line
+        # for the driver's 2000-char capture.  The LOCAL artifact
+        # archives the full one.  Steal gate (VERDICT r17 task 2): a
+        # close artifact whose own steal/calib stamps flag it suspect is
+        # NOT stamped while a clean retry is possible — both r17 close
+        # takes were storm-polluted and the committed ground truth was
+        # unusable.  Up to 3 attempts, waiting for the storm to pass
+        # between them; if every attempt is suspect the least-stolen one
+        # is stamped WITH its flag so the pollution stays auditable.
         sys.path.insert(0, REPO)
         from bench import _find_full_line
 
-        payload = _find_full_line(out)
-        if payload is None:
-            raise SystemExit("bench stdout carried no bench_line=full line")
-        payload.pop("bench_line", None)
+        attempts: list[dict] = []
+        for attempt in range(3):
+            if attempt:
+                deadline = time.time() + 900
+                while (pct := _steal_pct()) > 1.0:
+                    if time.time() > deadline:
+                        print(
+                            f"steal-gate: still {pct:.1f}% after 15 min — "
+                            "retrying anyway (stamps will show it)"
+                        )
+                        break
+                    print(
+                        f"steal-gate: {pct:.1f}% > 1%, waiting 60s",
+                        flush=True,
+                    )
+                    time.sleep(60)
+            out = run(
+                "bench",
+                [sys.executable, "bench.py"],
+                env={
+                    "SPARK_GRAFT_SF_DIR": os.environ.get(
+                        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                    ),
+                    "SPARK_GRAFT_BENCH_RUNS": os.environ.get(
+                        "SPARK_GRAFT_BENCH_RUNS", "3"
+                    ),
+                    # Per-run samples for the LOCAL artifact only — the
+                    # driver's run stays compact (its capture truncated
+                    # the r12 samples-bearing line mid-stream).
+                    "SPARK_GRAFT_BENCH_SAMPLES": "1",
+                },
+            )
+            payload = _find_full_line(out)
+            if payload is None:
+                raise SystemExit(
+                    "bench stdout carried no bench_line=full line"
+                )
+            payload.pop("bench_line", None)
+            attempts.append(payload)
+            if not payload.get("steal_suspect"):
+                break
+            print(
+                f"bench attempt {attempt + 1} STEAL-SUSPECT: "
+                f"{payload.get('steal')} — refusing to stamp it",
+                flush=True,
+            )
+        else:
+            attempts.sort(
+                key=lambda p: p.get("steal", {}).get(
+                    "steal_frac_of_cpu", 1.0
+                )
+            )
+            payload = attempts[0]
+            print(
+                "!" * 72
+                + "\nALL bench attempts steal-suspect; stamping the "
+                f"least-stolen one ({payload.get('steal')}) — treat the "
+                "artifact's numbers as environment-bound.\n" + "!" * 72,
+                flush=True,
+            )
+        payload["bench_attempts"] = len(attempts)
         # Calibration gate (VERDICT r14 task 1): r14's committed
         # artifact read 1.47x over r13 from pure host drift.  Compare
         # this run's fixed-work calibration against the previous
@@ -164,7 +265,17 @@ def main() -> int:
                   "pytest/sweep stages (must already be green).")
             return 0
 
-    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    # FULL suite, slow tier included: tests/pytest.ini deselects
+    # slow-marked tests by default so the driver's verify stays inside
+    # its budget (VERDICT r17 task 1); the close gate overrides that
+    # with an always-true marker expression and runs everything.
+    run(
+        "pytest",
+        [
+            sys.executable, "-m", "pytest", "tests/", "-q",
+            "-m", "slow or not slow",
+        ],
+    )
     # Temp sweep outputs live OUTSIDE the repo: a red step exits before
     # any unlink, and stale dotfiles in the repo root would sit next to
     # the committed SWEEP artifacts where a `git add .` picks them up.
@@ -222,7 +333,21 @@ def main() -> int:
         f"oracle-green under ANSI"
     )
 
-    print(f"ROUND {rnd} CLOSE: ALL GREEN")
+    # Record the mechanically-green gates for this HEAD so a later
+    # --bench-only retake has evidence to check against (ADVICE r17).
+    with open(GATE_STATE, "w") as f:
+        json.dump(
+            {
+                "round": rnd,
+                "head": _git_head(),
+                "pytest_green": True,
+                "sweep_green": True,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+            f,
+        )
+        f.write("\n")
+    print(f"ROUND {rnd} CLOSE: ALL GREEN (gate state -> {GATE_STATE})")
     return 0
 
 

@@ -1003,6 +1003,43 @@ def test_incremental_semantic_dedup_scaled_checkpoint_parity(spark):
     assert out[True] == out[False]
 
 
+def test_incremental_semantic_dedup_scaled_jobs_inherit_group(spark):
+    """The concurrent survivor-checkpoint jobs run from pool threads,
+    which under pinned-thread mode get FRESH Spark local properties —
+    so they escaped the caller's job group (ADVICE r17: cancelling a
+    streaming query's group would not reach an in-flight checkpoint).
+    inheritable_thread_target fixes that: every job submitted during
+    the call, pool threads included, must land in the caller's group."""
+    from metalpipe_spark.operators.similarity import (
+        fit_semantic_cells,
+        incremental_semantic_dedup_scaled,
+    )
+
+    df = _golden_corpus(spark, 60)
+    cells = fit_semantic_cells(
+        df, target_cell_size=20, expected_corpus_rows=80, seed=7
+    ).cache()
+    cells.count()  # materialize outside the measured window
+    sc = spark.sparkContext
+    store_jvm = spark._jsc.sc().statusStore()
+    n_jobs_before = store_jvm.jobsList(None).size()
+    group = "semdedup-scaled-inherit-test"
+    sc.setJobGroup(group, "checkpoint-inheritance probe")
+    try:
+        fresh, store = incremental_semantic_dedup_scaled(
+            df, None, cells, threshold=0.999999, checkpoint_batch=True
+        )
+        fresh.collect()
+    finally:
+        sc.setJobGroup("", "")
+    n_jobs_after = store_jvm.jobsList(None).size()
+    in_group = set(sc.statusTracker().getJobIdsForGroup(group))
+    assert n_jobs_after > n_jobs_before
+    # Every job of the window is in the group — including the two
+    # pool-thread localCheckpoint jobs, which is the fix under test.
+    assert len(in_group) == n_jobs_after - n_jobs_before
+
+
 def test_incremental_semantic_dedup_scaled_geometry_guard(spark):
     """Provenance: a store assigned under one centroid geometry refuses
     a differently fitted table (DISTINCT cgen markers — the round-13
