@@ -86,11 +86,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="N-gram Jaccard near-dup pairs: shingle-join candidate generation.",
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metalpipe_spark.sources.readers import cpu_pair_partitions
+
     docs = load_table(spark, sf_dir, "documents", rebalance=True)  # shingle explode is scan-stage CPU
     # max_doc_frequency=None: the oracle computes exact (uncapped)
     # Jaccard; production callers keep the default cap.
     return jaccard_candidate_pairs(
-        docs, threshold=0.05, max_doc_frequency=None
+        docs,
+        threshold=0.05,
+        max_doc_frequency=None,
+        # r18: floor the pair-stage task count at the core count — AQE
+        # sized the quadratic shingle self-join by its (tiny) shuffle
+        # bytes; self-disabling at scale via the parquet metadata gate.
+        pair_partitions=cpu_pair_partitions(spark, sf_dir, "documents"),
     ).orderBy("d1", "d2")
 
 

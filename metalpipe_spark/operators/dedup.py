@@ -55,6 +55,7 @@ def jaccard_candidate_pairs(
     threshold: float = 0.05,
     max_doc_frequency: int | None = 1000,
     cache_shingles: bool = False,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs.
 
@@ -107,6 +108,19 @@ def jaccard_candidate_pairs(
             .select("shingle")
         )
         joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if pair_partitions is not None:
+        # Parallelism floor for the pair-explosion stage (guide §2.5):
+        # the self-join's cost is per-PAIR CPU, but AQE sizes its task
+        # count by the shingle table's shuffle BYTES, serializing the
+        # quadratic expansion through a handful of tasks on low-byte
+        # inputs.  An explicit count is exempt from AQE coalescing and
+        # satisfies the join's required distribution, so the Exchange
+        # count is unchanged — and all three consumers (both join
+        # sides and the per-doc sizes) now share this one exchange
+        # instead of re-running the shingle explode per subtree.
+        # Callers size it from input metadata
+        # (sources.readers.cpu_pair_partitions self-disables at scale).
+        joinable = joinable.repartition(pair_partitions, "shingle")
     # Sizes over the surviving universe (== all shingles when uncapped)
     # keep the Jaccard exact w.r.t. the sets actually being compared.
     sizes = joinable.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

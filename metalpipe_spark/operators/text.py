@@ -2132,27 +2132,37 @@ def _kn_levels(
 
 
 def _gram_keys(
-    df: DataFrame, n: int, text_col: str, id_col: str
+    df: DataFrame, n: int, text_col: str, id_col: str, hashed: bool = False
 ) -> DataFrame:
     """Shared gram/probe-key construction for the backoff scorers:
     single-pass shifted-slice order-``n`` grams (docs shorter than
     ``n`` emit one never-matching pseudo-gram), then per-gram lookup
-    keys ``__s1..__sn`` (the gram's LAST k words — probability
+    keys — ``__s1..__sn`` (the gram's LAST k words — probability
     probes) and ``__c1..__c{n-1}`` (the k words preceding the final
-    word — backoff-weight probes), plus the doc's gram count ``__n``
-    for the mean."""
+    word — backoff-weight probes) — plus the doc's gram count ``__n``
+    for the mean.
+
+    Grams are carried as token ARRAYS (``__g``): the previous
+    string-concat-then-split round trip built every gram string only to
+    split it again (r18, guide §2.3 narrower types).  ``hashed=True``
+    emits 8-byte ``xxhash64`` probe keys ``__hs*``/``__hc*`` over the
+    token slices instead of assembling 2n-1 key strings per gram — the
+    consumer verifies hash matches against the token arrays, so
+    matching stays EXACT (see :func:`ngram_logprob_backoff`).  Tokens
+    come from a ``\\s+`` split so they can never contain a space:
+    array equality and joined-string equality coincide."""
     df = df.withColumn("__tk", tokens(text_col))
     toks = F.col("__tk")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     safe = F.greatest(count, F.lit(1))
-    grams = F.slice(toks, 1, safe)
+    grams = F.transform(F.slice(toks, 1, safe), lambda t: F.array(t))
     for k in range(1, n):
         grams = F.zip_with(
             grams,
             F.slice(toks, 1 + k, safe),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+            lambda a, b: F.concat(a, F.array(b)),
         )
-    oov_marker = F.array(F.lit("\x00__short__"))
+    oov_marker = F.array(F.array(F.lit("\x00__short__")))
     exploded = df.select(
         F.col(id_col),
         F.greatest(count, F.lit(1)).alias("__n"),
@@ -2160,7 +2170,21 @@ def _gram_keys(
             F.when(count > 0, grams).otherwise(oov_marker)
         ).alias("__g"),
     )
-    wds = F.split(F.col("__g"), " ")
+    wds = F.col("__g")
+    if hashed:
+        return exploded.select(
+            id_col,
+            "__n",
+            "__g",
+            *[
+                F.xxhash64(F.slice(wds, n - k + 1, k)).alias(f"__hs{k}")
+                for k in range(1, n + 1)
+            ],
+            *[
+                F.xxhash64(F.slice(wds, n - k, k)).alias(f"__hc{k}")
+                for k in range(1, n)
+            ],
+        )
     return exploded.select(
         id_col,
         "__n",
@@ -2566,6 +2590,7 @@ def ngram_logprob_backoff(
     unk_token: str | None = "<unk>",
     broadcast_model: bool = True,
     resolved_unk_logprob: "float | None | object" = _UNK_UNRESOLVED,
+    hashed_probe: bool = True,
 ) -> DataFrame:
     """Backoff-aware LM scoring — the consumer half of
     :func:`train_backoff_lm` and the scorer a real multi-section ARPA
@@ -2610,7 +2635,21 @@ def ngram_logprob_backoff(
     gram strings and the model never has to fit one executor.  The
     chain arithmetic is IDENTICAL (parity unit-tested); the cost is
     ``2n-1`` corpus shuffles instead of zero, so at crawl scale
-    pre-bucket both sides on the gram key or prune first."""
+    pre-bucket both sides on the gram key or prune first.
+
+    ``hashed_probe=True`` (default, r18): the 2n-1 probes join on an
+    8-byte ``xxhash64`` of the gram's token slice instead of the
+    assembled key STRING — per gram the interpreted string work drops
+    from 2n-1 ``array_join`` allocations (plus the join hashing their
+    bytes) to 2n-1 int64 hashes, and the non-broadcast path shuffles
+    int64 keys instead of overlapping gram strings.  Matching stays
+    EXACT, not probabilistic: every hash match is verified against the
+    token array in the join condition (evaluated only for hash-equal
+    candidates), so a 64-bit collision costs one discarded comparison,
+    never a wrong score — outputs are bit-identical to the string path
+    (parity-pinned by test).  The model side pays one split per model
+    row (model-scale).  ``hashed_probe=False`` keeps the string-keyed
+    plan."""
     from pyspark.sql.functions import broadcast
 
     if n is None:
@@ -2621,21 +2660,48 @@ def ngram_logprob_backoff(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     bo_src = "log_backoff" if "log_backoff" in lm.columns else "backoff"
-    keyed = _gram_keys(df, n, text_col, id_col)
+    keyed = _gram_keys(df, n, text_col, id_col, hashed=hashed_probe)
     ship = broadcast if broadcast_model else (lambda d: d)
     probed = keyed
-    for k in range(1, n + 1):
-        lmk = lm.where(F.col("order") == k).select(
-            F.col("ngram").alias(f"__s{k}"),
-            F.col("logprob").alias(f"__lp{k}"),
-        )
-        probed = probed.join(ship(lmk), f"__s{k}", "left")
-    for k in range(1, n):
-        bok = lm.where(F.col("order") == k).select(
-            F.col("ngram").alias(f"__c{k}"),
-            F.col(bo_src).alias(f"__bo{k}"),
-        )
-        probed = probed.join(ship(bok), f"__c{k}", "left")
+    if hashed_probe:
+        toks_of = lambda: F.split(F.col("ngram"), " ")  # noqa: E731
+        for k in range(1, n + 1):
+            lmk = lm.where(F.col("order") == k).select(
+                F.xxhash64(toks_of()).alias(f"__mh{k}"),
+                toks_of().alias(f"__ma{k}"),
+                F.col("logprob").alias(f"__lp{k}"),
+            )
+            cond = (F.col(f"__hs{k}") == F.col(f"__mh{k}")) & (
+                F.slice(F.col("__g"), n - k + 1, k) == F.col(f"__ma{k}")
+            )
+            probed = probed.join(ship(lmk), cond, "left").drop(
+                f"__mh{k}", f"__ma{k}"
+            )
+        for k in range(1, n):
+            bok = lm.where(F.col("order") == k).select(
+                F.xxhash64(toks_of()).alias(f"__nh{k}"),
+                toks_of().alias(f"__na{k}"),
+                F.col(bo_src).alias(f"__bo{k}"),
+            )
+            cond = (F.col(f"__hc{k}") == F.col(f"__nh{k}")) & (
+                F.slice(F.col("__g"), n - k, k) == F.col(f"__na{k}")
+            )
+            probed = probed.join(ship(bok), cond, "left").drop(
+                f"__nh{k}", f"__na{k}"
+            )
+    else:
+        for k in range(1, n + 1):
+            lmk = lm.where(F.col("order") == k).select(
+                F.col("ngram").alias(f"__s{k}"),
+                F.col("logprob").alias(f"__lp{k}"),
+            )
+            probed = probed.join(ship(lmk), f"__s{k}", "left")
+        for k in range(1, n):
+            bok = lm.where(F.col("order") == k).select(
+                F.col("ngram").alias(f"__c{k}"),
+                F.col(bo_src).alias(f"__bo{k}"),
+            )
+            probed = probed.join(ship(bok), f"__c{k}", "left")
     # Highest order first; each step DOWN pays the next backoff weight.
     score = F.when(F.col(f"__lp{n}").isNotNull(), F.col(f"__lp{n}"))
     bosum = F.lit(0.0)
